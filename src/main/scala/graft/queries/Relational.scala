@@ -1,0 +1,286 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** North-star relational layer (SURVEY.md §2.11): joins, hash aggregates,
+  * grouping sets, window functions, top-k, set ops — expressed as plain
+  * DataFrame programs so Catalyst picks the physical strategy.
+  *
+  * Oracle-parity conventions (the driver hash-compares values vs DuckDB):
+  *  - sums over doubles go through DECIMAL(18,4) so they are exact and
+  *    order-independent, then cast back to double in BOTH dialects;
+  *  - averages are exact-decimal-sum / count, divided in double;
+  *  - stddev is computed from exact decimal moments (order-independent)
+  *    rather than the engines' streaming implementations.
+  */
+object Relational {
+
+  /** Order-insensitive exact sum of a double column: decimal accumulate,
+    * double result. Matches CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE).
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  private def dsum8(c: Column): Column = sum(c.cast(DecimalType(28, 8))).cast("double")
+  private def davg(c: Column): Column = dsum(c) / count(c)
+  /** Sample stddev from exact decimal moments: sqrt((S2 - S1^2/n)/(n-1)). */
+  private def dstd(c: Column): Column = {
+    val n = count(c).cast("double")
+    val s1 = dsum8(c)
+    val s2 = dsum8(c * c)
+    sqrt((s2 - s1 * s1 / n) / (n - lit(1.0)))
+  }
+
+  def defs: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: scan-filter-aggregate with map-side partial agg.
+    // Filter + 7-column projection reach the parquet scan (pushdown).
+    Q("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Shuffle join lineitem<->orders (both large at scale: sort-merge /
+    // shuffled-hash by Catalyst+AQE), aggregated by a low-card key.
+    Q("j_inner",
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Broadcast join against a small dimension: part fits in memory at any
+    // SF that matters; explicit broadcast() keeps it off the shuffle path.
+    Q("j_broadcast",
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size < 10 GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part").filter(col("p_size") < 10)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // Left-semi join == EXISTS.
+    Q("j_semi",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // Left-anti join == NOT EXISTS.
+    Q("j_anti",
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    },
+
+    // Left outer join preserving customers with zero orders.
+    Q("j_outer",
+      """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))),0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+    },
+
+    // Star-schema chain with two broadcastable dims.
+    Q("j_star",
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+    },
+
+    // CUBE grouping sets.
+    Q("q_cube",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // ROLLUP hierarchy.
+    Q("q_rollup",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Exact distinct aggregation (expand + two-phase agg in Spark).
+    Q("q_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    },
+
+    // HLL approximate distinct — the 100TB-scale path. HLL sketches differ
+    // across engines, so no DuckDB oracle (rows-only check); exactness is
+    // covered by q_distinct above.
+    Q.noOracle("q_approx_distinct") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    },
+
+    // Deterministic global top-k: total order with unique tiebreaker.
+    Q("q_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // Per-group top-k via ranking window (row_number <= k).
+    Q("q_topk_group",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    },
+
+    // Window-function battery: rank/dense_rank/lag/lead/ntile + running sum.
+    Q("q_window_funcs",
+      """SELECT o_orderkey, o_custkey,
+        |  RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk,
+        |  LAG(o_totalprice) OVER w AS prev_price,
+        |  LEAD(o_totalprice) OVER w AS next_price,
+        |  NTILE(4) OVER w AS quartile,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"))
+    },
+
+    // Set operations.
+    Q("q_union",
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000""".stripMargin) { (s, dir) =>
+      val a = Tables.load(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("k"))
+      val b = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("k"))
+      a.unionAll(b)
+    },
+
+    Q("q_intersect",
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")))
+    },
+
+    Q("q_except",
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").select(col("c_custkey").as("k"))
+        .except(Tables.load(s, dir, "orders").select(col("o_custkey").as("k")))
+    },
+
+    // Exact-moment stddev/variance per group (order-independent; see dstd).
+    Q("q_stats",
+      """SELECT l_returnflag,
+        |  ROUND(SQRT((CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+        |        - CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+        |          * CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_quantity))
+        |        / (COUNT(l_quantity) - 1.0)), 6) AS std_qty,
+        |  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+        |  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(dstd(col("l_quantity")), 6).as("std_qty"),
+          min(col("l_quantity")).cast("double").as("min_qty"),
+          max(col("l_quantity")).cast("double").as("max_qty"))
+    },
+  )
+}
