@@ -13,9 +13,9 @@ object SparkEntry {
 
   /** All registered query families. */
   private def registry: Seq[Q] =
-    queries_relational
-
-  private def queries_relational: Seq[Q] = graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+      graft.queries.Protocol.defs ++
+      graft.queries.Marine.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Fixture-table access (TESTDATA.md). One parquet file per table. */
 object Tables {
@@ -8,8 +9,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
+    * convert here (truncating div — same as DuckDB's ns->us cast for the
+    * positive epoch range). Oracle queries must emit epoch_ms/strftime
+    * rather than raw ns timestamps so both sides agree on precision.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 }
 
 /** One verifiable query: a Spark build plus (optionally) the equivalent

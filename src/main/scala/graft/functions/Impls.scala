@@ -1,0 +1,204 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static implementations behind the graft Catalyst expressions.
+  *
+  * Kept as plain static methods (Scala object = static forwarders) so
+  * generated code can call them directly from whole-stage codegen:
+  * `graft.functions.Impls.crc16Modbus(...)`.
+  *
+  * Semantics follow the reference's documented behavior (SURVEY.md §2.5):
+  * NMEA XOR checksum `/root/reference/src/util/math/MathUtils.java:1206-1235`,
+  * CRC16-modbus / LRC / MD5 `MathUtils.java:1236-1297` +
+  * `Calculations.java:425-437`, signed N-bit reinterpret
+  * `MathUtils.java:1133-1205`, BCD `MathUtils.java:1405-1419` — all
+  * reimplemented from the public algorithm definitions.
+  */
+object Impls {
+
+  private val HEX = "0123456789ABCDEF".toCharArray
+
+  /** XOR of all bytes between a leading '$' (exclusive) and the first '*'
+    * (exclusive); whole string when the markers are absent. Returns the
+    * two-char uppercase hex used in NMEA sentences.
+    */
+  def nmeaChecksum(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var i = 0
+    if (b.length > 0 && b(0) == '$') i = 1
+    var x = 0
+    while (i < b.length && b(i) != '*') { x ^= b(i) & 0xff; i += 1 }
+    UTF8String.fromString(new String(Array(HEX((x >> 4) & 0xf), HEX(x & 0xf))))
+  }
+
+  /** True when the sentence carries a '*hh' suffix matching its checksum. */
+  def nmeaValid(s: UTF8String): Boolean = {
+    val str = s.toString
+    val star = str.indexOf('*')
+    if (star < 0 || star + 3 > str.length) return false
+    val expect = str.substring(star + 1, star + 3)
+    val got = nmeaChecksum(s).toString
+    got.equalsIgnoreCase(expect)
+  }
+
+  /** CRC16/MODBUS over the UTF-8 bytes: init 0xFFFF, poly 0xA001 (reflected
+    * 0x8005), no final xor. Check value: crc16Modbus("123456789") == 0x4B37.
+    */
+  def crc16Modbus(s: UTF8String): Int = {
+    val b = s.getBytes
+    var crc = 0xffff
+    var i = 0
+    while (i < b.length) {
+      crc ^= b(i) & 0xff
+      var j = 0
+      while (j < 8) {
+        crc = if ((crc & 1) != 0) (crc >>> 1) ^ 0xa001 else crc >>> 1
+        j += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Longitudinal redundancy check: two's complement of the byte sum. */
+  def lrc(s: UTF8String): Int = {
+    val b = s.getBytes
+    var sum = 0
+    var i = 0
+    while (i < b.length) { sum += b(i) & 0xff; i += 1 }
+    (-sum) & 0xff
+  }
+
+  /** Reinterpret the low `bits` bits of v as a two's-complement signed int. */
+  def signedNBit(v: Long, bits: Int): Long = {
+    val masked = v & ((1L << bits) - 1)
+    if ((masked & (1L << (bits - 1))) != 0) masked - (1L << bits) else masked
+  }
+
+  /** Binary-coded-decimal decode: each hex nibble is one decimal digit. */
+  def bcdDecode(v: Long): Long = {
+    var x = v
+    var mul = 1L
+    var out = 0L
+    while (x != 0) { out += (x & 0xf) * mul; mul *= 10; x >>>= 4 }
+    out
+  }
+
+  /** Inverse of [[bcdDecode]]. */
+  def bcdEncode(v: Long): Long = {
+    var x = v
+    var shift = 0
+    var out = 0L
+    while (x != 0) { out |= (x % 10) << shift; shift += 4; x /= 10 }
+    out
+  }
+
+  private def md5Of(s: String): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+
+  /** 64-bit SimHash over a token array: each token hashes to 64 bits (first
+    * 8 bytes of its MD5); each bit position votes +1/-1; the sign vector is
+    * the fingerprint. Standard Charikar construction (public algorithm).
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val d = md5Of(tokens.getUTF8String(i).toString)
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) != 0) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) out |= 1L << bit; bit += 1 }
+    out
+  }
+
+  /** Polynomial rolling hash over the string's codepoints, mod 1e9+7 —
+    * the document-fingerprinting primitive (deterministic, SQL-replicable
+    * as list_reduce in the oracle dialect).
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    val MOD = 1000000007L
+    var acc = 0L
+    var i = 0
+    while (i < str.length) { acc = (acc * 31 + str.charAt(i)) % MOD; i += 1 }
+    acc
+  }
+
+  // ---- GDC <-> UTM (WGS84, classic transverse-mercator series; public
+  // formulas per Snyder, "Map Projections — A Working Manual", USGS 1987).
+  // Reference behavior: /root/reference/src/util/gis/GisTools.java:214-352.
+
+  private val A = 6378137.0
+  private val F = 1.0 / 298.257223563
+  private val E2 = F * (2 - F)
+  private val EP2 = E2 / (1 - E2)
+  private val K0 = 0.9996
+
+  /** lat/lon degrees -> (easting, northing, zone, northHemisphere=1/0). */
+  def gdcToUtm(latDeg: Double, lonDeg: Double): Array[Double] = {
+    val zone = math.min(60, math.max(1, (math.floor((lonDeg + 180) / 6) + 1).toInt))
+    val lam0 = math.toRadians(zone * 6 - 183)
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg)
+    val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+    val n = A / math.sqrt(1 - E2 * sinP * sinP)
+    val t = tanP * tanP
+    val c = EP2 * cosP * cosP
+    val aa = (lam - lam0) * cosP
+    val m = A * ((1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256) * phi
+      - (3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024) * math.sin(2 * phi)
+      + (15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024) * math.sin(4 * phi)
+      - (35 * E2 * E2 * E2 / 3072) * math.sin(6 * phi))
+    val e = K0 * n * (aa + (1 - t + c) * aa * aa * aa / 6
+      + (5 - 18 * t + t * t + 72 * c - 58 * EP2) * math.pow(aa, 5) / 120) + 500000.0
+    var nn = K0 * (m + n * tanP * (aa * aa / 2
+      + (5 - t + 9 * c + 4 * c * c) * math.pow(aa, 4) / 24
+      + (61 - 58 * t + t * t + 600 * c - 330 * EP2) * math.pow(aa, 6) / 720))
+    val north = if (latDeg >= 0) 1.0 else 0.0
+    if (north == 0.0) nn += 10000000.0
+    Array(e, nn, zone.toDouble, north)
+  }
+
+  /** (easting, northing, zone, north) -> (latDeg, lonDeg). */
+  def utmToGdc(easting: Double, northing: Double, zone: Int, north: Boolean): Array[Double] = {
+    val x = easting - 500000.0
+    val y = if (north) northing else northing - 10000000.0
+    val m = y / K0
+    val mu = m / (A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256))
+    val e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+    val phi1 = mu + (3 * e1 / 2 - 27 * e1 * e1 * e1 / 32) * math.sin(2 * mu) +
+      (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+      (151 * e1 * e1 * e1 / 96) * math.sin(6 * mu) +
+      (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+    val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+    val c1 = EP2 * cosP * cosP
+    val t1 = tanP * tanP
+    val n1 = A / math.sqrt(1 - E2 * sinP * sinP)
+    val r1 = A * (1 - E2) / math.pow(1 - E2 * sinP * sinP, 1.5)
+    val d = x / (n1 * K0)
+    val lat = phi1 - (n1 * tanP / r1) * (d * d / 2
+      - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * EP2) * math.pow(d, 4) / 24
+      + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * EP2 - 3 * c1 * c1) * math.pow(d, 6) / 720)
+    val lon = (d - (1 + 2 * t1 + c1) * d * d * d / 6
+      + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * EP2 + 24 * t1 * t1) * math.pow(d, 5) / 120) / cosP
+    Array(math.toDegrees(lat), math.toDegrees(lon) + (zone * 6 - 183))
+  }
+}

@@ -1,0 +1,145 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+import graft.functions.Impls
+
+/** Expression <-> Column bridge. Lives under org.apache.spark.sql because
+  * the APIs it touches are private[sql]; this is the conventional extension
+  * point for third-party Catalyst expression libraries.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def parseExpression(spark: org.apache.spark.sql.SparkSession, sql: String): Expression =
+    spark.sessionState.sqlParser.parseExpression(sql)
+  def substitute(template: Expression, byName: Map[String, Expression]): Expression =
+    template.transformUp {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if byName.contains(a.name) => byName(a.name)
+    }
+}
+
+/** Native Catalyst expressions for the reference's domain functions
+  * (SURVEY.md §2.5, §4 custom-Catalyst inventory). All of them stay inside
+  * whole-stage codegen: the generated code calls the static methods on
+  * [[Impls]] directly — no UDF boxing, no codegen fallback.
+  */
+case class NmeaChecksum(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nmea_checksum"
+  override protected def nullSafeEval(v: Any): Any =
+    Impls.nmeaChecksum(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impls.nmeaChecksum($c)")
+  override protected def withNewChildInternal(c: Expression): NmeaChecksum = copy(c)
+}
+
+case class NmeaValid(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "nmea_valid"
+  override protected def nullSafeEval(v: Any): Any =
+    Impls.nmeaValid(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impls.nmeaValid($c)")
+  override protected def withNewChildInternal(c: Expression): NmeaValid = copy(c)
+}
+
+case class Crc16Modbus(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "crc16_modbus"
+  override protected def nullSafeEval(v: Any): Any =
+    Impls.crc16Modbus(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impls.crc16Modbus($c)")
+  override protected def withNewChildInternal(c: Expression): Crc16Modbus = copy(c)
+}
+
+case class Lrc8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lrc8"
+  override protected def nullSafeEval(v: Any): Any =
+    Impls.lrc(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impls.lrc($c)")
+  override protected def withNewChildInternal(c: Expression): Lrc8 = copy(c)
+}
+
+/** signed_nbit(value, bits): two's-complement reinterpret of the low
+  * `bits` bits (8/10/12/16/20/24 in the reference).
+  */
+case class SignedNBit(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "signed_nbit"
+  override protected def nullSafeEval(v: Any, b: Any): Any =
+    Impls.signedNBit(v.asInstanceOf[Long], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b) => s"graft.functions.Impls.signedNBit($v, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SignedNBit =
+    copy(l, r)
+}
+
+case class BcdDecode(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bcd_decode"
+  override protected def nullSafeEval(v: Any): Any =
+    Impls.bcdDecode(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impls.bcdDecode($c)")
+  override protected def withNewChildInternal(c: Expression): BcdDecode = copy(c)
+}
+
+case class BcdEncode(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bcd_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    Impls.bcdEncode(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impls.bcdEncode($c)")
+  override protected def withNewChildInternal(c: Expression): BcdEncode = copy(c)
+}
+
+/** simhash64(tokens): 64-bit Charikar fingerprint of a string array. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    Impls.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impls.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** rolling_hash(s): 31-poly rolling hash mod 1e9+7 (doc fingerprint). */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override protected def nullSafeEval(v: Any): Any =
+    Impls.rollingHash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impls.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+}

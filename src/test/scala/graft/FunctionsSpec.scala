@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Formulas, GraftFunctions, Impls}
+import org.apache.spark.unsafe.types.UTF8String
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(s)
+    s
+  }
+}
+
+class FunctionsSpec extends AnyFunSuite {
+  private def u(s: String) = UTF8String.fromString(s)
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  // FIXTURES.md §1.1 worked NMEA sentences.
+  test("nmea checksum golden sentences") {
+    assert(Impls.nmeaChecksum(
+      u("$GPGGA,123519,4807.038,N,01131.000,E,1,08,0.9,545.4,M,46.9,M,,")).toString == "47")
+    assert(Impls.nmeaValid(
+      u("$GPGGA,123519,4807.038,N,01131.000,E,1,08,0.9,545.4,M,46.9,M,,*47")))
+    assert(Impls.nmeaValid(u("$GPZDA,160012.71,11,03,2004,-1,00*7D")))
+    assert(!Impls.nmeaValid(u("$GPZDA,160012.71,11,03,2004,-1,01*7D")))
+    assert(!Impls.nmeaValid(u("no checksum here")))
+  }
+
+  test("nmea checksum generate-verify property") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val s = rnd.alphanumeric.take(rnd.nextInt(40)).mkString
+      val full = "$" + s + "*" + Impls.nmeaChecksum(u("$" + s)).toString
+      assert(Impls.nmeaValid(u(full)))
+    }
+  }
+
+  test("crc16/modbus + lrc check values") {
+    assert(Impls.crc16Modbus(u("123456789")) == 0x4b37)
+    assert(Impls.crc16Modbus(u("")) == 0xffff)
+    assert(Impls.lrc(u("123456789")) == 0x23)
+  }
+
+  test("signed n-bit reinterpret") {
+    assert(Impls.signedNBit(0xfffL, 12) == -1L)
+    assert(Impls.signedNBit(2048L, 12) == -2048L)
+    assert(Impls.signedNBit(2047L, 12) == 2047L)
+    assert(Impls.signedNBit(0xffL, 8) == -1L)
+    assert(Impls.signedNBit(127L, 8) == 127L)
+    (0L to 255L).foreach { v =>
+      val s = Impls.signedNBit(v, 8)
+      assert(s >= -128 && s <= 127 && ((s + 256) % 256) == v % 256)
+    }
+  }
+
+  test("bcd round-trip") {
+    assert(Impls.bcdDecode(0x25L) == 25L)
+    assert(Impls.bcdEncode(25L) == 0x25L)
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val v = rnd.nextLong(100000000L)
+      assert(Impls.bcdDecode(Impls.bcdEncode(v)) == v)
+    }
+  }
+
+  test("simhash64: identical token sets agree, disjoint differ") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: String*) = new GenericArrayData(xs.map(u).toArray[Any])
+    val a = Impls.simhash64(arr("spark", "query", "engine", "fast"))
+    val b = Impls.simhash64(arr("spark", "query", "engine", "fast"))
+    assert(a == b)
+    val c = Impls.simhash64(arr("totally", "different", "words", "here"))
+    assert(java.lang.Long.bitCount(a ^ c) > 0)
+  }
+
+  test("rolling hash deterministic and spread") {
+    assert(Impls.rollingHash(u("abc")) == (('a' * 31L + 'b') * 31 + 'c') % 1000000007L)
+    assert(Impls.rollingHash(u("abc")) != Impls.rollingHash(u("acb")))
+  }
+
+  // PSS-78: S(C=42.914 mS/cm, T=15, P=0) == 35 by construction (a-coeffs
+  // sum to 35, delta-S term vanishes at T=15).
+  test("salinity PSS-78 fixed point") {
+    val df = spark.sql(
+      s"SELECT ${Formulas.salinitySql("42.914", "15.0", "0.0")} AS s")
+    val got = df.collect()(0).getDouble(0)
+    // published coefficients are truncated to ~7 digits; 1e-6 is the
+    // attainable fixed-point accuracy
+    assert(math.abs(got - 35.0) < 1e-6, s"got $got")
+  }
+
+  // UNESCO TR44 check value: svel(S=40, T=40, P=10000 dbar) = 1731.995 m/s.
+  test("sound velocity UNESCO check value") {
+    val df = spark.sql(
+      s"SELECT ${Formulas.soundVelocitySql("40.0", "40.0", "10000.0")} AS c")
+    val got = df.collect()(0).getDouble(0)
+    assert(math.abs(got - 1731.995) < 0.01, s"got $got")
+  }
+
+  test("true wind: stationary ship keeps apparent; headway cancels") {
+    // stationary: true == apparent (from 045 deg at 7 m/s)
+    val r1 = spark.sql(
+      s"SELECT ${Formulas.trueWindSpeedSql("7.0", "45.0", "0.0", "0.0", "0.0")} AS ws, " +
+        s"${Formulas.trueWindDirSql("7.0", "45.0", "0.0", "0.0", "0.0")} AS wd").collect()(0)
+    assert(math.abs(r1.getDouble(0) - 7.0) < 1e-9)
+    assert(math.abs(r1.getDouble(1) - 45.0) < 1e-9)
+    // ship north at 5 m/s in still air: apparent 5 m/s from dead ahead
+    val r2 = spark.sql(
+      s"SELECT ${Formulas.trueWindSpeedSql("5.0", "0.0", "0.0", "5.0", "0.0")} AS ws").collect()(0)
+    assert(math.abs(r2.getDouble(0)) < 1e-9)
+  }
+
+  test("haversine: one degree of latitude ~ 111 km") {
+    val d = spark.sql(
+      s"SELECT ${Formulas.haversineSql("51.0", "3.0", "52.0", "3.0")} AS d").collect()(0).getDouble(0)
+    assert(math.abs(d - 111195.0) < 100.0, s"got $d")
+  }
+
+  test("utm round-trip inverse within 1e-6 deg") {
+    for (lat <- BigDecimal(-80.0) to BigDecimal(84.0) by 8.2;
+         lon <- BigDecimal(-179.5) to BigDecimal(179.5) by 13.7) {
+      val utm = Impls.gdcToUtm(lat.toDouble, lon.toDouble)
+      val back = Impls.utmToGdc(utm(0), utm(1), utm(2).toInt, utm(3) > 0.5)
+      assert(math.abs(back(0) - lat.toDouble) < 1e-6, s"lat $lat -> ${back(0)}")
+      assert(math.abs(back(1) - lon.toDouble) < 1e-6, s"lon $lon -> ${back(1)}")
+    }
+  }
+
+  test("utm known point: Brussels zone 31 north") {
+    // E cross-checked by hand against the Snyder series:
+    // E = 500000 + k0*N*(A + (1-T+C)A^3/6 + ...) ~ 500000 + 95158 - 2
+    val utm = Impls.gdcToUtm(50.8503, 4.3517)
+    assert(utm(2) == 31.0 && utm(3) == 1.0)
+    assert(math.abs(utm(0) - 595151) < 50, s"easting ${utm(0)}")
+    assert(math.abs(utm(1) - 5633600) < 1000, s"northing ${utm(1)}")
+  }
+
+  test("registered SQL functions evaluate inside codegen") {
+    val row = spark.sql(
+      "SELECT nmea_checksum('$GPZDA,160012.71,11,03,2004,-1,00') AS ck, " +
+        "crc16_modbus('123456789') AS crc, signed_nbit(4095, 12) AS sn, " +
+        "bcd_decode(37) AS bcd, lrc8('123456789') AS l, " +
+        "rolling_hash('abc') AS rh").collect()(0)
+    assert(row.getString(0) == "7D")
+    assert(row.getInt(1) == 0x4b37)
+    assert(row.getLong(2) == -1L)
+    assert(row.getLong(3) == 25L)
+    assert(row.getInt(4) == 0x23)
+  }
+}

@@ -18,6 +18,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm_cell(v):
+    import numpy as np
+    if isinstance(v, np.integer):
+        v = int(v)
+    elif isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
