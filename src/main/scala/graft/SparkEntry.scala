@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     graft.queries.Relational.defs ++
       graft.queries.Protocol.defs ++
-      graft.queries.Marine.defs
+      graft.queries.Marine.defs ++
+      graft.queries.PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** The dcafs line-transform plane re-expressed as Column combinators.
+  *
+  * A dcafs "path" is filter -> math -> editor chains over one text line
+  * (SURVEY.md §2.3-2.5). Here each rule/edit is a pure `Column` function, so a
+  * whole path composes into a single Catalyst projection/filter — one
+  * codegen stage, no per-step materialization.
+  */
+object FilterRules {
+
+  /** `start`: startsWith any of the given prefixes
+    * (FilterForward.java:315-328). */
+  def start(line: Column, prefixes: String*): Column =
+    prefixes.map(p => line.startsWith(p)).reduce(_ || _)
+
+  /** `nostart` (FilterForward.java:321-323). */
+  def nostart(line: Column, prefix: String): Column = !line.startsWith(prefix)
+
+  /** `end` (FilterForward.java:332-334). */
+  def end(line: Column, suffix: String): Column = line.endsWith(suffix)
+
+  /** `contain` (FilterForward.java:329-331). */
+  def contain(line: Column, needle: String): Column = line.contains(needle)
+
+  /** `c_start`: char at 1-based position k equals c (FilterForward.java:335-337). */
+  def cStart(line: Column, k: Int, c: String): Column =
+    substring(line, k, 1) === c
+
+  /** `c_end`: char at position k from the end (FilterForward.java:338-340). */
+  def cEnd(line: Column, k: Int, c: String): Column =
+    substring(line, -k, 1) === c
+
+  /** `minlength`/`maxlength` (FilterForward.java:341-342). */
+  def lengthBetween(line: Column, lo: Int, hi: Int): Column =
+    length(line).between(lo, hi)
+
+  /** `minitems`/`maxitems`/`items`: split-count bounds (FilterForward.java:343-345). */
+  def itemsBetween(line: Column, delim: String, lo: Int, hi: Int): Column =
+    size(split(line, java.util.regex.Pattern.quote(delim))).between(lo, hi)
+
+  /** `regex`: full match (FilterForward.java:318-320). */
+  def regex(line: Column, pattern: String): Column = line.rlike(s"^$pattern$$")
+
+  /** `nmea`: checksum validity (FilterForward.java:347). */
+  def nmea(line: Column): Column = GraftFunctions.nmea_valid(line)
+
+  /** All rules must pass; rejected rows route to the `reversed` branch
+    * (FilterForward.java:385-406, 26,52,69-81). Both branches share one
+    * cached/scanned upstream — Catalyst reuses the exchange.
+    */
+  def branch(df: DataFrame, rules: Seq[Column]): (DataFrame, DataFrame) = {
+    val all = rules.reduce(_ && _)
+    (df.filter(all), df.filter(!all))
+  }
+}
+
+/** EditorForward edits (SURVEY.md §2.4) as Column -> Column functions.
+  * Ordered edits compose left-to-right; a whole edit chain stays one
+  * projection.
+  */
+object Edits {
+
+  /** `resplit`: split on delim, re-emit via an i0/i1 template
+    * (EditorForward.java:466-523). Template refs `iN` select fields; other
+    * text passes through literally.
+    */
+  def resplit(line: Column, delim: String, template: String): Column = {
+    val parts = split(line, java.util.regex.Pattern.quote(delim))
+    val pieces = raw"i(\d+)".r.split(template) // literal segments
+    val refs = raw"i(\d+)".r.findAllMatchIn(template).map(_.group(1).toInt).toSeq
+    // interleave literal / field pieces
+    val cols = scala.collection.mutable.ArrayBuffer.empty[Column]
+    for (i <- pieces.indices) {
+      if (pieces(i).nonEmpty) cols += lit(pieces(i))
+      if (i < refs.length) cols += try_element_at(parts, lit(refs(i) + 1))
+    }
+    concat(cols.toSeq: _*)
+  }
+
+  /** `charsplit`: split at fixed 1-based char positions, re-join
+    * (EditorForward.java:314-350). */
+  def charsplit(line: Column, delim: String, positions: Int*): Column = {
+    val bounds = (1 +: positions) :+ Int.MaxValue
+    val segs = bounds.sliding(2).map {
+      case Seq(a, b) =>
+        if (b == Int.MaxValue) substring(line, a, 1000000)
+        else substring(line, a, b - a)
+    }.toSeq
+    concat_ws(delim, segs: _*)
+  }
+
+  /** `redate`: reformat a date field (EditorForward.java:391-445). */
+  def redate(field: Column, fromFmt: String, toFmt: String): Column =
+    date_format(to_timestamp(field, fromFmt), toFmt)
+
+  /** `millisdate`: epoch millis -> formatted (EditorForward.java:351-383). */
+  def millisdate(field: Column, toFmt: String): Column =
+    date_format(timestamp_millis(field.cast("long")), toFmt)
+
+  /** `replace` / `remove` (EditorForward.java:551-554, 226-229). */
+  def replaceLit(line: Column, find: String, repl: String): Column =
+    replace(line, lit(find), lit(repl))
+  def removeLit(line: Column, find: String): Column = replaceLit(line, find, "")
+
+  /** `rexreplace` / `rexremove` (EditorForward.java:563-567, 559-562). */
+  def rexreplace(line: Column, pattern: String, repl: String): Column =
+    regexp_replace(line, pattern, repl)
+  def rexremove(line: Column, pattern: String): Column =
+    regexp_replace(line, pattern, "")
+
+  /** `rexkeep`/`rexsplit`: keep all matches joined by delim
+    * (EditorForward.java:446-460, 238-241). */
+  def rexkeep(line: Column, pattern: String, delim: String): Column =
+    array_join(regexp_extract_all(line, lit(pattern), lit(0)), delim)
+
+  /** `trim` / `prepend` / `append` (EditorForward.java:529-558). */
+  def trimEdit(line: Column): Column = trim(line)
+  def prepend(line: Column, s: String): Column = concat(lit(s), line)
+  def append(line: Column, s: String): Column = concat(line, lit(s))
+
+  /** `insert` at 1-based position (EditorForward.java:543-550). */
+  def insert(line: Column, pos: Int, s: String): Column =
+    concat(substring(line, 1, pos), lit(s), substring(line, pos + 1, 1000000))
+
+  /** `cutstart`/`cutend`: drop N chars (EditorForward.java:568-575). */
+  def cutstart(line: Column, n: Int): Column = substring(line, n + 1, 1000000)
+  def cutend(line: Column, n: Int): Column =
+    substr(line, lit(1), greatest(length(line) - n, lit(0)))
+
+  /** `toascii`: delimited codepoints -> chars (EditorForward.java:576-583). */
+  def toascii(line: Column, delim: String): Column =
+    array_join(transform(
+      split(line, java.util.regex.Pattern.quote(delim)),
+      c => char(c.cast("int"))), "")
+
+  /** `listreplace`: index field -> lookup list, 0-based offset `first`
+    * (EditorForward.java:289-313). */
+  def listreplace(field: Column, first: Int, values: Seq[String]): Column =
+    try_element_at(array(values.map(lit): _*), field.cast("int") - first + 1)
+}
