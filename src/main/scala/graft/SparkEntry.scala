@@ -16,7 +16,10 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       graft.queries.Protocol.defs ++
       graft.queries.Marine.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.StateQueries.defs ++
+      graft.queries.DedupQueries.defs ++
+      graft.queries.TextQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

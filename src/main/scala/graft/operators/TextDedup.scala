@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: tokenization, shingling, MinHash+LSH,
+  * SimHash, exact Jaccard, embedding cosine — the dedup/similarity layer a
+  * 100 TB corpus pipeline needs.
+  *
+  * Design notes for scale:
+  *  - MinHash signatures + banded LSH turn all-pairs O(n^2) dedup into a
+  *    shuffle on (band, bucket-hash) — candidate pairs only materialize
+  *    inside buckets.
+  *  - All hashes are md5-derived (seeded by index), so signatures are
+  *    deterministic and reproducible in any engine — the DuckDB oracle
+  *    recomputes them exactly.
+  *  - Everything is built from codegen'd builtins (split/transform/
+  *    aggregate); no UDFs on the hot path except the simhash64 native
+  *    expression.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Distinct word n-shingles; empty array when fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** k-element MinHash signature: per seed, the lexicographic min of
+    * md5(seed || ":" || shingle). String-min keeps the oracle dialect
+    * trivially identical (no 64-bit hex-int casts needed).
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleCol, x => md5(concat(lit(s"$seed:"), x))))
+    }: _*)
+
+  /** LSH band hash: md5 of the band's signature rows (rowsPerBand
+    * consecutive signature entries).
+    */
+  def bandHash(sig: Column, band: Int, rowsPerBand: Int): Column =
+    md5(concat((0 until rowsPerBand).map(r =>
+      element_at(sig, band * rowsPerBand + r + 1)): _*))
+
+  /** Exact Jaccard similarity of two string arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** LSH candidate pairs: explode band hashes, self-join per (band, hash).
+    * One shuffle on the band hash; pair space limited to bucket contents.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= shingleSize)
+      .withColumn("__sig", minhashSignature(shingles(col("__toks"), shingleSize), k))
+    val banded = sig.select(
+      col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        bandHash(col("__sig"), b, rowsPerBand)): _*)).as(Seq("band", "bh")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+      col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .distinct()
+  }
+}
+
+/** Embedding-vector similarity: cosine over Array[Float] columns, built
+  * from zip_with/aggregate (codegen'd, no UDF). The scale path is
+  * [[buckets]]: random-hyperplane LSH so ANN probes only touch one bucket.
+  */
+object VectorOps {
+
+  /** Dot product in double precision (sequential, deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Deterministic pseudo-random hyperplane component for plane p, dim j:
+    * md5-derived value in [-7.5, 7.5]. Reproducible anywhere.
+    */
+  private def planeComponent(p: Int, j: Column): Column =
+    conv(substring(md5(concat(lit(s"plane$p:"), j.cast("string"))), 1, 2), 16, 10)
+      .cast("double") - 127.5
+
+  /** Random-hyperplane LSH bucket id: one sign bit per plane. Vectors in
+    * the same bucket are cosine-close with high probability; ANN search
+    * shuffles on the bucket id instead of cross-joining the corpus.
+    */
+  def buckets(vec: Column, planes: Int): Column = {
+    val dims = size(vec)
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), dims - 1),
+          (x, j) => x.cast("double") * planeComponent(p, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

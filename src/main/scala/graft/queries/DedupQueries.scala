@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{TextOps, VectorOps}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-corpus dedup + similarity-search operators (builder-prompt
+  * first-class set): exact dedup, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup, brute-force and LSH-bucketed ANN.
+  *
+  * Every hash is md5-derived so the DuckDB oracle can recompute signatures
+  * exactly; at 100 TB the same plans hold because the only shuffles are on
+  * group keys (band hash, label, bucket id) — never all-pairs.
+  */
+object DedupQueries {
+
+  def defs: Seq[Q] = Seq(
+
+    // Exact dedup after normalization (first-5-token key): hash-groupBy,
+    // keep the min id. The 100 TB plan is identical: shuffle on the key.
+    Q("dd_exact",
+      """WITH k AS (SELECT doc_id,
+        |  array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[1:5], ' ') AS key
+        |  FROM documents)
+        |SELECT key, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM k GROUP BY key""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("key", array_join(slice(TextOps.tokens(col("text")), 1, 5), " "))
+        .groupBy("key")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+    },
+
+    // MinHash (k=8, md5-seeded, string-min) + banded LSH (4 bands x 2):
+    // candidate pairs are docs sharing any band bucket.
+    Q("dd_minhash_lsh",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
+        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
+        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
+        |  FROM mh GROUP BY doc_id, k // 2)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+      TextOps.lshCandidatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, k = 8, bands = 4)
+    },
+
+    // 64-bit SimHash fingerprints (native expression; oracle rebuilds the
+    // bit votes from md5 nibbles).
+    Q("dd_simhash",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents),
+        |b AS (SELECT doc_id, j,
+        |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), CAST(16 - j//4 AS INT), 1)) - 1)
+        |                   >> CAST(j % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js GROUP BY doc_id, j),
+        |ch AS (SELECT doc_id, 16 - j//4 AS pos,
+        |    SUM((CASE WHEN v > 0 THEN 1 ELSE 0 END) << CAST(j % 4 AS INT)) AS cv
+        |  FROM b GROUP BY doc_id, 16 - j//4)
+        |SELECT doc_id,
+        |  string_agg(substr('0123456789ABCDEF', CAST(cv AS INT) + 1, 1), '' ORDER BY pos) AS simhash
+        |FROM ch GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          lpad(hex(GraftFunctions.simhash64(TextOps.tokens(col("text")))), 16, "0")
+            .as("simhash"))
+    },
+
+    // Exact word-bigram Jaccard within a blocking key (lang): the
+    // verify stage after LSH candidate generation.
+    Q("dd_ngram_jaccard",
+      """WITH toks AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |e AS (SELECT doc_id, lang, unnest(g) AS x FROM bg),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.x = b.x AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(g) AS n FROM bg)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(i * 1.0 / (na.n + nb.n - i), 6) AS jac
+        |FROM inter JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
+        |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.1""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("g", TextOps.shingles(TextOps.tokens(col("text")), 2))
+        .filter(size(col("g")) > 0)
+        .select(col("doc_id"), col("lang"), col("g"))
+      val a = docs.as("a")
+      val b = docs.as("b")
+      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jac_raw", TextOps.jaccard(col("a.g"), col("b.g")))
+        .filter(col("jac_raw") >= 0.1)
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(col("jac_raw"), 6).as("jac"))
+    },
+
+    // Embedding-cosine near-dup within label blocks.
+    Q("dd_embed_cos",
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_a, vec_b, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                    for i in range(1, 65)]) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.3""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
+      val a = e.as("a")
+      val b = e.as("b")
+      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          round(VectorOps.dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm")), 6))
+        .filter(col("cos") >= 0.3)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+    },
+
+    // Brute-force cosine top-k ANN baseline: 5 query vectors vs the corpus,
+    // deterministic ties (rounded score, then id). At scale the query side
+    // is broadcast, corpus scanned once.
+    Q("ann_topk",
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id AS qid, a.vec_id AS vec_id,
+        |    round(list_sum([q.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, 65)]) / (q.nrm * a.nrm), 6) AS cos_r
+        |  FROM q JOIN n a ON a.vec_id <> q.vec_id)
+        |SELECT qid, vec_id, rn, cos_r FROM (
+        |  SELECT qid, vec_id, cos_r,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
+        |  FROM s) t WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos_r",
+          round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"), col("rn"), col("cos_r"))
+    },
+
+    // LSH-bucketed ANN — the scale path: probe only the query's hyperplane
+    // bucket. Bucket membership depends on md5-derived planes; no oracle
+    // (rows-only check), ranked output verified by ann_topk's exact twin.
+    Q.noOracle("ann_lsh") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
+        .withColumn("bucket", VectorOps.buckets(col("embedding"), 4))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bucket").as("qbucket"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id"))
+      e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .withColumn("cos_r",
+          round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"), col("rn"), col("cos_r"))
+    },
+  )
+}

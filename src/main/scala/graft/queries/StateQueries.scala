@@ -1,0 +1,266 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Formulas
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** The rtvals state plane and trigger/alert semantics (SURVEY.md §2.7-2.8)
+  * rendered as batch-verifiable queries, plus the time-window operators the
+  * reference lacks (§2.11): tumbling/sliding/session windows and the as-of
+  * join. Batch renderings here are the oracle-checkable twins of the
+  * Structured Streaming implementations in graft.streaming.
+  */
+object StateQueries {
+
+  private def dsumOver(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+    sum(c.cast(DecimalType(28, 8))).over(w).cast("double")
+
+  def defs: Seq[Q] = Seq(
+
+    // §2.7 per-key running state: last / min / max / count / avg / age.
+    // (RealVal.java:145-182, 223-227, 385-396; age AbstractVal.java:22-24)
+    Q("st_last",
+      """WITH t AS (SELECT user_id, value, ts, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |  min(value) OVER (PARTITION BY user_id) AS min_val,
+        |  max(value) OVER (PARTITION BY user_id) AS max_val,
+        |  count(value) OVER (PARTITION BY user_id) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER (PARTITION BY user_id) AS DOUBLE)
+        |    / count(value) OVER (PARTITION BY user_id) AS avg_val
+        |  FROM events)
+        |SELECT user_id, value AS last_val, min_val, max_val, n, avg_val,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) AS last_ts_ms
+        |FROM t WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val wAll = Window.partitionBy("user_id")
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("min_val", min("value").over(wAll))
+        .withColumn("max_val", max("value").over(wAll))
+        .withColumn("n", count("value").over(wAll))
+        .withColumn("avg_val", dsumOver(col("value"), wAll) / count("value").over(wAll))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"), col("value").as("last_val"), col("min_val"),
+          col("max_val"), col("n"), col("avg_val"),
+          unix_millis(col("ts")).as("last_ts_ms"))
+    },
+
+    // §2.7 rolling last-N history stats; stdev gated on a full buffer
+    // (RealVal.java:403-414: only when history holds N samples).
+    Q("st_history",
+      """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE)
+        |    / count(value) OVER w AS hist_avg,
+        |  CASE WHEN count(value) OVER w = 5 THEN
+        |    round(sqrt((CAST(SUM(CAST(value*value AS DECIMAL(28,8))) OVER w AS DOUBLE)
+        |      - CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE)
+        |        * CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE) / 5) / 4), 6)
+        |  END AS hist_std,
+        |  min(value) OVER w AS hist_min,
+        |  max(value) OVER w AS hist_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      val cnt = count("value").over(w)
+      val s1 = dsumOver(col("value"), w)
+      val s2 = dsumOver(col("value") * col("value"), w)
+      Tables.load(s, dir, "events")
+        .select(
+          col("event_id"),
+          (s1 / cnt).as("hist_avg"),
+          when(cnt === 5, round(sqrt((s2 - s1 * s1 / lit(5)) / lit(4)), 6)).as("hist_std"),
+          min("value").over(w).as("hist_min"),
+          max("value").over(w).as("hist_max"))
+    },
+
+    // §2.8 triggered commands: `changed` + rising-edge numeric compare
+    // (RealVal.java:464-533 — fires on the edge, not while high).
+    Q("st_triggers",
+      """WITH t AS (SELECT event_id, event_type, value,
+        |  lag(event_type) OVER w AS prev_type,
+        |  lag(value) OVER w AS prev_val
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id,
+        |  COALESCE(event_type <> prev_type, TRUE) AS changed,
+        |  (value >= 400 AND COALESCE(prev_val < 400, TRUE)) AS rising_edge
+        |FROM t""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("prev_val", lag("value", 1).over(w))
+        .select(
+          col("event_id"),
+          coalesce(col("event_type") =!= col("prev_type"), lit(true)).as("changed"),
+          (col("value") >= 400 && coalesce(col("prev_val") < 400, lit(true))).as("rising_edge"))
+    },
+
+    // §2.8 hysteresis: fire at >= 400 only when the condition last cleared
+    // below 100 (fires once until it clears — RealVal.java hysteresis).
+    Q("st_hysteresis",
+      """WITH m AS (SELECT event_id, user_id, ts, value,
+        |  CASE WHEN value >= 400 THEN 'H' WHEN value <= 100 THEN 'L' END AS marker
+        |  FROM events),
+        |p AS (SELECT event_id, value,
+        |  last_value(marker IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_marker
+        |  FROM m)
+        |SELECT event_id,
+        |  (value >= 400 AND COALESCE(prev_marker, 'L') = 'L') AS fire
+        |FROM p""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "events")
+        .withColumn("marker",
+          when(col("value") >= 400, "H").when(col("value") <= 100, "L"))
+        .withColumn("prev_marker", last("marker", ignoreNulls = true).over(w))
+        .select(
+          col("event_id"),
+          (col("value") >= 400 && coalesce(col("prev_marker"), lit("L")) === "L").as("fire"))
+    },
+
+    // §2.8 waypoint geofence ENTER/LEAVE/INSIDE/OUTSIDE state machine
+    // (Waypoint.java:71-104), with positions synthesized from events and
+    // distance from the shared haversine fragment.
+    Q("st_geofence", {
+      val d = Formulas.haversineSql(
+        "(51.0 + (value - 250.0)/500.0)", "(3.0 + CAST(user_id % 10 AS DOUBLE)/50.0)",
+        "51.0", "3.1")
+      s"""WITH t AS (SELECT event_id, user_id, ts, ($d < 15000.0) AS inside FROM events),
+         |p AS (SELECT event_id, inside,
+         |  lag(inside) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM t)
+         |SELECT event_id,
+         |  CASE WHEN inside AND NOT COALESCE(prev, FALSE) THEN 'ENTER'
+         |       WHEN NOT inside AND COALESCE(prev, FALSE) THEN 'LEAVE'
+         |       WHEN inside THEN 'INSIDE' ELSE 'OUTSIDE' END AS geo_event
+         |FROM p""".stripMargin
+    }) { (s, dir) =>
+      val d = Formulas.haversineSql(
+        "(51.0 + (value - 250.0)/500.0)", "(3.0 + CAST(user_id % 10 AS DOUBLE)/50.0)",
+        "51.0", "3.1")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("inside", expr(s"$d < 15000.0"))
+        .withColumn("prev", lag("inside", 1).over(w))
+        .select(
+          col("event_id"),
+          when(col("inside") && !coalesce(col("prev"), lit(false)), "ENTER")
+            .when(!col("inside") && coalesce(col("prev"), lit(false)), "LEAVE")
+            .when(col("inside"), "INSIDE")
+            .otherwise("OUTSIDE").as("geo_event"))
+    },
+
+    // §2.8 issue pool: startif value>450 / stopif value<50 — count state
+    // machine activations per key (IssuePool.java:26-70).
+    Q("st_issue_pool",
+      """WITH m AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN value > 450 THEN 'S' WHEN value < 50 THEN 'X' END AS marker
+        |  FROM events),
+        |p AS (SELECT user_id, marker,
+        |  last_value(marker IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM m)
+        |SELECT user_id,
+        |  count(CASE WHEN marker = 'S' AND COALESCE(prev, 'X') = 'X' THEN 1 END) AS n_starts,
+        |  count(CASE WHEN marker = 'X' AND prev = 'S' THEN 1 END) AS n_stops
+        |FROM p GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "events")
+        .withColumn("marker",
+          when(col("value") > 450, "S").when(col("value") < 50, "X"))
+        .withColumn("prev", last("marker", ignoreNulls = true).over(w))
+        .groupBy("user_id")
+        .agg(
+          count(when(col("marker") === "S" && coalesce(col("prev"), lit("X")) === "X", 1))
+            .as("n_starts"),
+          count(when(col("marker") === "X" && col("prev") === "S", 1)).as("n_stops"))
+    },
+
+    // §2.11 tumbling event-time window (streaming twin uses window() +
+    // watermark; 10-minute buckets align with epoch in both engines).
+    Q("w_tumbling",
+      """SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))) AS win_start_ms,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_val"))
+        .select(
+          unix_millis(col("window.start")).as("win_start_ms"),
+          col("event_type"), col("n"), col("sum_val"))
+    },
+
+    // §2.11 sliding window (10 min / 5 min): each event lands in exactly 2
+    // overlapping windows.
+    Q("w_sliding",
+      """WITH t AS (SELECT value,
+        |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS tb FROM events),
+        |x AS (SELECT value, unnest([tb, tb - INTERVAL '5 minutes']) AS ws FROM t)
+        |SELECT epoch_ms(ws) AS win_start_ms, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |FROM x GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_val"))
+        .select(unix_millis(col("window.start")).as("win_start_ms"), col("n"), col("sum_val"))
+    },
+
+    // §2.11 session window, 30-minute gap per user (streaming twin:
+    // session_window + watermark; oracle: lag-gap-cumsum).
+    Q("w_session",
+      """WITH t AS (SELECT user_id, ts, value,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |x AS (SELECT user_id, ts, value,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t)
+        |SELECT user_id,
+        |  epoch_ms(CAST(min(ts) AS TIMESTAMP)) AS session_start_ms,
+        |  epoch_ms(CAST(max(ts) AS TIMESTAMP)) + 30*60*1000 AS session_end_ms,
+        |  count(*) AS n
+        |FROM x GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          unix_millis(col("session_window.end")).as("session_end_ms"),
+          col("n"))
+    },
+
+    // §2.11 as-of join: latest prior error event per purchase, same user.
+    // Spark side is the scalable union + last(ignore nulls) rendering (one
+    // shuffle, no range-join explosion); DuckDB side is a native ASOF JOIN
+    // — two independent formulations cross-checking each other.
+    Q("j_asof",
+      """SELECT p.event_id, e.event_id AS err_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "error"))
+        .withColumn("err_id", when(col("event_type") === "error", col("event_id")))
+        .withColumn("last_err", last("err_id", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("last_err").as("err_event_id"))
+    },
+  )
+}

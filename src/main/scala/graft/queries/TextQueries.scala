@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.TextOps
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + multimodal-plumbing operators for the training-data
+  * pipeline: language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting, binary-column metadata extraction.
+  */
+object TextQueries {
+
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  def defs: Seq[Q] = Seq(
+
+    // n-gram/stopword language-ID heuristic: per-language stopword hit
+    // counts, argmax with a fixed tie order.
+    Q("tx_langid", {
+      val scores = profiles.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''), t -> t IN ($set))) AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, $scores FROM documents)
+         |SELECT doc_id, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |FROM t""".stripMargin
+    }) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val withScores = profiles.foldLeft(Tables.load(s, dir, "documents")) {
+        case (df, (l, ws)) =>
+          df.withColumn(s"s_$l",
+            size(filter(toks, t => t.isin(ws.map(_.asInstanceOf[Any]): _*))))
+      }
+      withScores.select(
+        col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr").as("pred_lang"))
+    },
+
+    // Quality scoring: length / token / stopword / whitespace ratios.
+    Q("tx_quality",
+      """WITH t AS (SELECT doc_id, text, length(text) AS chars,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+        |SELECT doc_id, chars, len(w) AS n_tokens,
+        |  round(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+        |        * 1.0 / len(w), 6) AS stop_ratio,
+        |  round((chars - length(replace(text, ' ', ''))) * 1.0 / chars, 6) AS space_ratio,
+        |  round(length(replace(text, ' ', '')) * 1.0 / len(w), 6) AS avg_word_len
+        |FROM t""".stripMargin) { (s, dir) =>
+      val w = TextOps.tokens(col("text"))
+      val chars = length(col("text"))
+      val noSpace = length(regexp_replace(col("text"), " ", ""))
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"), chars.as("chars"), size(w).as("n_tokens"),
+          round(size(filter(w, t => t.isin("the", "a", "of", "and", "to", "in")))
+            .cast("double") / size(w), 6).as("stop_ratio"),
+          round((chars - noSpace).cast("double") / chars, 6).as("space_ratio"),
+          round(noSpace.cast("double") / size(w), 6).as("avg_word_len"))
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish regex token stream.
+    Q("tx_tokens",
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+        |  length(text) AS chars
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .as("re_tokens"),
+          length(col("text")).as("chars"))
+    },
+
+    // Document fingerprint: 31-poly rolling hash (native expression;
+    // oracle folds the codepoints with list_reduce).
+    Q("tx_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(range(1, length(text) + 1),
+        |                   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), GraftFunctions.rolling_hash(col("text")).as("fp"))
+    },
+
+    // Multimodal plumbing: opaque binary column + typed metadata. The
+    // decode stage is a deterministic stub (real image/audio libs are not
+    // in this container); schema, hashing, and batch shape are real.
+    Q("mm_binary",
+      """SELECT doc_id,
+        |  strlen(text) AS byte_len,
+        |  md5(text) AS content_hash,
+        |  strlen(text) % 640 AS width,
+        |  (strlen(text) * 7) % 480 AS height,
+        |  n_chars % 30 AS frames
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("bin", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          octet_length(col("bin")).as("byte_len"),
+          md5(col("bin")).as("content_hash"),
+          (octet_length(col("bin")) % 640).as("width"),
+          (octet_length(col("bin")) * 7 % 480).as("height"),
+          (col("n_chars") % 30).as("frames"))
+    },
+  )
+}
