@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.MathDsl
+
+/** Declarative pipeline spec — the engine's replacement for the reference's
+  * settings.xml paths (SURVEY.md §1.1 Path, §7.1). A PathSpec is compiled
+  * to a single DataFrame program: every step is a projection/filter, so a
+  * whole path fuses into one Catalyst stage (the Spark twin of dcafs's
+  * filter -> math -> editor chain, PathForward.java:115-263).
+  *
+  * Works identically on batch and streaming DataFrames — the streaming
+  * runner just swaps the source.
+  */
+sealed trait StepSpec
+
+/** Keep rows matching ALL rules (SQL-boolean strings over `line` and the
+  * split fields `i0..iN`); rejected rows go to the reverse branch.
+  */
+final case class FilterStep(rules: Seq[String]) extends StepSpec
+
+/** dcafs math ops `target = expression`, e.g. "i1 = i1 * 10 + i0". Results
+  * write back into the split-field array (MathForward.java:786-843).
+  */
+final case class MathStep(ops: Seq[(Int, String)]) extends StepSpec
+
+/** Editor edits applied to the whole line, as (SQL expression over `line`). */
+final case class EditStep(exprs: Seq[String]) extends StepSpec
+
+/** Parse the split fields to typed columns: (name, index, type, default). */
+final case class StoreStep(cols: Seq[(String, Int, String, String)]) extends StepSpec
+
+final case class PathSpec(
+    id: String,
+    delimiter: String = ",",
+    steps: Seq[StepSpec] = Seq.empty)
+
+object PathCompiler {
+
+  /** Compile a path over a DataFrame with a string `line` column. Returns
+    * the transformed frame; filter-rejected rows are dropped (use
+    * [[compileWithReject]] for the reverse branch).
+    */
+  def compile(spec: PathSpec, input: DataFrame): DataFrame =
+    steps(spec, input)._1
+
+  def compileWithReject(spec: PathSpec, input: DataFrame): (DataFrame, DataFrame) =
+    steps(spec, input)
+
+  private def steps(spec: PathSpec, input: DataFrame): (DataFrame, DataFrame) = {
+    val d = java.util.regex.Pattern.quote(spec.delimiter)
+    var df = input.withColumn("__f", split(col("line"), d))
+    var reject: DataFrame = null
+    spec.steps.foreach {
+      case FilterStep(rules) =>
+        val pred = rules.map(r => expr(MathDsl.compile(r))).reduce(_ && _)
+        val r = df.filter(!pred)
+        reject = if (reject == null) r else reject.unionByName(r)
+        df = df.filter(pred)
+
+      case MathStep(ops) =>
+        // write-back semantics: each op replaces field `target` in __f and
+        // re-joins the line, so later ops and edits see the new value
+        ops.foreach { case (target, exprText) =>
+          val v = expr(MathDsl.compile(exprText))
+          df = df.withColumn("__f",
+            concat(
+              slice(col("__f"), 1, target),
+              array(v.cast("string")),
+              slice(col("__f"), lit(target + 2),
+                greatest(size(col("__f")) - (target + 1), lit(0)))))
+        }
+        df = df.withColumn("line", array_join(col("__f"), spec.delimiter))
+
+      case EditStep(exprs) =>
+        exprs.foreach { e =>
+          df = df.withColumn("line", expr(MathDsl.compile(e)))
+            .withColumn("__f", split(col("line"), d))
+        }
+
+      case StoreStep(cols) =>
+        val projected = cols.map { case (name, idx, tpe, default) =>
+          coalesce(
+            try_element_at(col("__f"), lit(idx + 1)).try_cast(tpe),
+            expr(default).try_cast(tpe)).as(name)
+        }
+        df = df.select(col("line") +: projected: _*)
+    }
+    val rej =
+      if (reject != null) reject.drop("__f")
+      else input.limit(0)
+    (df.drop("__f"), rej)
+  }
+}
+
+/** Stream sources (SURVEY.md §2.1): each returns a streaming DataFrame
+  * with a `line` string column + `origin`/`ts` metadata — the Datagram
+  * shape (Datagram.java:10-23).
+  */
+object LineSources {
+
+  /** S7 file replay: stream a directory of text files, N files per
+    * micro-batch (PathForward.java:539-585 semantics).
+    */
+  def fileReplay(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .select(
+        col("value").as("line"),
+        lit(dir).as("origin"),
+        current_timestamp().as("ts"))
+
+  /** S9 timed literal source: emit a constant line at `rowsPerSecond`. */
+  def timed(spark: SparkSession, line: String, rowsPerSecond: Int = 1): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(lit(line).as("line"), lit("timed").as("origin"), col("timestamp").as("ts"))
+
+  /** S1/S11 TCP line source (dev harness: Spark's socket source). */
+  def socket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load()
+      .select(
+        col("value").as("line"),
+        lit(s"$host:$port").as("origin"),
+        current_timestamp().as("ts"))
+}
+
+/** Sinks (SURVEY.md §2.2). */
+object LineSinks {
+
+  /** K1-K3 JDBC batch sink: micro-batch append via foreachBatch; the
+    * trigger interval plays the role of the reference's flush `maxAge`,
+    * JDBC batchsize of `batchsize` (SQLDB.java:481-509).
+    */
+  def jdbc(df: DataFrame, url: String, table: String,
+      batchSize: Int = 500, props: java.util.Properties = new java.util.Properties()) = {
+    props.setProperty("batchsize", batchSize.toString)
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.write.mode("append").jdbc(url, table, props)
+    }
+  }
+
+  /** K4/K5 rolling file sink: time-partitioned directories replace the
+    * reference's rollover file naming (SQLiteDB.java:306-334) — and give
+    * partition pruning on read for free. `decimation` keeps 1-in-N rows
+    * (FileCollector skipcount).
+    */
+  def rollingFiles(df: DataFrame, path: String, rollPattern: String = "yyyy-MM-dd_HH",
+      format: String = "csv", decimation: Int = 1, decimationKey: String = "ts") = {
+    val out0 = df.withColumn("roll", date_format(col("ts"), rollPattern))
+    val out = if (decimation > 1)
+      out0.filter(abs(hash(col(decimationKey))) % decimation === 0)
+    else out0
+    out.writeStream
+      .partitionBy("roll")
+      .format(format)
+      .option("path", path)
+      .option("header", "true")
+  }
+}

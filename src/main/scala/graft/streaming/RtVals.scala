@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The rtvals state plane (SURVEY.md §1.1 rtvals, §2.7-2.8) as Structured
+  * Streaming state: one keyed state row per Val, updated per micro-batch
+  * with last/min/max/count plus Welford running mean/variance — the
+  * streaming twin of the batch st_* queries.
+  *
+  * Reference semantics: RealVal update pipeline
+  * `/root/reference/src/util/data/RealVal.java:145-182` (last/min/max),
+  * `:385-414` (avg/stdev), triggered commands with hysteresis `:464-533`.
+  */
+final case class ValUpdate(key: String, value: Double, ts: Long)
+
+final case class ValState(
+    last: Double, min: Double, max: Double, count: Long,
+    mean: Double, m2: Double, lastTs: Long, active: Boolean)
+
+final case class ValSnapshot(
+    key: String, last: Double, min: Double, max: Double,
+    count: Long, avg: Double, stddev: Option[Double], lastTs: Long)
+
+/** kind: "rising" (crossed high with hysteresis) | "cleared" | "changed". */
+final case class ValAlert(key: String, kind: String, value: Double, ts: Long)
+
+object RtVals {
+
+  implicit private val updEnc: Encoder[ValUpdate] = Encoders.product[ValUpdate]
+  implicit private val snapEnc: Encoder[ValSnapshot] = Encoders.product[ValSnapshot]
+  implicit private val alertEnc: Encoder[ValAlert] = Encoders.product[ValAlert]
+  implicit private val stateEnc: Encoder[ValState] = Encoders.product[ValState]
+  implicit private val keyEnc: Encoder[String] = Encoders.STRING
+
+  private def fold(st: ValState, v: ValUpdate): ValState = {
+    val n = st.count + 1
+    val d = v.value - st.mean
+    val mean = st.mean + d / n
+    val m2 = st.m2 + d * (v.value - mean)
+    ValState(
+      last = v.value,
+      min = math.min(st.min, v.value),
+      max = math.max(st.max, v.value),
+      count = n, mean = mean, m2 = m2,
+      lastTs = math.max(st.lastTs, v.ts),
+      active = st.active)
+  }
+
+  private val empty = ValState(
+    last = Double.NaN, min = Double.PositiveInfinity,
+    max = Double.NegativeInfinity, count = 0L,
+    mean = 0.0, m2 = 0.0, lastTs = Long.MinValue, active = false)
+
+  private def snapshot(key: String, st: ValState): ValSnapshot =
+    ValSnapshot(key, st.last, st.min, st.max, st.count,
+      st.mean,
+      if (st.count > 1) Some(math.sqrt(st.m2 / (st.count - 1))) else None,
+      st.lastTs)
+
+  /** Current state per key, re-emitted on every batch that touches the key
+    * (Update output mode). The in-memory rtvals listing becomes
+    * `SELECT * FROM <queryName>` on the memory/console sink.
+    */
+  def snapshots(updates: Dataset[ValUpdate]): Dataset[ValSnapshot] =
+    updates.groupByKey(_.key)
+      .mapGroupsWithState[ValState, ValSnapshot](GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[ValState]) =>
+          val st0 = state.getOption.getOrElse(empty)
+          val st = it.toSeq.sortBy(u => (u.ts, u.value)).foldLeft(st0)(fold)
+          state.update(st)
+          snapshot(key, st)
+      }
+
+  /** Alert stream with dcafs trigger semantics: `rising` fires once when
+    * the value reaches `high` and re-arms only after it clears `low`
+    * (hysteresis); `changed` fires whenever the value differs from the
+    * previous one.
+    */
+  def alerts(updates: Dataset[ValUpdate], high: Double, low: Double,
+      emitChanged: Boolean = false): Dataset[ValAlert] =
+    updates.groupByKey(_.key)
+      .flatMapGroupsWithState[ValState, ValAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[ValState]) =>
+          var st = state.getOption.getOrElse(empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ValAlert]
+          it.toSeq.sortBy(u => (u.ts, u.value)).foreach { u =>
+            if (emitChanged && st.count > 0 && u.value != st.last)
+              out += ValAlert(key, "changed", u.value, u.ts)
+            if (!st.active && u.value >= high) {
+              out += ValAlert(key, "rising", u.value, u.ts)
+              st = fold(st, u).copy(active = true)
+            } else if (st.active && u.value <= low) {
+              out += ValAlert(key, "cleared", u.value, u.ts)
+              st = fold(st, u).copy(active = false)
+            } else st = fold(st, u)
+          }
+          state.update(st)
+          out.iterator
+      }
+}

@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MathDsl
+import graft.streaming.{RtVals, ValUpdate}
+
+class MathDslSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def eval(dcafs: String, fields: Seq[Double]): Double = {
+    val df = Seq(fields.map(_.toString)).toDF("__f")
+    df.selectExpr(s"${MathDsl.compile(dcafs)} AS v").collect()(0).getDouble(0)
+  }
+
+  // FIXTURES.md §1.5 MathFab goldens (scale-8 HALF_UP on the reference;
+  // double + round(8) reproduces them).
+  test("mathfab golden formulas") {
+    assert(math.abs(BigDecimal(eval("(15*i0)/65+3*i1", Seq(10.0, 3.5)))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble - 12.80769231) < 1e-9)
+    assert(eval("(15+i0)^2-16*i1+16+25+36+58+i2/5", Seq(5.0, 65.0, 86.0)) == -487.8)
+    assert(eval("i0*-5", Seq(5.0)) == -25.0)
+  }
+
+  test("word-form comparisons compile") {
+    val df = Seq(("1500.0,7.0")).toDF("line").withColumn("__f", split(col("line"), ","))
+    val pred = MathDsl.compile("i0 below 2500 and i0 above 10")
+    assert(df.filter(pred).count() == 1)
+    val range = MathDsl.compile("i1 from 1 to 10")
+    assert(df.filter(range).count() == 1)
+    assert(df.filter(MathDsl.compile("i1 above 10")).count() == 0)
+  }
+
+  test("rtvals refs compile to state columns") {
+    assert(MathDsl.compile("i0 + {r:temp}") ==
+      "TRY_CAST(try_element_at(__f, 1) AS DOUBLE) + __rt_r_temp")
+  }
+}
+
+class PathCompilerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val path = PathSpec(
+    id = "ctd",
+    steps = Seq(
+      FilterStep(Seq("i0 above 0", "line NOT LIKE '#%'")),
+      MathStep(Seq(1 -> "i1 * 10 + i0")),
+      EditStep(Seq("concat('ctd,', line)")),
+      StoreStep(Seq(
+        ("temp", 1, "double", "-999.0"),
+        ("depth", 2, "double", "-999.0"),
+        ("station", 3, "string", "'unknown'")))))
+
+  test("path compiles filter -> math -> edit -> store with reject branch") {
+    val in = Seq("2.0,3.5,44", "#comment,1,2", "-1.0,9,9").toDF("line")
+    val (out, reject) = PathCompiler.compileWithReject(path, in)
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    // math wrote back i1 = 3.5*10 + 2.0 = 37.0; edit prepended "ctd,"
+    assert(r.getAs[String]("line") == "ctd,2.0,37.0,44")
+    assert(r.getAs[Double]("temp") == 2.0)    // shifted by the edit prefix
+    assert(r.getAs[Double]("depth") == 37.0)
+    assert(r.getAs[String]("station") == "44")
+    assert(reject.count() == 2)
+  }
+
+  test("store defaults apply on parse failure") {
+    val bad = Seq("5.0,notanumber,x").toDF("line")
+    val out = PathCompiler.compile(path.copy(steps = path.steps.filter {
+      case _: StoreStep => true; case _ => false
+    }), bad)
+    assert(out.select("temp").collect()(0).getDouble(0) == -999.0)
+  }
+
+  test("streaming: file replay through the same path spec") {
+    val dir = Files.createTempDirectory("graft-replay").toFile
+    Files.writeString(new java.io.File(dir, "a.txt").toPath,
+      "2.0,3.5,44\n#c,0,0\n1.0,1.0,7\n")
+    val src = LineSources.fileReplay(spark, dir.getAbsolutePath).drop("origin", "ts")
+    val out = PathCompiler.compile(path, src)
+    val q = out.writeStream.format("memory").queryName("replay_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("replay_out").orderBy("temp").collect()
+      assert(got.length == 2)
+      assert(got.map(_.getAs[Double]("depth")).toSeq == Seq(11.0, 37.0))
+    } finally q.stop()
+  }
+}
+
+class RtValsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("snapshots maintain last/min/max/count/avg/stddev across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[ValUpdate]
+    val q = RtVals.snapshots(mem.toDS())
+      .writeStream.format("memory").queryName("rt_snap").outputMode("update").start()
+    try {
+      mem.addData(ValUpdate("t1", 10.0, 1), ValUpdate("t1", 20.0, 2), ValUpdate("t2", 5.0, 1))
+      q.processAllAvailable()
+      mem.addData(ValUpdate("t1", 30.0, 3))
+      q.processAllAvailable()
+      val t1 = spark.table("rt_snap").filter($"key" === "t1")
+        .orderBy($"count".desc).as[graft.streaming.ValSnapshot].collect()(0)
+      assert(t1.last == 30.0 && t1.min == 10.0 && t1.max == 30.0 && t1.count == 3)
+      assert(math.abs(t1.avg - 20.0) < 1e-12)
+      assert(math.abs(t1.stddev.get - 10.0) < 1e-12)
+      assert(t1.lastTs == 3)
+    } finally q.stop()
+  }
+
+  test("alerts: rising fires once until cleared below low (hysteresis)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[ValUpdate]
+    val q = RtVals.alerts(mem.toDS(), high = 100, low = 20, emitChanged = false)
+      .writeStream.format("memory").queryName("rt_alerts").outputMode("append").start()
+    try {
+      mem.addData(
+        ValUpdate("k", 50, 1), ValUpdate("k", 120, 2),  // rising
+        ValUpdate("k", 150, 3),                          // still high: no fire
+        ValUpdate("k", 10, 4),                           // cleared
+        ValUpdate("k", 130, 5))                          // rising again
+      q.processAllAvailable()
+      val got = spark.table("rt_alerts").orderBy("ts")
+        .as[graft.streaming.ValAlert].collect().map(a => (a.kind, a.ts)).toSeq
+      assert(got == Seq(("rising", 2L), ("cleared", 4L), ("rising", 5L)))
+    } finally q.stop()
+  }
+
+  test("windowed agg with watermark over file-replayed event time") {
+    // event-time replay: recorded ts column drives the window, late rows
+    // beyond the watermark are dropped (SURVEY §2.8 late-data stance)
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count("*").as("n"), sum($"v").as("s"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData((t(1), 1.0), (t(2), 2.0), (t(7), 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 3)
+    } finally q.stop()
+  }
+}
+
+class SinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("rolling file sink writes time-partitioned directories") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = Files.createTempDirectory("graft-roll").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-ckpt").toFile.getAbsolutePath
+    val df = mem.toDF().toDF("ts", "line")
+    val q = LineSinks.rollingFiles(df, out, rollPattern = "yyyy-MM-dd_HH")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-03-01 10:15:00"), "a"),
+        (java.sql.Timestamp.valueOf("2024-03-01 11:20:00"), "b"))
+      q.processAllAvailable()
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+      assert(dirs.contains("roll=2024-03-01_10") && dirs.contains("roll=2024-03-01_11"))
+    } finally q.stop()
+  }
+}
