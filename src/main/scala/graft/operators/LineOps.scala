@@ -144,3 +144,13 @@ object Edits {
   def listreplace(field: Column, first: Int, values: Seq[String]): Column =
     try_element_at(array(values.map(lit): _*), field.cast("int") - first + 1)
 }
+
+/** Typed-parse helpers (SURVEY.md §1.2, §2.6). */
+object Parse {
+
+  /** FlagVal string parsing: "true/1/high/yes/on" (case-insensitive,
+    * trimmed) are truthy (FlagVal.java semantics).
+    */
+  def flag(c: Column): Column =
+    lower(trim(c)).isin("true", "1", "high", "yes", "on")
+}

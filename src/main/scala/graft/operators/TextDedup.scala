@@ -52,6 +52,46 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Exact Jaccard similarity self-join with PPJoin-style prefix filtering
+    * (Xiao et al., public algorithm): order each doc's grams by ascending
+    * global document frequency; a pair can reach Jaccard >= t only if it
+    * shares one of each doc's first (n - ceil(t*n) + 1) grams. Candidates
+    * are generated only from those rare-gram prefixes, then verified
+    * exactly — lossless pruning, so the output equals the brute-force
+    * join. This is the plan that survives web-corpus scale: the candidate
+    * shuffle is on rare grams, never on the full inverted index.
+    */
+  def similarityJoinExact(docs: DataFrame, idCol: String, blockCol: String,
+      textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
+    val grams = docs
+      .withColumn("__g", shingles(tokens(col(textCol)), shingleSize))
+      .filter(size(col("__g")) > 0)
+      .select(col(idCol), col(blockCol), col("__g"))
+    val e = grams.select(col(idCol), col(blockCol), explode(col("__g")).as("x"))
+    val dfreq = e.groupBy("x").agg(count(lit(1)).as("df"))
+    val prefix = e.join(broadcast(dfreq), "x")
+      .groupBy(col(idCol), col(blockCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("x")))).as("sg"))
+      .withColumn("plen",
+        greatest(
+          (size(col("sg")) - ceil(size(col("sg")) * threshold) + 1).cast("int"),
+          lit(1)))
+      .select(col(idCol), col(blockCol),
+        explode(transform(slice(col("sg"), lit(1), col("plen")), s => s.getField("x")))
+          .as("x"))
+    val cand = prefix.as("l").join(prefix.as("r"),
+      col(s"l.$blockCol") === col(s"r.$blockCol") && col("l.x") === col("r.x") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .distinct()
+    cand
+      .join(grams.select(col(idCol).as("doc_a"), col("__g").as("ga")), "doc_a")
+      .join(grams.select(col(idCol).as("doc_b"), col("__g").as("gb")), "doc_b")
+      .withColumn("jac_raw", jaccard(col("ga"), col("gb")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+  }
+
   /** LSH candidate pairs: explode band hashes, self-join per (band, hash).
     * One shuffle on the band hash; pair space limited to bucket contents.
     */
@@ -61,7 +101,10 @@ object TextOps {
     val sig = docs
       .withColumn("__toks", tokens(col(textCol)))
       .filter(size(col("__toks")) >= shingleSize)
-      .withColumn("__sig", minhashSignature(shingles(col("__toks"), shingleSize), k))
+      // materialize shingles once: inlining the expression into the k
+      // signature slots would re-shingle the doc k times
+      .withColumn("__sh", shingles(col("__toks"), shingleSize))
+      .withColumn("__sig", minhashSignature(col("__sh"), k))
     val banded = sig.select(
       col(idCol),
       posexplode(array((0 until bands).map(b =>

@@ -91,19 +91,34 @@ object DedupQueries {
         |SELECT da AS doc_a, db AS doc_b,
         |  round(i * 1.0 / (na.n + nb.n - i), 6) AS jac
         |FROM inter JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
-        |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.1""".stripMargin) { (s, dir) =>
+        |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5""".stripMargin) { (s, dir) =>
+      // Inverted-index count-join: explode bigrams, self-join on
+      // (lang, gram-hash), count shared grams per pair, Jaccard from set
+      // sizes. On this fixture's tiny vocabulary the count-join beats the
+      // PPJoin prefix filter (TextOps.similarityJoinExact — the right plan
+      // for real heavy-tailed corpora) because no gram is rare enough to
+      // prune on; both are lossless, so either matches the oracle.
       val docs = Tables.load(s, dir, "documents")
         .withColumn("g", TextOps.shingles(TextOps.tokens(col("text")), 2))
         .filter(size(col("g")) > 0)
         .select(col("doc_id"), col("lang"), col("g"))
-      val a = docs.as("a")
-      val b = docs.as("b")
-      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jac_raw", TextOps.jaccard(col("a.g"), col("b.g")))
-        .filter(col("jac_raw") >= 0.1)
-        .select(
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          round(col("jac_raw"), 6).as("jac"))
+      val sizes = docs.select(col("doc_id"), size(col("g")).as("n"))
+      val e = docs
+        .select(col("doc_id"), col("lang"), explode(col("g")).as("x"))
+        .select(col("doc_id"), col("lang"), xxhash64(col("x")).as("x"))
+      val inter = e.as("a")
+        .join(e.as("b").hint("shuffle_hash"),
+          col("a.lang") === col("b.lang") && col("a.x") === col("b.x") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(broadcast(sizes).as("na"), col("doc_a") === col("na.doc_id"))
+        .join(broadcast(sizes).as("nb"), col("doc_b") === col("nb.doc_id"))
+        .withColumn("jac_raw",
+          col("i") * lit(1.0) / (col("na.n") + col("nb.n") - col("i")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
     },
 
     // Embedding-cosine near-dup within label blocks.

@@ -271,6 +271,22 @@ object PipelineQueries {
           col("value").cast("string").cast("double").as("store_real"))
     },
 
+    // §2.6/§1.2 FlagVal parsing: "true/1/high/yes/on" are truthy.
+    Q("op_parse_flag",
+      """WITH t AS (SELECT event_id,
+        |  (['true','0','HIGH','no','on','1','false',' yes ','off','low'])
+        |    [CAST(event_id % 10 AS INT) + 1] AS raw FROM events)
+        |SELECT event_id, raw,
+        |  lower(trim(raw)) IN ('true','1','high','yes','on') AS flag
+        |FROM t""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("raw", element_at(
+          array(Seq("true", "0", "HIGH", "no", "on", "1", "false", " yes ", "off", "low")
+            .map(lit): _*),
+          (col("event_id") % 10).cast("int") + 1))
+        .select(col("event_id"), col("raw"), graft.operators.Parse.flag(col("raw")).as("flag"))
+    },
+
     // §2.6 ValMap: key=value lines, multi-record split, key routing.
     Q("op_parse_valmap",
       """WITH t AS (SELECT event_id,

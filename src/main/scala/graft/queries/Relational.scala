@@ -258,11 +258,12 @@ object Relational {
     },
 
     Q("q_except",
-      """SELECT c_custkey AS k FROM customer
+      """SELECT l_partkey AS k FROM lineitem
         |EXCEPT
-        |SELECT o_custkey AS k FROM orders""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "customer").select(col("c_custkey").as("k"))
-        .except(Tables.load(s, dir, "orders").select(col("o_custkey").as("k")))
+        |SELECT p_partkey AS k FROM part WHERE p_size < 40""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").select(col("l_partkey").as("k"))
+        .except(Tables.load(s, dir, "part").filter(col("p_size") < 40)
+          .select(col("p_partkey").as("k")))
     },
 
     // Exact-moment stddev/variance per group (order-independent; see dstd).

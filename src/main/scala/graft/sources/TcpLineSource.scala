@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.io.BufferedReader
+import java.io.InputStreamReader
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.util
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1: TCP client line stream as a DataSourceV2 micro-batch source — the
+  * Spark twin of the reference's TcpStream (auto-reconnecting client that
+  * splits on EOL and stamps arrival metadata,
+  * `/root/reference/src/io/stream/tcp/TcpStream.java`,
+  * `src/io/stream/StreamManager.java:428-434`).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.sources.TcpLineSource")
+  *     .option("host", "sensor-gw").option("port", "4001").load()
+  * }}}
+  *
+  * Schema: (line STRING, origin STRING, ts TIMESTAMP).
+  *
+  * Like Spark's own socket source, arriving lines buffer on the driver and
+  * each micro-batch ships the new slice to one partition — right for the
+  * edge-connector role (a shipboard sensor is a single slow stream); fleet
+  * ingestion at scale goes through Kafka instead.
+  */
+class TcpLineSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TcpLineSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TcpLineTable(properties.get("host"), properties.get("port").toInt)
+}
+
+object TcpLineSource {
+  val schema: StructType = StructType(Seq(
+    StructField("line", StringType),
+    StructField("origin", StringType),
+    StructField("ts", TimestampType)))
+}
+
+private class TcpLineTable(host: String, port: Int) extends Table with SupportsRead {
+  override def name(): String = s"tcp://$host:$port"
+  override def schema(): StructType = TcpLineSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = TcpLineSource.schema
+      override def toBatch: Batch = throw new UnsupportedOperationException(
+        "graft-tcp is streaming-only")
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new TcpLineMicroBatchStream(host, port)
+    }
+}
+
+private case class LongOffset(value: Long) extends Offset {
+  override def json(): String = value.toString
+}
+
+private class TcpLineMicroBatchStream(host: String, port: Int)
+    extends MicroBatchStream {
+
+  // (line, arrivalMicros) buffered on the driver by the reader thread
+  private val buffer = ListBuffer.empty[(String, Long)]
+  private var baseOffset = 0L // buffer(0) is global line number baseOffset
+  private val stopped = new AtomicBoolean(false)
+
+  private val reader = new Thread(s"graft-tcp-$host:$port") {
+    override def run(): Unit = {
+      while (!stopped.get()) {
+        try {
+          val socket = new Socket(host, port)
+          val in = new BufferedReader(
+            new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
+          var line = in.readLine()
+          while (line != null && !stopped.get()) {
+            buffer.synchronized { buffer += ((line, System.currentTimeMillis() * 1000L)) }
+            line = in.readLine()
+          }
+          socket.close()
+        } catch {
+          case _: java.io.IOException => // auto-reconnect after a pause
+        }
+        if (!stopped.get()) Thread.sleep(200)
+      }
+    }
+  }
+  reader.setDaemon(true)
+  reader.start()
+
+  override def initialOffset(): Offset = LongOffset(0L)
+  override def latestOffset(): Offset =
+    buffer.synchronized(LongOffset(baseOffset + buffer.size))
+  override def deserializeOffset(json: String): Offset = LongOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LongOffset].value
+    val e = end.asInstanceOf[LongOffset].value
+    val rows = buffer.synchronized {
+      buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
+    }
+    Array(TcpLinesPartition(rows, s"$host:$port"))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[TcpLinesPartition]
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < p.rows.length }
+        override def get(): InternalRow = InternalRow(
+          UTF8String.fromString(p.rows(i)._1),
+          UTF8String.fromString(p.origin),
+          p.rows(i)._2)
+        override def close(): Unit = {}
+      }
+    }
+
+  override def commit(end: Offset): Unit = buffer.synchronized {
+    val e = end.asInstanceOf[LongOffset].value
+    val drop = (e - baseOffset).toInt
+    if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); baseOffset = e }
+  }
+
+  override def stop(): Unit = stopped.set(true)
+}
+
+private case class TcpLinesPartition(rows: Array[(String, Long)], origin: String)
+  extends InputPartition

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.console.GraftConsole
+
+class ConsoleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("console maps dcafs commands to SQL surface") {
+    val c = new GraftConsole(spark)
+    c.registerTable("sensor_raw",
+      Seq("2.0,3.5,44", "7.5,1.25,44").toDF("line"))
+
+    assert(c.execute("ss").linesIterator.contains("sensor_raw"))
+    assert(c.execute("raw:sensor_raw,1").linesIterator.size == 2) // header + 1
+
+    c.addPath(PathSpec("p1", ",", Seq(
+      StoreStep(Seq(("v", 0, "double", "-1.0"))))))
+    assert(c.execute("pf:list").contains("p1: 1 steps"))
+    c.attach("p1", "sensor_raw")
+    val out = c.execute("SELECT round(sum(v), 2) AS s FROM p1_out")
+    assert(out.linesIterator.toSeq == Seq("s", "9.5"))
+    assert(c.execute("st").contains("no active streaming"))
+    assert(c.execute("help").nonEmpty)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: these are the properties that keep the
+  * queries viable at 100 TB — filter/projection pushdown into the parquet
+  * scan, broadcast of small dimensions, whole-stage codegen over custom
+  * expressions, no accidental cross joins.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg pushes the shipdate filter and prunes columns at the scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter:\n$p")
+    // 7 needed columns, not all 11
+    assert(p.contains("l_returnflag") && !p.contains("l_suppkey"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("j_broadcast plans a broadcast hash join with pushed dim filter") {
+    val p = plan("j_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), LessThan(p_size,10)"),
+      s"dim filter not pushed:\n$p")
+  }
+
+  test("j_star broadcasts both small dims") {
+    val p = plan("j_star")
+    // detail headers like "(6) BroadcastHashJoin" — one per join node
+    assert(raw"\(\d+\) BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"expected 2 broadcasts:\n$p")
+  }
+
+  test("j_semi and j_anti use semi/anti joins, not materialized subqueries") {
+    assert(plan("j_semi").contains("LeftSemi"), "semi join missing")
+    assert(plan("j_anti").contains("LeftAnti"), "anti join missing")
+  }
+
+  test("row-level operator queries stay in one codegen stage, no shuffle") {
+    for (name <- Seq("fn_crc", "op_edit_affix", "op_math_arith", "fn_salinity")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles unexpectedly:\n$p")
+      // formatted mode stars codegen'd operators: "* Project (3)"
+      assert(p.contains("* Project"), s"$name fell out of codegen:\n$p")
+    }
+  }
+
+  test("custom Catalyst expressions participate in codegen (no fallback)") {
+    val df = SparkEntry.queries("fn_crc")(spark, sf)
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(codegen.contains("graft.functions.Impls.crc16Modbus"),
+      s"crc16 not inlined into generated code:\n${codegen.take(2000)}")
+  }
+
+  test("dedup LSH join shuffles on the band hash, not a cross join") {
+    val p = plan("dd_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH degenerated to cross join:\n$p")
+  }
+
+  test("ann_topk broadcasts the query vectors") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+}
