@@ -95,6 +95,37 @@ object Formulas {
       s"cos(radians($lat1))*cos(radians($lat2))*$sdLon*$sdLon)))"
   }
 
+  /** Francois-Garrison (1982) seawater sound absorption, dB/km.
+    * Public formula; reference row `Calculations.java:392-424`.
+    * @param f frequency kHz  @param t temp °C  @param s salinity PSU
+    * @param d depth m  @param ph pH
+    * Uses exp(ln10*x) for 10^x so both dialects take the same libm path;
+    * round outputs to ~4dp when oracle-matching (exp/ln are last-ulp
+    * engine-dependent).
+    */
+  def soundAbsorptionSql(f: String, t: String, s: String, d: String, ph: String): String = {
+    val F = s"(CAST($f AS DOUBLE))"
+    val T = s"(CAST($t AS DOUBLE))"
+    val S = s"(CAST($s AS DOUBLE))"
+    val D = s"(CAST($d AS DOUBLE))"
+    val PH = s"(CAST($ph AS DOUBLE))"
+    val ln10 = "2.302585092994046"
+    val c = s"(1412.0 + 3.21*$T + 1.19*$S + 0.0167*$D)"
+    // boric acid
+    val a1 = s"((8.86/$c)*exp($ln10*(0.78*$PH - 5.0)))"
+    val f1 = s"(2.8*sqrt($S/35.0)*exp($ln10*(4.0 - 1245.0/($T + 273.0))))"
+    // magnesium sulphate
+    val a2 = s"((21.44*$S/$c)*(1.0 + 0.025*$T))"
+    val p2 = s"(1.0 + (-1.37e-4)*$D + 6.2e-9*$D*$D)"
+    val f2 = s"((8.17*exp($ln10*(8.0 - 1990.0/($T + 273.0))))/(1.0 + 0.0018*($S - 35.0)))"
+    // pure water
+    val a3 = s"(CASE WHEN $T <= 20.0 THEN " +
+      s"4.937e-4 + (-2.59e-5)*$T + 9.11e-7*$T*$T + (-1.50e-8)*$T*$T*$T " +
+      s"ELSE 3.964e-4 + (-1.146e-5)*$T + 1.45e-7*$T*$T + (-6.5e-10)*$T*$T*$T END)"
+    val p3 = s"(1.0 + (-3.83e-5)*$D + 4.9e-10*$D*$D)"
+    s"($a1*$f1*$F*$F/($f1*$f1 + $F*$F) + $a2*$p2*$f2*$F*$F/($f2*$f2 + $F*$F) + $a3*$p3*$F*$F)"
+  }
+
   /** 2nd-order calibration polynomial a*x^2 + b*x + c (SURVEY §2.5). */
   def calibrate2Sql(x: String, a: Double, b: Double, c: Double): String =
     s"(($a)*($x)*($x) + ($b)*($x) + ($c))"

@@ -60,6 +60,17 @@ object Marine {
         .selectExpr("event_id", s"ROUND($d, 4) AS dist_m")
     },
 
+    Q("fn_absorption", {
+      val a = Formulas.soundAbsorptionSql(
+        "(1.0 + value/10.0)", temp, "35.0", "(value*2.0)", "8.0")
+      s"SELECT event_id, ROUND($a, 4) AS absorption_dbkm FROM events"
+    }) { (s, dir) =>
+      val a = Formulas.soundAbsorptionSql(
+        "(1.0 + value/10.0)", temp, "35.0", "(value*2.0)", "8.0")
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id", s"ROUND($a, 4) AS absorption_dbkm")
+    },
+
     // GDC -> UTM projection: transcendental series, not SQL-replicable at
     // bit precision -> rows-only check here; correctness is covered by the
     // round-trip + hand-checked goldens in FunctionsSpec.

@@ -184,6 +184,31 @@ object StateQueries {
           count(when(col("marker") === "X" && col("prev") === "S", 1)).as("n_stops"))
     },
 
+    // K2 insert-building from state: pivot per-key last-values/sums into
+    // one wide DB row (SqlTable.java:539-617 — each column reads its
+    // linked rtval; here conditional aggregation builds the row shape).
+    Q("st_pivot",
+      """SELECT user_id,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS purchase_sum,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS click_sum,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+        |    THEN CAST(value AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS error_sum,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      def condSum(t: String) = coalesce(
+        sum(when(col("event_type") === t, col("value").cast(DecimalType(18, 4)))),
+        lit(0)).cast("double")
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          condSum("purchase").as("purchase_sum"),
+          condSum("click").as("click_sum"),
+          condSum("error").as("error_sum"),
+          count(when(col("event_type") === "signup", 1)).as("signups"))
+    },
+
     // §2.11 tumbling event-time window (streaming twin uses window() +
     // watermark; 10-minute buckets align with epoch in both engines).
     Q("w_tumbling",

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+
+/** Multimodal-column plumbing (builder-prompt first-class set): media
+  * payloads travel as opaque binary columns with typed metadata; decode /
+  * feature-extract / frame-sample run as partition-wise transforms so a
+  * real decoder (libjpeg/ffmpeg via JNI or a Python worker) initializes
+  * once per partition, not per row.
+  *
+  * The decode step itself is STUBBED deterministically — the image/audio
+  * libs are not in this container — but everything Spark-side is real:
+  * schemas, encoders, partition-wise batching, the per-partition
+  * init-once pattern, and the frame-explosion shape.
+  */
+final case class MediaRecord(
+    id: Long, kind: String, bytes: Array[Byte], tags: Map[String, String])
+
+final case class MediaFeatures(
+    id: Long, kind: String, byteLen: Int, contentHash: String,
+    width: Int, height: Int, nFrames: Int, byteHistogram: Array[Double])
+
+final case class FrameSample(id: Long, frameIdx: Int, frameBytes: Array[Byte])
+
+object Multimodal {
+
+  implicit private val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+  implicit private val frameEnc: Encoder[FrameSample] = Encoders.product[FrameSample]
+
+  /** STUB decoder: a real build replaces this with the native decode; the
+    * fake derives deterministic "dimensions" from the payload and computes
+    * a real 4-bin byte histogram (honest binary-column compute).
+    */
+  private[streaming] def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+    val hist = new Array[Double](4)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 6) += 1; i += 1 }
+    val n = math.max(bytes.length, 1)
+    (bytes.length % 640, (bytes.length * 7) % 480, bytes.length % 30 + 1,
+      hist.map(_ / n))
+  }
+
+  /** Partition-wise decode + feature extraction. */
+  def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    ds.mapPartitions { it =>
+      // per-partition decoder init happens HERE (once), not per record
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        digest.reset()
+        val hash = digest.digest(r.bytes).map(b => f"$b%02x").mkString
+        val (w, h, frames, hist) = decodeStub(r.bytes)
+        MediaFeatures(r.id, r.kind, r.bytes.length, hash, w, h, frames, hist)
+      }
+    }
+
+  /** Frame sampling: explode every `everyN`-th frame of a media record.
+    * Stub frames are byte slices; a real build decodes keyframes.
+    */
+  def frameSample(ds: Dataset[MediaRecord], everyN: Int): Dataset[FrameSample] =
+    ds.flatMap { r =>
+      val (_, _, frames, _) = decodeStub(r.bytes)
+      (0 until frames by everyN).map { f =>
+        val span = math.max(r.bytes.length / frames, 1)
+        val from = math.min(f * span, r.bytes.length)
+        val until = math.min(from + span, r.bytes.length)
+        FrameSample(r.id, f, java.util.Arrays.copyOfRange(r.bytes, from, until))
+      }
+    }
+}

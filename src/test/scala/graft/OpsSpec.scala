@@ -1,0 +1,85 @@
+package graft
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+import graft.streaming.{MediaRecord, Multimodal}
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    val large = (1 to 1000).map(i => (i % 7, i)).toDF("k", "v")
+    val small = Seq((0, "a"), (1, "b"), (3, "c")).toDF("k", "name")
+    val plain = large.join(small, Seq("k")).collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(large, small, "k", saltFactor = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == plain.size)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def records = Seq(
+    MediaRecord(1L, "image", Array.tabulate[Byte](1000)(i => (i % 251).toByte), Map("src" -> "a")),
+    MediaRecord(2L, "audio", Array.tabulate[Byte](64)(i => (i * 3).toByte), Map.empty)).toDS()
+
+  test("partition-wise decode produces deterministic features + histogram") {
+    val feats = Multimodal.decodeFeatures(records).collect().sortBy(_.id)
+    assert(feats.map(_.byteLen).toSeq == Seq(1000, 64))
+    assert(feats(0).width == 1000 % 640 && feats(0).height == (1000 * 7) % 480)
+    assert(feats.forall(f => math.abs(f.byteHistogram.sum - 1.0) < 1e-9))
+    assert(feats(0).contentHash.length == 32)
+    // determinism: same input, same features
+    val again = Multimodal.decodeFeatures(records).collect().sortBy(_.id)
+    assert(again.map(_.contentHash).toSeq == feats.map(_.contentHash).toSeq)
+  }
+
+  test("frame sampling explodes every Nth frame with byte slices") {
+    val frames = Multimodal.frameSample(records, everyN = 2).collect()
+    val byId = frames.groupBy(_.id)
+    // id=1: 1000 % 30 + 1 = 11 frames -> sampled 0,2,4,6,8,10 = 6
+    assert(byId(1L).length == 6)
+    assert(byId(1L).forall(_.frameBytes.nonEmpty))
+  }
+}
+
+class UdpSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("udp source receives datagram lines into micro-batches") {
+    val port = {
+      val probe = new DatagramSocket(0)
+      val p = probe.getLocalPort
+      probe.close(); p
+    }
+    val df = spark.readStream
+      .format("graft.sources.UdpLineSource")
+      .option("port", port.toString)
+      .load()
+    val q = df.writeStream.format("memory").queryName("udp_out")
+      .outputMode("append").start()
+    try {
+      val sender = new DatagramSocket()
+      val payload = "alpha,1\nbeta,2\n".getBytes("UTF-8")
+      val deadline = System.currentTimeMillis() + 10000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.length < 2 && System.currentTimeMillis() < deadline) {
+        sender.send(new DatagramPacket(payload, payload.length,
+          InetAddress.getLoopbackAddress, port))
+        Thread.sleep(100)
+        q.processAllAvailable()
+        rows = spark.table("udp_out").collect()
+      }
+      sender.close()
+      assert(rows.length >= 2, "no datagrams received")
+      assert(rows.map(_.getAs[String]("line")).toSet.subsetOf(Set("alpha,1", "beta,2")))
+    } finally q.stop()
+  }
+}
