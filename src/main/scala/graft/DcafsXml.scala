@@ -1,0 +1,145 @@
+package graft
+
+import java.io.StringReader
+
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.Element
+import org.xml.sax.InputSource
+
+import scala.collection.mutable.ListBuffer
+
+/** Compatibility reader for dcafs-style `settings.xml` path declarations:
+  * parses a `<path>` element into a [[PathSpec]], so existing reference
+  * configs can drive the Spark engine directly.
+  *
+  * Modeled on the reference's own parsing:
+  * filter single-rule/`<rule>` forms `FilterForward.java:167-208`,
+  * math ops from text content `MathForward.java:98-123`,
+  * editor `type` attribute edits `EditorForward.java:191-287`,
+  * store typed children `BaseStream.java:107-128`.
+  *
+  * Supported subset (documented unsupported features raise):
+  * filter types start/nostart/end/contain/minlength/maxlength/regex/math;
+  * math `iN=expr` ops; editor prepend/append/replace/remove/rexremove/
+  * trim/cutstart/cutend; store real/int/text/flag children with index +
+  * def.
+  */
+object DcafsXml {
+
+  def parsePath(xml: String): PathSpec = {
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new InputSource(new StringReader(xml)))
+    val path = doc.getDocumentElement
+    require(path.getTagName == "path", s"expected <path>, got <${path.getTagName}>")
+    val id = attr(path, "id").getOrElse("path")
+    val delim = attr(path, "delimiter").getOrElse(",")
+    val steps = ListBuffer.empty[StepSpec]
+    children(path).foreach { el =>
+      el.getTagName match {
+        case "filter" => steps += parseFilter(el)
+        case "math" => steps += parseMath(el)
+        case "editor" => steps += parseEditor(el)
+        case "store" => steps += parseStore(el)
+        case other => throw new IllegalArgumentException(
+          s"unsupported path step <$other>")
+      }
+    }
+    PathSpec(id, delim, steps.toSeq)
+  }
+
+  private def parseFilter(el: Element): FilterStep = {
+    val ruleNodes = children(el).filter(_.getTagName == "rule")
+    val rules =
+      if (ruleNodes.nonEmpty)
+        ruleNodes.map(r => ruleSql(attr(r, "type").getOrElse(""), r.getTextContent))
+      else Seq(ruleSql(attr(el, "type").getOrElse(""), el.getTextContent))
+    val negate = attr(el, "negate").exists(_.toBoolean)
+    FilterStep(if (negate) Seq(s"NOT (${rules.mkString(" AND ")})") else rules)
+  }
+
+  private def ruleSql(tpe: String, value: String): String = tpe.toLowerCase match {
+    case "start" => s"startswith(line, ${lit(value)})"
+    case "nostart" => s"NOT startswith(line, ${lit(value)})"
+    case "end" => s"endswith(line, ${lit(value)})"
+    case "contain" => s"contains(line, ${lit(value)})"
+    case "minlength" => s"length(line) >= ${value.trim.toInt}"
+    case "maxlength" => s"length(line) <= ${value.trim.toInt}"
+    case "regex" => s"line RLIKE ${lit("^" + value + "$")}"
+    case "math" => value // MathDsl handles iN refs and word comparisons
+    case other => throw new IllegalArgumentException(s"unsupported filter type '$other'")
+  }
+
+  private def parseMath(el: Element): MathStep = {
+    val opNodes = children(el).filter(_.getTagName == "op")
+    val texts = if (opNodes.nonEmpty) opNodes.map(_.getTextContent)
+      else Seq(el.getTextContent)
+    MathStep(texts.map { t =>
+      t.split("=", 2) match {
+        case Array(target, exprText) if target.trim.matches("i\\d+") =>
+          target.trim.drop(1).toInt -> exprText.trim
+        case _ => throw new IllegalArgumentException(
+          s"math op must look like iN=expression, got '$t'")
+      }
+    })
+  }
+
+  private def parseEditor(el: Element): EditStep = {
+    val editNodes = children(el).filter(e =>
+      e.getTagName == "edit" || e.getTagName == "editor")
+    val nodes = if (editNodes.nonEmpty) editNodes else Seq(el)
+    EditStep(nodes.map { e =>
+      val content = e.getTextContent
+      attr(e, "type").getOrElse("").toLowerCase match {
+        case "prepend" => s"concat(${lit(content)}, line)"
+        case "append" => s"concat(line, ${lit(content)})"
+        case "replace" =>
+          s"replace(line, ${lit(attr(e, "find").getOrElse(""))}, ${lit(content)})"
+        case "remove" => s"replace(line, ${lit(content)}, '')"
+        case "rexremove" => s"regexp_replace(line, ${lit(content)}, '')"
+        case "trim" => "trim(line)"
+        case "cutstart" => s"substring(line, ${content.trim.toInt + 1}, 1000000)"
+        case "cutend" =>
+          s"substr(line, 1, greatest(length(line) - ${content.trim.toInt}, 0))"
+        case other => throw new IllegalArgumentException(
+          s"unsupported editor type '$other'")
+      }
+    })
+  }
+
+  private def parseStore(el: Element): StoreStep = {
+    var autoIdx = -1
+    StoreStep(children(el).flatMap { v =>
+      autoIdx += 1
+      val idx = attr(v, "index").orElse(attr(v, "i")).map(_.toInt).getOrElse(autoIdx)
+      val name = Option(v.getTextContent).map(_.trim).filter(_.nonEmpty)
+        .orElse(attr(v, "name"))
+        .getOrElse(s"col$idx")
+      v.getTagName match {
+        case "real" => Some((name, idx, "double",
+          attr(v, "def").map(lit).getOrElse("'NaN'")))
+        case "int" => Some((name, idx, "bigint",
+          attr(v, "def").map(lit).getOrElse(Int.MaxValue.toString)))
+        case "text" => Some((name, idx, "string",
+          lit(attr(v, "def").getOrElse(""))))
+        case "flag" | "bool" => Some((name, idx, "boolean",
+          attr(v, "def").map(lit).getOrElse("false")))
+        case "ignore" => None
+        case other => throw new IllegalArgumentException(
+          s"unsupported store val <$other>")
+      }
+    })
+  }
+
+  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def attr(el: Element, name: String): Option[String] = {
+    val v = el.getAttribute(name)
+    if (v == null || v.isEmpty) None else Some(v)
+  }
+
+  private def children(el: Element): Seq[Element] = {
+    val nodes = el.getChildNodes
+    (0 until nodes.getLength).map(nodes.item)
+      .collect { case e: Element => e }
+  }
+}

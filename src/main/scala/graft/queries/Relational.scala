@@ -162,6 +162,51 @@ object Relational {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Explicit GROUPING SETS (beyond cube/rollup).
+    Q("q_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin)
+    },
+
+    // Exact interpolated percentiles (Spark percentile == DuckDB
+    // quantile_cont linear interpolation; rounded for libm safety).
+    Q("q_percentile",
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"))
+    },
+
+    // Correlated scalar subquery (decorrelated by Catalyst into a join).
+    Q("q_scalar_subquery",
+      """SELECT o_orderkey,
+        |  ROUND(o_totalprice - (SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,4))),0) AS DOUBLE)
+        |                        FROM lineitem WHERE l_orderkey = o_orderkey), 4) AS delta
+        |FROM orders WHERE o_totalprice > 400000""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |  ROUND(o_totalprice - (SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,4))),0) AS DOUBLE)
+          |                        FROM lineitem WHERE l_orderkey = o_orderkey), 4) AS delta
+          |FROM orders WHERE o_totalprice > 400000""".stripMargin)
+    },
+
     // Exact distinct aggregation (expand + two-phase agg in Spark).
     Q("q_distinct",
       """SELECT l_returnflag,

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DcafsXmlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dcafs settings.xml path drives the engine end to end") {
+    val xml =
+      """<path id="ctd" delimiter=",">
+        |  <filter>
+        |    <rule type="nostart">#</rule>
+        |    <rule type="minlength">5</rule>
+        |    <rule type="math">i0 above 0</rule>
+        |  </filter>
+        |  <math>i1=i1*10+i0</math>
+        |  <editor type="prepend">ctd,</editor>
+        |  <store delimiter=",">
+        |    <text index="0">tag</text>
+        |    <real index="1" def="-999">temp</real>
+        |    <real index="2">depth</real>
+        |  </store>
+        |</path>""".stripMargin
+    val spec = DcafsXml.parsePath(xml)
+    assert(spec.id == "ctd" && spec.steps.size == 4)
+
+    val in = Seq("2.0,3.5,44", "#hdr,0,0", "-5,1,1", "x,y").toDF("line")
+    val (out, reject) = PathCompiler.compileWithReject(spec, in)
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("tag") == "ctd")
+    assert(rows(0).getAs[Double]("temp") == 2.0)
+    assert(rows(0).getAs[Double]("depth") == 37.0)
+    assert(reject.count() == 3)
+  }
+
+  test("single-rule filter form + editor chains + store defaults") {
+    val spec = DcafsXml.parsePath(
+      """<path id="p" delimiter=",">
+        |  <filter type="contain">,</filter>
+        |  <editor>
+        |    <edit type="replace" find="alpha">A</edit>
+        |    <edit type="cutend">1</edit>
+        |  </editor>
+        |  <store>
+        |    <text index="0">head</text>
+        |    <real index="1">v</real>
+        |  </store>
+        |</path>""".stripMargin)
+    val out = PathCompiler.compile(spec, Seq("alpha,12.5x", "noedit").toDF("line")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("head") == "A")
+    assert(out(0).getAs[Double]("v") == 12.5)
+  }
+
+  test("unsupported constructs fail loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      DcafsXml.parsePath("""<path id="x"><filter type="nmeaX">v</filter></path>""")
+    }
+    intercept[IllegalArgumentException] {
+      DcafsXml.parsePath("""<path id="x"><math>notanop</math></path>""")
+    }
+  }
+}
