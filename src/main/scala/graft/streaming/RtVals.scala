@@ -25,6 +25,9 @@ final case class ValSnapshot(
 /** kind: "rising" (crossed high with hysteresis) | "cleared" | "changed". */
 final case class ValAlert(key: String, kind: String, value: Double, ts: Long)
 
+/** Internal: ValUpdate + the watermarked event-time column. */
+final case class TsUpdate(key: String, value: Double, ts: Long, ets: java.sql.Timestamp)
+
 object RtVals {
 
   implicit private val updEnc: Encoder[ValUpdate] = Encoders.product[ValUpdate]
@@ -71,6 +74,46 @@ object RtVals {
           state.update(st)
           snapshot(key, st)
       }
+
+  /** Stream TTL / idle detection (SURVEY §2.8: BaseStream.java:97-103):
+    * when a key sees no data for `ttl` in EVENT time, emit an `idle`
+    * alert; the first update after an idle period emits `!idle`
+    * (recovery). Event-time timeouts ride the watermark, so replays of
+    * recorded streams produce identical alerts.
+    */
+  implicit private val tsUpdEnc: Encoder[TsUpdate] = Encoders.product[TsUpdate]
+
+  def idleAlerts(updates: Dataset[ValUpdate], ttlMillis: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[ValAlert] = {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    updates.toDF()
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", watermarkDelay)
+      .as[TsUpdate] // the watermarked column must reach the grouped input
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ValState, ValAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, it, state: GroupState[ValState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ValAlert]
+          if (state.hasTimedOut) {
+            val st = state.get
+            out += ValAlert(key, "idle", st.last, st.lastTs + ttlMillis)
+            state.update(st.copy(active = true)) // active marks "currently idle"
+          } else {
+            var st = state.getOption.getOrElse(empty)
+            val sorted = it.map(u => ValUpdate(u.key, u.value, u.ts))
+              .toSeq.sortBy(u => (u.ts, u.value))
+            if (sorted.nonEmpty) {
+              if (st.active) // was idle, data arrived: recovery trigger
+                out += ValAlert(key, "!idle", sorted.head.value, sorted.head.ts)
+              st = sorted.foldLeft(st.copy(active = false))(fold)
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs + ttlMillis)
+            }
+          }
+          out.iterator
+      }
+  }
 
   /** Alert stream with dcafs trigger semantics: `rising` fires once when
     * the value reaches `high` and re-arms only after it clears `low`

@@ -25,4 +25,22 @@ class ConsoleSpec extends AnyFunSuite {
     assert(c.execute("st").contains("no active streaming"))
     assert(c.execute("help").nonEmpty)
   }
+
+  test("rv lists the rtvals snapshot view (the dcafs rtvals listing)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val c = new GraftConsole(spark)
+    val mem = MemoryStream[graft.streaming.ValUpdate]
+    val q = graft.streaming.RtVals.snapshots(mem.toDS())
+      .writeStream.format("memory").queryName("rtvals").outputMode("update").start()
+    try {
+      mem.addData(
+        graft.streaming.ValUpdate("deck_temp", 19.2, 1),
+        graft.streaming.ValUpdate("deck_hum", 55.0, 1))
+      q.processAllAvailable()
+      val rv = c.execute("rv")
+      assert(rv.contains("deck_temp") && rv.contains("19.2"))
+      assert(c.execute("st").contains("rtvals"))
+    } finally q.stop()
+  }
 }

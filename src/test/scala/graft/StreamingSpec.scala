@@ -180,3 +180,67 @@ class SinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class IdleAlertSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("stream TTL: idle fires after event-time gap, !idle on recovery") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[ValUpdate]
+    val q = RtVals.idleAlerts(mem.toDS(), ttlMillis = 10000)
+      .writeStream.format("memory").queryName("idle_out").outputMode("append").start()
+    try {
+      mem.addData(ValUpdate("a", 1.0, 1000), ValUpdate("a", 2.0, 2000))
+      q.processAllAvailable()                       // watermark -> 2000
+      mem.addData(ValUpdate("b", 0.0, 500000))
+      q.processAllAvailable()                       // watermark -> 500000
+      mem.addData(ValUpdate("b", 0.0, 600000))
+      q.processAllAvailable()                       // a's timeout (12000) fires
+      mem.addData(ValUpdate("a", 3.0, 700000))
+      q.processAllAvailable()                       // a recovers
+      val got = spark.table("idle_out").filter($"key" === "a")
+        .orderBy("ts").as[graft.streaming.ValAlert].collect()
+        .map(a => (a.kind, a.ts)).toSeq
+      assert(got == Seq(("idle", 12000L), ("!idle", 700000L)), s"got $got")
+    } finally q.stop()
+  }
+}
+
+class StreamJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("stream-static broadcast enrichment join") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((13L, "gold"), (12L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val joined = mem.toDF().toDF("user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((13L, 1.0), (99L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("tier")))).toSet
+      assert(rows == Set((13L, Some("gold")), (99L, None)))
+    } finally q.stop()
+  }
+
+  test("label dispatch: one source fans out to filtered sinks (§2.9)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val src = mem.toDF().toDF("label", "line")
+    val qA = src.filter($"label" === "real").writeStream
+      .format("memory").queryName("sink_real").outputMode("append").start()
+    val qB = src.filter($"label" === "text").writeStream
+      .format("memory").queryName("sink_text").outputMode("append").start()
+    try {
+      mem.addData(("real", "1.5"), ("text", "hello"), ("real", "2.5"))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      assert(spark.table("sink_real").count() == 2)
+      assert(spark.table("sink_text").count() == 1)
+    } finally { qA.stop(); qB.stop() }
+  }
+}
