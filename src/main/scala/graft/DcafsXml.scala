@@ -73,14 +73,24 @@ object DcafsXml {
     val opNodes = children(el).filter(_.getTagName == "op")
     val texts = if (opNodes.nonEmpty) opNodes.map(_.getTextContent)
       else Seq(el.getTextContent)
-    MathStep(texts.map { t =>
-      t.split("=", 2) match {
-        case Array(target, exprText) if target.trim.matches("i\\d+") =>
-          target.trim.drop(1).toInt -> exprText.trim
-        case _ => throw new IllegalArgumentException(
-          s"math op must look like iN=expression, got '$t'")
-      }
-    })
+    MathStep(texts.map(parseOp))
+  }
+
+  /** dcafs op forms (MathForward.java:345-369): plain `iN=expr`, compound
+    * `iN+=expr` / `-=` / `*=` / `/=`, and `iN++` / `iN--`.
+    */
+  private[graft] def parseOp(t: String): (Int, String) = {
+    val s = t.trim
+    val incdec = raw"i(\d+)\s*(\+\+|--)".r
+    val compound = raw"i(\d+)\s*([+\-*/])=\s*(.+)".r
+    val plain = raw"i(\d+)\s*=\s*(.+)".r
+    s match {
+      case incdec(n, op) => n.toInt -> s"i$n ${op.head} 1"
+      case compound(n, op, e) => n.toInt -> s"i$n $op ($e)"
+      case plain(n, e) => n.toInt -> e.trim
+      case _ => throw new IllegalArgumentException(
+        s"math op must look like iN=expression, got '$t'")
+    }
   }
 
   private def parseEditor(el: Element): EditStep = {

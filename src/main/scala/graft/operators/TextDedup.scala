@@ -97,18 +97,25 @@ object TextOps {
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
-    val rowsPerBand = k / bands
-    val sig = docs
+    require(k == bands * 2, "this implementation uses 2 signature rows per band")
+    // Explode shingles and aggregate per (doc, seed): everything stays in
+    // whole-stage codegen hash aggregation. The array-lambda rendering
+    // (transform+array_min per seed) runs interpreted and GC-heavy —
+    // measured 2-4x slower with high variance at sf0.1.
+    val sh = docs
       .withColumn("__toks", tokens(col(textCol)))
       .filter(size(col("__toks")) >= shingleSize)
-      // materialize shingles once: inlining the expression into the k
-      // signature slots would re-shingle the doc k times
-      .withColumn("__sh", shingles(col("__toks"), shingleSize))
-      .withColumn("__sig", minhashSignature(col("__sh"), k))
-    val banded = sig.select(
-      col(idCol),
-      posexplode(array((0 until bands).map(b =>
-        bandHash(col("__sig"), b, rowsPerBand)): _*)).as(Seq("band", "bh")))
+      .select(col(idCol), explode(shingles(col("__toks"), shingleSize)).as("sh"))
+    val seeds = (0 until k).map(s => lit(s)).toArray
+    val mh = sh
+      .select(col(idCol), explode(array(seeds: _*)).as("seed"), col("sh"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("h"))
+    val banded = mh
+      .groupBy(col(idCol), (col("seed") / 2).cast("int").as("band"))
+      .agg(md5(concat(
+        min(when(col("seed") % 2 === 0, col("h"))),
+        min(when(col("seed") % 2 === 1, col("h"))))).as("bh"))
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,

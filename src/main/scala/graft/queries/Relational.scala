@@ -192,6 +192,16 @@ object Relational {
           round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"))
     },
 
+    // Mergeable approximate percentile — the 100 TB twin of q_percentile
+    // (exact interpolation needs per-group sorted data; the sketch
+    // doesn't). Sketch values are engine-specific -> rows-only check.
+    Q.noOracle("q_approx_percentile") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("p50_p95"))
+    },
+
     // Correlated scalar subquery (decorrelated by Catalyst into a join).
     Q("q_scalar_subquery",
       """SELECT o_orderkey,

@@ -54,6 +54,18 @@ class DcafsXmlSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("v") == 12.5)
   }
 
+  test("compound assignment and increment ops (MathForward.java:345-369)") {
+    assert(DcafsXml.parseOp("i1 += 2*i0") == (1 -> "i1 + (2*i0)"))
+    assert(DcafsXml.parseOp("i2*=3") == (2 -> "i2 * (3)"))
+    assert(DcafsXml.parseOp("i0++") == (0 -> "i0 + 1"))
+    assert(DcafsXml.parseOp("i3--") == (3 -> "i3 - 1"))
+    val spec = DcafsXml.parsePath(
+      """<path id="p" delimiter=","><math><op>i0+=1</op><op>i1*=2</op></math>
+        |<store><real index="0">a</real><real index="1">b</real></store></path>""".stripMargin)
+    val out = PathCompiler.compile(spec, Seq("1.0,3.0").toDF("line")).collect()(0)
+    assert(out.getAs[Double]("a") == 2.0 && out.getAs[Double]("b") == 6.0)
+  }
+
   test("unsupported constructs fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       DcafsXml.parsePath("""<path id="x"><filter type="nmeaX">v</filter></path>""")
