@@ -149,6 +149,68 @@ object VectorOps {
     conv(substring(md5(concat(lit(s"plane$p:"), j.cast("string"))), 1, 2), 16, 10)
       .cast("double") - 127.5
 
+  /** IVF coarse quantization: assign every vector to its nearest centroid
+    * (max cosine, centroid id as tiebreaker). Centroids are a small
+    * broadcastable table (cid, cvec) — a deterministic sample here; a
+    * k-means refinement drops in without changing the plan. Returns the
+    * input plus a `bucket` column.
+    */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__ccos").desc, col("cid"))
+    vectors
+      .join(broadcast(centroids))
+      .withColumn("__ccos", cosine(col(vecCol), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__ccos", "__rn", "cvec")
+      .withColumnRenamed("cid", "bucket")
+  }
+
+  /** Deterministic centroid sample: the first nCentroids vectors by id.
+    * (The classic IVF training step is k-means over a sample; sampling
+    * ids keeps round-1 fully deterministic and oracle-friendly.)
+    */
+  def sampleCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vectors
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col(idCol))))
+      .filter(col("__rn") <= nCentroids)
+      .select((col("__rn") - 1).as("cid"), col(vecCol).as("cvec"))
+  }
+
+  /** IVF probe: search only the nProbe buckets whose centroids are
+    * closest to each query, then exact cosine top-k within them. The
+    * corpus-side shuffle is on the bucket id — at 100 TB only the probed
+    * inverted lists are read.
+    */
+  def ivfSearch(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window.partitionBy(col(qidCol))
+      .orderBy(col("__ccos").desc, col("cid"))
+    val probes = queries
+      .join(broadcast(centroids))
+      .withColumn("__ccos", cosine(col(qvecCol), col("cvec")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select(col(qidCol), col(qvecCol), col("cid").as("bucket"))
+    val wTop = Window.partitionBy(col(qidCol))
+      .orderBy(col("cos_r").desc, col(idCol))
+    assigned
+      .join(broadcast(probes),
+        assigned("bucket") === probes("bucket") && col(idCol) =!= col(qidCol))
+      .withColumn("cos_r", round(cosine(col(qvecCol), col(vecCol)), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col(qidCol), col(idCol), col("rn"), col("cos_r"))
+  }
+
   /** Random-hyperplane LSH bucket id: one sign bit per plane. Vectors in
     * the same bucket are cosine-close with high probability; ANN search
     * shuffles on the bucket id instead of cross-joining the corpus.

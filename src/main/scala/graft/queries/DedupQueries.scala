@@ -173,6 +173,20 @@ object DedupQueries {
         .select(col("qid"), col("vec_id"), col("rn"), col("cos_r"))
     },
 
+    // IVF-bucketed ANN: deterministic sampled centroids, nProbe=2 of 16
+    // inverted lists probed per query, exact re-rank inside. Bucket
+    // membership is engine-specific plan work -> rows-only check;
+    // ANNSpec pins recall + score correctness against ann_topk.
+    Q.noOracle("ann_ivf") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = VectorOps.sampleCentroids(e, "vec_id", "embedding", 16)
+      val assigned = VectorOps.ivfAssign(e, "vec_id", "embedding", cents)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      VectorOps.ivfSearch(assigned, cents, q,
+        "vec_id", "embedding", "qid", "qe", k = 10, nProbe = 2)
+    },
+
     // LSH-bucketed ANN — the scale path: probe only the query's hyperplane
     // bucket. Bucket membership depends on md5-derived planes; no oracle
     // (rows-only check), ranked output verified by ann_topk's exact twin.

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality checks: the bucketed variants must return true cosine
+  * scores (no approximation in the re-rank) and nonzero recall against
+  * the brute-force ground truth.
+  */
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def asMap(name: String): Map[Long, Seq[(Long, Double)]] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos_r")))
+      .groupBy(_._1)
+      .map { case (q, rows) => q -> rows.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
+
+  test("ivf scores equal brute-force scores for returned neighbors") {
+    val exact = asMap("ann_topk").map { case (q, rs) => q -> rs.toMap }
+    val ivf = asMap("ann_ivf")
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, rs) =>
+      rs.foreach { case (v, cos) =>
+        // every ivf hit that's also in the exact top-10 must carry the
+        // identical (rounded) cosine — the re-rank is exact
+        exact(q).get(v).foreach(expected => assert(expected == cos, s"q=$q v=$v"))
+      }
+    }
+  }
+
+  test("ivf recall@10 against brute force is nonzero and deterministic") {
+    val exact = asMap("ann_topk").map { case (q, rs) => q -> rs.map(_._1).toSet }
+    val ivf = asMap("ann_ivf").map { case (q, rs) => q -> rs.map(_._1).toSet }
+    val recalls = exact.keys.toSeq.sorted.map { q =>
+      val hit = ivf.getOrElse(q, Set.empty)
+      exact(q).intersect(hit).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.0, s"zero recall: $recalls")
+    // determinism: same run twice
+    val again = asMap("ann_ivf").map { case (q, rs) => q -> rs.map(_._1).toSet }
+    assert(again == ivf)
+  }
+}
