@@ -70,10 +70,20 @@ object DcafsXml {
   }
 
   private def parseMath(el: Element): MathStep = {
+    // <def ref="name">value</def> named constants (MathForward.java:131-132)
+    val defs = children(el).filter(_.getTagName == "def")
+      .map(d => attr(d, "ref").getOrElse("") -> d.getTextContent.trim)
+      .filter(_._1.nonEmpty)
     val opNodes = children(el).filter(_.getTagName == "op")
     val texts = if (opNodes.nonEmpty) opNodes.map(_.getTextContent)
       else Seq(el.getTextContent)
-    MathStep(texts.map(parseOp))
+    def substitute(t: String): String =
+      defs.foldLeft(t) { case (acc, (name, value)) =>
+        acc.replaceAll(raw"\b" + java.util.regex.Pattern.quote(name) + raw"\b",
+          s"($value)")
+      }
+    MathStep(texts.filter(_.trim.nonEmpty).map(t => parseOp(substitute(t))),
+      suffix = attr(el, "suffix").getOrElse(""))
   }
 
   /** dcafs op forms (MathForward.java:345-369): plain `iN=expr`, compound

@@ -23,8 +23,10 @@ final case class FilterStep(rules: Seq[String]) extends StepSpec
 
 /** dcafs math ops `target = expression`, e.g. "i1 = i1 * 10 + i0". Results
   * write back into the split-field array (MathForward.java:786-843).
+  * suffix "nmea" re-appends a recomputed checksum after the ops
+  * (MathForward.java:279-286).
   */
-final case class MathStep(ops: Seq[(Int, String)]) extends StepSpec
+final case class MathStep(ops: Seq[(Int, String)], suffix: String = "") extends StepSpec
 
 /** Editor edits applied to the whole line, as (SQL expression over `line`). */
 final case class EditStep(exprs: Seq[String]) extends StepSpec
@@ -60,7 +62,7 @@ object PathCompiler {
         reject = if (reject == null) r else reject.unionByName(r)
         df = df.filter(pred)
 
-      case MathStep(ops) =>
+      case MathStep(ops, suffix) =>
         // write-back semantics: each op replaces field `target` in __f and
         // re-joins the line, so later ops and edits see the new value
         ops.foreach { case (target, exprText) =>
@@ -73,6 +75,16 @@ object PathCompiler {
                 greatest(size(col("__f")) - (target + 1), lit(0)))))
         }
         df = df.withColumn("line", array_join(col("__f"), spec.delimiter))
+        suffix match {
+          case "" =>
+          case "nmea" =>
+            df = df.withColumn("line",
+              concat(col("line"), lit("*"),
+                graft.functions.GraftFunctions.nmea_checksum(col("line"))))
+              .withColumn("__f", split(col("line"), d))
+          case other => throw new IllegalArgumentException(
+            s"unsupported math suffix '$other'")
+        }
 
       case EditStep(exprs) =>
         exprs.foreach { e =>

@@ -292,10 +292,22 @@ object PipelineQueries {
       """WITH t AS (SELECT event_id,
         |    concat('temp=', CAST(value AS VARCHAR), ';user=', CAST(user_id AS VARCHAR),
         |           ';type=', event_type) AS kv FROM events),
-        |x AS (SELECT event_id, unnest(string_split(kv, ';')) AS pair FROM t)
-        |SELECT event_id, string_split(pair, '=')[1] AS key,
-        |       string_split(pair, '=')[2] AS val
-        |FROM x""".stripMargin) { (s, dir) =>
+        |x AS (SELECT event_id, unnest(string_split(kv, ';')) AS pair FROM t),
+        |p AS (SELECT event_id, string_split(pair, '=')[1] AS key,
+        |             string_split(pair, '=')[2] AS val FROM x)
+        |SELECT event_id, key, val,
+        |  CASE WHEN key = 'type' THEN
+        |    CASE val WHEN 'purchase' THEN 'P' WHEN 'click' THEN 'C'
+        |      WHEN 'error' THEN 'E' WHEN 'signup' THEN 'S'
+        |      WHEN 'view' THEN 'V' ELSE '?' END
+        |  ELSE val END AS val_mapped
+        |FROM p""".stripMargin) { (s, dir) =>
+      // value-translation dictionary for text keys (ValMap.java:117-154)
+      val dict = Map("purchase" -> "P", "click" -> "C", "error" -> "E",
+        "signup" -> "S", "view" -> "V")
+      val translate = dict.foldLeft(when(lit(false), "")) {
+        case (acc, (k, v)) => acc.when(col("val") === k, v)
+      }.otherwise("?")
       Tables.load(s, dir, "events")
         .withColumn("kv", concat(
           lit("temp="), col("value").cast("string"),
@@ -306,6 +318,8 @@ object PipelineQueries {
           col("event_id"),
           try_element_at(split(col("pair"), "="), lit(1)).as("key"),
           try_element_at(split(col("pair"), "="), lit(2)).as("val"))
+        .withColumn("val_mapped",
+          when(col("key") === "type", translate).otherwise(col("val")))
     },
   )
 }

@@ -66,6 +66,23 @@ class DcafsXmlSpec extends AnyFunSuite {
     assert(out.getAs[Double]("a") == 2.0 && out.getAs[Double]("b") == 6.0)
   }
 
+  test("def constants substitute and nmea suffix recomputes the checksum") {
+    val spec = DcafsXml.parsePath(
+      """<path id="p" delimiter=",">
+        |  <math suffix="nmea">
+        |    <def ref="gain">2.5</def>
+        |    <op>i0 = i0 * gain</op>
+        |  </math>
+        |</path>""".stripMargin)
+    val out = PathCompiler.compile(spec, Seq("4.0,x").toDF("line")).collect()(0)
+    val line = out.getAs[String]("line")
+    assert(line.startsWith("10.0,x*"), line)
+    // the appended checksum must verify
+    assert(spark.range(1).select(
+      graft.functions.GraftFunctions.nmea_valid(
+        org.apache.spark.sql.functions.lit(line))).collect()(0).getBoolean(0))
+  }
+
   test("unsupported constructs fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       DcafsXml.parsePath("""<path id="x"><filter type="nmeaX">v</filter></path>""")
