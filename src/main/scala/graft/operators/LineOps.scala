@@ -50,6 +50,21 @@ object FilterRules {
   /** `nmea`: checksum validity (FilterForward.java:347). */
   def nmea(line: Column): Column = GraftFunctions.nmea_valid(line)
 
+  /** `ignores=N` (FilterForward.java:28-29, 390-404): after a line passes,
+    * suppress the next N passing lines (alarm dedup). Batch rendering:
+    * among passing rows (ordered per key), keep positions 1, N+2, 2N+3...
+    * i.e. row_number % (N+1) == 1.
+    */
+  def withIgnores(df: DataFrame, pass: Column, keyCol: Column,
+      order: Seq[Column], ignores: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    df.filter(pass)
+      .withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") % (ignores + 1)) === 1)
+      .drop("__rn")
+  }
+
   /** All rules must pass; rejected rows route to the `reversed` branch
     * (FilterForward.java:385-406, 26,52,69-81). Both branches share one
     * cached/scanned upstream — Catalyst reuses the exchange.
@@ -70,7 +85,8 @@ object Edits {
     * (EditorForward.java:466-523). Template refs `iN` select fields; other
     * text passes through literally.
     */
-  def resplit(line: Column, delim: String, template: String): Column = {
+  def resplit(line: Column, delim: String, template: String,
+      leftoverAppend: Boolean = false): Column = {
     val parts = split(line, java.util.regex.Pattern.quote(delim))
     val pieces = raw"i(\d+)".r.split(template) // literal segments
     val refs = raw"i(\d+)".r.findAllMatchIn(template).map(_.group(1).toInt).toSeq
@@ -80,7 +96,17 @@ object Edits {
       if (pieces(i).nonEmpty) cols += lit(pieces(i))
       if (i < refs.length) cols += try_element_at(parts, lit(refs(i) + 1))
     }
-    concat(cols.toSeq: _*)
+    val base = concat(cols.toSeq: _*)
+    if (!leftoverAppend) base
+    else {
+      // `leftover=append` (EditorForward.java:466-523): fields beyond the
+      // highest template ref re-attach after the emitted text
+      val maxRef = if (refs.isEmpty) 0 else refs.max + 1
+      val rest = array_join(
+        slice(parts, lit(maxRef + 1),
+          greatest(size(parts) - maxRef, lit(0))), delim)
+      when(length(rest) > 0, concat(base, lit(delim), rest)).otherwise(base)
+    }
   }
 
   /** `charsplit`: split at fixed 1-based char positions, re-join

@@ -78,6 +78,36 @@ object PipelineQueries {
         .unionAll(reject.select(col("event_id"), lit("reject").as("branch")))
     },
 
+    // §2.3 ignores=N alarm suppression: among alarm rows per user (value
+    // >= 100), keep every 3rd (ignores=2) in (ts, event_id) order.
+    Q("op_filter_ignores",
+      """SELECT event_id FROM (
+        |  SELECT event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value >= 100) t
+        |WHERE rn % 3 = 1""".stripMargin) { (s, dir) =>
+      graft.operators.FilterRules.withIgnores(
+        Tables.load(s, dir, "events"),
+        pass = col("value") >= 100,
+        keyCol = col("user_id"),
+        order = Seq(col("ts"), col("event_id")),
+        ignores = 2)
+        .select("event_id")
+    },
+
+    // §2.4 resplit leftover=append: fields beyond the template re-attach.
+    Q("op_edit_leftover",
+      s"""WITH t AS (SELECT event_id, $lineSqlDuck AS line FROM events)
+         |SELECT event_id,
+         |  concat(string_split(line, ',')[2], '|', string_split(line, ',')[1],
+         |         ',', array_to_string(string_split(line, ',')[3:], ',')) AS out
+         |FROM t""".stripMargin) { (s, dir) =>
+      withLine(s, dir)
+        .select(
+          col("event_id"),
+          Edits.resplit(col("line"), ",", "i1|i0", leftoverAppend = true).as("out"))
+    },
+
     // §2.4 affix/cut/replace edits chained into one projection.
     Q("op_edit_affix",
       s"""WITH t AS (SELECT event_id, $lineSqlDuck AS line FROM events)

@@ -87,7 +87,7 @@ object StateQueries {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT event_id,
         |  COALESCE(event_type <> prev_type, TRUE) AS changed,
-        |  (value >= 400 AND COALESCE(prev_val < 400, TRUE)) AS rising_edge
+        |  (value >= 150 AND COALESCE(prev_val < 150, TRUE)) AS rising_edge
         |FROM t""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables.load(s, dir, "events")
@@ -96,14 +96,14 @@ object StateQueries {
         .select(
           col("event_id"),
           coalesce(col("event_type") =!= col("prev_type"), lit(true)).as("changed"),
-          (col("value") >= 400 && coalesce(col("prev_val") < 400, lit(true))).as("rising_edge"))
+          (col("value") >= 150 && coalesce(col("prev_val") < 150, lit(true))).as("rising_edge"))
     },
 
-    // §2.8 hysteresis: fire at >= 400 only when the condition last cleared
-    // below 100 (fires once until it clears — RealVal.java hysteresis).
+    // §2.8 hysteresis: fire at >= 200 only when the condition last cleared
+    // below 50 (fires once until it clears — RealVal.java hysteresis).
     Q("st_hysteresis",
       """WITH m AS (SELECT event_id, user_id, ts, value,
-        |  CASE WHEN value >= 400 THEN 'H' WHEN value <= 100 THEN 'L' END AS marker
+        |  CASE WHEN value >= 200 THEN 'H' WHEN value <= 50 THEN 'L' END AS marker
         |  FROM events),
         |p AS (SELECT event_id, value,
         |  last_value(marker IGNORE NULLS) OVER
@@ -111,17 +111,17 @@ object StateQueries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_marker
         |  FROM m)
         |SELECT event_id,
-        |  (value >= 400 AND COALESCE(prev_marker, 'L') = 'L') AS fire
+        |  (value >= 200 AND COALESCE(prev_marker, 'L') = 'L') AS fire
         |FROM p""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.load(s, dir, "events")
         .withColumn("marker",
-          when(col("value") >= 400, "H").when(col("value") <= 100, "L"))
+          when(col("value") >= 200, "H").when(col("value") <= 50, "L"))
         .withColumn("prev_marker", last("marker", ignoreNulls = true).over(w))
         .select(
           col("event_id"),
-          (col("value") >= 400 && coalesce(col("prev_marker"), lit("L")) === "L").as("fire"))
+          (col("value") >= 200 && coalesce(col("prev_marker"), lit("L")) === "L").as("fire"))
     },
 
     // §2.8 waypoint geofence ENTER/LEAVE/INSIDE/OUTSIDE state machine
@@ -160,7 +160,7 @@ object StateQueries {
     // machine activations per key (IssuePool.java:26-70).
     Q("st_issue_pool",
       """WITH m AS (SELECT user_id, ts, event_id,
-        |  CASE WHEN value > 450 THEN 'S' WHEN value < 50 THEN 'X' END AS marker
+        |  CASE WHEN value > 250 THEN 'S' WHEN value < 20 THEN 'X' END AS marker
         |  FROM events),
         |p AS (SELECT user_id, marker,
         |  last_value(marker IGNORE NULLS) OVER
@@ -175,7 +175,7 @@ object StateQueries {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.load(s, dir, "events")
         .withColumn("marker",
-          when(col("value") > 450, "S").when(col("value") < 50, "X"))
+          when(col("value") > 250, "S").when(col("value") < 20, "X"))
         .withColumn("prev", last("marker", ignoreNulls = true).over(w))
         .groupBy("user_id")
         .agg(
