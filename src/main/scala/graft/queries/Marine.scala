@@ -34,10 +34,14 @@ object Marine {
       val svel = Formulas.soundVelocitySql(psal, temp, press)
       s"SELECT event_id, $psal AS psal, $svel AS svel FROM events"
     }) { (s, dir) =>
+      // compute psal once as a column: the svel fragment references S in
+      // four terms, and textual substitution would inline (and codegen)
+      // the whole salinity polynomial 4x
       val psal = Formulas.salinitySql(cond, temp, press)
-      val svel = Formulas.soundVelocitySql(psal, temp, press)
+      val svel = Formulas.soundVelocitySql("psal", temp, press)
       Tables.load(s, dir, "events")
-        .selectExpr("event_id", s"$psal AS psal", s"$svel AS svel")
+        .selectExpr("event_id", "value", "user_id", s"$psal AS psal")
+        .selectExpr("event_id", "psal", s"$svel AS svel")
     },
 
     Q("fn_truewind", {

@@ -269,6 +269,28 @@ object StateQueries {
           col("n"))
     },
 
+    // §2.11 range join: same-user event pairs within a 5-minute forward
+    // window. Spark side bins both sides to gap-sized buckets (equi-join
+    // on (user, bucket) — no per-key cross product); the DuckDB oracle is
+    // the plain inequality join, checking the binning is lossless.
+    Q("j_range",
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |  epoch_ms(CAST(b.ts AS TIMESTAMP)) - epoch_ms(CAST(a.ts AS TIMESTAMP)) AS gap_ms
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_ms(CAST(b.ts AS TIMESTAMP)) >= epoch_ms(CAST(a.ts AS TIMESTAMP))
+        | AND epoch_ms(CAST(b.ts AS TIMESTAMP)) <= epoch_ms(CAST(a.ts AS TIMESTAMP)) + 300000
+        | AND a.event_id <> b.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tsm"))
+      graft.operators.RangeJoin.timeWindowJoin(ev, ev, "user_id", "tsm", 300000L)
+        .filter(col("l_event_id") =!= col("r_event_id"))
+        .select(
+          col("l_event_id").as("a_id"),
+          col("r_event_id").as("b_id"),
+          (col("r_tsm") - col("l_tsm")).as("gap_ms"))
+    },
+
     // §2.11 as-of join: latest prior error event per purchase, same user.
     // Spark side is the scalable union + last(ignore nulls) rendering (one
     // shuffle, no range-join explosion); DuckDB side is a native ASOF JOIN
