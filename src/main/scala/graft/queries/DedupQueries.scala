@@ -102,21 +102,23 @@ object DedupQueries {
         .withColumn("g", TextOps.shingles(TextOps.tokens(col("text")), 2))
         .filter(size(col("g")) > 0)
         .select(col("doc_id"), col("lang"), col("g"))
-      val sizes = docs.select(col("doc_id"), size(col("g")).as("n"))
       val e = docs
-        .select(col("doc_id"), col("lang"), explode(col("g")).as("x"))
-        .select(col("doc_id"), col("lang"), xxhash64(col("x")).as("x"))
+        .select(col("doc_id"), col("lang"), size(col("g")).as("n"),
+          explode(col("g")).as("x"))
+        .select(col("doc_id"), col("lang"), col("n"), xxhash64(col("x")).as("x"))
+      // length-ratio prune at the join (lossless for jac >= 0.5: the
+      // smaller set must be at least half the larger one) — kills most
+      // cross-length pairs before the aggregation sees them
       val inter = e.as("a")
         .join(e.as("b").hint("shuffle_hash"),
           col("a.lang") === col("b.lang") && col("a.x") === col("b.x") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
+        .agg(count(lit(1)).as("i"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       inter
-        .join(broadcast(sizes).as("na"), col("doc_a") === col("na.doc_id"))
-        .join(broadcast(sizes).as("nb"), col("doc_b") === col("nb.doc_id"))
         .withColumn("jac_raw",
-          col("i") * lit(1.0) / (col("na.n") + col("nb.n") - col("i")))
+          col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
         .filter(col("jac_raw") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
     },
