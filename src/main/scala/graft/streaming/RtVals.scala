@@ -28,6 +28,17 @@ final case class ValAlert(key: String, kind: String, value: Double, ts: Long)
 /** Internal: ValUpdate + the watermarked event-time column. */
 final case class TsUpdate(key: String, value: Double, ts: Long, ets: java.sql.Timestamp)
 
+/** Typed Val update (SURVEY §1.2): kind in real|int|text|flag. Numeric
+  * kinds carry `num`; text/flag carry `text` (flags parse the dcafs
+  * truthy strings).
+  */
+final case class TypedUpdate(key: String, kind: String, num: Double, text: String, ts: Long)
+
+final case class TypedSnapshot(
+    key: String, kind: String,
+    lastNum: Option[Double], lastText: Option[String], lastFlag: Option[Boolean],
+    min: Option[Double], max: Option[Double], count: Long, lastTs: Long)
+
 object RtVals {
 
   implicit private val updEnc: Encoder[ValUpdate] = Encoders.product[ValUpdate]
@@ -73,6 +84,50 @@ object RtVals {
           val st = it.toSeq.sortBy(u => (u.ts, u.value)).foldLeft(st0)(fold)
           state.update(st)
           snapshot(key, st)
+      }
+
+  implicit private val typedUpdEnc: Encoder[TypedUpdate] = Encoders.product[TypedUpdate]
+  implicit private val typedSnapEnc: Encoder[TypedSnapshot] = Encoders.product[TypedSnapshot]
+  implicit private val typedStEnc: Encoder[(String, Double, String, Double, Double, Long, Long)] =
+    Encoders.product[(String, Double, String, Double, Double, Long, Long)]
+
+  private val truthy = Set("true", "1", "high", "yes", "on")
+
+  /** Typed rtvals state: real/int keep last/min/max/count; text keeps the
+    * last string; flag parses dcafs truthy strings (FlagVal semantics).
+    * The four concurrent maps of RealtimeValues.java:29-32 become one
+    * keyed state stream with a kind column.
+    */
+  def typedSnapshots(updates: Dataset[TypedUpdate]): Dataset[TypedSnapshot] =
+    updates.groupByKey(_.key)
+      .mapGroupsWithState[(String, Double, String, Double, Double, Long, Long), TypedSnapshot](
+        GroupStateTimeout.NoTimeout()) { (key, it, state) =>
+        var (kind, lastNum, lastText, mn, mx, n, lastTs) =
+          state.getOption.getOrElse(("", Double.NaN, "",
+            Double.PositiveInfinity, Double.NegativeInfinity, 0L, Long.MinValue))
+        it.toSeq.sortBy(_.ts).foreach { u =>
+          kind = u.kind
+          u.kind match {
+            case "real" | "int" =>
+              lastNum = u.num
+              mn = math.min(mn, u.num); mx = math.max(mx, u.num)
+            case "flag" =>
+              lastNum = if (truthy(u.text.trim.toLowerCase)) 1.0 else 0.0
+              lastText = u.text
+            case _ => lastText = u.text
+          }
+          n += 1
+          lastTs = math.max(lastTs, u.ts)
+        }
+        state.update((kind, lastNum, lastText, mn, mx, n, lastTs))
+        val numeric = kind == "real" || kind == "int"
+        TypedSnapshot(key, kind,
+          if (numeric || kind == "flag") Some(lastNum) else None,
+          if (!numeric) Some(lastText) else None,
+          if (kind == "flag") Some(lastNum > 0.5) else None,
+          if (numeric) Some(mn) else None,
+          if (numeric) Some(mx) else None,
+          n, lastTs)
       }
 
   /** Stream TTL / idle detection (SURVEY §2.8: BaseStream.java:97-103):

@@ -1,0 +1,46 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Multiply, Pow}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Catalyst optimizer rule: `pow(x, n)` for small integral n becomes a
+  * multiplication chain.
+  *
+  * Two wins: libm `pow` is an exp/log path (slower, and off-by-an-ulp vs
+  * repeated multiplication), and the reference itself computes integer
+  * powers by repeated multiply (`MathUtils.java:372-601` `^` handling) —
+  * so the rewrite aligns our `^` sugar (MathDsl emits pow) with dcafs
+  * semantics exactly.
+  */
+object PowToMultiply extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Pow(base, Literal(v: Double, DoubleType))
+          if v == math.floor(v) && v >= 2.0 && v <= 4.0 =>
+        val n = v.toInt
+        (1 until n).foldLeft(base: Expression)((acc, _) => Multiply(acc, base))
+    }
+}
+
+/** SparkSessionExtensions entry point:
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => PowToMultiply)
+}
+
+/** Install on an already-built session (extensions can only be injected
+  * at build time; experimental methods take effect immediately).
+  */
+object GraftOptimizations {
+  def install(spark: SparkSession): Unit = {
+    val current = spark.experimental.extraOptimizations
+    if (!current.contains(PowToMultiply))
+      spark.experimental.extraOptimizations = current :+ PowToMultiply
+  }
+}

@@ -244,3 +244,37 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally { qA.stop(); qB.stop() }
   }
 }
+
+class TypedRtValsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.streaming.{RtVals, TypedUpdate}
+
+  test("typed state: real/int/text/flag vals in one keyed stream") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[TypedUpdate]
+    val q = RtVals.typedSnapshots(mem.toDS())
+      .writeStream.format("memory").queryName("rt_typed").outputMode("update").start()
+    try {
+      mem.addData(
+        TypedUpdate("deck_temp", "real", 19.2, "", 1),
+        TypedUpdate("deck_temp", "real", 21.5, "", 2),
+        TypedUpdate("n_samples", "int", 42, "", 1),
+        TypedUpdate("station", "text", 0, "st01", 1),
+        TypedUpdate("pump_on", "flag", 0, "HIGH", 1))
+      q.processAllAvailable()
+      val snap = spark.table("rt_typed").as[graft.streaming.TypedSnapshot]
+        .collect().map(s => s.key -> s).toMap
+      assert(snap("deck_temp").lastNum.contains(21.5))
+      assert(snap("deck_temp").min.contains(19.2) && snap("deck_temp").max.contains(21.5))
+      assert(snap("n_samples").lastNum.contains(42.0))
+      assert(snap("station").lastText.contains("st01"))
+      assert(snap("pump_on").lastFlag.contains(true))
+      mem.addData(TypedUpdate("pump_on", "flag", 0, "off", 2))
+      q.processAllAvailable()
+      val p = spark.table("rt_typed").filter($"key" === "pump_on")
+        .orderBy($"lastTs".desc).as[graft.streaming.TypedSnapshot].collect()(0)
+      assert(p.lastFlag.contains(false) && p.count == 2)
+    } finally q.stop()
+  }
+}
