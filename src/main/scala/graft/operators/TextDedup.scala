@@ -52,6 +52,43 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Connected components over an undirected pair list: every node gets
+    * the min node id reachable from it (the dedup "cluster keeper").
+    * Iterative min-label propagation — O(diameter) joins, each a plain
+    * shuffle on node id, so it scales like any iterative graph algorithm
+    * on Spark. Converges fast on dedup graphs (clusters are tiny).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** Exact Jaccard similarity self-join with PPJoin-style prefix filtering
     * (Xiao et al., public algorithm): order each doc's grams by ascending
     * global document frequency; a pair can reach Jaccard >= t only if it

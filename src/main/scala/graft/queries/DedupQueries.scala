@@ -53,6 +53,40 @@ object DedupQueries {
         shingleSize = 3, k = 8, bands = 4)
     },
 
+    // Dedup clustering: connected components over the LSH candidate pairs
+    // — every near-dup doc maps to its cluster's min doc_id (the keeper).
+    // Spark: iterative min-label propagation; oracle: recursive-CTE
+    // transitive closure. Two very different algorithms, same fixpoint.
+    Q("dd_clusters",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
+        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
+        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
+        |  FROM mh GROUP BY doc_id, k // 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (SELECT node AS node, node AS r FROM nodes
+        |          UNION
+        |          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT node, min(r) AS cluster FROM reach GROUP BY node""".stripMargin
+        .replace("reach AS (", "RECURSIVE reach AS (")
+        .replaceFirst("WITH ", "WITH RECURSIVE ")
+        .replace("RECURSIVE reach AS (", "reach AS (")) { (s, dir) =>
+      val pairs = TextOps.lshCandidatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, k = 8, bands = 4)
+      TextOps.connectedComponents(pairs)
+    },
+
     // 64-bit SimHash fingerprints (native expression; oracle rebuilds the
     // bit votes from md5 nibbles).
     Q("dd_simhash",
