@@ -79,12 +79,20 @@ object Formulas {
     s"sqrt($u*$u + $v*$v)"
   }
 
-  /** Meteorological true wind direction, [0, 360) degrees FROM which. */
+  /** Meteorological true wind direction, [0, 360) degrees FROM which;
+    * calm (speed ~ 0) reports 0 by convention — at zero magnitude the
+    * angle is numerically undefined (last-ulp trig noise picks the
+    * quadrant), so engines would disagree. `+ 0.0` also normalizes IEEE
+    * -0.0 (the engines' round() disagree on the zero sign). Both cases
+    * surfaced only at sf0.1 row counts.
+    */
   def trueWindDirSql(aws: String, awd: String, hdg: String, sog: String, cog: String): String = {
     val u = trueWindU(aws, awd, hdg, sog, cog)
     val v = trueWindV(aws, awd, hdg, sog, cog)
+    val speed = trueWindSpeedSql(aws, awd, hdg, sog, cog)
     val raw = s"degrees(atan2(-($u), -($v)))"
-    s"(CASE WHEN $raw < 0 THEN $raw + 360 ELSE $raw END)"
+    s"(CASE WHEN $speed < 1e-9 THEN 0.0 " +
+      s"WHEN $raw < 0 THEN $raw + 360 ELSE $raw + 0.0 END)"
   }
 
   /** Great-circle distance in meters (haversine, R=6371000). */
