@@ -54,12 +54,50 @@ object TextOps {
 
   /** Connected components over an undirected pair list: every node gets
     * the min node id reachable from it (the dedup "cluster keeper").
-    * Iterative min-label propagation — O(diameter) joins, each a plain
-    * shuffle on node id, so it scales like any iterative graph algorithm
-    * on Spark. Converges fast on dedup graphs (clusters are tiny).
+    *
+    * The candidate-pair graph after LSH is orders of magnitude smaller
+    * than the corpus, so up to `smallGraphMax` edges we collect and run
+    * union-find on the driver (one job, exact); beyond that we fall back
+    * to iterative min-label propagation (O(diameter) shuffles). Both
+    * produce the same labeling.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+      bCol: String = "doc_b", maxIter: Int = 20,
+      smallGraphMax: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val cached = pairs.select(col(aCol).cast("long"), col(bCol).cast("long")).cache()
+    val nEdges = cached.count()
+    if (nEdges <= smallGraphMax) {
+      // driver-side union-find with path compression, then min-id labels
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      cached.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+      val nodes = parent.keys.toArray
+      nodes.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), n)
+      }
+      cached.unpersist()
+      import spark.implicits._
+      nodes.map(n => (n, minOfRoot(find(n)))).toSeq.toDF("node", "cluster")
+    } else distributedCC(cached, aCol, bCol, maxIter)
+  }
+
+  private def distributedCC(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
