@@ -21,6 +21,7 @@ import graft.{PathCompiler, PathSpec}
   *   raw:<name>[,N]       sample N (default 10) rows of a registered source
   *   pf:list              declared paths
   *   pf:add,<id>          register an (empty) path spec by id
+  *   pf:test,<id>,<line>  probe one line through a declared path
   *   <anything else>      executed as Spark SQL
   */
 class GraftConsole(spark: SparkSession) {
@@ -43,7 +44,7 @@ class GraftConsole(spark: SparkSession) {
   def execute(cmd: String): String = cmd.trim match {
     case "" => ""
     case "help" =>
-      "commands: help | ss | st | rv | raw:<name>[,N] | pf:list | pf:add,<id> | <sql>"
+      "commands: help | ss | st | rv | raw:<name>[,N] | pf:list | pf:add,<id> | pf:test,<id>,<line> | <sql>"
     case "ss" =>
       val names = spark.catalog.listTables().collect().map(_.name)
       if (names.isEmpty) "no registered streams" else names.mkString("\n")
@@ -64,6 +65,13 @@ class GraftConsole(spark: SparkSession) {
       val id = c.stripPrefix("pf:add,").trim
       addPath(PathSpec(id))
       s"path $id added"
+    // single-line probe through a path (EditorForward.java:589-596 test())
+    case c if c.startsWith("pf:test,") =>
+      val rest = c.stripPrefix("pf:test,")
+      val (id, line) = rest.span(_ != ',')
+      import spark.implicits._
+      val in = Seq(line.stripPrefix(",")).toDF("line")
+      render(PathCompiler.compile(paths(id), in))
     case sql => render(spark.sql(sql))
   }
 

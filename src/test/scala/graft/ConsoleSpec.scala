@@ -24,6 +24,9 @@ class ConsoleSpec extends AnyFunSuite {
     assert(out.linesIterator.toSeq == Seq("s", "9.5"))
     assert(c.execute("st").contains("no active streaming"))
     assert(c.execute("help").nonEmpty)
+    // single-line path probe (dcafs editor test())
+    val probe = c.execute("pf:test,p1,42.5,x")
+    assert(probe.contains("42.5"), probe)
   }
 
   test("rv lists the rtvals snapshot view (the dcafs rtvals listing)") {
