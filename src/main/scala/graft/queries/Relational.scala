@@ -192,6 +192,16 @@ object Relational {
           round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"))
     },
 
+    // Row dedup (dropDuplicates over the key columns; projected to the
+    // keys it equals DISTINCT, which keeps the check deterministic — the
+    // streaming twin is dropDuplicatesWithinWatermark, StreamingSpec).
+    Q("q_dropdup",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .dropDuplicates(Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+    },
+
     // Mergeable approximate percentile — the 100 TB twin of q_percentile
     // (exact interpolation needs per-group sorted data; the sketch
     // doesn't). Sketch values are engine-specific -> rows-only check.

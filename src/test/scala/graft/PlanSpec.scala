@@ -75,3 +75,29 @@ class PlanSpec extends AnyFunSuite {
       s"query side not broadcast:\n$p")
   }
 }
+
+class PlanSpec2 extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("j_range binning avoids nested-loop/cartesian joins") {
+    val p = plan("j_range")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated:\n$p")
+  }
+
+  test("j_asof window rendering needs exactly one shuffle") {
+    val p = plan("j_asof")
+    assert(raw"\(\d+\) Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")
+  }
+
+  test("dd_ngram_jaccard joins on the hashed gram, not the corpus cross") {
+    val p = plan("dd_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), s"jaccard cross join:\n$p")
+    assert(p.contains("xxhash64"), s"gram hashing missing:\n$p")
+  }
+}

@@ -278,3 +278,44 @@ class TypedRtValsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("streaming dedup within watermark drops re-deliveries") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData(("a", t(1)), ("a", t(2)), ("b", t(3)))
+      q.processAllAvailable()
+      mem.addData(("a", t(4)), ("c", t(5)))   // 'a' re-delivered inside watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getString(0)).sorted.toSeq
+      assert(ids == Seq("a", "b", "c"), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("rolling file sink decimation keeps ~1-in-N rows") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = java.nio.file.Files.createTempDirectory("graft-dec").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dec-ck").toFile.getAbsolutePath
+    val q = LineSinks.rollingFiles(mem.toDF().toDF("ts", "line"), out,
+      decimation = 4, decimationKey = "line")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+      mem.addData((1 to 400).map(i => (base, s"row$i")): _*)
+      q.processAllAvailable()
+      val kept = spark.read.option("header", "true").csv(out).count()
+      assert(kept > 40 && kept < 180, s"kept $kept of 400") // ~100 expected
+    } finally q.stop()
+  }
+}
