@@ -319,3 +319,34 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class RuleEngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.streaming.{RuleEngine, TaskRule, ValUpdate}
+
+  test("task rules fire when guards over rtvals state hold") {
+    implicit val sc = spark.sqlContext
+    val rules = Seq(
+      TaskRule("hot", "key = 'temp' AND last > 30", "fan:on"),
+      TaskRule("many", "count >= 3", "log:flood"))
+    val fired = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.FiredCommand]
+    val mem = MemoryStream[ValUpdate]
+    val q = RuleEngine.run(RtVals.snapshots(mem.toDS()), rules)(fired ++= _)
+      .outputMode("update").start()
+    try {
+      mem.addData(ValUpdate("temp", 25.0, 1), ValUpdate("hum", 60.0, 1))
+      q.processAllAvailable()
+      assert(fired.isEmpty)
+      mem.addData(ValUpdate("temp", 31.5, 2))
+      q.processAllAvailable()
+      assert(fired.map(f => (f.ruleId, f.key, f.command)).toSet ==
+        Set(("hot", "temp", "fan:on")))
+      fired.clear()
+      mem.addData(ValUpdate("temp", 32.0, 3))
+      q.processAllAvailable()
+      // still hot AND now count=3 -> both rules fire this batch
+      assert(fired.map(_.ruleId).toSet == Set("hot", "many"))
+    } finally q.stop()
+  }
+}
