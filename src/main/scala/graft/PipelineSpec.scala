@@ -51,6 +51,25 @@ object PathCompiler {
   def compileWithReject(spec: PathSpec, input: DataFrame): (DataFrame, DataFrame) =
     steps(spec, input)
 
+  /** Compile with rtvals references resolved: `{r:id}` in math/filter
+    * expressions reads the current value of key `id` from the state table
+    * (key, value). The state pivots to ONE wide broadcast row joined into
+    * the stream — the Spark shape of the reference's hoisted rtvals
+    * lookups (SURVEY §4: ValTools.java:29-172 -> broadcast state).
+    */
+  def compileWithRtVals(spec: PathSpec, input: DataFrame,
+      rtvals: DataFrame): DataFrame = {
+    import graft.operators.MathDsl
+    val wide = rtvals
+      .groupBy()
+      .pivot("key")
+      .agg(first("value"))
+    val renamed = wide.columns.foldLeft(wide)((df, c) =>
+      df.withColumnRenamed(c, MathDsl.rtColumn("r", c)))
+    compile(spec, input.crossJoin(broadcast(renamed)))
+      .drop(renamed.columns: _*)
+  }
+
   private def steps(spec: PathSpec, input: DataFrame): (DataFrame, DataFrame) = {
     val d = java.util.regex.Pattern.quote(spec.delimiter)
     var df = input.withColumn("__f", split(col("line"), d))

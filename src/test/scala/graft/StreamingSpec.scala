@@ -350,3 +350,50 @@ class RuleEngineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class RtValsRefSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("{r:id} references resolve from a broadcast state table") {
+    val state = Seq(("gain", 2.5), ("offset", 10.0)).toDF("key", "value")
+    val spec = PathSpec("cal", ",", Seq(
+      FilterStep(Seq("i0 above {r:offset}")),   // only rows above current offset
+      MathStep(Seq(0 -> "i0 * {r:gain} + {r:offset}")),
+      StoreStep(Seq(("v", 0, "double", "-1.0")))))
+    val out = PathCompiler.compileWithRtVals(
+      spec, Seq("20.0", "5.0").toDF("line"), state)
+    val rows = out.collect()
+    assert(rows.length == 1)                     // 5.0 <= offset filtered out
+    assert(rows(0).getAs[Double]("v") == 20.0 * 2.5 + 10.0)
+  }
+
+  test("timed literal source emits the constant line") {
+    val src = LineSources.timed(spark, "ping,1", rowsPerSecond = 50)
+    val q = src.writeStream.format("memory").queryName("timed_out")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        n = spark.table("timed_out").count()
+      }
+      assert(n > 0, "rate source emitted nothing in 15s")
+      assert(spark.table("timed_out").select("line").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("ping,1"))
+    } finally q.stop()
+  }
+
+  test("utm_to_gdc column API inverts gdc_to_utm") {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions._
+    val df = Seq((51.05, 3.72)).toDF("lat", "lon")
+      .withColumn("utm", gdc_to_utm(col("lat"), col("lon")))
+      .withColumn("back", utm_to_gdc(col("utm.easting"), col("utm.northing"),
+        col("utm.zone"), col("utm.north")))
+    val r = df.select("back.lat", "back.lon").collect()(0)
+    assert(math.abs(r.getDouble(0) - 51.05) < 1e-6)
+    assert(math.abs(r.getDouble(1) - 3.72) < 1e-6)
+  }
+}
