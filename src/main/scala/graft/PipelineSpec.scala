@@ -152,6 +152,21 @@ object LineSources {
       .load()
       .select(lit(line).as("line"), lit("timed").as("origin"), col("timestamp").as("ts"))
 
+  /** S8 SQL query source: run a SELECT against a JDBC database and
+    * replay the rows as lines at the rate source's pace
+    * (PathForward.java:516-537 SQLITE custom src semantics).
+    */
+  def jdbcReplay(spark: SparkSession, url: String, query: String,
+      props: java.util.Properties = new java.util.Properties(),
+      rowsPerSecond: Int = 10): DataFrame = {
+    val rows = spark.read.jdbc(url, s"($query) AS src", props)
+      .select(concat_ws(";", col("*")).as("line"))
+      .withColumn("rn", monotonically_increasing_id())
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+      .join(rows, col("value") === col("rn"))
+      .select(col("line"), lit(url).as("origin"), col("timestamp").as("ts"))
+  }
+
   /** S1/S11 TCP line source (dev harness: Spark's socket source). */
   def socket(spark: SparkSession, host: String, port: Int): DataFrame =
     spark.readStream
@@ -179,6 +194,26 @@ object LineSinks {
       batch.write.mode("append").jdbc(url, table, props)
     }
   }
+
+  /** K9 stream write-back: send each output line to a TCP peer (the
+    * serial<->tcp converter role, README.md:13 "Forward back to
+    * source"). One connection per partition per epoch.
+    */
+  def socketWriter(df: DataFrame, host: String, port: Int) =
+    df.writeStream.foreach(
+      new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        @transient private var socket: java.net.Socket = _
+        @transient private var out: java.io.PrintWriter = _
+        override def open(partitionId: Long, epochId: Long): Boolean = {
+          socket = new java.net.Socket(host, port)
+          out = new java.io.PrintWriter(socket.getOutputStream, true)
+          true
+        }
+        override def process(row: org.apache.spark.sql.Row): Unit =
+          out.println(row.getAs[String]("line"))
+        override def close(errorOrNull: Throwable): Unit =
+          if (socket != null) socket.close()
+      })
 
   /** K4/K5 rolling file sink: time-partitioned directories replace the
     * reference's rollover file naming (SQLiteDB.java:306-334) — and give

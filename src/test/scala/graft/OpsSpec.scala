@@ -83,3 +83,38 @@ class UdpSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class SocketWriterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("stream write-back delivers lines to a TCP peer (K9)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val server = new java.net.ServerSocket(0)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        new Thread(() => {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream))
+          var l = in.readLine()
+          while (l != null) { received.add(l); l = in.readLine() }
+        }).start()
+      } catch { case _: java.io.IOException => }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+
+    val mem = MemoryStream[String]
+    val q = LineSinks.socketWriter(
+      mem.toDS().toDF("line"), "127.0.0.1", server.getLocalPort).start()
+    try {
+      mem.addData("out1", "out2")
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (received.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(received.toArray.map(_.toString).sorted.toSeq == Seq("out1", "out2"))
+    } finally { q.stop(); server.close() }
+  }
+}
