@@ -109,6 +109,60 @@ object DedupQueries {
             .as("simhash"))
     },
 
+    // SimHash near-dup pairing: band the 64-bit fingerprint into 4 hex
+    // quads — a pair within hamming distance <= 16 shares a band with
+    // high probability (exact-match banding is the classic simhash dedup
+    // index); verify with the true bit distance, computed from the two
+    // 32-bit halves so the hex->int parse stays in signed-long range.
+    Q("dd_simhash_pairs",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents),
+        |b AS (SELECT doc_id, j,
+        |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), CAST(16 - j//4 AS INT), 1)) - 1)
+        |                   >> CAST(j % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js GROUP BY doc_id, j),
+        |ch AS (SELECT doc_id, 16 - j//4 AS pos,
+        |    SUM((CASE WHEN v > 0 THEN 1 ELSE 0 END) << CAST(j % 4 AS INT)) AS cv
+        |  FROM b GROUP BY doc_id, 16 - j//4),
+        |sh AS (SELECT doc_id,
+        |    string_agg(substr('0123456789ABCDEF', CAST(cv AS INT) + 1, 1), '' ORDER BY pos) AS h
+        |  FROM ch GROUP BY doc_id),
+        |halves AS (SELECT doc_id, h,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789ABCDEF', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS hi,
+        |    list_reduce(list_transform(range(9, 17),
+        |      i -> CAST(strpos('0123456789ABCDEF', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS lo
+        |  FROM sh),
+        |bands AS (SELECT doc_id, band, substr(h, 1 + band * 4, 4) AS bh, hi, lo
+        |  FROM halves CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 16""".stripMargin) { (s, dir) =>
+      val sh = Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          lpad(hex(GraftFunctions.simhash64(TextOps.tokens(col("text")))), 16, "0").as("h"))
+        .withColumn("hi", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+        .withColumn("lo", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+      val bands = sh.select(col("doc_id"), col("hi"), col("lo"),
+        posexplode(array((0 until 4).map(b =>
+          substring(col("h"), 1 + b * 4, 4)): _*)).as(Seq("band", "bh")))
+      val hamming = bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+        bit_count(col("a.lo").bitwiseXOR(col("b.lo")))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hamming.as("hamming"))
+        .filter(col("hamming") <= 16)
+        .distinct()
+    },
+
     // Exact word-bigram Jaccard within a blocking key (lang): the
     // verify stage after LSH candidate generation.
     Q("dd_ngram_jaccard",
