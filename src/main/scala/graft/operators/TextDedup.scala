@@ -127,36 +127,70 @@ object TextOps {
     labels.withColumnRenamed("label", "cluster")
   }
 
-  /** Exact Jaccard similarity self-join with PPJoin-style prefix filtering
-    * (Xiao et al., public algorithm): order each doc's grams by ascending
-    * global document frequency; a pair can reach Jaccard >= t only if it
-    * shares one of each doc's first (n - ceil(t*n) + 1) grams. Candidates
-    * are generated only from those rare-gram prefixes, then verified
-    * exactly — lossless pruning, so the output equals the brute-force
+  /** Exact Jaccard similarity self-join with PPJoin prefix + position +
+    * length filtering (Xiao et al., public algorithm): order each doc's
+    * grams by ascending global document frequency; a pair can reach
+    * Jaccard >= t only if it shares one of each doc's first
+    * (n - ceil(t*n) + 1) grams (prefix filter), only if
+    * t*max(na,nb) <= min(na,nb) (length filter), and only if enough grams
+    * remain after the matching position to reach the required overlap
+    * alpha = ceil(t/(1+t)*(na+nb)) (position filter). Candidates are
+    * generated only from rare-gram prefixes, then verified exactly —
+    * all three prunes are lossless, so the output equals the brute-force
     * join. This is the plan that survives web-corpus scale: the candidate
     * shuffle is on rare grams, never on the full inverted index.
     */
   def similarityJoinExact(docs: DataFrame, idCol: String, blockCol: String,
-      textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
-    val grams = docs
+      textCol: String, shingleSize: Int, threshold: Double): DataFrame =
+    ppjoinFrom(shingled(docs, idCol, blockCol, textCol, shingleSize),
+      idCol, blockCol, threshold)
+
+  /** Shingled-docs index frame `(id, block, __g)`, cached: it is re-read
+    * by self-joins and a verify-join, and the shingling lambdas run
+    * interpreted — without a materialization barrier the whole pipeline
+    * executes once per join side. At corpus scale this is the persisted
+    * gram index table.
+    */
+  private def shingled(docs: DataFrame, idCol: String, blockCol: String,
+      textCol: String, shingleSize: Int): DataFrame =
+    docs
       .withColumn("__g", shingles(tokens(col(textCol)), shingleSize))
       .filter(size(col("__g")) > 0)
       .select(col(idCol), col(blockCol), col("__g"))
+      .cache()
+
+  private def ppjoinFrom(grams: DataFrame, idCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
     val e = grams.select(col(idCol), col(blockCol), explode(col("__g")).as("x"))
+    // Document frequency per gram: map-side partial agg absorbs hot grams,
+    // and the e⋈dfreq join is 1:1 per gram (AQE skew-split safe). No
+    // broadcast hint — at corpus scale the gram dictionary outgrows any
+    // broadcast budget; Catalyst still broadcasts it when it is small.
     val dfreq = e.groupBy("x").agg(count(lit(1)).as("df"))
-    val prefix = e.join(broadcast(dfreq), "x")
+    val prefix = e.join(dfreq, "x")
       .groupBy(col(idCol), col(blockCol))
       .agg(sort_array(collect_list(struct(col("df"), col("x")))).as("sg"))
+      .withColumn("n", size(col("sg")))
       .withColumn("plen",
         greatest(
-          (size(col("sg")) - ceil(size(col("sg")) * threshold) + 1).cast("int"),
+          (col("n") - ceil(col("n") * threshold) + 1).cast("int"),
           lit(1)))
-      .select(col(idCol), col(blockCol),
-        explode(transform(slice(col("sg"), lit(1), col("plen")), s => s.getField("x")))
-          .as("x"))
+      .select(col(idCol), col(blockCol), col("n"),
+        posexplode(transform(slice(col("sg"), lit(1), col("plen")),
+          s => s.getField("x"))).as(Seq("pos", "x")))
+      .cache()
+    // required overlap for Jaccard >= t; the tiny epsilon keeps float
+    // noise in t*(na+nb)/(1+t) from ceil-ing past an exact integer bound
+    // (which would prune a valid pair — must stay lossless)
+    val alpha = ceil((col("l.n") + col("r.n")) * threshold / (1 + threshold)
+      - lit(1e-9))
     val cand = prefix.as("l").join(prefix.as("r"),
       col(s"l.$blockCol") === col(s"r.$blockCol") && col("l.x") === col("r.x") &&
-        col(s"l.$idCol") < col(s"r.$idCol"))
+        col(s"l.$idCol") < col(s"r.$idCol") &&
+        least(col("l.n"), col("r.n")) >=
+          ceil(greatest(col("l.n"), col("r.n")) * threshold - lit(1e-9)) &&
+        (col("l.n") - col("l.pos")) >= alpha &&
+        (col("r.n") - col("r.pos")) >= alpha)
       .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
       .distinct()
     cand
@@ -165,6 +199,58 @@ object TextOps {
       .withColumn("jac_raw", jaccard(col("ga"), col("gb")))
       .filter(col("jac_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+  }
+
+  /** Inverted-index count-join: explode grams, self-join on
+    * (block, gram-hash), count shared grams per pair, Jaccard from set
+    * sizes. On a Zipf-tailed corpus the hot grams make this a skew bomb —
+    * but on a DENSE vocabulary (every gram frequent, df roughly uniform)
+    * the join load is even and it beats prefix filtering, which can't
+    * prune when no gram is rare. Lossless, same output as PPJoin.
+    */
+  private def countJoinFrom(grams: DataFrame, idCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val e = grams
+      .select(col(idCol), col(blockCol), size(col("__g")).as("n"),
+        explode(col("__g")).as("x"))
+      .select(col(idCol), col(blockCol), col("n"), xxhash64(col("x")).as("x"))
+    // length filter (lossless): jac >= t forces t*max(na,nb) <= min(na,nb)
+    val inter = e.as("a")
+      .join(e.as("b").hint("shuffle_hash"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.x") === col("b.x") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          least(col("a.n"), col("b.n")) >=
+            ceil(greatest(col("a.n"), col("b.n")) * threshold - lit(1e-9)))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("i"), first(col("a.n")).as("na"),
+        first(col("b.n")).as("nb"))
+    inter
+      .withColumn("jac_raw",
+        col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+  }
+
+  /** Exact Jaccard self-join with plan dispatch on measured vocabulary
+    * density: one cheap pass (count + HLL distinct over the exploded
+    * grams) gives the average gram document frequency. A Zipf-tailed
+    * corpus (avg df below `denseVocabAvgDf`) takes the PPJoin
+    * prefix-filter plan — the candidate shuffle lands only on rare grams.
+    * A dense vocabulary (no rare grams to prune on, join load uniform)
+    * takes the inverted-index count-join. Both are lossless, so the
+    * dispatch never changes the result — only the shuffle shape.
+    */
+  def similarityJoin(docs: DataFrame, idCol: String, blockCol: String,
+      textCol: String, shingleSize: Int, threshold: Double,
+      denseVocabAvgDf: Double = 64.0): DataFrame = {
+    val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
+    val st = grams
+      .select(explode(col("__g")).as("x"))
+      .agg(count(lit(1)).as("tot"), approx_count_distinct(col("x")).as("nd"))
+      .head()
+    val avgDf = st.getLong(0).toDouble / math.max(st.getLong(1), 1L)
+    if (avgDf >= denseVocabAvgDf) countJoinFrom(grams, idCol, blockCol, threshold)
+    else ppjoinFrom(grams, idCol, blockCol, threshold)
   }
 
   /** LSH candidate pairs: explode band hashes, self-join per (band, hash).
@@ -201,11 +287,67 @@ object TextOps {
   }
 }
 
+/** Row carrier for the blocked cosine kernel (top-level: Dataset encoders
+  * can't reach nested classes from generated code).
+  */
+case class EmbBlockRow(id: Long, block: String, vec: Array[Float])
+
 /** Embedding-vector similarity: cosine over Array[Float] columns, built
   * from zip_with/aggregate (codegen'd, no UDF). The scale path is
   * [[buckets]]: random-hyperplane LSH so ANN probes only touch one bucket.
   */
 object VectorOps {
+
+  /** Double-precision dot product in ascending index order — the same
+    * accumulation order as [[dot]]'s aggregate(zip_with(..)) rendering,
+    * so both paths produce bit-identical sums.
+    */
+  private def dotJvm(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** HALF_UP rounding identical to Spark's `round(col, 6)` (Round uses
+    * BigDecimal.valueOf on the double).
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** All-pairs cosine within label blocks as a blocked JVM kernel: one
+    * shuffle on the block key, then primitive-float-array upper-triangle
+    * dot products per block — no interpreted per-pair lambda trees. The
+    * per-block working set is O(block size × dims) floats; blocks are the
+    * unit of pair enumeration by design, so they are bounded (a corpus
+    * whose blocks outgrow executor memory needs a finer blocking key, not
+    * a different kernel). Result is bit-identical to the
+    * aggregate(zip_with) rendering: same accumulation order, same
+    * HALF_UP rounding.
+    */
+  def blockedCosinePairs(vectors: DataFrame, idCol: String, blockCol: String,
+      vecCol: String, minCosine: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors
+      .select(col(idCol).cast("long").as("id"), col(blockCol).as("block"),
+        col(vecCol).as("vec"))
+      .as[EmbBlockRow]
+      .groupByKey(_.block)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_.id)
+        val nrm = rows.map(r => math.sqrt(dotJvm(r.vec, r.vec)))
+        for {
+          i <- rows.indices.iterator
+          j <- (i + 1) until rows.length
+          c = round6(dotJvm(rows(i).vec, rows(j).vec) / (nrm(i) * nrm(j)))
+          if c >= minCosine
+        } yield (rows(i).id, rows(j).id, c)
+      }
+      .toDF("vec_a", "vec_b", "cos")
+  }
 
   /** Dot product in double precision (sequential, deterministic order). */
   def dot(a: Column, b: Column): Column =
@@ -244,9 +386,59 @@ object VectorOps {
       .withColumnRenamed("cid", "bucket")
   }
 
+  /** IVF centroid training: spherical k-means (Lloyd) on a deterministic
+    * bounded sample, run on the driver. The sample is the first
+    * `sampleMax` vectors by id (a per-partition top-k, not a full sort),
+    * init is the first k sample vectors — so training is bit-deterministic
+    * across runs and cluster layouts. Empty clusters keep their previous
+    * centroid. At corpus scale the sample stays O(100k × dims) floats:
+    * driver-side Lloyd is the standard, bounded IVF training step.
+    */
+  def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 8, sampleMax: Int = 100000): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = vectors
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .orderBy(col("id"))
+      .limit(sampleMax)
+      .as[(Long, Array[Float])]
+      .collect()
+      .map(_._2)
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val unit = sample.map(v => normalized(v.map(_.toDouble)))
+    var cents = unit.take(nCentroids).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](unit.head.length))
+      val counts = new Array[Int](cents.length)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) else normalized(sums(c))
+      }.toArray
+    }
+    cents.zipWithIndex
+      .map { case (cv, cid) => (cid, cv.map(_.toFloat)) }
+      .toSeq.toDF("cid", "cvec")
+  }
+
   /** Deterministic centroid sample: the first nCentroids vectors by id.
-    * (The classic IVF training step is k-means over a sample; sampling
-    * ids keeps round-1 fully deterministic and oracle-friendly.)
+    * (Kept as the zero-training fallback; [[trainCentroids]] is the
+    * refined path used by the registered IVF query.)
     */
   def sampleCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int): DataFrame = {

@@ -142,12 +142,18 @@ object DedupQueries {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 16""".stripMargin) { (s, dir) =>
+      // Materialize the fingerprint table before the self-join: the
+      // simhash tree (tokenize + per-token md5 votes) is interpreted
+      // per-row work that would otherwise be recomputed on both join
+      // sides. At corpus scale this is the persisted fingerprint store;
+      // here cache() plays that role (16 bytes/doc).
       val sh = Tables.load(s, dir, "documents")
         .select(
           col("doc_id"),
           lpad(hex(GraftFunctions.simhash64(TextOps.tokens(col("text")))), 16, "0").as("h"))
         .withColumn("hi", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
         .withColumn("lo", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+        .cache()
       val bands = sh.select(col("doc_id"), col("hi"), col("lo"),
         posexplode(array((0 until 4).map(b =>
           substring(col("h"), 1 + b * 4, 4)): _*)).as(Seq("band", "bh")))
@@ -180,35 +186,15 @@ object DedupQueries {
         |  round(i * 1.0 / (na.n + nb.n - i), 6) AS jac
         |FROM inter JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
         |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5""".stripMargin) { (s, dir) =>
-      // Inverted-index count-join: explode bigrams, self-join on
-      // (lang, gram-hash), count shared grams per pair, Jaccard from set
-      // sizes. On this fixture's tiny vocabulary the count-join beats the
-      // PPJoin prefix filter (TextOps.similarityJoinExact — the right plan
-      // for real heavy-tailed corpora) because no gram is rare enough to
-      // prune on; both are lossless, so either matches the oracle.
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("g", TextOps.shingles(TextOps.tokens(col("text")), 2))
-        .filter(size(col("g")) > 0)
-        .select(col("doc_id"), col("lang"), col("g"))
-      val e = docs
-        .select(col("doc_id"), col("lang"), size(col("g")).as("n"),
-          explode(col("g")).as("x"))
-        .select(col("doc_id"), col("lang"), col("n"), xxhash64(col("x")).as("x"))
-      // length-ratio prune at the join (lossless for jac >= 0.5: the
-      // smaller set must be at least half the larger one) — kills most
-      // cross-length pairs before the aggregation sees them
-      val inter = e.as("a")
-        .join(e.as("b").hint("shuffle_hash"),
-          col("a.lang") === col("b.lang") && col("a.x") === col("b.x") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
-      inter
-        .withColumn("jac_raw",
-          col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
-        .filter(col("jac_raw") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+      // Dispatched similarity join (TextOps.similarityJoin): PPJoin
+      // prefix filtering when the vocabulary is Zipf-tailed (the plan
+      // that survives web-corpus scale — candidate shuffle only on rare
+      // grams), inverted-index count-join when the measured vocabulary is
+      // dense and prefix filtering can't prune. Both lossless, so either
+      // branch matches the same oracle.
+      TextOps.similarityJoin(
+        Tables.load(s, dir, "documents"),
+        "doc_id", "lang", "text", shingleSize = 2, threshold = 0.5)
     },
 
     // Embedding-cosine near-dup within label blocks.
@@ -222,16 +208,13 @@ object DedupQueries {
         |                    for i in range(1, 65)]) / (a.nrm * b.nrm), 6) AS cos
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) t
         |WHERE cos >= 0.3""".stripMargin) { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
-      val a = e.as("a")
-      val b = e.as("b")
-      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos",
-          round(VectorOps.dot(col("a.embedding"), col("b.embedding"))
-            / (col("a.nrm") * col("b.nrm")), 6))
-        .filter(col("cos") >= 0.3)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      // Blocked JVM kernel: one shuffle on the label block, primitive
+      // float-array dot products inside — replaces the interpreted
+      // per-pair aggregate(zip_with) lambda (bit-identical accumulation
+      // order and rounding, so the same oracle matches).
+      VectorOps.blockedCosinePairs(
+        Tables.load(s, dir, "embeddings"),
+        "vec_id", "label", "embedding", minCosine = 0.3)
     },
 
     // Brute-force cosine top-k ANN baseline: 5 query vectors vs the corpus,
@@ -263,13 +246,14 @@ object DedupQueries {
         .select(col("qid"), col("vec_id"), col("rn"), col("cos_r"))
     },
 
-    // IVF-bucketed ANN: deterministic sampled centroids, nProbe=2 of 16
-    // inverted lists probed per query, exact re-rank inside. Bucket
-    // membership is engine-specific plan work -> rows-only check;
-    // ANNSpec pins recall + score correctness against ann_topk.
+    // IVF-bucketed ANN: spherical-k-means-trained centroids (Lloyd on a
+    // deterministic sample), nProbe=2 of 16 inverted lists probed per
+    // query, exact re-rank inside. Bucket membership is engine-specific
+    // plan work -> rows-only check; ANNSpec pins recall + score
+    // correctness against ann_topk.
     Q.noOracle("ann_ivf") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val cents = VectorOps.sampleCentroids(e, "vec_id", "embedding", 16)
+      val cents = VectorOps.trainCentroids(e, "vec_id", "embedding", 16)
       val assigned = VectorOps.ivfAssign(e, "vec_id", "embedding", cents)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))

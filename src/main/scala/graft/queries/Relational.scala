@@ -206,10 +206,15 @@ object Relational {
     // (exact interpolation needs per-group sorted data; the sketch
     // doesn't). Sketch values are engine-specific -> rows-only check.
     Q.noOracle("q_approx_percentile") { (s, dir) =>
+      // Scalar p50/p95 columns (not one array column): the driver's
+      // rows-only check sorts/hashes cells and can't hash an ndarray.
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)")
-          .as("p50_p95"))
+          .as("ps"))
+        .select(col("l_returnflag"),
+          expr("ps[0]").as("p50"),
+          expr("ps[1]").as("p95"))
     },
 
     // Correlated scalar subquery (decorrelated by Catalyst into a join).

@@ -184,6 +184,34 @@ object StateQueries {
           count(when(col("marker") === "X" && col("prev") === "S", 1)).as("n_stops"))
     },
 
+    // §2.7 group reset (RealtimeValues.java:212-216,287-291): resetting a
+    // group's vals = starting a new aggregation epoch. Epoch = cumulative
+    // count of reset markers (here: 'signup' events) per key; min/max/avg/
+    // count run within (key, epoch) — exactly the "since reset" stats.
+    Q("st_reset",
+      """WITH t AS (SELECT user_id, value,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS epoch
+        |  FROM events)
+        |SELECT user_id, epoch, count(*) AS n,
+        |  min(value) AS min_val, max(value) AS max_val,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(value) AS avg_val
+        |FROM t GROUP BY user_id, epoch""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.load(s, dir, "events")
+        .withColumn("epoch",
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).over(w))
+        .groupBy("user_id", "epoch")
+        .agg(
+          count(lit(1)).as("n"),
+          min("value").as("min_val"),
+          max("value").as("max_val"),
+          (sum(col("value").cast(DecimalType(28, 8))).cast("double")
+            / count("value")).as("avg_val"))
+    },
+
     // K2 insert-building from state: pivot per-key last-values/sums into
     // one wide DB row (SqlTable.java:539-617 — each column reads its
     // linked rtval; here conditional aggregation builds the row shape).

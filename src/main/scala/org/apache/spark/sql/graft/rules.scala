@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.DoubleType
 object PowToMultiply extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // `base.deterministic` guard: pow(rand(), 2) must NOT become
+      // rand()*rand(). The n<=4 bound also caps subtree duplication cost.
       case Pow(base, Literal(v: Double, DoubleType))
-          if v == math.floor(v) && v >= 2.0 && v <= 4.0 =>
+          if base.deterministic && v == math.floor(v) && v >= 2.0 && v <= 4.0 =>
         val n = v.toInt
         (1 until n).foldLeft(base: Expression)((acc, _) => Multiply(acc, base))
     }

@@ -37,7 +37,11 @@ class AnnSpec extends AnyFunSuite {
       exact(q).intersect(hit).size.toDouble / exact(q).size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean > 0.0, s"zero recall: $recalls")
+    info(s"ivf mean recall@10 = $mean")
+    // deterministic fixture + deterministic training -> exact value 0.82
+    // with spherical-k-means centroids (was lower with raw id-sampled
+    // centroids); floor pinned just below to catch regressions
+    assert(mean >= 0.8, s"recall regressed: $mean ($recalls)")
     // determinism: same run twice
     val again = asMap("ann_ivf").map { case (q, rs) => q -> rs.map(_._1).toSet }
     assert(again == ivf)

@@ -95,9 +95,23 @@ class PlanSpec2 extends AnyFunSuite {
     assert(raw"\(\d+\) Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")
   }
 
-  test("dd_ngram_jaccard joins on the hashed gram, not the corpus cross") {
+  test("dd_ngram_jaccard: neither similarity-join branch degenerates to a cross join") {
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, sf, "documents")
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // dense-vocab branch: inverted-index count-join on the hashed gram
+    val dense = shape(TextOps.similarityJoin(
+      docs, "doc_id", "lang", "text", 2, 0.5, denseVocabAvgDf = 0.0))
+    assert(!dense.contains("CartesianProduct"), s"count-join cross:\n$dense")
+    assert(dense.contains("xxhash64"), s"gram hashing missing:\n$dense")
+    // sparse-vocab branch: PPJoin prefix candidates, never a cross join
+    val sparse = shape(TextOps.similarityJoin(
+      docs, "doc_id", "lang", "text", 2, 0.5, denseVocabAvgDf = 1e18))
+    assert(!sparse.contains("CartesianProduct"), s"ppjoin cross:\n$sparse")
+    // the registered query (dispatched on measured df) as a whole
     val p = plan("dd_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), s"jaccard cross join:\n$p")
-    assert(p.contains("xxhash64"), s"gram hashing missing:\n$p")
   }
 }
