@@ -155,13 +155,27 @@ object LineSources {
   /** S8 SQL query source: run a SELECT against a JDBC database and
     * replay the rows as lines at the rate source's pace
     * (PathForward.java:516-537 SQLITE custom src semantics).
+    *
+    * The static side is read once and cached (the reference runs the
+    * SELECT once, not per tick), and row numbers are baked in as data via
+    * zipWithIndex so they are contiguous 0..N-1 even when the JDBC read
+    * is partitioned (monotonically_increasing_id would offset ids by
+    * partition_id<<33 — those rows would never be emitted — and is
+    * rejected by the streaming unsupported-op checker anyway).
     */
   def jdbcReplay(spark: SparkSession, url: String, query: String,
       props: java.util.Properties = new java.util.Properties(),
       rowsPerSecond: Int = 10): DataFrame = {
-    val rows = spark.read.jdbc(url, s"($query) AS src", props)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val lines = spark.read.jdbc(url, s"($query) AS src", props)
       .select(concat_ws(";", col("*")).as("line"))
-      .withColumn("rn", monotonically_increasing_id())
+    val numbered = lines.rdd.zipWithIndex.map { case (r, i) =>
+      Row(r.getString(0), i)
+    }
+    val rows = spark.createDataFrame(numbered, StructType(Seq(
+        StructField("line", StringType), StructField("rn", LongType))))
+      .cache()
     spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
       .join(rows, col("value") === col("rn"))
       .select(col("line"), lit(url).as("origin"), col("timestamp").as("ts"))

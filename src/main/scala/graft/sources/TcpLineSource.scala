@@ -65,7 +65,7 @@ private class TcpLineTable(host: String, port: Int) extends Table with SupportsR
       override def toBatch: Batch = throw new UnsupportedOperationException(
         "graft-tcp is streaming-only")
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new TcpLineMicroBatchStream(host, port)
+        new TcpLineMicroBatchStream(host, port, checkpointLocation)
     }
 }
 
@@ -73,12 +73,16 @@ private case class LongOffset(value: Long) extends Offset {
   override def json(): String = value.toString
 }
 
-private class TcpLineMicroBatchStream(host: String, port: Int)
-    extends MicroBatchStream {
+private class TcpLineMicroBatchStream(host: String, port: Int,
+    checkpointLocation: String) extends MicroBatchStream {
 
-  // (line, arrivalMicros) buffered on the driver by the reader thread
+  // (line, arrivalMicros) buffered on the driver by the reader thread;
+  // planned batches are persisted to the checkpoint WAL so a restarted
+  // query can replay them (LineBufferWal), and new arrivals resume
+  // numbering after the highest previously-planned offset
+  private val wal = new LineBufferWal(checkpointLocation)
   private val buffer = ListBuffer.empty[(String, Long)]
-  private var baseOffset = 0L // buffer(0) is global line number baseOffset
+  private var baseOffset = wal.maxPlannedOffset
   private val stopped = new AtomicBoolean(false)
 
   private val reader = new Thread(s"graft-tcp-$host:$port") {
@@ -104,7 +108,7 @@ private class TcpLineMicroBatchStream(host: String, port: Int)
   reader.setDaemon(true)
   reader.start()
 
-  override def initialOffset(): Offset = LongOffset(0L)
+  override def initialOffset(): Offset = LongOffset(wal.committedOffset)
   override def latestOffset(): Offset =
     buffer.synchronized(LongOffset(baseOffset + buffer.size))
   override def deserializeOffset(json: String): Offset = LongOffset(json.toLong)
@@ -112,9 +116,13 @@ private class TcpLineMicroBatchStream(host: String, port: Int)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LongOffset].value
     val e = end.asInstanceOf[LongOffset].value
-    val rows = buffer.synchronized {
-      buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
-    }
+    val rows =
+      if (s < baseOffset) wal.readRange(s, e) // restart replay
+      else buffer.synchronized {
+        val slice = buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
+        wal.persistBatch(s, e, slice)
+        slice
+      }
     Array(TcpLinesPartition(rows, s"$host:$port"))
   }
 
@@ -134,6 +142,7 @@ private class TcpLineMicroBatchStream(host: String, port: Int)
 
   override def commit(end: Offset): Unit = buffer.synchronized {
     val e = end.asInstanceOf[LongOffset].value
+    wal.commit(e)
     val drop = (e - baseOffset).toInt
     if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); baseOffset = e }
   }

@@ -46,14 +46,17 @@ private class UdpLineTable(port: Int) extends Table with SupportsRead {
       override def toBatch: Batch = throw new UnsupportedOperationException(
         "graft-udp is streaming-only")
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new UdpLineMicroBatchStream(port)
+        new UdpLineMicroBatchStream(port, checkpointLocation)
     }
 }
 
-private class UdpLineMicroBatchStream(port: Int) extends MicroBatchStream {
+private class UdpLineMicroBatchStream(port: Int, checkpointLocation: String)
+    extends MicroBatchStream {
 
+  // checkpoint WAL + offset resume — same recovery design as TcpLineSource
+  private val wal = new LineBufferWal(checkpointLocation)
   private val buffer = ListBuffer.empty[(String, Long)]
-  private var baseOffset = 0L
+  private var baseOffset = wal.maxPlannedOffset
   private val stopped = new AtomicBoolean(false)
   private val socket = new DatagramSocket(port)
 
@@ -79,7 +82,7 @@ private class UdpLineMicroBatchStream(port: Int) extends MicroBatchStream {
   reader.setDaemon(true)
   reader.start()
 
-  override def initialOffset(): Offset = UdpOffset(0L)
+  override def initialOffset(): Offset = UdpOffset(wal.committedOffset)
   override def latestOffset(): Offset =
     buffer.synchronized(UdpOffset(baseOffset + buffer.size))
   override def deserializeOffset(json: String): Offset = UdpOffset(json.toLong)
@@ -87,9 +90,13 @@ private class UdpLineMicroBatchStream(port: Int) extends MicroBatchStream {
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[UdpOffset].value
     val e = end.asInstanceOf[UdpOffset].value
-    val rows = buffer.synchronized {
-      buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
-    }
+    val rows =
+      if (s < baseOffset) wal.readRange(s, e) // restart replay
+      else buffer.synchronized {
+        val slice = buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
+        wal.persistBatch(s, e, slice)
+        slice
+      }
     Array(UdpLinesPartition(rows, s"udp:$port"))
   }
 
@@ -109,6 +116,7 @@ private class UdpLineMicroBatchStream(port: Int) extends MicroBatchStream {
 
   override def commit(end: Offset): Unit = buffer.synchronized {
     val e = end.asInstanceOf[UdpOffset].value
+    wal.commit(e)
     val drop = (e - baseOffset).toInt
     if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); baseOffset = e }
   }
