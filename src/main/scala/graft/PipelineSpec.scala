@@ -231,15 +231,24 @@ object LineSinks {
 
   /** K4/K5 rolling file sink: time-partitioned directories replace the
     * reference's rollover file naming (SQLiteDB.java:306-334) — and give
-    * partition pruning on read for free. `decimation` keeps 1-in-N rows
-    * (FileCollector skipcount).
+    * partition pruning on read for free
+    * (graft.sinks.RolloverCompat.renameRolledDirs converts the layout to
+    * the reference's rolled filenames when needed). `decimation` keeps
+    * 1-in-N rows by per-partition arrival order — the reference's
+    * skipCount semantics (FileCollector.java:355-361: skip N-1, keep the
+    * Nth), not hash sampling; on a single-partition edge stream it is
+    * exactly the reference's global counter.
     */
   def rollingFiles(df: DataFrame, path: String, rollPattern: String = "yyyy-MM-dd_HH",
-      format: String = "csv", decimation: Int = 1, decimationKey: String = "ts") = {
+      format: String = "csv", decimation: Int = 1) = {
     val out0 = df.withColumn("roll", date_format(col("ts"), rollPattern))
-    val out = if (decimation > 1)
-      out0.filter(abs(hash(col(decimationKey))) % decimation === 0)
-    else out0
+    val out = if (decimation > 1) {
+      val enc = org.apache.spark.sql.Encoders.row(out0.schema)
+      out0.mapPartitions { it =>
+        var i = 0
+        it.filter { _ => i += 1; val keep = i % decimation == 0; keep }
+      }(enc)
+    } else out0
     out.writeStream
       .partitionBy("roll")
       .format(format)

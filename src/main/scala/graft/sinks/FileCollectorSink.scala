@@ -1,0 +1,203 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import org.apache.spark.sql.DataFrame
+
+/** K5 file-collector sink with reference parity
+  * (`/root/reference/src/io/collector/FileCollector.java`): headers with
+  * `{file}` substitution (`:438-441`), rollover file naming + optional
+  * zip-on-roll (`DoRollOver`, `:565-619`), max-size split into `name.N.ext`
+  * + optional zip (`:478-502`), IDLE/ROLLOVER/MAXSIZE triggered commands
+  * (TRIGGERS enum `:57`), and skipCount decimation — deterministic 1-in-N
+  * by arrival order (`:355-361`: skip N-1 lines, keep the Nth), NOT
+  * hash-sampling.
+  *
+  * This is deliberately a single-writer driver-side appender: the
+  * reference collector maintains ONE append-only file, so one writer is
+  * the semantics, not a bottleneck. The scalable path for bulk output is
+  * [[graft.LineSinks.rollingFiles]] (partitioned directories, any number
+  * of writers); [[RolloverCompat.renameRolledDirs]] converts that layout
+  * into this one when reference-style artifacts are required.
+  *
+  * @param pathPattern destination file; a `{rollover}` placeholder is
+  *   replaced by the formatted roll timestamp, otherwise the form is
+  *   inserted before the first dot (`getPath`, `:300-316` — same scheme
+  *   as the SQLite rollover, `SQLiteDB.java:306-334`)
+  * @param onTrigger (trigger, path) callback standing in for the
+  *   reference's command queue (`Datagram.system(cmd)`)
+  */
+class FileCollectorSink(
+    pathPattern: String,
+    rollPattern: Option[String] = None,
+    zipRoll: Boolean = false,
+    maxBytes: Long = -1L,
+    zipMaxBytes: Boolean = false,
+    decimation: Int = 1,
+    headers: Seq[String] = Nil,
+    idleTimeoutMs: Long = -1L,
+    onTrigger: (String, String) => Unit = (_, _) => ()) extends Serializable {
+
+  private val fmt = rollPattern.map(DateTimeFormatter.ofPattern(_).withZone(ZoneOffset.UTC))
+  private var currentForm: String = null
+  private var skipped = 0
+  @volatile private var lastDataMs = System.currentTimeMillis()
+  @volatile private var idleFired = false
+
+  /** Resolve the destination for a roll form (FileCollector.getPath). */
+  def fileFor(form: String): Path = {
+    val p =
+      if (form == null || form.isEmpty) pathPattern
+      else if (pathPattern.contains("{rollover}"))
+        pathPattern.replace("{rollover}", form)
+      else if (pathPattern.contains("."))
+        pathPattern.replaceFirst("\\.", form + ".")
+      else pathPattern + form
+    Paths.get(p)
+  }
+
+  private def zipFile(p: Path): Path = {
+    val zipPath = Paths.get(p.toString + ".zip")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
+    try {
+      zos.putNextEntry(new java.util.zip.ZipEntry(p.getFileName.toString))
+      zos.write(Files.readAllBytes(p))
+      zos.closeEntry()
+    } finally zos.close()
+    zipPath
+  }
+
+  /** First free `name.N.ext` (or its zip) — FileCollector.java:481-487. */
+  private def splitTarget(dest: Path): Path = {
+    var i = 1
+    var cand = Paths.get(dest.toString.replaceFirst("\\.", ".1."))
+    while ((Files.exists(cand) || Files.exists(Paths.get(cand + ".zip"))) && i < 1000) {
+      i += 1
+      cand = Paths.get(dest.toString.replaceFirst("\\.", s".$i."))
+    }
+    cand
+  }
+
+  /** Append one micro-batch of (epochMillis, line), in arrival order. */
+  def processBatch(rows: Seq[(Long, String)]): Unit = synchronized {
+    rows.foreach { case (ts, line) =>
+      // skipCount decimation: skip N-1 arrivals, keep the Nth
+      if (decimation > 1 && { skipped += 1; skipped < decimation }) ()
+      else {
+        skipped = 0
+        val form = fmt.map(_.format(java.time.Instant.ofEpochMilli(ts))).orNull
+        if (currentForm != null && form != currentForm) rollOver(form)
+        if (currentForm == null) currentForm = form
+        appendLine(fileFor(currentForm), line)
+      }
+      lastDataMs = System.currentTimeMillis()
+      idleFired = false
+    }
+  }
+
+  /** foreachBatch adapter for a streaming frame with (line, ts) columns. */
+  def write(batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    processBatch(batch
+      .select(unix_millis(col("ts")), col("line"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
+  private def appendLine(dest: Path, line: String): Unit = {
+    val isNew = !Files.exists(dest)
+    if (isNew && dest.getParent != null) Files.createDirectories(dest.getParent)
+    val sb = new StringBuilder
+    if (isNew) headers.foreach(h =>
+      sb.append(h.replace("{file}", dest.getFileName.toString)).append('\n'))
+    sb.append(line).append('\n')
+    Files.write(dest, sb.toString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    if (maxBytes > 0 && Files.size(dest) >= maxBytes) {
+      val renamed = splitTarget(dest)
+      Files.move(dest, renamed)
+      val reported =
+        if (zipMaxBytes) { val z = zipFile(renamed); Files.delete(renamed); z }
+        else renamed
+      onTrigger("MAXSIZE", reported.toString)
+    }
+  }
+
+  private def rollOver(newForm: String): Unit = {
+    val old = fileFor(currentForm)
+    currentForm = newForm
+    val reported =
+      if (zipRoll && Files.exists(old)) {
+        val z = zipFile(old); Files.delete(old); z
+      } else old
+    onTrigger("ROLLOVER", reported.toString)
+  }
+
+  /** IDLE trigger check (timedOut with empty buffer, `:393-396`): fires
+    * once per idle episode when no data arrived for idleTimeoutMs.
+    */
+  def checkIdle(nowMs: Long = System.currentTimeMillis()): Unit = synchronized {
+    if (idleTimeoutMs > 0 && !idleFired && nowMs - lastDataMs >= idleTimeoutMs) {
+      idleFired = true
+      onTrigger("IDLE", fileFor(currentForm).toString)
+    }
+  }
+}
+
+/** K4 rollover-compat renamer: convert the scalable partitioned-directory
+  * sink layout (`roll=<form>/part-*.csv`) into the reference's rolled
+  * single-file naming (`SQLiteDB.java:306-334` / `FileCollector.getPath`:
+  * the formatted roll timestamp inserted at `{rollover}` or before the
+  * file extension), merging part files in name order, optionally zipping.
+  */
+object RolloverCompat {
+
+  /** Returns the files produced, one per completed roll partition. */
+  def renameRolledDirs(partitionedDir: String, filePattern: String,
+      zip: Boolean = false): Seq[Path] = {
+    val root = Paths.get(partitionedDir)
+    if (!Files.exists(root)) return Seq.empty
+    val rollDirs = Files.list(root).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (rollDirs.hasNext) {
+      val d = rollDirs.next()
+      val name = d.getFileName.toString
+      if (Files.isDirectory(d) && name.startsWith("roll=")) {
+        val form = name.stripPrefix("roll=")
+        val dest =
+          if (filePattern.contains("{rollover}"))
+            root.resolve(filePattern.replace("{rollover}", form))
+          else if (filePattern.contains("."))
+            root.resolve(filePattern.replaceFirst("\\.", form + "."))
+          else root.resolve(filePattern + form)
+        val parts = Files.list(d).iterator()
+        val sorted = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (!p.getFileName.toString.startsWith(".") &&
+              !p.getFileName.toString.startsWith("_")) sorted += p
+        }
+        val body = sorted.sortBy(_.getFileName.toString)
+          .map(p => new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+          .mkString
+        Files.write(dest, body.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        out += (if (zip) {
+          val zipPath = Paths.get(dest.toString + ".zip")
+          val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
+          try {
+            zos.putNextEntry(new java.util.zip.ZipEntry(dest.getFileName.toString))
+            zos.write(body.getBytes(StandardCharsets.UTF_8))
+            zos.closeEntry()
+          } finally zos.close()
+          Files.delete(dest)
+          zipPath
+        } else dest)
+      }
+    }
+    out.toSeq
+  }
+}

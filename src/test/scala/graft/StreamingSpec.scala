@@ -302,20 +302,22 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("rolling file sink decimation keeps ~1-in-N rows") {
+  test("rolling file sink decimation keeps exactly 1-in-N by arrival order") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
     val out = java.nio.file.Files.createTempDirectory("graft-dec").toFile.getAbsolutePath
     val ckpt = java.nio.file.Files.createTempDirectory("graft-dec-ck").toFile.getAbsolutePath
     val q = LineSinks.rollingFiles(mem.toDF().toDF("ts", "line"), out,
-      decimation = 4, decimationKey = "line")
+      decimation = 4)
       .option("checkpointLocation", ckpt).start()
     try {
       val base = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
       mem.addData((1 to 400).map(i => (base, s"row$i")): _*)
       q.processAllAvailable()
+      // per-partition deterministic 1-in-N: exact fraction modulo one
+      // remainder row per partition, never hash noise
       val kept = spark.read.option("header", "true").csv(out).count()
-      assert(kept > 40 && kept < 180, s"kept $kept of 400") // ~100 expected
+      assert(kept == 100, s"kept $kept of 400")
     } finally q.stop()
   }
 }
