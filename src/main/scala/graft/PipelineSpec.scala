@@ -229,6 +229,32 @@ object LineSinks {
           if (socket != null) socket.close()
       })
 
+  /** K7 MQTT publish sink: QoS-0 publish of each output line to a topic
+    * (`/root/reference/src/io/mqtt/MqttWorker.java` publish path, call
+    * site `Generic.java:329-330`). One broker connection per partition
+    * per epoch; if the frame has a `topic` column it overrides the
+    * default topic per row.
+    */
+  def mqttPublish(df: DataFrame, host: String, port: Int, topic: String,
+      clientId: String = "graft-pub") = {
+    val hasTopicCol = df.columns.contains("topic")
+    df.writeStream.foreach(
+      new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        @transient private var client: graft.sources.MqttClientLite = _
+        override def open(partitionId: Long, epochId: Long): Boolean = {
+          client = new graft.sources.MqttClientLite(
+            host, port, s"$clientId-$partitionId")
+          true
+        }
+        override def process(row: org.apache.spark.sql.Row): Unit = {
+          val t = if (hasTopicCol) row.getAs[String]("topic") else topic
+          client.publish(t, row.getAs[String]("line"))
+        }
+        override def close(errorOrNull: Throwable): Unit =
+          if (client != null) client.close()
+      })
+  }
+
   /** K4/K5 rolling file sink: time-partitioned directories replace the
     * reference's rollover file naming (SQLiteDB.java:306-334) — and give
     * partition pruning on read for free
