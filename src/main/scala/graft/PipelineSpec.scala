@@ -152,6 +152,38 @@ object LineSources {
       .load()
       .select(lit(line).as("line"), lit("timed").as("origin"), col("timestamp").as("ts"))
 
+  /** S9 cmd-type timed source: emit the result of evaluating `cmd` at each
+    * rate tick (PathForward.java:453-515 CustomSrc CMD — the reference
+    * runs a das command per interval and forwards its response). The
+    * function must be serializable; it runs on the executor at tick time.
+    */
+  def timedCmd(spark: SparkSession, cmd: () => String,
+      rowsPerSecond: Int = 1): DataFrame = {
+    val run = udf(() => cmd())
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(run().as("line"), lit("cmd").as("origin"), col("timestamp").as("ts"))
+  }
+
+  /** S3/S4 frame replay: recorded serial/modbus captures (text files of
+    * hex-encoded RTU frames, one per line) streamed and decoded — the
+    * testable rendering of the serial-port frame sources
+    * (`/root/reference/src/io/stream/serialport/SerialStream.java`,
+    * `ModbusStream.java`): hardware delivers bytes, everything after the
+    * port read is frame decode, which is what this covers.
+    * Schema: (line, origin, ts, slave, func, registers, crc_ok).
+    */
+  def modbusReplay(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    fileReplay(spark, dir, maxFilesPerTrigger)
+      .withColumn("mb",
+        graft.functions.GraftFunctions.modbus_decode(unhex(col("line"))))
+      .select(col("line"), col("origin"), col("ts"),
+        col("mb.slave").as("slave"), col("mb.func").as("func"),
+        col("mb.registers").as("registers"), col("mb.crc_ok").as("crc_ok"))
+
   /** S8 SQL query source: run a SELECT against a JDBC database and
     * replay the rows as lines at the rate source's pace
     * (PathForward.java:516-537 SQLITE custom src semantics).

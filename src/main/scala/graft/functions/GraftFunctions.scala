@@ -28,6 +28,7 @@ object GraftFunctions {
   def bcd_encode(v: Column): Column = c(BcdEncode(e(v)))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def rolling_hash(s: Column): Column = c(RollingHash(e(s)))
+  def modbus_decode(frame: Column): Column = c(ModbusDecode(e(frame)))
 
   /** Bind a shared-dialect formula fragment (Formulas.*Sql over placeholder
     * names) to concrete Columns: parse once, substitute attributes.
@@ -93,6 +94,7 @@ object GraftFunctions {
     one("bcd_encode", a => BcdEncode(a.head))
     one("simhash64", a => SimHash64(a.head))
     one("rolling_hash", a => RollingHash(a.head))
+    one("modbus_decode", a => ModbusDecode(a.head))
     def macroFn(name: String, arity: Int, render: Seq[String] => String): Unit = {
       val names = (0 until arity).map(i => s"__arg$i")
       one(name, args => {

@@ -201,4 +201,51 @@ object Impls {
       + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * EP2 + 24 * t1 * t1) * math.pow(d, 5) / 120) / cosP
     Array(math.toDegrees(lat), math.toDegrees(lon) + (zone * 6 - 183))
   }
+
+  /** CRC16/MODBUS over raw bytes [0, len): same polynomial as
+    * [[crc16Modbus]] (0xA001 reflected), for binary RTU frames.
+    */
+  def crc16ModbusBytes(b: Array[Byte], len: Int): Int = {
+    var crc = 0xffff
+    var i = 0
+    while (i < len) {
+      crc ^= b(i) & 0xff
+      var j = 0
+      while (j < 8) {
+        crc = if ((crc & 1) != 0) (crc >>> 1) ^ 0xa001 else crc >>> 1
+        j += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Decode a Modbus RTU frame: (slave, func, registers, crc_ok). The
+    * CRC trails little-endian; registers decode for read responses
+    * (func 3/4) and single-write echoes (func 5/6).
+    */
+  def modbusDecode(frame: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    if (frame.length < 4)
+      return InternalRow(null, null, null, false)
+    val n = frame.length
+    val slave = frame(0) & 0xff
+    val func = frame(1) & 0xff
+    val crcStored = ((frame(n - 1) & 0xff) << 8) | (frame(n - 2) & 0xff)
+    val crcOk = crc16ModbusBytes(frame, n - 2) == crcStored
+    val regs: Array[Any] = func match {
+      case 3 | 4 if n >= 5 =>
+        val byteCount = math.min(frame(2) & 0xff, n - 5)
+        (0 until byteCount / 2).map[Any] { i =>
+          ((frame(3 + 2 * i) & 0xff) << 8) | (frame(4 + 2 * i) & 0xff)
+        }.toArray
+      case 5 | 6 if n >= 8 =>
+        Array[Any](
+          ((frame(2) & 0xff) << 8) | (frame(3) & 0xff),
+          ((frame(4) & 0xff) << 8) | (frame(5) & 0xff))
+      case _ => Array.empty[Any]
+    }
+    InternalRow(slave, func, new GenericArrayData(regs), crcOk)
+  }
 }

@@ -43,7 +43,8 @@ class TcpLineSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new TcpLineTable(properties.get("host"), properties.get("port").toInt)
+    new TcpLineTable(properties.get("host"), properties.get("port").toInt,
+      Option(properties.get("hello")))
 }
 
 object TcpLineSource {
@@ -53,7 +54,8 @@ object TcpLineSource {
     StructField("ts", TimestampType)))
 }
 
-private class TcpLineTable(host: String, port: Int) extends Table with SupportsRead {
+private class TcpLineTable(host: String, port: Int, hello: Option[String])
+    extends Table with SupportsRead {
   override def name(): String = s"tcp://$host:$port"
   override def schema(): StructType = TcpLineSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -65,7 +67,7 @@ private class TcpLineTable(host: String, port: Int) extends Table with SupportsR
       override def toBatch: Batch = throw new UnsupportedOperationException(
         "graft-tcp is streaming-only")
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new TcpLineMicroBatchStream(host, port, checkpointLocation)
+        new TcpLineMicroBatchStream(host, port, hello, checkpointLocation)
     }
 }
 
@@ -74,7 +76,7 @@ private case class LongOffset(value: Long) extends Offset {
 }
 
 private class TcpLineMicroBatchStream(host: String, port: Int,
-    checkpointLocation: String) extends MicroBatchStream {
+    hello: Option[String], checkpointLocation: String) extends MicroBatchStream {
 
   // (line, arrivalMicros) buffered on the driver by the reader thread;
   // planned batches are persisted to the checkpoint WAL so a restarted
@@ -90,6 +92,12 @@ private class TcpLineMicroBatchStream(host: String, port: Int,
       while (!stopped.get()) {
         try {
           val socket = new Socket(host, port)
+          // lifecycle "open" trigger (BaseStream.java:130-141): send the
+          // hello/wakeup string on every (re)connect
+          hello.foreach { h =>
+            val w = new java.io.PrintWriter(socket.getOutputStream, true)
+            w.println(h)
+          }
           val in = new BufferedReader(
             new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
           var line = in.readLine()

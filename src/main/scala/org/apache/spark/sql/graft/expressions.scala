@@ -143,3 +143,27 @@ case class RollingHash(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.Impls.rollingHash($c)")
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
 }
+
+/** modbus_decode(frame): decode a Modbus RTU frame (BinaryType) into
+  * struct(slave INT, func INT, registers ARRAY<INT>, crc_ok BOOLEAN).
+  * Registers are extracted for read responses (func 3/4: byte-count +
+  * 16-bit big-endian words) and single-write echoes (func 5/6: addr +
+  * value); the trailing CRC16 is little-endian (public Modbus spec;
+  * reference frame handling `/root/reference/src/io/stream/serialport/
+  * ModbusStream.java`).
+  */
+case class ModbusDecode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("slave", IntegerType),
+    StructField("func", IntegerType),
+    StructField("registers", ArrayType(IntegerType)),
+    StructField("crc_ok", BooleanType)))
+  override def prettyName: String = "modbus_decode"
+  override protected def nullSafeEval(v: Any): Any =
+    Impls.modbusDecode(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impls.modbusDecode($c)")
+  override protected def withNewChildInternal(c: Expression): ModbusDecode = copy(c)
+}
