@@ -98,6 +98,34 @@ object TextQueries {
         .select(col("doc_id"), GraftFunctions.rolling_hash(col("text")).as("fp"))
     },
 
+    // Corpus-level top-k n-grams (heavy hitters): the contamination /
+    // boilerplate analysis query of a training-data pipeline. Two-phase
+    // hash agg (map-side partial) then a global top-k — at corpus scale
+    // the shuffle carries only per-partition partial counts, and ties
+    // break on the gram text for a deterministic ranking.
+    Q("tx_topk_ngrams",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |e AS (SELECT doc_id, unnest(g) AS gram FROM bg),
+        |c AS (SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS df FROM e GROUP BY gram)
+        |SELECT gram, n, df FROM c ORDER BY n DESC, gram LIMIT 20""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+            .as("gram"))
+      toks.groupBy("gram")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20)
+    },
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // decode stage is a deterministic stub (real image/audio libs are not
     // in this container); schema, hashing, and batch shape are real.
