@@ -150,6 +150,80 @@ object DcafsXml {
     })
   }
 
+  /** One parsed `<stream>` declaration (BaseStream.java:23-58 config +
+    * trigger cmds `:130-141`). `hello` is the write sent on every
+    * (re)connect (triggers open/hello/wakeup collapse to it — the
+    * source-side behaviors); `idleCmd` is surfaced for the engine's alert
+    * runtime (RtVals.idleAlerts) to dispatch.
+    */
+  final case class StreamSpec(
+      id: String, kind: String, host: String, port: Int,
+      label: String, eol: String, ttlMillis: Long,
+      hello: Option[String], idleCmd: Option[String], topic: Option[String])
+
+  /** Parse a dcafs `<streams>` block (settings.xml) into [[StreamSpec]]s.
+    * Supported kinds: tcp, udp, mqtt (serial/I2C are hardware-gated —
+    * replay their recorded captures via `LineSources.modbusReplay`).
+    */
+  def parseStreams(xml: String): Seq[StreamSpec] = {
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new InputSource(new StringReader(xml)))
+    val root = doc.getDocumentElement
+    require(root.getTagName == "streams", s"expected <streams>, got <${root.getTagName}>")
+    children(root).filter(_.getTagName == "stream").map { el =>
+      val id = attr(el, "id").getOrElse("stream")
+      val kind = attr(el, "type").getOrElse("tcp").toLowerCase
+      val kids = children(el)
+      def kid(tag: String): Option[String] =
+        kids.find(_.getTagName == tag).map(_.getTextContent.trim)
+      val (host, port) = kid("address") match {
+        case Some(a) if a.contains(":") =>
+          val i = a.lastIndexOf(':')
+          (a.substring(0, i), a.substring(i + 1).toInt)
+        case Some(a) => (a, kid("port").map(_.toInt).getOrElse(0))
+        case None => ("", kid("port").map(_.toInt).getOrElse(0))
+      }
+      val cmds = kids.filter(k => k.getTagName == "cmd" || k.getTagName == "write")
+        .map { c =>
+          val when = attr(c, "when").orElse(attr(c, "trigger"))
+            .getOrElse(if (c.getTagName == "write") "hello" else "open")
+          (when.toLowerCase, c.getTextContent.trim)
+        }
+      StreamSpec(
+        id, kind, host, port,
+        label = kid("label").getOrElse(""),
+        eol = kid("eol").getOrElse("crlf"),
+        ttlMillis = kid("ttl").map(parsePeriodMillis).getOrElse(-1L),
+        hello = cmds.collectFirst {
+          case (w, c) if Set("open", "hello", "wakeup", "welcome", "asleep")(w) => c
+        },
+        idleCmd = cmds.collectFirst { case ("idle", c) => c },
+        topic = kid("topic"))
+    }
+  }
+
+  /** dcafs period literal ("5s", "3m20s", "1h", "-1") to millis
+    * (TimeTools.parsePeriodStringToSeconds semantics, subset).
+    */
+  def parsePeriodMillis(p: String): Long = {
+    val t = p.trim
+    if (t == "-1" || t.isEmpty) -1L
+    else {
+      val re = "(\\d+)\\s*(ms|h|m|s|d)".r
+      val parts = re.findAllMatchIn(t.toLowerCase).map { m =>
+        val n = m.group(1).toLong
+        m.group(2) match {
+          case "ms" => n
+          case "s" => n * 1000L
+          case "m" => n * 60000L
+          case "h" => n * 3600000L
+          case "d" => n * 86400000L
+        }
+      }.toSeq
+      if (parts.isEmpty) t.toLong * 1000L else parts.sum
+    }
+  }
+
   private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   private def attr(el: Element, name: String): Option[String] = {

@@ -213,6 +213,32 @@ object LineSources {
       .select(col("line"), lit(url).as("origin"), col("timestamp").as("ts"))
   }
 
+  /** Build the streaming source a parsed settings.xml `<stream>` declares
+    * (DcafsXml.parseStreams): tcp/udp/mqtt map to the graft DataSourceV2
+    * sources with the hello trigger wired through; the stream's label
+    * rides along as a column for §2.9 label dispatch.
+    */
+  def fromSpec(spark: SparkSession, spec: DcafsXml.StreamSpec): DataFrame = {
+    val df = spec.kind match {
+      case "tcp" =>
+        val r = spark.readStream.format("graft.sources.TcpLineSource")
+          .option("host", spec.host).option("port", spec.port.toString)
+        spec.hello.fold(r)(h => r.option("hello", h)).load()
+      case "udp" =>
+        spark.readStream.format("graft.sources.UdpLineSource")
+          .option("port", spec.port.toString).load()
+      case "mqtt" =>
+        spark.readStream.format("graft.sources.MqttLineSource")
+          .option("host", spec.host).option("port", spec.port.toString)
+          .option("topic", spec.topic.getOrElse("#"))
+          .option("clientid", spec.id).load()
+      case other => throw new IllegalArgumentException(
+        s"stream type '$other' is hardware-gated — replay its recorded " +
+          "captures (LineSources.modbusReplay / fileReplay) instead")
+    }
+    df.withColumn("label", lit(spec.label))
+  }
+
   /** S1/S11 TCP line source (dev harness: Spark's socket source). */
   def socket(spark: SparkSession, host: String, port: Int): DataFrame =
     spark.readStream

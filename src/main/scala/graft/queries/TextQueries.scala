@@ -147,5 +147,28 @@ object TextQueries {
           (octet_length(col("bin")) * 7 % 480).as("height"),
           (col("n_chars") % 30).as("frames"))
     },
+
+    // Multimodal frame sampling: every 5th frame of each asset exploded
+    // to a row with a deterministic per-frame fingerprint — the shape of
+    // a video frame-extraction stage (decode itself stays a stub; the
+    // explode/fingerprint plumbing is the real, scale-relevant part:
+    // one row per sampled frame, no driver-side loops).
+    Q("mm_frames",
+      """WITH a AS (SELECT doc_id, md5(text) AS content_hash,
+        |    CAST(n_chars % 30 AS BIGINT) AS frames FROM documents)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  md5(content_hash || '-' || CAST(f AS VARCHAR)) AS frame_hash
+        |FROM a, unnest(range(0, frames, 5)) AS t(f)
+        |WHERE frames > 0""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"),
+          (col("n_chars") % 30).as("frames"))
+        .filter(col("frames") > 0)
+        .select(col("doc_id"), col("content_hash"),
+          explode(sequence(lit(0L), col("frames") - 1, lit(5L))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(concat(col("content_hash"), lit("-"),
+            col("frame_idx").cast("string"))).as("frame_hash"))
+    },
   )
 }

@@ -91,4 +91,48 @@ class DcafsXmlSpec extends AnyFunSuite {
       DcafsXml.parsePath("""<path id="x"><math>notanop</math></path>""")
     }
   }
+
+  test("parseStreams reads reference-style <streams> declarations") {
+    val specs = DcafsXml.parseStreams(
+      """<streams>
+        |  <stream id="ctd" type="tcp">
+        |    <address>192.168.1.5:4001</address>
+        |    <label>generic:ctd</label>
+        |    <eol>crlf</eol>
+        |    <ttl>3m20s</ttl>
+        |    <cmd when="hello">give data please?</cmd>
+        |    <cmd when="idle">email:send,admin,ctd idle</cmd>
+        |  </stream>
+        |  <stream id="met" type="udp"><port>4010</port></stream>
+        |  <stream id="broker" type="mqtt">
+        |    <address>mq.local:1883</address>
+        |    <topic>sensors/#</topic>
+        |  </stream>
+        |</streams>""".stripMargin)
+    assert(specs.length == 3)
+    val ctd = specs(0)
+    assert(ctd.id == "ctd" && ctd.kind == "tcp" &&
+      ctd.host == "192.168.1.5" && ctd.port == 4001 &&
+      ctd.label == "generic:ctd" && ctd.ttlMillis == 200000L &&
+      ctd.hello.contains("give data please?") &&
+      ctd.idleCmd.contains("email:send,admin,ctd idle"))
+    assert(specs(1).kind == "udp" && specs(1).port == 4010)
+    assert(specs(2).kind == "mqtt" && specs(2).topic.contains("sensors/#"))
+    // fromSpec builds streaming frames with the label column attached
+    val df = LineSources.fromSpec(spark, specs(1))
+    assert(df.isStreaming && df.columns.contains("label"))
+    intercept[IllegalArgumentException] {
+      LineSources.fromSpec(spark,
+        DcafsXml.parseStreams("""<streams><stream id="s" type="serial"/></streams>""").head)
+    }
+  }
+
+  test("period literals parse like the reference TimeTools") {
+    assert(DcafsXml.parsePeriodMillis("5s") == 5000L)
+    assert(DcafsXml.parsePeriodMillis("3m20s") == 200000L)
+    assert(DcafsXml.parsePeriodMillis("1h") == 3600000L)
+    assert(DcafsXml.parsePeriodMillis("-1") == -1L)
+    assert(DcafsXml.parsePeriodMillis("250ms") == 250L)
+    assert(DcafsXml.parsePeriodMillis("90") == 90000L) // bare seconds
+  }
 }
