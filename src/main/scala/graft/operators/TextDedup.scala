@@ -368,9 +368,12 @@ object VectorOps {
 
   /** IVF coarse quantization: assign every vector to its nearest centroid
     * (max cosine, centroid id as tiebreaker). Centroids are a small
-    * broadcastable table (cid, cvec) — a deterministic sample here; a
-    * k-means refinement drops in without changing the plan. Returns the
-    * input plus a `bucket` column.
+    * broadcastable table (cid, cvec); at corpus scale the assignment is
+    * a broadcast join + per-row argmax, no shuffle on the corpus side.
+    * (A mapPartitions JVM kernel was tried and reverted: its steady-state
+    * is ~2x faster but the extra encoder/plan compile costs more one-shot
+    * wall-time than the whole fixture assignment.) Returns the input plus
+    * a `bucket` column.
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {

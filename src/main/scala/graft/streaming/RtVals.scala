@@ -25,6 +25,11 @@ final case class ValSnapshot(
 /** kind: "rising" (crossed high with hysteresis) | "cleared" | "changed". */
 final case class ValAlert(key: String, kind: String, value: Double, ts: Long)
 
+/** Snapshot carrying the aggregation epoch (increments on group reset). */
+final case class EpochSnapshot(
+    key: String, epoch: Long, last: Double, min: Double, max: Double,
+    count: Long, avg: Double, lastTs: Long)
+
 /** Internal: ValUpdate + the watermarked event-time column. */
 final case class TsUpdate(key: String, value: Double, ts: Long, ets: java.sql.Timestamp)
 
@@ -85,6 +90,30 @@ object RtVals {
           state.update(st)
           snapshot(key, st)
       }
+
+  /** Group reset (RealtimeValues.java:212-216,287-291): a reset starts a
+    * new aggregation epoch — stats restart from empty, the epoch counter
+    * increments, and the marker row itself belongs to (and is counted in)
+    * the new epoch. Streaming twin of the batch `st_reset` oracle query.
+    */
+  def snapshotsWithReset(updates: Dataset[ValUpdate],
+      isReset: ValUpdate => Boolean): Dataset[EpochSnapshot] =
+    updates.groupByKey(_.key)
+      .mapGroupsWithState[(Long, ValState), EpochSnapshot](
+        GroupStateTimeout.NoTimeout()) { (key, it, state) =>
+        var (epoch, st) = state.getOption.getOrElse((0L, empty))
+        it.toSeq.sortBy(u => (u.ts, u.value)).foreach { u =>
+          if (isReset(u)) { epoch += 1; st = empty }
+          st = fold(st, u)
+        }
+        state.update((epoch, st))
+        val s = snapshot(key, st)
+        EpochSnapshot(key, epoch, s.last, s.min, s.max, s.count, s.avg, s.lastTs)
+      }
+
+  implicit private val epochSnapEnc: Encoder[EpochSnapshot] = Encoders.product[EpochSnapshot]
+  implicit private val epochStEnc: Encoder[(Long, ValState)] =
+    Encoders.product[(Long, ValState)]
 
   implicit private val typedUpdEnc: Encoder[TypedUpdate] = Encoders.product[TypedUpdate]
   implicit private val typedSnapEnc: Encoder[TypedSnapshot] = Encoders.product[TypedSnapshot]

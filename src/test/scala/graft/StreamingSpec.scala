@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.MathDsl
-import graft.streaming.{RtVals, ValUpdate}
+import graft.streaming.{EpochSnapshot, RtVals, ValUpdate}
 
 class MathDslSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -177,6 +177,31 @@ class SinkSpec extends AnyFunSuite {
       q.processAllAvailable()
       val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
       assert(dirs.contains("roll=2024-03-01_10") && dirs.contains("roll=2024-03-01_11"))
+    } finally q.stop()
+  }
+}
+
+class ResetEpochSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("group reset starts a new aggregation epoch across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[ValUpdate]
+    val q = RtVals.snapshotsWithReset(mem.toDS(), u => u.value < 0)
+      .writeStream.format("memory").queryName("reset_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(ValUpdate("a", 5.0, 1), ValUpdate("a", 9.0, 2))
+      q.processAllAvailable()
+      mem.addData(ValUpdate("a", -1.0, 3), ValUpdate("a", 2.0, 4)) // reset marker
+      q.processAllAvailable()
+      val last = spark.table("reset_out").as[EpochSnapshot].collect()
+        .maxBy(_.lastTs)
+      // epoch 1 contains the marker (-1) and 2.0 only — 5.0/9.0 are gone
+      assert(last.epoch == 1L && last.count == 2L &&
+        last.min == -1.0 && last.max == 2.0 && last.last == 2.0,
+        s"got $last")
     } finally q.stop()
   }
 }
