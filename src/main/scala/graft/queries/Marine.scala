@@ -75,18 +75,48 @@ object Marine {
         .selectExpr("event_id", s"ROUND($a, 4) AS absorption_dbkm")
     },
 
-    // GDC -> UTM projection: transcendental series, not SQL-replicable at
-    // bit precision -> rows-only check here; correctness is covered by the
-    // round-trip + hand-checked goldens in FunctionsSpec.
-    Q.noOracle("fn_utm") { (s, dir) =>
+    // GDC -> UTM projection: the oracle re-derives the WGS84 Krüger
+    // series independently in SQL (same published formulas, different
+    // implementation + different libm), both sides rounded to 2 dp (cm) —
+    // far above trig ulp noise, so this is a genuine cross-implementation
+    // check of the projection UDF, not a copy of it.
+    Q("fn_utm",
+      """WITH t AS (SELECT event_id,
+        |    CAST(45.0 + value/100.0 AS DOUBLE) AS lat,
+        |    CAST(3.0 + CAST(user_id AS DOUBLE)/10.0 AS DOUBLE) AS lon FROM events),
+        |k AS (SELECT CAST(1.0/298.257223563 AS DOUBLE) AS f),
+        |k2 AS (SELECT f, f*(2-f) AS e2 FROM k),
+        |k3 AS (SELECT f, e2, e2/(1-e2) AS ep2, 6378137.0 AS a, 0.9996 AS k0 FROM k2),
+        |u AS (SELECT event_id, lat, lon, radians(lat) AS phi,
+        |    CAST(least(60, greatest(1, floor((lon + 180)/6) + 1)) AS INT) AS zone
+        |  FROM t),
+        |v AS (SELECT *, radians(lon - (zone*6 - 183)) * cos(phi) AS aa,
+        |    sin(phi) AS sp, cos(phi) AS cp, tan(phi) AS tp FROM u),
+        |w AS (SELECT event_id, lat, zone, aa, sp, tp,
+        |    a/sqrt(1 - e2*sp*sp) AS n, tp*tp AS tt, ep2*cp*cp AS c,
+        |    a*((1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256)*phi
+        |      - (3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024)*sin(2*phi)
+        |      + (15*e2*e2/256 + 45*e2*e2*e2/1024)*sin(4*phi)
+        |      - (35*e2*e2*e2/3072)*sin(6*phi)) AS m,
+        |    ep2, k0
+        |  FROM v, k3)
+        |SELECT event_id,
+        |  round(k0*n*(aa + (1-tt+c)*aa*aa*aa/6
+        |    + (5 - 18*tt + tt*tt + 72*c - 58*ep2)*pow(aa, 5.0)/120) + 500000.0, 2) AS easting,
+        |  round(k0*(m + n*tp*(aa*aa/2
+        |    + (5 - tt + 9*c + 4*c*c)*pow(aa, 4.0)/24
+        |    + (61 - 58*tt + tt*tt + 600*c - 330*ep2)*pow(aa, 6.0)/720))
+        |    + CASE WHEN lat >= 0 THEN 0.0 ELSE 10000000.0 END, 2) AS northing,
+        |  zone, (lat >= 0) AS north
+        |FROM w""".stripMargin) { (s, dir) =>
       val utm = GraftFunctions.gdc_to_utm(
         lit(45.0) + col("value") / 100.0, lit(3.0) + col("user_id") / 10.0)
       Tables.load(s, dir, "events")
         .withColumn("utm", utm)
         .select(
           col("event_id"),
-          col("utm.easting").as("easting"),
-          col("utm.northing").as("northing"),
+          round(col("utm.easting"), 2).as("easting"),
+          round(col("utm.northing"), 2).as("northing"),
           col("utm.zone").as("zone"),
           col("utm.north").as("north"))
     },
