@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.time.{DayOfWeek, Instant, LocalTime, ZonedDateTime, ZoneId, ZoneOffset}
+import java.util.concurrent.{Executors, ScheduledExecutorService, ScheduledFuture, TimeUnit}
+
+/** The reference's task scheduling plane (SURVEY §2.8:
+  * `/root/reference/src/util/task/Task.java:62-90` TRIGGERTYPE, `:100-135`
+  * while/waitfor blocks, arming `TaskManager.java:356,842,201`): interval,
+  * clock (time-of-day + days-of-week, UTC or local), keyword, delay,
+  * while and waitfor triggers over guarded commands.
+  *
+  * Guards (`req`/`check`) are thunks so the wiring decides what state they
+  * read — typically a closure over the latest rtvals snapshot, i.e. the
+  * same guard surface RuleEngine evaluates in-stream. Dispatch receives
+  * (taskId, command) — the OUTPUT plane (Task.java:69-71) is the caller's.
+  */
+sealed trait TaskTrigger
+final case class Interval(periodMs: Long, initialDelayMs: Long = 0L) extends TaskTrigger
+final case class Clock(time: LocalTime, days: Set[DayOfWeek] = Set.empty,
+    utc: Boolean = true) extends TaskTrigger
+final case class Keyword(word: String) extends TaskTrigger
+final case class Delay(delayMs: Long) extends TaskTrigger
+/** Run `cmd` every interval while the check holds (stops on first fail
+  * or after maxChecks runs).
+  */
+final case class While(intervalMs: Long, maxChecks: Int) extends TaskTrigger
+/** Poll every interval until the check holds (dispatch once), giving up
+  * after maxChecks polls.
+  */
+final case class WaitFor(intervalMs: Long, maxChecks: Int) extends TaskTrigger
+
+final case class ScheduledTask(id: String, trigger: TaskTrigger, cmd: String,
+    req: () => Boolean = () => true)
+
+object TaskScheduler {
+
+  /** Millis until the next occurrence of `time` on an allowed day —
+    * pure, so clock arming is testable without waiting for wall time
+    * (TimeTools.java:585-610 semantics: empty day set = every day).
+    */
+  def nextClockDelayMs(time: LocalTime, days: Set[DayOfWeek], utc: Boolean,
+      now: Instant, zone: ZoneId = ZoneId.systemDefault()): Long = {
+    val z = if (utc) ZoneOffset.UTC else zone
+    var cand = ZonedDateTime.ofInstant(now, z).`with`(time).withNano(0)
+    if (!cand.toInstant.isAfter(now)) cand = cand.plusDays(1)
+    while (days.nonEmpty && !days.contains(cand.getDayOfWeek))
+      cand = cand.plusDays(1)
+    java.time.Duration.between(now, cand.toInstant).toMillis
+  }
+}
+
+class TaskScheduler(
+    dispatch: (String, String) => Unit,
+    scheduler: ScheduledExecutorService = Executors.newSingleThreadScheduledExecutor(),
+    now: () => Instant = () => Instant.now()) {
+
+  import TaskScheduler._
+
+  private val keywordTasks = new java.util.concurrent.ConcurrentHashMap[
+    String, List[ScheduledTask]]()
+  private val futures = new java.util.concurrent.ConcurrentLinkedQueue[ScheduledFuture[_]]()
+
+  private def guarded(t: ScheduledTask): Unit =
+    if (t.req()) dispatch(t.id, t.cmd)
+
+  /** Arm a task; returns this for chaining. */
+  def add(t: ScheduledTask): TaskScheduler = {
+    t.trigger match {
+      case Interval(period, initial) =>
+        futures.add(scheduler.scheduleAtFixedRate(
+          () => guarded(t), initial, period, TimeUnit.MILLISECONDS))
+      case Delay(d) =>
+        futures.add(scheduler.schedule(
+          (() => guarded(t)): Runnable, d, TimeUnit.MILLISECONDS))
+      case c: Clock =>
+        def arm(): Unit = {
+          val d = nextClockDelayMs(c.time, c.days, c.utc, now())
+          futures.add(scheduler.schedule((() => { guarded(t); arm() }): Runnable,
+            d, TimeUnit.MILLISECONDS))
+        }
+        arm()
+      case Keyword(word) =>
+        keywordTasks.merge(word, List(t), (a, b) => a ++ b)
+      case While(interval, maxChecks) =>
+        val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val ref = new java.util.concurrent.atomic.AtomicReference[ScheduledFuture[_]]()
+        // the runnable may fire before ref is set (initial delay 0): a
+        // null ref skips the cancel this tick; the next tick retries
+        val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+        ref.set(scheduler.scheduleAtFixedRate(() => {
+          if (!stopped.get()) {
+            if (t.req() && runs.incrementAndGet() <= maxChecks) dispatch(t.id, t.cmd)
+            else { stopped.set(true); Option(ref.get()).foreach(_.cancel(false)) }
+          } else Option(ref.get()).foreach(_.cancel(false))
+        }, 0, interval, TimeUnit.MILLISECONDS))
+        futures.add(ref.get())
+      case WaitFor(interval, maxChecks) =>
+        val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+        val ref = new java.util.concurrent.atomic.AtomicReference[ScheduledFuture[_]]()
+        val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        ref.set(scheduler.scheduleAtFixedRate(() => {
+          if (!done.get()) {
+            if (t.req()) { done.set(true); dispatch(t.id, t.cmd) }
+            else if (polls.incrementAndGet() >= maxChecks) done.set(true)
+          }
+          if (done.get()) Option(ref.get()).foreach(_.cancel(false))
+        }, 0, interval, TimeUnit.MILLISECONDS))
+        futures.add(ref.get())
+    }
+    this
+  }
+
+  /** Fire keyword-triggered tasks (TaskManager.startKeywordTask,
+    * `:201-210`) — e.g. wired to a filtered line stream via foreachBatch.
+    */
+  def fireKeyword(word: String): Unit =
+    keywordTasks.getOrDefault(word, Nil).foreach(guarded)
+
+  def shutdown(): Unit = {
+    futures.forEach(f => f.cancel(false))
+    scheduler.shutdownNow()
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.time.{DayOfWeek, Instant, LocalTime}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming._
+
+/** §2.8 task scheduling plane: interval/clock/keyword/delay/while/waitfor
+  * triggers with req guards (Task.java TRIGGERTYPE semantics).
+  */
+class TaskSchedulerSpec extends AnyFunSuite {
+
+  private def collectDispatch(): (ConcurrentLinkedQueue[(String, String)], (String, String) => Unit) = {
+    val q = new ConcurrentLinkedQueue[(String, String)]()
+    (q, (id, cmd) => q.add((id, cmd)))
+  }
+
+  private def awaitCount(q: ConcurrentLinkedQueue[_], n: Int, ms: Long = 5000): Unit = {
+    val deadline = System.currentTimeMillis() + ms
+    while (q.size < n && System.currentTimeMillis() < deadline) Thread.sleep(20)
+  }
+
+  test("interval tasks fire repeatedly; req=false skips the execution") {
+    val (fired, dispatch) = collectDispatch()
+    @volatile var allow = true
+    val ts = new TaskScheduler(dispatch)
+    try {
+      ts.add(ScheduledTask("beat", Interval(50), "st", req = () => allow))
+      awaitCount(fired, 2)
+      assert(fired.size >= 2)
+      allow = false
+      Thread.sleep(200)
+      val at = fired.size
+      Thread.sleep(200)
+      assert(fired.size == at, "guard=false must skip executions")
+    } finally ts.shutdown()
+  }
+
+  test("delay fires once; keyword fires only when the keyword arrives") {
+    val (fired, dispatch) = collectDispatch()
+    val ts = new TaskScheduler(dispatch)
+    try {
+      ts.add(ScheduledTask("once", Delay(50), "hello"))
+      ts.add(ScheduledTask("kw", Keyword("alarm"), "siren:on"))
+      awaitCount(fired, 1)
+      Thread.sleep(150)
+      assert(fired.toArray.toSeq == Seq(("once", "hello")))
+      ts.fireKeyword("other") // no match
+      ts.fireKeyword("alarm")
+      assert(fired.toArray.toSeq == Seq(("once", "hello"), ("kw", "siren:on")))
+    } finally ts.shutdown()
+  }
+
+  test("waitfor polls until the check holds, then dispatches once") {
+    val (fired, dispatch) = collectDispatch()
+    @volatile var ready = false
+    val ts = new TaskScheduler(dispatch)
+    try {
+      ts.add(ScheduledTask("wf", WaitFor(intervalMs = 40, maxChecks = 50),
+        "proceed", req = () => ready))
+      Thread.sleep(150)
+      assert(fired.isEmpty)
+      ready = true
+      awaitCount(fired, 1)
+      Thread.sleep(150)
+      assert(fired.toArray.toSeq == Seq(("wf", "proceed")), "dispatch exactly once")
+    } finally ts.shutdown()
+  }
+
+  test("waitfor gives up after maxChecks polls") {
+    val (fired, dispatch) = collectDispatch()
+    val ts = new TaskScheduler(dispatch)
+    try {
+      ts.add(ScheduledTask("wf", WaitFor(intervalMs = 30, maxChecks = 3),
+        "never", req = () => false))
+      Thread.sleep(300)
+      assert(fired.isEmpty)
+    } finally ts.shutdown()
+  }
+
+  test("while runs at interval while the check holds, then stops") {
+    val (fired, dispatch) = collectDispatch()
+    @volatile var on = true
+    val ts = new TaskScheduler(dispatch)
+    try {
+      ts.add(ScheduledTask("w", While(intervalMs = 40, maxChecks = 100),
+        "pump", req = () => on))
+      awaitCount(fired, 2)
+      on = false
+      Thread.sleep(150)
+      val at = fired.size
+      Thread.sleep(150)
+      assert(fired.size == at, "while must stop when the check fails")
+      assert(at >= 2)
+    } finally ts.shutdown()
+  }
+
+  test("clock delay arithmetic: next occurrence honors time, day set, utc") {
+    import TaskScheduler.nextClockDelayMs
+    // Mon 2024-03-04 10:00:00Z
+    val now = Instant.parse("2024-03-04T10:00:00Z")
+    // later today
+    assert(nextClockDelayMs(LocalTime.of(12, 30), Set.empty, utc = true, now)
+      == 2L * 3600000 + 30 * 60000)
+    // earlier today -> tomorrow
+    assert(nextClockDelayMs(LocalTime.of(9, 0), Set.empty, utc = true, now)
+      == 23L * 3600000)
+    // day-restricted: only Friday (Mar 8) at 09:00
+    assert(nextClockDelayMs(LocalTime.of(9, 0), Set(DayOfWeek.FRIDAY), utc = true, now)
+      == (24L * 4 - 1) * 3600000)
+    // exactly now -> tomorrow, not immediate
+    assert(nextClockDelayMs(LocalTime.of(10, 0), Set.empty, utc = true, now)
+      == 24L * 3600000)
+  }
+}
