@@ -95,6 +95,16 @@ class PlanSpec2 extends AnyFunSuite {
     assert(raw"\(\d+\) Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")
   }
 
+  test("tx_topk_ngrams: partial aggregation + top-k, no global sort") {
+    val p = plan("tx_topk_ngrams")
+    // two-phase hash agg: a partial HashAggregate runs before the
+    // exchange so the shuffle carries per-partition counts, not grams
+    assert(raw"HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    // limit+order plans as TakeOrderedAndProject (per-partition top-k),
+    // never a full global Sort of the gram dictionary
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
   test("dd_ngram_jaccard: neither similarity-join branch degenerates to a cross join") {
     import graft.operators.TextOps
     val docs = Tables.load(spark, sf, "documents")
