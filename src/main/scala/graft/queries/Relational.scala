@@ -217,6 +217,25 @@ object Relational {
           expr("ps[1]").as("p95"))
     },
 
+    // Relational PIVOT (wide conditional aggregation with a declared
+    // column set — Spark .pivot() vs DuckDB native PIVOT; declaring the
+    // values keeps the plan a single two-phase agg, no distinct-scan).
+    Q("q_pivot",
+      """SELECT user_id,
+        |  COALESCE(purchase, 0) AS purchase_n, COALESCE(click, 0) AS click_n
+        |FROM (PIVOT (SELECT user_id, event_type FROM events
+        |             WHERE event_type IN ('purchase','click'))
+        |      ON event_type USING count(*) GROUP BY user_id)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("user_id")
+        .pivot("event_type", Seq("purchase", "click"))
+        .count()
+        .select(col("user_id"),
+          coalesce(col("purchase"), lit(0L)).as("purchase_n"),
+          coalesce(col("click"), lit(0L)).as("click_n"))
+    },
+
     // Correlated scalar subquery (decorrelated by Catalyst into a join).
     Q("q_scalar_subquery",
       """SELECT o_orderkey,

@@ -118,6 +118,50 @@ class MqttSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("mqtt source restart resumes from checkpoint without duplicates") {
+    val broker = new MiniMqttBroker
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-mqtt-ck")
+        .toFile.getAbsolutePath
+      val received = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      def startQuery() = spark.readStream
+        .format("graft.sources.MqttLineSource")
+        .option("host", "127.0.0.1").option("port", broker.port.toString)
+        .option("topic", "s/#").option("clientid", "restart-test")
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => received.add(r.getAs[String]("line")))
+        }
+        .option("checkpointLocation", ckpt).start()
+      def await(q: org.apache.spark.sql.streaming.StreamingQuery, n: Int): Unit = {
+        val deadline = System.currentTimeMillis() + 15000
+        while (received.size < n && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+      }
+      val q1 = startQuery()
+      try {
+        Thread.sleep(500)
+        val pub = new MqttClientLite("127.0.0.1", broker.port, "pub1")
+        pub.publish("s/a", "m1"); pub.publish("s/a", "m2"); pub.close()
+        await(q1, 2)
+        assert(received.toArray(Array.empty[String]).sorted.toSeq == Seq("m1", "m2"))
+      } finally q1.stop()
+      received.clear()
+      val q2 = startQuery()
+      try {
+        Thread.sleep(500)
+        val pub = new MqttClientLite("127.0.0.1", broker.port, "pub2")
+        pub.publish("s/a", "m3"); pub.close()
+        await(q2, 1)
+        assert(received.toArray(Array.empty[String]).toSeq == Seq("m3"),
+          s"expected only the new message, got $received")
+      } finally q2.stop()
+    } finally broker.stop()
+  }
+
   test("K7 mqtt publish sink delivers stream output to the broker") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
