@@ -118,3 +118,65 @@ class SocketWriterSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 }
+
+/** PPJoin losslessness on a Zipf-shaped corpus (the data shape the
+  * prefix-filter plan exists for): the filtered join must equal an
+  * independent brute-force all-pairs Jaccard computed driver-side.
+  */
+class ZipfJaccardSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("similarityJoinExact equals brute force on a Zipf vocabulary") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 500).map(i => s"w$i")
+    // Zipf-ish sampling: rank r with prob ~ 1/r
+    val cum = vocab.indices.map(i => 1.0 / (i + 1)).scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def word(): String = {
+      val x = rnd.nextDouble() * total
+      vocab(cum.indexWhere(_ >= x))
+    }
+    val base = (0 until 120).map { i =>
+      (i.toLong, (0 until (10 + rnd.nextInt(20))).map(_ => word()).mkString(" "))
+    }
+    // add near-duplicates: copies with one word changed
+    val dups = (0 until 30).map { i =>
+      val (srcId, text) = base(rnd.nextInt(base.size))
+      val toks = text.split(" ")
+      toks(rnd.nextInt(toks.length)) = word()
+      (1000L + i, toks.mkString(" "))
+    }
+    val docs = (base ++ dups).map { case (id, t) => (id, "b", t) }
+      .toDF("doc_id", "lang", "text")
+
+    def bigrams(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < 2) Set.empty
+      else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val all = (base ++ dups).map { case (id, t) => (id, bigrams(t)) }
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      i <- all.indices; j <- (i + 1) until all.size
+      (ia, ga) = all(i); (ib, gb) = all(j)
+      inter = ga.intersect(gb).size
+      jac = inter.toDouble / (ga.size + gb.size - inter)
+      if jac >= 0.5
+    } yield {
+      val (a, b) = if (ia < ib) (ia, ib) else (ib, ia)
+      (a, b, r6(jac))
+    }).toSet
+
+    val got = graft.operators.TextOps
+      .similarityJoinExact(docs, "doc_id", "lang", "text", 2, 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jac")))
+      .toSet
+    assert(expected.nonEmpty, "fixture produced no near-dup pairs — weaken mutation")
+    assert(got == expected,
+      s"missing=${expected -- got}, extra=${got -- expected}")
+  }
+}
