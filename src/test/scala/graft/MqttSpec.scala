@@ -85,6 +85,32 @@ class MqttSpec extends AnyFunSuite {
     assert(!topicMatches("a/#/b", "x"))
   }
 
+  test("codec round-trip: encode/decode publish over a socket pair for random payloads") {
+    import MqttCodec._
+    val rnd = new scala.util.Random(7)
+    val server = new java.net.ServerSocket(0)
+    val client = new java.net.Socket("127.0.0.1", server.getLocalPort)
+    val peer = server.accept()
+    val out = new java.io.DataOutputStream(client.getOutputStream)
+    val in = new java.io.DataInputStream(peer.getInputStream)
+    try {
+      (1 to 50).foreach { i =>
+        val topic = s"t/${rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString}"
+        // payloads incl. multi-byte UTF-8 and sizes crossing the 127/16383
+        // remaining-length varint boundaries
+        val payload = (rnd.alphanumeric.take(rnd.nextInt(300)).mkString
+          + "°μ" * rnd.nextInt(50)) * (1 + rnd.nextInt(60))
+        writePacket(out, PUBLISH, 0,
+          publishBody(topic, payload.getBytes("UTF-8")))
+        val p = readPacket(in)
+        assert(p.ptype == PUBLISH)
+        val (t, pl) = decodePublish(p.body)
+        assert(t == topic, s"iter $i topic")
+        assert(new String(pl, "UTF-8") == payload, s"iter $i payload len ${payload.length}")
+      }
+    } finally { client.close(); peer.close(); server.close() }
+  }
+
   test("S5 mqtt source streams broker publishes as (line, topic) rows") {
     val broker = new MiniMqttBroker
     try {
