@@ -297,6 +297,57 @@ object StateQueries {
           col("n"))
     },
 
+    // §2.11 time-series similarity search (streaming-sensor analytics, cf.
+    // EDBT'19 distributed TS similarity): per-key sliding windows of 8
+    // points, z-normalized, ranked by Euclidean distance to a broadcast
+    // query pattern (a unit ramp). One window-function pass per key plus
+    // a global top-k (TakeOrdered) — no all-pairs work; the pattern side
+    // is a constant, so at 100 TB the scan dominates and parallelizes
+    // perfectly. Distances rounded to 4dp BEFORE ranking (tie safety).
+    Q("ts_motif",
+      """WITH w AS (
+        |  SELECT user_id, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS n
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, win FROM w WHERE n = 8),
+        |z AS (SELECT user_id, event_id, win, list_sum(win)/8 AS mu FROM f),
+        |z2 AS (SELECT user_id, event_id, win, mu,
+        |    sqrt(list_sum([(x - mu)*(x - mu) for x in win])/8) AS sd FROM z),
+        |d AS (SELECT user_id, event_id,
+        |    round(sqrt(list_sum([((win[i+1] - mu)/sd - (CAST(i AS DOUBLE) - 3.5)/sqrt(6.0))
+        |                         * ((win[i+1] - mu)/sd - (CAST(i AS DOUBLE) - 3.5)/sqrt(6.0))
+        |                         for i in range(0, 8)])), 4) AS dist
+        |  FROM z2 WHERE sd > 0)
+        |SELECT user_id, event_id, dist FROM d
+        |ORDER BY dist, user_id, event_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-7, 0)
+      val qPattern = (i: org.apache.spark.sql.Column) =>
+        (i.cast("double") - 3.5) / sqrt(lit(6.0))
+      Tables.load(s, dir, "events")
+        .withColumn("win", collect_list("value").over(w))
+        .withColumn("n", count("value").over(w))
+        .filter(col("n") === 8)
+        .withColumn("mu",
+          aggregate(col("win"), lit(0.0), (a, x) => a + x) / 8)
+        .withColumn("sd", sqrt(
+          aggregate(transform(col("win"), x => (x - col("mu")) * (x - col("mu"))),
+            lit(0.0), (a, x) => a + x) / 8))
+        .filter(col("sd") > 0)
+        .withColumn("dist", round(sqrt(
+          aggregate(
+            transform(col("win"), (x, i) =>
+              ((x - col("mu")) / col("sd") - qPattern(i))
+                * ((x - col("mu")) / col("sd") - qPattern(i))),
+            lit(0.0), (a, x) => a + x)), 4))
+        .orderBy(col("dist"), col("user_id"), col("event_id"))
+        .limit(10)
+        .select("user_id", "event_id", "dist")
+    },
+
     // §2.11 range join: same-user event pairs within a 5-minute forward
     // window. Spark side bins both sides to gap-sized buckets (equi-join
     // on (user, bucket) — no per-key cross product); the DuckDB oracle is
