@@ -217,6 +217,37 @@ object Relational {
           expr("ps[1]").as("p95"))
     },
 
+    // Salted join on the oracle board: hot-key mitigation must be
+    // lossless — the salted plan's aggregated result equals the plain
+    // join the oracle runs (only the shuffle distribution differs).
+    Q("j_salted",
+      """SELECT n_name, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+        .withColumnRenamed("c_nationkey", "nk")
+      val nat = Tables.load(s, dir, "nation")
+        .withColumnRenamed("n_nationkey", "nk")
+        .select("nk", "n_name")
+      graft.operators.Skew.saltedJoin(cust, nat, "nk", saltFactor = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 4))).cast("double").as("bal_sum"))
+    },
+
+    // Equi-width histogram (data profiling): fixed [0, 120000) domain in
+    // 20 buckets — integer bucket arithmetic is identical across engines,
+    // and the shuffle carries only per-partition bucket counts.
+    Q("q_histogram",
+      """SELECT CAST(floor(l_extendedprice / 6000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 6000.0).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // Relational PIVOT (wide conditional aggregation with a declared
     // column set — Spark .pivot() vs DuckDB native PIVOT; declaring the
     // values keeps the plan a single two-phase agg, no distinct-scan).
