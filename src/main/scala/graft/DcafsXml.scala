@@ -202,6 +202,38 @@ object DcafsXml {
     }
   }
 
+  /** A whole parsed settings document: the declared ingest plane plus the
+    * transform paths.
+    */
+  final case class Settings(streams: Seq[StreamSpec], paths: Seq[PathSpec])
+
+  /** Parse a full dcafs `settings.xml` document (`<das>` root, or any
+    * root): `<streams>` -> [[StreamSpec]]s (ForwardPool/StreamManager
+    * read the same blocks), `<paths><path>` children and bare `<path>`
+    * elements -> [[PathSpec]]s. A reference deployment's config drives
+    * the Spark engine with no rewriting.
+    */
+  def parseSettings(xml: String): Settings = {
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new InputSource(new StringReader(xml)))
+    val root = doc.getDocumentElement
+    def elementToString(el: Element): String = {
+      val tf = javax.xml.transform.TransformerFactory.newInstance().newTransformer()
+      tf.setOutputProperty(javax.xml.transform.OutputKeys.OMIT_XML_DECLARATION, "yes")
+      val out = new java.io.StringWriter()
+      tf.transform(new javax.xml.transform.dom.DOMSource(el),
+        new javax.xml.transform.stream.StreamResult(out))
+      out.toString
+    }
+    val streams = children(root).filter(_.getTagName == "streams")
+      .flatMap(s => parseStreams(elementToString(s)))
+    val paths =
+      children(root).filter(_.getTagName == "path") ++
+        children(root).filter(_.getTagName == "paths").flatMap(children(_))
+          .filter(_.getTagName == "path")
+    Settings(streams, paths.map(p => parsePath(elementToString(p))))
+  }
+
   /** dcafs period literal ("5s", "3m20s", "1h", "-1") to millis
     * (TimeTools.parsePeriodStringToSeconds semantics, subset).
     */

@@ -54,12 +54,33 @@ private[sources] class LineBufferWal(checkpointLocation: String) {
   val maxPlannedOffset: Long =
     (committedOffset +: segments().map(_._2)).max
 
+  // payloads may contain newlines (MQTT): escape them so one WAL row
+  // stays one physical line
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\n", "\\n").replace("\r", "\\r")
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case other => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Persist a planned batch slice [start, end) before execution. */
   def persistBatch(start: Long, end: Long, rows: Array[(String, Long)]): Unit = {
     if (end <= start) return
     val f = dir.resolve(s"$start-$end.wal")
     if (!Files.exists(f)) {
-      val body = rows.map { case (line, ts) => s"$ts\t$line" }.mkString("\n")
+      val body = rows.map { case (line, ts) => s"$ts\t${esc(line)}" }.mkString("\n")
       val tmp = dir.resolve(s".$start-$end.tmp")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -85,7 +106,7 @@ private[sources] class LineBufferWal(checkpointLocation: String) {
         val to = (math.min(e, end) - s).toInt
         lines.slice(from, to).foreach { l =>
           val tab = l.indexOf('\t')
-          out += ((l.substring(tab + 1), l.substring(0, tab).toLong))
+          out += ((unesc(l.substring(tab + 1)), l.substring(0, tab).toLong))
         }
         cursor = math.min(e, end)
       }

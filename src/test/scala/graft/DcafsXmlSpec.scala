@@ -127,6 +127,23 @@ class DcafsXmlSpec extends AnyFunSuite {
     }
   }
 
+  test("parseSettings reads a whole das document: streams + paths") {
+    val s = DcafsXml.parseSettings(
+      """<das>
+        |  <settings><mode>normal</mode></settings>
+        |  <streams>
+        |    <stream id="ctd" type="tcp"><address>10.0.0.5:4001</address></stream>
+        |  </streams>
+        |  <paths>
+        |    <path id="p1" delimiter=","><filter type="start">$</filter></path>
+        |    <path id="p2" delimiter=";"><editor type="trim"/></path>
+        |  </paths>
+        |</das>""".stripMargin)
+    assert(s.streams.map(_.id) == Seq("ctd"))
+    assert(s.paths.map(_.id) == Seq("p1", "p2"))
+    assert(s.paths.head.delimiter == ",")
+  }
+
   test("period literals parse like the reference TimeTools") {
     assert(DcafsXml.parsePeriodMillis("5s") == 5000L)
     assert(DcafsXml.parsePeriodMillis("3m20s") == 200000L)
