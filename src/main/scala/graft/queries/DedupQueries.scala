@@ -87,6 +87,75 @@ object DedupQueries {
       TextOps.connectedComponents(pairs)
     },
 
+    // Dedup keep-policy: clusters -> one keeper per cluster by an explicit
+    // policy (longest doc wins, doc_id breaks ties) — the decision table a
+    // dedup pipeline actually emits. Builds on the same LSH+CC pipeline;
+    // the policy rank is a per-cluster window, shuffle on the cluster id.
+    Q("dd_keep_policy",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
+        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
+        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
+        |  FROM mh GROUP BY doc_id, k // 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (SELECT node AS node, node AS r FROM nodes
+        |          UNION
+        |          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |cl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        |ranked AS (SELECT cl.node, cl.cluster, d.n_chars,
+        |    row_number() OVER (PARTITION BY cl.cluster
+        |                       ORDER BY d.n_chars DESC, cl.node) AS rn
+        |  FROM cl JOIN documents d ON cl.node = d.doc_id)
+        |SELECT node, cluster, (rn = 1) AS keep FROM ranked""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = TextOps.lshCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, k = 8, bands = 4)
+      val clusters = TextOps.connectedComponents(pairs)
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("node"))
+      clusters
+        .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+        .withColumn("rn", row_number().over(w))
+        .select(col("node"), col("cluster"), (col("rn") === 1).as("keep"))
+    },
+
+    // Train/test contamination check (decontamination): which training
+    // docs share any 5-gram with the held-out set, and how many distinct
+    // grams leak. The test side is tiny by construction -> broadcast; the
+    // training side is scanned once and shuffles only matching grams.
+    Q("tx_contamination",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]) AS s
+        |  FROM toks WHERE len(w) >= 5),
+        |test_g AS (SELECT DISTINCT unnest(s) AS x FROM g WHERE doc_id < 20),
+        |train_g AS (SELECT doc_id, unnest(s) AS x FROM g WHERE doc_id >= 20)
+        |SELECT t.doc_id AS train_doc, count(DISTINCT t.x) AS shared_grams
+        |FROM train_g t JOIN test_g ON t.x = test_g.x
+        |GROUP BY t.doc_id""".stripMargin) { (s, dir) =>
+      val grams = Tables.load(s, dir, "documents")
+        .withColumn("s", TextOps.shingles(TextOps.tokens(col("text")), 5))
+        .filter(size(col("s")) > 0)
+        .select(col("doc_id"), explode(col("s")).as("x"))
+      val testG = grams.filter(col("doc_id") < 20).select("x").distinct()
+      grams.filter(col("doc_id") >= 20)
+        .join(broadcast(testG), "x")
+        .groupBy(col("doc_id").as("train_doc"))
+        .agg(countDistinct("x").as("shared_grams"))
+    },
+
     // 64-bit SimHash fingerprints (native expression; oracle rebuilds the
     // bit votes from md5 nibbles).
     Q("dd_simhash",
