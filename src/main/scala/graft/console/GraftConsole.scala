@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.{PathCompiler, PathSpec}
+import graft.{DcafsXml, PathCompiler, PathSpec}
 
 /** The reference's telnet command surface (SURVEY.md §2.10, §3.2) mapped
   * onto Spark SQL: listings become queries over registered temp views,
@@ -22,13 +22,18 @@ import graft.{PathCompiler, PathSpec}
   *   pf:list              declared paths
   *   pf:add,<id>          register an (empty) path spec by id
   *   pf:test,<id>,<line>  probe one line through a declared path
+  *   settings:load,<file> load a dcafs settings.xml (streams + paths)
+  *   streams              list loaded stream declarations
   *   <anything else>      executed as Spark SQL
   */
 class GraftConsole(spark: SparkSession) {
 
   private val paths = mutable.LinkedHashMap.empty[String, PathSpec]
+  private val streamSpecs = mutable.LinkedHashMap.empty[String, DcafsXml.StreamSpec]
 
   def addPath(spec: PathSpec): Unit = paths(spec.id) = spec
+
+  def streamSpec(id: String): Option[DcafsXml.StreamSpec] = streamSpecs.get(id)
 
   def registerTable(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
@@ -72,6 +77,19 @@ class GraftConsole(spark: SparkSession) {
       import spark.implicits._
       val in = Seq(line.stripPrefix(",")).toDF("line")
       render(PathCompiler.compile(paths(id), in))
+    case c if c.startsWith("settings:load,") =>
+      val file = c.stripPrefix("settings:load,").trim
+      val xml = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(file)), java.nio.charset.StandardCharsets.UTF_8)
+      val s = DcafsXml.parseSettings(xml)
+      s.paths.foreach(addPath)
+      s.streams.foreach(sp => streamSpecs(sp.id) = sp)
+      s"loaded ${s.streams.size} streams, ${s.paths.size} paths"
+    case "streams" =>
+      if (streamSpecs.isEmpty) "no stream declarations loaded"
+      else streamSpecs.values
+        .map(s => s"${s.id}\t${s.kind}\t${s.host}:${s.port}\tlabel=${s.label}")
+        .mkString("\n")
     case sql => render(spark.sql(sql))
   }
 

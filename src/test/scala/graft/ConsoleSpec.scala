@@ -46,4 +46,23 @@ class ConsoleSpec extends AnyFunSuite {
       assert(c.execute("st").contains("rtvals"))
     } finally q.stop()
   }
+
+  test("settings:load wires a whole dcafs config into the console") {
+    val c = new graft.console.GraftConsole(spark)
+    val f = java.nio.file.Files.createTempFile("graft-settings", ".xml")
+    java.nio.file.Files.write(f,
+      """<das>
+        |  <streams>
+        |    <stream id="ctd" type="tcp"><address>10.0.0.5:4001</address>
+        |      <label>generic:ctd</label></stream>
+        |  </streams>
+        |  <paths>
+        |    <path id="clean" delimiter=","><filter type="start">$</filter></path>
+        |  </paths>
+        |</das>""".stripMargin.getBytes)
+    assert(c.execute(s"settings:load,$f") == "loaded 1 streams, 1 paths")
+    assert(c.execute("streams").contains("ctd\ttcp\t10.0.0.5:4001"))
+    assert(c.execute("pf:list").contains("clean"))
+    assert(c.streamSpec("ctd").exists(_.label == "generic:ctd"))
+  }
 }
