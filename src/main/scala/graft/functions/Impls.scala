@@ -202,6 +202,32 @@ object Impls {
     Array(math.toDegrees(lat), math.toDegrees(lon) + (zone * 6 - 183))
   }
 
+  /** Distinct word n-grams joined by " ", first-occurrence order —
+    * semantics identical to
+    * array_distinct(transform(sequence(1, len-n+1), i ->
+    * concat_ws(' ', slice(toks, i, n)))); empty array below n tokens.
+    */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** CRC16/MODBUS over raw bytes [0, len): same polynomial as
     * [[crc16Modbus]] (0xA001 reflected), for binary RTU frames.
     */

@@ -24,13 +24,14 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
-  /** Distinct word n-shingles; empty array when fewer than n tokens. */
+  /** Distinct word n-shingles; empty array when fewer than n tokens.
+    * Native expression (graft `Shingles`): the transform/slice/concat_ws
+    * lambda rendering runs interpreted (array HOFs are CodegenFallback)
+    * and dominated shingle-heavy pipelines — the JVM loop stays inside
+    * whole-stage codegen. Same output, first-occurrence order.
+    */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.GraftFunctions.shingles(toks, lit(n))
 
   /** k-element MinHash signature: per seed, the lexicographic min of
     * md5(seed || ":" || shingle). String-min keeps the oracle dialect

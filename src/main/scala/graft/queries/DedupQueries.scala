@@ -145,10 +145,13 @@ object DedupQueries {
         |SELECT t.doc_id AS train_doc, count(DISTINCT t.x) AS shared_grams
         |FROM train_g t JOIN test_g ON t.x = test_g.x
         |GROUP BY t.doc_id""".stripMargin) { (s, dir) =>
+      // cache: the interpreted shingling lambda feeds both join sides
+      // (the self-join recomputation trap — see ENGINEERING_NOTES)
       val grams = Tables.load(s, dir, "documents")
         .withColumn("s", TextOps.shingles(TextOps.tokens(col("text")), 5))
         .filter(size(col("s")) > 0)
         .select(col("doc_id"), explode(col("s")).as("x"))
+        .cache()
       val testG = grams.filter(col("doc_id") < 20).select("x").distinct()
       grams.filter(col("doc_id") >= 20)
         .join(broadcast(testG), "x")

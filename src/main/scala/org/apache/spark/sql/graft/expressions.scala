@@ -167,3 +167,23 @@ case class ModbusDecode(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.Impls.modbusDecode($c)")
   override protected def withNewChildInternal(c: Expression): ModbusDecode = copy(c)
 }
+
+/** shingles(tokens, n): distinct word n-grams joined by single spaces, in
+  * first-occurrence order — the native twin of the transform/slice/
+  * concat_ws lambda rendering (array HOFs are CodegenFallback and
+  * dominate shingle-heavy dedup pipelines; this stays in generated code).
+  * Returns an empty array when fewer than n tokens.
+  */
+case class Shingles(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "shingles"
+  override protected def nullSafeEval(toks: Any, n: Any): Any =
+    Impls.shingles(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.Impls.shingles($t, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Shingles =
+    copy(l, r)
+}
