@@ -30,6 +30,7 @@ object GraftFunctions {
   def rolling_hash(s: Column): Column = c(RollingHash(e(s)))
   def modbus_decode(frame: Column): Column = c(ModbusDecode(e(frame)))
   def shingles(toks: Column, n: Column): Column = c(Shingles(e(toks), e(n)))
+  def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
 
   /** Bind a shared-dialect formula fragment (Formulas.*Sql over placeholder
     * names) to concrete Columns: parse once, substitute attributes.
@@ -97,6 +98,7 @@ object GraftFunctions {
     one("rolling_hash", a => RollingHash(a.head))
     one("modbus_decode", a => ModbusDecode(a.head))
     one("shingles", a => Shingles(a(0), a(1)))
+    one("vec_dot", a => VecDot(a(0), a(1)))
     def macroFn(name: String, arity: Int, render: Seq[String] => String): Unit = {
       val names = (0 until arity).map(i => s"__arg$i")
       one(name, args => {

@@ -228,6 +228,17 @@ object Impls {
     new GenericArrayData(out)
   }
 
+  /** Dot product over double arrays, ascending index order (same
+    * accumulation as aggregate(zip_with(a, b, *), 0.0, +)).
+    */
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
   /** CRC16/MODBUS over raw bytes [0, len): same polynomial as
     * [[crc16Modbus]] (0xA001 reflected), for binary RTU frames.
     */

@@ -350,11 +350,13 @@ object VectorOps {
       .toDF("vec_a", "vec_b", "cos")
   }
 
-  /** Dot product in double precision (sequential, deterministic order). */
+  /** Dot product in double precision (sequential, deterministic order).
+    * Native expression — float inputs widen to double exactly, so the
+    * result is bit-identical to the aggregate(zip_with) rendering while
+    * staying inside whole-stage codegen.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.vec_dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

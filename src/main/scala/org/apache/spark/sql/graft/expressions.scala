@@ -187,3 +187,21 @@ case class Shingles(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Shingles =
     copy(l, r)
 }
+
+/** vec_dot(a, b): double-precision dot product in ascending index order —
+  * identical accumulation to the aggregate(zip_with(..)) lambda rendering
+  * (array HOFs are CodegenFallback; this stays in generated code).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Impls.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Impls.vecDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(l, r)
+}
