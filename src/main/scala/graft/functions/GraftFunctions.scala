@@ -31,6 +31,7 @@ object GraftFunctions {
   def modbus_decode(frame: Column): Column = c(ModbusDecode(e(frame)))
   def shingles(toks: Column, n: Column): Column = c(Shingles(e(toks), e(n)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+  def znorm_dist(win: Column, pattern: Column): Column = c(ZNormDist(e(win), e(pattern)))
 
   /** Bind a shared-dialect formula fragment (Formulas.*Sql over placeholder
     * names) to concrete Columns: parse once, substitute attributes.
@@ -99,6 +100,7 @@ object GraftFunctions {
     one("modbus_decode", a => ModbusDecode(a.head))
     one("shingles", a => Shingles(a(0), a(1)))
     one("vec_dot", a => VecDot(a(0), a(1)))
+    one("znorm_dist", a => ZNormDist(a(0), a(1)))
     def macroFn(name: String, arity: Int, render: Seq[String] => String): Unit = {
       val names = (0 until arity).map(i => s"__arg$i")
       one(name, args => {

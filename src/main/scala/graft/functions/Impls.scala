@@ -239,6 +239,38 @@ object Impls {
     s
   }
 
+  /** z-normalized Euclidean distance to a pattern; NaN when the window
+    * std (population) is zero. Sums run in ascending index order — the
+    * same accumulation as the lambda rendering
+    * sqrt(aggregate(transform(win, (x,i) -> sq((x-mu)/sd - q_i)), 0, +)).
+    */
+  def znormDist(win: ArrayData, pattern: ArrayData): Double = {
+    val n = win.numElements()
+    if (n == 0) return Double.NaN
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += win.getDouble(i); i += 1 }
+    val mu = s / n
+    var v = 0.0
+    i = 0
+    while (i < n) {
+      val d = win.getDouble(i) - mu
+      v += d * d
+      i += 1
+    }
+    val sd = math.sqrt(v / n)
+    if (sd == 0.0) return Double.NaN
+    val m = math.min(n, pattern.numElements())
+    var acc = 0.0
+    i = 0
+    while (i < m) {
+      val d = (win.getDouble(i) - mu) / sd - pattern.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
   /** CRC16/MODBUS over raw bytes [0, len): same polynomial as
     * [[crc16Modbus]] (0xA001 reflected), for binary RTU frames.
     */

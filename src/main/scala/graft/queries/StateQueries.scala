@@ -325,24 +325,19 @@ object StateQueries {
         |ORDER BY dist, user_id, event_id LIMIT 10""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-7, 0)
-      val qPattern = (i: org.apache.spark.sql.Column) =>
-        (i.cast("double") - 3.5) / sqrt(lit(6.0))
+      // ramp pattern (i - 3.5)/sqrt(6): same IEEE doubles the oracle's
+      // (CAST(i AS DOUBLE) - 3.5)/sqrt(6.0) produces
+      val ramp = (0 until 8).map(i => (i - 3.5) / math.sqrt(6.0))
       Tables.load(s, dir, "events")
         .withColumn("win", collect_list("value").over(w))
         .withColumn("n", count("value").over(w))
         .filter(col("n") === 8)
-        .withColumn("mu",
-          aggregate(col("win"), lit(0.0), (a, x) => a + x) / 8)
-        .withColumn("sd", sqrt(
-          aggregate(transform(col("win"), x => (x - col("mu")) * (x - col("mu"))),
-            lit(0.0), (a, x) => a + x) / 8))
-        .filter(col("sd") > 0)
-        .withColumn("dist", round(sqrt(
-          aggregate(
-            transform(col("win"), (x, i) =>
-              ((x - col("mu")) / col("sd") - qPattern(i))
-                * ((x - col("mu")) / col("sd") - qPattern(i))),
-            lit(0.0), (a, x) => a + x)), 4))
+        // native znorm_dist: NaN marks sd=0 windows (the oracle's
+        // sd > 0 filter); accumulation order matches the lambda form
+        .withColumn("dist", round(
+          graft.functions.GraftFunctions.znorm_dist(
+            col("win"), array(ramp.map(lit): _*)), 4))
+        .filter(!isnan(col("dist")))
         .orderBy(col("dist"), col("user_id"), col("event_id"))
         .limit(10)
         .select("user_id", "event_id", "dist")

@@ -205,3 +205,25 @@ case class VecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(l, r)
 }
+
+/** znorm_dist(win, pattern): Euclidean distance between the z-normalized
+  * window (population std) and a query pattern, NaN when the window is
+  * constant (std = 0). Accumulation order matches the aggregate/transform
+  * lambda rendering exactly (ascending index, mean then variance then
+  * distance), so results are bit-identical — but the JVM loop stays in
+  * whole-stage codegen instead of three CodegenFallback lambda trees per
+  * window.
+  */
+case class ZNormDist(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "znorm_dist"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Impls.znormDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Impls.znormDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZNormDist =
+    copy(l, r)
+}
