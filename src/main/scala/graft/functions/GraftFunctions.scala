@@ -32,6 +32,7 @@ object GraftFunctions {
   def shingles(toks: Column, n: Column): Column = c(Shingles(e(toks), e(n)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def znorm_dist(win: Column, pattern: Column): Column = c(ZNormDist(e(win), e(pattern)))
+  def tokens_ws(text: Column): Column = c(TokensWs(e(text)))
 
   /** Bind a shared-dialect formula fragment (Formulas.*Sql over placeholder
     * names) to concrete Columns: parse once, substitute attributes.
@@ -101,6 +102,7 @@ object GraftFunctions {
     one("shingles", a => Shingles(a(0), a(1)))
     one("vec_dot", a => VecDot(a(0), a(1)))
     one("znorm_dist", a => ZNormDist(a(0), a(1)))
+    one("tokens_ws", a => TokensWs(a.head))
     def macroFn(name: String, arity: Int, render: Seq[String] => String): Unit = {
       val names = (0 until arity).map(i => s"__arg$i")
       one(name, args => {

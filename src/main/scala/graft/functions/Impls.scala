@@ -202,6 +202,27 @@ object Impls {
     Array(math.toDegrees(lat), math.toDegrees(lon) + (zone * 6 - 183))
   }
 
+  /** Whitespace-split tokens, empties dropped — byte-level split on 0x20
+    * (exact: a space byte never occurs inside a UTF-8 multibyte
+    * sequence). Matches filter(split(text, " "), t -> t <> "").
+    */
+  def tokensWs(s: UTF8String): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val bytes = s.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        if (i > start)
+          out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct word n-grams joined by " ", first-occurrence order —
     * semantics identical to
     * array_distinct(transform(sequence(1, len-n+1), i ->

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens, empties dropped. */
+  /** Whitespace tokens, empties dropped (native expression — the filter
+    * HOF rendering is CodegenFallback and evicts its projection from
+    * whole-stage codegen).
+    */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    graft.functions.GraftFunctions.tokens_ws(text)
 
   /** Distinct word n-shingles; empty array when fewer than n tokens.
     * Native expression (graft `Shingles`): the transform/slice/concat_ws

@@ -227,3 +227,21 @@ case class ZNormDist(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ZNormDist =
     copy(l, r)
 }
+
+/** tokens_ws(text): whitespace tokens with empties dropped — the native
+  * twin of filter(split(text, ' '), t -> t <> ''). The filter HOF is
+  * CodegenFallback and evicts every projection that uses it from
+  * whole-stage codegen; this byte-level split stays inlined (0x20 never
+  * occurs inside a UTF-8 multibyte sequence, so byte splitting is exact).
+  */
+case class TokensWs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "tokens_ws"
+  override protected def nullSafeEval(v: Any): Any =
+    Impls.tokensWs(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impls.tokensWs($c)")
+  override protected def withNewChildInternal(c: Expression): TokensWs = copy(c)
+}

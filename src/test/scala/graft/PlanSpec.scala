@@ -61,6 +61,25 @@ class PlanSpec extends AnyFunSuite {
       df.queryExecution.executedPlan)
     assert(codegen.contains("graft.functions.Impls.crc16Modbus"),
       s"crc16 not inlined into generated code:\n${codegen.take(2000)}")
+    // the perf-critical natives that replaced interpreted array lambdas
+    // must also inline: shingles (dedup pipelines), vec_dot (ANN),
+    // znorm_dist (motif search) — checked on shuffle-free projections so
+    // AQE can't hide the codegen subtree
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    import graft.operators.TextOps
+    def inlined(df: org.apache.spark.sql.DataFrame, sym: String): Unit = {
+      val cg = org.apache.spark.sql.execution.debug.codegenString(
+        df.queryExecution.executedPlan)
+      assert(cg.contains(s"graft.functions.Impls.$sym"), s"$sym not inlined")
+    }
+    val docs = Tables.load(spark, sf, "documents")
+    inlined(docs.select(TextOps.shingles(TextOps.tokens(col("text")), 5)), "shingles")
+    val emb = Tables.load(spark, sf, "embeddings")
+    inlined(emb.select(GraftFunctions.vec_dot(col("embedding"), col("embedding"))),
+      "vecDot")
+    inlined(emb.select(GraftFunctions.znorm_dist(
+      col("embedding"), col("embedding"))), "znormDist")
   }
 
   test("dedup LSH join shuffles on the band hash, not a cross join") {
