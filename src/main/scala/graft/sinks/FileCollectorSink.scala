@@ -160,9 +160,10 @@ object RolloverCompat {
       zip: Boolean = false): Seq[Path] = {
     val root = Paths.get(partitionedDir)
     if (!Files.exists(root)) return Seq.empty
-    val rollDirs = Files.list(root).iterator()
+    val rollStream = Files.list(root)
+    val rollDirs = rollStream.iterator()
     val out = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (rollDirs.hasNext) {
+    try while (rollDirs.hasNext) {
       val d = rollDirs.next()
       val name = d.getFileName.toString
       if (Files.isDirectory(d) && name.startsWith("roll=")) {
@@ -173,13 +174,14 @@ object RolloverCompat {
           else if (filePattern.contains("."))
             root.resolve(filePattern.replaceFirst("\\.", form + "."))
           else root.resolve(filePattern + form)
-        val parts = Files.list(d).iterator()
+        val partStream = Files.list(d)
+        val parts = partStream.iterator()
         val sorted = scala.collection.mutable.ArrayBuffer.empty[Path]
-        while (parts.hasNext) {
+        try while (parts.hasNext) {
           val p = parts.next()
           if (!p.getFileName.toString.startsWith(".") &&
               !p.getFileName.toString.startsWith("_")) sorted += p
-        }
+        } finally partStream.close()
         val body = sorted.sortBy(_.getFileName.toString)
           .map(p => new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
           .mkString
@@ -197,7 +199,7 @@ object RolloverCompat {
           zipPath
         } else dest)
       }
-    }
+    } finally rollStream.close()
     out.toSeq
   }
 }

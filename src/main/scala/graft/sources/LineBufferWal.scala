@@ -37,8 +37,9 @@ private[sources] class LineBufferWal(checkpointLocation: String) {
       new String(Files.readAllBytes(committedFile), StandardCharsets.UTF_8).trim.toLong
     else 0L
 
-  private def segments(): Seq[(Long, Long, Path)] =
-    Files.list(dir).iterator().asScala
+  private def segments(): Seq[(Long, Long, Path)] = {
+    val stream = Files.list(dir) // close it: this runs once per micro-batch
+    try stream.iterator().asScala
       .flatMap { p =>
         p.getFileName.toString match {
           case s if s.endsWith(".wal") =>
@@ -47,6 +48,8 @@ private[sources] class LineBufferWal(checkpointLocation: String) {
           case _ => None
         }
       }.toSeq.sortBy(_._1)
+    finally stream.close()
+  }
 
   /** Highest offset any previous run planned (>= committedOffset). New
     * arrivals must be numbered after this.

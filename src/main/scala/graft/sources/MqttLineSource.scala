@@ -70,8 +70,6 @@ private class MqttLineTable(host: String, port: Int, topic: String,
 private class MqttLineMicroBatchStream(host: String, port: Int, topic: String,
     clientId: String, checkpointLocation: String) extends MicroBatchStream {
 
-  // WAL rows are "topic\tpayload" (topics cannot contain tabs; payloads
-  // are split on the FIRST tab only)
   private val wal = new LineBufferWal(checkpointLocation)
   private val buffer = ListBuffer.empty[(String, Long)]
   private var baseOffset = wal.maxPlannedOffset
@@ -86,7 +84,7 @@ private class MqttLineMicroBatchStream(host: String, port: Int, topic: String,
           client.subscribe(topic)
           client.readLoop { (t, payload) =>
             val now = System.currentTimeMillis() * 1000L
-            buffer.synchronized { buffer += ((s"$t\t$payload", now)) }
+            buffer.synchronized { buffer += ((s"${MqttTopicCodec.enc(t)}\t$payload", now)) }
           } // returns when the socket drops
         } catch {
           case _: java.io.IOException => // broker down: retry
@@ -126,10 +124,10 @@ private class MqttLineMicroBatchStream(host: String, port: Int, topic: String,
         override def next(): Boolean = { i += 1; i < p.rows.length }
         override def get(): InternalRow = {
           val (enc, ts) = p.rows(i)
-          val tab = enc.indexOf('\t')
+          val tab = enc.indexOf('\t') // first raw tab = separator (topic escaped)
           InternalRow(
             UTF8String.fromString(enc.substring(tab + 1)),
-            UTF8String.fromString(enc.substring(0, tab)),
+            UTF8String.fromString(MqttTopicCodec.dec(enc.substring(0, tab))),
             UTF8String.fromString(p.origin),
             ts)
         }
@@ -149,3 +147,28 @@ private class MqttLineMicroBatchStream(host: String, port: Int, topic: String,
 
 private case class MqttLinesPartition(rows: Array[(String, Long)], origin: String)
   extends InputPartition
+
+/** Buffer/WAL rows are "topic\tpayload", split on the FIRST raw tab; tabs
+  * and backslashes in the topic (legal per the MQTT spec) are escaped so
+  * the split point is unambiguous — payloads need no escaping. Standalone
+  * object: the decode side runs inside the executor's PartitionReader.
+  */
+private object MqttTopicCodec extends Serializable {
+  def enc(t: String): String =
+    t.replace("\\", "\\\\").replace("\t", "\\t")
+  def dec(t: String): String = {
+    val sb = new StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      val ch = t.charAt(i)
+      if (ch == '\\' && i + 1 < t.length) {
+        t.charAt(i + 1) match {
+          case 't' => sb.append('\t'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case _ => sb.append(ch); i += 1
+        }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+}
