@@ -366,11 +366,16 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Deterministic pseudo-random hyperplane component for plane p, dim j:
-    * md5-derived value in [-7.5, 7.5]. Reproducible anywhere.
+    * md5-derived value in [-127.5, 127.5]. Reproducible anywhere — this
+    * JVM version produces the exact doubles of the original column
+    * rendering conv(substring(md5('plane<p>:' || j), 1, 2), 16, 10) - 127.5.
     */
-  private def planeComponent(p: Int, j: Column): Column =
-    conv(substring(md5(concat(lit(s"plane$p:"), j.cast("string"))), 1, 2), 16, 10)
-      .cast("double") - 127.5
+  private def planeComponentJvm(p: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p:$j".getBytes("UTF-8"))
+    val hex2 = f"${d(0) & 0xff}%02x"
+    Integer.parseInt(hex2, 16).toDouble - 127.5
+  }
 
   /** IVF coarse quantization: assign every vector to its nearest centroid
     * (max cosine, centroid id as tiebreaker). Centroids are a small
@@ -490,14 +495,14 @@ object VectorOps {
   /** Random-hyperplane LSH bucket id: one sign bit per plane. Vectors in
     * the same bucket are cosine-close with high probability; ANN search
     * shuffles on the bucket id instead of cross-joining the corpus.
+    * Plane vectors are data-independent, so they are precomputed as
+    * literal arrays (up to `maxDims` components) and each projection is
+    * one codegen'd [[dot]] — no per-element md5/lambda trees.
     */
-  def buckets(vec: Column, planes: Int): Column = {
-    val dims = size(vec)
+  def buckets(vec: Column, planes: Int, maxDims: Int = 128): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), dims - 1),
-          (x, j) => x.cast("double") * planeComponent(p, j)),
-        lit(0.0), (acc, v) => acc + v)
+      val plane = array((0 until maxDims).map(j => lit(planeComponentJvm(p, j))): _*)
+      val proj = dot(vec, slice(plane, lit(1), coalesce(size(vec), lit(0))))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
