@@ -4,6 +4,20 @@ import java.util.concurrent.{Executors, ScheduledExecutorService, ScheduledFutur
 
 import scala.concurrent.{Future, Promise}
 
+/** Shared daemon scheduler for collector timeouts: collectors are created
+  * per exchange (one ConfirmCollector per send-await conversation, one
+  * BufferCollector per handover), so giving each its own executor thread
+  * would leak a thread per instance.
+  */
+object CollectorScheduler {
+  lazy val shared: ScheduledExecutorService =
+    Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-collector-scheduler")
+      t.setDaemon(true)
+      t
+    })
+}
+
 /** K10 confirm collector (reference
   * `/root/reference/src/io/collector/ConfirmCollector.java:10-60`): send a
   * command to a device and await a specific reply, retrying up to
@@ -22,7 +36,7 @@ class ConfirmCollector(
     send: String => Unit,
     maxAttempts: Int = 5,
     timeoutSeconds: Int = 3,
-    scheduler: ScheduledExecutorService = Executors.newSingleThreadScheduledExecutor()) {
+    scheduler: ScheduledExecutorService = CollectorScheduler.shared) {
 
   private case class Confirm(msg: String, reply: String, done: Promise[Boolean],
       var attempts: Int = 0)
@@ -90,7 +104,7 @@ class BufferCollector(
     bufferSize: Int = -1,
     timeoutMillis: Long = -1L,
     onFinished: (Seq[String], Boolean) => Unit,
-    scheduler: ScheduledExecutorService = Executors.newSingleThreadScheduledExecutor()) {
+    scheduler: ScheduledExecutorService = CollectorScheduler.shared) {
 
   private val buffer = scala.collection.mutable.ArrayBuffer.empty[String]
   @volatile private var finished = false
