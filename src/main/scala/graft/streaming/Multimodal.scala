@@ -27,6 +27,23 @@ object Multimodal {
   implicit private val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
   implicit private val frameEnc: Encoder[FrameSample] = Encoders.product[FrameSample]
 
+  /** Real header decode for uncompressed formats — pure JVM, no codec
+    * libs needed: PPM P6 (comment-free headers) and BMP. Returns
+    * (width, height) when the payload is recognized; compressed formats
+    * (JPEG/PNG/video) still take the stub below until codec libs exist.
+    */
+  private[streaming] def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes.length >= 10 && bytes(0) == 'P' && bytes(1) == '6') {
+      val header = new String(bytes, 0, math.min(bytes.length, 64), "US-ASCII")
+      val nums = "\\d+".r.findAllIn(header.drop(2)).take(2).toSeq
+      if (nums.size == 2) Some((nums(0).toInt, nums(1).toInt)) else None
+    } else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+      def le32(o: Int): Int =
+        (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      Some((le32(18), math.abs(le32(22)))) // height may be negative (top-down)
+    } else None
+
   /** STUB decoder: a real build replaces this with the native decode; the
     * fake derives deterministic "dimensions" from the payload and computes
     * a real 4-bin byte histogram (honest binary-column compute).
@@ -48,8 +65,13 @@ object Multimodal {
       it.map { r =>
         digest.reset()
         val hash = digest.digest(r.bytes).map(b => f"$b%02x").mkString
-        val (w, h, frames, hist) = decodeStub(r.bytes)
-        MediaFeatures(r.id, r.kind, r.bytes.length, hash, w, h, frames, hist)
+        val (sw, sh, frames, hist) = decodeStub(r.bytes)
+        // real dimensions for recognized uncompressed formats; stub
+        // dimensions otherwise (single frame for recognized stills)
+        val (w, h, nf) = decodeDims(r.bytes)
+          .map { case (rw, rh) => (rw, rh, 1) }
+          .getOrElse((sw, sh, frames))
+        MediaFeatures(r.id, r.kind, r.bytes.length, hash, w, h, nf, hist)
       }
     }
 

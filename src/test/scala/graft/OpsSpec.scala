@@ -48,6 +48,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(1L).length == 6)
     assert(byId(1L).forall(_.frameBytes.nonEmpty))
   }
+
+  test("uncompressed formats decode REAL dimensions (PPM P6, BMP)") {
+    // P6 PPM: 3x2 image, raw RGB payload
+    val ppm = ("P6\n3 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](3 * 2 * 3)(7))
+    // minimal BMP header: 'BM', width=640 at offset 18 LE, height=-480
+    // (top-down) at offset 22
+    val bmp = new Array[Byte](64)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x80.toByte; bmp(19) = 0x02 // 640
+    val hBytes = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-480).array()
+    System.arraycopy(hBytes, 0, bmp, 22, 4)
+    val ds = Seq(
+      MediaRecord(10L, "image", ppm, Map.empty),
+      MediaRecord(11L, "image", bmp, Map.empty)).toDS()
+    val feats = Multimodal.decodeFeatures(ds).collect().sortBy(_.id)
+    assert(feats(0).width == 3 && feats(0).height == 2 && feats(0).nFrames == 1)
+    assert(feats(1).width == 640 && feats(1).height == 480 && feats(1).nFrames == 1)
+  }
 }
 
 class UdpSourceSpec extends AnyFunSuite {
