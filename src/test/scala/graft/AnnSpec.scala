@@ -29,6 +29,44 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh scores equal brute-force scores; recall is nonzero and deterministic") {
+    val exact = asMap("ann_topk").map { case (q, rs) => q -> rs.toMap }
+    val lsh = asMap("ann_lsh")
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, rs) =>
+      rs.foreach { case (v, cos) =>
+        // the bucketed search re-ranks with the exact cosine — any hit
+        // shared with the exact top-10 must carry the identical score
+        exact(q).get(v).foreach(expected => assert(expected == cos, s"q=$q v=$v"))
+      }
+    }
+    val exactSets = asMap("ann_topk").map { case (q, rs) => q -> rs.map(_._1).toSet }
+    val lshSets = lsh.map { case (q, rs) => q -> rs.map(_._1).toSet }
+    val recalls = exactSets.keys.toSeq.sorted.map { q =>
+      exactSets(q).intersect(lshSets.getOrElse(q, Set.empty)).size.toDouble /
+        exactSets(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"lsh mean recall@10 = $mean")
+    assert(mean > 0.0, s"zero recall: $recalls")
+    assert(asMap("ann_lsh").map { case (q, rs) => q -> rs.map(_._1).toSet } == lshSets)
+  }
+
+  test("hll approx distinct stays within 10% of exact on the fixture") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sf, "lineitem")
+    val r = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("exact"),
+        approx_count_distinct("l_partkey").as("approx"))
+      .collect()
+    r.foreach { row =>
+      val e = row.getAs[Long]("exact").toDouble
+      val a = row.getAs[Long]("approx").toDouble
+      assert(math.abs(a - e) / e <= 0.10,
+        s"HLL estimate $a too far from exact $e for ${row.get(0)}")
+    }
+  }
+
   test("ivf recall@10 against brute force is nonzero and deterministic") {
     val exact = asMap("ann_topk").map { case (q, rs) => q -> rs.map(_._1).toSet }
     val ivf = asMap("ann_ivf").map { case (q, rs) => q -> rs.map(_._1).toSet }
