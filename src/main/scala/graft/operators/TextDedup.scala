@@ -145,9 +145,28 @@ object TextOps {
     * shuffle is on rare grams, never on the full inverted index.
     */
   def similarityJoinExact(docs: DataFrame, idCol: String, blockCol: String,
-      textCol: String, shingleSize: Int, threshold: Double): DataFrame =
+      textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
+    releasePriorCaches()
     ppjoinFrom(shingled(docs, idCol, blockCol, textCol, shingleSize),
       idCol, blockCol, threshold)
+  }
+
+  /** Cached intermediates (gram index, prefix index) of the most recent
+    * similarity join. They must outlive the call — the returned frame is
+    * lazy — so each NEW call releases the previous generation instead: a
+    * long-lived session holds at most one join's worth of cached blocks
+    * (round-2 advice: caches accumulated until memory pressure). Callers
+    * consume one similarity join before starting the next.
+    */
+  private val liveCaches = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def trackCache(df: DataFrame): DataFrame = synchronized {
+    liveCaches += df.cache()
+    df
+  }
+  private def releasePriorCaches(): Unit = synchronized {
+    liveCaches.foreach(_.unpersist(false))
+    liveCaches.clear()
+  }
 
   /** Shingled-docs index frame `(id, block, __g)`, cached: it is re-read
     * by self-joins and a verify-join, and the shingling lambdas run
@@ -157,11 +176,10 @@ object TextOps {
     */
   private def shingled(docs: DataFrame, idCol: String, blockCol: String,
       textCol: String, shingleSize: Int): DataFrame =
-    docs
+    trackCache(docs
       .withColumn("__g", shingles(tokens(col(textCol)), shingleSize))
       .filter(size(col("__g")) > 0)
-      .select(col(idCol), col(blockCol), col("__g"))
-      .cache()
+      .select(col(idCol), col(blockCol), col("__g")))
 
   private def ppjoinFrom(grams: DataFrame, idCol: String, blockCol: String,
       threshold: Double): DataFrame = {
@@ -182,7 +200,7 @@ object TextOps {
       .select(col(idCol), col(blockCol), col("n"),
         posexplode(transform(slice(col("sg"), lit(1), col("plen")),
           s => s.getField("x"))).as(Seq("pos", "x")))
-      .cache()
+    trackCache(prefix)
     // required overlap for Jaccard >= t; the tiny epsilon keeps float
     // noise in t*(na+nb)/(1+t) from ceil-ing past an exact integer bound
     // (which would prune a valid pair — must stay lossless)
@@ -206,22 +224,27 @@ object TextOps {
   }
 
   /** Inverted-index count-join: explode grams, self-join on
-    * (block, gram-hash), count shared grams per pair, Jaccard from set
-    * sizes. On a Zipf-tailed corpus the hot grams make this a skew bomb —
-    * but on a DENSE vocabulary (every gram frequent, df roughly uniform)
-    * the join load is even and it beats prefix filtering, which can't
-    * prune when no gram is rare. Lossless, same output as PPJoin.
+    * (block, gram-hash, gram), count shared grams per pair, Jaccard from
+    * set sizes. On a Zipf-tailed corpus the hot grams make this a skew
+    * bomb — but on a DENSE vocabulary (every gram frequent, df roughly
+    * uniform) the join load is even and it beats prefix filtering, which
+    * can't prune when no gram is rare. The raw gram stays in the join key
+    * (the xxhash64 is only a cheap leading comparison), so equality is
+    * strict — a 64-bit hash collision cannot inflate the shared-gram
+    * count, and the output equals PPJoin's exactly.
     */
   private def countJoinFrom(grams: DataFrame, idCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val e = grams
       .select(col(idCol), col(blockCol), size(col("__g")).as("n"),
         explode(col("__g")).as("x"))
-      .select(col(idCol), col(blockCol), col("n"), xxhash64(col("x")).as("x"))
+      .select(col(idCol), col(blockCol), col("n"), col("x"),
+        xxhash64(col("x")).as("xh"))
     // length filter (lossless): jac >= t forces t*max(na,nb) <= min(na,nb)
     val inter = e.as("a")
       .join(e.as("b").hint("shuffle_hash"),
-        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.x") === col("b.x") &&
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col("a.xh") === col("b.xh") && col("a.x") === col("b.x") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
           least(col("a.n"), col("b.n")) >=
             ceil(greatest(col("a.n"), col("b.n")) * threshold - lit(1e-9)))
@@ -247,6 +270,7 @@ object TextOps {
   def similarityJoin(docs: DataFrame, idCol: String, blockCol: String,
       textCol: String, shingleSize: Int, threshold: Double,
       denseVocabAvgDf: Double = 64.0): DataFrame = {
+    releasePriorCaches()
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
     val st = grams
       .select(explode(col("__g")).as("x"))
@@ -378,26 +402,38 @@ object VectorOps {
   }
 
   /** IVF coarse quantization: assign every vector to its nearest centroid
-    * (max cosine, centroid id as tiebreaker). Centroids are a small
-    * broadcastable table (cid, cvec); at corpus scale the assignment is
-    * a broadcast join + per-row argmax, no shuffle on the corpus side.
-    * (A mapPartitions JVM kernel was tried and reverted: its steady-state
-    * is ~2x faster but the extra encoder/plan compile costs more one-shot
-    * wall-time than the whole fixture assignment.) Returns the input plus
-    * a `bucket` column.
+    * (max cosine, lowest centroid id as tiebreaker). The centroid table is
+    * tiny by construction (k inverted lists), so it is collected and
+    * inlined as literal arrays: assignment is a per-row argmax over k
+    * codegen'd vec_dot projections — ZERO shuffle and zero join in the one
+    * stage that touches every corpus vector. (Round 2 rendered this as
+    * broadcast-join × k then row_number over a per-id window, which
+    * shuffled k× the corpus — the flagged scale-killer.) Each cosine uses
+    * the same expression shape as [[cosine]] (dot / (|v| · |c|), centroid
+    * norms precomputed with vec_dot's accumulation order), so assignments
+    * are bit-identical to the join rendering. Returns the input plus a
+    * `bucket` column.
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__ccos").desc, col("cid"))
-    vectors
-      .join(broadcast(centroids))
-      .withColumn("__ccos", cosine(col(vecCol), col("cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__ccos", "__rn", "cvec")
-      .withColumnRenamed("cid", "bucket")
+    val cents: Array[(Int, Array[Float])] = centroids
+      .select(col("cid").cast("int"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign needs at least one centroid")
+    val vNorm = l2norm(col(vecCol))
+    // struct(cos, -cid): greatest() takes the max cosine and resolves
+    // ties to the lowest centroid id (max of the negated id)
+    val scored = cents.map { case (cid, cv) =>
+      val cLit = array(cv.map(x => lit(x.toDouble)): _*)
+      val cNorm = math.sqrt(dotJvm(cv, cv))
+      struct((dot(col(vecCol), cLit) / (vNorm * lit(cNorm))).as("c"),
+        lit(-cid).as("nc"))
+    }
+    val best = if (scored.length == 1) scored.head
+      else greatest(scored.toIndexedSeq: _*)
+    vectors.withColumn("bucket", -best.getField("nc"))
   }
 
   /** IVF centroid training: spherical k-means (Lloyd) on a deterministic
@@ -505,6 +541,13 @@ object VectorOps {
       val proj = dot(vec, slice(plane, lit(1), coalesce(size(vec), lit(0))))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // Guard, don't truncate: a vector wider than the precomputed planes
+    // would silently project onto a plane prefix, degrading bucket quality
+    // with no error (round-2 advice).
+    when(size(vec) > maxDims,
+      raise_error(concat(
+        lit(s"lsh buckets: vector dims exceed maxDims=$maxDims (got "),
+        size(vec).cast("string"), lit(")"))).cast("long"))
+      .otherwise(bits.reduce(_ + _))
   }
 }

@@ -47,7 +47,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("row-level operator queries stay in one codegen stage, no shuffle") {
-    for (name <- Seq("fn_crc", "op_edit_affix", "op_math_arith", "fn_salinity")) {
+    // tx_langid / tx_quality joined this list in round 3: their stopword
+    // scoring moved from interpreted filter(isin) lambdas to the native
+    // count_in_set expression
+    for (name <- Seq("fn_crc", "op_edit_affix", "op_math_arith", "fn_salinity",
+        "tx_langid", "tx_quality")) {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name shuffles unexpectedly:\n$p")
       // formatted mode stars codegen'd operators: "* Project (3)"
@@ -80,6 +84,8 @@ class PlanSpec extends AnyFunSuite {
       "vecDot")
     inlined(emb.select(GraftFunctions.znorm_dist(
       col("embedding"), col("embedding"))), "znormDist")
+    inlined(docs.select(GraftFunctions.count_in_set(
+      TextOps.tokens(col("text")), array(lit("the"), lit("a")))), "countIn")
   }
 
   test("dedup LSH join shuffles on the band hash, not a cross join") {
@@ -142,5 +148,17 @@ class PlanSpec2 extends AnyFunSuite {
     // the registered query (dispatched on measured df) as a whole
     val p = plan("dd_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), s"jaccard cross join:\n$p")
+  }
+
+  test("ivfAssign is a per-row argmax: zero Exchange, zero join") {
+    import graft.operators.VectorOps
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = VectorOps.trainCentroids(emb, "vec_id", "embedding", 4,
+      iters = 1, sampleMax = 64)
+    val p = VectorOps.ivfAssign(emb, "vec_id", "embedding", cents)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"assignment shuffles:\n$p")
+    assert(!p.contains("Join"), s"assignment joins:\n$p")
   }
 }
