@@ -292,6 +292,33 @@ object Impls {
     math.sqrt(acc)
   }
 
+  /** Count of array elements contained in a (small, literal) string set —
+    * the native twin of size(filter(toks, t -> t IN (...))), which renders
+    * as a CodegenFallback lambda tree. Linear scan per token: stopword
+    * sets are a handful of entries, so a hash set would cost more in
+    * allocation than it saves in comparisons.
+    */
+  def countIn(toks: ArrayData, set: ArrayData): Int = {
+    val n = toks.numElements()
+    val m = set.numElements()
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var j = 0
+        var hit = false
+        while (j < m && !hit) {
+          if (!set.isNullAt(j) && t.equals(set.getUTF8String(j))) hit = true
+          j += 1
+        }
+        if (hit) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+
   /** CRC16/MODBUS over raw bytes [0, len): same polynomial as
     * [[crc16Modbus]] (0xA001 reflected), for binary RTU frames.
     */

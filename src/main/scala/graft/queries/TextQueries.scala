@@ -33,11 +33,14 @@ object TextQueries {
          |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
          |FROM t""".stripMargin
     }) { (s, dir) =>
+      // Native count_in_set: the filter(..., isin) lambda rendering is
+      // CodegenFallback and evicted this per-document projection from
+      // whole-stage codegen.
       val toks = TextOps.tokens(col("text"))
       val withScores = profiles.foldLeft(Tables.load(s, dir, "documents")) {
         case (df, (l, ws)) =>
           df.withColumn(s"s_$l",
-            size(filter(toks, t => t.isin(ws.map(_.asInstanceOf[Any]): _*))))
+            GraftFunctions.count_in_set(toks, array(ws.map(lit): _*)))
       }
       withScores.select(
         col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
@@ -63,7 +66,8 @@ object TextQueries {
       Tables.load(s, dir, "documents")
         .select(
           col("doc_id"), chars.as("chars"), size(w).as("n_tokens"),
-          round(size(filter(w, t => t.isin("the", "a", "of", "and", "to", "in")))
+          round(GraftFunctions.count_in_set(w,
+              array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*))
             .cast("double") / size(w), 6).as("stop_ratio"),
           round((chars - noSpace).cast("double") / chars, 6).as("space_ratio"),
           round(noSpace.cast("double") / size(w), 6).as("avg_word_len"))

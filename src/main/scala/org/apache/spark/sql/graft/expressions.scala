@@ -228,6 +228,26 @@ case class ZNormDist(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** count_in_set(tokens, set): number of tokens contained in the (small,
+  * literal) string set — the native twin of
+  * size(filter(toks, t -> t.isin(...))), whose lambda rendering is
+  * CodegenFallback and evicts per-document scoring projections (language
+  * ID, stopword ratios) from whole-stage codegen.
+  */
+case class CountInSet(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_set"
+  override protected def nullSafeEval(toks: Any, set: Any): Any =
+    Impls.countIn(toks.asInstanceOf[ArrayData], set.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"graft.functions.Impls.countIn($t, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountInSet =
+    copy(l, r)
+}
+
 /** tokens_ws(text): whitespace tokens with empties dropped — the native
   * twin of filter(split(text, ' '), t -> t <> ''). The filter HOF is
   * CodegenFallback and evicts every projection that uses it from
