@@ -68,6 +68,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(0).width == 3 && feats(0).height == 2 && feats(0).nFrames == 1)
     assert(feats(1).width == 640 && feats(1).height == 480 && feats(1).nFrames == 1)
   }
+
+  test("compressed still formats decode REAL dimensions from headers (PNG, JPEG)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR chunk, width 800 / height 600 big-endian
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x03, 0x20, // width 800
+      0, 0, 0x02, 0x58, // height 600
+      8, 6, 0, 0, 0)
+    // JPEG: SOI, APP0/JFIF (skipped via its length), SOF2 progressive
+    // frame header (height 256, width 320), SOS, EOI
+    val jpg = b(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xc2, 0x00, 0x11, 8, 0x01, 0x00, 0x01, 0x40,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1,
+      0xff, 0xda, 0x00, 0x08, 1, 1, 0, 0, 0x3f, 0,
+      0xff, 0xd9)
+    assert(Multimodal.decodeDims(png).contains((800, 600)))
+    assert(Multimodal.decodeDims(jpg).contains((320, 256)))
+    val ds = Seq(
+      MediaRecord(20L, "image", png, Map.empty),
+      MediaRecord(21L, "image", jpg, Map.empty)).toDS()
+    val feats = Multimodal.decodeFeatures(ds).collect().sortBy(_.id)
+    assert(feats(0).width == 800 && feats(0).height == 600 && feats(0).nFrames == 1)
+    assert(feats(1).width == 320 && feats(1).height == 256 && feats(1).nFrames == 1)
+  }
 }
 
 class UdpSourceSpec extends AnyFunSuite {
