@@ -318,25 +318,42 @@ object LineSinks {
     * partition pruning on read for free
     * (graft.sinks.RolloverCompat.renameRolledDirs converts the layout to
     * the reference's rolled filenames when needed). `decimation` keeps
-    * 1-in-N rows by per-partition arrival order — the reference's
-    * skipCount semantics (FileCollector.java:355-361: skip N-1, keep the
-    * Nth), not hash sampling; on a single-partition edge stream it is
-    * exactly the reference's global counter.
+    * 1-in-N rows by global arrival order — the reference's skipCount
+    * semantics (FileCollector.java:355-361: skip N-1, keep the Nth).
     */
   def rollingFiles(df: DataFrame, path: String, rollPattern: String = "yyyy-MM-dd_HH",
       format: String = "csv", decimation: Int = 1) = {
     val out0 = df.withColumn("roll", date_format(col("ts"), rollPattern))
-    val out = if (decimation > 1) {
-      val enc = org.apache.spark.sql.Encoders.row(out0.schema)
-      out0.mapPartitions { it =>
-        var i = 0
-        it.filter { _ => i += 1; val keep = i % decimation == 0; keep }
-      }(enc)
-    } else out0
-    out.writeStream
-      .partitionBy("roll")
-      .format(format)
-      .option("path", path)
-      .option("header", "true")
+    if (decimation > 1) {
+      // The reference's skipCount is ONE persistent counter. A per-task
+      // counter resets every partition and every micro-batch — a stream
+      // whose batches hold fewer than `decimation` rows would never emit
+      // (round-2 advice) — so the counter lives on the driver and carries
+      // across batches: rows number off in batch order × partition order
+      // (zipWithIndex) and leftover skip counts roll into the next batch.
+      // Like the reference's, the counter is process-lifetime, not
+      // checkpointed: a restart restarts the 1-in-N phase.
+      val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+      out0.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val start = seen.get()
+          val numbered = batch.rdd.zipWithIndex().persist()
+          val kept = numbered
+            .filter { case (_, i) => (start + i + 1) % decimation == 0 }
+            .map(_._1)
+          batch.sparkSession.createDataFrame(kept, batch.schema)
+            .write.mode("append").partitionBy("roll").format(format)
+            .option("header", "true").save(path)
+          seen.set(start + numbered.count())
+          numbered.unpersist(false)
+          ()
+      }
+    } else {
+      out0.writeStream
+        .partitionBy("roll")
+        .format(format)
+        .option("path", path)
+        .option("header", "true")
+    }
   }
 }

@@ -53,9 +53,7 @@ class FileCollectorSink(
       if (form == null || form.isEmpty) pathPattern
       else if (pathPattern.contains("{rollover}"))
         pathPattern.replace("{rollover}", form)
-      else if (pathPattern.contains("."))
-        pathPattern.replaceFirst("\\.", form + ".")
-      else pathPattern + form
+      else PathNaming.insertAtNameDot(pathPattern, form)
     Paths.get(p)
   }
 
@@ -73,10 +71,10 @@ class FileCollectorSink(
   /** First free `name.N.ext` (or its zip) — FileCollector.java:481-487. */
   private def splitTarget(dest: Path): Path = {
     var i = 1
-    var cand = Paths.get(dest.toString.replaceFirst("\\.", ".1."))
+    var cand = Paths.get(PathNaming.insertAtNameDot(dest.toString, ".1"))
     while ((Files.exists(cand) || Files.exists(Paths.get(cand + ".zip"))) && i < 1000) {
       i += 1
-      cand = Paths.get(dest.toString.replaceFirst("\\.", s".$i."))
+      cand = Paths.get(PathNaming.insertAtNameDot(dest.toString, s".$i"))
     }
     cand
   }
@@ -147,6 +145,29 @@ class FileCollectorSink(
   }
 }
 
+/** Roll-form / split-index filename insertion, shared by the collector and
+  * the rollover renamer.
+  */
+private[sinks] object PathNaming {
+
+  /** Insert `ins` before the FIRST dot of the path's FILENAME component —
+    * never the whole path string, so a dotted directory like
+    * `/data/v1.2/log.csv` yields `/data/v1.2/log<ins>.csv`, not a
+    * corrupted `/data/v1<ins>.2/...` (round-2 advice). A dotless filename
+    * gets `ins` appended.
+    */
+  def insertAtNameDot(path: String, ins: String): String = {
+    val p = Paths.get(path)
+    val name = p.getFileName.toString
+    val newName =
+      if (name.contains("."))
+        name.replaceFirst("\\.",
+          java.util.regex.Matcher.quoteReplacement(ins) + ".")
+      else name + ins
+    if (p.getParent == null) newName else p.getParent.resolve(newName).toString
+  }
+}
+
 /** K4 rollover-compat renamer: convert the scalable partitioned-directory
   * sink layout (`roll=<form>/part-*.csv`) into the reference's rolled
   * single-file naming (`SQLiteDB.java:306-334` / `FileCollector.getPath`:
@@ -171,9 +192,7 @@ object RolloverCompat {
         val dest =
           if (filePattern.contains("{rollover}"))
             root.resolve(filePattern.replace("{rollover}", form))
-          else if (filePattern.contains("."))
-            root.resolve(filePattern.replaceFirst("\\.", form + "."))
-          else root.resolve(filePattern + form)
+          else root.resolve(PathNaming.insertAtNameDot(filePattern, form))
         val partStream = Files.list(d)
         val parts = partStream.iterator()
         val sorted = scala.collection.mutable.ArrayBuffer.empty[Path]

@@ -57,6 +57,21 @@ class FileCollectorSpec extends AnyFunSuite {
     assert(fired.map(_._1).toSeq == Seq("MAXSIZE", "MAXSIZE"))
   }
 
+  test("dotted directories stay intact: forms and split indexes modify only the filename") {
+    val dir = tmp()
+    Files.createDirectories(Paths.get(s"$dir/v1.2"))
+    val fired = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val roll = new FileCollectorSink(s"$dir/v1.2/log.csv",
+      rollPattern = Some("yyyyMMdd"))
+    roll.processBatch(Seq((ms("2024-03-01 10:00:00"), "a")))
+    assert(Files.exists(Paths.get(s"$dir/v1.2/log20240301.csv")))
+    val split = new FileCollectorSink(s"$dir/v1.2/data.csv", maxBytes = 5,
+      onTrigger = (t, p) => fired += ((t, p)))
+    split.processBatch(Seq((0L, "012345"), (0L, "z")))
+    assert(Files.exists(Paths.get(s"$dir/v1.2/data.1.csv")))
+    assert(fired.toSeq == Seq(("MAXSIZE", s"$dir/v1.2/data.1.csv")))
+  }
+
   test("headers are written to every new file with {file} substituted") {
     val dir = tmp()
     val sink = new FileCollectorSink(s"$dir/data.csv",

@@ -339,10 +339,19 @@ class StreamDedupSpec extends AnyFunSuite {
       val base = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
       mem.addData((1 to 400).map(i => (base, s"row$i")): _*)
       q.processAllAvailable()
-      // per-partition deterministic 1-in-N: exact fraction modulo one
-      // remainder row per partition, never hash noise
+      // global deterministic 1-in-N, never hash noise
       val kept = spark.read.option("header", "true").csv(out).count()
       assert(kept == 100, s"kept $kept of 400")
+      // the counter carries ACROSS micro-batches (reference skipCount
+      // semantics): three 2-row batches continue the 401.. numbering, so
+      // exactly one of them (row 404) lands — a per-batch counter would
+      // emit nothing from batches smaller than the decimation
+      for (b <- 0 until 3) {
+        mem.addData((1 to 2).map(i => (base, s"late$b-$i")): _*)
+        q.processAllAvailable()
+      }
+      val kept2 = spark.read.option("header", "true").csv(out).count()
+      assert(kept2 == 101, s"kept $kept2 of 406")
     } finally q.stop()
   }
 }
