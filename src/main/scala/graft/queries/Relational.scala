@@ -217,6 +217,28 @@ object Relational {
           expr("ps[1]").as("p95"))
     },
 
+    // Driver-board quality gate for the sketch row above: the sketch
+    // VALUES are engine-specific (hence rows-only), but their error
+    // bounds are not. Each group's approx percentile must land within 1%
+    // of the exact in-plan percentile (accuracy=1000 guarantees a far
+    // tighter rank error); the oracle expects literal 1s, so a bound
+    // violation turns the row red instead of silently weakening the check.
+    Q("q_approx_percentile_bounds",
+      """SELECT l_returnflag, 1 AS p50_ok, 1 AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"),
+          expr("percentile(l_extendedprice, 0.5)").as("e50"),
+          expr("percentile(l_extendedprice, 0.95)").as("e95"))
+        .select(col("l_returnflag"),
+          (abs(expr("ap[0]") - col("e50")) <= col("e50") * 0.01)
+            .cast("int").as("p50_ok"),
+          (abs(expr("ap[1]") - col("e95")) <= col("e95") * 0.01)
+            .cast("int").as("p95_ok"))
+    },
+
     // Salted join on the oracle board: hot-key mitigation must be
     // lossless — the salted plan's aggregated result equals the plain
     // join the oracle runs (only the shuffle distribution differs).
@@ -302,6 +324,20 @@ object Relational {
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    },
+
+    // HLL quality gate on the driver board (same pattern as
+    // q_approx_percentile_bounds): rsd=0.02 must stay within a 10%
+    // envelope of the exact distinct count per group.
+    Q("q_approx_distinct_bounds",
+      "SELECT l_returnflag, 1 AS nd_ok FROM lineitem GROUP BY l_returnflag") {
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a"),
+            countDistinct(col("l_partkey")).as("e"))
+          .select(col("l_returnflag"),
+            (abs(col("a") - col("e")) <= col("e") * 0.1).cast("int").as("nd_ok"))
     },
 
     // Deterministic global top-k: total order with unique tiebreaker.
