@@ -234,6 +234,103 @@ object DcafsXml {
     Settings(streams, paths.map(p => parsePath(elementToString(p))))
   }
 
+  // ---- Tasklist (TaskManager) scripts ----
+
+  /** One parsed `<task>` (`/root/reference/src/util/task/Task.java:23-90`):
+    * trigger, output target, value/command, optional `req` guard
+    * expression (kept as text — the engine compiles it onto the same
+    * guard surface RuleEngine evaluates).
+    */
+  final case class TaskSpec(id: String,
+      trigger: Option[graft.streaming.TaskTrigger],
+      output: String, value: String, req: Option[String])
+
+  /** A `<taskset>`: run mode oneshot (all at once) or step (sequential,
+    * stop on first failing guard) — TaskManager.java:172-190.
+    */
+  final case class TaskSetSpec(id: String, name: String, run: String,
+      repeat: Int, tasks: Seq[TaskSpec])
+
+  final case class Tasklist(tasks: Seq[TaskSpec], sets: Seq[TaskSetSpec])
+
+  /** Parse a reference tasklist script — `<tasklist>` holding `<tasks>`
+    * and `<tasksets>` (DAS Core manual, "Creating a script";
+    * `TaskManager.java:1-200`) — onto the engine's TaskTrigger algebra.
+    */
+  def parseTasks(xml: String): Tasklist = {
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new InputSource(new StringReader(xml)))
+    val root = doc.getDocumentElement
+    require(root.getTagName == "tasklist",
+      s"expected <tasklist>, got <${root.getTagName}>")
+    def toTask(el: Element, defaultId: String): TaskSpec = TaskSpec(
+      id = attr(el, "id").getOrElse(defaultId),
+      trigger = attr(el, "trigger").map(parseTrigger),
+      output = attr(el, "output").getOrElse("system"),
+      value = Option(el.getTextContent).map(_.trim).getOrElse(""),
+      req = attr(el, "req"))
+    val singles = children(root).filter(_.getTagName == "tasks")
+      .flatMap(children(_)).filter(_.getTagName == "task")
+      .zipWithIndex.map { case (t, i) => toTask(t, s"task$i") }
+    val sets = children(root).filter(_.getTagName == "tasksets")
+      .flatMap(children(_)).filter(_.getTagName == "taskset")
+      .map { s =>
+        val id = attr(s, "id").getOrElse("set")
+        TaskSetSpec(id,
+          attr(s, "name").getOrElse(id),
+          attr(s, "run").getOrElse("oneshot").toLowerCase,
+          attr(s, "repeat").map(_.toInt).getOrElse(1),
+          children(s).filter(_.getTagName == "task").zipWithIndex
+            .map { case (t, i) => toTask(t, s"$id#$i") })
+      }
+    Tasklist(singles, sets)
+  }
+
+  private val dayAbbrev: Map[String, java.time.DayOfWeek] = Map(
+    "mo" -> java.time.DayOfWeek.MONDAY, "tu" -> java.time.DayOfWeek.TUESDAY,
+    "we" -> java.time.DayOfWeek.WEDNESDAY, "th" -> java.time.DayOfWeek.THURSDAY,
+    "fr" -> java.time.DayOfWeek.FRIDAY, "sa" -> java.time.DayOfWeek.SATURDAY,
+    "su" -> java.time.DayOfWeek.SUNDAY)
+
+  /** Trigger attribute grammar (manual "Short summary of the attributes",
+    * `Task.java:62-81` TRIGGERTYPE): `interval:10s[,5s]` (default initial
+    * delay = interval), `delay:2m10s`, `time:HH:mm[,days]` (UTC) /
+    * `localtime:HH:mm[,days]`, `retry:10s,5` / `waitfor:10s,5` (poll the
+    * req until it holds), `while:10s,5` (run while the req holds),
+    * `keyword:word`.
+    */
+  def parseTrigger(s: String): graft.streaming.TaskTrigger = {
+    import graft.streaming._
+    val (kind, rest) = s.span(_ != ':')
+    val a = rest.stripPrefix(":").trim
+    def parts = a.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    kind.trim.toLowerCase match {
+      case "interval" =>
+        val p = parts
+        val period = parsePeriodMillis(p.head)
+        Interval(period, if (p.length > 1) parsePeriodMillis(p(1)) else period)
+      case "delay" => Delay(parsePeriodMillis(a))
+      case "time" | "utctime" | "localtime" =>
+        val p = parts
+        val t = java.time.LocalTime.parse(
+          if (p.head.length == 4) "0" + p.head else p.head)
+        Clock(t,
+          p.drop(1).flatMap(d => dayAbbrev.get(d.toLowerCase.take(2))).toSet,
+          utc = kind.trim.toLowerCase != "localtime")
+      case "retry" | "waitfor" =>
+        val p = parts
+        WaitFor(parsePeriodMillis(p.head),
+          if (p.length > 1) p(1).toInt else Int.MaxValue)
+      case "while" =>
+        val p = parts
+        While(parsePeriodMillis(p.head),
+          if (p.length > 1) p(1).toInt else Int.MaxValue)
+      case "keyword" => Keyword(a)
+      case other => throw new IllegalArgumentException(
+        s"unsupported trigger '$other'")
+    }
+  }
+
   /** dcafs period literal ("5s", "3m20s", "1h", "-1") to millis
     * (TimeTools.parsePeriodStringToSeconds semantics, subset).
     */

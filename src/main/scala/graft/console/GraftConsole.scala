@@ -5,6 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.{DcafsXml, PathCompiler, PathSpec}
+import graft.streaming.TasklistRunner
 
 /** The reference's telnet command surface (SURVEY.md §2.10, §3.2) mapped
   * onto Spark SQL: listings become queries over registered temp views,
@@ -24,12 +25,24 @@ import graft.{DcafsXml, PathCompiler, PathSpec}
   *   pf:test,<id>,<line>  probe one line through a declared path
   *   settings:load,<file> load a dcafs settings.xml (streams + paths)
   *   streams              list loaded stream declarations
+  *   dbm:...              database manager (DatabaseManager.java surface):
+  *                        add,<id>,<jdbcUrl> | status | tables,<id> |
+  *                        fetch,<id>,<sql> | store,<id>,<view>,<table>
+  *   tm:...               task managers (TaskManagerPool/CommandPool tm):
+  *                        load,<id>,<file> | managers | <id>,listtasks |
+  *                        <id>,listsets | <id>,run,<set> | <id>,stop
   *   <anything else>      executed as Spark SQL
   */
 class GraftConsole(spark: SparkSession) {
 
   private val paths = mutable.LinkedHashMap.empty[String, PathSpec]
   private val streamSpecs = mutable.LinkedHashMap.empty[String, DcafsXml.StreamSpec]
+  private val dbs = mutable.LinkedHashMap.empty[String, String]
+  private val taskManagers = mutable.LinkedHashMap.empty[String, TasklistRunner]
+  /** (taskId, output, value) sends from task managers whose output is not
+    * `system` (those re-enter [[execute]]) — the test/driver drain.
+    */
+  val taskSends = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
 
   def addPath(spec: PathSpec): Unit = paths(spec.id) = spec
 
@@ -49,7 +62,8 @@ class GraftConsole(spark: SparkSession) {
   def execute(cmd: String): String = cmd.trim match {
     case "" => ""
     case "help" =>
-      "commands: help | ss | st | rv | raw:<name>[,N] | pf:list | pf:add,<id> | pf:test,<id>,<line> | <sql>"
+      "commands: help | ss | st | rv | raw:<name>[,N] | pf:list | pf:add,<id> | " +
+        "pf:test,<id>,<line> | dbm:... | tm:... | <sql>"
     case "ss" =>
       val names = spark.catalog.listTables().collect().map(_.name)
       if (names.isEmpty) "no registered streams" else names.mkString("\n")
@@ -90,7 +104,88 @@ class GraftConsole(spark: SparkSession) {
       else streamSpecs.values
         .map(s => s"${s.id}\t${s.kind}\t${s.host}:${s.port}\tlabel=${s.label}")
         .mkString("\n")
+    case c if c.startsWith("dbm:") => dbm(c.stripPrefix("dbm:"))
+    case c if c.startsWith("tm:") => tm(c.stripPrefix("tm:"))
     case sql => render(spark.sql(sql))
+  }
+
+  /** `dbm:` database-manager family (CommandPool.java:173-183 routing;
+    * subcommand surface `DatabaseManager.java:397-639`). Connections are
+    * generic JDBC urls — `add` subsumes the reference's per-vendor
+    * addsqlite/addmysql/addmariadb/addpostgresql/addmssql forms.
+    */
+  private def dbm(cmd: String): String = {
+    val p = cmd.split(",", -1).map(_.trim)
+    p(0) match {
+      case "add" if p.length >= 3 =>
+        dbs(p(1)) = p.drop(2).mkString(",")
+        s"db ${p(1)} registered"
+      case "status" | "list" =>
+        if (dbs.isEmpty) "no databases"
+        else dbs.map { case (id, url) => s"$id\t$url" }.mkString("\n")
+      case "tables" if p.length >= 2 =>
+        val url = dbs.getOrElse(p(1), return s"no such db ${p(1)}")
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+          val names = Iterator.continually(rs)
+            .takeWhile(_.next()).map(_.getString("TABLE_NAME")).toList
+          if (names.isEmpty) "no tables" else names.sorted.mkString("\n")
+        } finally conn.close()
+      case "fetch" if p.length >= 3 =>
+        val url = dbs.getOrElse(p(1), return s"no such db ${p(1)}")
+        val sql = cmd.split(",", 3)(2) // query may itself contain commas
+        render(spark.read.format("jdbc")
+          .option("url", url).option("query", sql).load())
+      case "store" if p.length >= 4 =>
+        val url = dbs.getOrElse(p(1), return s"no such db ${p(1)}")
+        spark.table(p(2)).write.mode("append")
+          .format("jdbc").option("url", url).option("dbtable", p(3)).save()
+        s"stored ${p(2)} into ${p(3)}"
+      case _ => "dbm: add,<id>,<jdbcUrl> | status | tables,<id> | " +
+        "fetch,<id>,<sql> | store,<id>,<view>,<table>"
+    }
+  }
+
+  /** `tm:` task-manager family (CommandPool tasks:* commands, DAS Core
+    * manual "Telnet" section): tasklist XML scripts load into
+    * [[TasklistRunner]]s; task output `system` re-enters [[execute]]
+    * (the reference's system output runs a telnet command), everything
+    * else lands on [[taskSends]] for the caller's output plane.
+    */
+  private def tm(cmd: String): String = {
+    val p = cmd.split(",", -1).map(_.trim)
+    p(0) match {
+      case "load" if p.length >= 3 =>
+        val xml = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p(2))), java.nio.charset.StandardCharsets.UTF_8)
+        val runner = new TasklistRunner(DcafsXml.parseTasks(xml),
+          send = (id, output, value) =>
+            if (output == "system") { execute(value); () }
+            else taskSends.add((id, output, value)))
+        taskManagers.get(p(1)).foreach(_.shutdown())
+        taskManagers(p(1)) = runner
+        s"taskmanager ${p(1)}: ${runner.taskIds.size} tasks, ${runner.setIds.size} sets"
+      case "managers" =>
+        if (taskManagers.isEmpty) "no task managers"
+        else taskManagers.keys.mkString("\n")
+      case id if taskManagers.contains(id) && p.length >= 2 =>
+        val r = taskManagers(id)
+        p(1) match {
+          case "listtasks" =>
+            if (r.taskIds.isEmpty) "no tasks" else r.taskIds.mkString("\n")
+          case "listsets" =>
+            if (r.setIds.isEmpty) "no sets" else r.describeSets.mkString("\n")
+          case "run" if p.length >= 3 =>
+            if (r.startSet(p(2))) s"started taskset ${p(2)}"
+            else s"no such taskset ${p(2)}"
+          case "stop" =>
+            r.shutdown(); taskManagers.remove(id); s"stopped $id"
+          case other => s"unknown tm subcommand $other"
+        }
+      case _ => "tm: load,<id>,<file> | managers | <id>,listtasks | " +
+        "<id>,listsets | <id>,run,<set> | <id>,stop"
+    }
   }
 
   private def render(df: DataFrame, max: Int = 20): String = {

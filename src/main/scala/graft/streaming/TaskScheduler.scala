@@ -121,3 +121,93 @@ class TaskScheduler(
     scheduler.shutdownNow()
   }
 }
+
+/** Arms a parsed tasklist script (DcafsXml.parseTasks) and runs its
+  * tasksets, bridging the reference's TaskManager execution model
+  * (`TaskManager.java:257-299` startTaskset, `:375-392` oneshot start,
+  * `:598-610` "taskset:id" chaining) onto [[TaskScheduler]]:
+  *
+  *  - single `<tasks>` entries with a trigger arm at construction;
+  *  - tasksets start on demand via [[startSet]] or a dispatched
+  *    `taskset:<id>` task value (the reference's chaining form);
+  *  - `oneshot` sets plan every task at once (each honoring its own
+  *    trigger); `step` sets run sequentially and stop at the first task
+  *    whose guard fails;
+  *  - `repeat` > 1 replays the set; `repeat` = -1 (infinite) is clamped
+  *    to one pass — unbounded replay is the caller's loop to own.
+  *
+  * `send` receives (taskId, output, value) — the OUTPUT plane
+  * (stream/system/log/email routing, Task.java:69-71) stays the caller's.
+  * `compileReq` maps a `req` attribute onto a guard thunk, the same guard
+  * surface RuleEngine evaluates.
+  */
+class TasklistRunner(
+    tl: graft.DcafsXml.Tasklist,
+    send: (String, String, String) => Unit,
+    compileReq: String => () => Boolean = _ => () => true,
+    scheduler: ScheduledExecutorService = Executors.newSingleThreadScheduledExecutor()) {
+
+  import graft.DcafsXml.{TaskSetSpec, TaskSpec}
+
+  private val sets: Map[String, TaskSetSpec] = tl.sets.map(s => s.id -> s).toMap
+  private val outputs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dispatch(id: String, value: String): Unit =
+    if (value.startsWith("taskset:")) startSet(value.stripPrefix("taskset:"))
+    else send(id, outputs.getOrDefault(id, "system"), value)
+
+  val tasks = new TaskScheduler(dispatch, scheduler)
+
+  private def guard(t: TaskSpec): () => Boolean =
+    t.req.map(compileReq).getOrElse(() => true)
+
+  tl.tasks.foreach { t =>
+    outputs.put(t.id, t.output)
+    // triggerless single tasks only run when chained/linked — never at boot
+    t.trigger.foreach(tr => tasks.add(ScheduledTask(t.id, tr, t.value, guard(t))))
+  }
+
+  def taskIds: Seq[String] = tl.tasks.map(_.id)
+  def setIds: Seq[String] = tl.sets.map(_.id)
+  def describeSets: Seq[String] =
+    tl.sets.map(s => s"${s.id}\t${s.name}\trun=${s.run}\ttasks=${s.tasks.size}")
+
+  def startSet(id: String): Boolean = sets.get(id) match {
+    case None => false
+    case Some(s) =>
+      (0 until math.max(s.repeat, 1)).foreach { _ =>
+        if (s.run == "step") runStep(s.tasks.toList)
+        else s.tasks.foreach { t =>
+          outputs.put(t.id, t.output)
+          t.trigger match {
+            case Some(tr) => tasks.add(ScheduledTask(t.id, tr, t.value, guard(t)))
+            case None => if (guard(t)()) dispatch(t.id, t.value)
+          }
+        }
+      }
+      true
+  }
+
+  /** Step mode: each task runs after the previous one completed; a
+    * failing guard stops the set (the reference then runs the `failure`
+    * set — surfaced to the caller as a false return from the guard, the
+    * alert path being control plane).
+    */
+  private def runStep(rest: List[TaskSpec]): Unit = rest match {
+    case Nil => ()
+    case t :: more =>
+      val run: Runnable = () =>
+        if (guard(t)()) {
+          outputs.put(t.id, t.output)
+          dispatch(t.id, t.value)
+          runStep(more)
+        }
+      t.trigger match {
+        case Some(Delay(d)) => scheduler.schedule(run, d, TimeUnit.MILLISECONDS)
+        case _ => run.run()
+      }
+  }
+
+  def fireKeyword(word: String): Unit = tasks.fireKeyword(word)
+  def shutdown(): Unit = tasks.shutdown()
+}

@@ -65,4 +65,55 @@ class ConsoleSpec extends AnyFunSuite {
     assert(c.execute("pf:list").contains("clean"))
     assert(c.streamSpec("ctd").exists(_.label == "generic:ctd"))
   }
+
+  test("dbm: family manages JDBC databases (CommandPool dbm surface)") {
+    val c = new GraftConsole(spark)
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-dbm")
+      .toFile.getAbsolutePath + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE readings (id INT, val DOUBLE)")
+      st.executeUpdate("INSERT INTO readings VALUES (1, 1.5), (2, 3.0)")
+      st.close()
+    } finally conn.close()
+    assert(c.execute(s"dbm:add,marine,$url") == "db marine registered")
+    assert(c.execute("dbm:status").contains("marine"))
+    assert(c.execute("dbm:tables,marine").contains("READINGS"))
+    val fetched = c.execute("dbm:fetch,marine,SELECT id, val FROM readings")
+    assert(fetched.contains("1.5") && fetched.contains("3.0"))
+    // store a view back, then read it through the same surface
+    import spark.implicits._
+    c.registerTable("more", Seq((3, 4.5)).toDF("id", "val"))
+    assert(c.execute("dbm:store,marine,more,readings").startsWith("stored"))
+    assert(c.execute("dbm:fetch,marine,SELECT count(*) AS n FROM readings")
+      .contains("3"))
+  }
+
+  test("tm: family loads and drives tasklist scripts (tasks: commands)") {
+    val c = new GraftConsole(spark)
+    val f = java.nio.file.Files.createTempFile("graft-tasks", ".xml")
+    java.nio.file.Files.write(f,
+      """<tasklist>
+        |  <tasksets>
+        |    <taskset name="Alarm chain" id="alarm">
+        |      <task output="stream:horn">ON</task>
+        |    </taskset>
+        |  </tasksets>
+        |  <tasks>
+        |    <task id="hello" output="stream:dev" trigger="keyword:boot">hi</task>
+        |  </tasks>
+        |</tasklist>""".stripMargin.getBytes)
+    assert(c.execute(s"tm:load,sched,$f") == "taskmanager sched: 1 tasks, 1 sets")
+    assert(c.execute("tm:managers").contains("sched"))
+    assert(c.execute("tm:sched,listtasks").contains("hello"))
+    assert(c.execute("tm:sched,listsets").contains("alarm\tAlarm chain"))
+    assert(c.execute("tm:sched,run,alarm") == "started taskset alarm")
+    assert(c.execute("tm:sched,run,nope") == "no such taskset nope")
+    val sends = c.taskSends.toArray.toSeq
+    assert(sends.contains(("alarm#0", "stream:horn", "ON")), s"got $sends")
+    assert(c.execute("tm:sched,stop") == "stopped sched")
+    assert(c.execute("tm:managers") == "no task managers")
+  }
 }

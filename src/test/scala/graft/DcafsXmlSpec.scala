@@ -144,6 +144,47 @@ class DcafsXmlSpec extends AnyFunSuite {
     assert(s.paths.head.delimiter == ",")
   }
 
+  test("parseTasks reads a reference-manual tasklist script") {
+    import graft.streaming._
+    val tl = DcafsXml.parseTasks(
+      """<tasklist>
+        |  <tasksets>
+        |    <taskset name="Startup sequence" id="boot" run="step">
+        |      <task output="stream:SBE38">GO 1</task>
+        |      <task output="stream:SBE38" trigger="delay:2m10s">GO 2</task>
+        |    </taskset>
+        |    <taskset id="alarm" run="oneshot">
+        |      <task output="log:info">over temp</task>
+        |    </taskset>
+        |  </tasksets>
+        |  <tasks>
+        |    <task id="poll" output="system" trigger="interval:10s,5s">st</task>
+        |    <task id="daily" output="system" trigger="time:14:00,mo">report</task>
+        |    <task id="boot_chain" output="manager" trigger="delay:5s">taskset:boot</task>
+        |    <task id="guard" output="system" trigger="retry:10s,5" req="flag:ready">go</task>
+        |    <task id="kw" output="system" trigger="keyword:alarm">taskset:alarm</task>
+        |  </tasks>
+        |</tasklist>""".stripMargin)
+    assert(tl.sets.map(_.id) == Seq("boot", "alarm"))
+    assert(tl.sets.head.run == "step" && tl.sets.head.name == "Startup sequence")
+    assert(tl.sets.head.tasks.map(_.value) == Seq("GO 1", "GO 2"))
+    assert(tl.sets.head.tasks(1).trigger.contains(Delay(130000L)))
+    assert(tl.tasks.map(_.id) ==
+      Seq("poll", "daily", "boot_chain", "guard", "kw"))
+    // interval: explicit initial delay; time: UTC clock with day set;
+    // retry -> waitfor polling; keyword
+    assert(tl.tasks(0).trigger.contains(Interval(10000L, 5000L)))
+    assert(tl.tasks(1).trigger.contains(Clock(java.time.LocalTime.of(14, 0),
+      Set(java.time.DayOfWeek.MONDAY), utc = true)))
+    assert(tl.tasks(3).trigger.contains(WaitFor(10000L, 5)) &&
+      tl.tasks(3).req.contains("flag:ready"))
+    assert(tl.tasks(4).trigger.contains(Keyword("alarm")))
+    // default initial delay equals the interval (manual)
+    assert(DcafsXml.parseTrigger("interval:7s") == Interval(7000L, 7000L))
+    assert(DcafsXml.parseTrigger("localtime:07:30") ==
+      Clock(java.time.LocalTime.of(7, 30), Set.empty, utc = false))
+  }
+
   test("period literals parse like the reference TimeTools") {
     assert(DcafsXml.parsePeriodMillis("5s") == 5000L)
     assert(DcafsXml.parsePeriodMillis("3m20s") == 200000L)

@@ -114,4 +114,62 @@ class TaskSchedulerSpec extends AnyFunSuite {
     assert(nextClockDelayMs(LocalTime.of(10, 0), Set.empty, utc = true, now)
       == 24L * 3600000)
   }
+
+  test("a parsed tasklist runs end-to-end: arming, chaining, sets, keywords") {
+    val sent = new ConcurrentLinkedQueue[(String, String, String)]()
+    @volatile var ready = false
+    val tl = DcafsXml.parseTasks(
+      """<tasklist>
+        |  <tasksets>
+        |    <taskset id="boot" run="step">
+        |      <task output="stream:dev">GO 1</task>
+        |      <task output="stream:dev" trigger="delay:50ms">GO 2</task>
+        |      <task output="stream:dev" req="never">GO 3</task>
+        |      <task output="stream:dev">GO 4</task>
+        |    </taskset>
+        |    <taskset id="alarm">
+        |      <task output="log:info">over temp</task>
+        |    </taskset>
+        |  </tasksets>
+        |  <tasks>
+        |    <task id="beat" output="system" trigger="interval:40ms">st</task>
+        |    <task id="chain" output="manager" trigger="delay:30ms">taskset:boot</task>
+        |    <task id="kw" output="system" trigger="keyword:alert">taskset:alarm</task>
+        |    <task id="poll" output="system" trigger="retry:30ms,50" req="ready">ok</task>
+        |  </tasks>
+        |</tasklist>""".stripMargin)
+    val r = new TasklistRunner(tl,
+      send = (id, out, v) => sent.add((id, out, v)),
+      compileReq = { case "ready" => () => ready; case _ => () => false })
+    try {
+      // interval heartbeat arms at construction
+      awaitCount(sent, 2)
+      assert(sent.stream().anyMatch(s => s._1 == "beat" && s._3 == "st"))
+      // chained taskset:boot runs step-mode: GO 1, then GO 2 after its
+      // delay, then stops at GO 3's failing guard (GO 4 never runs)
+      val deadline = System.currentTimeMillis() + 5000
+      while (!sent.stream().anyMatch(_._3 == "GO 2") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      val gos = sent.toArray.toSeq.collect {
+        case (_, "stream:dev", v) => v
+      }
+      assert(gos == Seq("GO 1", "GO 2"), s"got $gos")
+      // keyword fires the oneshot alarm set
+      r.fireKeyword("alert")
+      assert(sent.stream().anyMatch(s => s._2 == "log:info" && s._3 == "over temp"))
+      // waitfor guard: nothing until ready flips, then exactly once
+      assert(!sent.stream().anyMatch(_._3 == "ok"))
+      ready = true
+      awaitOk(sent)
+      assert(sent.toArray.toSeq.count(_.asInstanceOf[(String, String, String)]._3 == "ok") == 1)
+    } finally r.shutdown()
+  }
+
+  private def awaitOk(q: ConcurrentLinkedQueue[(String, String, String)],
+      ms: Long = 5000): Unit = {
+    val deadline = System.currentTimeMillis() + ms
+    while (!q.stream().anyMatch(_._3 == "ok") &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
+    Thread.sleep(120) // let any wrong extra dispatch surface
+  }
 }
