@@ -232,6 +232,13 @@ object LineSources {
           .option("host", spec.host).option("port", spec.port.toString)
           .option("topic", spec.topic.getOrElse("#"))
           .option("clientid", spec.id).load()
+      case "serial" =>
+        // the parsed <address> carries the device path (SerialStream's
+        // port name); UART parameters beyond baud stay on the device
+        require(spec.host.nonEmpty, "serial stream needs a device path in <address>")
+        spark.readStream.format("graft.sources.SerialLineSource")
+          .option("device", spec.host)
+          .option("eol", spec.eol).load()
       case other => throw new IllegalArgumentException(
         s"stream type '$other' is hardware-gated — replay its recorded " +
           "captures (LineSources.modbusReplay / fileReplay) instead")
