@@ -318,6 +318,32 @@ object DedupQueries {
         .select(col("qid"), col("vec_id"), col("rn"), col("cos_r"))
     },
 
+    // Cosine RANGE search: all corpus vectors above a similarity floor for
+    // each query — the recall-oriented sibling of top-k ANN (dedup sweeps
+    // and contamination scans want "everything above t", not "the best
+    // k"). Query side broadcast; corpus scanned once.
+    Q("ann_range",
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 3)
+        |SELECT qid, vec_id, cos_r FROM (
+        |  SELECT q.vec_id AS qid, a.vec_id AS vec_id,
+        |    round(list_sum([q.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, 65)]) / (q.nrm * a.nrm), 6) AS cos_r
+        |  FROM q JOIN n a ON a.vec_id <> q.vec_id) t
+        |WHERE cos_r >= 0.30""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos_r",
+          round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+        .filter(col("cos_r") >= 0.30)
+        .select(col("qid"), col("vec_id"), col("cos_r"))
+    },
+
     // IVF-bucketed ANN: spherical-k-means-trained centroids (Lloyd on a
     // deterministic sample), nProbe=2 of 16 inverted lists probed per
     // query, exact re-rank inside. Bucket membership is engine-specific

@@ -340,6 +340,19 @@ object Relational {
             (abs(col("a") - col("e")) <= col("e") * 0.1).cast("int").as("nd_ok"))
     },
 
+    // Full global sort (no limit): plans as a range-partitioning Exchange
+    // + per-partition Sort — the scalable total-order operator (TopK uses
+    // TakeOrdered instead and never materializes a global order).
+    Q("q_sort_global",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 450000
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
     // Deterministic global top-k: total order with unique tiebreaker.
     Q("q_topk",
       """SELECT o_orderkey, o_totalprice FROM orders

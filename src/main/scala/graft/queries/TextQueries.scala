@@ -102,6 +102,68 @@ object TextQueries {
         .select(col("doc_id"), GraftFunctions.rolling_hash(col("text")).as("fp"))
     },
 
+    // Within-document repetition ratio (duplicate-bigram fraction) — the
+    // Gopher-style quality signal that catches degenerate/looping text.
+    // Row-local projection (native tokens/shingles), scales freely.
+    Q("tx_repetition",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |b AS (SELECT doc_id, len(w) - 1 AS n_bigrams,
+        |    len(list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]))
+        |      AS n_distinct
+        |  FROM t WHERE len(w) >= 2)
+        |SELECT doc_id, n_bigrams, n_distinct,
+        |  round(1.0 - n_distinct * 1.0 / n_bigrams, 6) AS dup_ratio
+        |FROM b""".stripMargin) { (s, dir) =>
+      // shingles() is DISTINCT by construction, so distinct-bigram count
+      // is one native expression; total bigrams = len-1
+      Tables.load(s, dir, "documents")
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          (size(col("w")) - 1).as("n_bigrams"),
+          size(TextOps.shingles(col("w"), 2)).as("n_distinct"))
+        .withColumn("dup_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6))
+    },
+
+    // Per-document top-3 salient terms by tf-idf. The idf uses the exact
+    // rational form tf*N/df (single IEEE division of exact integers, so
+    // both engines produce bit-identical doubles — no ln() drift).
+    // Plan shape at scale: one shuffle to build tf, one for df, then a
+    // term-keyed join (the term dictionary outgrows broadcast at corpus
+    // scale; Catalyst still broadcasts when small) and a per-doc top-k
+    // window.
+    Q("tx_tfidf",
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, score, rn FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM s) q WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rn"))
+    },
+
     // Corpus-level top-k n-grams (heavy hitters): the contamination /
     // boilerplate analysis query of a training-data pipeline. Two-phase
     // hash agg (map-side partial) then a global top-k — at corpus scale

@@ -150,6 +150,15 @@ class PlanSpec2 extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"jaccard cross join:\n$p")
   }
 
+  test("q_sort_global plans a range-partitioned sort; q_topk stays TakeOrdered") {
+    val sort = plan("q_sort_global")
+    assert(sort.contains("rangepartitioning"), s"no range partitioning:\n$sort")
+    assert(sort.contains("Sort"), s"no sort operator:\n$sort")
+    val topk = plan("q_topk")
+    assert(topk.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$topk")
+  }
+
   test("ivfAssign is a per-row argmax: zero Exchange, zero join") {
     import graft.operators.VectorOps
     val emb = Tables.load(spark, sf, "embeddings")
