@@ -292,6 +292,47 @@ object Impls {
     math.sqrt(acc)
   }
 
+  /** k-row MinHash signature over a shingle array: per seed, the
+    * lexicographically smallest lowercase-hex md5 of "seed:shingle" —
+    * exactly the rendering min(md5(concat(seed, ':', shingle))) the SQL
+    * oracle recomputes, but in ONE codegen'd pass with no explode and no
+    * (doc, seed) shuffle. Returns an empty array for an empty shingle set.
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = shingles.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val mins = new Array[String](k)
+    var seed = 0
+    while (seed < k) {
+      val prefix = seed.toString + ":"
+      var best: String = null
+      var i = 0
+      while (i < n) {
+        if (!shingles.isNullAt(i)) {
+          md.reset()
+          val d = md.digest((prefix + shingles.getUTF8String(i).toString)
+            .getBytes(StandardCharsets.UTF_8))
+          val sb = new java.lang.StringBuilder(32)
+          var j = 0
+          while (j < d.length) {
+            sb.append(Character.forDigit((d(j) >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(d(j) & 0xf, 16))
+            j += 1
+          }
+          val hex = sb.toString
+          if (best == null || hex.compareTo(best) < 0) best = hex
+        }
+        i += 1
+      }
+      mins(seed) = best
+      seed += 1
+    }
+    if (n == 0) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(mins.map(s =>
+      UTF8String.fromString(s).asInstanceOf[Any]))
+  }
+
   /** Count of array elements contained in a (small, literal) string set —
     * the native twin of size(filter(toks, t -> t IN (...))), which renders
     * as a CodegenFallback lambda tree. Linear scan per token: stopword

@@ -281,30 +281,30 @@ object TextOps {
     else ppjoinFrom(grams, idCol, blockCol, threshold)
   }
 
-  /** LSH candidate pairs: explode band hashes, self-join per (band, hash).
-    * One shuffle on the band hash; pair space limited to bucket contents.
+  /** LSH candidate pairs: self-join per (band, band-hash). The ONLY
+    * shuffle is the band self-join — signatures come from the native
+    * minhash_sig expression, which computes all k per-seed mins in one
+    * codegen'd projection. (Round 2 exploded shingles and hash-aggregated
+    * per (doc, seed): correct, but its shuffle carried k × |shingles|
+    * rows through the one stage that touches every document. Round 1's
+    * transform+array_min lambda rendering was worse still — interpreted
+    * and GC-heavy.) Hashes are identical in all renderings, so the SQL
+    * oracle recomputes the same buckets.
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
     require(k == bands * 2, "this implementation uses 2 signature rows per band")
-    // Explode shingles and aggregate per (doc, seed): everything stays in
-    // whole-stage codegen hash aggregation. The array-lambda rendering
-    // (transform+array_min per seed) runs interpreted and GC-heavy —
-    // measured 2-4x slower with high variance at sf0.1.
-    val sh = docs
+    val sig = docs
       .withColumn("__toks", tokens(col(textCol)))
       .filter(size(col("__toks")) >= shingleSize)
-      .select(col(idCol), explode(shingles(col("__toks"), shingleSize)).as("sh"))
-    val seeds = (0 until k).map(s => lit(s)).toArray
-    val mh = sh
-      .select(col(idCol), explode(array(seeds: _*)).as("seed"), col("sh"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("h"))
-    val banded = mh
-      .groupBy(col(idCol), (col("seed") / 2).cast("int").as("band"))
-      .agg(md5(concat(
-        min(when(col("seed") % 2 === 0, col("h"))),
-        min(when(col("seed") % 2 === 1, col("h"))))).as("bh"))
+      .withColumn("__sig", graft.functions.GraftFunctions.minhash_sig(
+        shingles(col("__toks"), shingleSize), lit(k)))
+    val bandCols = (0 until bands).map { b =>
+      md5(concat(element_at(col("__sig"), b * 2 + 1),
+        element_at(col("__sig"), b * 2 + 2)))
+    }
+    val banded = sig.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,

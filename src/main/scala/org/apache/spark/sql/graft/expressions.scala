@@ -228,6 +228,25 @@ case class ZNormDist(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** minhash_sig(shingles, k): k-row MinHash signature (per-seed min of
+  * md5("seed:shingle"), lowercase hex) in one codegen'd pass — replaces
+  * an explode + (doc, seed) hash-aggregate whose shuffle carried
+  * k × |shingles| rows in the one stage that touches every document.
+  */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(sh: Any, k: Any): Any =
+    Impls.minhashSig(sh.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k) => s"graft.functions.Impls.minhashSig($s, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
+    copy(l, r)
+}
+
 /** count_in_set(tokens, set): number of tokens contained in the (small,
   * literal) string set — the native twin of
   * size(filter(toks, t -> t.isin(...))), whose lambda rendering is

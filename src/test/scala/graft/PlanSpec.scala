@@ -86,6 +86,8 @@ class PlanSpec extends AnyFunSuite {
       col("embedding"), col("embedding"))), "znormDist")
     inlined(docs.select(GraftFunctions.count_in_set(
       TextOps.tokens(col("text")), array(lit("the"), lit("a")))), "countIn")
+    inlined(docs.select(GraftFunctions.minhash_sig(
+      TextOps.shingles(TextOps.tokens(col("text")), 3), lit(8))), "minhashSig")
   }
 
   test("dedup LSH join shuffles on the band hash, not a cross join") {
