@@ -340,6 +340,49 @@ object Relational {
             (abs(col("a") - col("e")) <= col("e") * 0.1).cast("int").as("nd_ok"))
     },
 
+    // Value-RANGE window frame (vs the rows-frames in q_window_funcs):
+    // per customer, aggregate over all orders within 1000 price units
+    // below the current row. Peers enter the frame wholly, so the result
+    // is deterministic without a unique tiebreaker; the sum runs through
+    // DECIMAL for order-independence.
+    Q("q_window_range",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum,
+        |  COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS near_n
+        |FROM orders WHERE o_totalprice > 400000""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+        .rangeBetween(-1000, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+            .cast("double").as("near_sum"),
+          count(lit(1)).over(w).as("near_n"))
+    },
+
+    // Per-group MODE with an explicit deterministic tie policy (highest
+    // count, then smallest value) — engines' built-in mode() functions
+    // leave ties unspecified, so both sides spell the policy out.
+    Q("q_mode",
+      """WITH c AS (SELECT l_returnflag, l_quantity AS v, count(*) AS n
+        |           FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |SELECT l_returnflag, v AS mode_qty, n FROM (
+        |  SELECT l_returnflag, v, n,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, v) AS rn
+        |  FROM c) t WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("l_returnflag").orderBy(col("n").desc, col("v"))
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("v").as("mode_qty"), col("n"))
+    },
+
     // Full global sort (no limit): plans as a range-partitioning Exchange
     // + per-partition Sort — the scalable total-order operator (TopK uses
     // TakeOrdered instead and never materializes a global order).

@@ -73,6 +73,35 @@ object TextQueries {
           round(noSpace.cast("double") / size(w), 6).as("avg_word_len"))
     },
 
+    // Composite quality GATE: the keep/drop decision table a filtering
+    // pipeline emits (length band + stopword floor + word-length
+    // ceiling). Row-local; the thresholds are the policy, the signals
+    // come from the same native expressions as tx_quality.
+    Q("tx_quality_gate",
+      """WITH t AS (SELECT doc_id, length(text) AS chars,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |q AS (SELECT doc_id, chars, len(w) AS n_tokens,
+        |    len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+        |      * 1.0 / len(w) AS stop_ratio
+        |  FROM t WHERE len(w) > 0)
+        |SELECT doc_id, n_tokens,
+        |  CAST(n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.05
+        |       AND chars * 1.0 / n_tokens <= 12 AS INT) AS keep
+        |FROM q""".stripMargin) { (s, dir) =>
+      val w = TextOps.tokens(col("text"))
+      val stopSet = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("chars"),
+          size(w).as("n_tokens"),
+          (GraftFunctions.count_in_set(w, stopSet) * lit(1.0) / size(w))
+            .as("stop_ratio"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens").between(20, 1000) && col("stop_ratio") >= 0.05 &&
+            col("chars") * lit(1.0) / col("n_tokens") <= 12)
+            .cast("int").as("keep"))
+    },
+
     // Token counting: whitespace tokens + a BPE-ish regex token stream.
     Q("tx_tokens",
       """SELECT doc_id,
