@@ -106,9 +106,15 @@ object TextOps {
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .cache()
+    // localCheckpoint (eager) per iteration: each round's frame must cut
+    // its lineage, or the logical plan nests one join+agg deeper every
+    // iteration and analysis/AQE planning blows up long before the data
+    // does (found by ConnectedComponentsSpec: 20 iterations OOMed the
+    // driver on PLAN strings). Executor-local persistence is the standard
+    // trade for iterative refinement — on failure the job reruns.
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .cache()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -116,18 +122,30 @@ object TextOps {
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("label").as("nlabel"))
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+      // Pointer jumping: additionally adopt the label OF the current
+      // label, doubling the propagation distance each round — plain
+      // neighbor propagation moves labels one hop per round and silently
+      // mislabels any component whose diameter exceeds maxIter
+      // (ConnectedComponentsSpec's 42-node chain caught exactly that).
+      // With the jump, maxIter=20 covers diameters up to ~2^20.
+      val next = stepped.as("a")
+        .join(stepped.select(col("node").as("ln"), col("label").as("ll")).as("b"),
+          col("a.label") === col("b.ln"), "left")
+        .select(col("a.node").as("node"),
+          least(col("a.label"), coalesce(col("ll"), col("a.label"))).as("label"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      labels = next // previous round's blocks are reclaimed by the cleaner
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
     labels.withColumnRenamed("label", "cluster")
   }
 

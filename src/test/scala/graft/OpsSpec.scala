@@ -169,6 +169,34 @@ class SocketWriterSpec extends AnyFunSuite {
   * prefix-filter plan exists for): the filtered join must equal an
   * independent brute-force all-pairs Jaccard computed driver-side.
   */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("distributed min-label propagation equals driver union-find") {
+    // deterministic random-ish graph: chains, a star, isolated pairs, and
+    // cross-links that merge components across id ranges
+    val edges = (
+      (0L until 40L).map(i => (i, i + 1)) ++          // one long chain
+        (100L until 120L).map(i => (100L, i + 1)) ++  // star at 100
+        Seq((41L, 100L)) ++                           // chain <-> star merge
+        (200L until 240L by 2).map(i => (i, i + 1)) ++ // isolated pairs
+        Seq((500L, 300L), (300L, 41L))                // high id folds into 0's comp
+      ).toDF("doc_a", "doc_b")
+    val exact = graft.operators.TextOps.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = graft.operators.TextOps.connectedComponents(edges,
+        smallGraphMax = 0L) // force the distributed path
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == exact, s"distributed labeling diverged")
+    // chain 0..40 labels to 0; the star/cross-link component {41,
+    // 100..121, 300, 500} labels to its min node 41; pairs stay pairs
+    assert(exact(40L) == 0L && exact(1L) == 0L)
+    assert(exact(500L) == 41L && exact(120L) == 41L && exact(300L) == 41L)
+    assert(exact(201L) == 200L)
+  }
+}
+
 class ZipfJaccardSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
