@@ -511,11 +511,14 @@ object VectorOps {
   def sampleCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // orderBy+limit plans as TakeOrdered (per-partition top-k, no global
+    // sort); the single-partition window then only ever sees the
+    // nCentroids sampled rows, never the corpus
     vectors
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col(idCol))))
-      .filter(col("__rn") <= nCentroids)
-      .select((col("__rn") - 1).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(col(idCol))
+      .limit(nCentroids)
+      .withColumn("cid", row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("cid"), col(vecCol).as("cvec"))
   }
 
   /** IVF probe: search only the nProbe buckets whose centroids are

@@ -45,6 +45,15 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-3 natives register for the SQL surface") {
+    val r = spark.sql(
+      "SELECT count_in_set(tokens_ws('the cat and the hat'), array('the','and')) AS c, " +
+        "minhash_sig(shingles(tokens_ws('a b c d'), 2), 4) AS sig").head()
+    assert(r.getInt(0) == 3)
+    assert(r.getSeq[String](1).length == 4)
+    assert(r.getSeq[String](1).forall(_.matches("[0-9a-f]{32}")))
+  }
+
   test("crc16/modbus + lrc check values") {
     assert(Impls.crc16Modbus(u("123456789")) == 0x4b37)
     assert(Impls.crc16Modbus(u("")) == 0xffff)
