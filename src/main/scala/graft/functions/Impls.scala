@@ -301,36 +301,46 @@ object Impls {
   def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
     val md = MessageDigest.getInstance("MD5")
-    val mins = new Array[String](k)
+    // hex strings compare like their unsigned digest bytes (each byte maps
+    // to two monotonically-ordered hex digits), so the per-seed min runs
+    // on raw byte arrays and only the k winners are hex-rendered —
+    // the dominant cost is the k*n md5s, not allocation
+    val prefixes = Array.tabulate(k)(s => (s.toString + ":").getBytes(StandardCharsets.UTF_8))
+    val mins = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val sh = shingles.getUTF8String(i).getBytes
+        var seed = 0
+        while (seed < k) {
+          md.reset()
+          md.update(prefixes(seed))
+          md.update(sh)
+          val d = md.digest()
+          if (mins(seed) == null ||
+              java.util.Arrays.compareUnsigned(d, mins(seed)) < 0) mins(seed) = d
+          seed += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
     var seed = 0
     while (seed < k) {
-      val prefix = seed.toString + ":"
-      var best: String = null
-      var i = 0
-      while (i < n) {
-        if (!shingles.isNullAt(i)) {
-          md.reset()
-          val d = md.digest((prefix + shingles.getUTF8String(i).toString)
-            .getBytes(StandardCharsets.UTF_8))
-          val sb = new java.lang.StringBuilder(32)
-          var j = 0
-          while (j < d.length) {
-            sb.append(Character.forDigit((d(j) >> 4) & 0xf, 16))
-            sb.append(Character.forDigit(d(j) & 0xf, 16))
-            j += 1
-          }
-          val hex = sb.toString
-          if (best == null || hex.compareTo(best) < 0) best = hex
-        }
-        i += 1
+      val d = mins(seed)
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < d.length) {
+        sb.append(Character.forDigit((d(j) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(d(j) & 0xf, 16))
+        j += 1
       }
-      mins(seed) = best
+      out(seed) = UTF8String.fromString(sb.toString)
       seed += 1
     }
-    if (n == 0) new GenericArrayData(Array.empty[Any])
-    else new GenericArrayData(mins.map(s =>
-      UTF8String.fromString(s).asInstanceOf[Any]))
+    new GenericArrayData(out)
   }
 
   /** Count of array elements contained in a (small, literal) string set —
