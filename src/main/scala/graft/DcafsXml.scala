@@ -353,6 +353,86 @@ object DcafsXml {
     }
   }
 
+  // ---- Email settings (reference EmailWorker.readFromXML) ----
+
+  /** Parsed `<email>` settings node
+    * (`/root/reference/src/io/email/EmailWorker.java:154-200`).
+    */
+  final case class EmailCfg(
+      outbox: graft.alerts.MailboxCfg,
+      inbox: graft.alerts.MailboxCfg,
+      checkIntervalSeconds: Int,
+      allowedDomain: String,
+      zipFromMB: Double,
+      maxSizeMB: Double,
+      deleteRecZip: Boolean,
+      book: Seq[(String, String)],
+      permits: Seq[graft.alerts.Permit])
+
+  /** Parse an `<email>` element (bare, or nested under
+    * `dcafs/settings`): outbox/inbox server nodes with port/user/pass/ssl
+    * attributes, the emailbook `<entry ref=..>` rows, and allow/deny
+    * permits.
+    */
+  def parseEmail(xml: String): Option[EmailCfg] = {
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new InputSource(new StringReader(xml)))
+    val root = doc.getDocumentElement
+    val emailEl =
+      if (root.getTagName == "email") Some(root)
+      else { // dig dcafs/settings/email or settings/email or direct child
+        def find(el: Element, tag: String): Option[Element] =
+          children(el).find(_.getTagName == tag)
+        find(root, "email")
+          .orElse(find(root, "settings").flatMap(find(_, "email")))
+      }
+    emailEl.map { el =>
+      def boolOf(s: String) = Set("yes", "true", "1")(s.trim.toLowerCase)
+      def mailbox(tag: String, defaultFrom: String): (graft.alerts.MailboxCfg, Seq[Element]) =
+        children(el).find(_.getTagName == tag) match {
+          case Some(box) =>
+            val kids = children(box)
+            val server = kids.find(_.getTagName == "server")
+            val cfg = graft.alerts.MailboxCfg(
+              server = server.map(_.getTextContent.trim).getOrElse(""),
+              port = server.flatMap(attr(_, "port")).map(_.toInt).getOrElse(25),
+              user = server.flatMap(attr(_, "user")).getOrElse(""),
+              pass = server.flatMap(attr(_, "pass")).getOrElse(""),
+              ssl = server.flatMap(attr(_, "ssl")).exists(boolOf),
+              from = kids.find(_.getTagName == "from")
+                .map(_.getTextContent.trim).getOrElse(defaultFrom))
+            (cfg, kids)
+          case None => (graft.alerts.MailboxCfg(from = defaultFrom), Seq.empty)
+        }
+      def kidText(kids: Seq[Element], tag: String): Option[String] =
+        kids.find(_.getTagName == tag).map(_.getTextContent.trim)
+      val (outbox, outKids) = mailbox("outbox", "graft@email.com")
+      val (inbox, inKids) = mailbox("inbox", "")
+      val book = children(el).filter(_.getTagName == "book")
+        .flatMap(children(_)).filter(_.getTagName == "entry")
+        .flatMap(e => attr(e, "ref").map(_ -> e.getTextContent.trim))
+      val permits = children(el).filter(_.getTagName == "permits")
+        .flatMap(children(_)).flatMap { p =>
+          val denies = p.getTagName == "deny" || p.getTagName == "denies"
+          val allow = p.getTagName == "allow"
+          if (!denies && !allow) None
+          else attr(p, "ref").map(r => graft.alerts.Permit(denies, r,
+            p.getTextContent.trim, attr(p, "regex").exists(boolOf)))
+        }
+      EmailCfg(
+        outbox = outbox,
+        inbox = inbox,
+        checkIntervalSeconds =
+          (parsePeriodMillis(kidText(inKids, "checkinterval").getOrElse("5m")) / 1000L).toInt,
+        allowedDomain = kidText(inKids, "allowed").getOrElse(""),
+        zipFromMB = kidText(outKids, "zip_from_size_mb").map(_.toDouble).getOrElse(10.0),
+        maxSizeMB = kidText(outKids, "max_size_mb").map(_.toDouble).getOrElse(15.0),
+        deleteRecZip = kidText(outKids, "delete_rec_zip").forall(boolOf),
+        book = book,
+        permits = permits)
+    }
+  }
+
   private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   private def attr(el: Element, name: String): Option[String] = {

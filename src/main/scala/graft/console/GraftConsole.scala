@@ -98,7 +98,19 @@ class GraftConsole(spark: SparkSession) {
       val s = DcafsXml.parseSettings(xml)
       s.paths.foreach(addPath)
       s.streams.foreach(sp => streamSpecs(sp.id) = sp)
-      s"loaded ${s.streams.size} streams, ${s.paths.size} paths"
+      val email = DcafsXml.parseEmail(xml).map { cfg =>
+        val w = new graft.alerts.EmailWorker(
+          outbox = cfg.outbox, inbox = cfg.inbox,
+          execute = (c, sink) => execute(c).linesIterator.foreach(sink),
+          checkIntervalSeconds = cfg.checkIntervalSeconds,
+          zipFromMB = cfg.zipFromMB, maxSizeMB = cfg.maxSizeMB,
+          deleteReceivedZip = cfg.deleteRecZip)
+        cfg.book.foreach { case (ref, addrs) => w.addTo(ref, addrs) }
+        cfg.permits.foreach(w.addPermit)
+        attachEmail(w)
+        ", email configured"
+      }.getOrElse("")
+      s"loaded ${s.streams.size} streams, ${s.paths.size} paths$email"
     case "streams" =>
       if (streamSpecs.isEmpty) "no stream declarations loaded"
       else streamSpecs.values
@@ -106,7 +118,56 @@ class GraftConsole(spark: SparkSession) {
         .mkString("\n")
     case c if c.startsWith("dbm:") => dbm(c.stripPrefix("dbm:"))
     case c if c.startsWith("tm:") => tm(c.stripPrefix("tm:"))
+    case c if c.startsWith("email:") => emailCmd(c.stripPrefix("email:"))
     case sql => render(spark.sql(sql))
+  }
+
+  /** `email:` family (reference `EmailWorker.replyToCommand`,
+    * `EmailWorker.java:651-737`): send/refs/setup/checknow/interval/
+    * addallow/adddeny/spam against an attached [[graft.alerts.EmailWorker]].
+    */
+  private var emailWorker: Option[graft.alerts.EmailWorker] = None
+
+  def attachEmail(w: graft.alerts.EmailWorker): Unit = emailWorker = Some(w)
+
+  private def emailCmd(cmd0: String): String = {
+    // shorthand the reference also rewrites: toadmin,<subject> -> send,admin,...
+    val cmd = cmd0.replace("toadmin,", "send,admin,")
+    val w = emailWorker.getOrElse(
+      return "No EmailWorker initialized (yet), attach one or settings:load an <email> node.")
+    val p = cmd.split(",", -1).map(_.trim)
+    p(0) match {
+      case "?" =>
+        "email:refs | email:send,to,subject,content | email:setup | " +
+          "email:checknow | email:addallow,from,cmd(,isRegex) | " +
+          "email:adddeny,from,cmd(,isRegex) | email:interval,x | email:spam"
+      case "refs" => w.bookListing
+      case "setup" | "status" => w.settingsListing
+      case "send" =>
+        if (p.length != 4) "Not enough arguments send,ref/email,subject,content"
+        else {
+          w.sendEmail(graft.alerts.Email.to(p(1)).subject(p(2)).content(p(3)))
+          "Tried to send email"
+        }
+      case "checknow" =>
+        val n = w.check()
+        if (n < 0) "Inbox check failed" else s"Checked inbox: $n new"
+      case "interval" =>
+        if (p.length == 2) {
+          w.checkIntervalSeconds =
+            (graft.DcafsXml.parsePeriodMillis(p(1)) / 1000L).toInt
+          s"Interval changed to ${w.checkIntervalSeconds} seconds"
+        } else "Invalid number of parameters"
+      case "addallow" | "adddeny" =>
+        if (p.length < 3) s"Not enough arguments email:${p(0)},from,cmd(,isRegex)"
+        else {
+          val regex = p.length == 4 && Set("yes", "true", "1")(p(3).toLowerCase)
+          w.addPermit(graft.alerts.Permit(p(0) == "adddeny", p(1), p(2), regex))
+          "Permit added"
+        }
+      case "spam" => w.spamStatus
+      case _ => "unknown command"
+    }
   }
 
   /** `dbm:` database-manager family (CommandPool.java:173-183 routing;

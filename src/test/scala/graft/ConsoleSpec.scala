@@ -116,4 +116,42 @@ class ConsoleSpec extends AnyFunSuite {
     assert(c.execute("tm:sched,stop") == "stopped sched")
     assert(c.execute("tm:managers") == "no task managers")
   }
+
+  test("email: family drives an attached worker (EmailWorker command surface)") {
+    val c = new GraftConsole(spark)
+    assert(c.execute("email:refs").contains("No EmailWorker initialized"))
+    val smtp = new MiniSmtpServer
+    try {
+      val w = new graft.alerts.EmailWorker(
+        outbox = graft.alerts.MailboxCfg("127.0.0.1", smtp.port, from = "graft@email.com"),
+        sendSpacingMillis = 5, busyWindowMillis = 400)
+      c.attachEmail(w)
+      w.addTo("admin", "boss@x.com")
+      assert(c.execute("email:refs").contains("admin -> boss@x.com"))
+      assert(c.execute("email:setup").contains(s"Server: 127.0.0.1:${smtp.port}"))
+      assert(c.execute("email:toadmin,ping,all well") == "Tried to send email")
+      val deadline = System.currentTimeMillis() + 5000
+      while (smtp.received.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(smtp.received.peek()._2 == Seq("boss@x.com"))
+      assert(c.execute("email:addallow,ops,sd") == "Permit added")
+      assert(c.execute("email:interval,2m").contains("120 seconds"))
+      assert(c.execute("email:spam").startsWith("Busy at"))
+      w.stop()
+    } finally smtp.close()
+  }
+
+  test("settings:load with an <email> node attaches a configured worker") {
+    val c = new GraftConsole(spark)
+    val f = java.nio.file.Files.createTempFile("graft-email-settings", ".xml")
+    java.nio.file.Files.write(f,
+      """<dcafs><settings><email>
+        |  <outbox><server port="2525">smtp.host</server>
+        |    <from>unit1@email.com</from></outbox>
+        |  <book><entry ref="admin">boss@x.com</entry></book>
+        |</email></settings></dcafs>""".stripMargin.getBytes)
+    assert(c.execute(s"settings:load,$f").endsWith("email configured"))
+    assert(c.execute("email:refs").contains("admin -> boss@x.com"))
+    assert(c.execute("email:setup").contains("From (send replies): unit1@email.com"))
+  }
 }
