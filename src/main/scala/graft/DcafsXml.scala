@@ -433,6 +433,47 @@ object DcafsXml {
     }
   }
 
+  /** Parse a `<matrix>` node (reference `MatrixClient.readFromXML`,
+    * `/root/reference/src/io/matrix/MatrixClient.java:92-127`): user/pass
+    * attributes, optional `<server>`, `<macro id=..>` children and
+    * `<room id=..>` children with url/entering/leaving/greet.
+    */
+  def parseMatrix(xml: String): Option[graft.alerts.MatrixCfg] = {
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new InputSource(new StringReader(xml)))
+    val root = doc.getDocumentElement
+    val el =
+      if (root.getTagName == "matrix") Some(root)
+      else children(root).find(_.getTagName == "matrix")
+        .orElse(children(root).find(_.getTagName == "settings")
+          .flatMap(s => children(s).find(_.getTagName == "matrix")))
+    el.flatMap { m =>
+      attr(m, "user").filter(u => u.startsWith("@") && u.contains(":")).map { user =>
+        def kid(e: Element, tag: String): String =
+          children(e).find(_.getTagName == tag).map(_.getTextContent.trim).getOrElse("")
+        val server = kid(m, "server") match {
+          case "" => ""
+          case s if s.startsWith("http") => s
+          case s => "http://" + s
+        }
+        graft.alerts.MatrixCfg(
+          user = user,
+          pass = attr(m, "pass").getOrElse(""),
+          server = server,
+          rooms = children(m).filter(_.getTagName == "room").map { r =>
+            graft.alerts.RoomSetup(
+              id = attr(r, "id").getOrElse("room"),
+              url = kid(r, "url"),
+              entering = kid(r, "entering"),
+              leaving = kid(r, "leaving"),
+              greet = kid(r, "greet"))
+          },
+          macros = children(m).filter(_.getTagName == "macro")
+            .flatMap(mc => attr(mc, "id").map(_ -> mc.getTextContent.trim)).toMap)
+      }
+    }
+  }
+
   private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   private def attr(el: Element, name: String): Option[String] = {

@@ -1,0 +1,82 @@
+package graft.alerts
+
+import java.io.{BufferedInputStream, OutputStreamWriter}
+import java.net.{Socket, URI}
+import java.nio.charset.StandardCharsets
+
+/** Minimal HTTP/1.1 client over plain sockets — just enough verbs and
+  * framing for the Matrix client-server API the reference uses
+  * (`/root/reference/src/io/matrix/MatrixClient.java` rides
+  * java.net.http; this stays zero-dependency like the SMTP/IMAP/MQTT
+  * codecs). Supports http URLs, Content-Length framed bodies both ways.
+  */
+object HttpLite {
+
+  final case class Response(status: Int, body: String)
+
+  final class HttpException(msg: String) extends RuntimeException(msg)
+
+  def get(url: String, timeoutMillis: Int = 15000): Response =
+    request("GET", url, None, timeoutMillis)
+
+  def post(url: String, json: String, timeoutMillis: Int = 15000): Response =
+    request("POST", url, Some(json), timeoutMillis)
+
+  def put(url: String, json: String, timeoutMillis: Int = 15000): Response =
+    request("PUT", url, Some(json), timeoutMillis)
+
+  def request(method: String, url: String, body: Option[String],
+      timeoutMillis: Int): Response = {
+    val uri = new URI(url)
+    require(uri.getScheme == "http", s"only http supported, got $url")
+    val port = if (uri.getPort > 0) uri.getPort else 80
+    val socket = new Socket(uri.getHost, port)
+    socket.setSoTimeout(timeoutMillis)
+    try {
+      val out = new OutputStreamWriter(socket.getOutputStream, StandardCharsets.ISO_8859_1)
+      val pathQ = uri.getRawPath + Option(uri.getRawQuery).map("?" + _).getOrElse("")
+      val bytes = body.map(_.getBytes(StandardCharsets.UTF_8)).getOrElse(Array.emptyByteArray)
+      out.write(s"$method $pathQ HTTP/1.1\r\n")
+      out.write(s"Host: ${uri.getHost}:$port\r\n")
+      out.write("Connection: close\r\n")
+      if (body.nonEmpty) {
+        out.write("Content-Type: application/json\r\n")
+        out.write(s"Content-Length: ${bytes.length}\r\n")
+      }
+      out.write("\r\n")
+      out.flush()
+      if (bytes.nonEmpty) { socket.getOutputStream.write(bytes); socket.getOutputStream.flush() }
+
+      val in = new BufferedInputStream(socket.getInputStream)
+      def readLine(): String = {
+        val sb = new StringBuilder
+        var c = in.read()
+        while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+        sb.toString
+      }
+      val statusLine = readLine()
+      if (!statusLine.startsWith("HTTP/")) throw new HttpException(s"bad status: $statusLine")
+      val status = statusLine.split(" ")(1).toInt
+      var contentLength = -1
+      var line = readLine()
+      while (line.nonEmpty) {
+        val c = line.indexOf(':')
+        if (c > 0 && line.take(c).equalsIgnoreCase("content-length"))
+          contentLength = line.drop(c + 1).trim.toInt
+        line = readLine()
+      }
+      val bodyBytes =
+        if (contentLength >= 0) {
+          val buf = new Array[Byte](contentLength)
+          var off = 0
+          while (off < contentLength) {
+            val r = in.read(buf, off, contentLength - off)
+            if (r < 0) throw new HttpException("short body")
+            off += r
+          }
+          buf
+        } else in.readAllBytes() // Connection: close framing
+      Response(status, new String(bodyBytes, StandardCharsets.UTF_8))
+    } finally socket.close()
+  }
+}

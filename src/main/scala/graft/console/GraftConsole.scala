@@ -110,7 +110,12 @@ class GraftConsole(spark: SparkSession) {
         attachEmail(w)
         ", email configured"
       }.getOrElse("")
-      s"loaded ${s.streams.size} streams, ${s.paths.size} paths$email"
+      val matrix = DcafsXml.parseMatrix(xml).map { cfg =>
+        attachMatrix(new graft.alerts.MatrixClient(cfg,
+          execute = (c, sink) => execute(c).linesIterator.foreach(sink)))
+        ", matrix configured"
+      }.getOrElse("")
+      s"loaded ${s.streams.size} streams, ${s.paths.size} paths$email$matrix"
     case "streams" =>
       if (streamSpecs.isEmpty) "no stream declarations loaded"
       else streamSpecs.values
@@ -119,7 +124,49 @@ class GraftConsole(spark: SparkSession) {
     case c if c.startsWith("dbm:") => dbm(c.stripPrefix("dbm:"))
     case c if c.startsWith("tm:") => tm(c.stripPrefix("tm:"))
     case c if c.startsWith("email:") => emailCmd(c.stripPrefix("email:"))
+    case c if c.startsWith("matrix:") => matrixCmd(c.stripPrefix("matrix:"))
     case sql => render(spark.sql(sql))
+  }
+
+  /** `matrix:` family (reference `MatrixClient.replyToCommand`,
+    * `MatrixClient.java:773-884`): rooms/join/say/files/down/sync over
+    * an attached [[graft.alerts.MatrixClient]].
+    */
+  private var matrixClient: Option[graft.alerts.MatrixClient] = None
+
+  def attachMatrix(m: graft.alerts.MatrixClient): Unit = matrixClient = Some(m)
+
+  private def matrixCmd(cmd: String): String = {
+    val m = matrixClient.getOrElse(
+      return "No MatrixClient initialized (yet), attach one or settings:load a <matrix> node.")
+    val p = cmd.split(",", -1).map(_.trim)
+    p(0) match {
+      case "?" =>
+        "matrix:rooms | matrix:join,roomid,url | matrix:say,roomid,message | " +
+          "matrix:broadcast,message | matrix:files | matrix:sync | matrix:restart"
+      case "rooms" =>
+        val r = m.roomListing
+        if (r.isEmpty) "no rooms" else r.mkString("\n")
+      case "join" if p.length >= 3 =>
+        val rs = graft.alerts.RoomSetup(p(1), p(2))
+        m.addRoom(rs); m.joinRoom(rs)
+        "Tried to join room"
+      case "say" | "txt" =>
+        if (p.length < 3) "! Not enough arguments: matrix:say,roomid,message"
+        else m.room(p(1)) match {
+          case Some(r) =>
+            m.sendMessage(r.url, cmd.split(",", 3)(2)) // message may hold commas
+            "Message send"
+          case None => s"No such room (yet): ${p(1)}"
+        }
+      case "broadcast" if p.length >= 2 =>
+        m.broadcast(cmd.split(",", 2)(1)); "Broadcast send"
+      case "files" =>
+        if (m.fileLinks.isEmpty) "! No files yet" else m.fileLinks.keys.mkString("\n")
+      case "sync" => m.syncOnce(first = false); "Initiated sync"
+      case "restart" => m.login(); "Tried reloading"
+      case _ => s"! No such subcommand in matrix: ${p(0)}"
+    }
   }
 
   /** `email:` family (reference `EmailWorker.replyToCommand`,

@@ -141,6 +141,29 @@ class ConsoleSpec extends AnyFunSuite {
     } finally smtp.close()
   }
 
+  test("matrix: family drives an attached client (MatrixClient command surface)") {
+    val c = new GraftConsole(spark)
+    assert(c.execute("matrix:rooms").contains("No MatrixClient initialized"))
+    val srv = new MiniMatrixServer
+    try {
+      val m = new graft.alerts.MatrixClient(
+        graft.alerts.MatrixCfg("@graft:x", "pw", srv.url),
+        retryStepMillis = 50, syncTimeoutMillis = 300)
+      c.attachMatrix(m)
+      m.login()
+      assert(c.execute("matrix:join,ops,!ops:x") == "Tried to join room")
+      assert(c.execute("matrix:rooms").contains("ops -> !ops:x"))
+      assert(c.execute("matrix:say,ops,hello, world") == "Message send")
+      val deadline = System.currentTimeMillis() + 5000
+      while (srv.messages.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      import scala.jdk.CollectionConverters._
+      assert(srv.messages.asScala.exists(_._2 == "hello, world"))
+      assert(c.execute("matrix:files") == "! No files yet")
+      m.stop()
+    } finally srv.close()
+  }
+
   test("settings:load with an <email> node attaches a configured worker") {
     val c = new GraftConsole(spark)
     val f = java.nio.file.Files.createTempFile("graft-email-settings", ".xml")
