@@ -184,6 +184,28 @@ object LineSources {
         col("mb.slave").as("slave"), col("mb.func").as("func"),
         col("mb.registers").as("registers"), col("mb.crc_ok").as("crc_ok"))
 
+  /** S10 I2C replay: recorded reply captures (text files of hex-encoded
+    * reply bytes, one capture per line) decoded through a parsed
+    * commandset script — the testable rendering of the I2C device source
+    * (`/root/reference/src/io/hardware/i2c/I2CWorker.java:203-723`): the
+    * bus delivers bytes, everything after is script decode, which is
+    * what this covers. Schema: (line, origin, ts, values, out).
+    */
+  def i2cReplay(spark: SparkSession, dir: String, scriptXml: String,
+      cmdKey: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val cmd = graft.sources.I2cScript.parseScript(scriptXml)(cmdKey)
+    val decode = udf((hexLine: String) => {
+      val bytes = hexLine.trim.sliding(2, 2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      graft.sources.I2cScript.decodeReplay(cmd, bytes)
+    })
+    val render = udf((values: Seq[Double]) =>
+      graft.sources.I2cScript.format(cmd, values).mkString(";"))
+    fileReplay(spark, dir, maxFilesPerTrigger)
+      .withColumn("values", decode(col("line")))
+      .withColumn("out", render(col("values")))
+  }
+
   /** S8 SQL query source: run a SELECT against a JDBC database and
     * replay the rows as lines at the rate source's pace
     * (PathForward.java:516-537 SQLITE custom src semantics).
