@@ -8,10 +8,13 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   * real decoder (libjpeg/ffmpeg via JNI or a Python worker) initializes
   * once per partition, not per row.
   *
-  * The decode step itself is STUBBED deterministically — the image/audio
-  * libs are not in this container — but everything Spark-side is real:
-  * schemas, encoders, partition-wise batching, the per-partition
-  * init-once pattern, and the frame-explosion shape.
+  * Still images decode for REAL — pure-JVM PNG (inflate + unfilter),
+  * PPM, BMP, with the JRE's ImageIO covering JPEG/GIF — via
+  * [[Multimodal.pixelFeatures]]. Only video/audio decode remains a
+  * deterministic STUB (no av codec libs in this container); everything
+  * Spark-side is real either way: schemas, encoders, partition-wise
+  * batching, the per-partition init-once pattern, and the
+  * frame-explosion shape.
   */
 final case class MediaRecord(
     id: Long, kind: String, bytes: Array[Byte], tags: Map[String, String])
@@ -21,6 +24,18 @@ final case class MediaFeatures(
     width: Int, height: Int, nFrames: Int, byteHistogram: Array[Double])
 
 final case class FrameSample(id: Long, frameIdx: Int, frameBytes: Array[Byte])
+
+/** A decoded still: row-major interleaved 8-bit samples (1=gray,
+  * 2=gray+alpha, 3=RGB, 4=RGBA).
+  */
+final case class PixelImage(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+/** Real pixel statistics of a decoded still: mean/stddev of Rec.601
+  * luminance plus a 16-bin luminance histogram.
+  */
+final case class PixelFeatures(
+    id: Long, width: Int, height: Int, channels: Int,
+    lumMean: Double, lumStd: Double, lumHist: Array[Double])
 
 object Multimodal {
 
@@ -79,6 +94,223 @@ object Multimodal {
       }
       out
     } else None
+  }
+
+  /** Real pixel decode, pure JVM: PNG (zlib inflate + per-scanline
+    * None/Sub/Up/Average/Paeth unfilter, 8-bit depth, color types
+    * 0/2/3/4/6, non-interlaced — the overwhelmingly common profile), PPM
+    * P6 and 24-bit uncompressed BMP. Anything else falls back to the
+    * JDK's own ImageIO (JPEG/GIF ship with the JRE) in
+    * [[decodePixelsAny]]; only video/audio remain stubbed.
+    */
+  private[graft] def decodePixels(bytes: Array[Byte]): Option[PixelImage] = {
+    if (bytes.length >= 10 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+      decodePng(bytes)
+    else None
+  }
+
+  /** [[decodePixels]] plus the ImageIO fallback (headless JRE decoders,
+    * covers baseline+progressive JPEG). RGB output from the fallback.
+    */
+  private[graft] def decodePixelsAny(bytes: Array[Byte]): Option[PixelImage] =
+    decodePixels(bytes).orElse {
+      try {
+        System.setProperty("java.awt.headless", "true")
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          .map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val out = new Array[Byte](w * h * 3)
+            var i = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                out(i) = ((rgb >> 16) & 0xff).toByte
+                out(i + 1) = ((rgb >> 8) & 0xff).toByte
+                out(i + 2) = (rgb & 0xff).toByte
+                i += 3; x += 1
+              }
+              y += 1
+            }
+            PixelImage(w, h, 3, out)
+          }
+      } catch { case _: Throwable => None }
+    }
+
+  private def decodePpm(bytes: Array[Byte]): Option[PixelImage] = {
+    // header: "P6" <ws> width <ws> height <ws> maxval <single ws> raw RGB;
+    // '#' comments run to end of line
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < bytes.length &&
+          (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val start = pos
+      while (pos < bytes.length && bytes(pos).toChar.isDigit) pos += 1
+      new String(bytes, start, pos - start, "US-ASCII").toInt
+    }
+    try {
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      pos += 1 // the single whitespace after maxval
+      if (maxval != 255 || bytes.length < pos + w * h * 3) None
+      else Some(PixelImage(w, h, 3, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)))
+    } catch { case _: Exception => None }
+  }
+
+  private def decodeBmp(bytes: Array[Byte]): Option[PixelImage] = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val dataOffset = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    if (le16(28) != 24 || le32(30) != 0) return None // 24bpp uncompressed only
+    val rowBytes = (w * 3 + 3) / 4 * 4 // rows pad to 4-byte boundaries
+    if (bytes.length < dataOffset + rowBytes * h) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOffset + (if (topDown) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * 3 // BGR on disk
+        val d = (y * w + x) * 3
+        out(d) = bytes(s + 2); out(d + 1) = bytes(s + 1); out(d + 2) = bytes(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some(PixelImage(w, h, 3, out))
+  }
+
+  private def decodePng(bytes: Array[Byte]): Option[PixelImage] = {
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    var width, height, bitDepth, colorType, interlace = 0
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    var done = false
+    while (!done && pos + 8 <= bytes.length) {
+      val len = be32(pos)
+      val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+      val data = pos + 8
+      ctype match {
+        case "IHDR" =>
+          width = be32(data); height = be32(data + 4)
+          bitDepth = bytes(data + 8) & 0xff; colorType = bytes(data + 9) & 0xff
+          interlace = bytes(data + 12) & 0xff
+        case "PLTE" => palette = java.util.Arrays.copyOfRange(bytes, data, data + len)
+        case "IDAT" => idat.write(bytes, data, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos = data + len + 4 // skip crc
+    }
+    if (width <= 0 || bitDepth != 8 || interlace != 0) return None
+    val chRaw = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    // zlib inflate of the concatenated IDAT stream
+    val rowBytes = width * chRaw
+    val raw = new Array[Byte]((rowBytes + 1) * height)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    while (!inflater.finished() && off < raw.length) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      if (n == 0 && inflater.needsInput()) return None // truncated stream
+      off += n
+    }
+    inflater.end()
+    if (off < raw.length) return None
+    // per-scanline unfilter (PNG spec 9.2): bpp is the full-pixel stride
+    val out = new Array[Byte](rowBytes * height)
+    val bpp = chRaw
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (rowBytes + 1)) & 0xff
+      val src = y * (rowBytes + 1) + 1
+      val dst = y * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (y > 0) out(dst - rowBytes + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 => // Paeth predictor
+            val p = left + up - ul
+            val (pa, pb, pc) = (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    if (colorType == 3) { // palette indices expand to RGB
+      if (palette == null) return None
+      val rgb = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < width * height) {
+        val p = (out(i) & 0xff) * 3
+        rgb(i * 3) = palette(p); rgb(i * 3 + 1) = palette(p + 1)
+        rgb(i * 3 + 2) = palette(p + 2)
+        i += 1
+      }
+      Some(PixelImage(width, height, 3, rgb))
+    } else Some(PixelImage(width, height, chRaw, out))
+  }
+
+  /** Partition-wise REAL pixel feature extraction over the decodable
+    * stills (undecodable records drop out); Rec.601 luminance mean/std
+    * and a 16-bin histogram — the feature-extract stage of an image
+    * training pipeline, init-once per partition like [[decodeFeatures]].
+    */
+  def pixelFeatures(ds: Dataset[MediaRecord]): Dataset[PixelFeatures] = {
+    implicit val enc: Encoder[PixelFeatures] = Encoders.product[PixelFeatures]
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        decodePixelsAny(r.bytes).map { img =>
+          val n = img.width * img.height
+          val hist = new Array[Double](16)
+          var sum = 0.0
+          var sumSq = 0.0
+          var i = 0
+          while (i < n) {
+            val o = i * img.channels
+            val lum = img.channels match {
+              case 1 | 2 => (img.pixels(o) & 0xff).toDouble
+              case _ => 0.299 * (img.pixels(o) & 0xff) +
+                0.587 * (img.pixels(o + 1) & 0xff) + 0.114 * (img.pixels(o + 2) & 0xff)
+            }
+            sum += lum; sumSq += lum * lum
+            hist(math.min(15, (lum / 16).toInt)) += 1
+            i += 1
+          }
+          val mean = sum / n
+          val variance = math.max(0.0, sumSq / n - mean * mean)
+          PixelFeatures(r.id, img.width, img.height, img.channels,
+            mean, math.sqrt(variance), hist.map(_ / n))
+        }
+      }
+    }
   }
 
   /** STUB decoder: a real build replaces this with the native decode; the

@@ -94,6 +94,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(0).width == 800 && feats(0).height == 600 && feats(0).nFrames == 1)
     assert(feats(1).width == 320 && feats(1).height == 256 && feats(1).nFrames == 1)
   }
+
+  private def encodeImageIO(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("PNG pixels decode for real: inflate + unfilter vs an independent encoder") {
+    import java.awt.image.BufferedImage
+    val rnd = new scala.util.Random(42)
+    // RGB: random pixels so every filter type gets exercised
+    val rgb = new BufferedImage(37, 23, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 23; x <- 0 until 37)
+      rgb.setRGB(x, y, rnd.nextInt(0xffffff))
+    val rgbPng = encodeImageIO(rgb, "png")
+    val decoded = graft.streaming.Multimodal.decodePixels(rgbPng).get
+    assert(decoded.width == 37 && decoded.height == 23 && decoded.channels == 3)
+    for (y <- 0 until 23; x <- 0 until 37) {
+      val expect = rgb.getRGB(x, y)
+      val o = (y * 37 + x) * 3
+      assert((decoded.pixels(o) & 0xff) == ((expect >> 16) & 0xff), s"R at $x,$y")
+      assert((decoded.pixels(o + 1) & 0xff) == ((expect >> 8) & 0xff), s"G at $x,$y")
+      assert((decoded.pixels(o + 2) & 0xff) == (expect & 0xff), s"B at $x,$y")
+    }
+    // grayscale: colorType 0, one channel
+    val gray = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      gray.getRaster.setSample(x, y, 0, (x * 16 + y) % 256)
+    val g = graft.streaming.Multimodal.decodePixels(encodeImageIO(gray, "png")).get
+    assert(g.channels == 1)
+    assert((g.pixels(0) & 0xff) == 0 && (g.pixels(17) & 0xff) == 17)
+    // RGBA: colorType 6, four channels
+    val rgba = new BufferedImage(8, 8, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      rgba.setRGB(x, y, (x * 32 << 24) | rnd.nextInt(0xffffff))
+    val a = graft.streaming.Multimodal.decodePixels(encodeImageIO(rgba, "png")).get
+    assert(a.channels == 4 && a.width == 8)
+  }
+
+  test("pixelFeatures computes real luminance stats; JPEG rides ImageIO") {
+    import java.awt.image.BufferedImage
+    // uniform mid-gray PNG: mean luminance 128, stddev 0
+    val flat = new BufferedImage(10, 10, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 10) flat.setRGB(x, y, 0x808080)
+    val flatPng = encodeImageIO(flat, "png")
+    // PPM twin of the same image
+    val ppm = "P6\n10 10\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](300)(0x80.toByte)
+    val jpeg = encodeImageIO(flat, "jpg")
+    val ds = Seq(
+      MediaRecord(1L, "image", flatPng, Map.empty),
+      MediaRecord(2L, "image", ppm, Map.empty),
+      MediaRecord(3L, "image", jpeg, Map.empty),
+      MediaRecord(4L, "audio", Array.fill[Byte](32)(1), Map.empty)).toDS()
+    val feats = Multimodal.pixelFeatures(ds).collect().sortBy(_.id)
+    assert(feats.map(_.id).toSeq == Seq(1L, 2L, 3L), "undecodable audio drops out")
+    feats.foreach { f =>
+      assert(f.width == 10 && f.height == 10)
+      assert(math.abs(f.lumMean - 128.0) < 2.0, s"mean ${f.lumMean}") // jpeg is lossy
+      assert(f.lumStd < 2.0)
+      assert(math.abs(f.lumHist.sum - 1.0) < 1e-9)
+    }
+  }
 }
 
 class UdpSourceSpec extends AnyFunSuite {
