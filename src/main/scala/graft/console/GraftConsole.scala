@@ -270,7 +270,20 @@ class GraftConsole(spark: SparkSession) {
         val runner = new TasklistRunner(DcafsXml.parseTasks(xml),
           send = (id, output, value) =>
             if (output == "system") { execute(value); () }
-            else taskSends.add((id, output, value)))
+            // alert-plane outputs route to the attached channels, like the
+            // reference TaskManager EMAIL/MATRIX cases (TaskManager.java:658)
+            else if (output.startsWith("email") && emailWorker.nonEmpty) {
+              val refs = output.split(":", 2).lift(1).getOrElse("admin")
+              refs.split(";").foreach(r => emailWorker.get.sendEmail(
+                graft.alerts.Email.to(r).subject(s"Task $id")
+                  .content("<html>" + value.replace("\r\n", "<br>") + "</html>")))
+            } else if (output.startsWith("matrix") && matrixClient.nonEmpty) {
+              val target = output.split(":", 2).lift(1).getOrElse("")
+              matrixClient.get.room(target) match {
+                case Some(r) => matrixClient.get.sendMessage(r.url, value)
+                case None => matrixClient.get.broadcast(value)
+              }
+            } else taskSends.add((id, output, value)))
         taskManagers.get(p(1)).foreach(_.shutdown())
         taskManagers(p(1)) = runner
         s"taskmanager ${p(1)}: ${runner.taskIds.size} tasks, ${runner.setIds.size} sets"

@@ -117,6 +117,48 @@ class ConsoleSpec extends AnyFunSuite {
     assert(c.execute("tm:managers") == "no task managers")
   }
 
+  test("task output email:/matrix: routes through the attached alert channels") {
+    val c = new GraftConsole(spark)
+    val smtp = new MiniSmtpServer
+    val matrix = new MiniMatrixServer
+    try {
+      val w = new graft.alerts.EmailWorker(
+        outbox = graft.alerts.MailboxCfg("127.0.0.1", smtp.port, from = "graft@email.com"),
+        sendSpacingMillis = 5, busyWindowMillis = 400)
+      w.addTo("admin", "boss@x.com")
+      c.attachEmail(w)
+      val m = new graft.alerts.MatrixClient(
+        graft.alerts.MatrixCfg("@graft:x", "pw", matrix.url,
+          rooms = Seq(graft.alerts.RoomSetup("ops", "!ops:x"))),
+        retryStepMillis = 50, syncTimeoutMillis = 300)
+      m.login()
+      c.attachMatrix(m)
+      val f = java.nio.file.Files.createTempFile("graft-alert-tasks", ".xml")
+      java.nio.file.Files.write(f,
+        """<tasklist><tasksets>
+          |  <taskset name="Alert chain" id="alert">
+          |    <task output="email:admin">Temperature critical</task>
+          |    <task output="matrix:ops">Temperature critical</task>
+          |  </taskset>
+          |</tasksets></tasklist>""".stripMargin.getBytes)
+      assert(c.execute(s"tm:load,alerts,$f").contains("1 sets"))
+      assert(c.execute("tm:alerts,run,alert") == "started taskset alert")
+      val deadline = System.currentTimeMillis() + 5000
+      import scala.jdk.CollectionConverters._
+      while ((smtp.received.isEmpty ||
+          !matrix.messages.asScala.exists(_._2 == "Temperature critical")) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20)
+      val mail = smtp.received.asScala.find(_._3.contains("Temperature critical"))
+      assert(mail.nonEmpty && mail.get._2 == Seq("boss@x.com"))
+      assert(mail.get._3.contains("Subject: Task alert#0"))
+      assert(matrix.messages.asScala.exists { case (r, b) =>
+        r == "!ops:x" && b == "Temperature critical" })
+      assert(c.taskSends.isEmpty, "alert outputs must not leak to taskSends")
+      w.stop(); m.stop()
+      c.execute("tm:alerts,stop")
+    } finally { smtp.close(); matrix.close() }
+  }
+
   test("email: family drives an attached worker (EmailWorker command surface)") {
     val c = new GraftConsole(spark)
     assert(c.execute("email:refs").contains("No EmailWorker initialized"))
