@@ -208,14 +208,14 @@ class MatrixClient(
     if (rawBody.startsWith("das") || rawBody.startsWith(name)) {
       val body = rawBody.replaceAll(s"($name|das):?", "").trim
       if (body.matches(".+=[0-9]*$")) {
-        // store a numeric ref: "x=5"
+        // store a numeric ref: "x=5" ("x=" with no number is invalid)
         val sp = body.split("=")
-        parseDouble(sp(1).trim) match {
+        sp.lift(1).map(_.trim).flatMap(parseDouble) match {
           case Some(d) =>
             synchronized { numericRefs(sp(0).trim) = d }
             sendMessage(originRoom, s"Stored ${sp(1)} as ${sp(0)}")
           case None =>
-            sendMessage(originRoom, s"Invalid number given, can't parse ${sp(1)}")
+            sendMessage(originRoom, s"Invalid number given, can't parse '$body'")
         }
       } else if (body.startsWith("solve ") || body.matches(".+=[a-zA-Z?]+?")) {
         val split = body.split("=")
@@ -307,7 +307,7 @@ object MatrixMath {
   private final class Parser(val s: String, refs: Map[String, Double]) {
     var pos = 0
     def skipWs(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
-    def peek: Char = if (pos < s.length) s.charAt(pos) else ' '
+    def peek: Char = if (pos < s.length) s.charAt(pos) else '\u0000' // EOF sentinel
 
     def parseExpr(): Double = {
       var v = parseTerm()

@@ -37,6 +37,14 @@ final case class PixelFeatures(
     id: Long, width: Int, height: Int, channels: Int,
     lumMean: Double, lumStd: Double, lumHist: Array[Double])
 
+/** Real audio statistics of a decoded PCM WAV: duration, RMS energy,
+  * zero-crossing rate and peak over the mono mix.
+  */
+final case class AudioFeatures(
+    id: Long, sampleRate: Int, channels: Int, bitsPerSample: Int,
+    nSamples: Int, durationSec: Double, rms: Double,
+    zeroCrossRate: Double, peak: Double)
+
 object Multimodal {
 
   implicit private val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
@@ -308,6 +316,86 @@ object Multimodal {
           val variance = math.max(0.0, sumSq / n - mean * mean)
           PixelFeatures(r.id, img.width, img.height, img.channels,
             mean, math.sqrt(variance), hist.map(_ / n))
+        }
+      }
+    }
+  }
+
+  /** Real PCM WAV decode, pure JVM (RIFF/WAVE chunk walk, fmt + data):
+    * 8-bit unsigned and 16-bit signed little-endian PCM, any channel
+    * count. Returns (sampleRate, channels, bitsPerSample, mono mix in
+    * [-1, 1]). Compressed audio stays stubbed (no codec libs).
+    */
+  private[graft] def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var fmtOk = false
+    var channels, sampleRate, bps = 0
+    var data: (Int, Int) = null // (offset, length)
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos)
+      val len = le32(pos + 4)
+      if (id == "fmt " && len >= 16) {
+        fmtOk = le16(pos + 8) == 1 // PCM only
+        channels = le16(pos + 10)
+        sampleRate = le32(pos + 12)
+        bps = le16(pos + 22)
+      } else if (id == "data")
+        data = (pos + 8, math.min(len, bytes.length - pos - 8))
+      pos += 8 + len + (len & 1) // chunks pad to even length
+    }
+    if (!fmtOk || data == null || channels <= 0 || (bps != 8 && bps != 16)) return None
+    val bytesPerFrame = channels * bps / 8
+    val n = data._2 / bytesPerFrame
+    val mono = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var sum = 0.0
+      var c = 0
+      while (c < channels) {
+        val o = data._1 + i * bytesPerFrame + c * bps / 8
+        sum += (if (bps == 8) ((bytes(o) & 0xff) - 128) / 128.0
+          else le16(o).toShort / 32768.0)
+        c += 1
+      }
+      mono(i) = sum / channels
+      i += 1
+    }
+    Some((sampleRate, channels, bps, mono))
+  }
+
+  /** Partition-wise REAL audio feature extraction over decodable PCM
+    * WAVs (everything else drops out): duration, RMS energy,
+    * zero-crossing rate, peak — the audio-quality stage of a speech
+    * training pipeline.
+    */
+  def audioFeatures(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    implicit val enc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWav(r.bytes).map { case (rate, ch, bps, mono) =>
+          val n = mono.length
+          var sumSq = 0.0
+          var peak = 0.0
+          var crossings = 0
+          var i = 0
+          while (i < n) {
+            val v = mono(i)
+            sumSq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && (mono(i - 1) >= 0) != (v >= 0)) crossings += 1
+            i += 1
+          }
+          AudioFeatures(r.id, rate, ch, bps, n,
+            if (rate > 0) n.toDouble / rate else 0.0,
+            math.sqrt(sumSq / math.max(n, 1)),
+            if (n > 1) crossings.toDouble / (n - 1) else 0.0,
+            peak)
         }
       }
     }

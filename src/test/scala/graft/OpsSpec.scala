@@ -158,6 +158,54 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(f.lumHist.sum - 1.0) < 1e-9)
     }
   }
+
+  private def wav(sampleRate: Int, channels: Int, bps: Int,
+      samples: Array[Double]): Array[Byte] = {
+    // hand-built RIFF/WAVE so the decoder is checked against the spec,
+    // not against itself
+    val bytesPerFrame = channels * bps / 8
+    val dataLen = samples.length * bytesPerFrame
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * bytesPerFrame).putShort(bytesPerFrame.toShort)
+      .putShort(bps.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      (0 until channels).foreach { _ =>
+        if (bps == 16) buf.putShort((s * 32767).toShort)
+        else buf.put(((s * 127) + 128).toInt.toByte)
+      }
+    }
+    buf.array()
+  }
+
+  test("PCM WAV decodes real audio features: duration, RMS, zero-cross rate") {
+    val rate = 8000
+    val n = rate / 2 // half a second
+    val sine = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / rate))
+    val mono16 = wav(rate, 1, 16, sine)
+    val stereo8 = wav(rate, 2, 8, sine)
+    val ds = Seq(
+      MediaRecord(1L, "audio", mono16, Map.empty),
+      MediaRecord(2L, "audio", stereo8, Map.empty),
+      MediaRecord(3L, "audio", Array.fill[Byte](100)(9), Map.empty)).toDS()
+    val feats = Multimodal.audioFeatures(ds).collect().sortBy(_.id)
+    assert(feats.map(_.id).toSeq == Seq(1L, 2L), "non-WAV payloads drop out")
+    val f = feats(0)
+    assert(f.sampleRate == rate && f.channels == 1 && f.bitsPerSample == 16)
+    assert(math.abs(f.durationSec - 0.5) < 1e-9)
+    // sine RMS = amplitude / sqrt(2); zero-cross rate = 2f/rate
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f.rms}")
+    assert(math.abs(f.zeroCrossRate - 2.0 * 440 / rate) < 0.01, s"zcr ${f.zeroCrossRate}")
+    assert(math.abs(f.peak - 0.5) < 0.01)
+    val g = feats(1)
+    assert(g.channels == 2 && g.bitsPerSample == 8)
+    assert(math.abs(g.rms - 0.5 / math.sqrt(2)) < 0.05) // 8-bit quantization
+  }
 }
 
 class UdpSourceSpec extends AnyFunSuite {
