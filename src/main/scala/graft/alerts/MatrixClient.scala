@@ -269,9 +269,10 @@ class MatrixClient(
       val res = HttpLite.put(
         s"${cfg.baseUrl}/_matrix/client/v3/rooms/$room/send/m.room.message/$txn$tokenQ",
         j.toString)
-      if (res.status == 200) sent.add((room, nohtml))
-      else failedMessages.add((room, message))
-    } catch { case _: Exception => failedMessages.add((room, message)) }
+      // like the reference: only network failures queue for the
+      // post-sync flush — a non-200 (bad room, auth) would retry forever
+      if (res.status == 200) { sent.add((room, nohtml)); () }
+    } catch { case _: Exception => failedMessages.add((room, message)); () }
   }
 
   /** Send to every configured room (reference `broadcast`). */
