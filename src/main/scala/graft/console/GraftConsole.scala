@@ -125,7 +125,80 @@ class GraftConsole(spark: SparkSession) {
     case c if c.startsWith("tm:") => tm(c.stripPrefix("tm:"))
     case c if c.startsWith("email:") => emailCmd(c.stripPrefix("email:"))
     case c if c.startsWith("matrix:") => matrixCmd(c.stripPrefix("matrix:"))
+    case c if c.startsWith("admin:") => adminCmd(c.stripPrefix("admin:"))
     case sql => render(spark.sql(sql))
+  }
+
+  /** `admin:` family (reference `CommandPool.doADMIN`,
+    * `CommandPool.java:472-560`): clock/regex/gc/lt/ipv4/ipv6 runtime
+    * introspection, log tails from `logDir`, getlogs emails the logs to
+    * the admin ref. Host-level actions (reboot, sleep) are refused —
+    * a query-engine library must not power-manage its host.
+    */
+  var logDir: java.nio.file.Path = java.nio.file.Paths.get("logs")
+
+  private def adminCmd(cmd: String): String = {
+    val p = cmd.split(",", -1)
+    def tailLog(name: String, n: Int): String = {
+      val f = logDir.resolve(name)
+      if (!java.nio.file.Files.exists(f)) s"No $name yet"
+      else {
+        val lines = java.nio.file.Files.readAllLines(f)
+        lines.subList(math.max(0, lines.size - n), lines.size)
+          .toArray.mkString("\n")
+      }
+    }
+    p(0) match {
+      case "?" =>
+        "admin:getlogs | admin:clock | admin:regex,<regex>,<match> | " +
+          "admin:ipv4 | admin:ipv6 | admin:gc | admin:lt | " +
+          "admin:info,x | admin:errors,x"
+      case "clock" => java.time.OffsetDateTime.now().toString
+      case "regex" =>
+        if (p.length < 3) "Not enough arguments: admin:regex,<regex>,<match>"
+        else s"Matches? ${p(2).matches(p(1))}"
+      case "gc" =>
+        System.gc()
+        val rt = Runtime.getRuntime
+        f"Garbage collection requested; heap ${(rt.totalMemory - rt.freeMemory) / 1048576}%d MB used / ${rt.totalMemory / 1048576}%d MB"
+      case "lt" =>
+        Thread.getAllStackTraces.keySet().toArray(Array.empty[Thread])
+          .sortBy(_.getName)
+          .map(t => s"${t.getName}\t${t.getState}")
+          .mkString("\n")
+      case "ipv4" | "ipv6" =>
+        val want6 = p(0) == "ipv6"
+        val out = new StringBuilder
+        val ifs = java.net.NetworkInterface.getNetworkInterfaces
+        while (ifs.hasMoreElements) {
+          val nif = ifs.nextElement()
+          val addrs = nif.getInetAddresses
+          while (addrs.hasMoreElements) {
+            val a = addrs.nextElement()
+            val is6 = a.isInstanceOf[java.net.Inet6Address]
+            if (is6 == want6)
+              out.append(s"${nif.getName}\t${a.getHostAddress}\n")
+          }
+        }
+        if (out.isEmpty) "none" else out.toString.trim
+      case "info" | "errors" =>
+        val n = if (p.length > 1) p(1).toInt else 30
+        tailLog(if (p(0) == "info") "info.log" else "errors.log", n)
+      case "getlogs" =>
+        emailWorker match {
+          case Some(w) =>
+            val info = logDir.resolve("info.log")
+            if (java.nio.file.Files.exists(info)) {
+              w.sendEmail(graft.alerts.Email.toAdminAbout("Statuslog")
+                .content("File attached (probably)").attachment(info.toString))
+              "Sending logs to admin"
+            } else "No logs to send yet"
+          case None => "No EmailWorker attached"
+        }
+      case "reboot" | "sleep" =>
+        s"'${p(0)}' is host power management — not a query-engine concern; refused"
+      case _ => "unknown admin command"
+    }
   }
 
   /** `matrix:` family (reference `MatrixClient.replyToCommand`,

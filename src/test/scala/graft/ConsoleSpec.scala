@@ -206,6 +206,39 @@ class ConsoleSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("admin: family covers the CommandPool introspection surface") {
+    val c = new GraftConsole(spark)
+    assert(c.execute("admin:clock").take(4).forall(_.isDigit))
+    assert(c.execute("admin:regex,\\d+,12345") == "Matches? true")
+    assert(c.execute("admin:regex,\\d+,abc") == "Matches? false")
+    assert(c.execute("admin:gc").contains("MB used"))
+    assert(c.execute("admin:lt").linesIterator.nonEmpty)
+    assert(c.execute("admin:reboot").contains("refused"))
+    // log tails + getlogs email delivery
+    val dir = java.nio.file.Files.createTempDirectory("graft-logs")
+    c.logDir = dir
+    assert(c.execute("admin:info").contains("No info.log yet"))
+    java.nio.file.Files.write(dir.resolve("info.log"),
+      (1 to 50).map(i => s"line$i").mkString("\n").getBytes)
+    assert(c.execute("admin:info,3") == "line48\nline49\nline50")
+    val smtp = new MiniSmtpServer
+    try {
+      val w = new graft.alerts.EmailWorker(
+        outbox = graft.alerts.MailboxCfg("127.0.0.1", smtp.port, from = "graft@email.com"),
+        sendSpacingMillis = 5, busyWindowMillis = 400)
+      w.addTo("admin", "boss@x.com")
+      c.attachEmail(w)
+      assert(c.execute("admin:getlogs") == "Sending logs to admin")
+      val deadline = System.currentTimeMillis() + 5000
+      while (smtp.received.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val (_, rcpt, msg) = smtp.received.peek()
+      assert(rcpt == Seq("boss@x.com"))
+      assert(msg.contains("Subject: Statuslog") && msg.contains("""filename="info.log""""))
+      w.stop()
+    } finally smtp.close()
+  }
+
   test("settings:load with an <email> node attaches a configured worker") {
     val c = new GraftConsole(spark)
     val f = java.nio.file.Files.createTempFile("graft-email-settings", ".xml")
