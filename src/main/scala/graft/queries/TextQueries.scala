@@ -221,6 +221,69 @@ object TextQueries {
         .limit(20)
     },
 
+    // PII/pattern scrub: regex detect + redact, the pipeline stage that
+    // strips identifiers before training. Row-local regexes (codegen'd
+    // in Spark, RE2 in the oracle — patterns kept to the common
+    // semantics), so it scales as a pure projection. On this synthetic
+    // corpus the digit-run pattern fires (customer keys embed 9-digit
+    // runs); the email pattern is dark but exercised.
+    Q("tx_pii",
+      """SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT) AS long_digit_hits,
+        |  CAST(len(regexp_extract_all(c_name,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS email_hits,
+        |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS redacted
+        |FROM customer""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").select(
+        col("c_custkey"),
+        size(regexp_extract_all(col("c_name"), lit("[0-9]{6,}"), lit(0)))
+          .cast("long").as("long_digit_hits"),
+        size(regexp_extract_all(col("c_name"),
+          lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"), lit(0)))
+          .cast("long").as("email_hits"),
+        regexp_replace(col("c_name"), "[0-9]", "X").as("redacted"))
+    },
+
+    // Deterministic hash sampling — THE distributed sampling method: an
+    // md5-prefix filter is reproducible across engines, machines and
+    // reruns (no RNG state), embarrassingly parallel, and composes with
+    // any downstream op. Rate here: first hex char < '4' = 4/16 = 25%.
+    Q("q_hash_sample",
+      """WITH s AS (SELECT doc_id, lang FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4')
+        |SELECT lang, count(*) AS n_sampled,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY lang""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    },
+
+    // Train/val/test split assignment by hash bucket (~81/12/6): the
+    // same determinism argument as q_hash_sample — a document's split
+    // never changes as the corpus grows, which is what makes held-out
+    // sets stable across pipeline runs. Row-local assignment, one tiny
+    // 3-group aggregate on top.
+    Q("q_split_assign",
+      """WITH s AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY split""".stripMargin) { (s, dir) =>
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Tables.load(s, dir, "documents")
+        .withColumn("split",
+          when(h < "d", "train").when(h < "f", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    },
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // decode stage is a deterministic stub (real image/audio libs are not
     // in this container); schema, hashing, and batch shape are real.
