@@ -66,4 +66,60 @@ class EndToEndSpec extends AnyFunSuite {
       } finally { q.stop(); pubBack.close() }
     } finally broker.stop()
   }
+
+  test("tcp sensor -> path -> rule -> email alert: the migrator's alert loop") {
+    // the path a reference deployment hits first when it migrates: a
+    // stream turns into rtvals, a rule guard trips, and the alert goes
+    // out BY EMAIL through the worker (K8), end to end over real
+    // sockets on both sides (graft TCP source in, SMTP out).
+    import spark.implicits._
+    val smtp = new MiniSmtpServer
+    val server = new java.net.ServerSocket(0)
+    try {
+      val emailer = new graft.alerts.EmailWorker(
+        outbox = graft.alerts.MailboxCfg("127.0.0.1", smtp.port, from = "graft@email.com"),
+        sendSpacingMillis = 5, busyWindowMillis = 400, retryFirstMillis = 100)
+      emailer.addTo("admin", "watch@x.com")
+
+      val spec = DcafsXml.parsePath(
+        """<path id="bilge" delimiter=",">
+          |  <filter type="start">level</filter>
+          |  <store><real index="1">depth</real></store>
+          |</path>""".stripMargin)
+      val src = spark.readStream
+        .format("graft.sources.TcpLineSource")
+        .option("host", "127.0.0.1").option("port", server.getLocalPort.toString)
+        .load()
+      val updates = PathCompiler.compile(spec, src)
+        .select($"depth").as[Double]
+        .map(v => ValUpdate("bilge_depth", v, (v * 1000).toLong))
+      val rules = Seq(TaskRule("flood", "last >= 0.8",
+        "email:admin,Bilge alarm,Depth critical"))
+      val q = RuleEngine.run(RtVals.snapshots(updates), rules) { cmds =>
+        cmds.foreach { c =>
+          // the reference TaskManager EMAIL output: ref, subject, content
+          val p = c.command.stripPrefix("email:").split(",", 3)
+          emailer.sendEmail(
+            graft.alerts.Email.to(p(0)).subject(p(1)).content(p(2)))
+        }
+      }.outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-e2e-mail").toFile.getAbsolutePath)
+        .start()
+      try {
+        val client = server.accept()
+        val out = new java.io.PrintWriter(client.getOutputStream, true)
+        out.print("level,0.20\r\n"); out.flush() // calm
+        out.print("level,0.95\r\n"); out.flush() // flooding -> alert
+        val deadline = System.currentTimeMillis() + 20000
+        while (smtp.received.isEmpty && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+        val (from, rcpts, msg) = smtp.received.peek()
+        assert(from == "graft@email.com" && rcpts == Seq("watch@x.com"))
+        assert(msg.contains("Subject: Bilge alarm") && msg.contains("Depth critical"))
+        out.close(); client.close()
+      } finally { q.stop(); emailer.stop() }
+    } finally { server.close(); smtp.close() }
+  }
 }
