@@ -221,6 +221,34 @@ object TextQueries {
         .limit(20)
     },
 
+    // Unigram LM quality score: mean corpus probability of a document's
+    // tokens — the classic cheap rare-junk filter (low mean_p = full of
+    // corpus-rare tokens). Parity trick: mean_p = sum(cnt)/(n_tokens*N)
+    // keeps EVERYTHING integral until one final IEEE division, so no
+    // float-summation order can diverge. Plan at scale: tf shuffle +
+    // term-keyed join (dictionary outgrows broadcast at corpus scale,
+    // same note as tx_tfidf) + one per-doc agg.
+    Q("tx_lm_score",
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |df AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+        |tot AS (SELECT count(*) AS n FROM t)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(SUM(df.cnt) AS DOUBLE) / (count(*) * max(tot.n)) AS mean_p
+        |FROM t JOIN df USING (term) CROSS JOIN tot
+        |GROUP BY t.doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      toks.join(tf, "term").crossJoin(total)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(col("cnt")).cast("double") / (count(lit(1)) * max(col("n"))))
+            .as("mean_p"))
+    },
+
     // PII/pattern scrub: regex detect + redact, the pipeline stage that
     // strips identifiers before training. Row-local regexes (codegen'd
     // in Spark, RE2 in the oracle — patterns kept to the common
