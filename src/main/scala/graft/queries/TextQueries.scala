@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.operators.TextOps
 import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + multimodal-plumbing operators for the training-data
@@ -219,6 +220,60 @@ object TextQueries {
         .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
         .orderBy(col("n").desc, col("gram"))
         .limit(20)
+    },
+
+    // Filter-funnel observability: how many documents survive each
+    // cumulative quality gate. One scan, conditional aggregation — the
+    // per-stage counts every corpus pipeline reports. Scales as a single
+    // pass with partial aggregation.
+    Q("tx_quality_funnel",
+      """SELECT count(*) AS all_docs,
+        |  CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS len_ok,
+        |  CAST(SUM(CASE WHEN n_chars >= 100 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS lang_ok,
+        |  CAST(SUM(CASE WHEN n_chars >= 100 AND lang = 'en'
+        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tokens_ok
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val lenOk = col("n_chars") >= 100
+      val langOk = lenOk && col("lang") === "en"
+      val toksOk = langOk && size(TextOps.tokens(col("text"))) >= 20
+      d.agg(
+        count(lit(1)).as("all_docs"),
+        sum(when(lenOk, 1L).otherwise(0L)).as("len_ok"),
+        sum(when(langOk, 1L).otherwise(0L)).as("lang_ok"),
+        sum(when(toksOk, 1L).otherwise(0L)).as("tokens_ok"))
+    },
+
+    // Concat-and-chunk sequence packing — the standard pretraining
+    // packing: documents concatenate in a deterministic order and chunk
+    // into fixed token budgets; a doc's chunk span falls out of the
+    // running token total. Packed PER SOURCE (partition by shard key,
+    // order within) so the window parallelizes across shards instead of
+    // serializing the corpus through one global sort — exactly how a
+    // 100 TB pipeline shards its packing.
+    Q("tx_pack_chunks",
+      """WITH t AS (SELECT source, doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+        |  FROM t)
+        |SELECT source, doc_id, n_tok,
+        |  CAST(FLOOR(cum_before / 256) AS BIGINT) AS chunk_start,
+        |  CAST(FLOOR((cum_before + n_tok - 1) / 256) AS BIGINT) AS chunk_end
+        |FROM c WHERE n_tok > 0""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+        .filter(col("n_tok") > 0)
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          floor(col("cum_before") / 256).as("chunk_start"),
+          floor((col("cum_before") + col("n_tok") - 1) / 256).as("chunk_end"))
     },
 
     // Unigram LM quality score: mean corpus probability of a document's
