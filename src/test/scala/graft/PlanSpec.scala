@@ -172,4 +172,29 @@ class PlanSpec2 extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"assignment shuffles:\n$p")
     assert(!p.contains("Join"), s"assignment joins:\n$p")
   }
+
+  test("tx_pii is a pure projection: zero Exchange") {
+    val p = plan("tx_pii")
+    assert(!p.contains("Exchange"), s"pii scrub shuffles:\n$p")
+  }
+
+  test("sampling/split/funnel queries: one partial-agg shuffle, no sort") {
+    Seq("q_hash_sample", "q_split_assign", "tx_quality_funnel").foreach { q =>
+      val p = plan(q)
+      assert(raw"\(\d+\) Exchange".r.findAllIn(p).size == 1,
+        s"$q expected exactly 1 exchange:\n$p")
+      // map-side partial aggregation before the shuffle
+      assert(raw"HashAggregate".r.findAllIn(p).size >= 2, s"$q no partial agg:\n$p")
+      assert(!p.contains("(1) Sort") && !p.contains("GlobalSort"),
+        s"$q sorts:\n$p")
+    }
+  }
+
+  test("tx_pack_chunks windows per shard: exchange on source, no global sort") {
+    val p = plan("tx_pack_chunks")
+    // the packing window hash-partitions on the shard key — parallel
+    // packing, never a single-partition global sort
+    assert(p.contains("hashpartitioning(source"), s"not sharded on source:\n$p")
+    assert(!p.contains("SinglePartition"), s"serializes through one partition:\n$p")
+  }
 }
