@@ -163,7 +163,7 @@ class MiniImapServer {
   */
 class EmailSpec extends AnyFunSuite {
 
-  private def awaitCond(ms: Long = 5000)(cond: => Boolean): Unit = {
+  private def awaitCond(ms: Long = 20000)(cond: => Boolean): Unit = {
     val deadline = System.currentTimeMillis() + ms
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
     assert(cond, "condition not met in time")
@@ -224,7 +224,10 @@ class EmailSpec extends AnyFunSuite {
     val w = newWorker(smtp)
     try {
       (1 to 8).foreach(i => w.sendEmail(Email.to("a@x.com").subject(s"m$i")))
-      Thread.sleep(300) // within the busy window: only 5 may land
+      // the throttle drops the excess at submit time, so exactly 5 ever
+      // arrive: wait for them, then confirm no stragglers follow
+      awaitCond()(smtp.received.size == 5)
+      Thread.sleep(150)
       assert(smtp.received.size == 5, s"got ${smtp.received.size}")
       awaitCond()(w.spamStatus.startsWith("Busy at 0")) // window cleared
       w.sendEmail(Email.to("a@x.com").subject("after window"))

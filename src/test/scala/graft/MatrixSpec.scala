@@ -151,7 +151,7 @@ class MiniMatrixServer {
   */
 class MatrixSpec extends AnyFunSuite {
 
-  private def awaitCond(ms: Long = 5000)(cond: => Boolean): Unit = {
+  private def awaitCond(ms: Long = 20000)(cond: => Boolean): Unit = {
     val deadline = System.currentTimeMillis() + ms
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
     assert(cond, "condition not met in time")
