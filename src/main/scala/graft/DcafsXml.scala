@@ -433,6 +433,26 @@ object DcafsXml {
     }
   }
 
+  /** `<taskmanager id="x">path/to/script.xml</taskmanager>` references
+    * anywhere in a settings document (reference
+    * `TaskManagerPool.readFromXML`,
+    * `/root/reference/src/util/task/TaskManagerPool.java:47-60`);
+    * relative paths resolve against the settings file's directory at the
+    * caller.
+    */
+  def parseTaskManagerRefs(xml: String): Seq[(String, String)] = {
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new InputSource(new StringReader(xml)))
+    val found = ListBuffer.empty[(String, String)]
+    def walk(el: Element): Unit = {
+      if (el.getTagName == "taskmanager")
+        found += ((attr(el, "id").getOrElse("tm" + found.size), el.getTextContent.trim))
+      children(el).foreach(walk)
+    }
+    walk(doc.getDocumentElement)
+    found.toSeq
+  }
+
   /** Parse a `<matrix>` node (reference `MatrixClient.readFromXML`,
     * `/root/reference/src/io/matrix/MatrixClient.java:92-127`): user/pass
     * attributes, optional `<server>`, `<macro id=..>` children and

@@ -115,7 +115,20 @@ class GraftConsole(spark: SparkSession) {
           execute = (c, sink) => execute(c).linesIterator.foreach(sink)))
         ", matrix configured"
       }.getOrElse("")
-      s"loaded ${s.streams.size} streams, ${s.paths.size} paths$email$matrix"
+      // <taskmanager id=..>script path</taskmanager> references boot
+      // their tasklists, relative paths against the settings file's dir
+      // (reference TaskManagerPool.readFromXML)
+      val base = java.nio.file.Paths.get(file.trim).toAbsolutePath.getParent
+      val tms = DcafsXml.parseTaskManagerRefs(xml).map { case (id, path) =>
+        val resolved = {
+          val p = java.nio.file.Paths.get(path)
+          if (p.isAbsolute) p else base.resolve(p)
+        }
+        loadTaskManager(id, resolved)
+        id
+      }
+      val tmNote = if (tms.isEmpty) "" else s", taskmanagers ${tms.mkString("/")}"
+      s"loaded ${s.streams.size} streams, ${s.paths.size} paths$email$matrix$tmNote"
     case "streams" =>
       if (streamSpecs.isEmpty) "no stream declarations loaded"
       else streamSpecs.values
@@ -334,32 +347,39 @@ class GraftConsole(spark: SparkSession) {
     * (the reference's system output runs a telnet command), everything
     * else lands on [[taskSends]] for the caller's output plane.
     */
+  /** Load one tasklist script as a task manager; task outputs route to
+    * the console (`system`), the attached alert channels
+    * (`email:`/`matrix:`, reference TaskManager.java:658), or the
+    * [[taskSends]] drain.
+    */
+  private def loadTaskManager(id: String, file: java.nio.file.Path): String = {
+    val xml = new String(java.nio.file.Files.readAllBytes(file),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val runner = new TasklistRunner(DcafsXml.parseTasks(xml),
+      send = (taskId, output, value) =>
+        if (output == "system") { execute(value); () }
+        else if (output.startsWith("email") && emailWorker.nonEmpty) {
+          val refs = output.split(":", 2).lift(1).getOrElse("admin")
+          refs.split(";").foreach(r => emailWorker.get.sendEmail(
+            graft.alerts.Email.to(r).subject(s"Task $taskId")
+              .content("<html>" + value.replace("\r\n", "<br>") + "</html>")))
+        } else if (output.startsWith("matrix") && matrixClient.nonEmpty) {
+          val target = output.split(":", 2).lift(1).getOrElse("")
+          matrixClient.get.room(target) match {
+            case Some(r) => matrixClient.get.sendMessage(r.url, value)
+            case None => matrixClient.get.broadcast(value)
+          }
+        } else taskSends.add((taskId, output, value)))
+    taskManagers.get(id).foreach(_.shutdown())
+    taskManagers(id) = runner
+    s"taskmanager $id: ${runner.taskIds.size} tasks, ${runner.setIds.size} sets"
+  }
+
   private def tm(cmd: String): String = {
     val p = cmd.split(",", -1).map(_.trim)
     p(0) match {
       case "load" if p.length >= 3 =>
-        val xml = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(p(2))), java.nio.charset.StandardCharsets.UTF_8)
-        val runner = new TasklistRunner(DcafsXml.parseTasks(xml),
-          send = (id, output, value) =>
-            if (output == "system") { execute(value); () }
-            // alert-plane outputs route to the attached channels, like the
-            // reference TaskManager EMAIL/MATRIX cases (TaskManager.java:658)
-            else if (output.startsWith("email") && emailWorker.nonEmpty) {
-              val refs = output.split(":", 2).lift(1).getOrElse("admin")
-              refs.split(";").foreach(r => emailWorker.get.sendEmail(
-                graft.alerts.Email.to(r).subject(s"Task $id")
-                  .content("<html>" + value.replace("\r\n", "<br>") + "</html>")))
-            } else if (output.startsWith("matrix") && matrixClient.nonEmpty) {
-              val target = output.split(":", 2).lift(1).getOrElse("")
-              matrixClient.get.room(target) match {
-                case Some(r) => matrixClient.get.sendMessage(r.url, value)
-                case None => matrixClient.get.broadcast(value)
-              }
-            } else taskSends.add((id, output, value)))
-        taskManagers.get(p(1)).foreach(_.shutdown())
-        taskManagers(p(1)) = runner
-        s"taskmanager ${p(1)}: ${runner.taskIds.size} tasks, ${runner.setIds.size} sets"
+        loadTaskManager(p(1), java.nio.file.Paths.get(p(2)))
       case "managers" =>
         if (taskManagers.isEmpty) "no task managers"
         else taskManagers.keys.mkString("\n")

@@ -206,6 +206,31 @@ class ConsoleSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("settings:load boots <taskmanager> script references") {
+    val c = new GraftConsole(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-boot")
+    java.nio.file.Files.createDirectories(dir.resolve("tmscripts"))
+    java.nio.file.Files.write(dir.resolve("tmscripts/ops.xml"),
+      """<tasklist><tasksets>
+        |  <taskset name="Ping" id="ping">
+        |    <task output="stream:dev">hello</task>
+        |  </taskset>
+        |</tasksets></tasklist>""".stripMargin.getBytes)
+    java.nio.file.Files.write(dir.resolve("settings.xml"),
+      """<dcafs><settings>
+        |  <taskmanager id="ops">tmscripts/ops.xml</taskmanager>
+        |</settings></dcafs>""".stripMargin.getBytes)
+    val res = c.execute(s"settings:load,${dir.resolve("settings.xml")}")
+    assert(res.contains("taskmanagers ops"), res)
+    assert(c.execute("tm:managers").contains("ops"))
+    assert(c.execute("tm:ops,run,ping") == "started taskset ping")
+    val deadline = System.currentTimeMillis() + 5000
+    while (c.taskSends.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(c.taskSends.toArray.toSeq.contains(("ping#0", "stream:dev", "hello")))
+    c.execute("tm:ops,stop")
+  }
+
   test("admin: family covers the CommandPool introspection surface") {
     val c = new GraftConsole(spark)
     assert(c.execute("admin:clock").take(4).forall(_.isDigit))
