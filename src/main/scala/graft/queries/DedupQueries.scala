@@ -53,6 +53,57 @@ object DedupQueries {
         shingleSize = 3, k = 8, bands = 4)
     },
 
+    // MinHash accuracy gate on the driver board (the bounds-row pattern
+    // of q_approx_*_bounds): for every LSH candidate pair, the k=64
+    // signature-agreement estimate must track the exact shingle Jaccard
+    // — per pair within 0.3 (k=64 stderr <= 0.0625, so 0.3 is ~5 sigma)
+    // and on average within 0.1. The oracle re-derives the pair count
+    // with the dd_minhash_lsh CTE and expects literal 1s, so a drifting
+    // signature kernel turns the row red. Tiny candidate set -> the
+    // interpreted zip_with here is gate-only, never a corpus-scale path.
+    Q("dd_minhash_quality",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
+        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
+        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
+        |  FROM mh GROUP BY doc_id, k // 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs, 1 AS within_ok, 1 AS avg_ok
+        |FROM pairs""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sigs = docs
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .filter(size(col("__toks")) >= 3)
+        .select(col("doc_id"),
+          TextOps.shingles(col("__toks"), 3).as("sh"),
+          graft.functions.GraftFunctions.minhash_sig(
+            TextOps.shingles(col("__toks"), 3), lit(64)).as("sig"))
+        .cache()
+      val pairs = TextOps.lshCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, k = 8, bands = 4)
+      val a = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b"))
+      val est = expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, e) -> acc + e)")
+        .cast("double") / 64.0
+      val exact = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b")))
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(abs(est - exact).as("err"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min((col("err") <= 0.3).cast("int")).as("within_ok"),
+          (avg(col("err")) <= 0.1).cast("int").as("avg_ok"))
+    },
+
     // Dedup clustering: connected components over the LSH candidate pairs
     // — every near-dup doc maps to its cluster's min doc_id (the keeper).
     // Spark: iterative min-label propagation; oracle: recursive-CTE
