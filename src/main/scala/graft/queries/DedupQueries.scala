@@ -210,6 +210,52 @@ object DedupQueries {
         .agg(countDistinct("x").as("shared_grams"))
     },
 
+    // Exact duplicated-SPAN detection (the other half of exact-substring
+    // dedup, cf. "Deduplicating Training Data Makes Language Models
+    // Better": find the positions inside each document covered by a
+    // 5-gram that also occurs in another document). Positional grams —
+    // NOT distinct — so a doc repeating a leaked span counts every
+    // occurrence. Plan at scale: one shuffle to count gram document
+    // frequency, one gram-keyed join back (only grams with df>=2 flow),
+    // then a per-doc partial agg; never all-pairs.
+    Q("dd_span_dup",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)] AS gs
+        |  FROM toks WHERE len(w) >= 5),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |dg AS (SELECT gram FROM e GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT e.doc_id, count(*) AS dup_spans
+        |  FROM e JOIN dg USING (gram) GROUP BY e.doc_id),
+        |tot AS (SELECT doc_id, len(gs) AS n_spans FROM g)
+        |SELECT tot.doc_id, n_spans,
+        |  COALESCE(dup_spans, 0) AS dup_spans,
+        |  round(COALESCE(dup_spans, 0) * 1.0 / n_spans, 6) AS dup_ratio
+        |FROM tot LEFT JOIN d ON tot.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
+      // cache: the positional-gram explode feeds both the df count and the
+      // join-back (self-join recomputation trap, see ENGINEERING_NOTES)
+      val g = Tables.load(s, dir, "documents")
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("w")) - 4),
+            i => array_join(slice(col("w"), i, lit(5)), " ")).as("gs"))
+      val e = g.select(col("doc_id"), explode(col("gs")).as("gram")).cache()
+      val dg = e.groupBy("gram")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2)
+        .select("gram")
+      val d = e.join(dg, "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+      g.select(col("doc_id"), size(col("gs")).cast("long").as("n_spans"))
+        .join(d, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+          round(coalesce(col("dup_spans"), lit(0L)).cast("double") / col("n_spans"), 6)
+            .as("dup_ratio"))
+    },
+
     // 64-bit SimHash fingerprints (native expression; oracle rebuilds the
     // bit votes from md5 nibbles).
     Q("dd_simhash",

@@ -344,6 +344,78 @@ object TextQueries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     },
 
+    // STRATIFIED deterministic hash sampling: a per-stratum rate table
+    // (upsample head languages, downsample the tail — the standard corpus
+    // rebalancing move) applied through the same md5-prefix filter as
+    // q_hash_sample, so the sample is reproducible across engines and
+    // reruns. Row-local decision + one partial agg; no shuffle beyond the
+    // 5-group rollup.
+    Q("q_stratified",
+      """WITH s AS (SELECT doc_id, lang FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |    CASE lang WHEN 'en' THEN '8' WHEN 'zh' THEN '4'
+        |              WHEN 'es' THEN '4' WHEN 'de' THEN '2' ELSE '1' END)
+        |SELECT lang, count(*) AS n_sampled,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY lang""".stripMargin) { (s, dir) =>
+      val rate = when(col("lang") === "en", "8").when(col("lang") === "zh", "4")
+        .when(col("lang") === "es", "4").when(col("lang") === "de", "2")
+        .otherwise("1")
+      Tables.load(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    },
+
+    // Deterministic per-key reservoir: exactly k docs per stratum, chosen
+    // by md5 order — the distributed replacement for random reservoir
+    // sampling (same sample on every run/engine/cluster layout). Per-key
+    // top-k window: the shuffle is on the stratum key and each partition
+    // only ranks its own stratum; at corpus scale this is the standard
+    // "k examples per source for eval" extraction.
+    Q("q_reservoir_group",
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("lang"), col("doc_id"), col("rn"))
+    },
+
+    // Mixture-weight allocation: per-source token counts -> alpha=0.5
+    // smoothed sampling weights (w = floor(sqrt(tokens)) keeps everything
+    // integral: ppm shares and repeat epochs come out of exact BIGINT
+    // division, so no float-summation order can diverge between engines).
+    // This is the "how much of each source goes in the mix" table every
+    // pretraining run starts from. One partial agg per source + a
+    // broadcast of the 1-row totals.
+    Q("q_mix_alloc",
+      """WITH t AS (SELECT source,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source),
+        |x AS (SELECT source, n_tok, CAST(FLOOR(SQRT(n_tok)) AS BIGINT) AS w FROM t),
+        |s AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, MAX(n_tok) AS mx FROM x)
+        |SELECT source, n_tok, w,
+        |  CAST(w * 1000000 // tw AS BIGINT) AS share_ppm,
+        |  CAST((mx + n_tok - 1) // n_tok AS BIGINT) AS epochs
+        |FROM x CROSS JOIN s""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tok"))
+      val x = t.withColumn("w", floor(sqrt(col("n_tok"))).cast("long"))
+      val tot = x.agg(sum(col("w")).as("tw"), max(col("n_tok")).as("mx"))
+      x.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tok"), col("w"),
+          expr("CAST(w * 1000000 div tw AS BIGINT)").as("share_ppm"),
+          expr("CAST((mx + n_tok - 1) div n_tok AS BIGINT)").as("epochs"))
+    },
+
     // Train/val/test split assignment by hash bucket (~81/12/6): the
     // same determinism argument as q_hash_sample — a document's split
     // never changes as the corpus grows, which is what makes held-out
