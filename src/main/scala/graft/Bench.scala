@@ -52,7 +52,13 @@ object Bench {
     val plans = results.map { case (k, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"reps":$reps,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"reps":$reps,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the line: the driver captures a bounded stdout tail,
+    // which truncated the r3 artifact (BENCH_r03.json parsed=null)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -391,8 +391,13 @@ class EmailWorker(
         val (h, pb) = Rfc822.split(part.dropWhile(c => c == '\n' || c == '\r'))
         val disp = h.getOrElse("content-disposition", "")
         if (disp.toLowerCase.startsWith("attachment")) {
-          val name = """filename="?([^";]+)"?""".r.findFirstMatchIn(disp)
+          val rawName = """filename="?([^";]+)"?""".r.findFirstMatchIn(disp)
             .map(_.group(1)).getOrElse("attachment.bin")
+          // Basename only: a crafted filename like "../../x" must not
+          // escape attachmentsDir (same guard unzipInto applies).
+          val name = Option(Paths.get(rawName).getFileName).map(_.toString)
+            .filter(n => n.nonEmpty && n != "." && n != "..")
+            .getOrElse("attachment.bin")
           val bytes =
             if (h.getOrElse("content-transfer-encoding", "").equalsIgnoreCase("base64"))
               java.util.Base64.getMimeDecoder.decode(pb.trim)

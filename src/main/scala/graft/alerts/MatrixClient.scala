@@ -206,7 +206,10 @@ class MatrixClient(
   private def onText(originRoom: String, rawBody: String): Unit = {
     val name = cfg.userName
     if (rawBody.startsWith("das") || rawBody.startsWith(name)) {
-      val body = rawBody.replaceAll(s"($name|das):?", "").trim
+      // quote the username (regex metachars would throw) and strip only the
+      // leading address prefix — user "st" must not mangle "status"
+      val quoted = java.util.regex.Pattern.quote(name)
+      val body = rawBody.replaceFirst(s"^($quoted|das):?\\s*", "").trim
       if (body.matches(".+=[0-9]*$")) {
         // store a numeric ref: "x=5" ("x=" with no number is invalid)
         val sp = body.split("=")

@@ -29,7 +29,8 @@ object SmtpClient {
     socket.setSoTimeout(60000) // reference fixes 60 s on all SMTP ops
     val in = new BufferedReader(
       new InputStreamReader(socket.getInputStream, StandardCharsets.ISO_8859_1))
-    val out = new OutputStreamWriter(socket.getOutputStream, StandardCharsets.ISO_8859_1)
+    val rawOut = socket.getOutputStream
+    val out = new OutputStreamWriter(rawOut, StandardCharsets.ISO_8859_1)
 
     def reply(): String = {
       // multi-line replies: "250-..." continues, "250 ..." ends
@@ -64,8 +65,13 @@ object SmtpClient {
       // dot-stuffing: a leading '.' on a line doubles (RFC 5321 §4.5.2)
       val stuffed = message.linesWithSeparators
         .map(l => if (l.startsWith(".")) "." + l else l).mkString
-      out.write(stuffed)
-      if (!stuffed.endsWith("\r\n") && !stuffed.endsWith("\n")) out.write("\r\n")
+      // The message declares charset=utf-8, so its bytes must go out as
+      // UTF-8 — through the raw stream, not the ISO-8859-1 command writer
+      // (which would fold chars >0xFF to '?').
+      rawOut.write(stuffed.getBytes(StandardCharsets.UTF_8))
+      if (!stuffed.endsWith("\r\n") && !stuffed.endsWith("\n"))
+        rawOut.write("\r\n".getBytes(StandardCharsets.UTF_8))
+      rawOut.flush()
       cmd(".", '2')
       cmd("QUIT", '2')
     } finally socket.close()
@@ -98,9 +104,12 @@ object SmtpClient {
       attachBytes: Array[Byte] = Array.emptyByteArray): String = {
     val sb = new StringBuilder
     def header(k: String, v: String): Unit = sb.append(k).append(": ").append(v).append("\r\n")
-    header("From", from)
-    header("To", to.mkString(", "))
-    header("Subject", subject)
+    // Never let a header value smuggle CRLF (header injection / early DATA
+    // termination); addresses get stripped only, free-text headers get
+    // RFC 2047 B-encoding when non-ASCII.
+    header("From", stripCrlf(from))
+    header("To", to.map(stripCrlf).mkString(", "))
+    header("Subject", encodeHeader(subject))
     header("MIME-Version", "1.0")
     if (attachName.isEmpty) {
       header("Content-Type", "text/html; charset=utf-8")
@@ -122,6 +131,18 @@ object SmtpClient {
       sb.append("--").append(boundary).append("--\r\n")
     }
     sb.toString
+  }
+
+  private def stripCrlf(v: String): String = v.replaceAll("[\r\n]+", " ")
+
+  /** RFC 2047 B-encoded word for non-ASCII free-text header values;
+    * CRLF-stripped plain text otherwise.
+    */
+  def encodeHeader(v: String): String = {
+    val clean = stripCrlf(v)
+    if (clean.forall(c => c >= 0x20 && c < 0x7f)) clean
+    else "=?UTF-8?B?" +
+      Base64.getEncoder.encodeToString(clean.getBytes(StandardCharsets.UTF_8)) + "?="
   }
 
   /** Zip a file next to itself as `<file>.zip` (reference

@@ -326,6 +326,9 @@ object Impls {
       }
       i += 1
     }
+    // every element null leaves mins unset — same contract as empty input
+    // (minhash_sig is SQL-registered, so arbitrary arrays reach here)
+    if (mins(0) == null) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](k)
     var seed = 0
     while (seed < k) {

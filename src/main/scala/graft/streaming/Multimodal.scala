@@ -111,12 +111,16 @@ object Multimodal {
     * JDK's own ImageIO (JPEG/GIF ship with the JRE) in
     * [[decodePixelsAny]]; only video/audio remain stubbed.
     */
-  private[graft] def decodePixels(bytes: Array[Byte]): Option[PixelImage] = {
+  private[graft] def decodePixels(bytes: Array[Byte]): Option[PixelImage] = try {
     if (bytes.length >= 10 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
       decodePng(bytes)
     else None
+  } catch {
+    // truncated/corrupt payloads must DROP, not kill the task — the
+    // documented semantics of pixelFeatures ("undecodable records drop out")
+    case _: Exception => None
   }
 
   /** [[decodePixels]] plus the ImageIO fallback (headless JRE decoders,
@@ -210,10 +214,13 @@ object Multimodal {
     var done = false
     while (!done && pos + 8 <= bytes.length) {
       val len = be32(pos)
+      // a negative/oversized length would stall or escape the walk —
+      // corrupt chunk means undecodable, not an exception or a hang
+      if (len < 0 || pos.toLong + 8 + len + 4 > bytes.length) return None
       val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
       val data = pos + 8
       ctype match {
-        case "IHDR" =>
+        case "IHDR" if len >= 13 =>
           width = be32(data); height = be32(data + 4)
           bitDepth = bytes(data + 8) & 0xff; colorType = bytes(data + 9) & 0xff
           interlace = bytes(data + 12) & 0xff
@@ -224,7 +231,8 @@ object Multimodal {
       }
       pos = data + len + 4 // skip crc
     }
-    if (width <= 0 || bitDepth != 8 || interlace != 0) return None
+    if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0) return None
+    if (width.toLong * height * 4 > Int.MaxValue) return None // lying IHDR dims
     val chRaw = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
@@ -340,14 +348,19 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val id = tag(pos)
       val len = le32(pos + 4)
-      if (id == "fmt " && len >= 16) {
+      // a negative chunk length (len = -8 makes the advance zero) would
+      // hang the executor task forever — corrupt RIFF means undecodable
+      if (len < 0) return None
+      if (id == "fmt " && len >= 16 && pos + 24 <= bytes.length) {
         fmtOk = le16(pos + 8) == 1 // PCM only
         channels = le16(pos + 10)
         sampleRate = le32(pos + 12)
         bps = le16(pos + 22)
       } else if (id == "data")
         data = (pos + 8, math.min(len, bytes.length - pos - 8))
-      pos += 8 + len + (len & 1) // chunks pad to even length
+      // chunks pad to even length; a truncated final chunk ends the walk
+      val next = pos.toLong + 8 + len + (len & 1)
+      pos = if (next > bytes.length) bytes.length else next.toInt
     }
     if (!fmtOk || data == null || channels <= 0 || (bps != 8 && bps != 16)) return None
     val bytesPerFrame = channels * bps / 8

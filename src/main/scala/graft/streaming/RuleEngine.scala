@@ -46,10 +46,27 @@ object RuleEngine {
   /** Streaming runner: per micro-batch, evaluate rules against the batch's
     * snapshot updates and hand fired commands to `dispatch` (send to a
     * stream, email, system command — the OUTPUT plane of Task.java:69-71).
+    *
+    * Alerts are inherently low-volume when rules are sane, but one
+    * misconfigured match-everything guard over a full stream would ship
+    * the whole batch to the driver — so the per-batch collect is bounded
+    * at `maxAlertsPerBatch` and the overflow is counted, not collected.
     */
-  def run(snapshots: Dataset[ValSnapshot], rules: Seq[TaskRule])(
+  def run(
+      snapshots: Dataset[ValSnapshot],
+      rules: Seq[TaskRule],
+      maxAlertsPerBatch: Int = 10000,
+      onDropped: (Long, Long) => Unit = (batchId, n) =>
+        System.err.println(s"graft.RuleEngine: batch $batchId dropped $n alerts over cap"))(
       dispatch: Seq[FiredCommand] => Unit) =
-    snapshots.writeStream.foreachBatch { (batch: Dataset[ValSnapshot], _: Long) =>
-      dispatch(evaluate(batch.toDF(), rules).collect().toSeq)
+    snapshots.writeStream.foreachBatch { (batch: Dataset[ValSnapshot], batchId: Long) =>
+      val fired = evaluate(batch.toDF(), rules)
+      val taken = fired.limit(maxAlertsPerBatch + 1).collect().toSeq
+      if (taken.length > maxAlertsPerBatch) {
+        // count the real overflow (one extra row only proved it exists)
+        val totalOver = fired.count() - maxAlertsPerBatch
+        onDropped(batchId, totalOver)
+      }
+      dispatch(taken.take(maxAlertsPerBatch))
     }
 }
