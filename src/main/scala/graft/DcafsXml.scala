@@ -227,11 +227,23 @@ object DcafsXml {
     }
     val streams = children(root).filter(_.getTagName == "streams")
       .flatMap(s => parseStreams(elementToString(s)))
+    // <monitor><file id=".." path=".."/></monitor>: live-file tails
+    // (reference FileMonitor.java:38-58, wired DAS.java:206-208) become
+    // kind="monitor" StreamSpecs; fromSpec maps them to FileTailSource
+    val monitors = children(root).filter(_.getTagName == "monitor")
+      .flatMap(children(_)).filter(_.getTagName == "file")
+      .zipWithIndex.map { case (el, i) =>
+        val id = attr(el, "id").getOrElse(s"fm$i")
+        StreamSpec(id, "monitor",
+          host = attr(el, "path").getOrElse(""), port = 0,
+          label = attr(el, "label").getOrElse(id), eol = "lf",
+          ttlMillis = -1L, hello = None, idleCmd = None, topic = None)
+      }
     val paths =
       children(root).filter(_.getTagName == "path") ++
         children(root).filter(_.getTagName == "paths").flatMap(children(_))
           .filter(_.getTagName == "path")
-    Settings(streams, paths.map(p => parsePath(elementToString(p))))
+    Settings(streams ++ monitors, paths.map(p => parsePath(elementToString(p))))
   }
 
   // ---- Tasklist (TaskManager) scripts ----

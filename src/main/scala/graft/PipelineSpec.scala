@@ -261,6 +261,12 @@ object LineSources {
         spark.readStream.format("graft.sources.SerialLineSource")
           .option("device", spec.host)
           .option("eol", spec.eol).load()
+      case "monitor" =>
+        // <monitor> live-file tail (FileMonitor.java:19-80): the parsed
+        // <file path> rides in the spec's host slot
+        require(spec.host.nonEmpty, "monitor stream needs a file path")
+        spark.readStream.format("graft.sources.FileTailSource")
+          .option("path", spec.host).load()
       case other => throw new IllegalArgumentException(
         s"stream type '$other' is hardware-gated — replay its recorded " +
           "captures (LineSources.modbusReplay / fileReplay) instead")

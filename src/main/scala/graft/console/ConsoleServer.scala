@@ -1,0 +1,237 @@
+package graft.console
+
+import java.io.{BufferedOutputStream, InputStream, OutputStream}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Named line channels fanning out to attached per-client targets — the
+  * Spark twin of the reference's Writable-target forwarding
+  * (`/root/reference/src/io/stream/StreamManager.java:1049-1070`
+  * `addForwarding`): a telnet session asks for `raw:<id>` and becomes a
+  * target of that stream until it sends an empty line / `stop`
+  * (`StreamManager.java:618-622`).
+  */
+class LineHub {
+  private val targets =
+    new ConcurrentHashMap[String, java.util.concurrent.CopyOnWriteArraySet[String => Unit]]()
+
+  def attach(id: String, target: String => Unit): Unit =
+    targets
+      .computeIfAbsent(id, _ => new java.util.concurrent.CopyOnWriteArraySet[String => Unit]())
+      .add(target)
+
+  /** Remove the target from every channel (the reference's
+    * `removeWritable`).
+    */
+  def detach(target: String => Unit): Unit =
+    targets.values.forEach(_.remove(target))
+
+  def publish(id: String, line: String): Unit = {
+    val set = targets.get(id)
+    if (set != null) set.forEach(t => t(line))
+  }
+
+  /** True if anyone is listening on the channel (lets pumps idle cheap). */
+  def hasListeners(id: String): Boolean = {
+    val set = targets.get(id)
+    set != null && !set.isEmpty
+  }
+}
+
+/** The reference's front door: a telnet-style TCP listener serving the
+  * [[GraftConsole]] command surface plus live `raw:<id>` stream
+  * subscriptions (`/root/reference/src/io/telnet/TelnetServer.java:29`,
+  * `TelnetHandler.java:104-175`).
+  *
+  * Each accepted client gets a session thread: banner, `>` prompt, one
+  * command per line, multi-line responses CRLF-terminated. `raw:<id>`
+  * against a *streaming* temp view attaches the client as a live target —
+  * a bounded foreachBatch pump publishes the view's `line` column into
+  * [[LineHub]] and every subscribed session's socket; an empty line or
+  * `stop` detaches (reference `StreamManager.replyToCommand`:618-622).
+  * `raw:` against a batch view falls through to the console's sampling
+  * form. Everything else is [[GraftConsole.execute]].
+  *
+  * Scale stance: this is the operator plane, not the data plane — one
+  * human at a terminal. The pump collects at most [[maxLinesPerBatch]]
+  * rows per micro-batch to the driver (same bound pattern as
+  * `RuleEngine.alerts`), so a misdirected subscription to a firehose view
+  * degrades to sampling instead of OOMing the driver.
+  */
+class ConsoleServer(
+    spark: SparkSession,
+    console: GraftConsole,
+    port: Int = 0,
+    title: String = "graft",
+    maxLinesPerBatch: Int = 1000) {
+
+  val hub = new LineHub
+  private val server = new ServerSocket(port)
+  private val stopped = new AtomicBoolean(false)
+  private val pumps = new ConcurrentHashMap[String, StreamingQuery]()
+  private val sessions =
+    java.util.Collections.newSetFromMap(new ConcurrentHashMap[Socket, java.lang.Boolean]())
+
+  /** Actual bound port (useful with port=0 / ephemeral). */
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(s"graft-console-$boundPort") {
+    override def run(): Unit = {
+      while (!stopped.get()) {
+        try {
+          val client = server.accept()
+          sessions.add(client)
+          val t = new Thread(() => runSession(client),
+            s"graft-console-session-${client.getRemoteSocketAddress}")
+          t.setDaemon(true)
+          t.start()
+        } catch {
+          case _: SocketException => // closed during stop()
+        }
+      }
+    }
+  }
+  acceptor.setDaemon(true)
+
+  def start(): ConsoleServer = { acceptor.start(); this }
+
+  def stop(): Unit = {
+    stopped.set(true)
+    server.close()
+    sessions.forEach(s => try s.close() catch { case _: Exception => })
+    pumps.values.forEach(q => try q.stop() catch { case _: Exception => })
+    pumps.clear()
+  }
+
+  // ---- per-session ----------------------------------------------------
+
+  private def runSession(socket: Socket): Unit = {
+    val out = new BufferedOutputStream(socket.getOutputStream)
+    // this session's push target: raw hub lines go straight to the socket
+    val target: String => Unit = line => writeLine(out, line)
+    try {
+      writeLine(out, s"Welcome to $title!")
+      writeLine(out, "> Common commands: help, ss, st, rtvals, raw:<id>, exit...")
+      prompt(out)
+      val reader = new TelnetLineReader(socket.getInputStream)
+      var line: String = reader.readLine()
+      while (line != null && !stopped.get()) {
+        val trimmed = line.trim
+        trimmed match {
+          case "exit" | "bye" =>
+            writeLine(out, "Bye!")
+            socket.close()
+            line = null
+          case "" | "stop" =>
+            hub.detach(target)
+            writeLine(out, "Ok.")
+            prompt(out)
+            line = reader.readLine()
+          case c if c.startsWith("raw:") || c.startsWith("stream:") =>
+            writeLine(out, subscribe(c, target))
+            prompt(out)
+            line = reader.readLine()
+          case cmd =>
+            val reply =
+              try console.execute(cmd)
+              catch { case e: Exception => s"! ${e.getMessage}" }
+            reply.linesIterator.foreach(writeLine(out, _))
+            prompt(out)
+            line = reader.readLine()
+        }
+      }
+    } catch {
+      case _: java.io.IOException => // client went away
+    } finally {
+      hub.detach(target)
+      sessions.remove(socket)
+      try socket.close() catch { case _: Exception => }
+    }
+  }
+
+  /** `raw:<id>[,N]`: live-attach for streaming views, sample for batch. */
+  private def subscribe(cmd: String, target: String => Unit): String = {
+    val body = cmd.dropWhile(_ != ':').drop(1)
+    val id = body.split(",")(0).trim
+    val table =
+      try Some(spark.table(id))
+      catch { case _: Exception => None }
+    table match {
+      case Some(df) if df.isStreaming =>
+        ensurePump(id)
+        hub.attach(id, target)
+        s"Request for raw:$id ok"
+      case Some(_) =>
+        try console.execute(cmd)
+        catch { case e: Exception => s"! ${e.getMessage}" }
+      case None => s"Request for raw:$id failed"
+    }
+  }
+
+  /** One pump query per subscribed streaming view: collect a bounded
+    * slice of each micro-batch on the driver and publish to the hub.
+    */
+  private def ensurePump(id: String): Unit =
+    pumps.computeIfAbsent(id, _ => {
+      val df = spark.table(id)
+      val lineCol =
+        if (df.columns.contains("line")) "line" else df.columns.head
+      val checkpoint =
+        java.nio.file.Files.createTempDirectory(s"graft-hub-$id").toString
+      df.writeStream
+        .queryName(s"graft_hub_$id")
+        .trigger(Trigger.ProcessingTime(100))
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (hub.hasListeners(id)) {
+            val rows =
+              batch.select(col(lineCol).cast("string")).limit(maxLinesPerBatch).collect()
+            rows.foreach(r => hub.publish(id, r.getString(0)))
+          }
+        }
+        .start()
+    })
+
+  private def writeLine(out: OutputStream, s: String): Unit =
+    out.synchronized {
+      out.write(s.getBytes(StandardCharsets.UTF_8))
+      out.write('\r'); out.write('\n')
+      out.flush()
+    }
+
+  private def prompt(out: OutputStream): Unit =
+    out.synchronized { out.write('>'); out.flush() }
+}
+
+/** Minimal telnet-aware line reader: strips IAC negotiation sequences
+  * (0xFF + verb [+ option]) a real telnet client sends on connect, splits
+  * on LF, drops CR (`TelnetHandler` gets this from netty's codec chain).
+  */
+private class TelnetLineReader(in: InputStream) {
+  private val buf = new java.io.ByteArrayOutputStream
+
+  def readLine(): String = {
+    buf.reset()
+    var b = in.read()
+    while (b != -1) {
+      if (b == 0xFF) { // IAC
+        val verb = in.read()
+        if (verb >= 0xFB && verb <= 0xFE) in.read() // WILL/WONT/DO/DONT <opt>
+      } else if (b == '\n') {
+        return buf.toString(StandardCharsets.UTF_8)
+      } else if (b != '\r') {
+        buf.write(b)
+      }
+      b = in.read()
+    }
+    if (buf.size > 0) buf.toString(StandardCharsets.UTF_8) else null
+  }
+}

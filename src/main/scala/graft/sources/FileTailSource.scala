@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FileMonitor: tail a *growing* file as a DataSourceV2 micro-batch
+  * source — the Spark twin of the reference's FileMonitor
+  * (`/root/reference/src/util/tools/FileMonitor.java:19-80`, wired in
+  * `das/DAS.java:206-208` from the `<monitor>` settings node): an
+  * instrument writes one live log; every appended complete line becomes a
+  * row. Distinct from `LineSources.fileReplay`, which ingests *closed*
+  * files dropped into a directory.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.sources.FileTailSource")
+  *     .option("path", "/data/ctd.log").option("pollMillis", "250").load()
+  * }}}
+  *
+  * Schema: (line STRING, origin STRING, ts TIMESTAMP), origin = path.
+  *
+  * Tail semantics: only complete (newline-terminated) lines are emitted —
+  * a partially-written last line stays in a carry buffer until its
+  * newline arrives (the reference's 256-byte read loop behaves the same
+  * way at EOL boundaries). Truncation/rotation (file shrinks) resets the
+  * read position to 0, picking up the replacement file from its start.
+  * Same driver-buffer + WAL design as [[TcpLineSource]]: a restart
+  * replays planned-but-uncommitted batches from the checkpoint WAL and
+  * resumes the file position from the tail-position file, so no line is
+  * lost or duplicated across restarts.
+  */
+class FileTailSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FileTailSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FileTailTable(properties.get("path"),
+      Option(properties.get("pollMillis")).map(_.toLong).getOrElse(250L))
+}
+
+object FileTailSource {
+  val schema: StructType = StructType(Seq(
+    StructField("line", StringType),
+    StructField("origin", StringType),
+    StructField("ts", TimestampType)))
+}
+
+private class FileTailTable(path: String, pollMillis: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"tail://$path"
+  override def schema(): StructType = FileTailSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = FileTailSource.schema
+      override def toBatch: Batch = throw new UnsupportedOperationException(
+        "graft-file-tail is streaming-only")
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new FileTailMicroBatchStream(path, pollMillis, checkpointLocation)
+    }
+}
+
+private class FileTailMicroBatchStream(path: String, pollMillis: Long,
+    checkpointLocation: String) extends MicroBatchStream {
+
+  private case class TailOffset(value: Long) extends Offset {
+    override def json(): String = value.toString
+  }
+
+  private val wal = new LineBufferWal(checkpointLocation)
+  private val buffer = ListBuffer.empty[(String, Long)]
+  private var baseOffset = wal.maxPlannedOffset
+  private val stopped = new AtomicBoolean(false)
+
+  // byte position survives restarts alongside the WAL: a replayed batch
+  // comes from the WAL, new growth resumes from the persisted position
+  // (re-reading from 0 would duplicate everything already planned)
+  private val posFile = {
+    val u = java.net.URI.create(checkpointLocation)
+    val root =
+      if (u.getScheme == null) Paths.get(checkpointLocation) else Paths.get(u.getPath)
+    Files.createDirectories(root.resolve("graft-wal"))
+    root.resolve("graft-wal").resolve("tail-position")
+  }
+
+  private val poller = new Thread(s"graft-tail-$path") {
+    override def run(): Unit = {
+      var pos: Long =
+        if (Files.exists(posFile))
+          new String(Files.readAllBytes(posFile), StandardCharsets.UTF_8).trim.toLong
+        else 0L
+      val carry = new java.io.ByteArrayOutputStream
+      while (!stopped.get()) {
+        try {
+          val f = Paths.get(path)
+          if (Files.exists(f)) {
+            val len = Files.size(f)
+            if (len < pos) { pos = 0; carry.reset() } // rotated/truncated
+            if (len > pos) {
+              val raf = new RandomAccessFile(path, "r")
+              try {
+                raf.seek(pos)
+                val chunk = new Array[Byte](math.min(len - pos, 1 << 20).toInt)
+                val n = raf.read(chunk)
+                var i = 0
+                while (i < n) {
+                  val b = chunk(i)
+                  if (b == '\n') {
+                    val lineBytes = carry.toByteArray
+                    carry.reset()
+                    val line = new String(lineBytes, StandardCharsets.UTF_8)
+                      .stripSuffix("\r")
+                    buffer.synchronized {
+                      buffer += ((line, System.currentTimeMillis() * 1000L))
+                    }
+                  } else carry.write(b)
+                  i += 1
+                }
+                pos += n
+                Files.write(posFile, pos.toString.getBytes(StandardCharsets.UTF_8))
+              } finally raf.close()
+            }
+          }
+        } catch {
+          case _: java.io.IOException => // transient: retry next poll
+        }
+        if (!stopped.get()) Thread.sleep(pollMillis)
+      }
+    }
+  }
+  poller.setDaemon(true)
+  poller.start()
+
+  override def initialOffset(): Offset = TailOffset(wal.committedOffset)
+  override def latestOffset(): Offset =
+    buffer.synchronized(TailOffset(baseOffset + buffer.size))
+  override def deserializeOffset(json: String): Offset = TailOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TailOffset].value
+    val e = end.asInstanceOf[TailOffset].value
+    val rows =
+      if (s < baseOffset) wal.readRange(s, e) // restart replay
+      else buffer.synchronized {
+        val slice = buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
+        wal.persistBatch(s, e, slice)
+        slice
+      }
+    Array(TailLinesPartition(rows, path))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[TailLinesPartition]
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < p.rows.length }
+        override def get(): InternalRow = InternalRow(
+          UTF8String.fromString(p.rows(i)._1),
+          UTF8String.fromString(p.origin),
+          p.rows(i)._2)
+        override def close(): Unit = {}
+      }
+    }
+
+  override def commit(end: Offset): Unit = buffer.synchronized {
+    val e = end.asInstanceOf[TailOffset].value
+    wal.commit(e)
+    val drop = (e - baseOffset).toInt
+    if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); baseOffset = e }
+  }
+
+  override def stop(): Unit = stopped.set(true)
+}
+
+private case class TailLinesPartition(rows: Array[(String, Long)], origin: String)
+  extends InputPartition

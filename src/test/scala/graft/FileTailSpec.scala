@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FileMonitor tail source (`FileMonitor.java:19-80`): appending to a
+  * live file produces rows, partial lines wait for their newline,
+  * truncation re-reads from the start, and a kill/restart resumes from
+  * the checkpoint without losing or duplicating lines.
+  */
+class FileTailSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def append(f: Path, s: String): Unit =
+    Files.write(f, s.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  test("appended lines arrive; a partial line waits for its newline") {
+    val f = Files.createTempFile("graft-tail", ".log")
+    append(f, "before-start\n")
+    val q = spark.readStream
+      .format("graft.sources.FileTailSource")
+      .option("path", f.toString).option("pollMillis", "100")
+      .load()
+      .writeStream.format("memory").queryName("tail_out")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("tail_out").collect()
+        .map(_.getAs[String]("line")).toSeq
+      def await(want: Int): Seq[String] = {
+        val deadline = System.currentTimeMillis() + 15000
+        var r = rows()
+        while (r.length < want && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable(); Thread.sleep(100); r = rows()
+        }
+        r
+      }
+      append(f, "line-1\nline-2\npartial")
+      val got = await(3)
+      assert(got.sorted == Seq("before-start", "line-1", "line-2"),
+        s"partial line must not emit; got $got")
+      append(f, "-done\nline-3\n")
+      assert(await(5).sorted ==
+        Seq("before-start", "line-1", "line-2", "line-3", "partial-done"))
+
+      // truncation = rotation: position resets, replacement re-read
+      Files.write(f, "fresh-1\n".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.TRUNCATE_EXISTING)
+      assert(await(6).contains("fresh-1"))
+    } finally {
+      q.stop()
+      Files.deleteIfExists(f)
+    }
+  }
+
+  test("kill-and-restart resumes from checkpoint without loss or duplicates") {
+    val f = Files.createTempFile("graft-tail-wal", ".log")
+    val ckpt = Files.createTempDirectory("graft-tail-ckpt").toFile.getAbsolutePath
+    val received = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    def startQuery() = spark.readStream
+      .format("graft.sources.FileTailSource")
+      .option("path", f.toString).option("pollMillis", "100")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => received.add(r.getAs[String]("line")))
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    def awaitCount(q: org.apache.spark.sql.streaming.StreamingQuery,
+        want: Int): Seq[String] = {
+      val deadline = System.currentTimeMillis() + 15000
+      while (received.size < want && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (received.size < want) Thread.sleep(100)
+      }
+      received.toArray(Array.empty[String]).toSeq
+    }
+
+    val q1 = startQuery()
+    try {
+      append(f, "one\ntwo\n")
+      assert(awaitCount(q1, 2).sorted == Seq("one", "two"))
+    } finally q1.stop()
+
+    received.clear()
+    append(f, "three\n") // written while the query is down
+    val q2 = startQuery()
+    try {
+      val got = awaitCount(q2, 1)
+      assert(got == Seq("three"),
+        s"expected only the offline-appended line, got $got")
+    } finally {
+      q2.stop()
+      Files.deleteIfExists(f)
+    }
+  }
+}
