@@ -386,6 +386,27 @@ object DcafsXml {
     * attributes, the emailbook `<entry ref=..>` rows, and allow/deny
     * permits.
     */
+  /** Parse the `<telnet port=".." title="..">` settings node (reference
+    * `TelnetServer.readSettingsFromXML`, `TelnetServer.java:61-69`;
+    * defaults port 23 / title "DCAFS" — here 2323/"graft" so an unprivileged
+    * process can bind). Digs `dcafs/telnet` or `dcafs/settings/telnet`.
+    */
+  def parseTelnet(xml: String): Option[(Int, String)] = {
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new InputSource(new StringReader(xml)))
+    val root = doc.getDocumentElement
+    def find(el: Element, tag: String): Option[Element] =
+      children(el).find(_.getTagName == tag)
+    val el =
+      if (root.getTagName == "telnet") Some(root)
+      else find(root, "telnet")
+        .orElse(find(root, "settings").flatMap(find(_, "telnet")))
+    el.map { t =>
+      (attr(t, "port").map(_.toInt).getOrElse(2323),
+        attr(t, "title").getOrElse("graft"))
+    }
+  }
+
   def parseEmail(xml: String): Option[EmailCfg] = {
     val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
       .parse(new InputSource(new StringReader(xml)))

@@ -206,6 +206,41 @@ object LineSources {
       .withColumn("out", render(col("values")))
   }
 
+  /** S10 SPI replay: recorded captures (text files of hex-encoded
+    * clocked-back bytes, one capture per line) decoded through a parsed
+    * spiset script — the ExtSpiDevice analog of [[i2cReplay]]
+    * (`/root/reference/src/io/hardware/spi/ExtSpiDevice.java`).
+    * Schema: (line, origin, ts, values).
+    */
+  def spiReplay(spark: SparkSession, dir: String, scriptXml: String,
+      cmdKey: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val cmd = graft.sources.SpiScript.parseScript(scriptXml)(cmdKey)
+    val decode = udf((hexLine: String) => {
+      val bytes = hexLine.trim.sliding(2, 2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      graft.sources.SpiScript.decodeReplay(cmd, bytes)
+    })
+    fileReplay(spark, dir, maxFilesPerTrigger)
+      .withColumn("values", decode(col("line")))
+  }
+
+  /** S10 GPIO interrupt replay: recorded pin events (text files of
+    * `pin,edge` lines) mapped to the commands each event fires per the
+    * parsed `<gpio>` settings — the InterruptPins analog
+    * (`/root/reference/src/io/hardware/gpio/InterruptPins.java:74-82`).
+    * Schema: (line, origin, ts, pin, edge, cmds).
+    */
+  def gpioReplay(spark: SparkSession, dir: String, gpioXml: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val specs = graft.sources.GpioScript.parseGpio(gpioXml)
+    val fire = udf((pin: Int, edge: String) =>
+      graft.sources.GpioScript.fired(specs, pin, edge))
+    fileReplay(spark, dir, maxFilesPerTrigger)
+      .withColumn("pin", split(col("line"), ",").getItem(0).cast("int"))
+      .withColumn("edge", split(col("line"), ",").getItem(1))
+      .withColumn("cmds", fire(col("pin"), col("edge")))
+  }
+
   /** S8 SQL query source: run a SELECT against a JDBC database and
     * replay the rows as lines at the rate source's pace
     * (PathForward.java:516-537 SQLITE custom src semantics).
@@ -272,6 +307,30 @@ object LineSources {
           "captures (LineSources.modbusReplay / fileReplay) instead")
     }
     df.withColumn("label", lit(spec.label))
+  }
+
+  /** Timed HTTP-GET source: poll a URL every `periodSeconds` and forward
+    * each response line (subsumes the reference's Z3Api HTTP poller,
+    * `/root/reference/src/util/other/Z3Api.java:25-47` — a
+    * scheduleAtFixedRate GET whose parsed body lands in rtvals; here the
+    * body's lines enter the same line plane as every other source).
+    * Failed or non-200 polls yield no rows and the pace continues —
+    * the reference's retry amounts to the same thing. The fetch runs on
+    * the executor at tick time, one request per tick (rate source with a
+    * modulo filter paces below 1 Hz without driver-side scheduling).
+    */
+  def httpPoll(spark: SparkSession, url: String, periodSeconds: Int = 10,
+      timeoutMillis: Int = 5000): DataFrame = {
+    val fetch = udf(() =>
+      try {
+        val r = graft.alerts.HttpLite.get(url, timeoutMillis)
+        if (r.status == 200) r.body.split("\r?\n").toSeq else Seq.empty[String]
+      } catch { case _: Exception => Seq.empty[String] })
+    spark.readStream
+      .format("rate").option("rowsPerSecond", 1).load()
+      .filter(col("value") % periodSeconds === 0)
+      .select(explode(fetch()).as("line"), lit(url).as("origin"),
+        col("timestamp").as("ts"))
   }
 
   /** S1/S11 TCP line source (dev harness: Spark's socket source). */

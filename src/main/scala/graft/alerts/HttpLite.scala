@@ -14,6 +14,9 @@ object HttpLite {
 
   final case class Response(status: Int, body: String)
 
+  /** Raw-byte response for media transfers (Matrix up/download). */
+  final case class BinaryResponse(status: Int, bytes: Array[Byte])
+
   final class HttpException(msg: String) extends RuntimeException(msg)
 
   def get(url: String, timeoutMillis: Int = 15000): Response =
@@ -25,8 +28,28 @@ object HttpLite {
   def put(url: String, json: String, timeoutMillis: Int = 15000): Response =
     request("PUT", url, Some(json), timeoutMillis)
 
+  /** POST an opaque payload (media upload); response body is JSON text. */
+  def postBytes(url: String, payload: Array[Byte],
+      contentType: String = "application/octet-stream",
+      timeoutMillis: Int = 15000): Response = {
+    val r = requestBytes("POST", url, payload, contentType, timeoutMillis)
+    Response(r.status, new String(r.bytes, StandardCharsets.UTF_8))
+  }
+
+  /** GET an opaque payload (media download). */
+  def getBytes(url: String, timeoutMillis: Int = 15000): BinaryResponse =
+    requestBytes("GET", url, Array.emptyByteArray, "", timeoutMillis)
+
   def request(method: String, url: String, body: Option[String],
       timeoutMillis: Int): Response = {
+    val r = requestBytes(method, url,
+      body.map(_.getBytes(StandardCharsets.UTF_8)).getOrElse(Array.emptyByteArray),
+      "application/json", timeoutMillis)
+    Response(r.status, new String(r.bytes, StandardCharsets.UTF_8))
+  }
+
+  private def requestBytes(method: String, url: String, bytes: Array[Byte],
+      contentType: String, timeoutMillis: Int): BinaryResponse = {
     val uri = new URI(url)
     require(uri.getScheme == "http", s"only http supported, got $url")
     val port = if (uri.getPort > 0) uri.getPort else 80
@@ -35,12 +58,11 @@ object HttpLite {
     try {
       val out = new OutputStreamWriter(socket.getOutputStream, StandardCharsets.ISO_8859_1)
       val pathQ = uri.getRawPath + Option(uri.getRawQuery).map("?" + _).getOrElse("")
-      val bytes = body.map(_.getBytes(StandardCharsets.UTF_8)).getOrElse(Array.emptyByteArray)
       out.write(s"$method $pathQ HTTP/1.1\r\n")
       out.write(s"Host: ${uri.getHost}:$port\r\n")
       out.write("Connection: close\r\n")
-      if (body.nonEmpty) {
-        out.write("Content-Type: application/json\r\n")
+      if (bytes.nonEmpty) {
+        out.write(s"Content-Type: $contentType\r\n")
         out.write(s"Content-Length: ${bytes.length}\r\n")
       }
       out.write("\r\n")
@@ -76,7 +98,7 @@ object HttpLite {
           }
           buf
         } else in.readAllBytes() // Connection: close framing
-      Response(status, new String(bodyBytes, StandardCharsets.UTF_8))
+      BinaryResponse(status, bodyBytes)
     } finally socket.close()
   }
 }

@@ -134,12 +134,19 @@ class MatrixClient(
         (if (since.isEmpty) "" else s"&since=$since")
       val res = HttpLite.get(url, timeoutMillis = syncTimeoutMillis + 5000)
       if (res.status == 200) {
+        if (stopped) return // in-flight sync raced stop(): don't touch state
         retry = retryStepMillis
         var delay = 0L
-        while (!failedMessages.isEmpty) {
+        while (!stopped && !failedMessages.isEmpty) {
           val (room, msg) = failedMessages.poll()
-          scheduler.schedule(runnable(() => sendMessage(room, msg)), delay,
+          // a rejected schedule (scheduler shut down between the stopped
+          // check and here) must not lose the polled message
+          try scheduler.schedule(runnable(() => sendMessage(room, msg)), delay,
             TimeUnit.SECONDS)
+          catch {
+            case _: java.util.concurrent.RejectedExecutionException =>
+              failedMessages.add((room, msg)); return
+          }
           delay += 1
         }
         val body = mapper.readTree(res.body)
@@ -281,6 +288,79 @@ class MatrixClient(
   /** Send to every configured room (reference `broadcast`). */
   def broadcast(message: String): Unit =
     synchronized(rooms.values.toSeq).foreach(r => sendMessage(r.url, message))
+
+  // ---- media (reference MatrixClient.java:434-530) ----
+
+  /** Where downloaded files land (reference `dlFolder`, default
+    * `downloads/` under the working dir).
+    */
+  @volatile var downloadDir: java.nio.file.Path = java.nio.file.Paths.get("downloads")
+
+  /** Upload a file to the homeserver's media repo and share the returned
+    * `mxc://` link into the room (reference `sendFile`:436-466 — POST
+    * `/_matrix/media/v3/upload`, then `shareFile` posts an `m.file`
+    * message holding the link). `roomId` may be a configured room id or a
+    * raw `!room:server` address; empty uploads without sharing.
+    */
+  def sendFile(roomId: String, path: java.nio.file.Path): String = {
+    if (!java.nio.file.Files.exists(path)) return s"! No such file: $path"
+    val name = path.getFileName.toString
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(path)
+      val url = s"${cfg.baseUrl}/_matrix/media/v3/upload" +
+        s"$tokenQ${if (accessToken.isEmpty) "?" else "&"}filename=" +
+        java.net.URLEncoder.encode(name, "UTF-8")
+      val res = HttpLite.postBytes(url, bytes)
+      if (res.status != 200) return s"! File upload failed: ${res.body}"
+      val mxc = mapper.readTree(res.body).path("content_uri").asText("")
+      if (mxc.isEmpty) return "! File upload failed: no content_uri"
+      fileLinks(name) = mxc
+      if (roomId.nonEmpty) {
+        val target = room(roomId).map(_.url).getOrElse(roomId)
+        shareFile(target, mxc, name)
+      }
+      "File upload succeeded"
+    } catch { case e: Exception => s"! File upload failed: ${e.getMessage}" }
+  }
+
+  /** Post an `m.file` message holding an uploaded `mxc://` link
+    * (reference `shareFile`:504-530).
+    */
+  def shareFile(roomUrl: String, mxc: String, filename: String): Unit = {
+    val j = mapper.createObjectNode()
+    j.put("body", filename)
+    j.put("url", mxc)
+    j.put("mimetype", "text/plain")
+    j.put("msgtype", "m.file")
+    val txn = java.util.UUID.randomUUID().toString
+    try {
+      val res = HttpLite.put(
+        s"${cfg.baseUrl}/_matrix/client/v3/rooms/$roomUrl/send/m.room.message/$txn$tokenQ",
+        j.toString)
+      if (res.status == 200) { sent.add((roomUrl, s"file:$filename")); () }
+    } catch { case _: Exception => () }
+  }
+
+  /** Download a previously shared file by its listing id into
+    * [[downloadDir]] (reference `downloadFile`:468-503 — GET
+    * `/_matrix/media/v3/download/<server>/<mediaId>`). The stored name is
+    * sanitized to its basename so a malicious `body` can't escape the
+    * download directory (same guard as the email attachment path).
+    */
+  def downloadFile(id: String): String = {
+    val mxc = synchronized(fileLinks.get(id)).getOrElse(return s"! No such file id: $id")
+    if (!mxc.startsWith("mxc://")) return s"! Not an mxc link: $mxc"
+    try {
+      val res = HttpLite.getBytes(
+        s"${cfg.baseUrl}/_matrix/media/v3/download/${mxc.stripPrefix("mxc://")}$tokenQ")
+      if (res.status != 200) return s"! File download failed with code: ${res.status}"
+      val safe = java.nio.file.Paths.get(id).getFileName.toString
+      java.nio.file.Files.createDirectories(downloadDir)
+      val dest = downloadDir.resolve(safe)
+      java.nio.file.Files.write(dest, res.bytes)
+      s"File received: $dest"
+    } catch { case e: Exception => s"! File download failed: ${e.getMessage}" }
+  }
 
   /** The Writable hook: `room|from|data` lines from the command plane. */
   def writeLine(data: String): Boolean = {

@@ -122,10 +122,26 @@ class ConsoleServer(
       writeLine(out, "> Common commands: help, ss, st, rtvals, raw:<id>, exit...")
       prompt(out)
       val reader = new TelnetLineReader(socket.getInputStream)
+      // per-session wizard (reference Configurator is telnet-session state)
+      var wizard: Option[Configurator] = None
       var line: String = reader.readLine()
       while (line != null && !stopped.get()) {
         val trimmed = line.trim
         trimmed match {
+          case _ if wizard.nonEmpty =>
+            val (reply, finished) = wizard.get.reply(trimmed)
+            if (finished) wizard = None
+            reply.linesIterator.foreach(writeLine(out, _))
+            prompt(out)
+            line = reader.readLine()
+          case c if c == "cfg" || c.startsWith("cfg,") =>
+            val f = if (c.startsWith("cfg,")) c.stripPrefix("cfg,").trim
+              else "settings.xml"
+            val w = new Configurator(java.nio.file.Paths.get(f))
+            wizard = Some(w)
+            w.start().linesIterator.foreach(writeLine(out, _))
+            prompt(out)
+            line = reader.readLine()
           case "exit" | "bye" =>
             writeLine(out, "Bye!")
             socket.close()

@@ -229,7 +229,8 @@ class GraftConsole(spark: SparkSession) {
     p(0) match {
       case "?" =>
         "matrix:rooms | matrix:join,roomid,url | matrix:say,roomid,message | " +
-          "matrix:broadcast,message | matrix:files | matrix:sync | matrix:restart"
+          "matrix:broadcast,message | matrix:files | matrix:upload,path(,roomid) | " +
+          "matrix:down,fileid | matrix:sync | matrix:restart"
       case "rooms" =>
         val r = m.roomListing
         if (r.isEmpty) "no rooms" else r.mkString("\n")
@@ -249,6 +250,14 @@ class GraftConsole(spark: SparkSession) {
         m.broadcast(cmd.split(",", 2)(1)); "Broadcast send"
       case "files" =>
         if (m.fileLinks.isEmpty) "! No files yet" else m.fileLinks.keys.mkString("\n")
+      // media plane (reference MatrixClient.java:791-862 upload/down)
+      case "upload" =>
+        if (p.length < 2) "! Not enough arguments: matrix:upload,filepath(,roomid)"
+        else m.sendFile(if (p.length >= 3) p(2) else "",
+          java.nio.file.Paths.get(p(1)))
+      case "down" =>
+        if (p.length < 2) "! Not enough arguments: matrix:down,fileid"
+        else m.downloadFile(p(1))
       case "sync" => m.syncOnce(first = false); "Initiated sync"
       case "restart" => m.login(); "Tried reloading"
       case _ => s"! No such subcommand in matrix: ${p(0)}"

@@ -104,6 +104,99 @@ object Multimodal {
     } else None
   }
 
+  /** Video container metadata: (width, height, totalFrames, durationSec).
+    * `totalFrames` is 0 when the container doesn't carry it (MP4 — a
+    * frame count needs an stts sample-table walk per track).
+    */
+  final case class VideoInfo(width: Int, height: Int, frames: Int,
+      durationSec: Double)
+
+  /** Real video *container* probe — pure JVM header walk over the two
+    * public container formats, no codec libs: ISO BMFF / MP4 (box walk to
+    * `moov/mvhd` for timescale+duration and `moov/trak/tkhd` for the
+    * 16.16-fixed display width/height, versions 0 and 1) and AVI (RIFF
+    * `hdrl/avih`: dwMicroSecPerFrame + dwTotalFrames give the duration,
+    * dwWidth/dwHeight at payload offsets 32/36, all little-endian).
+    * Codec payload decode (actual frames) remains the stubbed part.
+    */
+  private[graft] def probeVideo(bytes: Array[Byte]): Option[VideoInfo] = try {
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+
+    if (bytes.length >= 16 && fourcc(4) == "ftyp") {
+      // MP4: walk top-level boxes to moov, then its children
+      var durationSec = 0.0
+      var w = 0
+      var h = 0
+      def walk(from: Long, until: Long, depth: Int): Unit = {
+        var o = from
+        while (o + 8 <= until) {
+          val size0 = be32(o.toInt)
+          val typ = fourcc(o.toInt + 4)
+          // size==1 -> 64-bit largesize follows the type
+          val (size, hdr) =
+            if (size0 == 1 && o + 16 <= until) (be64(o.toInt + 8), 16) else (size0, 8)
+          if (size < hdr || o + size > until) return // corrupt: stop cleanly
+          val p = (o + hdr).toInt
+          typ match {
+            case "moov" | "trak" | "mdia" if depth < 4 =>
+              walk(o + hdr, o + size, depth + 1)
+            case "mvhd" =>
+              val v = bytes(p) & 0xff
+              val (ts, dur) =
+                if (v == 1) (be32(p + 20), be64(p + 24))
+                else (be32(p + 12), be32(p + 16))
+              if (ts > 0) durationSec = dur.toDouble / ts
+            case "tkhd" =>
+              val v = bytes(p) & 0xff
+              val base = if (v == 1) p + 88 else p + 76
+              // 16.16 fixed point; keep the first track with real dims
+              val tw = (be32(base) >> 16).toInt
+              val th = (be32(base + 4) >> 16).toInt
+              if (w == 0 && tw > 0 && th > 0) { w = tw; h = th }
+            case _ => ()
+          }
+          o += size
+        }
+      }
+      walk(0, bytes.length.toLong, 0)
+      if (w > 0 || durationSec > 0) Some(VideoInfo(w, h, 0, durationSec)) else None
+    } else if (bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ") {
+      // AVI: RIFF 'AVI ' LIST 'hdrl' avih <cb> <payload>
+      var o = 12
+      var out: Option[VideoInfo] = None
+      while (out.isEmpty && o + 8 <= bytes.length) {
+        val id = fourcc(o)
+        val sz = le32(o + 4)
+        if (id == "LIST" && o + 12 <= bytes.length && fourcc(o + 8) == "hdrl") {
+          var i = o + 12
+          val end = math.min(o + 8 + sz, bytes.length.toLong).toInt
+          while (out.isEmpty && i + 8 <= end) {
+            val chunkSz = le32(i + 4)
+            if (fourcc(i) == "avih" && i + 8 + 40 <= end) {
+              val p = i + 8
+              val usPerFrame = le32(p)
+              val frames = le32(p + 16)
+              out = Some(VideoInfo(le32(p + 32).toInt, le32(p + 36).toInt,
+                frames.toInt, frames * usPerFrame / 1e6))
+            } else {
+              i += 8 + chunkSz.toInt // next chunk (padded to even)
+              i += (i & 1)
+            }
+          }
+          o = end
+        } else o += 8 + sz.toInt + ((sz % 2).toInt)
+      }
+      out
+    } else None
+  } catch { case _: Exception => None } // truncated/corrupt: drop out
+
   /** Real pixel decode, pure JVM: PNG (zlib inflate + per-scanline
     * None/Sub/Up/Average/Paeth unfilter, 8-bit depth, color types
     * 0/2/3/4/6, non-interlaced — the overwhelmingly common profile), PPM
@@ -436,10 +529,13 @@ object Multimodal {
         digest.reset()
         val hash = digest.digest(r.bytes).map(b => f"$b%02x").mkString
         val (sw, sh, frames, hist) = decodeStub(r.bytes)
-        // real dimensions for recognized uncompressed formats; stub
-        // dimensions otherwise (single frame for recognized stills)
+        // real dimensions for recognized uncompressed formats (single
+        // frame for stills) and recognized video containers; stub
+        // dimensions otherwise
         val (w, h, nf) = decodeDims(r.bytes)
           .map { case (rw, rh) => (rw, rh, 1) }
+          .orElse(probeVideo(r.bytes)
+            .map(v => (v.width, v.height, math.max(v.frames, 1))))
           .getOrElse((sw, sh, frames))
         MediaFeatures(r.id, r.kind, r.bytes.length, hash, w, h, nf, hist)
       }

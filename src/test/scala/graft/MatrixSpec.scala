@@ -31,6 +31,15 @@ class MiniMatrixServer {
   val joined = new ConcurrentLinkedQueue[String]()
   /** Events waiting for the next sync: (room, sender, msgtype, body). */
   private val pending = new ConcurrentLinkedQueue[(String, String, String, String)]()
+  /** (filename, bytes) of every media upload; served back on download. */
+  val uploads = new ConcurrentLinkedQueue[(String, Array[Byte])]()
+  private val media = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  /** (room, filename, mxc) of every m.file share PUT to the server. */
+  val shares = new ConcurrentLinkedQueue[(String, String, String)]()
+
+  /** Pre-seed a media id the next injected m.file event can point at. */
+  def seedMedia(mediaId: String, bytes: Array[Byte]): Unit =
+    media.put(mediaId, bytes)
 
   def inject(room: String, sender: String, body: String, msgtype: String = "m.text"): Unit =
     pending.add((room, sender, msgtype, body))
@@ -64,7 +73,7 @@ class MiniMatrixServer {
         contentLength = line.split(":")(1).trim.toInt
       line = readLine()
     }
-    val body = {
+    val bodyBytes = {
       val buf = new Array[Byte](contentLength)
       var off = 0
       while (off < contentLength) {
@@ -72,19 +81,25 @@ class MiniMatrixServer {
         if (r < 0) throw new RuntimeException("short body")
         off += r
       }
-      new String(buf, StandardCharsets.UTF_8)
+      buf
     }
+    val body = new String(bodyBytes, StandardCharsets.UTF_8)
     val path = pathQ.split("\\?")(0)
+    val query = pathQ.split("\\?").lift(1).getOrElse("")
+    def queryParam(name: String): Option[String] =
+      query.split("&").find(_.startsWith(name + "="))
+        .map(kv => java.net.URLDecoder.decode(kv.drop(name.length + 1), "UTF-8"))
     val out = new OutputStreamWriter(sock.getOutputStream, StandardCharsets.ISO_8859_1)
-    def respond(status: Int, json: String): Unit = {
-      val bytes = json.getBytes(StandardCharsets.UTF_8)
-      out.write(s"HTTP/1.1 $status OK\r\nContent-Type: application/json\r\n" +
+    def respondBytes(status: Int, bytes: Array[Byte], contentType: String): Unit = {
+      out.write(s"HTTP/1.1 $status OK\r\nContent-Type: $contentType\r\n" +
         s"Content-Length: ${bytes.length}\r\nConnection: close\r\n\r\n")
       out.flush()
       sock.getOutputStream.write(bytes)
       sock.getOutputStream.flush()
       sock.close()
     }
+    def respond(status: Int, json: String): Unit =
+      respondBytes(status, json.getBytes(StandardCharsets.UTF_8), "application/json")
 
     (method, path) match {
       case ("POST", p) if p.endsWith("/login") =>
@@ -131,8 +146,22 @@ class MiniMatrixServer {
       case ("PUT", p) if p.contains("/send/m.room.message/") =>
         val room = p.split("/rooms/")(1).split("/send/")(0)
         val j = mapper.readTree(body)
-        messages.add((room, j.path("body").asText()))
+        if (j.path("msgtype").asText() == "m.file")
+          shares.add((room, j.path("body").asText(), j.path("url").asText()))
+        else messages.add((room, j.path("body").asText()))
         respond(200, """{"event_id":"$ev"}""")
+      case ("POST", p) if p.contains("/media/") && p.contains("/upload") =>
+        val name = queryParam("filename").getOrElse(s"up${uploads.size}")
+        uploads.add((name, bodyBytes))
+        val mediaId = s"x/up${uploads.size}"
+        media.put(mediaId, bodyBytes)
+        respond(200, s"""{"content_uri":"mxc://$mediaId"}""")
+      case ("GET", p) if p.contains("/media/") && p.contains("/download/") =>
+        val mediaId = p.split("/download/")(1)
+        media.get(mediaId) match {
+          case null => respond(404, """{"errcode":"M_NOT_FOUND"}""")
+          case bytes => respondBytes(200, bytes, "application/octet-stream")
+        }
       case ("POST", p) if p.contains("/receipt/m.read/") =>
         val room = p.split("/rooms/")(1).split("/receipt/")(0)
         receipts.add((room, p.split("/receipt/m.read/")(1)))
@@ -234,6 +263,49 @@ class MatrixSpec extends AnyFunSuite {
     // with the server gone, a send lands in the failed queue
     m.sendMessage("!r:x", "too late")
     assert(m.pendingFailed == 1)
+  }
+
+  test("media upload shares an m.file link; download round-trips the bytes") {
+    val srv = new MiniMatrixServer
+    val m = new MatrixClient(
+      MatrixCfg("@graft:x", "pw", srv.url,
+        rooms = Seq(RoomSetup("ops", "!ops:x"))),
+      retryStepMillis = 50, syncTimeoutMillis = 300)
+    val dlDir = java.nio.file.Files.createTempDirectory("graft-matrix-dl")
+    m.downloadDir = dlDir
+    try {
+      m.login()
+      awaitCond()(m.loggedIn && m.syncCount >= 1)
+
+      // upload: POST to the media repo, then m.file share into the room
+      val report = java.nio.file.Files.createTempFile("statuslog", ".txt")
+      java.nio.file.Files.write(report, "all systems nominal\n".getBytes("UTF-8"))
+      assert(m.sendFile("ops", report) == "File upload succeeded")
+      awaitCond()(srv.uploads.asScala.exists { case (name, bytes) =>
+        name == report.getFileName.toString &&
+          new String(bytes, "UTF-8") == "all systems nominal\n"
+      })
+      awaitCond()(srv.shares.asScala.exists { case (room, name, mxc) =>
+        room == "!ops:x" && name == report.getFileName.toString &&
+          mxc.startsWith("mxc://")
+      })
+      // the uploaded file is now listed (console matrix:files)
+      assert(m.fileLinks.contains(report.getFileName.toString))
+
+      // download: a shared m.file event lands in fileLinks, down fetches it
+      srv.seedMedia("x/abc", "from-the-bridge".getBytes("UTF-8"))
+      srv.inject("!ops:x", "@boss:x", "bridge.txt", msgtype = "m.file")
+      awaitCond()(m.fileLinks.contains("bridge.txt"))
+      val res = m.downloadFile("bridge.txt")
+      assert(res.startsWith("File received"), res)
+      val dl = dlDir.resolve("bridge.txt")
+      assert(java.nio.file.Files.exists(dl))
+      assert(new String(java.nio.file.Files.readAllBytes(dl), "UTF-8") == "from-the-bridge")
+
+      // unknown id and traversal-shaped ids stay inside the download dir
+      assert(m.downloadFile("nope.bin").startsWith("! No such file id"))
+      m.stop()
+    } finally srv.close()
   }
 
   test("DcafsXml.parseMatrix reads the reference matrix node") {

@@ -95,6 +95,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1).width == 320 && feats(1).height == 256 && feats(1).nFrames == 1)
   }
 
+  test("video containers probe REAL dims + duration from headers (MP4, AVI)") {
+    // MP4: ftyp, then moov { mvhd v0 (timescale 600, duration 3000 ->
+    // 5 s), trak { tkhd v0 (width 640, height 360 as 16.16 fixed) } }
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 8 + 92)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII")).put("isom".getBytes).putInt(0)
+    bb.putInt(8 + 108 + 8 + 92).put("moov".getBytes)
+    bb.putInt(108).put("mvhd".getBytes)
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0).putInt(0) // creation, modification
+    bb.putInt(600).putInt(3000) // timescale, duration
+    bb.position(bb.position() + 108 - 8 - 20) // rest of mvhd zeros
+    bb.putInt(8 + 92).put("trak".getBytes)
+    bb.putInt(92).put("tkhd".getBytes)
+    val tkhdPayload = bb.position()
+    bb.position(tkhdPayload + 76)
+    bb.putInt(640 << 16).putInt(360 << 16)
+    val mp4 = bb.array()
+    val v1 = Multimodal.probeVideo(mp4).get
+    assert(v1 == Multimodal.VideoInfo(640, 360, 0, 5.0))
+
+    // AVI: RIFF 'AVI ' LIST hdrl { avih: 33333 us/frame, 300 frames,
+    // 320x240 } -> 9.9999 s
+    val ab = java.nio.ByteBuffer.allocate(12 + 12 + 8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ab.put("RIFF".getBytes).putInt(12 + 8 + 56 - 8 + 12).put("AVI ".getBytes)
+    ab.put("LIST".getBytes).putInt(4 + 8 + 56).put("hdrl".getBytes)
+    ab.put("avih".getBytes).putInt(56)
+    val avihP = ab.position()
+    ab.putInt(33333) // dwMicroSecPerFrame
+    ab.position(avihP + 16); ab.putInt(300) // dwTotalFrames
+    ab.position(avihP + 32); ab.putInt(320).putInt(240)
+    ab.position(avihP + 56)
+    val avi = ab.array()
+    val v2 = Multimodal.probeVideo(avi).get
+    assert(v2.width == 320 && v2.height == 240 && v2.frames == 300)
+    assert(math.abs(v2.durationSec - 9.9999) < 1e-6)
+
+    // features pipeline: real container dims ride in, AVI frame count too
+    val ds = Seq(
+      MediaRecord(30L, "video", mp4, Map.empty),
+      MediaRecord(31L, "video", avi, Map.empty)).toDS()
+    val feats = Multimodal.decodeFeatures(ds).collect().sortBy(_.id)
+    assert(feats(0).width == 640 && feats(0).height == 360 && feats(0).nFrames == 1)
+    assert(feats(1).width == 320 && feats(1).height == 240 && feats(1).nFrames == 300)
+
+    // truncated/corrupt containers drop out instead of throwing
+    assert(Multimodal.probeVideo(mp4.take(20)).isEmpty)
+    assert(Multimodal.probeVideo("RIFF1234AVI x".getBytes).isEmpty)
+    assert(Multimodal.probeVideo(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   private def encodeImageIO(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
     System.setProperty("java.awt.headless", "true")
     val out = new java.io.ByteArrayOutputStream()
