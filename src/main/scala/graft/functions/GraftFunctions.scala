@@ -36,6 +36,31 @@ object GraftFunctions {
   def count_in_set(toks: Column, set: Column): Column = c(CountInSet(e(toks), e(set)))
   def minhash_sig(shingles: Column, k: Column): Column = c(MinHashSig(e(shingles), e(k)))
 
+  /** Distributed bloom-filter build over xxhash64 of a column: map-side
+    * partial sketches merge into one binary sketch (Catalyst's
+    * BloomFilterAggregate, the engine's own runtime-filter sketch). The
+    * result is O(numBits) bytes regardless of input size, so it is safe to
+    * collect and inline as a literal for scan-side pre-filtering.
+    */
+  def bloom_agg(keyCol: Column, estItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val h = e(org.apache.spark.sql.functions.xxhash64(keyCol))
+    c(new BloomFilterAggregate(h, Literal(estItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** Probe a collected bloom sketch: stays inside whole-stage codegen on
+    * the probe-side scan (no join, no shuffle — the semi-join's network
+    * cost collapses to a byte-array broadcast). False positives possible,
+    * false negatives impossible.
+    */
+  def bloom_might_contain(sketch: Array[Byte], keyCol: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    c(BloomFilterMightContain(Literal(sketch),
+      e(org.apache.spark.sql.functions.xxhash64(keyCol))))
+  }
+
   /** Bind a shared-dialect formula fragment (Formulas.*Sql over placeholder
     * names) to concrete Columns: parse once, substitute attributes.
     */

@@ -338,6 +338,52 @@ object DedupQueries {
         .distinct()
     },
 
+    // SemDeDup-style semantic dedup (cf. Abbas et al. 2023): coarse
+    // k-partition of the embedding space, then near-duplicate marking
+    // within each cell. Deterministic fixed centroids (the first 8
+    // vectors) make the row oracle-checkable end to end — the k-means
+    // twin of the assignment stage is ann_ivf (engine-specific centroids,
+    // bounds-gated). Scale shape: assignment is ivfAssign's
+    // literal-centroid argmax (ZERO shuffle/join over the corpus), the
+    // within-cell pairing is blockedCosinePairs (one shuffle on the cell
+    // id), and a cell whose population outgrows an executor needs more
+    // centroids, not a different kernel.
+    Q("dd_semantic",
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+        |asn AS (SELECT vec_id, cid,
+        |    list_sum([n.embedding[i]::DOUBLE * c.ce[i]::DOUBLE
+        |              for i in range(1, 65)]) / (n.nrm * c.cn) AS cos
+        |  FROM n CROSS JOIN c),
+        |best AS (SELECT vec_id, cid, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |  FROM asn),
+        |cl AS (SELECT vec_id, cid AS cluster FROM best WHERE rn = 1),
+        |p AS (SELECT b.vec_id,
+        |    round(list_sum([a2.embedding[i]::DOUBLE * b2.embedding[i]::DOUBLE
+        |                    for i in range(1, 65)]) / (a2.nrm * b2.nrm), 6) AS cos
+        |  FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN n a2 ON a2.vec_id = a.vec_id JOIN n b2 ON b2.vec_id = b.vec_id),
+        |dup AS (SELECT DISTINCT vec_id FROM p WHERE cos >= 0.4)
+        |SELECT cl.vec_id, cl.cluster,
+        |  CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+        |FROM cl LEFT JOIN dup ON cl.vec_id = dup.vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+      val assigned = VectorOps.ivfAssign(e, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("bucket").as("cluster"), col("embedding"))
+      val dups = VectorOps.blockedCosinePairs(
+        assigned, "vec_id", "cluster", "embedding", minCosine = 0.4)
+        .select(col("vec_b").as("vec_id")).distinct()
+        .withColumn("d", lit(1))
+      assigned.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("d"), lit(0)).as("is_dup"))
+    },
+
     // Exact word-bigram Jaccard within a blocking key (lang): the
     // verify stage after LSH candidate generation.
     Q("dd_ngram_jaccard",

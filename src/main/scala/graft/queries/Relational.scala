@@ -478,6 +478,71 @@ object Relational {
           .select(col("p_partkey").as("k")))
     },
 
+    // Window distribution functions (percent_rank/cume_dist/nth_value and
+    // first/last over an explicit full-partition frame). Frames are spelled
+    // out on both sides — engines disagree on value-function defaults.
+    Q("q_window_dist",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cum_dist,
+        |  first_value(o_totalprice) OVER wf AS lo_price,
+        |  last_value(o_totalprice) OVER wf AS hi_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders WHERE o_totalprice > 400000
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"),
+          first(col("o_totalprice")).over(wf).as("lo_price"),
+          last(col("o_totalprice")).over(wf).as("hi_price"),
+          nth_value(col("o_totalprice"), 2).over(wf).as("second_price"))
+    },
+
+    // Bloom-filter semi join: the build side collapses to an O(bytes)
+    // sketch (BloomFilterAggregate — map-side partial sketches, one merge),
+    // and the probe side is a pure scan filter in whole-stage codegen — the
+    // semi join's shuffle/network cost disappears; at 100 TB this is the
+    // runtime-filter pattern (ship the sketch, not the rows). The board row
+    // is the verification gate: an exact semi join adjudicates that no true
+    // match was dropped (blooms cannot false-negative) and that false
+    // positives stay under the sized-for rate; the oracle pins the exact
+    // count and expects both gates to hold.
+    Q("q_bloom_semi",
+      """SELECT (SELECT count(*) FROM lineitem WHERE l_orderkey IN
+        |          (SELECT o_orderkey FROM orders WHERE o_totalprice > 500000)) AS n_exact,
+        |  1 AS no_false_neg, 1 AS fp_ok""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 500000)
+        .select(col("o_orderkey").as("k")).distinct()
+      val li = Tables.load(s, dir, "lineitem")
+      // build: one tiny aggregate over the filtered dimension; the sketch
+      // (1 MiB for 1M est. items) is the only thing that leaves the stage
+      val sketch = o.select(
+        graft.functions.GraftFunctions.bloom_agg(col("k"), 1000000L, 8388608L).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val pass = graft.functions.GraftFunctions.bloom_might_contain(sketch, col("l_orderkey"))
+      // gate: broadcast the exact key set next to the bloom verdict
+      li.join(broadcast(o), li("l_orderkey") === o("k"), "left")
+        .select(col("k").isNotNull.as("m"), pass.as("p"))
+        .agg(
+          sum(when(col("m"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("m") && !col("p"), 1L).otherwise(0L)).as("n_missed"),
+          sum(when(col("p"), 1L).otherwise(0L)).as("n_passed"),
+          count(lit(1)).as("n_total"))
+        .select(
+          col("n_exact"),
+          (col("n_missed") === 0).cast("int").as("no_false_neg"),
+          (col("n_passed") <= col("n_exact")
+            + lit(0.05) * (col("n_total") - col("n_exact"))).cast("int").as("fp_ok"))
+    },
+
     // Exact-moment stddev/variance per group (order-independent; see dstd).
     Q("q_stats",
       """SELECT l_returnflag,

@@ -383,5 +383,141 @@ object StateQueries {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("last_err").as("err_event_id"))
     },
+
+    // §2.11 time-series resampling: per-key hourly grid from first to last
+    // observation, bucketed to the last reading of each hour, gaps
+    // forward-filled. The grid explode is bounded per key (span/step rows),
+    // the fill is one window pass — a single shuffle on the key, so at
+    // 100 TB each sensor's timeline resamples independently; no driver
+    // state, no per-gap joins. (Reference stores only current rtvals —
+    // resampling is the batch twin its users run downstream.)
+    Q("ts_resample",
+      """WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+        |                  date_trunc('hour', max(ts)) AS t1
+        |           FROM events WHERE user_id < 20 GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts FROM b),
+        |ev AS (SELECT user_id, date_trunc('hour', ts) AS gts, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id < 20),
+        |lastv AS (SELECT user_id, gts, value FROM ev WHERE rn = 1)
+        |SELECT g.user_id, epoch_ms(g.gts) AS grid_ms,
+        |  round(last_value(l.value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.gts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+        |FROM grid g LEFT JOIN lastv l
+        |  ON g.user_id = l.user_id AND g.gts = l.gts""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 20)
+      val bounds = ev.groupBy("user_id").agg(
+        date_trunc("hour", min("ts")).as("t0"),
+        date_trunc("hour", max("ts")).as("t1"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("interval 1 hour"))).as("gts"))
+      val wb = Window.partitionBy("user_id", "gts")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val lastInHour = ev
+        .withColumn("gts", date_trunc("hour", col("ts")))
+        .withColumn("rn", row_number().over(wb))
+        .filter(col("rn") === 1)
+        .select("user_id", "gts", "value")
+      val wFill = Window.partitionBy("user_id").orderBy("gts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(lastInHour, Seq("user_id", "gts"), "left")
+        .select(col("user_id"), unix_millis(col("gts")).as("grid_ms"),
+          round(last("value", ignoreNulls = true).over(wFill), 6).as("value"))
+    },
+
+    // §2.11 gap interpolation: 6-hourly grid points get the linear
+    // interpolation of the bracketing observations (boundary points take
+    // the nearest side). Union-then-window rendering: grid and data rows
+    // interleave in ONE per-key window pass (last/first ignore-nulls) —
+    // no as-of join pair, no range explosion, one shuffle on the key.
+    // Arithmetic in epoch-ms doubles, identical in both dialects.
+    Q("ts_interpolate",
+      """WITH b AS (SELECT user_id, date_trunc('day', min(ts)) AS t0,
+        |                  date_trunc('day', max(ts)) AS t1
+        |           FROM events WHERE user_id < 20 GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(t0 + INTERVAL 6 HOUR, t1, INTERVAL 6 HOUR)) AS ts,
+        |    CAST(NULL AS DOUBLE) AS value, 1 AS is_grid FROM b),
+        |u AS (SELECT user_id, ts, value, 0 AS is_grid
+        |      FROM events WHERE user_id < 20
+        |      UNION ALL SELECT * FROM grid),
+        |m AS (SELECT user_id, ts, is_grid,
+        |    last_value(value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_grid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN value IS NOT NULL THEN epoch_ms(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, is_grid
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |    first_value(value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_grid
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN value IS NOT NULL THEN epoch_ms(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, is_grid
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM u)
+        |SELECT user_id, epoch_ms(ts) AS grid_ms,
+        |  round(CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+        |        WHEN nt = pt THEN pv
+        |        ELSE pv + (nv - pv) * (epoch_ms(ts) - pt) / (nt - pt) END, 6) AS value
+        |FROM m WHERE is_grid = 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 20)
+      val bounds = ev.groupBy("user_id").agg(
+        date_trunc("day", min("ts")).as("t0"),
+        date_trunc("day", max("ts")).as("t1"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(col("t0") + expr("interval 6 hours"), col("t1"),
+          expr("interval 6 hours"))).as("ts"),
+        lit(null).cast("double").as("value"), lit(1).as("is_grid"))
+      val u = ev.select(col("user_id"), col("ts"), col("value"), lit(0).as("is_grid"))
+        .unionAll(grid)
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("is_grid"))
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+      val obsMs = when(col("value").isNotNull, unix_millis(col("ts")))
+      val m = u.select(col("user_id"), col("ts"), col("is_grid"),
+        last("value", ignoreNulls = true).over(wPrev).as("pv"),
+        last(obsMs, ignoreNulls = true).over(wPrev).as("pt"),
+        first("value", ignoreNulls = true).over(wNext).as("nv"),
+        first(obsMs, ignoreNulls = true).over(wNext).as("nt"))
+      val t = unix_millis(col("ts")).cast("double")
+      m.filter(col("is_grid") === 1)
+        .select(col("user_id"), unix_millis(col("ts")).as("grid_ms"),
+          round(
+            when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .when(col("nt") === col("pt"), col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv"))
+                * (t - col("pt")) / (col("nt") - col("pt"))), 6).as("value"))
+    },
+
+    // §2.11 EWMA (the reference's MathFab users smooth sensor series
+    // downstream; finite 20-point horizon keeps the fold bounded and
+    // oracle-exact). collect_list over a rows frame + an aggregate() fold
+    // seeded with the oldest point — both dialects fold the same order, so
+    // doubles are bit-identical. One window pass, one shuffle on the key.
+    Q("ts_ewma",
+      """SELECT user_id, event_id,
+        |  floor(list_reduce(array_agg(value) OVER w, (a, x) -> 0.7*a + 0.3*x)
+        |        * 1e6 + 0.5) / 1e6 AS ewma
+        |FROM events WHERE user_id < 100
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, 0)
+      // rounding spelled as floor(x*1e6+0.5)/1e6 in BOTH dialects: the two
+      // engines' round() disagree on .5-boundary doubles (decimal-repr
+      // HALF_UP vs binary-value rounding); this form is identical IEEE ops
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .withColumn("win", collect_list("value").over(w))
+        .select(col("user_id"), col("event_id"),
+          (floor(aggregate(
+            slice(col("win"), lit(2), greatest(size(col("win")) - 1, lit(0))),
+            element_at(col("win"), 1),
+            (acc, x) => lit(0.7) * acc + lit(0.3) * x) * 1e6 + 0.5) / 1e6).as("ewma"))
+    },
   )
 }
