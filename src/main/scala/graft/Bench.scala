@@ -11,13 +11,22 @@ import java.security.MessageDigest
   * fingerprint is attributable to the environment, not the plan.
   */
 object Bench {
-  /** Stable fingerprint of the executed plan shape: the class names of the
-    * physical nodes in tree order, hashed. Invariant across runs (no expr
-    * ids), changes whenever the plan shape (joins, exchanges, scans) does.
+  /** Stable fingerprint of the physical plan shape. Collecting node
+    * classes misses everything under AdaptiveSparkPlanExec (its children
+    * are hidden from collect, so every AQE query hashed identically);
+    * instead hash the simple-mode explain — which prints the full tree,
+    * AQE included — with run-varying ids (expr #n, plan_id, temp view
+    * names, file paths) stripped so the hash is invariant across runs
+    * and changes exactly when the plan shape does.
     */
   private def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
-    val nodes = df.queryExecution.executedPlan.collect { case p => p.getClass.getSimpleName }
-    val md5 = MessageDigest.getInstance("MD5").digest(nodes.mkString(",").getBytes("UTF-8"))
+    val explain = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .replaceAll("#\\d+", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("\\[file:[^\\]]*\\]", "[file]")
+      .replaceAll("isFinalPlan=\\w+", "")
+    val md5 = MessageDigest.getInstance("MD5").digest(explain.getBytes("UTF-8"))
     md5.take(4).map(b => f"$b%02x").mkString
   }
 
@@ -34,7 +43,12 @@ object Bench {
     // warm the session (parquet reader, codegen, shuffle machinery) so the
     // first measured query doesn't absorb JVM start-up costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional query-name filter for iterating on a single row's timing
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var fp = "err"
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -483,5 +483,54 @@ object TextQueries {
           md5(concat(col("content_hash"), lit("-"),
             col("frame_idx").cast("string"))).as("frame_hash"))
     },
+
+    // End-to-end training-set selection: the composed pipeline a corpus
+    // engineer actually runs — quality gate (tx_quality_gate's exact
+    // predicate) → exact dedup keep-min (dd_exact's key) → stratified
+    // deterministic sampling (q_stratified's rate table). Everything
+    // row-local except ONE shuffle (the dedup-key window); the sample
+    // decision is an md5 prefix compare, so the selected set is
+    // reproducible across engines, reruns, and cluster sizes. At 100 TB
+    // this is the shape that matters: no stage widens data, each stage
+    // strictly filters, and the only exchange carries (key, doc_id).
+    Q("pl_training_select",
+      """WITH t AS (SELECT doc_id, lang, length(text) AS chars,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |q AS (SELECT doc_id, lang, w, chars, len(w) AS n_tokens,
+        |    len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+        |      * 1.0 / len(w) AS stop_ratio
+        |  FROM t WHERE len(w) > 0),
+        |g AS (SELECT doc_id, lang, n_tokens, array_to_string(w[1:5], ' ') AS key
+        |  FROM q WHERE n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.05
+        |    AND chars * 1.0 / n_tokens <= 12),
+        |d AS (SELECT doc_id, lang, n_tokens,
+        |    row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn FROM g)
+        |SELECT doc_id, lang, n_tokens FROM d
+        |WHERE rn = 1 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |  CASE lang WHEN 'en' THEN '8' WHEN 'zh' THEN '4' WHEN 'es' THEN '4'
+        |            WHEN 'de' THEN '2' ELSE '1' END""".stripMargin) { (s, dir) =>
+      val stopSet = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+      val q = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("chars"),
+          TextOps.tokens(col("text")).as("w"))
+        .withColumn("n_tokens", size(col("w")))
+        .filter(col("n_tokens") > 0)
+        .withColumn("stop_ratio",
+          GraftFunctions.count_in_set(col("w"), stopSet) * lit(1.0) / col("n_tokens"))
+      val gated = q.filter(
+        col("n_tokens").between(20, 1000) && col("stop_ratio") >= 0.05 &&
+          col("chars") * lit(1.0) / col("n_tokens") <= 12)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          array_join(slice(col("w"), 1, 5), " ").as("key"))
+      val keeper = Window.partitionBy("key").orderBy("doc_id")
+      val rate = when(col("lang") === "en", "8").when(col("lang") === "zh", "4")
+        .when(col("lang") === "es", "4").when(col("lang") === "de", "2")
+        .otherwise("1")
+      gated
+        .withColumn("rn", row_number().over(keeper))
+        .filter(col("rn") === 1 &&
+          substring(md5(col("doc_id").cast("string")), 1, 1) < rate)
+        .select("doc_id", "lang", "n_tokens")
+    },
   )
 }
