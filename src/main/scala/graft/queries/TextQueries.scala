@@ -304,6 +304,65 @@ object TextQueries {
             .as("mean_p"))
     },
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
+    // tercile cut points estimated on a deterministic md5 sample, then
+    // EVERY document classified row-locally against the (lang, c1, c2)
+    // cut table. This is the shape that scales: the corpus is never
+    // globally sorted or ranked — only the bounded sample is windowed,
+    // and classification is a broadcast join of a k-language cut table.
+    // Score = tx_lm_score's mean_p (integral until one final division,
+    // so cuts and comparisons are bit-identical across engines).
+    Q("tx_ppx_bucket",
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |df AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+        |tot AS (SELECT count(*) AS n FROM t),
+        |sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |    CAST(SUM(df.cnt) AS DOUBLE) / (count(*) * max(tot.n)) AS mean_p
+        |  FROM t JOIN df USING (term) CROSS JOIN tot GROUP BY t.doc_id),
+        |d AS (SELECT sc.doc_id, doc.lang, sc.mean_p
+        |  FROM sc JOIN documents doc ON sc.doc_id = doc.doc_id),
+        |samp AS (SELECT lang, mean_p,
+        |    row_number() OVER (PARTITION BY lang ORDER BY mean_p, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM d WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+        |cuts AS (SELECT lang,
+        |    max(CASE WHEN rn <= CAST(ceil(n / 3.0) AS BIGINT) THEN mean_p END) AS c1,
+        |    max(CASE WHEN rn <= CAST(ceil(2 * n / 3.0) AS BIGINT) THEN mean_p END) AS c2
+        |  FROM samp GROUP BY lang)
+        |SELECT d.doc_id, d.lang,
+        |  CASE WHEN c1 IS NULL THEN 'high'
+        |       WHEN d.mean_p <= c1 THEN 'low'
+        |       WHEN d.mean_p <= c2 THEN 'mid' ELSE 'high' END AS bucket
+        |FROM d LEFT JOIN cuts ON d.lang = cuts.lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val sc = toks.join(tf, "term").crossJoin(total)
+        .groupBy(col("doc_id"))
+        .agg((sum(col("cnt")).cast("double") / (count(lit(1)) * max(col("n"))))
+          .as("mean_p"))
+      val d = sc.join(docs.select("doc_id", "lang"), "doc_id")
+      val wr = Window.partitionBy("lang").orderBy(col("mean_p"), col("doc_id"))
+      val wn = Window.partitionBy("lang")
+      val cuts = d
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("lang")
+        .agg(
+          max(when(col("rn") <= ceil(col("n") / 3.0).cast("long"), col("mean_p"))).as("c1"),
+          max(when(col("rn") <= ceil(col("n") * 2 / 3.0).cast("long"), col("mean_p"))).as("c2"))
+      d.join(broadcast(cuts), Seq("lang"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("c1").isNull, "high")
+            .when(col("mean_p") <= col("c1"), "low")
+            .when(col("mean_p") <= col("c2"), "mid")
+            .otherwise("high").as("bucket"))
+    },
+
     // PII/pattern scrub: regex detect + redact, the pipeline stage that
     // strips identifiers before training. Row-local regexes (codegen'd
     // in Spark, RE2 in the oracle — patterns kept to the common
