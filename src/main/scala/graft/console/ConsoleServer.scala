@@ -34,9 +34,17 @@ class LineHub {
   def detach(target: String => Unit): Unit =
     targets.values.forEach(_.remove(target))
 
+  /** Publish to every target; a target that throws (dead client socket)
+    * is detached instead of letting the exception bubble into the
+    * publishing pump's foreachBatch — one gone client must not kill the
+    * shared streaming pump for everyone else.
+    */
   def publish(id: String, line: String): Unit = {
     val set = targets.get(id)
-    if (set != null) set.forEach(t => t(line))
+    if (set != null) set.forEach { t =>
+      try t(line)
+      catch { case _: Exception => set.remove(t) }
+    }
   }
 
   /** True if anyone is listening on the channel (lets pumps idle cheap). */
@@ -230,6 +238,11 @@ class ConsoleServer(
 /** Minimal telnet-aware line reader: strips IAC negotiation sequences
   * (0xFF + verb [+ option]) a real telnet client sends on connect, splits
   * on LF, drops CR (`TelnetHandler` gets this from netty's codec chain).
+  * Lines are capped at [[TelnetLineReader.MaxLine]] bytes — a client
+  * streaming bytes with no newline must not grow driver memory unbounded
+  * (netty's frame decoder enforces the same limit in the reference);
+  * excess bytes of an over-long line are dropped, the line still
+  * terminates at its newline.
   */
 private class TelnetLineReader(in: InputStream) {
   private val buf = new java.io.ByteArrayOutputStream
@@ -243,11 +256,15 @@ private class TelnetLineReader(in: InputStream) {
         if (verb >= 0xFB && verb <= 0xFE) in.read() // WILL/WONT/DO/DONT <opt>
       } else if (b == '\n') {
         return buf.toString(StandardCharsets.UTF_8)
-      } else if (b != '\r') {
+      } else if (b != '\r' && buf.size < TelnetLineReader.MaxLine) {
         buf.write(b)
       }
       b = in.read()
     }
     if (buf.size > 0) buf.toString(StandardCharsets.UTF_8) else null
   }
+}
+
+private object TelnetLineReader {
+  val MaxLine: Int = 64 * 1024
 }

@@ -384,6 +384,39 @@ object StateQueries {
         .select(col("event_id"), col("last_err").as("err_event_id"))
     },
 
+    // §2.11 ordered conversion funnel: per-user signup -> first LATER
+    // purchase with latency, plus step counts. Order-dependent two-level
+    // aggregation: the signup anchor aggregates first, purchases join
+    // against it and re-aggregate — both shuffles on user_id, so AQE
+    // reuses the partitioning; no window over the full event log.
+    Q("q_funnel_steps",
+      """WITH s AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS fs,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS fp
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.fs GROUP BY e.user_id)
+        |SELECT s.user_id, n_view, n_click,
+        |  epoch_ms(CAST(fs AS TIMESTAMP)) AS signup_ms,
+        |  epoch_ms(CAST(fp AS TIMESTAMP)) - epoch_ms(CAST(fs AS TIMESTAMP)) AS latency_ms
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val anchor = ev.groupBy("user_id").agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("fs"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "click", 1)).as("n_click"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .join(anchor.select("user_id", "fs"), "user_id")
+        .filter(col("ts") > col("fs"))
+        .groupBy("user_id").agg(min("ts").as("fp"))
+      anchor.join(firstPurchase, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_view"), col("n_click"),
+          unix_millis(col("fs")).as("signup_ms"),
+          (unix_millis(col("fp")) - unix_millis(col("fs"))).as("latency_ms"))
+    },
+
     // §2.11 time-series resampling: per-key hourly grid from first to last
     // observation, bucketed to the last reading of each hour, gaps
     // forward-filled. The grid explode is bounded per key (span/step rows),

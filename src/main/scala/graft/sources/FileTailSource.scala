@@ -134,7 +134,14 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
                   i += 1
                 }
                 pos += n
-                Files.write(posFile, pos.toString.getBytes(StandardCharsets.UTF_8))
+                // persist the NEWLINE-ALIGNED position (pos minus the
+                // partial line in the carry buffer): the carry lives only
+                // in memory, so persisting past it would lose a partial
+                // line's head across a restart. Re-reading the carry
+                // bytes after a crash regenerates the carry — lines are
+                // only emitted at '\n', so nothing duplicates either.
+                Files.write(posFile,
+                  (pos - carry.size).toString.getBytes(StandardCharsets.UTF_8))
               } finally raf.close()
             }
           }

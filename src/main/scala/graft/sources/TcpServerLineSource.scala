@@ -139,11 +139,14 @@ private class TcpServerMicroBatchStream(port: Int, defaultLabel: String,
       while (line != null && !stopped.get()) {
         if (line.startsWith(">>>")) {
           val msg = line.substring(3)
+          // strip the WAL pack separator from client-settable fields: an
+          // id/label containing U+0001 would shift the packed (origin,
+          // label, line) fields apart on replay
           if (msg.startsWith("label:")) {
-            label = msg.substring(6)
+            label = msg.substring(6).replace(TcpServerLineSource.Sep.toString, "")
             out.println(s"Altered label to $label")
           } else if (msg.startsWith("id:")) {
-            id = msg.substring(3)
+            id = msg.substring(3).replace(TcpServerLineSource.Sep.toString, "")
             out.println(s"Altered id to $id")
           } else if (msg == "id?") out.println(s"id is $id")
           else if (msg == "label?") out.println(s"label is $label")

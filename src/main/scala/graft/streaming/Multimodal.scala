@@ -142,7 +142,9 @@ object Multimodal {
           // size==1 -> 64-bit largesize follows the type
           val (size, hdr) =
             if (size0 == 1 && o + 16 <= until) (be64(o.toInt + 8), 16) else (size0, 8)
-          if (size < hdr || o + size > until) return // corrupt: stop cleanly
+          // compare against the remaining span, never o + size: a forged
+          // 64-bit largesize can overflow the addition past Long range
+          if (size < hdr || size > until - o) return // corrupt: stop cleanly
           val p = (o + hdr).toInt
           typ match {
             case "moov" | "trak" | "mdia" if depth < 4 =>
@@ -169,29 +171,40 @@ object Multimodal {
       if (w > 0 || durationSec > 0) Some(VideoInfo(w, h, 0, durationSec)) else None
     } else if (bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ") {
       // AVI: RIFF 'AVI ' LIST 'hdrl' avih <cb> <payload>
-      var o = 12
+      // Long cursors throughout: le32 sizes reach 2^32-1, and a forged
+      // size cast through .toInt goes negative and walks the cursor
+      // BACKWARDS — an executor-hanging infinite loop, the same corrupt-
+      // length class as the round-3 decodeWav advice. Every advance is
+      // checked to be strictly forward or the walk stops.
+      var o = 12L
       var out: Option[VideoInfo] = None
       while (out.isEmpty && o + 8 <= bytes.length) {
-        val id = fourcc(o)
-        val sz = le32(o + 4)
-        if (id == "LIST" && o + 12 <= bytes.length && fourcc(o + 8) == "hdrl") {
+        val id = fourcc(o.toInt)
+        val sz = le32(o.toInt + 4)
+        if (id == "LIST" && o + 12 <= bytes.length && fourcc(o.toInt + 8) == "hdrl") {
           var i = o + 12
-          val end = math.min(o + 8 + sz, bytes.length.toLong).toInt
+          val end = math.min(o + 8 + sz, bytes.length.toLong)
           while (out.isEmpty && i + 8 <= end) {
-            val chunkSz = le32(i + 4)
-            if (fourcc(i) == "avih" && i + 8 + 40 <= end) {
-              val p = i + 8
+            val chunkSz = le32(i.toInt + 4)
+            if (fourcc(i.toInt) == "avih" && i + 8 + 40 <= end) {
+              val p = i.toInt + 8
               val usPerFrame = le32(p)
               val frames = le32(p + 16)
               out = Some(VideoInfo(le32(p + 32).toInt, le32(p + 36).toInt,
                 frames.toInt, frames * usPerFrame / 1e6))
             } else {
-              i += 8 + chunkSz.toInt // next chunk (padded to even)
-              i += (i & 1)
+              var ni = i + 8 + chunkSz // next chunk (padded to even)
+              ni += (ni & 1)
+              if (ni <= i) { i = end } // corrupt size: stop cleanly
+              else i = ni
             }
           }
           o = end
-        } else o += 8 + sz.toInt + ((sz % 2).toInt)
+        } else {
+          val no = o + 8 + sz + (sz % 2)
+          if (no <= o) return None // corrupt size: stop cleanly
+          o = no
+        }
       }
       out
     } else None

@@ -39,6 +39,8 @@ final case class TsUpdate(key: String, value: Double, ts: Long, ets: java.sql.Ti
   */
 final case class TypedUpdate(key: String, kind: String, num: Double, text: String, ts: Long)
 
+final case class EwmaSnapshot(key: String, ewma: Double, count: Long, lastTs: Long)
+
 final case class TypedSnapshot(
     key: String, kind: String,
     lastNum: Option[Double], lastText: Option[String], lastFlag: Option[Boolean],
@@ -110,6 +112,30 @@ object RtVals {
         val s = snapshot(key, st)
         EpochSnapshot(key, epoch, s.last, s.min, s.max, s.count, s.avg, s.lastTs)
       }
+
+  /** Continuous per-key EWMA — the streaming twin of the batch `ts_ewma`
+    * board row, unbounded horizon because the running value lives in
+    * keyed state: ewma_0 = x_0, ewma_n = (1-alpha)*ewma + alpha*x_n
+    * (the smoothing the reference's MathFab users apply to sensor
+    * series downstream). Re-emitted per touched key each batch.
+    */
+  def ewma(updates: Dataset[ValUpdate], alpha: Double): Dataset[EwmaSnapshot] =
+    updates.groupByKey(_.key)
+      .mapGroupsWithState[(Double, Long, Long), EwmaSnapshot](
+        GroupStateTimeout.NoTimeout()) { (key, it, state) =>
+        var (e, n, lastTs) = state.getOption.getOrElse((0.0, 0L, Long.MinValue))
+        it.toSeq.sortBy(u => (u.ts, u.value)).foreach { u =>
+          e = if (n == 0) u.value else (1 - alpha) * e + alpha * u.value
+          n += 1
+          lastTs = math.max(lastTs, u.ts)
+        }
+        state.update((e, n, lastTs))
+        EwmaSnapshot(key, e, n, lastTs)
+      }
+
+  implicit private val ewmaSnapEnc: Encoder[EwmaSnapshot] = Encoders.product[EwmaSnapshot]
+  implicit private val ewmaStEnc: Encoder[(Double, Long, Long)] =
+    Encoders.product[(Double, Long, Long)]
 
   implicit private val epochSnapEnc: Encoder[EpochSnapshot] = Encoders.product[EpochSnapshot]
   implicit private val epochStEnc: Encoder[(Long, ValState)] =

@@ -87,14 +87,26 @@ class FileTailSpec extends AnyFunSuite {
     } finally q1.stop()
 
     received.clear()
-    append(f, "three\n") // written while the query is down
+    append(f, "three\nhead-") // offline append ENDS MID-LINE
     val q2 = startQuery()
     try {
       val got = awaitCount(q2, 1)
       assert(got == Seq("three"),
         s"expected only the offline-appended line, got $got")
+    } finally q2.stop()
+
+    // the partial "head-" was read into the carry (but not emitted) when
+    // q2 died; the persisted position must be newline-aligned so the next
+    // incarnation re-reads it and emits the WHOLE line, not just "tail"
+    received.clear()
+    append(f, "tail\n")
+    val q3 = startQuery()
+    try {
+      val got = awaitCount(q3, 1)
+      assert(got == Seq("head-tail"),
+        s"partial line's head lost across restart: $got")
     } finally {
-      q2.stop()
+      q3.stop()
       Files.deleteIfExists(f)
     }
   }

@@ -144,6 +144,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.probeVideo(mp4.take(20)).isEmpty)
     assert(Multimodal.probeVideo("RIFF1234AVI x".getBytes).isEmpty)
     assert(Multimodal.probeVideo(Array[Byte](1, 2, 3)).isEmpty)
+
+    // forged 0xFFFFFFFF chunk sizes must terminate, not walk the cursor
+    // backwards into an executor-hanging loop (corrupt-length class)
+    val evil = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes).putInt(56).put("AVI ".getBytes)
+    evil.put("LIST".getBytes).putInt(40).put("hdrl".getBytes)
+    evil.put("junk".getBytes).putInt(0xFFFFFFFF) // sz wraps negative as Int
+    assert(Multimodal.probeVideo(evil.array()).isEmpty)
+    val evil2 = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil2.put("RIFF".getBytes).putInt(56).put("AVI ".getBytes)
+    evil2.put("junk".getBytes).putInt(0xFFFFFFFF) // top-level chunk, same
+    assert(Multimodal.probeVideo(evil2.array()).isEmpty)
+    // forged MP4 largesize past Long range stops cleanly too
+    val evil3 = java.nio.ByteBuffer.allocate(48)
+    evil3.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    evil3.putInt(1).put("moov".getBytes).putLong(Long.MaxValue - 3)
+    assert(Multimodal.probeVideo(evil3.array()).isEmpty)
   }
 
   private def encodeImageIO(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {

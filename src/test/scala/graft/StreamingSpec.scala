@@ -119,6 +119,25 @@ class RtValsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ewma smooths across batches, seeded with the first observation") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[ValUpdate]
+    val q = RtVals.ewma(mem.toDS(), alpha = 0.3)
+      .writeStream.format("memory").queryName("rt_ewma").outputMode("update").start()
+    try {
+      mem.addData(ValUpdate("k", 10.0, 1), ValUpdate("k", 20.0, 2))
+      q.processAllAvailable()
+      mem.addData(ValUpdate("k", 30.0, 3))
+      q.processAllAvailable()
+      val snap = spark.table("rt_ewma").filter($"key" === "k")
+        .orderBy($"count".desc).as[graft.streaming.EwmaSnapshot].collect()(0)
+      // fold: 10 -> 0.7*10+0.3*20 = 13 -> 0.7*13+0.3*30 = 18.1 (state
+      // carries across the batch boundary)
+      assert(math.abs(snap.ewma - 18.1) < 1e-12)
+      assert(snap.count == 3 && snap.lastTs == 3)
+    } finally q.stop()
+  }
+
   test("alerts: rising fires once until cleared below low (hysteresis)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[ValUpdate]
