@@ -309,7 +309,13 @@ object TextOps {
     * and GC-heavy.) Hashes are identical in all renderings, so the SQL
     * oracle recomputes the same buckets.
     */
-  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+  /** (id, band, bh) banded MinHash signature rows — the LSH index table.
+    * Shared by the self-join candidate generator below and the
+    * incremental (new-batch vs corpus) probe in dd_incremental: at scale
+    * the corpus side is a persisted index that new batches join against,
+    * so the banding must be one deterministic function of the text.
+    */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
     require(k == bands * 2, "this implementation uses 2 signature rows per band")
     val sig = docs
@@ -321,8 +327,12 @@ object TextOps {
       md5(concat(element_at(col("__sig"), b * 2 + 1),
         element_at(col("__sig"), b * 2 + 2)))
     }
-    val banded = sig.select(col(idCol),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    sig.select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+  }
+
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val banded = bandedSignatures(docs, idCol, textCol, shingleSize, k, bands)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,

@@ -53,6 +53,60 @@ object DedupQueries {
         shingleSize = 3, k = 8, bands = 4)
     },
 
+    // INCREMENTAL dedup — the production mode: a new batch (source
+    // 'src19' plays today's crawl) probes the existing corpus instead of
+    // self-joining it. Exact key membership + banded-MinHash candidate
+    // hits per new doc. At 100 TB the corpus side is a persisted LSH
+    // index (bandedSignatures is one deterministic function of the
+    // text, so index rows written yesterday match probes computed
+    // today); the joins shuffle only (key) and (band, bh) — the corpus
+    // text is never re-paired with itself, which is the whole point of
+    // the incremental form.
+    Q("dd_incremental",
+      """WITH nk AS (SELECT doc_id,
+        |    array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[1:5], ' ') AS key
+        |  FROM documents WHERE source = 'src19'),
+        |ck AS (SELECT DISTINCT
+        |    array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[1:5], ' ') AS key
+        |  FROM documents WHERE source <> 'src19'),
+        |toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |shr AS (SELECT doc_id, source, unnest(s) AS x FROM sh),
+        |mh AS (SELECT doc_id, source, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
+        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, source, k),
+        |bands AS (SELECT doc_id, source, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
+        |  FROM mh GROUP BY doc_id, source, k // 2),
+        |hits AS (SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_band_hits
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |  WHERE a.source = 'src19' AND b.source <> 'src19' GROUP BY a.doc_id)
+        |SELECT nk.doc_id,
+        |  CASE WHEN ck.key IS NULL THEN 0 ELSE 1 END AS is_exact_dup,
+        |  COALESCE(n_band_hits, 0) AS n_band_hits
+        |FROM nk LEFT JOIN ck ON nk.key = ck.key
+        |LEFT JOIN hits ON nk.doc_id = hits.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val newBatch = docs.filter(col("source") === "src19")
+      val corpus = docs.filter(col("source") =!= "src19")
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.withColumn("key",
+        array_join(slice(TextOps.tokens(col("text")), 1, 5), " "))
+      val corpusKeys = keyed(corpus).select("key").distinct()
+        .withColumn("k_hit", lit(1))
+      val exact = keyed(newBatch).join(corpusKeys, Seq("key"), "left")
+        .select(col("doc_id"), col("k_hit"))
+      val probe = TextOps.bandedSignatures(newBatch, "doc_id", "text", 3, 8, 4)
+      val index = TextOps.bandedSignatures(corpus, "doc_id", "text", 3, 8, 4)
+        .withColumnRenamed("doc_id", "corpus_id")
+      val hits = probe.join(index, Seq("band", "bh"))
+        .groupBy("doc_id").agg(countDistinct("corpus_id").as("n_band_hits"))
+      exact.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("k_hit"), lit(0)).as("is_exact_dup"),
+          coalesce(col("n_band_hits"), lit(0L)).as("n_band_hits"))
+    },
+
     // MinHash accuracy gate on the driver board (the bounds-row pattern
     // of q_approx_*_bounds): for every LSH candidate pair, the k=64
     // signature-agreement estimate must track the exact shingle Jaccard
