@@ -559,6 +559,33 @@ object DedupQueries {
     // LSH-bucketed ANN — the scale path: probe only the query's hyperplane
     // bucket. Bucket membership depends on md5-derived planes; no oracle
     // (rows-only check), ranked output verified by ann_topk's exact twin.
+    // Random-hyperplane LSH bucket assignment, oracle-checked: the plane
+    // components are md5-derived ("plane<p>:<j>" first byte - 127.5), so
+    // DuckDB re-derives every bucket bit-exactly — the projections
+    // accumulate in ascending dim order on both sides (vec_dot vs
+    // list_sum), making the sign test deterministic. This is the
+    // hash-green twin of the rows-only ann_lsh probe row (same kernel,
+    // recall-pinned in AnnSpec), the same upgrade dd_semantic gives
+    // ann_ivf. Pure projection over the corpus: zero shuffle.
+    Q("ann_lsh_buckets",
+      """WITH pl AS (SELECT p,
+        |    [ (strpos('0123456789abcdef', substr(md5('plane' || CAST(p AS VARCHAR)
+        |          || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) * 16.0
+        |      + (strpos('0123456789abcdef', substr(md5('plane' || CAST(p AS VARCHAR)
+        |          || ':' || CAST(j AS VARCHAR)), 2, 1)) - 1) - 127.5
+        |      for j in range(0, 64) ] AS c
+        |  FROM (SELECT unnest(range(0, 4)) AS p)),
+        |proj AS (SELECT e.vec_id, pl.p,
+        |    list_sum([e.embedding[i]::DOUBLE * pl.c[i] for i in range(1, 65)]) AS pr
+        |  FROM embeddings e CROSS JOIN pl)
+        |SELECT vec_id,
+        |  CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |FROM proj GROUP BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          VectorOps.buckets(col("embedding"), 4).as("bucket"))
+    },
+
     Q.noOracle("ann_lsh") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
         .withColumn("nrm", VectorOps.l2norm(col("embedding")))
