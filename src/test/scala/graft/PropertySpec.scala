@@ -155,6 +155,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("container probes terminate on fuzzed/mutated headers (no hang, no throw)") {
+    // the round-4 AVI bug class: a forged 32-bit size walked the cursor
+    // backwards forever. Fuzz both pure-random buffers and valid-magic
+    // prefixes with random tails — every probe must RETURN (None or not)
+    val magic = Gen.oneOf(
+      "RIFF....AVI ".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII"),
+      "RIFF....WAVE".getBytes("US-ASCII"),
+      Array.emptyByteArray)
+    val gen = for {
+      m <- magic
+      n <- Gen.choose(0, 96)
+      tail <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield m ++ tail.toArray
+    forAll(gen, n = 400) { bytes =>
+      graft.streaming.Multimodal.probeVideo(bytes) // must terminate
+      graft.streaming.Multimodal.decodeWav(bytes)  // must terminate
+      graft.streaming.Multimodal.decodePixels(bytes)
+      ()
+    }
+  }
+
   test("PNG decode matches ImageIO for random image sizes and content") {
     System.setProperty("java.awt.headless", "true")
     val gen = for {
