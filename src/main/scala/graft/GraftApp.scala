@@ -13,15 +13,14 @@ import graft.console.{ConsoleServer, GraftConsole}
   * {{{ sbt "runMain graft.GraftApp [settings.xml]" }}}
   */
 object GraftApp {
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .appName("graft")
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+
+  /** The boot wiring, separated from main so it is testable: load the
+    * settings file (if any) through the console, read its `<telnet>`
+    * node, serve. Returns the console and the started server.
+    */
+  def boot(spark: SparkSession, settingsFile: Option[String]): (GraftConsole, ConsoleServer) = {
     val console = new GraftConsole(spark)
-    val telnetCfg = args.headOption.flatMap { f =>
+    val telnetCfg = settingsFile.flatMap { f =>
       println(console.execute(s"settings:load,$f"))
       DcafsXml.parseTelnet(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
@@ -29,6 +28,17 @@ object GraftApp {
     }
     val (port, title) = telnetCfg.getOrElse((2323, "graft"))
     val server = new ConsoleServer(spark, console, port, title).start()
+    (console, server)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val (_, server) = boot(spark, args.headOption)
     println(s"graft console listening on port ${server.boundPort}")
     Thread.currentThread().join() // serve until killed
   }
