@@ -543,6 +543,36 @@ object Relational {
             + lit(0.05) * (col("n_total") - col("n_exact"))).cast("int").as("fp_ok"))
     },
 
+    // Three-valued logic: NOT IN against a subquery CONTAINING NULLs
+    // filters everything (x <> NULL is unknown), NOT IN with the NULLs
+    // stripped is a plain anti join, NOT EXISTS is null-safe — three
+    // different answers from three spellings of "not matched", and both
+    // engines must agree on all of them. Spark plans the first as a
+    // null-aware anti join (broadcast-only physical form) — which is
+    // itself the scale lesson: on a 100 TB probe side spell it NOT
+    // EXISTS, never NOT IN, or the planner is forced to broadcast.
+    Q("q_null_semantics",
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+        |      FROM orders)) AS n_not_in_with_nulls,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders WHERE o_orderkey % 97 <> 0)) AS n_not_in_clean,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_not_exists""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("__ns_customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("__ns_orders")
+      s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM __ns_customer WHERE c_custkey NOT IN
+          |     (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+          |      FROM __ns_orders)) AS n_not_in_with_nulls,
+          |  (SELECT count(*) FROM __ns_customer WHERE c_custkey NOT IN
+          |     (SELECT o_custkey FROM __ns_orders WHERE o_orderkey % 97 <> 0)) AS n_not_in_clean,
+          |  (SELECT count(*) FROM __ns_customer c WHERE NOT EXISTS
+          |     (SELECT 1 FROM __ns_orders o WHERE o.o_custkey = c.c_custkey)) AS n_not_exists""".stripMargin)
+    },
+
     // Exact-moment stddev/variance per group (order-independent; see dstd).
     Q("q_stats",
       """SELECT l_returnflag,

@@ -29,6 +29,33 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfAssign classifies a STREAM of embeddings (pure projection, online)") {
+    // the assignment stage is zero-shuffle/zero-join by construction
+    // (PlanSpec2 pins the batch plan), so it must also run unchanged on
+    // a streaming Dataset — incoming vectors classified online with
+    // literal centroids, no state store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.VectorOps
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Array[Float])]
+    val centroids = Seq(
+      (0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val assigned = VectorOps.ivfAssign(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", centroids)
+    val q = assigned.writeStream.format("memory")
+      .queryName("ann_stream").outputMode("append").start()
+    try {
+      mem.addData((10L, Array(0.9f, 0.1f)), (11L, Array(0.2f, 0.8f)))
+      q.processAllAvailable()
+      val got = spark.table("ann_stream").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("bucket"))).toMap
+      assert(got == Map(10L -> 0, 11L -> 1))
+    } finally q.stop()
+  }
+
   test("lsh scores equal brute-force scores; recall is nonzero and deterministic") {
     val exact = asMap("ann_topk").map { case (q, rs) => q -> rs.toMap }
     val lsh = asMap("ann_lsh")
