@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan pins for the round-4 board rows: each query's Scaladoc makes a
+  * scale claim (shuffle count, broadcast, no self-pairing); these tests
+  * keep the physical plans honest about them.
+  */
+class PlanSpec3 extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  private def exchanges(p: String): Int = raw"\(\d+\) Exchange".r.findAllIn(p).size
+
+  test("pl_training_select: the dedup-key window is the ONLY data shuffle") {
+    val p = plan("pl_training_select")
+    // one Exchange for the keeper window; everything else row-local
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross join crept in:\n$p")
+  }
+
+  test("ts_ewma: one per-key window pass, no joins") {
+    val p = plan("ts_ewma")
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("Join"), s"ewma must not join:\n$p")
+  }
+
+  test("ts_resample/ts_interpolate: shuffles only on the key, no cross joins") {
+    for (n <- Seq("ts_resample", "ts_interpolate")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n degenerated:\n$p")
+      // bounded shuffle count: bounds agg + grid/fill windows, never a
+      // per-gap join explosion
+      assert(exchanges(p) <= 4, s"$n shuffles too much:\n$p")
+    }
+  }
+
+  test("tx_ppx_bucket: classification joins the cut table by broadcast") {
+    val p = plan("tx_ppx_bucket")
+    assert(p.contains("BroadcastHashJoin"), s"cut table not broadcast:\n$p")
+  }
+
+  test("dd_semantic assignment stage stays shuffle-free up to the pairing") {
+    // the full query shuffles for blockedCosinePairs + the dup join; the
+    // assignment subtree alone must not (same pin as ivfAssign)
+    import org.apache.spark.sql.functions._
+    import graft.operators.VectorOps
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val p = VectorOps.ivfAssign(e, "vec_id", "embedding", cents)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"assignment shuffles or joins:\n$p")
+  }
+
+  test("q_null_semantics: all three not-matched spellings plan as hash anti joins") {
+    val p = plan("q_null_semantics")
+    // NOT IN (nullable), NOT IN (clean), NOT EXISTS — each becomes a
+    // BroadcastHashJoin LeftAnti (the nullable one is Spark's null-aware
+    // variant, broadcast-only by construction); none may degenerate to a
+    // nested-loop join
+    assert(raw"BroadcastHashJoin LeftAnti".r.findAllIn(p).size == 3,
+      s"expected 3 broadcast anti joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"anti join degenerated to nested loop:\n$p")
+  }
+}
