@@ -22,12 +22,17 @@ class GraftAppSpec extends AnyFunSuite {
         |</dcafs>""".stripMargin
     val f = Files.createTempFile("graft-app", ".xml")
     Files.write(f, xml.getBytes(StandardCharsets.UTF_8))
+    // a uniquely-named view makes the ss listing deterministic: under the
+    // full suite the shared session carries other suites' memory-sink
+    // views, so "no registered streams" never appears — scan for the
+    // marker instead
+    spark.range(1).createOrReplaceTempView("bootbox_marker_view")
     val (_, server) = GraftApp.boot(spark, Some(f.toString))
     try {
       // port="0" -> ephemeral bind; boundPort is the real one
       val socket = new Socket("127.0.0.1", server.boundPort)
       try {
-        socket.setSoTimeout(10000)
+        socket.setSoTimeout(60000)
         val in = new BufferedReader(
           new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
         val out = new PrintWriter(socket.getOutputStream, true)
@@ -35,11 +40,12 @@ class GraftAppSpec extends AnyFunSuite {
         assert(banner.contains("bootbox"), s"telnet title not applied: $banner")
         in.readLine() // hint line
         out.println("ss")
-        val deadline = System.currentTimeMillis() + 10000
+        val deadline = System.currentTimeMillis() + 60000
         var line = in.readLine()
-        while (line != null && !line.contains("treams") &&
+        while (line != null && !line.contains("bootbox_marker_view") &&
             System.currentTimeMillis() < deadline) line = in.readLine()
-        assert(line != null, "no ss response over the booted socket")
+        assert(line != null && line.contains("bootbox_marker_view"),
+          "ss listing never showed the marker view over the booted socket")
       } finally socket.close()
     } finally {
       server.stop()

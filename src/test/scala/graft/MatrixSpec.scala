@@ -260,9 +260,15 @@ class MatrixSpec extends AnyFunSuite {
       awaitCond()(srv.messages.asScala.exists(_._2.contains("made a typo")))
       m.stop()
     } finally srv.close()
-    // with the server gone, a send lands in the failed queue
-    m.sendMessage("!r:x", "too late")
-    assert(m.pendingFailed == 1)
+    // a dead endpoint lands the send in the failed queue. Deliberately a
+    // FRESH client on port 1 (always connection-refused, never bindable)
+    // — reusing srv's closed ephemeral port races parallel suites, whose
+    // own stub servers can rebind it between close() and the send
+    val dead = new MatrixClient(MatrixCfg("@graft:x", "pw", "http://127.0.0.1:1"),
+      retryStepMillis = 50, syncTimeoutMillis = 300)
+    dead.sendMessage("!r:x", "too late")
+    assert(dead.pendingFailed == 1)
+    dead.stop()
   }
 
   test("media upload shares an m.file link; download round-trips the bytes") {
