@@ -289,6 +289,33 @@ object Relational {
           coalesce(col("click"), lit(0L)).as("click_n"))
     },
 
+    // UNPIVOT (q_pivot's inverse): wide per-user step counts back to
+    // (user, step, n) long form. Row-local reshape — each input row
+    // expands to a fixed set of output rows, no shuffle beyond the
+    // upstream aggregation.
+    Q("q_unpivot",
+      """WITH wide AS (SELECT user_id,
+        |    COALESCE(purchase, 0) AS purchase_n, COALESCE(click, 0) AS click_n
+        |  FROM (PIVOT (SELECT user_id, event_type FROM events
+        |               WHERE event_type IN ('purchase','click'))
+        |        ON event_type USING count(*) GROUP BY user_id))
+        |SELECT user_id, step, n
+        |FROM wide UNPIVOT (n FOR step IN (purchase_n, click_n))""".stripMargin) { (s, dir) =>
+      val wide = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("user_id")
+        .pivot("event_type", Seq("purchase", "click"))
+        .count()
+        .select(col("user_id"),
+          coalesce(col("purchase"), lit(0L)).as("purchase_n"),
+          coalesce(col("click"), lit(0L)).as("click_n"))
+      wide.unpivot(
+        ids = Array(col("user_id")),
+        values = Array(col("purchase_n"), col("click_n")),
+        variableColumnName = "step",
+        valueColumnName = "n")
+    },
+
     // Correlated scalar subquery (decorrelated by Catalyst into a join).
     Q("q_scalar_subquery",
       """SELECT o_orderkey,

@@ -417,6 +417,58 @@ object StateQueries {
           (unix_millis(col("fp")) - unix_millis(col("fs"))).as("latency_ms"))
     },
 
+    // §2.11 time-bounded sequence match (CEP shape): signup, then a
+    // click within 24 h, then a purchase within 24 h of that click —
+    // each step anchored on the previous step's FIRST occurrence. Three
+    // chained per-key aggregations, each a filtered join against the
+    // prior anchor — never a window over the full event log, no
+    // MATCH_RECOGNIZE state machine needed for fixed 3-step patterns.
+    Q("q_sequence_match",
+      """WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click'
+        |        AND epoch_ms(CAST(e.ts AS TIMESTAMP)) > epoch_ms(CAST(s.s_ts AS TIMESTAMP))
+        |        AND epoch_ms(CAST(e.ts AS TIMESTAMP))
+        |            <= epoch_ms(CAST(s.s_ts AS TIMESTAMP)) + 86400000
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase'
+        |        AND epoch_ms(CAST(e.ts AS TIMESTAMP)) > epoch_ms(CAST(c.c_ts AS TIMESTAMP))
+        |        AND epoch_ms(CAST(e.ts AS TIMESTAMP))
+        |            <= epoch_ms(CAST(c.c_ts AS TIMESTAMP)) + 86400000
+        |      GROUP BY e.user_id)
+        |SELECT s.user_id, epoch_ms(CAST(s_ts AS TIMESTAMP)) AS s_ms,
+        |  epoch_ms(CAST(c_ts AS TIMESTAMP)) AS c_ms,
+        |  epoch_ms(CAST(p_ts AS TIMESTAMP)) AS p_ms,
+        |  CASE WHEN p_ts IS NULL THEN 0 ELSE 1 END AS matched
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |LEFT JOIN p ON s.user_id = p.user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val dayMs = 24L * 3600 * 1000
+      val sAnchor = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("s_ts"))
+      val cAnchor = ev.filter(col("event_type") === "click")
+        .join(sAnchor, "user_id")
+        .filter(unix_millis(col("ts")) > unix_millis(col("s_ts")) &&
+          unix_millis(col("ts")) <= unix_millis(col("s_ts")) + dayMs)
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val pAnchor = ev.filter(col("event_type") === "purchase")
+        .join(cAnchor, "user_id")
+        .filter(unix_millis(col("ts")) > unix_millis(col("c_ts")) &&
+          unix_millis(col("ts")) <= unix_millis(col("c_ts")) + dayMs)
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      sAnchor.join(cAnchor, Seq("user_id"), "left")
+        .join(pAnchor, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_millis(col("s_ts")).as("s_ms"),
+          unix_millis(col("c_ts")).as("c_ms"),
+          unix_millis(col("p_ts")).as("p_ms"),
+          when(col("p_ts").isNull, 0).otherwise(1).as("matched"))
+    },
+
     // §2.11 time-series resampling: per-key hourly grid from first to last
     // observation, bucketed to the last reading of each hour, gaps
     // forward-filled. The grid explode is bounded per key (span/step rows),
