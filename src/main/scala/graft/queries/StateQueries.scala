@@ -417,6 +417,25 @@ object StateQueries {
           (unix_millis(col("fp")) - unix_millis(col("fs"))).as("latency_ms"))
     },
 
+    // §2.11 semi-structured extraction: JSON path evaluation over the
+    // props column (codegen'd get_json_object — row-local, no parsing
+    // UDF), then a plain partial-agg rollup. The shape that matters at
+    // scale: extraction fuses into the scan projection, only the
+    // 5-group aggregate shuffles.
+    Q("q_json_extract",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"),
+          count(lit(1)).as("n"))
+    },
+
     // §2.11 time-bounded sequence match (CEP shape): signup, then a
     // click within 24 h, then a purchase within 24 h of that click —
     // each step anchored on the previous step's FIRST occurrence. Three
