@@ -289,6 +289,48 @@ object Relational {
           coalesce(col("click"), lit(0L)).as("click_n"))
     },
 
+    // Calendar function battery: year/quarter/month/ISO week, day
+    // arithmetic, formatted rendering. Engines' calendars disagree in
+    // the corners (week numbering, dow origin) — this row pins the
+    // subset where they must agree, spelled identically on both sides.
+    // Pure projection: fuses into the scan, zero shuffle.
+    Q("q_date_funcs",
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m, CAST(isoyear(o_orderdate) AS INT) AS iso_y,
+        |  CAST(week(o_orderdate) AS INT) AS iso_w,
+        |  CAST(date_diff('day', DATE '1995-01-01',
+        |                 CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due
+        |FROM orders WHERE o_orderkey % 37 = 0""".stripMargin) { (s, dir) =>
+      val d = col("o_orderdate")
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey"),
+          year(d).as("y"), quarter(d).as("q"), month(d).as("m"),
+          // Spark has no isoyear(); derive it from the ISO week's Thursday
+          year(next_day(date_sub(d.cast("date"), 4), "Thu")).as("iso_y"),
+          weekofyear(d).as("iso_w"),
+          datediff(d.cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+          date_format(date_add(d.cast("date"), 30), "yyyy-MM-dd").as("due"))
+    },
+
+    // Ordered string aggregation (group_concat): deterministic because
+    // both sides sort the collected values before joining — an UNSORTED
+    // string_agg is engine- and partition-order-dependent, the same
+    // determinism rule as top-k tiebreakers.
+    Q("q_group_concat",
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(DISTINCT o_orderstatus) AS n_statuses
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"))
+    },
+
     // UNPIVOT (q_pivot's inverse): wide per-user step counts back to
     // (user, step, n) long form. Row-local reshape — each input row
     // expands to a fixed set of output rows, no shuffle beyond the
