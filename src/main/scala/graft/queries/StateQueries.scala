@@ -417,6 +417,53 @@ object StateQueries {
           (unix_millis(col("fp")) - unix_millis(col("fs"))).as("latency_ms"))
     },
 
+    // §2.11 gaps-and-islands: merge overlapping per-key intervals
+    // (event start + value-minutes duration) into islands — the
+    // generalization of sessionization to explicit durations. One
+    // window pass: running max of interval ends marks island starts,
+    // a running sum numbers them, one aggregate collapses them. All
+    // arithmetic in epoch-ms bigints; the double->int minute conversion
+    // is an explicit floor() because the engines' CAST rounds
+    // differently (DuckDB rounds, Spark truncates).
+    Q("q_islands",
+      """WITH iv AS (SELECT user_id, event_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_ms(CAST(ts AS TIMESTAMP))
+        |      + CAST(floor(value) AS BIGINT) * 60000 AS e
+        |  FROM events WHERE user_id < 50),
+        |m AS (SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |f AS (SELECT user_id, event_id, s, e,
+        |    CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS is_new
+        |  FROM m),
+        |g AS (SELECT user_id, s, e,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM f)
+        |SELECT user_id, island, min(s) AS island_start_ms,
+        |  max(e) AS island_end_ms, count(*) AS n_events
+        |FROM g GROUP BY user_id, island""".stripMargin) { (s, dir) =>
+      val iv = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("s"),
+          (unix_millis(col("ts"))
+            + floor(col("value")).cast("long") * 60000L).as("e"))
+      val wPrev = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("pme", max("e").over(wPrev))
+        .withColumn("is_new",
+          when(col("pme").isNull || col("s") > col("pme"), 1).otherwise(0))
+        .withColumn("island", sum("is_new").over(wRun))
+        .groupBy("user_id", "island")
+        .agg(min("s").as("island_start_ms"), max("e").as("island_end_ms"),
+          count(lit(1)).as("n_events"))
+    },
+
     // §2.11 semi-structured extraction: JSON path evaluation over the
     // props column (codegen'd get_json_object — row-local, no parsing
     // UDF), then a plain partial-agg rollup. The shape that matters at
