@@ -289,6 +289,40 @@ object Relational {
           coalesce(col("click"), lit(0L)).as("click_n"))
     },
 
+    // Pearson correlation + covariance per group from EXACT decimal
+    // moments (n, Sx, Sy, Sxx, Syy, Sxy) — the engines' streaming corr()
+    // implementations are order-dependent; spelled from order-independent
+    // decimal sums the result is bit-identical, same rule as dstd.
+    Q("q_corr",
+      """SELECT l_returnflag,
+        |  ROUND((n * sxy - sx * sy)
+        |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qp,
+        |  ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_qp
+        |FROM (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)""".stripMargin) { (s, dir) =>
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      def dsum28(c: Column): Column = sum(c.cast(DecimalType(28, 8))).cast("double")
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum28(x).as("sx"), dsum28(y).as("sy"),
+          dsum28(x * x).as("sxx"), dsum28(y * y).as("syy"),
+          dsum28(x * y).as("sxy"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qp"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / (col("n") - 1), 4).as("covar_qp"))
+    },
+
     // Calendar function battery: year/quarter/month/ISO week, day
     // arithmetic, formatted rendering. Engines' calendars disagree in
     // the corners (week numbering, dow origin) — this row pins the
