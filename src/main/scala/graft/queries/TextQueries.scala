@@ -363,6 +363,48 @@ object TextQueries {
             .otherwise("high").as("bucket"))
     },
 
+    // Corpus Zipf fit: slope of the log-log rank/frequency regression
+    // over the top-50 vocabulary — the standard sanity statistic for a
+    // token distribution (natural text ~ -1). Parity handling: ln() is
+    // libm (last-ulp differences across engines), so each log rounds to
+    // 6 dp BEFORE the sums, and each sum rounds to 6 dp before the
+    // slope — plain-SUM order noise (~1e-13 over 50 values) is far
+    // below both roundings. Heavy-hitter top-k + one tiny regression:
+    // the corpus-touching stage is the token count, nothing else.
+    Q("tx_zipf",
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |c AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+        |top AS (SELECT n, r FROM (
+        |    SELECT n, row_number() OVER (ORDER BY n DESC, t) AS r FROM c) z
+        |  WHERE r <= 50),
+        |s AS (SELECT count(*) AS k,
+        |    round(sum(round(ln(r), 6)), 6) AS sx,
+        |    round(sum(round(ln(n), 6)), 6) AS sy,
+        |    round(sum(round(ln(r), 6) * round(ln(r), 6)), 6) AS sxx,
+        |    round(sum(round(ln(r), 6) * round(ln(n), 6)), 6) AS sxy
+        |  FROM top)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope
+        |FROM s""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+      val counts = toks.groupBy("t").agg(count(lit(1)).as("n"))
+      // TakeOrdered top-50 FIRST, then rank within the 50-row result —
+      // a global row_number over the whole vocabulary would sort the
+      // dictionary through one partition (the q_topk rule)
+      val top = counts.orderBy(col("n").desc, col("t")).limit(50)
+        .withColumn("r", row_number().over(Window.orderBy(col("n").desc, col("t"))))
+      val lr = round(log(col("r")), 6)
+      val ln_ = round(log(col("n")), 6)
+      top.agg(count(lit(1)).as("k"),
+          round(sum(lr), 6).as("sx"), round(sum(ln_), 6).as("sy"),
+          round(sum(lr * lr), 6).as("sxx"), round(sum(lr * ln_), 6).as("sxy"))
+        .select(col("k"),
+          round((col("k") * col("sxy") - col("sx") * col("sy"))
+            / (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+    },
+
     // PII/pattern scrub: regex detect + redact, the pipeline stage that
     // strips identifiers before training. Row-local regexes (codegen'd
     // in Spark, RE2 in the oracle — patterns kept to the common

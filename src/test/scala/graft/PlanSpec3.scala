@@ -60,6 +60,11 @@ class PlanSpec3 extends AnyFunSuite {
       s"assignment shuffles or joins:\n$p")
   }
 
+  test("tx_zipf: vocabulary top-50 is TakeOrdered, never a global dictionary sort") {
+    val p = plan("tx_zipf")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
+  }
+
   test("q_null_semantics: all three not-matched spellings plan as hash anti joins") {
     val p = plan("q_null_semantics")
     // NOT IN (nullable), NOT IN (clean), NOT EXISTS — each becomes a
