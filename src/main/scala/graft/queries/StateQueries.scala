@@ -417,6 +417,38 @@ object StateQueries {
           (unix_millis(col("fp")) - unix_millis(col("fs"))).as("latency_ms"))
     },
 
+    // §2.11 cohort retention matrix: users grouped by first-seen week,
+    // activity counted per week offset — the classic retention triangle.
+    // Two aggregations + one equi-join on user_id; week offsets are
+    // exact integer divisions over epoch-ms (both engines' date_diff
+    // 'week' semantics differ, ms arithmetic does not).
+    Q("q_retention",
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |j AS (SELECT f.cohort,
+        |    CAST((epoch_ms(CAST(a.wk AS TIMESTAMP))
+        |          - epoch_ms(CAST(f.cohort AS TIMESTAMP))) // 604800000 AS INT) AS offset_w,
+        |    a.user_id
+        |  FROM a JOIN f ON a.user_id = f.user_id)
+        |SELECT epoch_ms(CAST(cohort AS TIMESTAMP)) AS cohort_ms, offset_w,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM j GROUP BY cohort, offset_w""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val first = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort"))
+      val active = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("wk")).distinct()
+      active.join(first, "user_id")
+        .select(col("user_id"), col("cohort"),
+          floor((unix_millis(col("wk")) - unix_millis(col("cohort")))
+            / lit(604800000L)).cast("int").as("offset_w"))
+        .groupBy("cohort", "offset_w")
+        .agg(countDistinct("user_id").as("n_active"))
+        .select(unix_millis(col("cohort")).as("cohort_ms"),
+          col("offset_w"), col("n_active"))
+    },
+
     // §2.11 gaps-and-islands: merge overlapping per-key intervals
     // (event start + value-minutes duration) into islands — the
     // generalization of sessionization to explicit durations. One
