@@ -53,6 +53,24 @@ object DedupQueries {
         shingleSize = 3, k = 8, bands = 4)
     },
 
+    // LSH design table: capture probability p = 1-(1-j^r)^b of the
+    // banded MinHash index (b=4 bands, r=2 rows — the board's kernel)
+    // across the Jaccard range, next to the configuration's S-curve
+    // threshold (1/b)^(1/r). How the banding parameters are CHOSEN —
+    // the other rows verify what the chosen kernel computes; this row
+    // pins the tuning math itself (pow() is libm: rounded to 6 dp).
+    Q("dd_lsh_design",
+      """SELECT j, round(1 - pow(1 - pow(j, 2), 4), 6) AS p_capture,
+        |  round(pow(1.0 / 4, 1.0 / 2), 6) AS threshold
+        |FROM (SELECT round(0.1 * x, 1) AS j
+        |      FROM (SELECT unnest(range(1, 10)) AS x))""".stripMargin) { (s, dir) =>
+      s.range(1, 10)
+        .select(round(col("id") * 0.1, 1).as("j"))
+        .select(col("j"),
+          round(lit(1) - pow(lit(1) - pow(col("j"), 2), 4), 6).as("p_capture"),
+          round(pow(lit(1.0) / 4, lit(1.0) / 2), 6).as("threshold"))
+    },
+
     // INCREMENTAL dedup — the production mode: a new batch (source
     // 'src19' plays today's crawl) probes the existing corpus instead of
     // self-joining it. Exact key membership + banded-MinHash candidate

@@ -289,6 +289,24 @@ object Relational {
           coalesce(col("click"), lit(0L)).as("click_n"))
     },
 
+    // 2-D histogram (heatmap binning): order-month x price-decile
+    // counts — the aggregation shape behind density heatmaps. Integer
+    // binning on both axes (exact in both engines), one partial-agg
+    // shuffle on the (bin, bin) pair.
+    Q("q_histogram2d",
+      """SELECT CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(floor(o_totalprice / 60000) AS INT) AS price_bin,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(
+          month(col("o_orderdate")).as("m"),
+          floor(col("o_totalprice") / 60000).cast("int").as("price_bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("sum_price"))
+    },
+
     // Pearson correlation + covariance per group from EXACT decimal
     // moments (n, Sx, Sy, Sxx, Syy, Sxy) — the engines' streaming corr()
     // implementations are order-dependent; spelled from order-independent
