@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+final case class SeqEvent(key: String, kind: String, ts: Long)
+final case class SeqMatch(key: String, sTs: Long, cTs: Long, pTs: Long)
+
+/** Streaming 3-step sequence matcher — the continuous twin of the batch
+  * `q_sequence_match` board row (CEP shape: first A, then the first B
+  * within `stepMillis`, then the first C within `stepMillis` of that B).
+  * Keyed state carries only the two anchor timestamps (16 bytes/key), so
+  * a million concurrent keys is nothing; a completed match emits and
+  * resets the key's machine so the next A starts a fresh sequence.
+  * State is advanced in (ts, kind) order within each micro-batch, so
+  * replays and batch boundaries cannot reorder a key's events.
+  *
+  * The reference's trigger plane reacts to single-value threshold
+  * crossings (`RealVal` triggered cmds); multi-step temporal patterns
+  * are the north-star generalization a Spark engine gets from keyed
+  * state in one function.
+  */
+object Cep {
+
+  implicit private val evEnc: Encoder[SeqEvent] = Encoders.product[SeqEvent]
+  implicit private val mEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
+  implicit private val stEnc: Encoder[(Long, Long)] = Encoders.product[(Long, Long)]
+  implicit private val keyEnc: Encoder[String] = Encoders.STRING
+
+  def sequenceMatches(events: Dataset[SeqEvent],
+      first: String, second: String, third: String,
+      stepMillis: Long): Dataset[SeqMatch] =
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), SeqMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (key, it, state) =>
+        var (sTs, cTs) = state.getOption.getOrElse((-1L, -1L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SeqMatch]
+        it.toSeq.sortBy(e => (e.ts, e.kind)).foreach { e =>
+          if (e.kind == first) {
+            if (sTs < 0) sTs = e.ts
+          } else if (e.kind == second) {
+            if (sTs >= 0 && cTs < 0 && e.ts > sTs && e.ts <= sTs + stepMillis)
+              cTs = e.ts
+          } else if (e.kind == third) {
+            if (cTs >= 0 && e.ts > cTs && e.ts <= cTs + stepMillis) {
+              out += SeqMatch(key, sTs, cTs, e.ts)
+              sTs = -1L
+              cTs = -1L
+            }
+          }
+        }
+        state.update((sTs, cTs))
+        out.iterator
+      }
+}

@@ -119,6 +119,33 @@ class RtValsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cep sequence matcher: A->B->C within bounds, across batch boundaries") {
+    import graft.streaming.{Cep, SeqEvent, SeqMatch}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SeqEvent]
+    val q = Cep.sequenceMatches(mem.toDS(), "a", "b", "c", stepMillis = 100)
+      .writeStream.format("memory").queryName("cep_out").outputMode("append").start()
+    try {
+      // k1: clean chain split across two batches; k2: B arrives too late
+      mem.addData(
+        SeqEvent("k1", "a", 10), SeqEvent("k1", "x", 20), SeqEvent("k1", "b", 50),
+        SeqEvent("k2", "a", 10))
+      q.processAllAvailable()
+      mem.addData(
+        SeqEvent("k1", "c", 120),   // within 100 of b@50 -> match
+        SeqEvent("k2", "b", 500),   // > a+100: never anchors
+        SeqEvent("k2", "c", 510))
+      q.processAllAvailable()
+      // k1 restarts after its match: a fresh chain matches again
+      mem.addData(
+        SeqEvent("k1", "a", 1000), SeqEvent("k1", "b", 1010), SeqEvent("k1", "c", 1020))
+      q.processAllAvailable()
+      val got = spark.table("cep_out").as[SeqMatch].collect().sortBy(_.sTs).toSeq
+      assert(got == Seq(SeqMatch("k1", 10, 50, 120), SeqMatch("k1", 1000, 1010, 1020)),
+        s"unexpected matches: $got")
+    } finally q.stop()
+  }
+
   test("ewma smooths across batches, seeded with the first observation") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[ValUpdate]
