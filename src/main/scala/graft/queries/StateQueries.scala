@@ -417,6 +417,70 @@ object StateQueries {
           (unix_millis(col("fp")) - unix_millis(col("fs"))).as("latency_ms"))
     },
 
+    // §2.11 NEAREST as-of join: each purchase matches its closest error
+    // (same user) by absolute time distance — backward as-of (j_asof)
+    // takes the latest prior only; sensor fusion wants the nearest
+    // reading either side. Union-then-window rendering: one per-key
+    // pass gives prev and next candidates, a row-local pick takes the
+    // closer (tie -> the earlier one). No range-join explosion.
+    Q("j_asof_nearest",
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS is_q FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1 AS is_q FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT user_id, ts, event_id, is_q,
+        |    last_value(CASE WHEN is_q = 0 THEN event_id END IGNORE NULLS) OVER w_prev AS prev_id,
+        |    last_value(CASE WHEN is_q = 0 THEN epoch_ms(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+        |      OVER w_prev AS prev_ms,
+        |    first_value(CASE WHEN is_q = 0 THEN event_id END IGNORE NULLS) OVER w_next AS next_id,
+        |    first_value(CASE WHEN is_q = 0 THEN epoch_ms(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+        |      OVER w_next AS next_ms
+        |  FROM u
+        |  WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, is_q, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  w_next AS (PARTITION BY user_id ORDER BY ts, is_q, event_id
+        |             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id,
+        |  CASE WHEN prev_id IS NULL THEN next_id
+        |       WHEN next_id IS NULL THEN prev_id
+        |       WHEN epoch_ms(CAST(ts AS TIMESTAMP)) - prev_ms
+        |            <= next_ms - epoch_ms(CAST(ts AS TIMESTAMP)) THEN prev_id
+        |       ELSE next_id END AS nearest_err_id,
+        |  CASE WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+        |       WHEN prev_id IS NULL THEN next_ms - epoch_ms(CAST(ts AS TIMESTAMP))
+        |       WHEN next_id IS NULL THEN epoch_ms(CAST(ts AS TIMESTAMP)) - prev_ms
+        |       ELSE least(epoch_ms(CAST(ts AS TIMESTAMP)) - prev_ms,
+        |                  next_ms - epoch_ms(CAST(ts AS TIMESTAMP))) END AS gap_ms
+        |FROM m WHERE is_q = 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val u = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_q"))
+        .unionAll(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_q")))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_q"), col("event_id"))
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+      val errId = when(col("is_q") === 0, col("event_id"))
+      val errMs = when(col("is_q") === 0, unix_millis(col("ts")))
+      val t = unix_millis(col("ts"))
+      u.select(col("user_id"), col("ts"), col("event_id"), col("is_q"),
+          last(errId, ignoreNulls = true).over(wPrev).as("prev_id"),
+          last(errMs, ignoreNulls = true).over(wPrev).as("prev_ms"),
+          first(errId, ignoreNulls = true).over(wNext).as("next_id"),
+          first(errMs, ignoreNulls = true).over(wNext).as("next_ms"))
+        .filter(col("is_q") === 1)
+        .select(col("event_id"),
+          when(col("prev_id").isNull, col("next_id"))
+            .when(col("next_id").isNull, col("prev_id"))
+            .when(t - col("prev_ms") <= col("next_ms") - t, col("prev_id"))
+            .otherwise(col("next_id")).as("nearest_err_id"),
+          when(col("prev_id").isNull && col("next_id").isNull, lit(null))
+            .when(col("prev_id").isNull, col("next_ms") - t)
+            .when(col("next_id").isNull, t - col("prev_ms"))
+            .otherwise(least(t - col("prev_ms"), col("next_ms") - t)).as("gap_ms"))
+    },
+
     // §2.11 cohort retention matrix: users grouped by first-seen week,
     // activity counted per week offset — the classic retention triangle.
     // Two aggregations + one equi-join on user_id; week offsets are
