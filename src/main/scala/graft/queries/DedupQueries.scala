@@ -5,6 +5,7 @@ import graft.operators.{TextOps, VectorOps}
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Large-corpus dedup + similarity-search operators (builder-prompt
   * first-class set): exact dedup, MinHash+LSH, SimHash, n-gram Jaccard,
@@ -51,6 +52,31 @@ object DedupQueries {
       TextOps.lshCandidatePairs(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, k = 8, bands = 4)
+    },
+
+    // Per-label class centroids in LONG form (label, dim, mean) — the
+    // embedding-space aggregation behind SemDeDup cells, classifier
+    // init, and drift monitoring. Floats widen to double exactly, then
+    // accumulate in DECIMAL(28,8) so the sum is order-independent; no
+    // double is ever exactly on a 1e-8 half boundary (binary fractions
+    // have no 5^8 divisor), so the decimal rounding is engine-identical.
+    // One shuffle on (label, dim) with map-side partial agg.
+    Q("v_centroids",
+      """WITH e AS (SELECT label,
+        |    unnest([{'d': i, 'v': embedding[i]} for i in range(1, 65)]) AS s
+        |  FROM embeddings)
+        |SELECT label, s.d AS dim,
+        |  CAST(SUM(CAST(CAST(s.v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+        |    / count(*) AS mean_v,
+        |  count(*) AS n
+        |FROM e GROUP BY label, s.d""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .groupBy(col("label"), (col("p") + 1).as("dim"))
+        .agg(
+          (sum(col("v").cast("double").cast(DecimalType(28, 8))).cast("double")
+            / count(lit(1))).as("mean_v"),
+          count(lit(1)).as("n"))
     },
 
     // LSH design table: capture probability p = 1-(1-j^r)^b of the
