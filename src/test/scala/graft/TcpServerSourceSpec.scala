@@ -84,4 +84,55 @@ class TcpServerSourceSpec extends AnyFunSuite {
       a.close(); b.close()
     } finally q.stop()
   }
+
+  test("kill-and-restart: committed rows never re-emit, new arrivals resume") {
+    val port = freePort()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-trans-ckpt")
+      .toFile.getAbsolutePath
+    val received = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    def startQuery() = spark.readStream
+      .format("graft.sources.TcpServerLineSource")
+      .option("port", port.toString).option("label", "trans")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => received.add(r.getAs[String]("line")))
+      }
+      .option("checkpointLocation", ckpt).start()
+    def awaitCount(q: org.apache.spark.sql.streaming.StreamingQuery,
+        want: Int): Seq[String] = {
+      val deadline = System.currentTimeMillis() + 15000
+      while (received.size < want && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (received.size < want) Thread.sleep(100)
+      }
+      received.toArray(Array.empty[String]).toSeq
+    }
+
+    val q1 = startQuery()
+    try {
+      val c = connect(port)
+      val out = new PrintWriter(
+        new java.io.OutputStreamWriter(c.getOutputStream, StandardCharsets.UTF_8), true)
+      out.println("one"); out.println("two")
+      assert(awaitCount(q1, 2).sorted == Seq("one", "two"))
+      c.close()
+    } finally q1.stop()
+
+    // a new incarnation on the same checkpoint: committed offsets hold,
+    // a fresh client's lines arrive exactly once, nothing replays
+    received.clear()
+    val q2 = startQuery()
+    try {
+      val c = connect(port)
+      val out = new PrintWriter(
+        new java.io.OutputStreamWriter(c.getOutputStream, StandardCharsets.UTF_8), true)
+      out.println("three")
+      val got = awaitCount(q2, 1)
+      assert(got == Seq("three"),
+        s"expected only the post-restart line, got $got")
+      c.close()
+    } finally q2.stop()
+  }
 }
