@@ -165,6 +165,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.probeVideo(evil3.array()).isEmpty)
   }
 
+  test("decodeFeatures runs unchanged on a STREAM of media records") {
+    // the multimodal plumbing is mapPartitions with init-once decode —
+    // it must apply to a streaming Dataset as-is (binary assets arrive
+    // continuously at ingest; same partition-wise batching)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val png = encodeImageIO(
+      { val im = new java.awt.image.BufferedImage(4, 3,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        im.setRGB(1, 1, 0xffffff); im }, "png")
+    val mem = MemoryStream[MediaRecord]
+    val q = Multimodal.decodeFeatures(mem.toDS())
+      .writeStream.format("memory").queryName("mm_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        MediaRecord(1L, "image", png, Map.empty),
+        MediaRecord(2L, "video", Array[Byte](1, 2, 3), Map.empty))
+      q.processAllAvailable()
+      val rows = spark.table("mm_stream").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Int]("width"))).toMap
+      assert(rows(1L) == 4, s"png dims not decoded in-stream: $rows")
+      assert(rows.contains(2L), "undecodable record must still flow through")
+    } finally q.stop()
+  }
+
   private def encodeImageIO(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
     System.setProperty("java.awt.headless", "true")
     val out = new java.io.ByteArrayOutputStream()
