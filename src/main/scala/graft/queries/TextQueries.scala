@@ -363,6 +363,35 @@ object TextQueries {
             .otherwise("high").as("bucket"))
     },
 
+    // Deterministic WEIGHTED sampling (Efraimidis-Spirakis A-ES): key =
+    // u^(1/w) with u an md5-derived uniform and w = n_chars, take the
+    // top-k keys — longer documents proportionally likelier, the whole
+    // draw reproducible across engines and reruns (the md5-keyed analog
+    // of q_hash_sample for the weighted case). pow() is libm, so keys
+    // round to 6 dp BEFORE ranking with doc_id as tiebreaker; top-k is
+    // TakeOrdered, row-local otherwise.
+    Q("tx_weighted_sample",
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    list_reduce(list_transform(range(1, 8),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS hv
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, n_chars,
+        |    round(pow((CAST(hv AS DOUBLE) + 1) / 268435456.0, 1.0 / n_chars), 6) AS skey
+        |  FROM h)
+        |SELECT doc_id, n_chars, skey FROM k
+        |ORDER BY skey DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("double") + 1) / 268435456.0
+      Tables.load(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          round(pow(u, lit(1.0) / col("n_chars")), 6).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Corpus Zipf fit: slope of the log-log rank/frequency regression
     // over the top-50 vocabulary — the standard sanity statistic for a
     // token distribution (natural text ~ -1). Parity handling: ln() is
