@@ -119,6 +119,33 @@ class RtValsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("space-saving heavy hitters: bounded state, est >= true >= est - err") {
+    import graft.streaming.{HeavyHitter, Sketches}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    // one shard, capacity 4 << distinct items: evictions must happen
+    val q = Sketches.spaceSavingTopK(mem.toDS(), shards = 1, capacity = 4, k = 4)
+      .writeStream.format("memory").queryName("hh_out").outputMode("update").start()
+    try {
+      val batch1 = Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+        Seq("c1", "c2", "c3", "c4", "c5")
+      val batch2 = Seq.fill(20)("hot") ++ Seq.fill(8)("warm") ++ Seq("c6", "c7")
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // last emission per item (update mode re-emits; take max est)
+      val got = spark.table("hh_out").as[HeavyHitter].collect()
+        .groupBy(_.item).map { case (w, hs) => w -> hs.maxBy(_.est) }
+      val hot = got("hot"); val warm = got("warm")
+      // space-saving guarantee: est >= true count >= est - err
+      assert(hot.est >= 50 && hot.est - hot.err <= 50, s"hot bounds: $hot")
+      assert(warm.est >= 18 && warm.est - warm.err <= 18, s"warm bounds: $warm")
+      // the two genuinely heavy items were never evicted
+      assert(hot.err == 0 && warm.err == 0, s"heavy items took evictions: $hot $warm")
+    } finally q.stop()
+  }
+
   test("cep sequence matcher: A->B->C within bounds, across batch boundaries") {
     import graft.streaming.{Cep, SeqEvent, SeqMatch}
     implicit val sc = spark.sqlContext
