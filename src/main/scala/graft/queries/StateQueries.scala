@@ -417,6 +417,51 @@ object StateQueries {
           (unix_millis(col("fp")) - unix_millis(col("fs"))).as("latency_ms"))
     },
 
+    // §2.7-adjacent sensor derivative: per-key rate of change
+    // (value/second) via lag — the MathFab-style derived channel every
+    // monitoring deployment computes. Row-local after one per-key
+    // window pass; ms epoch arithmetic, round 6.
+    Q("st_rate_of_change",
+      """SELECT user_id, event_id,
+        |  round((value - lag(value) OVER w) * 1000.0
+        |        / (epoch_ms(CAST(ts AS TIMESTAMP))
+        |           - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w), 6) + 0.0 AS roc
+        |FROM events WHERE user_id < 100
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"),
+          round((col("value") - lag("value", 1).over(w)) * 1000.0
+            / (unix_millis(col("ts"))
+              - lag(unix_millis(col("ts")), 1).over(w)), 6).as("roc"))
+    },
+
+    // §2.7-adjacent median despiking: rolling median of the last 9
+    // readings per key — THE standard robust filter for marine sensor
+    // spikes (a mean smears an outlier; the median drops it). Exact:
+    // sort the 9-element window and take the middle, identical in both
+    // dialects; emitted only for full windows.
+    Q("st_rolling_median",
+      """WITH w9 AS (SELECT user_id, event_id,
+        |    list_sort(list(value) OVER w) AS win,
+        |    count(*) OVER w AS n
+        |  FROM events WHERE user_id < 100
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, win[5] AS med
+        |FROM w9 WHERE n = 9""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-8, 0)
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .withColumn("win", sort_array(collect_list("value").over(w)))
+        .withColumn("n", count("value").over(w))
+        .filter(col("n") === 9)
+        .select(col("user_id"), col("event_id"),
+          element_at(col("win"), 5).as("med"))
+    },
+
     // §2.11 NEAREST as-of join: each purchase matches its closest error
     // (same user) by absolute time distance — backward as-of (j_asof)
     // takes the latest prior only; sensor fusion wants the nearest
