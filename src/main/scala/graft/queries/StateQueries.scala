@@ -417,6 +417,35 @@ object StateQueries {
           (unix_millis(col("fp")) - unix_millis(col("fs"))).as("latency_ms"))
     },
 
+    // §2.8-adjacent CUSUM drift detector: s = max(0, s + x - target)
+    // folded over the last 20 readings per key, alarm when the
+    // accumulated positive drift clears the threshold — the sequential
+    // change detector behind "sensor slowly drifting high" alerts that
+    // a plain threshold (st_triggers) misses. Fold order is the window
+    // order in both dialects; DuckDB's list_reduce seeds with the first
+    // element, so BOTH sides fold over a 0-prepended list and the seed
+    // is exactly 0.
+    Q("st_cusum",
+      """SELECT user_id, event_id,
+        |  round(list_reduce(list_prepend(0.0, array_agg(value) OVER w),
+        |                    (a, x) -> greatest(0.0, a + x - 50.0)), 6) AS cusum,
+        |  CAST(list_reduce(list_prepend(0.0, array_agg(value) OVER w),
+        |                   (a, x) -> greatest(0.0, a + x - 50.0)) > 100 AS INT) AS alarm
+        |FROM events WHERE user_id < 100
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, 0)
+      val cusum = aggregate(col("win"), lit(0.0),
+        (acc, x) => greatest(lit(0.0), acc + x - 50.0))
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .withColumn("win", collect_list("value").over(w))
+        .select(col("user_id"), col("event_id"),
+          round(cusum, 6).as("cusum"),
+          (cusum > 100).cast("int").as("alarm"))
+    },
+
     // §2.7-adjacent sensor derivative: per-key rate of change
     // (value/second) via lag — the MathFab-style derived channel every
     // monitoring deployment computes. Row-local after one per-key
