@@ -289,6 +289,32 @@ object Relational {
           coalesce(col("click"), lit(0L)).as("click_n"))
     },
 
+    // 2-D skyline / Pareto frontier: orders not dominated on (cheaper,
+    // later) — one pass over a (price, key)-sorted stream keeping rows
+    // whose date beats the running max of everything cheaper. The sort
+    // is a range-partitioning Exchange (the q_sort_global operator), the
+    // frontier test one window; no pairwise dominance join.
+    Q("q_skyline",
+      """WITH s AS (SELECT o_orderkey, o_totalprice,
+        |    epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS d_ms,
+        |    max(epoch_ms(CAST(o_orderdate AS TIMESTAMP))) OVER (
+        |      ORDER BY o_totalprice, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice, d_ms
+        |FROM s WHERE best_prev IS NULL OR d_ms > best_prev""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          // NTZ parquet timestamp -> TZ timestamp is exact under the
+          // session's fixed UTC
+          unix_millis(col("o_orderdate").cast("timestamp")).as("d_ms"))
+        .withColumn("best_prev", max("d_ms").over(w))
+        .filter(col("best_prev").isNull || col("d_ms") > col("best_prev"))
+        .select("o_orderkey", "o_totalprice", "d_ms")
+    },
+
     // 2-D histogram (heatmap binning): order-month x price-decile
     // counts — the aggregation shape behind density heatmaps. Integer
     // binning on both axes (exact in both engines), one partial-agg
