@@ -290,10 +290,13 @@ object Relational {
     },
 
     // 2-D skyline / Pareto frontier: orders not dominated on (cheaper,
-    // later) — one pass over a (price, key)-sorted stream keeping rows
-    // whose date beats the running max of everything cheaper. The sort
-    // is a range-partitioning Exchange (the q_sort_global operator), the
-    // frontier test one window; no pairwise dominance join.
+    // later). TWO-PHASE (the distributed-skyline staple): each partition
+    // computes its local frontier first — a globally non-dominated row
+    // is non-dominated in whichever partition it lands in, so the local
+    // pass is lossless however the input is partitioned — and only the
+    // tiny survivor set goes through the global sorted-window pass. At
+    // 100 TB the full input is never globally sorted; the oracle is the
+    // plain single-pass form, checking the two-phase plan is lossless.
     Q("q_skyline",
       """WITH s AS (SELECT o_orderkey, o_totalprice,
         |    epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS d_ms,
@@ -303,13 +306,29 @@ object Relational {
         |  FROM orders)
         |SELECT o_orderkey, o_totalprice, d_ms
         |FROM s WHERE best_prev IS NULL OR d_ms > best_prev""".stripMargin) { (s, dir) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.load(s, dir, "orders")
+      val spark = s
+      import spark.implicits._
+      val pts = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
           // NTZ parquet timestamp -> TZ timestamp is exact under the
           // session's fixed UTC
           unix_millis(col("o_orderdate").cast("timestamp")).as("d_ms"))
+        .as[(Long, Double, Long)]
+      // phase 1: per-partition local frontier (sort the partition, keep
+      // rows whose date beats the running max of everything cheaper)
+      val local = pts.mapPartitions { it =>
+        val rows = it.toArray.sortBy(r => (r._2, r._1))
+        var best = Long.MinValue
+        rows.iterator.filter { r =>
+          val keep = r._3 > best
+          if (keep) best = r._3
+          keep
+        }
+      }.toDF("o_orderkey", "o_totalprice", "d_ms")
+      // phase 2: the exact single-pass frontier over the survivors
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      local
         .withColumn("best_prev", max("d_ms").over(w))
         .filter(col("best_prev").isNull || col("d_ms") > col("best_prev"))
         .select("o_orderkey", "o_totalprice", "d_ms")
