@@ -17,16 +17,47 @@ object Bench {
     * instead hash the simple-mode explain — which prints the full tree,
     * AQE included — with run-varying ids (expr #n, plan_id, temp view
     * names, file paths) stripped so the hash is invariant across runs
-    * and changes exactly when the plan shape does.
+    * and changes exactly when the plan shape does. JVM-synthesized names are
+    * per-process — lambda classes (`Foo$$Lambda$123/0x0000abcd`, or no
+    * counter on newer JDKs) and `Object.toString` identity suffixes
+    * (`decoder@3f5a1b`) — so they are normalized too; without that, every
+    * typed `mapPartitions` kernel produced a fresh fingerprint per JVM,
+    * defeating the "unchanged fingerprint ⇒ environment, not plan"
+    * attribution exactly on the queries a reviewer most wants it for.
     */
-  private def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
     val explain = df.queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
-      .replaceAll("#\\d+", "#")
-      .replaceAll("plan_id=\\d+", "plan_id=")
-      .replaceAll("\\[file:[^\\]]*\\]", "[file]")
-      .replaceAll("isFinalPlan=\\w+", "")
-    val md5 = MessageDigest.getInstance("MD5").digest(explain.getBytes("UTF-8"))
+    md5Hex(normalizePlan(explain))
+  }
+
+  /** Normalizer split out so fingerprint invariance across distinct JVMs is
+    * directly testable (two real sessions in one test JVM share lambda
+    * classes, so only a string-level pin can cover the cross-process case).
+    */
+  private[graft] def normalizePlan(explain: String): String = explain
+    .replaceAll("#\\d+", "#")
+    .replaceAll("plan_id=\\d+", "plan_id=")
+    .replaceAll("\\[file:[^\\]]*\\]", "[file]")
+    .replaceAll("isFinalPlan=\\w+", "")
+    .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+    .replaceAll("\\$\\$Lambda\\$\\d+", "\\$\\$Lambda")
+    .replaceAll("@[0-9a-fA-F]{4,}", "@")
+    // higher-order-function variables (`lambdafunction(... lambda x_7#)`) use
+    // a session-global name counter, so the same plan built later in a
+    // session prints larger suffixes
+    .replaceAll("lambda ([A-Za-z]+)_\\d+#", "lambda $1#")
+    // scan metadata (DataFilters etc.) is truncated at a char budget BEFORE
+    // our id-stripping, so differing expr-id widths shift where `...` cuts
+    // (or whether it cuts at all); drop the whole truncated bracket/struct
+    // body rather than hash the unstable prefix. Both rules are line-bounded
+    // (a negated class matches \n!) and the struct rule is anchored so a `<`
+    // comparison operator can't start a match.
+    .replaceAll("\\[[^\\]\\n]*\\.\\.\\.", "[...")
+    .replaceAll("struct<[^>\\n]*\\.\\.\\.", "struct<...")
+
+  private[graft] def md5Hex(s: String): String = {
+    val md5 = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
     md5.take(4).map(b => f"$b%02x").mkString
   }
 
@@ -38,6 +69,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // never truncate scan metadata in explain strings: the default 100-char
+      // budget is applied to the RAW string, so runs whose expr-ids are wider
+      // truncate where others don't, destabilizing the plan fingerprint
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (parquet reader, codegen, shuffle machinery) so the
@@ -61,18 +96,24 @@ object Bench {
       }
       (name, times.min, fp)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // compact per-query seconds (4 decimals ≈ 0.1 ms resolution — bench noise
+    // floor) so the timings line stays as short as possible for the driver's
+    // bounded stdout capture; the fat plans map goes on its OWN second line so
+    // a tail/head truncation can never cut the timings mid-line again
+    // (BENCH_r03/r04 parsed=null were both truncation casualties)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val plans = results.map { case (k, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
-    // also persist the line: the driver captures a bounded stdout tail,
-    // which truncated the r3 artifact (BENCH_r03.json parsed=null)
+    println(s"""{"plans":$plans}""")
+    // full artifact (timings + plans in one object) persisted to disk: the
+    // robust path when any stdout capture window truncates
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (line.dropRight(1) + s""","plans":$plans}""" + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

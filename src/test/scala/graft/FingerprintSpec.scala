@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the plan-fingerprint invariance that makes bench attribution work:
+  * a loaded bench window shows timing spikes with UNCHANGED fingerprints, so
+  * the spike is auto-attributed to the environment rather than a plan
+  * regression. That attribution broke in round 4 on the three typed-kernel
+  * queries (`q_skyline`, `dd_embed_cos`, `dd_semantic`) because JVM lambda
+  * class names (`$$Lambda$123/0x...`) and object identity hashes (`@3f5a1b`)
+  * leak into the explain string and differ per process.
+  *
+  * Two layers of pinning:
+  *  1. String-level: the normalizer maps explain strings that differ ONLY in
+  *     per-JVM synthesized ids to the same fingerprint. This is the only way
+  *     to cover the cross-process case — two SparkSessions inside one test
+  *     JVM share lambda classes, so a session-level test alone can't see it.
+  *  2. Session-level: fingerprints computed in two fresh sessions (new
+  *     SparkSession each, same JVM) agree for every registered query —
+  *     catches expr-id / plan_id / temp-name drift across sessions.
+  */
+class FingerprintSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("normalizer strips per-JVM lambda class names (JDK17 and JDK21 forms)") {
+    val base = "*(2) SerializeFromObject [input[0, double, false] AS value#]\n" +
+      "+- MapPartitions graft.operators.Relational$"
+    val jvm1 = base + "$Lambda$2417/0x00007f3a4c2b1840@1a2b3c4d, obj#"
+    val jvm2 = base + "$Lambda$381/0x00000008015e9c28@deadbeef, obj#"
+    val jvm3 = base + "$Lambda/0x00000123abcd4567@00ff00aa, obj#" // JDK21+: no counter
+    assert(Bench.normalizePlan(jvm1) == Bench.normalizePlan(jvm2))
+    assert(Bench.normalizePlan(jvm2) == Bench.normalizePlan(jvm3))
+    assert(Bench.md5Hex(Bench.normalizePlan(jvm1)) == Bench.md5Hex(Bench.normalizePlan(jvm3)))
+  }
+
+  test("normalizer strips bare object identity suffixes") {
+    val a = "+- BatchScan parquet file:/x [id#] ParquetScan@5f1e2d3c RuntimeFilters: []"
+    val b = "+- BatchScan parquet file:/x [id#] ParquetScan@0a0b0c0d RuntimeFilters: []"
+    assert(Bench.normalizePlan(a) == Bench.normalizePlan(b))
+  }
+
+  test("normalizer still distinguishes genuinely different plans") {
+    val a = "*(1) HashAggregate(keys=[k#], functions=[sum(v#)])"
+    val b = "*(1) SortAggregate(keys=[k#], functions=[sum(v#)])"
+    assert(Bench.normalizePlan(a) != Bench.normalizePlan(b))
+  }
+
+  test("fingerprints are identical across two fresh sessions for every query") {
+    import org.apache.spark.sql.SparkSession
+    def freshFingerprints(): Map[String, String] = {
+      // getOrCreate would hand back the shared test session; build a truly
+      // fresh one (new session state, new expr-id counters) off a new config
+      val s = SparkTestSession.spark.newSession()
+      // mirror Bench's session conf: metadata truncation applies to the raw
+      // string, so expr-id width decides WHETHER it cuts — untruncated is the
+      // only stable rendering
+      s.conf.set("spark.sql.maxMetadataStringLength", "100000")
+      // the cache manager is context-global: queries that .persist() in run 1
+      // would otherwise surface as InMemoryRelation in run 2's plans — a
+      // test-harness artifact a fresh JVM (the case under test) never sees
+      s.catalog.clearCache()
+      SparkEntry.queries.map { case (name, fn) =>
+        name -> Bench.planFingerprint(fn(s, sf))
+      }
+    }
+    val run1 = freshFingerprints()
+    val run2 = freshFingerprints()
+    val diff = run1.keys.filter(k => run1(k) != run2(k)).toSeq.sorted
+    assert(diff.isEmpty, s"fingerprint drift across sessions: $diff")
+    assert(run1.size == SparkEntry.queries.size)
+  }
+}
