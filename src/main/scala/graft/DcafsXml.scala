@@ -176,12 +176,15 @@ object DcafsXml {
       val kids = children(el)
       def kid(tag: String): Option[String] =
         kids.find(_.getTagName == tag).map(_.getTextContent.trim)
+      // a portless modbus <address> defaults to 502, like the reference's
+      // ModbusTCPStream.readExtraFromXML (ModbusTCPStream.java:38-40)
+      val defaultPort = if (kind == "modbus" || kind == "modbustcp") 502 else 0
       val (host, port) = kid("address") match {
         case Some(a) if a.contains(":") =>
           val i = a.lastIndexOf(':')
           (a.substring(0, i), a.substring(i + 1).toInt)
-        case Some(a) => (a, kid("port").map(_.toInt).getOrElse(0))
-        case None => ("", kid("port").map(_.toInt).getOrElse(0))
+        case Some(a) => (a, kid("port").map(_.toInt).getOrElse(defaultPort))
+        case None => ("", kid("port").map(_.toInt).getOrElse(defaultPort))
       }
       val cmds = kids.filter(k => k.getTagName == "cmd" || k.getTagName == "write")
         .map { c =>

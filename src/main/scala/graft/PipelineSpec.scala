@@ -302,6 +302,15 @@ object LineSources {
         require(spec.host.nonEmpty, "monitor stream needs a file path")
         spark.readStream.format("graft.sources.FileTailSource")
           .option("path", spec.host).load()
+      case "modbus" | "modbustcp" =>
+        // live MBAP poller (ModbusTCPStream.java:22-44; port defaults to
+        // 502 like readExtraFromXML). Poll shape (fc/address/count/period)
+        // is source-side config — the reference drives requests from
+        // taskmanager writes, which don't live in the <stream> node either.
+        spark.readStream.format("graft.sources.ModbusTcpLineSource")
+          .option("host", spec.host)
+          .option("port", (if (spec.port == 0) 502 else spec.port).toString)
+          .load()
       case other => throw new IllegalArgumentException(
         s"stream type '$other' is hardware-gated — replay its recorded " +
           "captures (LineSources.modbusReplay / fileReplay) instead")
