@@ -37,6 +37,13 @@ class GraftConsole(spark: SparkSession) {
 
   private val paths = mutable.LinkedHashMap.empty[String, PathSpec]
   private val streamSpecs = mutable.LinkedHashMap.empty[String, DcafsXml.StreamSpec]
+  /** The settings.xml behind `settings:load` — command-plane mutations
+    * (`ss:add*`, `pf:add`) write back through it so they survive restart,
+    * like reference `CommandPool` persisting via `XMLfab`
+    * (`StreamManager.java:507-523`). None until a settings file is loaded;
+    * mutations then apply in-memory only, and say so.
+    */
+  private var settingsFile: Option[java.nio.file.Path] = None
   private val dbs = mutable.LinkedHashMap.empty[String, String]
   private val taskManagers = mutable.LinkedHashMap.empty[String, TasklistRunner]
   /** (taskId, output, value) sends from task managers whose output is not
@@ -62,7 +69,8 @@ class GraftConsole(spark: SparkSession) {
   def execute(cmd: String): String = cmd.trim match {
     case "" => ""
     case "help" =>
-      "commands: help | ss | st | rv | raw:<name>[,N] | pf:list | pf:add,<id> | " +
+      "commands: help | ss | ss:addtcp/addudp/addmodbus/remove | st | rv | " +
+        "raw:<name>[,N] | pf:list | pf:add,<id> | " +
         "pf:test,<id>,<line> | dbm:... | tm:... | <sql>"
     case "ss" =>
       val names = spark.catalog.listTables().collect().map(_.name)
@@ -83,7 +91,12 @@ class GraftConsole(spark: SparkSession) {
     case c if c.startsWith("pf:add,") =>
       val id = c.stripPrefix("pf:add,").trim
       addPath(PathSpec(id))
-      s"path $id added"
+      settingsFile match {
+        case Some(f) =>
+          SettingsFab.upsertPath(f, id, ",")
+          s"path $id added (persisted to ${f.getFileName})"
+        case None => s"path $id added (in-memory only — settings:load a file to persist)"
+      }
     // single-line probe through a path (EditorForward.java:589-596 test())
     case c if c.startsWith("pf:test,") =>
       val rest = c.stripPrefix("pf:test,")
@@ -91,10 +104,12 @@ class GraftConsole(spark: SparkSession) {
       import spark.implicits._
       val in = Seq(line.stripPrefix(",")).toDF("line")
       render(PathCompiler.compile(paths(id), in))
+    case c if c.startsWith("ss:") => ssCmd(c.stripPrefix("ss:"))
     case c if c.startsWith("settings:load,") =>
       val file = c.stripPrefix("settings:load,").trim
       val xml = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(file)), java.nio.charset.StandardCharsets.UTF_8)
+      settingsFile = Some(java.nio.file.Paths.get(file).toAbsolutePath)
       val s = DcafsXml.parseSettings(xml)
       s.paths.foreach(addPath)
       s.streams.foreach(sp => streamSpecs(sp.id) = sp)
@@ -140,6 +155,52 @@ class GraftConsole(spark: SparkSession) {
     case c if c.startsWith("matrix:") => matrixCmd(c.stripPrefix("matrix:"))
     case c if c.startsWith("admin:") => adminCmd(c.stripPrefix("admin:"))
     case sql => render(spark.sql(sql))
+  }
+
+  /** `ss:` stream-mutation family (reference `StreamManager.replyToCommand`,
+    * `StreamManager.java:659-1000`): add/alter/remove stream declarations.
+    * Each mutation updates the in-memory spec table AND writes back to the
+    * loaded settings.xml via [[SettingsFab]] — the reference persists
+    * through `addStreamToXML` (`StreamManager.java:507-523,900`) so an
+    * `ss:addtcp` survives restart. Unlike the reference this does not also
+    * auto-connect: sources are built lazily from specs by
+    * `LineSources.fromSpec` when a query subscribes.
+    */
+  private def ssCmd(cmd: String): String = {
+    val p = cmd.split(",", -1).map(_.trim)
+    def addStream(kind: String): String = {
+      if (p.length < 3) return s"! Bad amount of arguments, need at least 3 ss:${p(0)},id,ip:port(,label)"
+      val id = p(1)
+      val address = p(2)
+      val label = if (p.length >= 4) p(3) else ""
+      val (host, port) = address.lastIndexOf(':') match {
+        case -1 => (address, if (kind == "modbus") 502 else 0)
+        case i => (address.substring(0, i), address.substring(i + 1).toInt)
+      }
+      streamSpecs(id) = DcafsXml.StreamSpec(id, kind, host, port, label,
+        eol = "crlf", ttlMillis = -1L, hello = None, idleCmd = None, topic = None)
+      settingsFile match {
+        case Some(f) =>
+          SettingsFab.upsertStream(f, id, kind, address, label)
+          s"Added $kind stream $id (persisted to ${f.getFileName})"
+        case None =>
+          s"Added $kind stream $id (in-memory only — settings:load a file to persist)"
+      }
+    }
+    p(0) match {
+      case "?" =>
+        "ss:addtcp,id,ip:port(,label) | ss:addudp,id,ip:port(,label) | " +
+          "ss:addmodbus,id,ip:port(,label) | ss:remove,id | ss (listing)"
+      case "addtcp" => addStream("tcp")
+      case "addudp" => addStream("udp")
+      case "addmodbus" | "addmodbustcp" => addStream("modbus")
+      case "remove" if p.length >= 2 =>
+        val id = p(1)
+        val known = streamSpecs.remove(id).nonEmpty
+        val persisted = settingsFile.exists(SettingsFab.removeStream(_, id))
+        if (known || persisted) s"Removed stream $id" else s"! No such stream $id"
+      case other => s"! No such subcommand in ss: $other"
+    }
   }
 
   /** `admin:` family (reference `CommandPool.doADMIN`,

@@ -66,6 +66,40 @@ class ConsoleSpec extends AnyFunSuite {
     assert(c.streamSpec("ctd").exists(_.label == "generic:ctd"))
   }
 
+  test("ss:/pf: mutations persist to settings.xml and survive a console restart") {
+    val f = java.nio.file.Files.createTempFile("graft-settings-wb", ".xml")
+    java.nio.file.Files.write(f,
+      """<das>
+        |  <streams>
+        |    <stream id="ctd" type="tcp"><address>10.0.0.5:4001</address>
+        |      <label>generic:ctd</label></stream>
+        |  </streams>
+        |</das>""".stripMargin.getBytes)
+    val c1 = new graft.console.GraftConsole(spark)
+    assert(c1.execute(s"settings:load,$f") == "loaded 1 streams, 0 paths")
+    // reference parity: ss:addtcp,id,ip:port,label writes the stream to xml
+    // (StreamManager.java:879-905 addStreamToXML)
+    assert(c1.execute("ss:addtcp,gps,10.0.0.7:4002,nmea:gps").contains("persisted"))
+    assert(c1.execute("ss:addmodbus,plc,10.0.0.9").contains("persisted"))
+    assert(c1.execute("pf:add,clean").contains("persisted"))
+    assert(c1.execute("streams").contains("gps\ttcp\t10.0.0.7:4002"))
+
+    // a FRESH console booted from the rewritten file sees the mutations
+    val c2 = new graft.console.GraftConsole(spark)
+    assert(c2.execute(s"settings:load,$f") == "loaded 3 streams, 1 paths")
+    assert(c2.streamSpec("gps").exists(s => s.kind == "tcp" && s.host == "10.0.0.7"
+      && s.port == 4002 && s.label == "nmea:gps"))
+    assert(c2.streamSpec("plc").exists(s => s.kind == "modbus" && s.port == 502))
+    assert(c2.streamSpec("ctd").nonEmpty, "pre-existing stream must survive the rewrite")
+    assert(c2.execute("pf:list").contains("clean"))
+
+    // remove persists too
+    assert(c2.execute("ss:remove,gps") == "Removed stream gps")
+    val c3 = new graft.console.GraftConsole(spark)
+    assert(c3.execute(s"settings:load,$f") == "loaded 2 streams, 1 paths")
+    assert(c3.streamSpec("gps").isEmpty)
+  }
+
   test("dbm: family manages JDBC databases (CommandPool dbm surface)") {
     val c = new GraftConsole(spark)
     val dbDir = java.nio.file.Files.createTempDirectory("graft-dbm")
