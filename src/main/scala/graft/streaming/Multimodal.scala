@@ -520,9 +520,59 @@ object Multimodal {
     }
   }
 
+  /** Extract the video frames of an AVI: walk the RIFF tree to the `movi`
+    * LIST and collect the payload of every video chunk (`##dc` compressed /
+    * `##db` uncompressed, optionally nested in `rec ` LISTs — public AVI
+    * RIFF layout; the reference never parses containers, its streams hand
+    * it text lines). Same corrupt-length discipline as [[probeVideo]]:
+    * every cursor advance is strictly forward or the walk stops — a forged
+    * 32-bit size must not hang an executor.
+    *
+    * For MJPEG AVIs each payload is a complete JFIF image, so
+    * [[decodePixelsAny]] (JRE JPEG decoder) turns a frame into real pixels
+    * with no codec libs: container walk + frame pixels are fully real, and
+    * [[decodeStub]] is left covering only inter-coded codecs (H.264 etc.).
+    */
+  private[graft] def aviVideoFrames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = try {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return IndexedSeq.empty
+    val frames = IndexedSeq.newBuilder[Array[Byte]]
+    def isVideoChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    def walkChunks(from: Long, until: Long, depth: Int): Unit = {
+      var o = from
+      while (o + 8 <= until) {
+        val id = fourcc(o.toInt)
+        val sz = le32(o.toInt + 4)
+        val payload = o + 8
+        if (payload + sz > until) return // truncated: stop cleanly
+        if (id == "LIST" && sz >= 4 && depth < 8) {
+          val listType = fourcc(payload.toInt)
+          if (listType == "movi" || listType == "rec ")
+            walkChunks(payload + 4, payload + sz, depth + 1)
+        } else if (isVideoChunk(id) && sz > 0) {
+          frames += java.util.Arrays.copyOfRange(bytes, payload.toInt, (payload + sz).toInt)
+        }
+        val no = payload + sz + (sz & 1) // chunks pad to even
+        if (no <= o) return              // corrupt size: stop cleanly
+        o = no
+      }
+    }
+    walkChunks(12L, bytes.length.toLong, 0)
+    frames.result()
+  } catch { case _: Exception => IndexedSeq.empty }
+
   /** STUB decoder: a real build replaces this with the native decode; the
     * fake derives deterministic "dimensions" from the payload and computes
     * a real 4-bin byte histogram (honest binary-column compute).
+    * Since the AVI `movi` walk landed ([[aviVideoFrames]]) this stub only
+    * covers codec payloads the JRE can't decode (H.264, compressed audio);
+    * MJPEG-in-AVI frames decode to real pixels.
     */
   private[streaming] def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
     val hist = new Array[Double](4)
@@ -555,16 +605,23 @@ object Multimodal {
     }
 
   /** Frame sampling: explode every `everyN`-th frame of a media record.
-    * Stub frames are byte slices; a real build decodes keyframes.
+    * AVI records yield their REAL video chunks (for MJPEG, each a complete
+    * JPEG [[decodePixelsAny]] can pixel-decode); other containers fall
+    * back to stub byte slices until their codecs have a JVM decode path.
     */
   def frameSample(ds: Dataset[MediaRecord], everyN: Int): Dataset[FrameSample] =
     ds.flatMap { r =>
-      val (_, _, frames, _) = decodeStub(r.bytes)
-      (0 until frames by everyN).map { f =>
-        val span = math.max(r.bytes.length / frames, 1)
-        val from = math.min(f * span, r.bytes.length)
-        val until = math.min(from + span, r.bytes.length)
-        FrameSample(r.id, f, java.util.Arrays.copyOfRange(r.bytes, from, until))
+      val avi = aviVideoFrames(r.bytes)
+      if (avi.nonEmpty)
+        (0 until avi.length by everyN).map(f => FrameSample(r.id, f, avi(f)))
+      else {
+        val (_, _, frames, _) = decodeStub(r.bytes)
+        (0 until frames by everyN).map { f =>
+          val span = math.max(r.bytes.length / frames, 1)
+          val from = math.min(f * span, r.bytes.length)
+          val until = math.min(from + span, r.bytes.length)
+          FrameSample(r.id, f, java.util.Arrays.copyOfRange(r.bytes, from, until))
+        }
       }
     }
 }

@@ -173,8 +173,101 @@ class PropertySpec extends AnyFunSuite {
       graft.streaming.Multimodal.probeVideo(bytes) // must terminate
       graft.streaming.Multimodal.decodeWav(bytes)  // must terminate
       graft.streaming.Multimodal.decodePixels(bytes)
+      graft.streaming.Multimodal.aviVideoFrames(bytes) // must terminate
       ()
     }
+  }
+
+  /** Build a minimal-but-valid MJPEG AVI: RIFF(AVI ) with an hdrl/avih
+    * header and a movi LIST of 00dc chunks, each a complete ImageIO JPEG.
+    */
+  private def buildMjpegAvi(framesJpeg: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      buf.array()
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put(typ.getBytes("US-ASCII")).put(body)
+      buf.array()
+    }
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(33333)                 // dwMicroSecPerFrame (30 fps)
+    avih.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+    avih.putInt(framesJpeg.length)     // dwTotalFrames
+    avih.putInt(0).putInt(1).putInt(0) // initialFrames, streams, suggestedBuf
+    avih.putInt(w).putInt(h)           // dwWidth, dwHeight
+    val hdrl = list("hdrl", chunk("avih", avih.array()))
+    val movi = list("movi", framesJpeg.flatMap(f => chunk("00dc", f)).toArray)
+    val body = hdrl ++ movi
+    val buf = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    buf.array()
+  }
+
+  test("MJPEG-in-AVI frames decode to real pixels (pixel-equal vs ImageIO)") {
+    System.setProperty("java.awt.headless", "true")
+    val (w, h) = (16, 12)
+    // distinct per-frame patterns so frame ORDER is also pinned
+    val sources = (0 until 4).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((40 * f + 30) << 16) | ((60 * f + 20) << 8) | (50 * f + 10))
+      img
+    }
+    val jpegs = sources.map { img =>
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val avi = buildMjpegAvi(jpegs, w, h)
+
+    // container probe still reads the header
+    val info = graft.streaming.Multimodal.probeVideo(avi).get
+    assert(info.width == w && info.height == h && info.frames == 4)
+
+    // the movi walk recovers each JPEG byte-exactly
+    val frames = graft.streaming.Multimodal.aviVideoFrames(avi)
+    assert(frames.length == 4)
+    frames.zip(jpegs).foreach { case (got, want) => assert(got.sameElements(want)) }
+
+    // and each frame pixel-decodes identically to ImageIO reading the
+    // same JPEG (same decoder behind decodePixelsAny's fallback), with
+    // every frame near its solid source color (JPEG is lossy but flat
+    // fields stay within a couple of code values)
+    frames.zipWithIndex.foreach { case (jpeg, f) =>
+      val px = graft.streaming.Multimodal.decodePixelsAny(jpeg).get
+      assert(px.width == w && px.height == h && px.channels == 3)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      for (y <- 0 until h; x <- 0 until w) {
+        val e = ref.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert((px.pixels(o) & 0xff) == ((e >> 16) & 0xff))
+        assert((px.pixels(o + 1) & 0xff) == ((e >> 8) & 0xff))
+        assert((px.pixels(o + 2) & 0xff) == (e & 0xff))
+      }
+      val exp = sources(f).getRGB(0, 0)
+      val mid = ((h / 2) * w + w / 2) * 3
+      assert(math.abs((px.pixels(mid) & 0xff) - ((exp >> 16) & 0xff)) <= 4,
+        s"frame $f drifted from its source color")
+    }
+
+    // frameSample ships the REAL chunks through the Dataset plumbing
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val ds = Seq(graft.streaming.MediaRecord(7L, "video/avi", avi, Map.empty)).toDS()
+    val sampled = graft.streaming.Multimodal.frameSample(ds, 2).collect()
+      .sortBy(_.frameIdx)
+    assert(sampled.map(_.frameIdx).toSeq == Seq(0, 2))
+    assert(sampled(0).frameBytes.sameElements(jpegs(0)))
+    assert(sampled(1).frameBytes.sameElements(jpegs(2)))
   }
 
   test("PNG decode matches ImageIO for random image sizes and content") {
