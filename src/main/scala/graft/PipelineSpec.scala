@@ -206,6 +206,46 @@ object LineSources {
       .withColumn("out", render(col("values")))
   }
 
+  /** Seasun replay: recorded serial bursts (text files of hex-encoded
+    * bytes, one capture per line) scanned through the self-synchronizing
+    * 3-byte frame grammar (`SeasunStream.java:31-73`) — the vendor-serial
+    * analog of [[i2cReplay]]; the bus half stays hardware-gated. Each
+    * decoded frame explodes to a row with the reference's "addr;value"
+    * rendering in `out`. Schema: (line, origin, ts, out).
+    */
+  def seasunReplay(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val decode = udf((hexLine: String) => {
+      val bytes = hexLine.trim.sliding(2, 2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      new graft.sources.VendorSerial.SeasunDecoder().feed(bytes)
+    })
+    fileReplay(spark, dir, maxFilesPerTrigger)
+      .select(col("line"), col("origin"), col("ts"),
+        explode(decode(col("line"))).as("out"))
+  }
+
+  /** Multiplex replay: recorded merged-port bursts scanned through the
+    * `_(**)_` header grammar (`MultiStream.java:36-74`); each framed
+    * payload explodes to a row with the device id appended to the origin
+    * the way the reference builds it (`:54`, `id:<device>`).
+    * Schema: (line, origin, ts, out).
+    */
+  def multiplexReplay(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val decode = udf((hexLine: String) => {
+      val bytes = hexLine.trim.sliding(2, 2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      new graft.sources.VendorSerial.MultiplexDecoder().feed(bytes)
+        .map { case (dev, payload) => (dev.toString, payload) }
+    })
+    fileReplay(spark, dir, maxFilesPerTrigger)
+      .withColumn("msg", explode(decode(col("line"))))
+      .select(col("line"),
+        concat(col("origin"), lit(":"), col("msg._1")).as("origin"),
+        col("ts"), col("msg._2").as("out"))
+  }
+
   /** S10 SPI replay: recorded captures (text files of hex-encoded
     * clocked-back bytes, one capture per line) decoded through a parsed
     * spiset script — the ExtSpiDevice analog of [[i2cReplay]]
@@ -330,11 +370,14 @@ object LineSources {
     */
   def httpPoll(spark: SparkSession, url: String, periodSeconds: Int = 10,
       timeoutMillis: Int = 5000): DataFrame = {
+    // nondeterministic: Spark must not re-execute the GET on task retry /
+    // speculation assuming an identical result — fetch semantics are
+    // at-least-once per tick, like every external poller
     val fetch = udf(() =>
       try {
         val r = graft.alerts.HttpLite.get(url, timeoutMillis)
         if (r.status == 200) r.body.split("\r?\n").toSeq else Seq.empty[String]
-      } catch { case _: Exception => Seq.empty[String] })
+      } catch { case _: Exception => Seq.empty[String] }).asNondeterministic()
     spark.readStream
       .format("rate").option("rowsPerSecond", 1).load()
       .filter(col("value") % periodSeconds === 0)

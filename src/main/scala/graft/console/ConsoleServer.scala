@@ -34,6 +34,12 @@ class LineHub {
   def detach(target: String => Unit): Unit =
     targets.values.forEach(_.remove(target))
 
+  /** Remove the target from one channel only. */
+  def detach(id: String, target: String => Unit): Unit = {
+    val set = targets.get(id)
+    if (set != null) { set.remove(target); () }
+  }
+
   /** Publish to every target; a target that throws (dead client socket)
     * is detached instead of letting the exception bubble into the
     * publishing pump's foreachBatch — one gone client must not kill the
@@ -156,6 +162,7 @@ class ConsoleServer(
             line = null
           case "" | "stop" =>
             hub.detach(target)
+            stopIdlePumps()
             writeLine(out, "Ok.")
             prompt(out)
             line = reader.readLine()
@@ -176,10 +183,24 @@ class ConsoleServer(
       case _: java.io.IOException => // client went away
     } finally {
       hub.detach(target)
+      stopIdlePumps()
       sessions.remove(socket)
       try socket.close() catch { case _: Exception => }
     }
   }
+
+  /** Stop and forget pump queries whose channel has no listeners left —
+    * otherwise every once-subscribed view keeps a 100 ms-trigger query
+    * (and its temp checkpoint dir) running forever after the last client
+    * detaches.
+    */
+  private def stopIdlePumps(): Unit =
+    pumps.forEach { (id, q) =>
+      if (!hub.hasListeners(id)) {
+        pumps.remove(id, q)
+        try q.stop() catch { case _: Exception => () }
+      }
+    }
 
   /** `raw:<id>[,N]`: live-attach for streaming views, sample for batch. */
   private def subscribe(cmd: String, target: String => Unit): String = {
@@ -190,9 +211,21 @@ class ConsoleServer(
       catch { case _: Exception => None }
     table match {
       case Some(df) if df.isStreaming =>
-        ensurePump(id)
+        // a failing pump start (analysis error, checkpoint IO) must reply
+        // to THIS client, not escape the IOException-only session handler
+        // and silently kill the session thread. Attach before starting the
+        // pump: a concurrent stopIdlePumps then sees a listener and leaves
+        // the pump alone.
         hub.attach(id, target)
-        s"Request for raw:$id ok"
+        try {
+          ensurePump(id)
+          s"Request for raw:$id ok"
+        } catch {
+          case e: Exception =>
+            hub.detach(id, target)
+            pumps.remove(id)
+            s"! raw:$id pump failed to start: ${e.getMessage}"
+        }
       case Some(_) =>
         try console.execute(cmd)
         catch { case e: Exception => s"! ${e.getMessage}" }

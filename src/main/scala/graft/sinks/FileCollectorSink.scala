@@ -39,7 +39,10 @@ class FileCollectorSink(
     decimation: Int = 1,
     headers: Seq[String] = Nil,
     idleTimeoutMs: Long = -1L,
-    onTrigger: (String, String) => Unit = (_, _) => ()) extends Serializable {
+    onTrigger: (String, String) => Unit = (_, _) => (),
+    maxLinesPerBatch: Int = 100000,
+    onDropped: Long => Unit = n =>
+      System.err.println(s"graft.FileCollectorSink: dropped $n lines over per-batch cap")) extends Serializable {
 
   private val fmt = rollPattern.map(DateTimeFormatter.ofPattern(_).withZone(ZoneOffset.UTC))
   private var currentForm: String = null
@@ -96,12 +99,20 @@ class FileCollectorSink(
     }
   }
 
-  /** foreachBatch adapter for a streaming frame with (line, ts) columns. */
+  /** foreachBatch adapter for a streaming frame with (line, ts) columns.
+    * The collect is bounded at `maxLinesPerBatch` — same discipline as
+    * `RuleEngine.run`: this sink is a single-writer edge appender, and one
+    * misrouted high-volume stream must not ship an unbounded batch to the
+    * driver. Overflow is counted and reported, not collected; bulk output
+    * belongs on `LineSinks.rollingFiles`.
+    */
   def write(batch: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
-    processBatch(batch
-      .select(unix_millis(col("ts")), col("line"))
-      .collect()
+    val projected = batch.select(unix_millis(col("ts")), col("line"))
+    val taken = projected.limit(maxLinesPerBatch + 1).collect()
+    if (taken.length > maxLinesPerBatch)
+      onDropped(projected.count() - maxLinesPerBatch)
+    processBatch(taken.take(maxLinesPerBatch)
       .map(r => (r.getLong(0), r.getString(1))).toSeq)
   }
 

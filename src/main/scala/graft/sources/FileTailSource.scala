@@ -38,10 +38,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * newline arrives (the reference's 256-byte read loop behaves the same
   * way at EOL boundaries). Truncation/rotation (file shrinks) resets the
   * read position to 0, picking up the replacement file from its start.
-  * Same driver-buffer + WAL design as [[TcpLineSource]]: a restart
-  * replays planned-but-uncommitted batches from the checkpoint WAL and
-  * resumes the file position from the tail-position file, so no line is
-  * lost or duplicated across restarts.
+  * A fresh tail (no checkpoint) starts at the file's current END like the
+  * reference (`FileMonitor.java` calls `updatePosition()` before watching,
+  * so pre-existing history is not replayed); pass `startat=begin` to
+  * ingest the whole existing file instead.
+  *
+  * Same driver-buffer + WAL design as [[TcpLineSource]], with the
+  * persisted file position advanced ONLY when the lines it covers have
+  * reached the checkpoint WAL (in `planInputPartitions`) — never by the
+  * poller. A hard crash (kill -9) between reading lines and planning them
+  * therefore re-reads those lines from the file on restart instead of
+  * skipping past them: no loss, and no duplicates because unplanned lines
+  * were never emitted. The only at-least-once corner is a crash racing a
+  * rotation (position restarts at 0 for a file that replaced the one the
+  * WAL covers). The driver buffer is bounded (`maxBufferedLines`,
+  * default 100000): the poller pauses reading until the stream drains,
+  * so pointing a fresh `startat=begin` tail at a huge live log cannot
+  * balloon the driver heap.
   */
 class FileTailSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -50,7 +63,9 @@ class FileTailSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new FileTailTable(properties.get("path"),
-      Option(properties.get("pollMillis")).map(_.toLong).getOrElse(250L))
+      Option(properties.get("pollMillis")).map(_.toLong).getOrElse(250L),
+      Option(properties.get("startat")).map(_.toLowerCase).getOrElse("eof"),
+      Option(properties.get("maxbufferedlines")).map(_.toInt).getOrElse(100000))
 }
 
 object FileTailSource {
@@ -60,8 +75,8 @@ object FileTailSource {
     StructField("ts", TimestampType)))
 }
 
-private class FileTailTable(path: String, pollMillis: Long)
-    extends Table with SupportsRead {
+private class FileTailTable(path: String, pollMillis: Long, startAt: String,
+    maxBufferedLines: Int) extends Table with SupportsRead {
   override def name(): String = s"tail://$path"
   override def schema(): StructType = FileTailSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -73,11 +88,13 @@ private class FileTailTable(path: String, pollMillis: Long)
       override def toBatch: Batch = throw new UnsupportedOperationException(
         "graft-file-tail is streaming-only")
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new FileTailMicroBatchStream(path, pollMillis, checkpointLocation)
+        new FileTailMicroBatchStream(path, pollMillis, startAt, maxBufferedLines,
+          checkpointLocation)
     }
 }
 
 private class FileTailMicroBatchStream(path: String, pollMillis: Long,
+    startAt: String, maxBufferedLines: Int,
     checkpointLocation: String) extends MicroBatchStream {
 
   private case class TailOffset(value: Long) extends Offset {
@@ -85,13 +102,17 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
   }
 
   private val wal = new LineBufferWal(checkpointLocation)
-  private val buffer = ListBuffer.empty[(String, Long)]
+  // (line, arrivalMicros, fileEndPos): the byte position just past the
+  // line's newline, so the planner can persist a position that covers
+  // exactly the lines the WAL holds
+  private val buffer = ListBuffer.empty[(String, Long, Long)]
   private var baseOffset = wal.maxPlannedOffset
   private val stopped = new AtomicBoolean(false)
 
-  // byte position survives restarts alongside the WAL: a replayed batch
-  // comes from the WAL, new growth resumes from the persisted position
-  // (re-reading from 0 would duplicate everything already planned)
+  // byte position survives restarts alongside the WAL. It is written by
+  // planInputPartitions — position advances only for lines the WAL has —
+  // so a hard crash re-reads buffered-but-unplanned lines instead of
+  // resuming past data that never reached the WAL.
   private val posFile = {
     val u = java.net.URI.create(checkpointLocation)
     val root =
@@ -105,6 +126,8 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
       var pos: Long =
         if (Files.exists(posFile))
           new String(Files.readAllBytes(posFile), StandardCharsets.UTF_8).trim.toLong
+        else if (startAt != "begin" && Files.exists(Paths.get(path)))
+          Files.size(Paths.get(path)) // reference FileMonitor: tail from EOF
         else 0L
       val carry = new java.io.ByteArrayOutputStream
       while (!stopped.get()) {
@@ -113,7 +136,9 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
           if (Files.exists(f)) {
             val len = Files.size(f)
             if (len < pos) { pos = 0; carry.reset() } // rotated/truncated
-            if (len > pos) {
+            // backpressure: stop reading past the buffer bound and let
+            // the stream drain first (startat=begin on a huge live log)
+            if (len > pos && buffer.synchronized(buffer.size) < maxBufferedLines) {
               val raf = new RandomAccessFile(path, "r")
               try {
                 raf.seek(pos)
@@ -128,20 +153,13 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
                     val line = new String(lineBytes, StandardCharsets.UTF_8)
                       .stripSuffix("\r")
                     buffer.synchronized {
-                      buffer += ((line, System.currentTimeMillis() * 1000L))
+                      buffer += ((line, System.currentTimeMillis() * 1000L,
+                        pos + i + 1))
                     }
                   } else carry.write(b)
                   i += 1
                 }
                 pos += n
-                // persist the NEWLINE-ALIGNED position (pos minus the
-                // partial line in the carry buffer): the carry lives only
-                // in memory, so persisting past it would lose a partial
-                // line's head across a restart. Re-reading the carry
-                // bytes after a crash regenerates the carry — lines are
-                // only emitted at '\n', so nothing duplicates either.
-                Files.write(posFile,
-                  (pos - carry.size).toString.getBytes(StandardCharsets.UTF_8))
               } finally raf.close()
             }
           }
@@ -167,8 +185,15 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
       if (s < baseOffset) wal.readRange(s, e) // restart replay
       else buffer.synchronized {
         val slice = buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
-        wal.persistBatch(s, e, slice)
-        slice
+        val pairs = slice.map(t => (t._1, t._2))
+        wal.persistBatch(s, e, pairs)
+        // the WAL now covers these lines: advance the persisted file
+        // position to just past the last of them (newline-aligned by
+        // construction — endPos is only recorded at '\n')
+        slice.lastOption.foreach { last =>
+          Files.write(posFile, last._3.toString.getBytes(StandardCharsets.UTF_8))
+        }
+        pairs
       }
     Array(TailLinesPartition(rows, path))
   }

@@ -104,6 +104,22 @@ class FileCollectorSpec extends AnyFunSuite {
     assert(kept == Seq("r3", "r6"), s"got $kept")
   }
 
+  test("write() bounds a pathological high-volume batch and reports the overflow") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = tmp()
+    var dropped = -1L
+    val sink = new FileCollectorSink(s"$dir/data.csv",
+      maxLinesPerBatch = 5, onDropped = n => dropped = n)
+    val batch = (1 to 40).map(i => (s"row$i", new java.sql.Timestamp(i * 1000L)))
+      .toDF("line", "ts")
+    sink.write(batch)
+    val kept = new String(Files.readAllBytes(Paths.get(s"$dir/data.csv")))
+      .split("\n").toSeq
+    assert(kept.length == 5, s"cap not applied: ${kept.length} lines written")
+    assert(dropped == 35L, s"overflow misreported: $dropped")
+  }
+
   test("IDLE fires once per idle episode after the timeout") {
     val dir = tmp()
     val fired = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -23,6 +23,7 @@ class FileTailSpec extends AnyFunSuite {
     val q = spark.readStream
       .format("graft.sources.FileTailSource")
       .option("path", f.toString).option("pollMillis", "100")
+      .option("startat", "begin") // this test tails pre-existing content
       .load()
       .writeStream.format("memory").queryName("tail_out")
       .outputMode("append").start()
@@ -55,6 +56,38 @@ class FileTailSpec extends AnyFunSuite {
     }
   }
 
+  test("default startat=eof skips pre-existing history like the reference FileMonitor") {
+    val f = Files.createTempFile("graft-tail-eof", ".log")
+    append(f, "old-1\nold-2\n") // history that must NOT replay
+    val q = spark.readStream
+      .format("graft.sources.FileTailSource")
+      .option("path", f.toString).option("pollMillis", "100")
+      .load()
+      .writeStream.format("memory").queryName("tail_eof_out")
+      .outputMode("append").start()
+    try {
+      // wait for the poller thread (it takes its EOF baseline on its
+      // first statement), then a beat, then append
+      val tDeadline = System.currentTimeMillis() + 10000
+      while (!Thread.getAllStackTraces.keySet.toArray(Array.empty[Thread])
+          .exists(_.getName == s"graft-tail-$f") &&
+          System.currentTimeMillis() < tDeadline) Thread.sleep(50)
+      Thread.sleep(400)
+      append(f, "new-1\n")
+      val deadline = System.currentTimeMillis() + 15000
+      def rows() = spark.table("tail_eof_out").collect()
+        .map(_.getAs[String]("line")).toSeq
+      var r = rows()
+      while (!r.contains("new-1") && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100); r = rows()
+      }
+      assert(r == Seq("new-1"), s"history must not replay from EOF start: $r")
+    } finally {
+      q.stop()
+      Files.deleteIfExists(f)
+    }
+  }
+
   test("kill-and-restart resumes from checkpoint without loss or duplicates") {
     val f = Files.createTempFile("graft-tail-wal", ".log")
     val ckpt = Files.createTempDirectory("graft-tail-ckpt").toFile.getAbsolutePath
@@ -63,6 +96,7 @@ class FileTailSpec extends AnyFunSuite {
     def startQuery() = spark.readStream
       .format("graft.sources.FileTailSource")
       .option("path", f.toString).option("pollMillis", "100")
+      .option("startat", "begin") // deterministic vs the async EOF baseline
       .load()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
