@@ -132,10 +132,13 @@ class ConsoleServer(
     // this session's push target: raw hub lines go straight to the socket
     val target: String => Unit = line => writeLine(out, line)
     try {
-      writeLine(out, s"Welcome to $title!")
+      // whole-line color wrap (reference TelnetHandler's green banner via
+      // TelnetCodes): ANSI-capable clients render it, line-mode machine
+      // clients substring-match the uncolored text between the codes
+      writeLine(out, TelnetCodes.TEXT_GREEN + s"Welcome to $title!" + TelnetCodes.TEXT_RESET)
       writeLine(out, "> Common commands: help, ss, st, rtvals, raw:<id>, exit...")
       prompt(out)
-      val reader = new TelnetLineReader(socket.getInputStream)
+      val reader = new TelnetLineReader(socket.getInputStream, out)
       // per-session wizard (reference Configurator is telnet-session state)
       var wizard: Option[Configurator] = None
       var line: String = reader.readLine()
@@ -268,33 +271,117 @@ class ConsoleServer(
     out.synchronized { out.write('>'); out.flush() }
 }
 
-/** Minimal telnet-aware line reader: strips IAC negotiation sequences
-  * (0xFF + verb [+ option]) a real telnet client sends on connect, splits
-  * on LF, drops CR (`TelnetHandler` gets this from netty's codec chain).
+/** ANSI / telnet control constants (reference `io/telnet/TelnetCodes.java`
+  * — the subset the CLI layer uses).
+  */
+object TelnetCodes {
+  val IAC: Int = 0xFF
+  val ESC = "\u001b"
+  val WILL_SGA: Array[Byte] = Array(0xFF.toByte, 251.toByte, 3.toByte)
+  val WILL_ECHO: Array[Byte] = Array(0xFF.toByte, 251.toByte, 1.toByte)
+  val TEXT_RESET: String = ESC + "[0m"
+  val TEXT_GREEN: String = ESC + "[0;32m"
+  val TEXT_RED: String = ESC + "[0;31m"
+  val TEXT_YELLOW: String = ESC + "[0;33m"
+  val CLEAR_LINE_END: String = ESC + "[K"
+  def cursorLeft(n: Int): String = if (n <= 0) "" else ESC + s"[${n}D"
+}
+
+/** Telnet-aware line reader with the reference CLI's editing surface
+  * (`io/telnet/CommandLineInterface.java:34-194`): arrow-up/down command
+  * history (dedup, 20 deep, `:89-93`), left/right cursor movement,
+  * backspace and forward-delete mid-line, with server-side echo and
+  * `ESC[K`-based redraw.
+  *
+  * Editing and echo activate only once the client sends an IAC sequence —
+  * real telnet clients negotiate on connect (and get WILL ECHO/SGA back,
+  * like the reference CLI constructor, `:23-26`); line-mode machine
+  * clients never see echoes and get the plain split-on-LF behavior.
   * Lines are capped at [[TelnetLineReader.MaxLine]] bytes — a client
   * streaming bytes with no newline must not grow driver memory unbounded
   * (netty's frame decoder enforces the same limit in the reference);
   * excess bytes of an over-long line are dropped, the line still
   * terminates at its newline.
   */
-private class TelnetLineReader(in: InputStream) {
-  private val buf = new java.io.ByteArrayOutputStream
+private class TelnetLineReader(in: InputStream, out: OutputStream) {
+  private val buf = new StringBuilder
+  private var cursor = 0
+  private var telnetMode = false
+  private val history = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var histIdx = 0
+
+  private def echo(s: String): Unit = if (telnetMode) out.synchronized {
+    out.write(s.getBytes(StandardCharsets.UTF_8)); out.flush()
+  }
+
+  /** Repaint the edit line and put the terminal cursor at [[cursor]]. */
+  private def redraw(): Unit = {
+    echo("\r>" + buf.toString + TelnetCodes.CLEAR_LINE_END)
+    echo(TelnetCodes.cursorLeft(buf.length - cursor))
+  }
+
+  private def recall(adj: Int): Unit = if (history.nonEmpty) {
+    // clamp like the reference (CommandLineInterface.java:180-186)
+    histIdx = math.min(math.max(histIdx + adj, 0), history.size - 1)
+    buf.clear(); buf.append(history(histIdx))
+    cursor = buf.length
+    redraw()
+  }
+
+  private def finish(): String = {
+    // chars were accumulated byte-per-char (the editor is byte-oriented
+    // like the reference's ByteBuf); reinterpret as UTF-8 at line end
+    val r = new String(buf.toString.map(_.toByte).toArray, StandardCharsets.UTF_8)
+    if (r.nonEmpty) {
+      history -= r; history += r               // dedup, most-recent-last
+      if (history.size > 20) { history.remove(0); () }
+    }
+    histIdx = history.size
+    r
+  }
 
   def readLine(): String = {
-    buf.reset()
+    buf.clear(); cursor = 0
     var b = in.read()
     while (b != -1) {
-      if (b == 0xFF) { // IAC
+      if (b == TelnetCodes.IAC) {
         val verb = in.read()
         if (verb >= 0xFB && verb <= 0xFE) in.read() // WILL/WONT/DO/DONT <opt>
+        if (!telnetMode) {
+          telnetMode = true
+          // reference CLI negotiates char-at-a-time + server echo
+          out.synchronized {
+            out.write(TelnetCodes.WILL_SGA); out.write(TelnetCodes.WILL_ECHO)
+            out.flush()
+          }
+        }
+      } else if (b == 27) { // ESC [ <code>
+        if (in.read() == '[') in.read() match {
+          case 'A' => recall(-1) // arrow up
+          case 'B' => recall(+1) // arrow down
+          case 'C' => if (cursor < buf.length) { cursor += 1; echo(TelnetCodes.ESC + "[C") }
+          case 'D' => if (cursor > 0) { cursor -= 1; echo(TelnetCodes.ESC + "[D") }
+          case '3' => // forward delete is ESC [ 3 ~
+            in.read() // consume '~'
+            if (cursor < buf.length) { buf.deleteCharAt(cursor); redraw() }
+          case _ => ()
+        }
       } else if (b == '\n') {
-        return buf.toString(StandardCharsets.UTF_8)
-      } else if (b != '\r' && buf.size < TelnetLineReader.MaxLine) {
-        buf.write(b)
+        echo("\r\n")
+        return finish()
+      } else if (b == 127 || b == 8) { // backspace
+        if (cursor > 0) {
+          buf.deleteCharAt(cursor - 1); cursor -= 1
+          redraw()
+        }
+      } else if (b > 31 && buf.length < TelnetLineReader.MaxLine) {
+        buf.insert(cursor, b.toChar)
+        cursor += 1
+        if (cursor == buf.length) echo(b.toChar.toString) else redraw()
       }
       b = in.read()
     }
-    if (buf.size > 0) buf.toString(StandardCharsets.UTF_8) else null
+    if (buf.nonEmpty) finish() else null
   }
 }
 

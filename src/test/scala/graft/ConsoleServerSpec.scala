@@ -121,6 +121,60 @@ class ConsoleServerSpec extends AnyFunSuite {
     }
   }
 
+  test("telnet CLI: IAC negotiation, echo, backspace, arrows, history recall") {
+    val server = new ConsoleServer(spark, new GraftConsole(spark)).start()
+    val client = new Socket("127.0.0.1", server.boundPort)
+    val raw = client.getOutputStream
+    val tx = new Transcript(client)
+    def send(bytes: Int*): Unit = { bytes.foreach(b => raw.write(b)); raw.flush() }
+    def sendStr(s: String): Unit = { raw.write(s.getBytes(StandardCharsets.UTF_8)); raw.flush() }
+    try {
+      tx.awaitContains("Welcome to graft!")
+      // a real telnet client negotiates: IAC DO ECHO. The server must
+      // reply IAC WILL SGA + IAC WILL ECHO (CommandLineInterface.java:23-26)
+      send(0xFF, 0xFD, 0x01)
+      val deadline = System.currentTimeMillis() + 15000
+      while (!tx.text.contains("\ufffd") && // IAC replies are invalid UTF-8 -> replacement chars
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(tx.text.contains("\ufffd"), "no telnet negotiation reply")
+
+      // char-at-a-time with a typo fixed by backspace: "sx" BS "t" -> "st"
+      sendStr("sx")
+      tx.awaitContains("sx") // server-side echo active
+      send(127)              // backspace
+      sendStr("t")
+      sendStr("\r\n")
+      tx.awaitContains("no active streaming queries")
+
+      // arrow-up recalls "st" (history), CR runs it again
+      val before = tx.text.split("no active streaming queries", -1).length - 1
+      send(27, '[', 'A') // ESC[A
+      tx.awaitContains("\r>st") // history repaint
+      sendStr("\r\n")
+      val d2 = System.currentTimeMillis() + 15000
+      while (tx.text.split("no active streaming queries", -1).length - 1 <= before &&
+        System.currentTimeMillis() < d2) Thread.sleep(50)
+      assert(tx.text.split("no active streaming queries", -1).length - 1 == before + 1,
+        "history recall did not re-execute the command")
+
+      // cursor-left + forward-delete: type "sst", move left twice beyond
+      // the tail, delete the leading duplicate: "sst" -> left,left -> del
+      // under cursor eats one 's' -> "st"
+      sendStr("xst")
+      send(27, '[', 'D'); send(27, '[', 'D'); send(27, '[', 'D') // to col 0
+      send(27, '[', '3', '~') // ESC[3~ forward delete 'x'
+      sendStr("\r\n")
+      val d3 = System.currentTimeMillis() + 15000
+      while (tx.text.split("no active streaming queries", -1).length - 1 <= before + 1 &&
+        System.currentTimeMillis() < d3) Thread.sleep(50)
+      assert(tx.text.split("no active streaming queries", -1).length - 1 == before + 2,
+        s"edited line did not execute as st; transcript tail: ${tx.text.takeRight(200)}")
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
   test("raw: on a missing view fails; on a batch view samples") {
     import spark.implicits._
     Seq("b1", "b2").toDF("line").createOrReplaceTempView("console_srv_batch")
