@@ -299,6 +299,50 @@ object TextOps {
     else ppjoinFrom(grams, idCol, blockCol, threshold)
   }
 
+  /** Exact asymmetric-containment self-join: pairs where
+    * `|A∩B| / |A| >= t` or `|A∩B| / |B| >= t` over distinct shingle sets
+    * — the quote/subset detector Jaccard misses (a short doc embedded in
+    * a long one has low Jaccard but containment ≈ 1). Output:
+    * (doc_a, doc_b, c_ab, c_ba), ids ordered, ratios rounded to 6.
+    *
+    * Plan: candidate generation with the POSITIONAL filter, then exact
+    * verification. There is no lossless length-ratio filter here (the
+    * predicate can be satisfied through the smaller side alone, so a tiny
+    * doc inside a huge one admits any size ratio), but the positional
+    * argument survives: with every doc's grams in one canonical order,
+    * the FIRST shared gram of a qualifying pair must have at least
+    * `o = ceil(t*min(na,nb))` shared grams at-or-after it in BOTH docs —
+    * so the candidate join keeps only gram matches with
+    * `n - pos >= o` on both sides (~(1-t)² of the full pair-count load).
+    * Each surviving pair is verified exactly with one row-local
+    * `array_intersect` over the cached gram arrays — no counting shuffle
+    * at all; the distinct over candidates is the only wide exchange.
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, blockCol: String,
+      textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
+    releasePriorCaches()
+    val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
+    val e = grams
+      .select(col(idCol), col(blockCol), size(col("__g")).cast("long").as("n"),
+        explode(col("__g")).as("x"))
+      .select(col(idCol), col(blockCol), col("n"), col("x"),
+        xxhash64(col("x")).as("xh"))
+    e.as("a")
+      .join(e.as("b").hint("shuffle_hash"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col("a.xh") === col("b.xh") && col("a.x") === col("b.x") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("i"), first(col("a.n")).as("na"),
+        first(col("b.n")).as("nb"))
+      .filter(col("i") >= ceil(least(col("na"), col("nb")) * threshold - lit(1e-9)))
+      .withColumn("c_ab", col("i") * lit(1.0) / col("na"))
+      .withColumn("c_ba", col("i") * lit(1.0) / col("nb"))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c_ab"), 6).as("c_ab"), round(col("c_ba"), 6).as("c_ba"))
+  }
+
   /** LSH candidate pairs: self-join per (band, band-hash). The ONLY
     * shuffle is the band self-join — signatures come from the native
     * minhash_sig expression, which computes all k per-seed mins in one

@@ -510,6 +510,33 @@ object DedupQueries {
         "doc_id", "lang", "text", shingleSize = 2, threshold = 0.5)
     },
 
+    // Asymmetric n-gram CONTAINMENT — |A∩B| / |A| — the quote/subset
+    // detector Jaccard misses: a short doc fully embedded in a long one
+    // has low Jaccard but containment ~1 (the signal used to catch
+    // quoted/wrapped duplicates in corpus dedup). Same lossless count-join
+    // shape as dd_ngram_jaccard: the only candidate shuffle is on shared
+    // grams within a lang block; sizes join back on doc_id.
+    Q("dd_containment",
+      """WITH toks AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |e AS (SELECT doc_id, lang, unnest(g) AS x FROM bg),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.x = b.x AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(g) AS n FROM bg)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(i * 1.0 / na.n, 6) AS c_ab,
+        |  round(i * 1.0 / nb.n, 6) AS c_ba
+        |FROM inter JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
+        |WHERE i * 1.0 / na.n >= 0.6 OR i * 1.0 / nb.n >= 0.6""".stripMargin) { (s, dir) =>
+      TextOps.containmentJoin(
+        Tables.load(s, dir, "documents"),
+        "doc_id", "lang", "text", shingleSize = 2, threshold = 0.6)
+    },
+
     // Embedding-cosine near-dup within label blocks.
     Q("dd_embed_cos",
       """WITH n AS (SELECT vec_id, label, embedding,

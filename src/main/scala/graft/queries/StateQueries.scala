@@ -840,5 +840,47 @@ object StateQueries {
             element_at(col("win"), 1),
             (acc, x) => lit(0.7) * acc + lit(0.3) * x) * 1e6 + 0.5) / 1e6).as("ewma"))
     },
+
+    // Lag-1 autocorrelation per series — the stationarity probe run before
+    // choosing a forecasting/anomaly model. One key shuffle (the lag
+    // window and the aggregation share the event_type partitioning, so
+    // Spark plans a single Exchange); moments through DECIMAL(28,8) like
+    // q_corr so the sum is order-independent and engine-exact.
+    Q("ts_autocorr",
+      """WITH p AS (SELECT event_type, value AS x,
+        |    lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
+        |  FROM events)
+        |SELECT event_type,
+        |  ROUND((n * sxy - sx * sy)
+        |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr_lag1,
+        |  CAST(n AS BIGINT) AS n_pairs
+        |FROM (SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y*y AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x*y AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        |  FROM p WHERE y IS NOT NULL GROUP BY event_type)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      def dsum28(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(28, 8))).cast("double")
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value").as("x"),
+          lag("value", 1).over(w).as("y"))
+        .filter(col("y").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum28(col("x")).as("sx"), dsum28(col("y")).as("sy"),
+          dsum28(col("x") * col("x")).as("sxx"),
+          dsum28(col("y") * col("y")).as("syy"),
+          dsum28(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("autocorr_lag1"),
+          col("n").cast("long").as("n_pairs"))
+    },
   )
 }

@@ -157,6 +157,73 @@ object TextQueries {
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6))
     },
 
+    // Boilerplate fraction — share of a document's distinct 3-gram
+    // shingles that are corpus-common (df >= 5): the C4/CCNet-style
+    // signal for template/navigation text that repeats across many pages.
+    // Same two-shuffle shape as dd_span_dup (gram-df, then join-back and
+    // per-doc agg); the gram-df table is the only wide exchange and it
+    // shrinks with the df filter applied before the join at scale.
+    Q("tx_boilerplate",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS gs
+        |  FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(gs) AS x FROM g),
+        |df AS (SELECT x, count(DISTINCT doc_id) AS df FROM e GROUP BY x)
+        |SELECT e.doc_id,
+        |  count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  floor(sum(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) * 1.0 / count(*)
+        |        * 1e6 + 0.5) / 1e6 AS boilerplate_frac
+        |FROM e JOIN df ON e.x = df.x
+        |GROUP BY e.doc_id""".stripMargin) { (s, dir) =>
+      val g = Tables.load(s, dir, "documents")
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), TextOps.shingles(col("w"), 3).as("gs"))
+      val e = g.select(col("doc_id"), explode(col("gs")).as("x"))
+      val df = e.groupBy("x").agg(countDistinct("doc_id").as("df"))
+      e.join(df, "x")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 5, 1).otherwise(0)).as("n_common"))
+        .select(col("doc_id"), col("n_shingles"), col("n_common"),
+          (floor(col("n_common").cast("double") / col("n_shingles")
+            * 1e6 + 0.5) / 1e6).as("boilerplate_frac"))
+    },
+
+    // Nucleus (top-p) data selection — per language, keep the
+    // highest-scoring documents until their cumulative score reaches p of
+    // the language's total (the quality-weighted counterpart of top-k:
+    // rich languages keep more docs, thin ones keep what crosses the
+    // mass). Score = distinct-token count (vocabulary richness), integer
+    // throughout, so the cumulative window is exact in both engines. One
+    // shuffle on lang for the two windows.
+    Q("pl_topp_select",
+      """WITH sc AS (SELECT doc_id, lang,
+        |    len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS score
+        |  FROM documents),
+        |w AS (SELECT doc_id, lang, score,
+        |    sum(score) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(score) OVER (PARTITION BY lang) AS tot,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, lang, score, rnk
+        |FROM w WHERE cum - score < 0.5 * tot""".stripMargin) { (s, dir) =>
+      val sc = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("score"))
+      val ord = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+      val sc2 = sc
+        .withColumn("cum", sum("score").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum("score").over(Window.partitionBy("lang")))
+        .withColumn("rnk", row_number().over(ord))
+      sc2.filter(col("cum") - col("score") < lit(0.5) * col("tot"))
+        .select(col("doc_id"), col("lang"), col("score"), col("rnk"))
+    },
+
     // Per-document top-3 salient terms by tf-idf. The idf uses the exact
     // rational form tf*N/df (single IEEE division of exact integers, so
     // both engines produce bit-identical doubles — no ln() drift).
