@@ -197,4 +197,23 @@ class PlanSpec2 extends AnyFunSuite {
     assert(p.contains("hashpartitioning(source"), s"not sharded on source:\n$p")
     assert(!p.contains("SinglePartition"), s"serializes through one partition:\n$p")
   }
+
+  test("ts_autocorr and pl_topp_select: the window and the downstream op share ONE key shuffle") {
+    Seq("ts_autocorr" -> "event_type", "pl_topp_select" -> "lang").foreach {
+      case (q, key) =>
+        val p = plan(q)
+        assert(raw"\(\d+\) Exchange".r.findAllIn(p).size == 1,
+          s"$q expected exactly 1 exchange (lag window + agg/windows co-partitioned):\n$p")
+        assert(p.contains(s"hashpartitioning($key"), s"$q not keyed on $key:\n$p")
+        assert(!p.contains("SinglePartition"), s"$q serializes:\n$p")
+    }
+  }
+
+  test("dd_containment: inverted-index count-join, no cartesian, pair agg is the wide exchange") {
+    val p = plan("dd_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment degenerated to a cross join:\n$p")
+    // strict gram equality stays in the join condition next to the hash
+    assert(p.contains("xxhash64"), s"no hashed leading join key:\n$p")
+  }
 }
