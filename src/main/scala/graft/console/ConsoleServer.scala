@@ -123,6 +123,7 @@ class ConsoleServer(
     sessions.forEach(s => try s.close() catch { case _: Exception => })
     pumps.values.forEach(q => try q.stop() catch { case _: Exception => })
     pumps.clear()
+    pumpCheckpoints.keySet().forEach(dropCheckpoint)
   }
 
   // ---- per-session ----------------------------------------------------
@@ -202,8 +203,27 @@ class ConsoleServer(
       if (!hub.hasListeners(id)) {
         pumps.remove(id, q)
         try q.stop() catch { case _: Exception => () }
+        dropCheckpoint(id)
       }
     }
+
+  /** Temp checkpoint dirs per pump, deleted when the pump is reaped —
+    * a long-lived console session must not accrete one /tmp tree per
+    * once-subscribed view.
+    */
+  private val pumpCheckpoints = new ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def dropCheckpoint(id: String): Unit = {
+    val dir = pumpCheckpoints.remove(id)
+    if (dir != null) {
+      try {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      } catch { case _: java.io.IOException => () }
+    }
+  }
 
   /** `raw:<id>[,N]`: live-attach for streaming views, sample for batch. */
   private def subscribe(cmd: String, target: String => Unit): String = {
@@ -244,8 +264,9 @@ class ConsoleServer(
       val df = spark.table(id)
       val lineCol =
         if (df.columns.contains("line")) "line" else df.columns.head
-      val checkpoint =
-        java.nio.file.Files.createTempDirectory(s"graft-hub-$id").toString
+      val checkpointDir = java.nio.file.Files.createTempDirectory(s"graft-hub-$id")
+      pumpCheckpoints.put(id, checkpointDir)
+      val checkpoint = checkpointDir.toString
       df.writeStream
         .queryName(s"graft_hub_$id")
         .trigger(Trigger.ProcessingTime(100))

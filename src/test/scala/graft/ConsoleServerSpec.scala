@@ -88,10 +88,19 @@ class ConsoleServerSpec extends AnyFunSuite {
     val client = new Socket("127.0.0.1", server.boundPort)
     val out = new PrintWriter(client.getOutputStream, true)
     val tx = new Transcript(client)
+    def hubCheckpointDirs(): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir")))
+      try s.map[String](_.getFileName.toString).toArray.map(_.toString)
+        .filter(_.startsWith("graft-hub-console_srv_sensor")).toSet
+      finally s.close()
+    }
     try {
       tx.awaitContains("Welcome")
+      val dirsBefore = hubCheckpointDirs() // stale dirs from older runs
       out.println("raw:console_srv_sensor")
       tx.awaitContains("Request for raw:console_srv_sensor ok")
+      assert(hubCheckpointDirs().size > dirsBefore.size, "pump created no checkpoint")
       // subscription started the pump query, which connects to the sensor
       val deadline = System.currentTimeMillis() + 15000
       while (sensorOut == null && System.currentTimeMillis() < deadline)
@@ -110,6 +119,13 @@ class ConsoleServerSpec extends AnyFunSuite {
       Thread.sleep(1500) // give the pump time to (wrongly) push
       assert(!tx.text.contains("$GPGGA,fix,3"),
         "line arrived after unsubscribe")
+      // last listener detached -> the pump query was reaped and its temp
+      // checkpoint dir deleted (no /tmp accretion per once-subscribed view)
+      assert(!spark.streams.active.exists(q =>
+        Option(q.name).exists(_ == "graft_hub_console_srv_sensor")),
+        "pump query still running after last listener detached")
+      assert(hubCheckpointDirs() == dirsBefore,
+        "pump checkpoint dir leaked after last listener detached")
       // the session is still a working console after unsubscribing
       out.println("SELECT 'still-alive' AS tag")
       tx.awaitContains("still-alive")
