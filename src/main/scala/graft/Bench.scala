@@ -55,6 +55,103 @@ object Bench {
     // comparison operator can't start a match.
     .replaceAll("\\[[^\\]\\n]*\\.\\.\\.", "[...")
     .replaceAll("struct<[^>\\n]*\\.\\.\\.", "struct<...")
+    // RewriteDistinctAggregates numbers its gid groups by iterating a map
+    // keyed on expr-ids (a session-global counter): two sessions render the
+    // SAME multi-countDistinct plan with the distinct columns swapped and
+    // gid 1<->2. The affected lists are commutative — grouping keys,
+    // hash-partitioning keys, aggregate-function lists, Expand projection
+    // sets — so canonicalize them by sorting (see canonCommutative).
+    .replaceAll("\\(gid# = \\d+\\)", "(gid# = _)")
+    .split("\n", -1).map(canonCommutative).mkString("\n")
+
+  /** Sort the top-level elements of the commutative lists a physical-plan
+    * line renders: `keys=[...]`, `functions=[...]`, `hashpartitioning(...)`
+    * (all but the trailing partition count), and on Expand lines both the
+    * projection-set brackets (element multiset per projection — positions
+    * are tied to the output list, which itself is reordered) and the output
+    * attribute list. Order-significant lists (Sort keys, rangepartitioning,
+    * Project output) are deliberately untouched.
+    */
+  private[graft] def canonCommutative(line0: String): String = {
+    var line = line0
+    line = canonMarker(line, "keys=[", dropLast = false, deep = false)
+    line = canonMarker(line, "functions=[", dropLast = false, deep = false)
+    line = canonMarker(line, "hashpartitioning(", dropLast = true, deep = false)
+    if (line.contains("Expand [")) {
+      line = canonMarker(line, "Expand [", dropLast = false, deep = true)
+      line = canonMarker(line, "], [", dropLast = false, deep = false)
+    }
+    line
+  }
+
+  /** Rewrite every `marker`-introduced balanced bracket group in `line` with
+    * its top-level comma elements sorted. `dropLast` keeps the final element
+    * in place (hashpartitioning's partition count); `deep` additionally
+    * sorts inside `[...]` sub-elements and collapses bare integer literals
+    * (Expand gid values, which drift with the group numbering) to `_`.
+    */
+  private def canonMarker(line: String, marker: String,
+      dropLast: Boolean, deep: Boolean): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < line.length) {
+      val at = line.indexOf(marker, i)
+      val open = if (at < 0) -1 else at + marker.length - 1
+      val close = if (open < 0) -1 else balancedEnd(line, open)
+      if (close < 0) { sb.append(line.substring(i)); i = line.length }
+      else {
+        sb.append(line.substring(i, open + 1))
+        val parts = splitTop(line.substring(open + 1, close))
+        val items =
+          if (!deep) parts
+          else parts.map { p =>
+            if (p.length > 1 && p.head == '[' && p.last == ']')
+              splitTop(p.substring(1, p.length - 1))
+                .map(e => if (e.forall(_.isDigit)) "_" else e)
+                .sorted.mkString("[", ", ", "]")
+            else p
+          }
+        val sorted =
+          if (dropLast && items.nonEmpty) items.init.sorted :+ items.last
+          else items.sorted
+        sb.append(sorted.mkString(", ")).append(line.charAt(close))
+        i = close + 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Index of the bracket/paren matching the one at `start`, or -1. */
+  private def balancedEnd(s: String, start: Int): Int = {
+    var depth = 0
+    var i = start
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '[' | '(' => depth += 1
+        case ']' | ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on top-level commas (bracket/paren nesting respected), trimmed. */
+  private def splitTop(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach { c =>
+      c match {
+        case '[' | '(' => depth += 1; sb.append(c)
+        case ']' | ')' => depth -= 1; sb.append(c)
+        case ',' if depth == 0 => out += sb.result().trim; sb.clear()
+        case _ => sb.append(c)
+      }
+    }
+    out += sb.result().trim
+    out.toArray
+  }
 
   private[graft] def md5Hex(s: String): String = {
     val md5 = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -672,5 +672,100 @@ object DedupQueries {
         .filter(col("rn") <= 10)
         .select(col("qid"), col("vec_id"), col("rn"), col("cos_r"))
     },
+
+    // Mutual k-NN graph over embeddings within label blocks: edge (a,b)
+    // exists iff each endpoint ranks in the OTHER's top-k by cosine —
+    // the neighborhood graph SemDeDup-style cluster passes and dataset
+    // cartography consume. Ranking is on the ROUNDED cosine (ties broken
+    // by neighbor id) so the top-k boundary is engine-exact, and the
+    // label blocking is the same cell strategy dd_semantic uses: the
+    // candidate join never crosses blocks, so at corpus scale the only
+    // shuffle is on the block key.
+    Q("v_knn_graph",
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nrm
+        |  FROM embeddings),
+        |s AS (SELECT a.label, a.vec_id AS qid, b.vec_id AS nid,
+        |    round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                    for i in range(1, 65)]) / (a.nrm * b.nrm), 6) AS cos_r
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |k AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, nid) AS rn
+        |  FROM s) t WHERE rn <= 5)
+        |SELECT x.label AS label, x.qid AS vec_a, x.nid AS vec_b, x.cos_r AS cos_r
+        |FROM k x JOIN k y ON x.qid = y.nid AND x.nid = y.qid AND x.qid < x.nid""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
+      val a = e.select(col("label"), col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
+      val knn = a
+        .join(e.select(col("label"), col("vec_id").as("nid"),
+          col("embedding"), col("nrm")), Seq("label"))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("cos_r",
+          round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("label"), col("qid"), col("nid"), col("cos_r"))
+      knn.as("x").join(knn.as("y"),
+          col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid") &&
+            col("x.qid") < col("x.nid"))
+        .select(col("x.label").as("label"), col("x.qid").as("vec_a"),
+          col("x.nid").as("vec_b"), col("x.cos_r").as("cos_r"))
+    },
+
+    // Per-label embedding outlier score: Euclidean distance to the
+    // label's exact-decimal centroid, z-scored against the label's
+    // distance distribution (decimal moments over the ROUNDED distance,
+    // so both engines standardize identical operands). The cartography
+    // gate for mislabeled/atypical vectors; centroids and per-label
+    // stats are k-row broadcasts, the corpus is scanned twice with no
+    // wide exchange beyond the two tiny aggs.
+    Q("v_outliers",
+      """WITH m AS (SELECT label, s.d AS dim,
+        |    CAST(SUM(CAST(CAST(s.v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+        |      / count(*) AS mv
+        |  FROM (SELECT label,
+        |      unnest([{'d': i, 'v': embedding[i]} for i in range(1, 65)]) AS s
+        |    FROM embeddings) GROUP BY label, s.d),
+        |c AS (SELECT label, list(mv ORDER BY dim) AS cent FROM m GROUP BY label),
+        |d AS (SELECT e.vec_id, e.label,
+        |    round(sqrt(list_sum([
+        |      (e.embedding[i]::DOUBLE - c.cent[i]) * (e.embedding[i]::DOUBLE - c.cent[i])
+        |      for i in range(1, 65)])), 6) AS dist
+        |  FROM embeddings e JOIN c ON e.label = c.label),
+        |st AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(dist AS DECIMAL(28,8))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(dist*dist AS DECIMAL(28,8))) AS DOUBLE) AS sdd
+        |  FROM d GROUP BY label)
+        |SELECT d.vec_id, d.label, d.dist,
+        |  round((d.dist - sd / n) / sqrt(sdd / n - (sd / n) * (sd / n)), 6) AS z
+        |FROM d JOIN st ON d.label = st.label""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .groupBy("label", "p")
+        .agg((sum(col("v").cast("double").cast(DecimalType(28, 8))).cast("double")
+          / count(lit(1))).as("mv"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("p"), col("mv")))),
+          f => f.getField("mv")).as("cent"))
+      val dist = e.join(broadcast(cent), "label")
+        .withColumn("dist", round(sqrt(aggregate(
+          zip_with(col("embedding"), col("cent"),
+            (v, m) => (v.cast("double") - m) * (v.cast("double") - m)),
+          lit(0.0), (acc, x) => acc + x)), 6))
+        .select(col("vec_id"), col("label"), col("dist"))
+      val st = dist.groupBy("label")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("dist").cast(DecimalType(28, 8))).cast("double").as("sd"),
+          sum((col("dist") * col("dist")).cast(DecimalType(28, 8))).cast("double").as("sdd"))
+      dist.join(broadcast(st), "label")
+        .select(col("vec_id"), col("label"), col("dist"),
+          round((col("dist") - col("sd") / col("n"))
+            / sqrt(col("sdd") / col("n")
+              - (col("sd") / col("n")) * (col("sd") / col("n"))), 6).as("z"))
+    },
   )
 }

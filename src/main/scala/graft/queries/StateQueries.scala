@@ -882,5 +882,91 @@ object StateQueries {
             .as("autocorr_lag1"),
           col("n").cast("long").as("n_pairs"))
     },
+
+    // Next-event Markov transition matrix: per user each event paired
+    // with its successor by time, then P(dst | src) over the corpus —
+    // the path-analysis twin of q_funnel_steps (which checks ONE ordered
+    // pattern; this summarizes ALL observed transitions). One key
+    // shuffle on user_id for the lead window; the (src,dst) agg output
+    // is |types|² rows, so the second exchange is negligible at any SF.
+    Q("q_markov",
+      """WITH p AS (SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (SELECT src, dst, count(*) AS n FROM p
+        |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS p
+        |FROM c""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ws = Window.partitionBy("src")
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("src"),
+          lead("event_type", 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") * lit(1.0) / sum(col("n")).over(ws), 6))
+    },
+
+    // Single changepoint per series (binary segmentation's first split):
+    // the split index minimizing SSE_left + SSE_right over the
+    // time-ordered values, with a 5-point minimum segment. Prefix sums
+    // and totals go through DECIMAL(28,8) so every cost is computed from
+    // engine-exact operands (the argmin compares identical doubles; ties
+    // break to the earliest index). One key shuffle — the running-sum
+    // window, the partition totals, and the argmin rank all share the
+    // event_type partitioning, so Spark plans a single Exchange.
+    Q("ts_changepoint",
+      """WITH o AS (SELECT event_type,
+        |    row_number() OVER w AS i,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value*value AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s2,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,8)))
+        |         OVER (PARTITION BY event_type) AS DOUBLE) AS t1,
+        |    CAST(SUM(CAST(value*value AS DECIMAL(28,8)))
+        |         OVER (PARTITION BY event_type) AS DOUBLE) AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT event_type, i, n,
+        |    (s2 - s1 * s1 / i) + ((t2 - s2) - (t1 - s1) * (t1 - s1) / (n - i)) AS cost,
+        |    s1 / i AS ml, (t1 - s1) / (n - i) AS mr
+        |  FROM o WHERE i >= 5 AND i <= n - 5),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cost, i) AS rn
+        |      FROM c)
+        |SELECT event_type, i AS split_idx, CAST(n AS BIGINT) AS n,
+        |  round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
+        |  round(cost, 6) AS cost
+        |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val wc = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy("event_type")
+      val o = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          row_number().over(Window.partitionBy("event_type")
+            .orderBy(col("ts"), col("event_id"))).cast("long").as("i"),
+          dsumOver(col("value"), wc).as("s1"),
+          dsumOver(col("value") * col("value"), wc).as("s2"),
+          count(lit(1)).over(wa).as("n"),
+          dsumOver(col("value"), wa).as("t1"),
+          dsumOver(col("value") * col("value"), wa).as("t2"))
+      val c = o.filter(col("i") >= 5 && col("i") <= col("n") - 5)
+        .select(col("event_type"), col("i"), col("n"),
+          ((col("s2") - col("s1") * col("s1") / col("i"))
+            + ((col("t2") - col("s2"))
+              - (col("t1") - col("s1")) * (col("t1") - col("s1"))
+                / (col("n") - col("i")))).as("cost"),
+          (col("s1") / col("i")).as("ml"),
+          ((col("t1") - col("s1")) / (col("n") - col("i"))).as("mr"))
+      c.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("cost"), col("i"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("i").as("split_idx"),
+          col("n").cast("long").as("n"),
+          round(col("ml"), 6).as("mean_left"),
+          round(col("mr"), 6).as("mean_right"),
+          round(col("cost"), 6).as("cost"))
+    },
   )
 }

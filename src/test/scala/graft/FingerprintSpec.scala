@@ -39,6 +39,28 @@ class FingerprintSpec extends AnyFunSuite {
     assert(Bench.normalizePlan(a) == Bench.normalizePlan(b))
   }
 
+  test("normalizer canonicalizes RewriteDistinctAggregates gid/column order") {
+    // Verbatim drift observed in-suite for q_distinct: two fresh sessions,
+    // same code and data, but the rule numbers gid groups by iterating a
+    // map keyed on expr-ids, so the distinct columns swap and gid flips.
+    val run1 =
+      """+- HashAggregate(keys=[l_returnflag#], functions=[partial_count(l_partkey#L) FILTER (WHERE (gid# = 2)), partial_count(l_suppkey#L) FILTER (WHERE (gid# = 1))])
+        |   +- HashAggregate(keys=[l_returnflag#, l_suppkey#L, l_partkey#L, gid#], functions=[])
+        |      +- Exchange hashpartitioning(l_returnflag#, l_suppkey#L, l_partkey#L, gid#, 4), ENSURE_REQUIREMENTS, [plan_id=]
+        |         +- HashAggregate(keys=[l_returnflag#, l_suppkey#L, l_partkey#L, gid#], functions=[])
+        |            +- Expand [[l_returnflag#, l_suppkey#L, null, 1], [l_returnflag#, null, l_partkey#L, 2]], [l_returnflag#, l_suppkey#L, l_partkey#L, gid#]""".stripMargin
+    val run2 =
+      """+- HashAggregate(keys=[l_returnflag#], functions=[partial_count(l_partkey#L) FILTER (WHERE (gid# = 1)), partial_count(l_suppkey#L) FILTER (WHERE (gid# = 2))])
+        |   +- HashAggregate(keys=[l_returnflag#, l_partkey#L, l_suppkey#L, gid#], functions=[])
+        |      +- Exchange hashpartitioning(l_returnflag#, l_partkey#L, l_suppkey#L, gid#, 4), ENSURE_REQUIREMENTS, [plan_id=]
+        |         +- HashAggregate(keys=[l_returnflag#, l_partkey#L, l_suppkey#L, gid#], functions=[])
+        |            +- Expand [[l_returnflag#, l_partkey#L, null, 1], [l_returnflag#, null, l_suppkey#L, 2]], [l_returnflag#, l_partkey#L, l_suppkey#L, gid#]""".stripMargin
+    assert(Bench.normalizePlan(run1) == Bench.normalizePlan(run2))
+    // ...but a genuinely different aggregation (extra key) stays distinct
+    val other = run1.replace("keys=[l_returnflag#]", "keys=[l_returnflag#, l_linestatus#]")
+    assert(Bench.normalizePlan(run1) != Bench.normalizePlan(other))
+  }
+
   test("normalizer still distinguishes genuinely different plans") {
     val a = "*(1) HashAggregate(keys=[k#], functions=[sum(v#)])"
     val b = "*(1) SortAggregate(keys=[k#], functions=[sum(v#)])"
@@ -46,8 +68,7 @@ class FingerprintSpec extends AnyFunSuite {
   }
 
   test("fingerprints are identical across two fresh sessions for every query") {
-    import org.apache.spark.sql.SparkSession
-    def freshFingerprints(): Map[String, String] = {
+    def freshFingerprints(): Map[String, (String, String)] = {
       // getOrCreate would hand back the shared test session; build a truly
       // fresh one (new session state, new expr-id counters) off a new config
       val s = SparkTestSession.spark.newSession()
@@ -60,13 +81,32 @@ class FingerprintSpec extends AnyFunSuite {
       // test-harness artifact a fresh JVM (the case under test) never sees
       s.catalog.clearCache()
       SparkEntry.queries.map { case (name, fn) =>
-        name -> Bench.planFingerprint(fn(s, sf))
+        val norm = Bench.normalizePlan(fn(s, sf).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("simple")))
+        name -> (Bench.md5Hex(norm), norm)
       }
+    }
+    // Leaked background activity from earlier suites (a pump still draining,
+    // an async unpersist) mutates the context-global cache manager between
+    // the two runs and can substitute an InMemoryRelation into exactly one
+    // of them — a test-harness race, not a normalizer defect (Bench runs
+    // alone in its own JVM). Quiesce first.
+    SparkTestSession.spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
     }
     val run1 = freshFingerprints()
     val run2 = freshFingerprints()
-    val diff = run1.keys.filter(k => run1(k) != run2(k)).toSeq.sorted
-    assert(diff.isEmpty, s"fingerprint drift across sessions: $diff")
+    val diff = run1.keys.filter(k => run1(k)._1 != run2(k)._1).toSeq.sorted
+    // On drift, persist both normalized plans — the failure message alone
+    // ("hashes differ") is undiagnosable after the session ends.
+    diff.foreach { k =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/tmp/fpdrift_${k}_1.txt"), run1(k)._2)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/tmp/fpdrift_${k}_2.txt"), run2(k)._2)
+    }
+    assert(diff.isEmpty,
+      s"fingerprint drift across sessions: $diff (plans in /tmp/fpdrift_*)")
     assert(run1.size == SparkEntry.queries.size)
   }
 }

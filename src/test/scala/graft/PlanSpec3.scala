@@ -65,6 +65,31 @@ class PlanSpec3 extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a sort:\n$p")
   }
 
+  test("ts_changepoint: prefix sums, totals and argmin share ONE exchange") {
+    val p = plan("ts_changepoint")
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("Join"), s"changepoint must not join:\n$p")
+  }
+
+  test("q_markov: lead window + transition agg, no joins") {
+    val p = plan("q_markov")
+    assert(!p.contains("Join"), s"markov must not join:\n$p")
+    assert(exchanges(p) <= 3, s"markov shuffles too much:\n$p")
+  }
+
+  test("v_knn_graph: candidate join stays inside label blocks") {
+    val p = plan("v_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"knn graph degenerated to all-pairs:\n$p")
+  }
+
+  test("v_outliers: centroids and label stats reach the corpus by broadcast") {
+    val p = plan("v_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-side shuffle join crept in:\n$p")
+  }
+
   test("q_null_semantics: all three not-matched spellings plan as hash anti joins") {
     val p = plan("q_null_semantics")
     // NOT IN (nullable), NOT IN (clean), NOT EXISTS — each becomes a
