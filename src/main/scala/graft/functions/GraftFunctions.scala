@@ -34,6 +34,7 @@ object GraftFunctions {
   def znorm_dist(win: Column, pattern: Column): Column = c(ZNormDist(e(win), e(pattern)))
   def tokens_ws(text: Column): Column = c(TokensWs(e(text)))
   def count_in_set(toks: Column, set: Column): Column = c(CountInSet(e(toks), e(set)))
+  def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
   def minhash_sig(shingles: Column, k: Column): Column = c(MinHashSig(e(shingles), e(k)))
 
   /** Distributed bloom-filter build over xxhash64 of a column: map-side
@@ -131,6 +132,7 @@ object GraftFunctions {
     one("znorm_dist", a => ZNormDist(a(0), a(1)))
     one("tokens_ws", a => TokensWs(a.head))
     one("count_in_set", a => CountInSet(a(0), a(1)))
+    one("nfc_normalize", a => NfcNormalize(a.head))
     one("minhash_sig", a => MinHashSig(a(0), a(1)))
     def macroFn(name: String, arity: Int, render: Seq[String] => String): Unit = {
       val names = (0 until arity).map(i => s"__arg$i")

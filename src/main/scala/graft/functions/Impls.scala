@@ -419,4 +419,15 @@ object Impls {
     }
     InternalRow(slave, func, new GenericArrayData(regs), crcOk)
   }
+
+  /** Unicode NFC normalization (canonical composition). Already-normalized
+    * strings (the overwhelmingly common case — Normalizer.isNormalized is a
+    * cheap scan) return the input UTF8String without re-encoding.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -767,5 +767,151 @@ object DedupQueries {
             / sqrt(col("sdd") / col("n")
               - (col("sd") / col("n")) * (col("sd") / col("n"))), 6).as("z"))
     },
+
+    // Train/test split leakage: assign the deterministic md5 split
+    // (q_split_assign's exact rule), then count each TEST doc's distinct
+    // 5-gram shingles that also occur in any TRAIN doc — the
+    // decontamination check run before every eval. One gram-key shuffle
+    // joins test grams against the distinct train-gram set (at corpus
+    // scale, pre-filter the probe with q_bloom_semi's sketch — the join
+    // key and plan shape stay the same); per-doc totals ride the cached
+    // shingle explode, never a second tokenize.
+    Q("dd_cross_split_leak",
+      """WITH s AS (SELECT doc_id, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |toks AS (SELECT doc_id, split,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM s),
+        |g AS (SELECT doc_id, split,
+        |    list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]) AS gs
+        |  FROM toks WHERE len(w) >= 5),
+        |e AS (SELECT doc_id, split, unnest(gs) AS gram FROM g),
+        |tr AS (SELECT DISTINCT gram FROM e WHERE split = 'train'),
+        |leak AS (SELECT e.doc_id, count(*) AS n_leaked
+        |  FROM e JOIN tr USING (gram) WHERE e.split = 'test' GROUP BY e.doc_id),
+        |tot AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams
+        |  FROM g WHERE split = 'test')
+        |SELECT tot.doc_id, n_grams,
+        |  CAST(COALESCE(n_leaked, 0) AS BIGINT) AS n_leaked,
+        |  round(COALESCE(n_leaked, 0) * 1.0 / n_grams, 6) AS leak_ratio
+        |FROM tot LEFT JOIN leak USING (doc_id)""".stripMargin) { (s, dir) =>
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val g = Tables.load(s, dir, "documents")
+        .withColumn("split",
+          when(h < "d", "train").when(h < "f", "val").otherwise("test"))
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), col("split"),
+          TextOps.shingles(col("w"), 5).as("gs"))
+      val e = g.select(col("doc_id"), col("split"),
+        explode(col("gs")).as("gram")).cache()
+      val tr = e.filter(col("split") === "train").select("gram").distinct()
+      val leak = e.filter(col("split") === "test")
+        .join(tr, "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+      g.filter(col("split") === "test")
+        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+        .join(leak, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+          round(coalesce(col("n_leaked"), lit(0L)) * lit(1.0) / col("n_grams"), 6)
+            .as("leak_ratio"))
+    },
+
+    // PageRank (damping 0.85, 3 unrolled iterations) over the mutual
+    // k-NN graph — centrality over the embedding neighborhood graph,
+    // the prototype-vs-fringe signal SemDeDup-style curation keeps. The
+    // iteration is the honest distributed shape: one edges-by-source
+    // join + one by-destination agg per round (2 exchanges each, never a
+    // cartesian), with the edge list cached so the cosine k-NN is built
+    // once. Ranks are quantized to 12 dp between rounds and the incoming
+    // mass summed through DECIMAL, so both engines iterate identical
+    // operands; dangling-node mass is dropped (plain PR, documented).
+    Q("v_pagerank",
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nrm
+        |  FROM embeddings),
+        |s AS (SELECT a.label, a.vec_id AS qid, b.vec_id AS nid,
+        |    round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                    for i in range(1, 65)]) / (a.nrm * b.nrm), 6) AS cos_r
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |k AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, nid) AS rn
+        |  FROM s) t WHERE rn <= 5),
+        |mu AS (SELECT x.label, x.qid AS a, x.nid AS b
+        |  FROM k x JOIN k y ON x.qid = y.nid AND x.nid = y.qid),
+        |deg AS (SELECT a, count(*) AS outdeg FROM mu GROUP BY a),
+        |nn AS (SELECT label, count(*) AS n_nodes FROM n GROUP BY label),
+        |r0 AS (SELECT n.vec_id, n.label, nn.n_nodes,
+        |    round(CAST(1 AS DOUBLE) / nn.n_nodes, 12) AS r
+        |  FROM n JOIN nn USING (label)),
+        |c1 AS (SELECT mu.b AS vec_id,
+        |    CAST(SUM(CAST(round(r0.r / deg.outdeg, 12) AS DECIMAL(28,14))) AS DOUBLE) AS m
+        |  FROM mu JOIN r0 ON r0.vec_id = mu.a JOIN deg ON deg.a = mu.a GROUP BY mu.b),
+        |r1 AS (SELECT r0.vec_id, r0.label, r0.n_nodes,
+        |    round(CAST(0.15 AS DOUBLE) / r0.n_nodes
+        |      + CAST(0.85 AS DOUBLE) * COALESCE(c1.m, 0), 12) AS r
+        |  FROM r0 LEFT JOIN c1 USING (vec_id)),
+        |c2 AS (SELECT mu.b AS vec_id,
+        |    CAST(SUM(CAST(round(r1.r / deg.outdeg, 12) AS DECIMAL(28,14))) AS DOUBLE) AS m
+        |  FROM mu JOIN r1 ON r1.vec_id = mu.a JOIN deg ON deg.a = mu.a GROUP BY mu.b),
+        |r2 AS (SELECT r1.vec_id, r1.label, r1.n_nodes,
+        |    round(CAST(0.15 AS DOUBLE) / r1.n_nodes
+        |      + CAST(0.85 AS DOUBLE) * COALESCE(c2.m, 0), 12) AS r
+        |  FROM r1 LEFT JOIN c2 USING (vec_id)),
+        |c3 AS (SELECT mu.b AS vec_id,
+        |    CAST(SUM(CAST(round(r2.r / deg.outdeg, 12) AS DECIMAL(28,14))) AS DOUBLE) AS m
+        |  FROM mu JOIN r2 ON r2.vec_id = mu.a JOIN deg ON deg.a = mu.a GROUP BY mu.b),
+        |r3 AS (SELECT r2.vec_id, r2.label, r2.n_nodes,
+        |    round(CAST(0.15 AS DOUBLE) / r2.n_nodes
+        |      + CAST(0.85 AS DOUBLE) * COALESCE(c3.m, 0), 12) AS r
+        |  FROM r2 LEFT JOIN c3 USING (vec_id))
+        |SELECT r3.vec_id, r3.label, round(r3.r, 6) AS pr,
+        |  CAST(COALESCE(deg.outdeg, 0) AS BIGINT) AS degree
+        |FROM r3 LEFT JOIN deg ON deg.a = r3.vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
+      val a = e.select(col("label"), col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
+      val knn = a
+        .join(e.select(col("label"), col("vec_id").as("nid"),
+          col("embedding"), col("nrm")), Seq("label"))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("cos_r",
+          round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("nid"))
+      // mutual edges, both orientations; cached — three iterations reuse it
+      val mu = knn.as("x").join(knn.as("y"),
+          col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
+        .select(col("x.qid").as("a"), col("x.nid").as("b"))
+        .cache()
+      val deg = mu.groupBy("a").agg(count(lit(1)).as("outdeg"))
+      val ed = mu.join(deg, "a")
+      val nodes = e.select(col("vec_id"), col("label"))
+        .join(Tables.load(s, dir, "embeddings").groupBy("label")
+          .agg(count(lit(1)).as("n_nodes")), "label")
+      val r0 = nodes.withColumn("r",
+        round(lit(1.0) / col("n_nodes"), 12))
+      def iterate(rk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val contrib = ed
+          .join(rk.select(col("vec_id").as("a"), col("r")), "a")
+          .groupBy(col("b").as("vec_id"))
+          .agg(sum(round(col("r") / col("outdeg"), 12)
+            .cast(DecimalType(28, 14))).cast("double").as("m"))
+        rk.drop("r").join(contrib, Seq("vec_id"), "left")
+          .withColumn("r", round(lit(0.15) / col("n_nodes")
+            + lit(0.85) * coalesce(col("m"), lit(0.0)), 12))
+          .drop("m")
+      }
+      val r3 = iterate(iterate(iterate(r0)))
+      r3.join(deg.withColumnRenamed("a", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), round(col("r"), 6).as("pr"),
+          coalesce(col("outdeg"), lit(0L)).as("degree"))
+    },
   )
 }

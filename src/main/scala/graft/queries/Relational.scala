@@ -756,5 +756,39 @@ object Relational {
           min(col("l_quantity")).cast("double").as("min_qty"),
           max(col("l_quantity")).cast("double").as("max_qty"))
     },
+
+    // RFM quintile scoring (recency / frequency / monetary), the classic
+    // customer-segmentation op. Quintiles are per-nation, not global — a
+    // global ntile needs a single-partition window, which dies at scale;
+    // per-nation keeps the window partitioned while the nation dimension
+    // reaches the per-customer aggregate by broadcast. Monetary sums run
+    // through DECIMAL (order-independent); every ntile ordering carries a
+    // custkey tiebreak so both engines bucket identically.
+    Q("q_rfm",
+      """WITH cu AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT c.c_custkey, c.c_nationkey, cu.last_order, cu.freq, cu.mon
+        |  FROM cu JOIN customer c ON c.c_custkey = cu.o_custkey)
+        |SELECT c_custkey, freq, round(mon, 4) AS monetary,
+        |  ntile(5) OVER (PARTITION BY c_nationkey ORDER BY last_order, c_custkey) AS r_score,
+        |  ntile(5) OVER (PARTITION BY c_nationkey ORDER BY freq, c_custkey) AS f_score,
+        |  ntile(5) OVER (PARTITION BY c_nationkey ORDER BY mon, c_custkey) AS m_score
+        |FROM j""".stripMargin) { (s, dir) =>
+      val cu = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("mon"))
+      val j = cu.join(
+        broadcast(Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("c_custkey") === col("o_custkey"))
+      def q(order: String) = ntile(5).over(
+        Window.partitionBy("c_nationkey").orderBy(col(order), col("c_custkey")))
+      j.select(col("c_custkey"), col("freq"), round(col("mon"), 4).as("monetary"),
+        q("last_order").as("r_score"), q("freq").as("f_score"), q("mon").as("m_score"))
+    },
   )
 }

@@ -968,5 +968,43 @@ object StateQueries {
           round(col("mr"), 6).as("mean_right"),
           round(col("cost"), 6).as("cost"))
     },
+
+    // Robust per-series anomaly gate: median / MAD (median absolute
+    // deviation), flagging |v - med| > 3σ with σ = 1.4826·MAD — the
+    // outlier filter that, unlike mean/stdev (st_cusum's basis), a burst
+    // of anomalies cannot drag. Exact medians interpolate identically in
+    // both engines; med and dev are quantized to 9 dp before the second
+    // median and the threshold compare so both engines rank identical
+    // operands. Per-type stats (25 rows) broadcast back to the corpus —
+    // the only wide exchanges are the two per-type aggs. (At 100 TB swap
+    // the exact median for approx_percentile — the q_approx_percentile
+    // twin — the plan shape is unchanged.)
+    Q("ts_anomaly_mad",
+      """WITH st AS (SELECT event_type, round(median(value), 9) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_type, round(abs(e.value - st.med), 9) AS dev, st.med
+        |  FROM events e JOIN st USING (event_type)),
+        |m AS (SELECT event_type, round(median(dev), 9) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, round(min(d.med), 6) AS med,
+        |  round(min(m.mad), 6) AS mad, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.dev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_anomalies
+        |FROM d JOIN m USING (event_type) GROUP BY d.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val st = ev.groupBy("event_type")
+        .agg(round(median(col("value")), 9).as("med"))
+      val d = ev.join(broadcast(st), "event_type")
+        .select(col("event_type"),
+          round(abs(col("value") - col("med")), 9).as("dev"), col("med"))
+      val m = d.groupBy("event_type")
+        .agg(round(median(col("dev")), 9).as("mad"))
+      d.join(broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(round(min("med"), 6).as("med"), round(min("mad"), 6).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3 * 1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_anomalies"))
+    },
   )
 }

@@ -729,5 +729,109 @@ object TextQueries {
           substring(md5(col("doc_id").cast("string")), 1, 1) < rate)
         .select("doc_id", "lang", "n_tokens")
     },
+
+    // Text canonicalization for dedup keys: NFC compose (native
+    // NfcNormalize — Spark has no normalization built-in; the expression
+    // stays inside whole-stage codegen and short-circuits on already-NFC
+    // input) → casefold → punctuation strip → whitespace collapse → md5
+    // key. Row-local, zero shuffles; the Unicode composition itself is
+    // pinned by FunctionsSpec goldens (this corpus is ASCII, so here NFC
+    // is the no-op fast path).
+    Q("tx_normalize",
+      """WITH c AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, md5(canon) AS canon_key, length(canon) AS canon_len,
+        |  CAST(canon <> text AS INT) AS changed
+        |FROM c""".stripMargin) { (s, dir) =>
+      val canon = trim(regexp_replace(regexp_replace(
+        lower(GraftFunctions.nfc_normalize(col("text"))), "[^a-z0-9 ]", ""),
+        " +", " "))
+      Tables.load(s, dir, "documents")
+        .withColumn("canon", canon)
+        .select(col("doc_id"), md5(col("canon")).as("canon_key"),
+          length(col("canon")).as("canon_len"),
+          (col("canon") =!= col("text")).cast("int").as("changed"))
+    },
+
+    // Bigram PMI collocations: pointwise mutual information of adjacent
+    // token pairs vs their unigram frequencies — the corpus-statistics op
+    // behind multi-word-expression mining. Two hash-agg shuffles (word,
+    // word-pair); the unigram table and the two scalar totals reach the
+    // pair table by broadcast, so the corpus is never joined wide. The
+    // count filter (>=5) keeps output O(vocab²) regardless of SF.
+    Q("tx_pmi",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |u AS (SELECT unnest(w) AS word FROM toks),
+        |uc AS (SELECT word, count(*) AS n_w FROM u GROUP BY word),
+        |tot AS (SELECT count(*) AS n_tok FROM u),
+        |bg AS (SELECT [{'wa': w[i], 'wb': w[i+1]} for i in range(1, len(w))] AS ps
+        |  FROM toks WHERE len(w) >= 2),
+        |be AS (SELECT unnest(ps) AS p FROM bg),
+        |bc AS (SELECT p.wa AS wa, p.wb AS wb, count(*) AS n_xy
+        |  FROM be GROUP BY 1, 2),
+        |nb AS (SELECT count(*) AS n_big FROM be)
+        |SELECT wa || ' ' || wb AS bigram, n_xy, x.n_w AS n_x, y.n_w AS n_y,
+        |  round(ln((n_xy * 1.0 * n_tok * n_tok) / (n_big * 1.0 * x.n_w * y.n_w)), 6) AS pmi
+        |FROM bc CROSS JOIN tot CROSS JOIN nb
+        |JOIN uc x ON x.word = bc.wa
+        |JOIN uc y ON y.word = bc.wb
+        |WHERE n_xy >= 5""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val words = toks.select(explode(col("w")).as("word"))
+      val uc = words.groupBy("word").agg(count(lit(1)).as("n_w"))
+      val tot = words.agg(count(lit(1)).as("n_tok"))
+      val pairs = toks.filter(size(col("w")) >= 2)
+        .select(explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      val bc = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 5)
+      val nb = pairs.agg(count(lit(1)).as("n_big"))
+      bc.crossJoin(broadcast(tot)).crossJoin(broadcast(nb))
+        .join(broadcast(uc.select(col("word").as("wa"), col("n_w").as("n_x"))), "wa")
+        .join(broadcast(uc.select(col("word").as("wb"), col("n_w").as("n_y"))), "wb")
+        .select(concat(col("wa"), lit(" "), col("wb")).as("bigram"),
+          col("n_xy"), col("n_x"), col("n_y"),
+          round(log((col("n_xy") * lit(1.0) * col("n_tok") * col("n_tok"))
+            / (col("n_big") * lit(1.0) * col("n_x") * col("n_y"))), 6).as("pmi"))
+    },
+
+    // Per-document novelty: fraction of the doc's distinct 5-gram
+    // shingles never seen in any earlier doc (doc_id = ingestion order) —
+    // the freshness signal dedup-aware corpus curation ranks by. The
+    // first-seen table is one gram-key agg; the join-back reuses the same
+    // gram partitioning, and per-doc stats are the only other shuffle.
+    Q("tx_novelty",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]) AS gs
+        |  FROM toks WHERE len(w) >= 5),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |fs AS (SELECT gram, min(doc_id) AS first_seen FROM e GROUP BY gram)
+        |SELECT e.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN fs.first_seen = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN fs.first_seen = e.doc_id THEN 1 ELSE 0 END) * 1.0
+        |        / count(*), 6) AS novelty
+        |FROM e JOIN fs USING (gram) GROUP BY e.doc_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "documents")
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(TextOps.shingles(col("w"), 5)).as("gram"))
+        .cache()
+      val fs = e.groupBy("gram").agg(min("doc_id").as("first_seen"))
+      e.join(fs, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_seen") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel") * lit(1.0) / col("n_grams"), 6).as("novelty"))
+    },
   )
 }

@@ -284,3 +284,22 @@ case class TokensWs(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.Impls.tokensWs($c)")
   override protected def withNewChildInternal(c: Expression): TokensWs = copy(c)
 }
+
+/** nfc_normalize(text): Unicode canonical composition (NFC), the first step
+  * of text canonicalization for dedup keys (mojibake-adjacent decomposed
+  * sequences hash differently until composed). Spark has no normalization
+  * built-in; a native expression keeps the per-document projection inside
+  * whole-stage codegen, and the impl short-circuits on already-NFC input
+  * (one cheap scan, no re-encode) — the common case on clean corpora.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(v: Any): Any =
+    Impls.nfcNormalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impls.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+}

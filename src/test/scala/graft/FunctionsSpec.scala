@@ -25,6 +25,25 @@ class FunctionsSpec extends AnyFunSuite {
   private def u(s: String) = UTF8String.fromString(s)
   lazy val spark: SparkSession = SparkTestSession.spark
 
+  test("nfc_normalize composes decomposed sequences, fast-paths NFC input") {
+    // decomposed e + COMBINING ACUTE -> precomposed é
+    assert(Impls.nfcNormalize(u("école")).toString == "école")
+    assert(Impls.nfcNormalize(u("école")).numChars == 5)
+    // decomposed Hangul jamo compose to the syllable block
+    assert(Impls.nfcNormalize(u("한")).toString == "한")
+    // NFC (not NFKC): compatibility chars like the fi-ligature stay put
+    assert(Impls.nfcNormalize(u("ﬁle")).toString == "ﬁle")
+    // already-normalized input returns the SAME UTF8String (no re-encode)
+    val ascii = u("plain ascii stays")
+    assert(Impls.nfcNormalize(ascii) eq ascii)
+    // and the Column API round-trips through codegen
+    import spark.implicits._
+    val got = Seq("école", "café").toDF("t")
+      .select(GraftFunctions.nfc_normalize($"t").as("n"))
+      .as[String].collect().toSeq
+    assert(got == Seq("école", "café"))
+  }
+
   // FIXTURES.md §1.1 worked NMEA sentences.
   test("nmea checksum golden sentences") {
     assert(Impls.nmeaChecksum(

@@ -90,6 +90,48 @@ class PlanSpec3 extends AnyFunSuite {
       s"corpus-side shuffle join crept in:\n$p")
   }
 
+  test("tx_normalize: row-local canonicalization, zero exchanges") {
+    val p = plan("tx_normalize")
+    assert(exchanges(p) == 0, s"canonicalization must not shuffle:\n$p")
+    assert(p.contains("nfc_normalize"), s"native NFC expression missing:\n$p")
+  }
+
+  test("tx_pmi: unigram table and totals reach the pair table by broadcast") {
+    val p = plan("tx_pmi")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-side shuffle join crept in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"unigram join not broadcast:\n$p")
+  }
+
+  test("tx_novelty / dd_cross_split_leak: gram-key joins, no cartesian") {
+    for (n <- Seq("tx_novelty", "dd_cross_split_leak")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n degenerated to all-pairs:\n$p")
+    }
+  }
+
+  test("q_rfm: quintile windows are nation-partitioned, never global") {
+    val p = plan("q_rfm")
+    // a global ntile would plan Exchange SinglePartition before the window
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-partition window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation dim join not broadcast:\n$p")
+  }
+
+  test("ts_anomaly_mad: per-type stats reach the corpus by broadcast") {
+    val p = plan("ts_anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-side shuffle join crept in:\n$p")
+  }
+
+  test("v_pagerank: keyed edge joins only, never a cartesian") {
+    val p = plan("v_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank degenerated to all-pairs:\n$p")
+  }
+
   test("q_null_semantics: all three not-matched spellings plan as hash anti joins") {
     val p = plan("q_null_semantics")
     // NOT IN (nullable), NOT IN (clean), NOT EXISTS — each becomes a
