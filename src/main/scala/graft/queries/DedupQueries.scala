@@ -913,5 +913,79 @@ object DedupQueries {
         .select(col("vec_id"), col("label"), round(col("r"), 6).as("pr"),
           coalesce(col("outdeg"), lit(0L)).as("degree"))
     },
+
+    // Cross-source overlap matrix: pairwise shared distinct 5-gram
+    // shingles (and Jaccard) between corpus sources — the provenance
+    // diagnostic run before mixing crawls (two snapshots of the same
+    // crawl show up as a near-1 Jaccard cell). The only wide exchange is
+    // the distinct (source, gram) agg; the per-gram pair fanout is
+    // bounded by |sources|² regardless of corpus size.
+    Q("dd_source_overlap",
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, source,
+        |    list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]) AS gs
+        |  FROM toks WHERE len(w) >= 5),
+        |e AS (SELECT DISTINCT source, unnest(gs) AS gram FROM g),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+        |  FROM e a JOIN e b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT source, count(*) AS n_grams FROM e GROUP BY source)
+        |SELECT src_a, src_b, shared, ta.n_grams AS n_a, tb.n_grams AS n_b,
+        |  round(shared * 1.0 / (ta.n_grams + tb.n_grams - shared), 6) AS jaccard
+        |FROM p JOIN tot ta ON ta.source = p.src_a
+        |JOIN tot tb ON tb.source = p.src_b""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "documents")
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 5)
+        .select(col("source"), explode(TextOps.shingles(col("w"), 5)).as("gram"))
+        .distinct()
+        .cache()
+      val p = e.as("a").join(e.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+      val tot = e.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      p.join(broadcast(tot.select(col("source").as("src_a"), col("n_grams").as("n_a"))), "src_a")
+        .join(broadcast(tot.select(col("source").as("src_b"), col("n_grams").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+          round(col("shared") * lit(1.0) / (col("n_a") + col("n_b") - col("shared")), 6)
+            .as("jaccard"))
+    },
+
+    // Int8 embedding quantization + reconstruction error: per-vector
+    // min/max affine grid, dequantize, mean absolute error — the storage
+    // compression ANN indexes apply before scale-out, with the error
+    // column as its quality gate. Entirely row-local (zero exchanges);
+    // the nearest-grid round is spelled floor(x + 0.5) in BOTH dialects
+    // so the tie behavior is engine-exact, and the per-vector error fold
+    // runs left-to-right over the same array order in both engines.
+    Q("v_quantize",
+      """SELECT vec_id, label,
+        |  round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+        |  CASE WHEN mx = mn THEN 0.0
+        |       ELSE round(list_sum([
+        |         abs(x::DOUBLE - (mn + floor((x::DOUBLE - mn) / ((mx - mn) / 255) + 0.5)
+        |                               * ((mx - mn) / 255)))
+        |         for x in embedding]) / 64, 9) END AS mae
+        |FROM (SELECT vec_id, label, embedding,
+        |    list_min([x::DOUBLE for x in embedding]) AS mn,
+        |    list_max([x::DOUBLE for x in embedding]) AS mx
+        |  FROM embeddings)""".stripMargin) { (s, dir) =>
+      val xd = transform(col("embedding"), v => v.cast("double"))
+      val base = Tables.load(s, dir, "embeddings")
+        .withColumn("mn", array_min(xd))
+        .withColumn("mx", array_max(xd))
+      val scale = (col("mx") - col("mn")) / lit(255)
+      val err = aggregate(
+        transform(col("embedding"), v =>
+          abs(v.cast("double") - (col("mn")
+            + floor((v.cast("double") - col("mn")) / scale + lit(0.5)) * scale))),
+        lit(0.0), (acc, x) => acc + x)
+      base.select(col("vec_id"), col("label"),
+        round(col("mn"), 6).as("vmin"), round(col("mx"), 6).as("vmax"),
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(round(err / lit(64), 9)).as("mae"))
+    },
   )
 }

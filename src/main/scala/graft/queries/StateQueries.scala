@@ -1006,5 +1006,34 @@ object StateQueries {
           sum(when(col("dev") > lit(3 * 1.4826) * col("mad"), 1L)
             .otherwise(0L)).as("n_anomalies"))
     },
+
+    // Per-user behavioral entropy over the event-type distribution —
+    // the diversity signal that separates bots (one event type, H≈0)
+    // from organic users. Each p·ln p term is quantized to 12 dp and
+    // summed through DECIMAL so the ≤|types| additions are
+    // order-independent (FP summation order differs between engines;
+    // exact decimal addition does not). Two aggs sharing the user_id
+    // key — no joins wider than the per-user type counts.
+    Q("q_user_entropy",
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot, count(*) AS k
+        |  FROM c GROUP BY user_id)
+        |SELECT c.user_id, min(t.tot) AS n_events, min(t.k) AS n_types,
+        |  round(-CAST(SUM(CAST(round((CAST(n AS DOUBLE) / tot)
+        |      * ln(CAST(n AS DOUBLE) / tot), 12) AS DECIMAL(28,14))) AS DOUBLE), 6)
+        |    AS entropy
+        |FROM c JOIN t USING (user_id) GROUP BY c.user_id""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      val t = c.groupBy("user_id")
+        .agg(sum("n").cast("long").as("tot"), count(lit(1)).as("k"))
+      val p = col("n").cast("double") / col("tot")
+      c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(min("tot").as("n_events"), min("k").as("n_types"),
+          round(-sum(round(p * log(p), 12).cast(DecimalType(28, 14)))
+            .cast("double"), 6).as("entropy"))
+    },
   )
 }

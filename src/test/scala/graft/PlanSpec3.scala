@@ -132,6 +132,25 @@ class PlanSpec3 extends AnyFunSuite {
       s"pagerank degenerated to all-pairs:\n$p")
   }
 
+  test("v_quantize: row-local quantization, zero exchanges") {
+    val p = plan("v_quantize")
+    assert(exchanges(p) == 0, s"quantization must not shuffle:\n$p")
+  }
+
+  test("dd_source_overlap: gram-key self-join, totals broadcast") {
+    val p = plan("dd_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"totals join not broadcast:\n$p")
+  }
+
+  test("q_user_entropy: aggs share the user_id key, no wide joins") {
+    val p = plan("q_user_entropy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"entropy degenerated:\n$p")
+    assert(exchanges(p) <= 3, s"entropy shuffles too much:\n$p")
+  }
+
   test("q_null_semantics: all three not-matched spellings plan as hash anti joins") {
     val p = plan("q_null_semantics")
     // NOT IN (nullable), NOT IN (clean), NOT EXISTS — each becomes a
