@@ -7,6 +7,10 @@ final case class HeavyHitter(shard: Int, item: String, est: Long, err: Long)
 
 final case class SsState(entries: List[(String, Long, Long)])
 
+final case class NovelItem(shard: Int, item: String, novel: Boolean)
+
+final case class BloomState(bits: Array[Byte])
+
 /** Continuous heavy hitters with BOUNDED memory — the streaming twin of
   * the batch `tx_topk_ngrams` two-phase top-k. Each shard keeps a
   * Space-Saving summary (Metwally et al., public algorithm) of at most
@@ -49,6 +53,56 @@ object Sketches {
         state.update(SsState(m.toList.map { case (w, (c, e)) => (w, c, e) }))
         m.toSeq.sortBy { case (w, (c, _)) => (-c, w) }.take(k).iterator
           .map { case (w, (c, e)) => HeavyHitter(shard, w, c, e) }
+      }
+  }
+
+  implicit private val niEnc: Encoder[NovelItem] = Encoders.product[NovelItem]
+  implicit private val bsEnc: Encoder[BloomState] = Encoders.product[BloomState]
+
+  /** Continuous novelty flags with BOUNDED memory — the streaming twin of
+    * the batch `tx_novelty` first-seen join. Each shard keeps one Bloom
+    * filter of `nBits` bits in keyed state; an arriving item is flagged
+    * novel iff any of its `nHashes` double-hashed probe bits was unset,
+    * then inserted. State is O(shards × nBits/8) bytes forever — a
+    * billion-document stream costs the same memory as a thousand. The
+    * one-sided error is the Bloom guarantee: a true duplicate is NEVER
+    * flagged novel; a novel item is missed with probability ≈
+    * (1 - e^(-kn/m))^k, so size m ≈ 10 bits per expected distinct item
+    * for <1% misses at k=4. Probes use double hashing h1 + i·h2
+    * (Kirsch–Mitzenmacher, public result) so k probes cost two hashes.
+    */
+  def bloomNovelty(items: Dataset[String], shards: Int, nBits: Int,
+      nHashes: Int): Dataset[NovelItem] = {
+    val sharded = items.map(w => (math.floorMod(w.hashCode, shards), w))
+    sharded.groupByKey(_._1)
+      .flatMapGroupsWithState[BloomState, NovelItem](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) { (shard, it, state) =>
+        val bits = state.getOption.map(_.bits.clone())
+          .getOrElse(new Array[Byte]((nBits + 7) / 8))
+        // returns whether ALL probe bits were already set (seen before),
+        // setting them as it goes
+        def checkAndSet(w: String): Boolean = {
+          val h1 = scala.util.hashing.MurmurHash3.stringHash(w, 0x9747b28c)
+          val h2 = scala.util.hashing.MurmurHash3.stringHash(w, 0x85ebca6b) | 1
+          var all = true
+          var i = 0
+          while (i < nHashes) {
+            val idx = math.floorMod(h1 + i * h2, nBits)
+            val mask = (1 << (idx & 7)).toByte
+            if ((bits(idx >> 3) & mask) == 0) {
+              all = false
+              bits(idx >> 3) = (bits(idx >> 3) | mask).toByte
+            }
+            i += 1
+          }
+          all
+        }
+        // materialize before state.update — the iterator is lazy and the
+        // state write must see every insertion
+        val out = it.map { case (_, w) => NovelItem(shard, w, !checkAndSet(w)) }
+          .toList
+        state.update(BloomState(bits))
+        out.iterator
       }
   }
 }

@@ -146,6 +146,32 @@ class RtValsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloom novelty: duplicates never flagged novel, state survives batches") {
+    import graft.streaming.{NovelItem, Sketches}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    // 4096 bits for ~6 distinct items: FP (novel missed) probability ~0
+    val q = Sketches.bloomNovelty(mem.toDS(), shards = 2, nBits = 4096, nHashes = 4)
+      .writeStream.format("memory").queryName("nov_out").outputMode("update").start()
+    try {
+      mem.addData("a", "b", "c", "a")
+      q.processAllAvailable()
+      val b1 = spark.table("nov_out").as[NovelItem].collect()
+      // first sighting novel; the in-batch repeat of "a" is not
+      assert(b1.count(_.item == "a") == 2)
+      assert(b1.filter(_.item == "a").count(_.novel) == 1, b1.mkString(","))
+      assert(b1.filter(_.item == "b").forall(_.novel))
+      assert(b1.filter(_.item == "c").forall(_.novel))
+      // cross-batch: b and c are remembered by state, d is new
+      mem.addData("b", "c", "d")
+      q.processAllAvailable()
+      val b2 = spark.table("nov_out").as[NovelItem].collect().drop(b1.length)
+      assert(b2.filter(_.item == "b").forall(!_.novel), b2.mkString(","))
+      assert(b2.filter(_.item == "c").forall(!_.novel), b2.mkString(","))
+      assert(b2.filter(_.item == "d").forall(_.novel), b2.mkString(","))
+    } finally q.stop()
+  }
+
   test("cep sequence matcher: A->B->C within bounds, across batch boundaries") {
     import graft.streaming.{Cep, SeqEvent, SeqMatch}
     implicit val sc = spark.sqlContext
