@@ -987,5 +987,58 @@ object DedupQueries {
         when(col("mx") === col("mn"), lit(0.0))
           .otherwise(round(err / lit(64), 9)).as("mae"))
     },
+
+    // Embedding drift monitor: cosine between the per-label centroids of
+    // two deterministic corpus halves (vec_id parity stands in for the
+    // before/after snapshot split) — the check that catches an encoder
+    // change or ingest shift before it poisons dedup thresholds. Means
+    // are the decimal-exact v_centroids kernel per half; the final
+    // cosine is row-local over k label rows, so the whole query is two
+    // tiny aggs and a k-row join.
+    Q("v_drift",
+      """WITH m AS (SELECT label, vec_id % 2 AS half, s.d AS dim,
+        |    CAST(SUM(CAST(CAST(s.v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+        |      / count(*) AS mv
+        |  FROM (SELECT label, vec_id,
+        |      unnest([{'d': i, 'v': embedding[i]} for i in range(1, 65)]) AS s
+        |    FROM embeddings) GROUP BY label, vec_id % 2, s.d),
+        |c AS (SELECT label, half, list(mv ORDER BY dim) AS cent,
+        |    sqrt(list_sum([x * x for x in list(mv ORDER BY dim)])) AS nrm
+        |  FROM m GROUP BY label, half),
+        |n AS (SELECT label, vec_id % 2 AS half, count(*) AS n_vecs
+        |  FROM embeddings GROUP BY 1, 2)
+        |SELECT a.label,
+        |  round(list_sum([a.cent[i] * b.cent[i] for i in range(1, 65)])
+        |        / (a.nrm * b.nrm), 6) AS drift_cos,
+        |  na.n_vecs AS n_even, nb.n_vecs AS n_odd
+        |FROM c a JOIN c b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        |JOIN n na ON na.label = a.label AND na.half = 0
+        |JOIN n nb ON nb.label = a.label AND nb.half = 1""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("half", col("vec_id") % 2)
+      val cent = e
+        .select(col("label"), col("half"),
+          posexplode(col("embedding")).as(Seq("p", "v")))
+        .groupBy("label", "half", "p")
+        .agg((sum(col("v").cast("double").cast(DecimalType(28, 8))).cast("double")
+          / count(lit(1))).as("mv"))
+        .groupBy("label", "half")
+        .agg(transform(sort_array(collect_list(struct(col("p"), col("mv")))),
+          f => f.getField("mv")).as("cent"))
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("cent"), x => x * x), lit(0.0), (a, x) => a + x)))
+      val n = e.groupBy("label", "half").agg(count(lit(1)).as("n_vecs"))
+      cent.as("a").filter(col("a.half") === 0)
+        .join(cent.as("b").filter(col("b.half") === 1), Seq("label"))
+        .join(n.as("na").filter(col("na.half") === 0)
+          .select(col("label"), col("n_vecs").as("n_even")), Seq("label"))
+        .join(n.as("nb").filter(col("nb.half") === 1)
+          .select(col("label"), col("n_vecs").as("n_odd")), Seq("label"))
+        .select(col("label"),
+          round(aggregate(zip_with(col("a.cent"), col("b.cent"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm")), 6)
+            .as("drift_cos"),
+          col("n_even"), col("n_odd"))
+    },
   )
 }

@@ -1035,5 +1035,31 @@ object StateQueries {
           round(-sum(round(p * log(p), 12).cast(DecimalType(28, 14)))
             .cast("double"), 6).as("entropy"))
     },
+
+    // Day-of-week seasonality profile per series: count, decimal-exact
+    // mean, and each weekday's share of the series total — the profile a
+    // scheduler compares live traffic against. Spark's dayofweek is
+    // 1-based Sunday; DuckDB's is 0-based Sunday — the Spark side shifts
+    // by one so both group on the same bucket. One key shuffle; the
+    // per-type totals ride a window over the 7-row-per-type aggregate.
+    Q("ts_seasonality",
+      """WITH d AS (SELECT event_type, dayofweek(ts) AS dow, value FROM events),
+        |a AS (SELECT event_type, dow, count(*) AS n,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+        |          / count(*), 6) AS mean_val
+        |  FROM d GROUP BY 1, 2)
+        |SELECT event_type, dow, n, mean_val,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS share
+        |FROM a""".stripMargin) { (s, dir) =>
+      val a = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          (dayofweek(col("ts")) - 1).as("dow"), col("value"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
+            / count(lit(1)), 6).as("mean_val"))
+      a.withColumn("share", round(col("n") * lit(1.0)
+        / sum(col("n")).over(Window.partitionBy("event_type")), 6))
+    },
   )
 }

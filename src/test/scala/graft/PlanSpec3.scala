@@ -151,6 +151,18 @@ class PlanSpec3 extends AnyFunSuite {
     assert(exchanges(p) <= 3, s"entropy shuffles too much:\n$p")
   }
 
+  test("v_drift / ts_seasonality: keyed aggs only, no cartesian") {
+    for (n <- Seq("v_drift", "ts_seasonality")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n degenerated:\n$p")
+    }
+    // seasonality: one data shuffle (type,dow agg) + the 7-rows-per-type
+    // share window — never a corpus-wide join
+    assert(!plan("ts_seasonality").contains("Join"),
+      "seasonality must not join")
+  }
+
   test("q_null_semantics: all three not-matched spellings plan as hash anti joins") {
     val p = plan("q_null_semantics")
     // NOT IN (nullable), NOT IN (clean), NOT EXISTS — each becomes a
