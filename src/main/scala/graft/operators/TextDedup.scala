@@ -305,23 +305,42 @@ object TextOps {
     * a long one has low Jaccard but containment ≈ 1). Output:
     * (doc_a, doc_b, c_ab, c_ba), ids ordered, ratios rounded to 6.
     *
-    * Plan: candidate generation with the POSITIONAL filter, then exact
-    * verification. There is no lossless length-ratio filter here (the
-    * predicate can be satisfied through the smaller side alone, so a tiny
-    * doc inside a huge one admits any size ratio), but the positional
-    * argument survives: with every doc's grams in one canonical order,
-    * the FIRST shared gram of a qualifying pair must have at least
-    * `o = ceil(t*min(na,nb))` shared grams at-or-after it in BOTH docs —
-    * so the candidate join keeps only gram matches with
-    * `n - pos >= o` on both sides (~(1-t)² of the full pair-count load).
-    * Each surviving pair is verified exactly with one row-local
-    * `array_intersect` over the cached gram arrays — no counting shuffle
-    * at all; the distinct over candidates is the only wide exchange.
+    * Same density dispatch as [[similarityJoin]], because the same two
+    * regimes exist: a dense vocabulary (no rare grams) takes the
+    * inverted-index count-join; a Zipf-tailed corpus takes the
+    * prefix-filter plan. Containment admits NO lossless length-ratio
+    * filter (the predicate can be satisfied through the smaller side
+    * alone, so a tiny doc inside a huge one passes at any size ratio),
+    * but the per-side prefix filter survives: if `c_ab >= t` then
+    * `|A∩B| >= ceil(t·na)`, and A's df-ascending suffix of length
+    * `ceil(t·na) - 1` cannot hold them all — at least one shared gram
+    * sits in A's first `na - ceil(t·na) + 1` grams. So a prefix-side ×
+    * full-side join over the disjunction of both directions is lossless,
+    * and each surviving candidate pair is verified exactly with one
+    * row-local `array_intersect` over the cached gram arrays.
     */
   def containmentJoin(docs: DataFrame, idCol: String, blockCol: String,
-      textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
+      textCol: String, shingleSize: Int, threshold: Double,
+      denseVocabAvgDf: Double = 64.0): DataFrame = {
     releasePriorCaches()
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
+    val st = grams
+      .select(explode(col("__g")).as("x"))
+      .agg(count(lit(1)).as("tot"), approx_count_distinct(col("x")).as("nd"))
+      .head()
+    val avgDf = st.getLong(0).toDouble / math.max(st.getLong(1), 1L)
+    if (avgDf >= denseVocabAvgDf)
+      containmentCountFrom(grams, idCol, blockCol, threshold)
+    else containmentPrefixFrom(grams, idCol, blockCol, threshold)
+  }
+
+  /** Inverted-index count-join for containment (dense-vocabulary path):
+    * count shared grams per pair, then the pair-level threshold
+    * `i >= ceil(t·min(na,nb))` — the only lossless pair filter that
+    * exists before knowing which side is the smaller one.
+    */
+  private[graft] def containmentCountFrom(grams: DataFrame, idCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
     val e = grams
       .select(col(idCol), col(blockCol), size(col("__g")).cast("long").as("n"),
         explode(col("__g")).as("x"))
@@ -338,6 +357,49 @@ object TextOps {
       .filter(col("i") >= ceil(least(col("na"), col("nb")) * threshold - lit(1e-9)))
       .withColumn("c_ab", col("i") * lit(1.0) / col("na"))
       .withColumn("c_ba", col("i") * lit(1.0) / col("nb"))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c_ab"), 6).as("c_ab"), round(col("c_ba"), 6).as("c_ba"))
+  }
+
+  /** Prefix-filtered containment (Zipf-vocabulary path): per doc, sort
+    * grams by ascending document frequency and keep the first
+    * `n - ceil(t·n) + 1` as the prefix (lossless for that doc being the
+    * contained side — see containmentJoin scaladoc). A qualifying pair
+    * must match prefix(A)×full(B) or prefix(B)×full(A); one
+    * prefix-side × full-side join covers both orientations, so the
+    * candidate shuffle carries ~(1-t) of the occurrence load on the
+    * prefix side. Candidates are verified exactly row-local.
+    */
+  private[graft] def containmentPrefixFrom(grams: DataFrame, idCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val e = grams.select(col(idCol), col(blockCol), explode(col("__g")).as("x"))
+    val dfreq = e.groupBy("x").agg(count(lit(1)).as("df"))
+    val pref = e.join(dfreq, "x")
+      .groupBy(col(idCol), col(blockCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("x")))).as("sg"))
+      .withColumn("n", size(col("sg")))
+      // epsilon guards the exact-integer boundary; rounding DOWN the
+      // required overlap only lengthens the prefix — stays lossless
+      .withColumn("plen",
+        greatest((col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"),
+          lit(1)))
+      .select(col(idCol), col(blockCol),
+        explode(transform(slice(col("sg"), lit(1), col("plen")),
+          s => s.getField("x"))).as("x"))
+    trackCache(pref)
+    val cand = pref.as("l").join(e.as("r").hint("shuffle_hash"),
+        col(s"l.$blockCol") === col(s"r.$blockCol") && col("l.x") === col("r.x") &&
+          col(s"l.$idCol") =!= col(s"r.$idCol"))
+      .select(least(col(s"l.$idCol"), col(s"r.$idCol")).as("doc_a"),
+        greatest(col(s"l.$idCol"), col(s"r.$idCol")).as("doc_b"))
+      .distinct()
+    cand
+      .join(grams.select(col(idCol).as("doc_a"), col("__g").as("ga")), "doc_a")
+      .join(grams.select(col(idCol).as("doc_b"), col("__g").as("gb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("c_ab", col("i") * lit(1.0) / size(col("ga")))
+      .withColumn("c_ba", col("i") * lit(1.0) / size(col("gb")))
       .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("c_ab"), 6).as("c_ab"), round(col("c_ba"), 6).as("c_ba"))

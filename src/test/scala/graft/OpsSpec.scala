@@ -461,4 +461,62 @@ class ZipfJaccardSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == expected,
       s"missing=${expected -- got}, extra=${got -- expected}")
   }
+
+  test("containmentJoin: count and prefix paths both equal brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 400).map(i => s"w$i")
+    val cum = vocab.indices.map(i => 1.0 / (i + 1)).scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def word(): String = {
+      val x = rnd.nextDouble() * total
+      vocab(cum.indexWhere(_ >= x))
+    }
+    val base = (0 until 100).map { i =>
+      (i.toLong, (0 until (12 + rnd.nextInt(20))).map(_ => word()).mkString(" "))
+    }
+    // quotes: short substrings of longer docs — the containment shape
+    // Jaccard misses (low union overlap, high one-sided containment)
+    val quotes = (0 until 25).map { i =>
+      val (_, text) = base(rnd.nextInt(base.size))
+      val toks = text.split(" ")
+      val len = 4 + rnd.nextInt(4)
+      val start = rnd.nextInt(math.max(toks.length - len, 1))
+      (2000L + i, toks.slice(start, start + len).mkString(" "))
+    }
+    val docs = (base ++ quotes).map { case (id, t) => (id, "b", t) }
+      .toDF("doc_id", "lang", "text")
+
+    def bigrams(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < 2) Set.empty else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val all = (base ++ quotes).map { case (id, t) => (id, bigrams(t)) }
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      i <- all.indices; j <- (i + 1) until all.size
+      (ia, ga) = all(i); (ib, gb) = all(j)
+      inter = ga.intersect(gb).size.toDouble
+      if inter / ga.size >= 0.6 || inter / gb.size >= 0.6
+    } yield {
+      val ((a, na), (b, nb)) =
+        if (ia < ib) ((ia, ga.size), (ib, gb.size)) else ((ib, gb.size), (ia, ga.size))
+      (a, b, r6(inter / na), r6(inter / nb))
+    }).toSet
+    assert(expected.nonEmpty, "fixture produced no containment pairs")
+
+    // dispatch override: avgDf=0 forces the count-join, 1e9 the prefix path
+    for (dense <- Seq(0.0, 1e9)) {
+      val got = graft.operators.TextOps
+        .containmentJoin(docs, "doc_id", "lang", "text", 2, 0.6, dense)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("c_ab"), r.getAs[Double]("c_ba")))
+        .toSet
+      assert(got == expected,
+        s"path(denseVocabAvgDf=$dense): missing=${expected -- got}, extra=${got -- expected}")
+    }
+  }
 }
