@@ -37,6 +37,12 @@ final case class PixelFeatures(
     id: Long, width: Int, height: Int, channels: Int,
     lumMean: Double, lumStd: Double, lumHist: Array[Double])
 
+/** 64-bit perceptual hash of a decoded still (8×8 average-pool aHash):
+  * bit i set iff pool cell i's mean luminance is at or above the global
+  * cell mean. Resize- and brightness-shift-tolerant by construction.
+  */
+final case class PHash(id: Long, width: Int, height: Int, phash: Long)
+
 /** Real audio statistics of a decoded PCM WAV: duration, RMS energy,
   * zero-crossing rate and peak over the mono mix.
   */
@@ -430,6 +436,59 @@ object Multimodal {
           val variance = math.max(0.0, sumSq / n - mean * mean)
           PixelFeatures(r.id, img.width, img.height, img.channels,
             mean, math.sqrt(variance), hist.map(_ / n))
+        }
+      }
+    }
+  }
+
+  /** 8×8 average-pool luminance grid of a decoded still — the resize
+    * kernel (box filter over each cell's pixel block) shared by the
+    * perceptual hash. Exposed for testing.
+    */
+  private[graft] def pool8(img: PixelImage): Array[Double] = {
+    val cells = new Array[Double](64)
+    val counts = new Array[Int](64)
+    var y = 0
+    while (y < img.height) {
+      val cy = math.min(7, y * 8 / img.height)
+      var x = 0
+      while (x < img.width) {
+        val cx = math.min(7, x * 8 / img.width)
+        val o = (y * img.width + x) * img.channels
+        val lum = img.channels match {
+          case 1 | 2 => (img.pixels(o) & 0xff).toDouble
+          case _ => 0.299 * (img.pixels(o) & 0xff) +
+            0.587 * (img.pixels(o + 1) & 0xff) + 0.114 * (img.pixels(o + 2) & 0xff)
+        }
+        val c = cy * 8 + cx
+        cells(c) += lum; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) cells(i) /= counts(i); i += 1 }
+    cells
+  }
+
+  /** Perceptual hashes over the decodable stills — the image analog of
+    * `SimHash64` for text: near-duplicate images (recompressions,
+    * resizes, small edits) land within a few Hamming bits, so the
+    * downstream pairing reuses the same hamming-banded join as
+    * `dd_simhash_pairs`. Average-pool aHash (public technique): pool to
+    * 8×8 luma, threshold each cell at the mean of the 64 cells.
+    */
+  def perceptualHashes(ds: Dataset[MediaRecord]): Dataset[PHash] = {
+    implicit val enc: Encoder[PHash] = Encoders.product[PHash]
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        decodePixelsAny(r.bytes).map { img =>
+          val cells = pool8(img)
+          val mean = cells.sum / 64
+          var h = 0L
+          var i = 0
+          while (i < 64) { if (cells(i) >= mean) h |= (1L << i); i += 1 }
+          PHash(r.id, img.width, img.height, h)
         }
       }
     }

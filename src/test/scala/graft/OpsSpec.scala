@@ -255,6 +255,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptual hash: stable under brightness shift and resize, separates images") {
+    import java.awt.image.BufferedImage
+    val rnd = new scala.util.Random(11)
+    def gradient(w: Int, h: Int, shift: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(255, x * 256 / w / 2 + y * 256 / h / 2 + shift)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val base = gradient(64, 64, 0)
+    val bright = gradient(64, 64, 20)
+    val resized = gradient(160, 160, 0) // same structure, different resolution
+    val noise = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) noise.setRGB(x, y, rnd.nextInt(0xffffff))
+    val ds = Seq(
+      MediaRecord(1L, "image", encodeImageIO(base, "png"), Map.empty),
+      MediaRecord(2L, "image", encodeImageIO(bright, "png"), Map.empty),
+      MediaRecord(3L, "image", encodeImageIO(resized, "png"), Map.empty),
+      MediaRecord(4L, "image", encodeImageIO(noise, "png"), Map.empty)).toDS()
+    val hs = Multimodal.perceptualHashes(ds).collect().map(h => h.id -> h.phash).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= 6, s"brightness shift moved ${ham(hs(1L), hs(2L))} bits")
+    assert(ham(hs(1L), hs(3L)) <= 6, s"resize moved ${ham(hs(1L), hs(3L))} bits")
+    assert(ham(hs(1L), hs(4L)) >= 16, s"unrelated images too close: ${ham(hs(1L), hs(4L))}")
+  }
+
   private def wav(sampleRate: Int, channels: Int, bps: Int,
       samples: Array[Double]): Array[Byte] = {
     // hand-built RIFF/WAVE so the decoder is checked against the spec,
