@@ -833,5 +833,39 @@ object TextQueries {
         .select(col("doc_id"), col("n_grams"), col("n_novel"),
           round(col("n_novel") * lit(1.0) / col("n_grams"), 6).as("novelty"))
     },
+
+    // Curriculum assignment: per language, rank documents by a
+    // deterministic difficulty score (mean token length — longer words,
+    // harder text), cut into 4 stages (easy→hard quartiles) and number
+    // each doc's position within its stage — the ordering a
+    // curriculum-learning data loader consumes. Per-language windows
+    // keep every sort partitioned (a global curriculum would need a
+    // single-partition sort); ties break on doc_id so both engines
+    // bucket identically.
+    Q("pl_curriculum",
+      """WITH t AS (SELECT doc_id, lang, length(text) AS chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |d AS (SELECT doc_id, lang,
+        |    round(chars * 1.0 / n_tokens, 6) AS difficulty
+        |  FROM t WHERE n_tokens > 0),
+        |st AS (SELECT doc_id, lang, difficulty,
+        |    ntile(4) OVER (PARTITION BY lang ORDER BY difficulty, doc_id) AS stage
+        |  FROM d)
+        |SELECT doc_id, lang, difficulty, stage,
+        |  row_number() OVER (PARTITION BY lang, stage
+        |    ORDER BY difficulty, doc_id) AS pos_in_stage
+        |FROM st""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("chars"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("lang"),
+          round(col("chars") * lit(1.0) / col("n_tokens"), 6).as("difficulty"))
+      val byLang = Window.partitionBy("lang").orderBy(col("difficulty"), col("doc_id"))
+      val staged = d.withColumn("stage", ntile(4).over(byLang))
+      staged.withColumn("pos_in_stage", row_number().over(
+        Window.partitionBy("lang", "stage").orderBy(col("difficulty"), col("doc_id"))))
+    },
   )
 }

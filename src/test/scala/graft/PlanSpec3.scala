@@ -163,6 +163,13 @@ class PlanSpec3 extends AnyFunSuite {
       "seasonality must not join")
   }
 
+  test("pl_curriculum: per-language windows, never a single-partition sort") {
+    val p = plan("pl_curriculum")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global curriculum window crept in:\n$p")
+    assert(!p.contains("Join"), s"curriculum must not join:\n$p")
+  }
+
   test("q_null_semantics: all three not-matched spellings plan as hash anti joins") {
     val p = plan("q_null_semantics")
     // NOT IN (nullable), NOT IN (clean), NOT EXISTS — each becomes a
