@@ -209,11 +209,14 @@ class PlanSpec2 extends AnyFunSuite {
     }
   }
 
-  test("dd_containment: inverted-index count-join, no cartesian, pair agg is the wide exchange") {
+  test("dd_containment: density dispatch picks a keyed join, never a cartesian") {
     val p = plan("dd_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment degenerated to a cross join:\n$p")
-    // strict gram equality stays in the join condition next to the hash
-    assert(p.contains("xxhash64"), s"no hashed leading join key:\n$p")
+    // dense corpora take the count-join (strict gram equality riding the
+    // xxhash64 leading key); Zipf corpora (this sf0.001 fixture measures
+    // sparse) take the prefix path verified row-local by array_intersect
+    assert(p.contains("xxhash64") || p.contains("array_intersect"),
+      s"neither containment path recognized:\n$p")
   }
 }
