@@ -61,6 +61,34 @@ class FingerprintSpec extends AnyFunSuite {
     assert(Bench.normalizePlan(run1) != Bench.normalizePlan(other))
   }
 
+  test("commutative-list canonicalization: any permutation, same fingerprint") {
+    val rnd = new scala.util.Random(3)
+    val keys = Seq("k1#", "k2#L", "k3#", "gid#")
+    val fns = Seq("partial_sum(a#)", "partial_count(b#L) FILTER (WHERE (gid# = _))",
+      "partial_avg(c#, 0.5)")
+    for (_ <- 1 to 20) {
+      val (pk, pf) = (rnd.shuffle(keys), rnd.shuffle(fns))
+      val a = s"HashAggregate(keys=[${keys.mkString(", ")}], functions=[${fns.mkString(", ")}])\n" +
+        s"Exchange hashpartitioning(${keys.mkString(", ")}, 4), [plan_id=]"
+      val b = s"HashAggregate(keys=[${pk.mkString(", ")}], functions=[${pf.mkString(", ")}])\n" +
+        s"Exchange hashpartitioning(${pk.mkString(", ")}, 4), [plan_id=]"
+      assert(Bench.normalizePlan(a) == Bench.normalizePlan(b),
+        s"permutation changed fingerprint:\n$a\nvs\n$b")
+    }
+    // nested parens: commas inside function args must not split the list
+    val nested = "HashAggregate(keys=[k#], functions=[f(a#, b#), g(c#)])"
+    val nested2 = "HashAggregate(keys=[k#], functions=[g(c#), f(a#, b#)])"
+    assert(Bench.normalizePlan(nested) == Bench.normalizePlan(nested2))
+    // order-SIGNIFICANT lists stay order-sensitive
+    assert(Bench.normalizePlan("Sort [a# ASC, b# DESC], true")
+      != Bench.normalizePlan("Sort [b# DESC, a# ASC], true"))
+    assert(Bench.normalizePlan("rangepartitioning(a# ASC, b# ASC, 4)")
+      != Bench.normalizePlan("rangepartitioning(b# ASC, a# ASC, 4)"))
+    // and the partition count never participates in the sort
+    assert(Bench.normalizePlan("Exchange hashpartitioning(z#, a#, 4)")
+      == Bench.normalizePlan("Exchange hashpartitioning(a#, z#, 4)"))
+  }
+
   test("normalizer still distinguishes genuinely different plans") {
     val a = "*(1) HashAggregate(keys=[k#], functions=[sum(v#)])"
     val b = "*(1) SortAggregate(keys=[k#], functions=[sum(v#)])"
