@@ -441,35 +441,38 @@ object Multimodal {
     }
   }
 
-  /** 8×8 average-pool luminance grid of a decoded still — the resize
-    * kernel (box filter over each cell's pixel block) shared by the
-    * perceptual hash. Exposed for testing.
+  /** Box-filter luminance resize of a decoded still to a `gw`×`gh` grid
+    * (row-major means) — the resize stage of an image pipeline, shared by
+    * the perceptual hash. Each source pixel lands in exactly one cell, so
+    * the pass is a single scan regardless of scale factor.
     */
-  private[graft] def pool8(img: PixelImage): Array[Double] = {
-    val cells = new Array[Double](64)
-    val counts = new Array[Int](64)
+  def resizeLuma(img: PixelImage, gw: Int, gh: Int): Array[Double] = {
+    val cells = new Array[Double](gw * gh)
+    val counts = new Array[Int](gw * gh)
     var y = 0
     while (y < img.height) {
-      val cy = math.min(7, y * 8 / img.height)
+      val cy = math.min(gh - 1, y * gh / img.height)
       var x = 0
       while (x < img.width) {
-        val cx = math.min(7, x * 8 / img.width)
+        val cx = math.min(gw - 1, x * gw / img.width)
         val o = (y * img.width + x) * img.channels
         val lum = img.channels match {
           case 1 | 2 => (img.pixels(o) & 0xff).toDouble
           case _ => 0.299 * (img.pixels(o) & 0xff) +
             0.587 * (img.pixels(o + 1) & 0xff) + 0.114 * (img.pixels(o + 2) & 0xff)
         }
-        val c = cy * 8 + cx
+        val c = cy * gw + cx
         cells(c) += lum; counts(c) += 1
         x += 1
       }
       y += 1
     }
     var i = 0
-    while (i < 64) { if (counts(i) > 0) cells(i) /= counts(i); i += 1 }
+    while (i < cells.length) { if (counts(i) > 0) cells(i) /= counts(i); i += 1 }
     cells
   }
+
+  private[graft] def pool8(img: PixelImage): Array[Double] = resizeLuma(img, 8, 8)
 
   /** Perceptual hashes over the decodable stills — the image analog of
     * `SimHash64` for text: near-duplicate images (recompressions,

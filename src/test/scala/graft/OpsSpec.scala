@@ -281,6 +281,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(hs(1L), hs(2L)) <= 6, s"brightness shift moved ${ham(hs(1L), hs(2L))} bits")
     assert(ham(hs(1L), hs(3L)) <= 6, s"resize moved ${ham(hs(1L), hs(3L))} bits")
     assert(ham(hs(1L), hs(4L)) >= 16, s"unrelated images too close: ${ham(hs(1L), hs(4L))}")
+    // the resize kernel itself: a horizontal gradient pooled to 2x1 has a
+    // darker left half than right, and cell means stay within byte range
+    val img = graft.streaming.Multimodal.decodePixels(encodeImageIO(base, "png")).get
+    val g = graft.streaming.Multimodal.resizeLuma(img, 2, 1)
+    assert(g.length == 2 && g(0) < g(1), s"gradient pooled wrong: ${g.toSeq}")
+    assert(g.forall(v => v >= 0 && v <= 255))
   }
 
   private def wav(sampleRate: Int, channels: Int, bps: Int,
