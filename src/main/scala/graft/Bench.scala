@@ -195,9 +195,12 @@ object Bench {
     }
     // compact per-query seconds (4 decimals ≈ 0.1 ms resolution — bench noise
     // floor) so the timings line stays as short as possible for the driver's
-    // bounded stdout capture; the fat plans map goes on its OWN second line so
-    // a tail/head truncation can never cut the timings mid-line again
-    // (BENCH_r03/r04 parsed=null were both truncation casualties)
+    // bounded stdout capture; the fat plans map goes on its OWN line so a
+    // truncation can never cut the timings mid-line. The driver keeps the
+    // TAIL of its capture window (BENCH_r03/r04/r05 all parsed=null when the
+    // timings line led and the sbt epilogue filled the tail), so stop the
+    // JVM FIRST — Spark's shutdown banner would otherwise land after us —
+    // then print plans, then the timings line dead last.
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val plans = results.map { case (k, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
@@ -205,12 +208,19 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
-    println(line)
-    println(s"""{"plans":$plans}""")
     // full artifact (timings + plans in one object) persisted to disk: the
-    // robust path when any stdout capture window truncates
+    // robust path when any stdout capture window truncates. Also append to
+    // bench_history.jsonl so round N+1 can diff per-query timings against
+    // every earlier run instead of totals only (round-5 verdict task 8).
+    val full = line.dropRight(1) + s""","plans":$plans}""" + "\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-      (line.dropRight(1) + s""","plans":$plans}""" + "\n").getBytes("UTF-8"))
+      full.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+      full.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
+    println(s"""{"plans":$plans}""")
+    println(line)
   }
 }

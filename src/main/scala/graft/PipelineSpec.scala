@@ -433,6 +433,27 @@ object LineSinks {
           if (socket != null) socket.close()
       })
 
+  /** Loopback write-back: re-inject each output line into the in-process
+    * [[graft.sources.LocalLineBus]] channel, where a
+    * `graft.sources.LocalLineSource` stream picks it up as input — the
+    * reference's LocalStream chaining (LocalStream.java:12-19, a path's
+    * output becomes another path's source with NO socket in between);
+    * [[socketWriter]] is the network form. foreachBatch runs driver-side,
+    * so the push lands on the same JVM's bus even on a cluster; the
+    * collect is bounded (`maxLinesPerBatch`, ordered by arrival ts so the
+    * kept prefix is deterministic) because the loopback is edge plumbing
+    * for converter chains, not a bulk data plane.
+    */
+  def loopback(df: DataFrame, id: String, maxLinesPerBatch: Int = 10000) =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.select(col("line"), unix_millis(col("ts")).as("ms"))
+        .orderBy("ms", "line")
+        .limit(maxLinesPerBatch)
+        .collect()
+        .foreach(r => graft.sources.LocalLineBus.push(
+          id, r.getString(0), r.getLong(1) * 1000L))
+    }
+
   /** K7 MQTT publish sink: QoS-0 publish of each output line to a topic
     * (`/root/reference/src/io/mqtt/MqttWorker.java` publish path, call
     * site `Generic.java:329-330`). One broker connection per partition

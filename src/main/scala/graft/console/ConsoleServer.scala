@@ -201,9 +201,17 @@ class ConsoleServer(
   private def stopIdlePumps(): Unit =
     pumps.forEach { (id, q) =>
       if (!hub.hasListeners(id)) {
-        pumps.remove(id, q)
-        try q.stop() catch { case _: Exception => () }
-        dropCheckpoint(id)
+        // snapshot THIS pump's checkpoint dir before unregistering: once
+        // pumps.remove lands, a concurrent subscribe may re-create the
+        // pump and map a NEW checkpoint under the same id — an
+        // unconditional dropCheckpoint(id) would then delete the live
+        // query's dir from under it. Two-arg removes pair the reap to the
+        // exact (query, dir) this loop observed.
+        val dir = pumpCheckpoints.get(id)
+        if (pumps.remove(id, q)) {
+          try q.stop() catch { case _: Exception => () }
+          if (dir != null && pumpCheckpoints.remove(id, dir)) deleteDir(dir)
+        }
       }
     }
 
@@ -215,15 +223,16 @@ class ConsoleServer(
 
   private def dropCheckpoint(id: String): Unit = {
     val dir = pumpCheckpoints.remove(id)
-    if (dir != null) {
-      try {
-        val walk = java.nio.file.Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        finally walk.close()
-      } catch { case _: java.io.IOException => () }
-    }
+    if (dir != null) deleteDir(dir)
   }
+
+  private def deleteDir(dir: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    } catch { case _: java.io.IOException => () }
 
   /** `raw:<id>[,N]`: live-attach for streaming views, sample for batch. */
   private def subscribe(cmd: String, target: String => Unit): String = {
@@ -395,7 +404,10 @@ private class TelnetLineReader(in: InputStream, out: OutputStream) {
           buf.deleteCharAt(cursor - 1); cursor -= 1
           redraw()
         }
-      } else if (b > 31 && buf.length < TelnetLineReader.MaxLine) {
+      } else if ((b > 31 || b == '\t') && buf.length < TelnetLineReader.MaxLine) {
+        // '\t' passes through: line-mode machine clients send tab-bearing
+        // payloads (TSV, SQL) and the old CR-only stripper kept them; only
+        // the editing/control bytes handled above are consumed
         buf.insert(cursor, b.toChar)
         cursor += 1
         if (cursor == buf.length) echo(b.toChar.toString) else redraw()

@@ -665,6 +665,92 @@ object VectorOps {
       .select(col(qidCol), col(idCol), col("rn"), col("cos_r"))
   }
 
+  /** Per-query top-`k` same-label neighbors by cosine (rounded to 6 dp,
+    * ties broken by ascending neighbor id): (label, qid, nid, cos_r) —
+    * the neighborhood lists the mutual k-NN graph and PageRank consume.
+    *
+    * Size-dispatched like [[TextOps.similarityJoin]], because the naive
+    * rendering was the board's one remaining 100×-scale killer: one cheap
+    * count-agg pre-pass measures the LARGEST label block. Under
+    * `exactBlockMax` the exact within-label all-pairs join runs —
+    * quadratic in block size, fine for bounded blocks, and bit-identical
+    * to the DuckDB oracle so v_knn_graph / v_pagerank stay hash-green at
+    * test SFs. Above the bound that self-join would pile ~n² cosines
+    * into one key group (a 10M-vector label is 10¹⁴), so the big-block
+    * path coarse-quantizes into IVF cells instead: [[trainCentroids]]
+    * (bounded driver Lloyd) + [[ivfAssign]] (zero-shuffle literal-
+    * centroid argmax), each query probing only its `nProbe` nearest
+    * cells — computed ROW-LOCALLY by sorting the nCells-element literal
+    * scored-struct array, never a window over corpus × nCells rows —
+    * with exact cosine rerank inside the candidate cells. The only wide
+    * exchange is the (label, cell) candidate join; no join key ever
+    * spans a whole label.
+    *
+    * `nCells = 0` (default) sizes the codebook from the measured corpus:
+    * ceil(n / 8192) clamped to [8, 256], so cells stay ~8k wide and the
+    * per-query candidate work is nProbe × cell ≈ bounded regardless of
+    * corpus size (the quadratic term never returns), while the driver
+    * Lloyd stays tractable at the 256-centroid cap. Recall of the probe
+    * is ∝ nProbe/nCells on an unclustered corpus and much higher on a
+    * clustered one (cells then align with real neighborhoods); pinned in
+    * AnnSpec at a fixed configuration, plan shape (every join keyed on
+    * the cell) in PlanSpec3.
+    */
+  def knnGraph(vectors: DataFrame, k: Int, exactBlockMax: Long = 65536,
+      nCells: Int = 0, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors.select(col("label"), col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+    val sizes = vectors.groupBy("label").count()
+      .agg(max("count"), sum("count")).head()
+    val maxBlock = sizes.getLong(0)
+    val total = sizes.getLong(1)
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(8, math.min(256, ((total + 8191) / 8192).toInt))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
+    val candidates =
+      if (maxBlock <= exactBlockMax) {
+        e.select(col("label"), col("vec_id").as("qid"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+          .join(e.select(col("label"), col("vec_id").as("nid"),
+            col("embedding"), col("nrm")), Seq("label"))
+      } else {
+        val cents = trainCentroids(vectors, "vec_id", "embedding", cells)
+        val assigned = ivfAssign(e, "vec_id", "embedding", cents)
+        val centArr: Array[(Int, Array[Float])] = cents
+          .select(col("cid").cast("int"), col("cvec")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        // struct(cos, -cid) sorted desc = max cosine first, ties to the
+        // lowest cell id — the exact tie-break ivfAssign's argmax uses,
+        // so a query's own cell is always its first probe
+        val scored = centArr.map { case (cid, cv) =>
+          val cLit = array(cv.map(x => lit(x.toDouble)): _*)
+          val cNorm = math.sqrt(dotJvm(cv, cv))
+          struct((dot(col("embedding"), cLit) / (col("nrm") * lit(cNorm))).as("c"),
+            lit(-cid).as("nc"))
+        }
+        val probes = e
+          .withColumn("__p", explode(slice(
+            sort_array(array(scored.toIndexedSeq: _*), asc = false), 1, nProbe)))
+          .select(col("label"), col("vec_id").as("qid"),
+            col("embedding").as("qe"), col("nrm").as("qn"),
+            (-col("__p").getField("nc")).as("bucket"))
+        // each corpus vector sits in exactly ONE cell (argmax), so a
+        // (qid, nid) pair matches at most one probe row — no dedup needed
+        assigned.select(col("label"), col("vec_id").as("nid"),
+            col("embedding"), col("nrm"), col("bucket"))
+          .join(probes, Seq("label", "bucket"))
+      }
+    candidates
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos_r",
+        round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("label"), col("qid"), col("nid"), col("cos_r"))
+  }
+
   /** Random-hyperplane LSH bucket id: one sign bit per plane. Vectors in
     * the same bucket are cosine-close with high probability; ANN search
     * shuffles on the bucket id instead of cross-joining the corpus.

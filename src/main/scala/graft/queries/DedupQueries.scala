@@ -694,20 +694,11 @@ object DedupQueries {
         |  FROM s) t WHERE rn <= 5)
         |SELECT x.label AS label, x.qid AS vec_a, x.nid AS vec_b, x.cos_r AS cos_r
         |FROM k x JOIN k y ON x.qid = y.nid AND x.nid = y.qid AND x.qid < x.nid""".stripMargin) { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
-      val a = e.select(col("label"), col("vec_id").as("qid"),
-        col("embedding").as("qe"), col("nrm").as("qn"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
-      val knn = a
-        .join(e.select(col("label"), col("vec_id").as("nid"),
-          col("embedding"), col("nrm")), Seq("label"))
-        .filter(col("nid") =!= col("qid"))
-        .withColumn("cos_r",
-          round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("label"), col("qid"), col("nid"), col("cos_r"))
+      // size-dispatched neighbor lists (VectorOps.knnGraph): exact
+      // all-pairs under the block bound — what this oracle renders — and
+      // IVF-cell-blocked probes above it, so a skewed 10M-vector label at
+      // corpus scale never becomes one quadratic key group
+      val knn = VectorOps.knnGraph(Tables.load(s, dir, "embeddings"), 5)
       knn.as("x").join(knn.as("y"),
           col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid") &&
             col("x.qid") < col("x.nid"))
@@ -772,10 +763,11 @@ object DedupQueries {
     // (q_split_assign's exact rule), then count each TEST doc's distinct
     // 5-gram shingles that also occur in any TRAIN doc — the
     // decontamination check run before every eval. One gram-key shuffle
-    // joins test grams against the distinct train-gram set (at corpus
-    // scale, pre-filter the probe with q_bloom_semi's sketch — the join
-    // key and plan shape stay the same); per-doc totals ride the cached
-    // shingle explode, never a second tokenize.
+    // joins test grams against the distinct train-gram set; above the
+    // corpus-size bound the probe is pre-filtered SCAN-SIDE with
+    // q_bloom_semi's sketch (see [[crossSplitLeak]] — lossless, the exact
+    // join still adjudicates); per-doc totals ride the cached shingle
+    // explode, never a second tokenize.
     Q("dd_cross_split_leak",
       """WITH s AS (SELECT doc_id, text,
         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
@@ -797,27 +789,7 @@ object DedupQueries {
         |  CAST(COALESCE(n_leaked, 0) AS BIGINT) AS n_leaked,
         |  round(COALESCE(n_leaked, 0) * 1.0 / n_grams, 6) AS leak_ratio
         |FROM tot LEFT JOIN leak USING (doc_id)""".stripMargin) { (s, dir) =>
-      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val g = Tables.load(s, dir, "documents")
-        .withColumn("split",
-          when(h < "d", "train").when(h < "f", "val").otherwise("test"))
-        .withColumn("w", TextOps.tokens(col("text")))
-        .filter(size(col("w")) >= 5)
-        .select(col("doc_id"), col("split"),
-          TextOps.shingles(col("w"), 5).as("gs"))
-      val e = g.select(col("doc_id"), col("split"),
-        explode(col("gs")).as("gram")).cache()
-      val tr = e.filter(col("split") === "train").select("gram").distinct()
-      val leak = e.filter(col("split") === "test")
-        .join(tr, "gram")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
-      g.filter(col("split") === "test")
-        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
-        .join(leak, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
-          round(coalesce(col("n_leaked"), lit(0L)) * lit(1.0) / col("n_grams"), 6)
-            .as("leak_ratio"))
+      crossSplitLeak(s, dir)
     },
 
     // PageRank (damping 0.85, 3 unrolled iterations) over the mutual
@@ -872,19 +844,9 @@ object DedupQueries {
         |  CAST(COALESCE(deg.outdeg, 0) AS BIGINT) AS degree
         |FROM r3 LEFT JOIN deg ON deg.a = r3.vec_id""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
-      val a = e.select(col("label"), col("vec_id").as("qid"),
-        col("embedding").as("qe"), col("nrm").as("qn"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
-      val knn = a
-        .join(e.select(col("label"), col("vec_id").as("nid"),
-          col("embedding"), col("nrm")), Seq("label"))
-        .filter(col("nid") =!= col("qid"))
-        .withColumn("cos_r",
-          round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("nid"))
+      // same size-dispatched neighbor lists as v_knn_graph (exact under
+      // the block bound, IVF-cell-blocked above it)
+      val knn = VectorOps.knnGraph(e, 5).select(col("qid"), col("nid"))
       // mutual edges, both orientations; cached — three iterations reuse it
       val mu = knn.as("x").join(knn.as("y"),
           col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
@@ -1041,4 +1003,55 @@ object DedupQueries {
           col("n_even"), col("n_odd"))
     },
   )
+
+  /** dd_cross_split_leak body, dispatch-parameterized so PlanSpec3 can
+    * force the corpus-scale path. Under `bloomDocBound` documents
+    * (parquet-footer count — a metadata pass) the test-gram probe joins
+    * the distinct train-gram set directly: the oracle rendering, and the
+    * cheapest plan when everything fits one shuffle. At or above the
+    * bound, a Bloom sketch of the train grams (q_bloom_semi's bloom_agg —
+    * map-side partial sketches, one O(bytes) merge) is built first and
+    * the probe is filtered SCAN-SIDE with bloom_might_contain before the
+    * equi-join. Lossless by construction: blooms cannot false-negative,
+    * and the exact join still adjudicates every surviving candidate — the
+    * result is identical, only the gram-key shuffle shrinks to the leaked
+    * fraction plus the sized-for false-positive rate.
+    */
+  private[graft] def crossSplitLeak(s: org.apache.spark.sql.SparkSession,
+      dir: String, bloomDocBound: Long = 100000L,
+      bloomEstItems: Long = 1000000L,
+      bloomNumBits: Long = 8388608L): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val g = docs
+      .withColumn("split",
+        when(h < "d", "train").when(h < "f", "val").otherwise("test"))
+      .withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("split"),
+        TextOps.shingles(col("w"), 5).as("gs"))
+    val e = g.select(col("doc_id"), col("split"),
+      explode(col("gs")).as("gram")).cache()
+    val tr = e.filter(col("split") === "train").select("gram").distinct()
+    val testGrams = e.filter(col("split") === "test")
+    val probe =
+      if (docs.count() < bloomDocBound) testGrams
+      else {
+        val sketch = tr
+          .select(GraftFunctions.bloom_agg(col("gram"),
+            bloomEstItems, bloomNumBits).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        testGrams.filter(
+          GraftFunctions.bloom_might_contain(sketch, col("gram")))
+      }
+    val leak = probe.join(tr, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+    g.filter(col("split") === "test")
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(leak, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        round(coalesce(col("n_leaked"), lit(0L)) * lit(1.0) / col("n_grams"), 6)
+          .as("leak_ratio"))
+  }
 }

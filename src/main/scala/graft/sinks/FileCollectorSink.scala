@@ -108,12 +108,28 @@ class FileCollectorSink(
     */
   def write(batch: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
-    val projected = batch.select(unix_millis(col("ts")), col("line"))
-    val taken = projected.limit(maxLinesPerBatch + 1).collect()
-    if (taken.length > maxLinesPerBatch)
-      onDropped(projected.count() - maxLinesPerBatch)
-    processBatch(taken.take(maxLinesPerBatch)
-      .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    val cap = maxLinesPerBatch
+    // ONE job: globally sort by arrival time (line as tie-break, so the
+    // kept prefix is deterministic instead of plan-dependent), then each
+    // partition reports its row count plus at most its cap earliest rows.
+    // The sort's range partitioning means concatenating partition heads in
+    // order and taking cap yields exactly the earliest cap rows, and the
+    // exact dropped count comes from the same pass — the old path
+    // re-executed the batch lineage with a second count() job and kept an
+    // arbitrary limit() subset that could disagree with that count.
+    val perPart = batch
+      .select(unix_millis(col("ts")).as("ts_ms"), col("line"))
+      .orderBy("ts_ms", "line")
+      .as[(Long, String)](org.apache.spark.sql.Encoders.product[(Long, String)])
+      .rdd.mapPartitions { it =>
+        var n = 0L
+        val head = new scala.collection.mutable.ArrayBuffer[(Long, String)]
+        it.foreach { r => n += 1; if (head.size < cap) head += r }
+        Iterator.single((n, head.toArray))
+      }.collect()
+    val total = perPart.map(_._1).sum
+    if (total > cap) onDropped(total - cap)
+    processBatch(perPart.iterator.flatMap(_._2).take(cap).toSeq)
   }
 
   private def appendLine(dest: Path, line: String): Unit = {

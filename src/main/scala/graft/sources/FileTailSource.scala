@@ -48,10 +48,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * reached the checkpoint WAL (in `planInputPartitions`) — never by the
   * poller. A hard crash (kill -9) between reading lines and planning them
   * therefore re-reads those lines from the file on restart instead of
-  * skipping past them: no loss, and no duplicates because unplanned lines
-  * were never emitted. The only at-least-once corner is a crash racing a
-  * rotation (position restarts at 0 for a file that replaced the one the
-  * WAL covers). The driver buffer is bounded (`maxBufferedLines`,
+  * skipping past them. The position is persisted ATOMICALLY with the WAL
+  * batch (inside the segment header, one tmp+move) and mirrored to a
+  * side file once segments are committed away, so there is no window
+  * where lines are WAL'd but the position is stale (which would replay
+  * them as duplicate new offsets). Both records also carry the tailed
+  * file's identity key (inode); restart recovery discards a position
+  * whose key no longer matches the file on disk — a rotation during
+  * downtime restarts the replacement file from 0 instead of landing the
+  * stale old-file offset mid-file (head loss). Remaining at-least-once
+  * corner, shared with the reference's FileMonitor: a LIVE rotation the
+  * poller only detects by the length heuristic (replacement at least as
+  * long as the old position with a recycled inode skips the overlap).
+  * The driver buffer is bounded (`maxBufferedLines`,
   * default 100000): the poller pauses reading until the stream drains,
   * so pointing a fresh `startat=begin` tail at a huge live log cannot
   * balloon the driver heap.
@@ -61,11 +70,16 @@ class FileTailSource extends TableProvider {
     FileTailSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new FileTailTable(properties.get("path"),
-      Option(properties.get("pollMillis")).map(_.toLong).getOrElse(250L),
-      Option(properties.get("startat")).map(_.toLowerCase).getOrElse("eof"),
-      Option(properties.get("maxbufferedlines")).map(_.toInt).getOrElse(100000))
+      properties: util.Map[String, String]): Table = {
+    // properties is the original-cased map; wrap so `.option("pollMillis")`
+    // and `.option("maxBufferedLines")` match regardless of caller casing
+    // (was: a mixed-case lookup for one key, lowercase-only for another).
+    val opts = new CaseInsensitiveStringMap(properties)
+    new FileTailTable(opts.get("path"),
+      Option(opts.get("pollmillis")).map(_.toLong).getOrElse(250L),
+      Option(opts.get("startat")).map(_.toLowerCase).getOrElse("eof"),
+      Option(opts.get("maxbufferedlines")).map(_.toInt).getOrElse(100000))
+  }
 }
 
 object FileTailSource {
@@ -109,10 +123,12 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
   private var baseOffset = wal.maxPlannedOffset
   private val stopped = new AtomicBoolean(false)
 
-  // byte position survives restarts alongside the WAL. It is written by
-  // planInputPartitions — position advances only for lines the WAL has —
-  // so a hard crash re-reads buffered-but-unplanned lines instead of
-  // resuming past data that never reached the WAL.
+  // byte position survives restarts alongside the WAL. The authoritative
+  // copy rides inside each WAL segment header (written atomically with the
+  // rows in planInputPartitions); this side file mirrors it so the
+  // position survives segments being committed and deleted. Both records
+  // are "<pos>\t<fileKey>" — the identity key rejects a position that
+  // belongs to a rotated-away file.
   private val posFile = {
     val u = java.net.URI.create(checkpointLocation)
     val root =
@@ -121,14 +137,42 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
     root.resolve("graft-wal").resolve("tail-position")
   }
 
+  /** Identity key (dev+inode on POSIX) of the tailed file, "" if gone. */
+  private def fileKey(): String =
+    try Files.readAttributes(Paths.get(path),
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey() match {
+      case null => ""
+      case k => k.toString
+    } catch { case _: java.io.IOException => "" }
+
+  private def parsePosRecord(rec: String): Option[(Long, String)] = {
+    val tab = rec.indexOf('\t')
+    if (tab < 0) Some((rec.trim.toLong, "")) // pre-upgrade record: no key
+    else Some((rec.substring(0, tab).toLong, rec.substring(tab + 1)))
+  }
+
   private val poller = new Thread(s"graft-tail-$path") {
     override def run(): Unit = {
-      var pos: Long =
-        if (Files.exists(posFile))
-          new String(Files.readAllBytes(posFile), StandardCharsets.UTF_8).trim.toLong
-        else if (startAt != "begin" && Files.exists(Paths.get(path)))
-          Files.size(Paths.get(path)) // reference FileMonitor: tail from EOF
-        else 0L
+      // recover from the freshest of side file and WAL headers; a crash
+      // between the segment write and the side-file write leaves the WAL
+      // header ahead, which is exactly the copy that covers its lines
+      val recovered: Option[(Long, String)] =
+        (wal.maxHeader.flatMap(parsePosRecord).toSeq ++
+          (if (Files.exists(posFile))
+            parsePosRecord(new String(Files.readAllBytes(posFile),
+              StandardCharsets.UTF_8)).toSeq
+          else Nil)).sortBy(-_._1).headOption
+      var pos: Long = recovered match {
+        // identity mismatch = the file was rotated while we were down:
+        // its replacement starts over at 0 (old-file offsets would land
+        // mid-file and skip the replacement's head)
+        case Some((p, key)) if key.isEmpty || key == fileKey() => p
+        case Some(_) => 0L
+        case None =>
+          if (startAt != "begin" && Files.exists(Paths.get(path)))
+            Files.size(Paths.get(path)) // reference FileMonitor: tail from EOF
+          else 0L
+      }
       val carry = new java.io.ByteArrayOutputStream
       while (!stopped.get()) {
         try {
@@ -186,12 +230,14 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
       else buffer.synchronized {
         val slice = buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
         val pairs = slice.map(t => (t._1, t._2))
-        wal.persistBatch(s, e, pairs)
-        // the WAL now covers these lines: advance the persisted file
-        // position to just past the last of them (newline-aligned by
-        // construction — endPos is only recorded at '\n')
-        slice.lastOption.foreach { last =>
-          Files.write(posFile, last._3.toString.getBytes(StandardCharsets.UTF_8))
+        // position record (pos just past the last line's '\n', so
+        // newline-aligned by construction) travels INSIDE the segment —
+        // same tmp+move as the rows — then mirrors to the side file for
+        // after the segment is committed away
+        val posRecord = slice.lastOption.map(last => s"${last._3}\t${fileKey()}")
+        wal.persistBatch(s, e, pairs, posRecord)
+        posRecord.foreach { rec =>
+          Files.write(posFile, rec.getBytes(StandardCharsets.UTF_8))
         }
         pairs
       }

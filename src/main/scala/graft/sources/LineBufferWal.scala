@@ -78,18 +78,42 @@ private[sources] class LineBufferWal(checkpointLocation: String) {
     sb.toString
   }
 
-  /** Persist a planned batch slice [start, end) before execution. */
-  def persistBatch(start: Long, end: Long, rows: Array[(String, Long)]): Unit = {
+  /** Persist a planned batch slice [start, end) before execution.
+    *
+    * `header`: optional source-defined recovery record written as the
+    * segment's first line (`#hdr\t<value>`), ATOMICALLY with the rows
+    * (single tmp+move). FileTailSource stores its tail-file byte position
+    * here: a crash between this write and any separate position file can
+    * then no longer resurrect already-WAL'd lines as fresh offsets —
+    * restart recovery reads the header back via [[maxHeader]].
+    */
+  def persistBatch(start: Long, end: Long, rows: Array[(String, Long)],
+      header: Option[String] = None): Unit = {
     if (end <= start) return
     val f = dir.resolve(s"$start-$end.wal")
     if (!Files.exists(f)) {
-      val body = rows.map { case (line, ts) => s"$ts\t${esc(line)}" }.mkString("\n")
+      val body = (header.map(h => s"#hdr\t${esc(h)}").toSeq ++
+        rows.map { case (line, ts) => s"$ts\t${esc(line)}" }).mkString("\n")
       val tmp = dir.resolve(s".$start-$end.tmp")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       Files.move(tmp, f)
     }
   }
+
+  /** Header of the highest-offset surviving segment that has one (None if
+    * no segment carries a header — e.g. all were committed and deleted).
+    */
+  def maxHeader: Option[String] =
+    segments().reverseIterator.flatMap { case (_, _, p) =>
+      val in = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+      try {
+        val first = in.readLine()
+        if (first != null && first.startsWith("#hdr\t"))
+          Some(unesc(first.substring(5)))
+        else None
+      } finally in.close()
+    }.nextOption()
 
   /** Serve a replayed range [start, end) from persisted segments. Fails
     * fast (instead of silently skipping) if the range is not covered.
@@ -100,11 +124,14 @@ private[sources] class LineBufferWal(checkpointLocation: String) {
     var cursor = start
     segments().foreach { case (s, e, p) =>
       if (cursor < end && s <= cursor && cursor < e) {
-        val lines =
+        val raw =
           new String(Files.readAllBytes(p), StandardCharsets.UTF_8) match {
             case "" => Array.empty[String]
             case body => body.split("\n", -1)
           }
+        // a leading `#hdr` recovery record is metadata, not a row
+        val lines =
+          if (raw.nonEmpty && raw(0).startsWith("#hdr\t")) raw.drop(1) else raw
         val from = (cursor - s).toInt
         val to = (math.min(e, end) - s).toInt
         lines.slice(from, to).foreach { l =>

@@ -61,10 +61,15 @@ class ModbusTcpLineSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    def p(key: String, dflt: String): String =
-      Option(properties.get(key)).getOrElse(dflt)
+    // getTable receives the original-cased option map (Spark hands the
+    // CaseInsensitiveStringMap's asCaseSensitiveMap), so a raw
+    // properties.get("pollmillis") silently misses the documented
+    // `.option("pollMillis", ...)` spelling. Re-wrap for the DSv2-standard
+    // case-insensitive lookup.
+    val opts = new CaseInsensitiveStringMap(properties)
+    def p(key: String, dflt: String): String = opts.getOrDefault(key, dflt)
     new ModbusTcpTable(ModbusPoll(
-      host = properties.get("host"),
+      host = opts.get("host"),
       port = p("port", "502").toInt,
       unit = p("unit", "0").toInt,
       fc = p("fc", "3").toInt,

@@ -629,12 +629,211 @@ object Multimodal {
     frames.result()
   } catch { case _: Exception => IndexedSeq.empty }
 
+  /** Pixel format of an AVI's first video stream, from the
+    * `hdrl → strl → strf` BITMAPINFOHEADER (public RIFF/AVI layout).
+    * DIB frame payloads are HEADERLESS — width/height/bit depth/palette
+    * live only here, so `##db`/RLE `##dc` chunks cannot be decoded from
+    * their own bytes the way MJPEG JPEGs can. Palette entries are
+    * re-ordered BGR0 → RGB triples at parse time. `topDown` mirrors a
+    * negative biHeight (rows top-down instead of the DIB default
+    * bottom-up).
+    */
+  private[graft] case class AviStreamFormat(width: Int, height: Int,
+      bitCount: Int, compression: Int, palette: Array[Byte], topDown: Boolean)
+
+  private[graft] def aviStreamFormat(bytes: Array[Byte]): Option[AviStreamFormat] = try {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def fourcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return None
+    var result: Option[AviStreamFormat] = None
+    // one strl LIST = one stream: strh names the type, the strf that
+    // follows in the SAME list carries its format
+    def scanStrl(from: Int, until: Int): Unit = {
+      var o = from
+      var vids = false
+      while (o + 8 <= until && result.isEmpty) {
+        val id = fourcc(o)
+        val sz = le32(o + 4)
+        val p = o + 8
+        if (sz < 0 || p + sz > until) return
+        if (id == "strh" && sz >= 4) vids = fourcc(p) == "vids"
+        else if (id == "strf" && vids && sz >= 40) {
+          val biSize = le32(p)
+          val w = le32(p + 4)
+          val hRaw = le32(p + 8)
+          val bpp = le16(p + 14)
+          val comp = le32(p + 16)
+          val clrUsed = le32(p + 32)
+          val nColors =
+            if (bpp > 8) 0 else if (clrUsed > 0) math.min(clrUsed, 256) else 1 << bpp
+          val pal = new Array[Byte](nColors * 3)
+          var c = 0
+          while (c < nColors && p + biSize + c * 4 + 4 <= p + sz) {
+            val q = p + biSize + c * 4 // RGBQUAD is B,G,R,reserved
+            pal(c * 3) = bytes(q + 2); pal(c * 3 + 1) = bytes(q + 1)
+            pal(c * 3 + 2) = bytes(q)
+            c += 1
+          }
+          result = Some(AviStreamFormat(w, math.abs(hRaw), bpp, comp, pal, hRaw < 0))
+        }
+        val no = p.toLong + sz + (sz & 1)
+        if (no <= o) return
+        o = no.toInt
+      }
+    }
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var o = from
+      while (o + 8 <= until && result.isEmpty) {
+        val id = fourcc(o)
+        val sz = le32(o + 4)
+        val p = o + 8
+        if (sz < 0 || p + sz > until) return
+        if (id == "LIST" && sz >= 4 && depth < 8) {
+          val lt = fourcc(p)
+          if (lt == "strl") scanStrl(p + 4, p + sz)
+          else if (lt == "hdrl") walk(p + 4, p + sz, depth + 1)
+        }
+        val no = p.toLong + sz + (sz & 1)
+        if (no <= o) return
+        o = no.toInt
+      }
+    }
+    walk(12, bytes.length, 0)
+    result
+  } catch { case _: Exception => None }
+
+  /** Decode one DIB frame payload to RGB pixels with the stream format:
+    * BI_RGB raw (8-bit palette, 24-bit BGR, 32-bit BGRA; rows padded to 4
+    * bytes, bottom-up unless `topDown`) and BI_RLE8 (run/escape/absolute/
+    * delta opcodes per the public BMP RLE8 spec — always bottom-up).
+    * Corrupt payloads return None; every loop advance is strictly
+    * forward, same discipline as [[aviVideoFrames]].
+    */
+  private[graft] def decodeDibFrame(fmt: AviStreamFormat,
+      payload: Array[Byte]): Option[PixelImage] = try {
+    val w = fmt.width
+    val h = fmt.height
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    def srcRow(y: Int): Int = if (fmt.topDown) y else h - 1 - y
+    fmt.compression match {
+      case 0 if fmt.bitCount == 24 || fmt.bitCount == 32 =>
+        val bpx = fmt.bitCount / 8
+        val stride = ((w * bpx + 3) / 4) * 4
+        if (stride.toLong * h > payload.length) return None
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val ro = srcRow(y) * stride
+          var x = 0
+          while (x < w) {
+            val s = ro + x * bpx
+            val d = (y * w + x) * 3
+            out(d) = payload(s + 2); out(d + 1) = payload(s + 1)
+            out(d + 2) = payload(s) // BGR(A) → RGB
+            x += 1
+          }
+          y += 1
+        }
+        Some(PixelImage(w, h, 3, out))
+      case 0 if fmt.bitCount == 8 =>
+        if (fmt.palette.isEmpty) return None
+        val stride = ((w + 3) / 4) * 4
+        if (stride.toLong * h > payload.length) return None
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val ro = srcRow(y) * stride
+          var x = 0
+          while (x < w) {
+            val v = (payload(ro + x) & 0xff) * 3
+            val d = (y * w + x) * 3
+            if (v + 2 < fmt.palette.length) {
+              out(d) = fmt.palette(v); out(d + 1) = fmt.palette(v + 1)
+              out(d + 2) = fmt.palette(v + 2)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Some(PixelImage(w, h, 3, out))
+      case 1 if fmt.bitCount == 8 =>
+        if (fmt.palette.isEmpty) return None
+        // RLE8 raster is always bottom-up; decode indices first
+        val idx = new Array[Byte](w * h)
+        var x = 0
+        var row = 0 // bottom-up row cursor
+        var i = 0
+        var eof = false
+        while (!eof && i + 1 < payload.length && row < h) {
+          val b0 = payload(i) & 0xff
+          val b1 = payload(i + 1) & 0xff
+          i += 2
+          if (b0 > 0) { // encoded run: b0 copies of index b1
+            var k = 0
+            while (k < b0 && x < w) { idx(row * w + x) = b1.toByte; x += 1; k += 1 }
+          } else b1 match {
+            case 0 => x = 0; row += 1 // end of line
+            case 1 => eof = true      // end of bitmap
+            case 2 =>                 // delta (dx, dy)
+              if (i + 1 < payload.length) {
+                x += payload(i) & 0xff; row += payload(i + 1) & 0xff; i += 2
+              } else eof = true
+            case n =>                 // absolute: n literal indices, word-aligned
+              var k = 0
+              while (k < n && i < payload.length) {
+                if (x < w && row < h) { idx(row * w + x) = payload(i); x += 1 }
+                i += 1; k += 1
+              }
+              if ((n & 1) == 1) i += 1
+          }
+        }
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var xx = 0
+          while (xx < w) {
+            val v = (idx((h - 1 - y) * w + xx) & 0xff) * 3
+            val d = (y * w + xx) * 3
+            if (v + 2 < fmt.palette.length) {
+              out(d) = fmt.palette(v); out(d + 1) = fmt.palette(v + 1)
+              out(d + 2) = fmt.palette(v + 2)
+            }
+            xx += 1
+          }
+          y += 1
+        }
+        Some(PixelImage(w, h, 3, out))
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
+  /** Pixel-decode every video frame of an AVI: MJPEG payloads through
+    * [[decodePixelsAny]] (JRE JPEG decoder), BI_RGB raw-DIB and BI_RLE8
+    * payloads through [[decodeDibFrame]] with the [[aviStreamFormat]]
+    * header (they are headerless on their own). With this,
+    * [[decodeStub]] covers ONLY genuinely inter-coded codecs.
+    */
+  private[graft] def aviFramePixels(bytes: Array[Byte]): IndexedSeq[PixelImage] = {
+    val fmt = aviStreamFormat(bytes)
+    aviVideoFrames(bytes).flatMap { f =>
+      fmt match {
+        case Some(sf) if sf.compression == 0 || sf.compression == 1 =>
+          decodeDibFrame(sf, f)
+        case _ => decodePixelsAny(f)
+      }
+    }
+  }
+
   /** STUB decoder: a real build replaces this with the native decode; the
     * fake derives deterministic "dimensions" from the payload and computes
     * a real 4-bin byte histogram (honest binary-column compute).
-    * Since the AVI `movi` walk landed ([[aviVideoFrames]]) this stub only
-    * covers codec payloads the JRE can't decode (H.264, compressed audio);
-    * MJPEG-in-AVI frames decode to real pixels.
+    * With [[aviVideoFrames]] + [[decodeDibFrame]] + [[decodeWav]] landed,
+    * this stub covers only payloads with NO pure-JVM decode path left:
+    * inter-coded video codecs (H.264 etc.) and compressed audio.
     */
   private[streaming] def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
     val hist = new Array[Double](4)

@@ -102,10 +102,13 @@ class ModbusTcpSpec extends AnyFunSuite {
     val q = df.writeStream.format("memory").queryName("mb_out")
       .outputMode("append").start()
     try {
+      // sleep-poll, NOT processAllAvailable: with the pollMillis option
+      // honored (it used to be silently dropped by the original-cased
+      // lookup) a 50 ms poller keeps fresh data available essentially
+      // always, and processAllAvailable never drains — livelock
       val deadline = System.currentTimeMillis() + 15000
       var rows = Array.empty[org.apache.spark.sql.Row]
       while (rows.length < 2 && System.currentTimeMillis() < deadline) {
-        q.processAllAvailable()
         rows = spark.table("mb_out").collect()
         if (rows.length < 2) Thread.sleep(100)
       }
@@ -137,7 +140,7 @@ class ModbusTcpSpec extends AnyFunSuite {
     try {
       val deadline = System.currentTimeMillis() + 15000
       while (received.isEmpty && System.currentTimeMillis() < deadline) {
-        q.processAllAvailable(); Thread.sleep(50)
+        Thread.sleep(50) // sleep-poll; see the livelock note above
       }
       assert(!received.isEmpty, "no lines before slave restart")
       assert(received.get(0) == "AI0:1")
@@ -148,7 +151,7 @@ class ModbusTcpSpec extends AnyFunSuite {
       try {
         val d2 = System.currentTimeMillis() + 15000
         while (!received.contains("AI0:2") && System.currentTimeMillis() < d2) {
-          q.processAllAvailable(); Thread.sleep(100)
+          Thread.sleep(100)
         }
         assert(received.contains("AI0:2"), s"no lines after reconnect: $received")
       } finally slave2.close()
@@ -179,7 +182,7 @@ class ModbusTcpSpec extends AnyFunSuite {
     try {
       val deadline = System.currentTimeMillis() + 15000
       while (received.size < 3 && System.currentTimeMillis() < deadline) {
-        q1.processAllAvailable(); Thread.sleep(50)
+        Thread.sleep(50)
       }
       assert(received.size >= 3, "first run produced too few polls")
     } finally q1.stop()
@@ -190,7 +193,7 @@ class ModbusTcpSpec extends AnyFunSuite {
     try {
       val deadline = System.currentTimeMillis() + 15000
       while (received.isEmpty && System.currentTimeMillis() < deadline) {
-        q2.processAllAvailable(); Thread.sleep(100)
+        Thread.sleep(100)
       }
       val secondRun = received.toArray(Array.empty[String]).toSeq
       // committed offsets were restored: nothing from the first run replays

@@ -170,6 +170,48 @@ class PlanSpec3 extends AnyFunSuite {
     assert(!p.contains("Join"), s"curriculum must not join:\n$p")
   }
 
+  test("knnGraph big-block path: every join keyed on the IVF cell, never label-wide") {
+    import graft.operators.VectorOps
+    val e = Tables.load(spark, sf, "embeddings")
+    // exactBlockMax = 0 forces the path the dispatch takes when a label
+    // block outgrows the quadratic budget (the round-5 scale-killer)
+    val p = VectorOps.knnGraph(e, 5, exactBlockMax = 0)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell path degenerated:\n$p")
+    // the candidate join must carry the cell id in its keys — a key list
+    // of label alone is the quadratic label-wide self-join
+    val keyLists = raw"Left keys \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keyLists.nonEmpty, s"no equi-join keys found:\n$p")
+    assert(keyLists.forall(_.contains("bucket")),
+      s"join not keyed on the cell:\n$keyLists\n$p")
+    // probe selection is row-local over literal centroids: no window (and
+    // with it a corpus×nCells shuffle) before the candidate join — the
+    // only window is the final per-qid top-k rank (WindowGroupLimit nodes
+    // are the rank-limit pushdown of that same window, not extra passes)
+    assert(raw"\(\d+\) Window(?!GroupLimit)".r.findAllIn(p).size == 1,
+      s"expected exactly 1 window (final top-k):\n$p")
+  }
+
+  test("dd_cross_split_leak big-corpus path: bloom prefilter lands scan-side on the probe") {
+    // bloomDocBound = 0 forces the corpus-scale dispatch branch; the
+    // train-gram sketch must gate the test-gram probe BEFORE the equi-join
+    // (might_contain in the plan), and the result must be unchanged —
+    // blooms cannot false-negative and the join adjudicates survivors
+    val forced = graft.queries.DedupQueries.crossSplitLeak(spark, sf, bloomDocBound = 0)
+    val p = forced.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("might_contain"), s"bloom prefilter missing from plan:\n$p")
+    val plain = graft.queries.DedupQueries.crossSplitLeak(spark, sf)
+    val pp = plain.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!pp.contains("might_contain"),
+      s"small-corpus path must not pay the sketch build:\n$pp")
+    // lossless: identical rows either way
+    val a = forced.collect().map(_.toString).sorted
+    val b = plain.collect().map(_.toString).sorted
+    assert(a.sameElements(b), "bloom prefilter changed the result")
+  }
+
   test("q_null_semantics: all three not-matched spellings plan as hash anti joins") {
     val p = plan("q_null_semantics")
     // NOT IN (nullable), NOT IN (clean), NOT EXISTS — each becomes a
