@@ -281,6 +281,51 @@ object LineSources {
       .withColumn("cmds", fire(col("pin"), col("edge")))
   }
 
+  /** S10 GPIO LEVEL-capture replay with edge DETECTION: recorded raw pin
+    * samples (text files of `millis,pin,level` lines) become
+    * rising/falling interrupt events, each firing the cmds whose
+    * configured edge covers it — the full InterruptPins semantics.
+    * diozero hands the reference ready-made DigitalInputEvents
+    * (`InterruptPins.java:74-82`); a raw capture holds LEVELS, so the
+    * edge derivation is itself part of the replayed surface: last level
+    * per pin lives in bounded keyed state (one int per pin,
+    * mapGroupsWithState), events inside a batch are ordered by their
+    * capture timestamp, and the first sample of a pin sets the baseline
+    * without firing (no phantom edge at attach, matching a real ISR).
+    * [[gpioReplay]] stays the pre-labeled-event form.
+    * Schema: (ms, pin, edge, cmds).
+    */
+  def gpioLevelReplay(spark: SparkSession, dir: String, gpioXml: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val specs = graft.sources.GpioScript.parseGpio(gpioXml)
+    fileReplay(spark, dir, maxFilesPerTrigger)
+      .select(split(col("line"), ",").as("f"))
+      .select(col("f").getItem(0).cast("long").as("ms"),
+        col("f").getItem(1).cast("int").as("pin"),
+        col("f").getItem(2).cast("int").as("level"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Int, (Long, Int, String, Seq[String])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (pin: Int, it: Iterator[(Long, Int, Int)], state: GroupState[Int]) =>
+          val samples = it.toSeq.sortBy(_._1)
+          var last = state.getOption.getOrElse(-1)
+          val out = samples.flatMap { case (ms, _, level) =>
+            val edge =
+              if (last < 0 || level == last) None
+              else if (level > last) Some("rising")
+              else Some("falling")
+            last = level
+            edge.map(e => (ms, pin, e, graft.sources.GpioScript.fired(specs, pin, e)))
+          }
+          state.update(last)
+          out.iterator
+      }
+      .toDF("ms", "pin", "edge", "cmds")
+  }
+
   /** S8 SQL query source: run a SELECT against a JDBC database and
     * replay the rows as lines at the rate source's pace
     * (PathForward.java:516-537 SQLITE custom src semantics).

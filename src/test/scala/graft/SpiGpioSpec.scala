@@ -96,6 +96,10 @@ class SpiGpioSpec extends AnyFunSuite {
     val gpioDir = Files.createTempDirectory("graft-gpio-replay")
     Files.write(gpioDir.resolve("events.txt"),
       "17,falling\n27,rising\n17,rising\n".getBytes(StandardCharsets.UTF_8))
+    runGpioReplayChecks(gpioDir)
+  }
+
+  private def runGpioReplayChecks(gpioDir: java.nio.file.Path): Unit = {
     val q2 = LineSources.gpioReplay(spark, gpioDir.toString, gpioXml)
       .writeStream.format("memory").queryName("gpio_replay_out")
       .outputMode("append").start()
@@ -110,5 +114,38 @@ class SpiGpioSpec extends AnyFunSuite {
         (17, "rising", Seq.empty),
         (27, "rising", Seq("rv:update", "log:pin27"))))
     } finally q2.stop()
+  }
+
+  test("gpioLevelReplay derives edges from raw level samples in keyed state") {
+    val dir = Files.createTempDirectory("graft-gpio-level")
+    // pin 17: 1 (baseline, no event) -> 0 (falling) -> 0 (no change) ->
+    //         1 (rising — not a configured edge: event with empty cmds)
+    // pin 27: 0 (baseline) -> 1 (rising, 'both' covers it)
+    Files.write(dir.resolve("cap1.txt"),
+      ("100,17,1\n110,27,0\n120,17,0\n130,17,0\n" +
+        "140,27,1\n150,17,1\n").getBytes(StandardCharsets.UTF_8))
+    val q = LineSources.gpioLevelReplay(spark, dir.toString, gpioXml)
+      .writeStream.format("memory").queryName("gpio_level_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second file in a LATER micro-batch: the last-level state must
+      // carry across batches — pin 17 was left high, so 0 is a falling
+      // edge, not a baseline reset
+      Files.write(dir.resolve("cap2.txt"),
+        "200,17,0\n".getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      val rows = spark.table("gpio_level_out").collect()
+        .map(r => (r.getAs[Long]("ms"), r.getAs[Int]("pin"),
+          r.getAs[String]("edge"),
+          r.getAs[scala.collection.Seq[String]]("cmds").toSeq))
+        .sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (120L, 17, "falling", Seq("sd:trigger")),
+        (140L, 27, "rising", Seq("rv:update", "log:pin27")),
+        (150L, 17, "rising", Seq.empty),
+        (200L, 17, "falling", Seq("sd:trigger"))),
+        s"got: ${rows.toSeq}")
+    } finally q.stop()
   }
 }

@@ -100,6 +100,43 @@ class RtValsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("madGate: streaming MAD anomaly twin tracks the batch medians across batches") {
+    // streaming twin of the batch ts_anomaly_mad oracle row
+    // (StateQueries.scala): same 3 × 1.4826 × MAD gate, medians as
+    // bounded remedian sketches instead of exact two-pass medians
+    import graft.streaming.{MadPoint, Sketches}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = Sketches.madGate(mem.toDS(), warmup = 30)
+      .writeStream.format("memory").queryName("mad_out")
+      .outputMode("update").start()
+    try {
+      // values 10 + (i mod 7 - 3): uniform over 7..13 → exact median 10,
+      // exact MAD 2 (gate threshold 2 · 1.4826 · 3 ≈ 8.9)
+      val base = (0 until 63).map(i => ("s1", 10.0 + (i % 7) - 3))
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      // second batch: state must carry — the gate is already armed, so
+      // the gross outliers flag immediately while normals pass
+      val tail = (0 until 21).map(i => ("s1", 10.0 + (i % 7) - 3)) ++
+        Seq(("s1", 1000.0), ("s1", -500.0), ("s1", 11.0))
+      mem.addData(tail: _*)
+      q.processAllAvailable()
+      val rows = spark.table("mad_out").as[MadPoint].collect().sortBy(_.n)
+      val last = rows.last
+      assert(rows.map(_.n).distinct.length == rows.length, "n must be cumulative")
+      // remedian estimates land on the true medians for this symmetric
+      // fixture (within one buffer collapse)
+      assert(math.abs(last.med - 10.0) <= 1.0, s"median estimate drifted: ${last.med}")
+      assert(math.abs(last.mad - 2.0) <= 1.0, s"MAD estimate drifted: ${last.mad}")
+      val flagged = rows.filter(_.anomaly).map(_.value).toSet
+      assert(flagged.contains(1000.0) && flagged.contains(-500.0),
+        s"gross outliers not flagged: $flagged")
+      // no normal in-range value may trip the armed gate
+      assert(flagged.forall(v => v > 100 || v < -100), s"false positives: $flagged")
+    } finally q.stop()
+  }
+
   test("snapshots maintain last/min/max/count/avg/stddev across batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[ValUpdate]
