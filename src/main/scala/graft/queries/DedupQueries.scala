@@ -950,6 +950,37 @@ object DedupQueries {
           .otherwise(round(err / lit(64), 9)).as("mae"))
     },
 
+    // Random-projection dimensionality reduction (Achlioptas sign
+    // projection, the database-friendly Johnson–Lindenstrauss form):
+    // 64-dim float embeddings fold to 8 dims via an md5-derived ±1
+    // matrix, scaled by 1/sqrt(8) — the shrink stage that makes the
+    // downstream ANN/near-dup joins carry 8 doubles instead of 64
+    // floats. Exactness: each ±term is a dyadic-exact double (float
+    // widens exactly, sign flip is exact), both engines fold in the
+    // same dimension order (left fold here, list_sum there — the
+    // v_drift precedent), and sqrt(8) is one correctly-rounded IEEE op.
+    // Row-local, ZERO shuffles; the projection matrix is a formula, so
+    // at 100 TB nothing is broadcast and nothing is learned.
+    Q("v_dim_reduce",
+      """SELECT vec_id, label, CAST(j AS BIGINT) AS dim,
+        |  round(list_sum([
+        |    CASE WHEN substr(md5(CAST(j AS VARCHAR) || '-' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8'
+        |         THEN embedding[i]::DOUBLE ELSE -(embedding[i]::DOUBLE) END
+        |    for i in range(1, 65)]) / sqrt(8), 6) AS proj
+        |FROM embeddings, unnest(range(0, 8)) AS t(j)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          explode(sequence(lit(0L), lit(7L))).as("dim"), col("embedding"))
+        .select(col("vec_id"), col("label"), col("dim"),
+          round(aggregate(
+            transform(sequence(lit(0), lit(63)), i =>
+              when(substring(md5(concat(col("dim").cast("string"), lit("-"),
+                i.cast("string"))), 1, 1) < "8",
+                element_at(col("embedding"), i + 1).cast("double"))
+                .otherwise(-element_at(col("embedding"), i + 1).cast("double"))),
+            lit(0.0), (acc, x) => acc + x) / sqrt(lit(8)), 6).as("proj"))
+    },
+
     // Embedding drift monitor: cosine between the per-label centroids of
     // two deterministic corpus halves (vec_id parity stands in for the
     // before/after snapshot split) — the check that catches an encoder

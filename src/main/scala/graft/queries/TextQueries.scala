@@ -5,6 +5,7 @@ import graft.operators.TextOps
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis + multimodal-plumbing operators for the training-data
   * pipeline: language-ID heuristic, quality scoring, token counting,
@@ -679,6 +680,123 @@ object TextQueries {
         .select(col("doc_id"), col("frame_idx"),
           md5(concat(col("content_hash"), lit("-"),
             col("frame_idx").cast("string"))).as("frame_hash"))
+    },
+
+    // Multimodal audio, end-to-end and BIT-EXACT: per document,
+    // synthesize deterministic 16-bit PCM (an LCG over (doc_id, i)),
+    // encode a real RIFF/WAVE container, decode it back through the real
+    // chunk-walk decoder (Multimodal.decodeWav — the same path a
+    // production WAV column takes), and emit integer features. The
+    // oracle recomputes the features from the generator formula alone,
+    // so any header, byte-order, channel-mix, or sign error anywhere in
+    // the codec round-trip breaks the hash. Channel count alternates by
+    // doc parity to exercise the multi-channel mix (same frame on every
+    // channel — the mono mix is unchanged, 16-bit samples are dyadic-
+    // exact doubles). Row-local mapPartitions, zero shuffles; at 100 TB
+    // this is one scan with the decoder JIT-warm per partition.
+    Q("mm_audio",
+      """WITH d AS (SELECT doc_id, 200 + (doc_id % 50) * 8 AS n FROM documents),
+        |s AS (SELECT doc_id, n, i,
+        |    ((doc_id * 1103515245 + i * 12345) % 65536) - 32768 AS v
+        |  FROM d, unnest(range(0, n)) AS t(i)),
+        |x AS (SELECT doc_id, n, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS p FROM s)
+        |SELECT doc_id,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(max(n) // 8 AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN i > 0 AND ((p >= 0) != (v >= 0))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs
+        |FROM x GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(200) + col("doc_id") % 50 * 8).cast("int").as("n"))
+        .as[(Long, Int)]
+        .mapPartitions { it =>
+          it.flatMap { case (docId, n) =>
+            val pcm = Array.tabulate(n) { i =>
+              (((docId * 1103515245L + i * 12345L) % 65536L) - 32768L).toShort
+            }
+            val wav = graft.streaming.Multimodal.encodeWavPcm16(
+              8000, 1 + (docId % 2).toInt, pcm)
+            graft.streaming.Multimodal.decodeWav(wav).map {
+              case (rate, ch, _, mono) =>
+                var sumAbs, sumSq, zc = 0L
+                var peak = 0L
+                var i = 0
+                while (i < mono.length) {
+                  val v = math.round(mono(i) * 32768) // exact: s/32768 dyadic
+                  sumAbs += math.abs(v); sumSq += v * v
+                  if (math.abs(v) > peak) peak = math.abs(v)
+                  if (i > 0 && (mono(i - 1) >= 0) != (mono(i) >= 0)) zc += 1
+                  i += 1
+                }
+                (docId, mono.length.toLong, mono.length * 1000L / rate,
+                  ch.toLong, sumAbs, sumSq, zc, peak)
+            }
+          }
+        }
+        .toDF("doc_id", "n_samples", "duration_ms", "channels",
+          "sum_abs", "sum_sq", "zero_cross", "peak_abs")
+    },
+
+    // BM25 retrieval over the corpus for a fixed query — the ranking
+    // stage of a retrieval/RAG pipeline. Exactness discipline: idf's
+    // ln() is rounded to 6dp on both engines (the tx_zipf pattern), the
+    // per-term scores share one IEEE expression tree, and the per-doc
+    // sum goes through DECIMAL so term order can't perturb the total.
+    // Plan shape at scale: the term filter prunes the posting explode to
+    // the query's terms BEFORE any shuffle, df (|q| rows) and the corpus
+    // stats (1 row) broadcast, and the only wide exchange carries
+    // (doc_id, term) for the surviving postings — then one global top-k.
+    Q("tx_bm25",
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM w),
+        |qt AS (SELECT doc_id, unnest(w) AS term FROM w),
+        |q AS (SELECT doc_id, term FROM qt WHERE term IN ('vector', 'hash', 'stream')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+        |st AS (SELECT count(*) AS n,
+        |    (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) / count(*) AS avgdl
+        |  FROM documents),
+        |sc AS (SELECT tf.doc_id,
+        |    round(round(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1), 6)
+        |      * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / st.avgdl)))), 9) AS tsc
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |agg AS (SELECT doc_id, SUM(CAST(tsc AS DECIMAL(38,12))) AS score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, round(CAST(score AS DOUBLE), 6) AS score
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val dl = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+      val q = toks.select(col("doc_id"), explode(col("w")).as("term"))
+        .filter(col("term").isin("vector", "hash", "stream"))
+      val tf = q.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = q.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val st = docs.agg(count(lit(1)).as("n"))
+        .crossJoin(dl.agg(sum("dl").cast("double").as("sdl")))
+        .select(col("n"), (col("sdl") / col("n")).as("avgdl"))
+      val idf = round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)), 6)
+      val tsc = round(idf * (col("tf") * lit(2.2)
+        / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))), 9)
+      tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"), tsc.cast(DecimalType(38, 12)).as("tsc"))
+        .groupBy("doc_id").agg(sum("tsc").as("score"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"),
+          round(col("score").cast("double"), 6).as("score"))
     },
 
     // End-to-end training-set selection: the composed pipeline a corpus

@@ -550,6 +550,38 @@ object Multimodal {
     Some((sampleRate, channels, bps, mono))
   }
 
+  /** Canonical RIFF/WAVE writer for 16-bit signed little-endian PCM:
+    * the same frame is written to every channel (so [[decodeWav]]'s mono
+    * mix reproduces the input exactly — `s/32768` is a dyadic rational,
+    * hence an EXACT double). The `mm_audio` board row encodes through
+    * this, decodes through the real [[decodeWav]] chunk walk, and its
+    * DuckDB oracle recomputes the features from the generator formula —
+    * a bit-exact round-trip gate on the whole codec path.
+    */
+  private[graft] def encodeWavPcm16(
+      sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * channels * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) {
+      var c = 0
+      while (c < channels) { out.putShort(samples(i)); c += 1 }
+      i += 1
+    }
+    out.array()
+  }
+
   /** Partition-wise REAL audio feature extraction over decodable PCM
     * WAVs (everything else drops out): duration, RMS energy,
     * zero-crossing rate, peak — the audio-quality stage of a speech

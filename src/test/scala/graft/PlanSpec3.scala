@@ -212,6 +212,23 @@ class PlanSpec3 extends AnyFunSuite {
     assert(a.sameElements(b), "bloom prefilter changed the result")
   }
 
+  test("mm_audio / v_dim_reduce: row-local codec and projection, zero exchanges") {
+    for (n <- Seq("mm_audio", "v_dim_reduce")) {
+      val p = plan(n)
+      assert(exchanges(p) == 0, s"$n must stay row-local:\n$p")
+      assert(!p.contains("Join"), s"$n must not join:\n$p")
+    }
+  }
+
+  test("tx_bm25: df and corpus stats reach the postings by broadcast, top-k bounded") {
+    val p = plan("tx_bm25")
+    // the df (|q| rows) and stats (1 row) sides must broadcast; the only
+    // wide exchanges carry the pruned postings and the dl join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"query-side tables not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("q_null_semantics: all three not-matched spellings plan as hash anti joins") {
     val p = plan("q_null_semantics")
     // NOT IN (nullable), NOT IN (clean), NOT EXISTS — each becomes a
