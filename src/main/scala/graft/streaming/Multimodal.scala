@@ -497,10 +497,12 @@ object Multimodal {
     }
   }
 
-  /** Real PCM WAV decode, pure JVM (RIFF/WAVE chunk walk, fmt + data):
-    * 8-bit unsigned and 16-bit signed little-endian PCM, any channel
-    * count. Returns (sampleRate, channels, bitsPerSample, mono mix in
-    * [-1, 1]). Compressed audio stays stubbed (no codec libs).
+  /** Real WAV decode, pure JVM (RIFF/WAVE chunk walk, fmt + data):
+    * 8-bit unsigned and 16-bit signed little-endian PCM plus IMA/DVI
+    * ADPCM (format tag 0x11 — the block-compressed 4-bit codec from the
+    * public IMA spec), any channel count. Returns (sampleRate, channels,
+    * bitsPerSample, mono mix in [-1, 1]). Other compressed codecs
+    * (MP3/AAC) stay stubbed (no codec libs).
     */
   private[graft] def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
@@ -509,8 +511,8 @@ object Multimodal {
         ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
     def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var fmtOk = false
-    var channels, sampleRate, bps = 0
+    var fmtTag = 0
+    var channels, sampleRate, bps, blockAlign = 0
     var data: (Int, Int) = null // (offset, length)
     var pos = 12
     while (pos + 8 <= bytes.length) {
@@ -520,9 +522,10 @@ object Multimodal {
       // hang the executor task forever — corrupt RIFF means undecodable
       if (len < 0) return None
       if (id == "fmt " && len >= 16 && pos + 24 <= bytes.length) {
-        fmtOk = le16(pos + 8) == 1 // PCM only
+        fmtTag = le16(pos + 8)
         channels = le16(pos + 10)
         sampleRate = le32(pos + 12)
+        blockAlign = le16(pos + 20)
         bps = le16(pos + 22)
       } else if (id == "data")
         data = (pos + 8, math.min(len, bytes.length - pos - 8))
@@ -530,7 +533,11 @@ object Multimodal {
       val next = pos.toLong + 8 + len + (len & 1)
       pos = if (next > bytes.length) bytes.length else next.toInt
     }
-    if (!fmtOk || data == null || channels <= 0 || (bps != 8 && bps != 16)) return None
+    if (data == null || channels <= 0) return None
+    if (fmtTag == 0x11)
+      return decodeImaAdpcm(bytes, data._1, data._2, channels, blockAlign)
+        .map(mono => (sampleRate, channels, 4, mono))
+    if (fmtTag != 1 || (bps != 8 && bps != 16)) return None
     val bytesPerFrame = channels * bps / 8
     val n = data._2 / bytesPerFrame
     val mono = new Array[Double](n)
@@ -548,6 +555,163 @@ object Multimodal {
       i += 1
     }
     Some((sampleRate, channels, bps, mono))
+  }
+
+  // IMA ADPCM quantizer tables (public IMA/DVI specification)
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818)
+
+  private val ImaIndex: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA nibble step: returns (newPredictor, newIndex). The exact
+    * shift-based reconstruction from the spec — diff = step/8 + the
+    * selected step fractions, clamped predictor, clamped index.
+    */
+  @inline private def imaStepNibble(n: Int, pred: Int, idx: Int): (Int, Int) = {
+    val step = ImaStep(idx)
+    var diff = step >> 3
+    if ((n & 4) != 0) diff += step
+    if ((n & 2) != 0) diff += step >> 1
+    if ((n & 1) != 0) diff += step >> 2
+    val p0 = if ((n & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, idx + ImaIndex(n & 7)))
+    (p, i)
+  }
+
+  /** IMA ADPCM block-stream decode: each `blockAlign` block opens with a
+    * 4-byte per-channel header (int16 predictor = first sample, step
+    * index, reserved) followed by 4-bit nibbles in 4-byte per-channel
+    * groups (low nibble first, channels interleaved by group). A
+    * truncated final block decodes as far as its bytes go. Returns the
+    * mono mix in [-1, 1].
+    */
+  private def decodeImaAdpcm(bytes: Array[Byte], off: Int, len: Int,
+      channels: Int, blockAlign: Int): Option[Array[Double]] = {
+    if (blockAlign < 4 * channels) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    var block = off
+    val end = off + len
+    while (block + 4 * channels <= end) {
+      val blockEnd = math.min(block + blockAlign, end)
+      var c = 0
+      var sum = 0.0
+      while (c < channels) {
+        val h = block + c * 4
+        pred(c) = ((bytes(h) & 0xff) | ((bytes(h + 1) & 0xff) << 8)).toShort.toInt
+        idx(c) = math.max(0, math.min(88, bytes(h + 2) & 0xff))
+        sum += pred(c) / 32768.0
+        c += 1
+      }
+      out += sum / channels // header predictor IS output sample 0
+      // nibble groups: 4 bytes (8 samples) per channel, channels rotate
+      var g = block + 4 * channels
+      var done = false
+      while (!done && g + 4 * channels <= blockEnd) {
+        var s = 0
+        while (s < 8) { // 8 samples per group
+          var sm = 0.0
+          var c2 = 0
+          while (c2 < channels) {
+            val b = bytes(g + c2 * 4 + (s >> 1)) & 0xff
+            val nib = if ((s & 1) == 0) b & 0xf else b >> 4
+            val (p, i2) = imaStepNibble(nib, pred(c2), idx(c2))
+            pred(c2) = p; idx(c2) = i2
+            sm += p / 32768.0
+            c2 += 1
+          }
+          out += sm / channels
+          s += 1
+        }
+        g += 4 * channels
+        if (g >= blockEnd) done = true
+      }
+      block += blockAlign
+    }
+    if (out.isEmpty) None else Some(out.toArray)
+  }
+
+  /** IMA ADPCM encoder (the spec's quantizer: greedy step-fraction
+    * subtraction, then the SAME reconstruction arithmetic as the decoder
+    * to keep encoder and decoder predictors in lockstep). Mono or
+    * stereo; `samplesPerBlock - 1` must divide by 8 so nibble groups
+    * fill exactly.
+    */
+  private[graft] def encodeWavImaAdpcm(sampleRate: Int, channels: Int,
+      samples: Array[Short], samplesPerBlock: Int = 505): Array[Byte] = {
+    require(channels == 1 || channels == 2, "mono or stereo")
+    require((samplesPerBlock - 1) % 8 == 0, "samplesPerBlock-1 must divide by 8")
+    val blockAlign = 4 * channels + (samplesPerBlock - 1) / 2 * channels
+    val nBlocks = (samples.length + samplesPerBlock - 1) / math.max(samplesPerBlock, 1)
+    val dataLen = nBlocks * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44 + 4 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(40 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11) // IMA ADPCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / math.max(samplesPerBlock, 1))
+      .putShort(blockAlign.toShort)
+      .putShort(4) // bits per sample
+      .putShort(2) // cbSize
+      .putShort(samplesPerBlock.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    def quantize(c: Int, target: Int): Int = {
+      val step = ImaStep(idx(c))
+      var delta = target - pred(c)
+      var n = 0
+      if (delta < 0) { n = 8; delta = -delta }
+      if (delta >= step) { n |= 4; delta -= step }
+      if (delta >= (step >> 1)) { n |= 2; delta -= step >> 1 }
+      if (delta >= (step >> 2)) n |= 1
+      val (p, i2) = imaStepNibble(n, pred(c), idx(c))
+      pred(c) = p; idx(c) = i2
+      n
+    }
+    def sampleAt(i: Int, c: Int): Int =
+      if (i < samples.length) samples(i).toInt else 0
+    var base = 0
+    var b = 0
+    while (b < nBlocks) {
+      var c = 0
+      while (c < channels) {
+        // mono source duplicated across channels (matches encodeWavPcm16)
+        pred(c) = sampleAt(base, c)
+        idx(c) = if (b == 0) 0 else idx(c) // carry tuned index across blocks
+        out.putShort(pred(c).toShort).put(idx(c).toByte).put(0.toByte)
+        c += 1
+      }
+      var s = 1
+      while (s < samplesPerBlock) { // groups of 8 samples per channel
+        var c2 = 0
+        while (c2 < channels) {
+          var k = 0
+          var acc = 0L
+          while (k < 8) {
+            val n = quantize(c2, sampleAt(base + s + k, c2))
+            acc |= (n.toLong & 0xf) << (4 * k)
+            k += 1
+          }
+          out.putInt(acc.toInt)
+          c2 += 1
+        }
+        s += 8
+      }
+      base += samplesPerBlock
+      b += 1
+    }
+    out.array()
   }
 
   /** Canonical RIFF/WAVE writer for 16-bit signed little-endian PCM:
@@ -863,9 +1027,10 @@ object Multimodal {
   /** STUB decoder: a real build replaces this with the native decode; the
     * fake derives deterministic "dimensions" from the payload and computes
     * a real 4-bin byte histogram (honest binary-column compute).
-    * With [[aviVideoFrames]] + [[decodeDibFrame]] + [[decodeWav]] landed,
-    * this stub covers only payloads with NO pure-JVM decode path left:
-    * inter-coded video codecs (H.264 etc.) and compressed audio.
+    * With [[aviVideoFrames]] + [[decodeDibFrame]] + [[decodeWav]] (PCM
+    * and IMA ADPCM) landed, this stub covers only payloads with NO
+    * pure-JVM decode path left: inter-coded video codecs (H.264 etc.)
+    * and transform-coded audio (MP3/AAC).
     */
   private[streaming] def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
     val hist = new Array[Double](4)

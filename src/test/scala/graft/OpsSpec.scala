@@ -336,6 +336,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g.channels == 2 && g.bitsPerSample == 8)
     assert(math.abs(g.rms - 0.5 / math.sqrt(2)) < 0.05) // 8-bit quantization
   }
+
+  test("IMA ADPCM golden block: hand-derived predictor walk from the spec tables") {
+    // one mono block, header predictor 0 / step index 0 (step = 7), one
+    // nibble group [4,0,0,0,8,0,0,0]. By the spec arithmetic:
+    //   n=4: diff = 7>>3 + 7 = 7        -> pred 7, idx 0+2 = 2 (step 9)
+    //   n=0: diff = 9>>3 = 1            -> pred 8, idx 1 (step 8)
+    //   n=0: diff = 8>>3 = 1            -> pred 9, idx 0 (step 7)
+    //   n=0: diff = 7>>3 = 0            -> pred 9, idx 0
+    //   n=8: sign-only, diff 0          -> pred 9, idx 0
+    //   n=0 x3                          -> pred 9
+    val buf = java.nio.ByteBuffer.allocate(56) // 12 + (8+20) fmt + (8+8) data
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(48).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1).putInt(8000).putInt(4000)
+      .putShort(8).putShort(4).putShort(2).putShort(9)
+    buf.put("data".getBytes("US-ASCII")).putInt(8)
+    buf.putShort(0).put(0.toByte).put(0.toByte) // header: pred 0, idx 0
+    buf.put(Array[Byte](0x04, 0x00, 0x08, 0x00)) // nibbles low-first
+    val Some((rate, ch, bps, mono)) = Multimodal.decodeWav(buf.array())
+    assert(rate == 8000 && ch == 1 && bps == 4)
+    val expected = Seq(0, 7, 8, 9, 9, 9, 9, 9, 9).map(_ / 32768.0)
+    assert(mono.toSeq == expected, s"got ${mono.toSeq.map(_ * 32768)}")
+  }
+
+  test("IMA ADPCM round-trip: encoder/decoder lockstep within step-size error") {
+    val rate = 8000
+    val n = 2000
+    val pcm = Array.tabulate(n)(i =>
+      (8000 * math.sin(2 * math.Pi * 440 * i / rate)).toShort)
+    val adpcm = Multimodal.encodeWavImaAdpcm(rate, 1, pcm)
+    val Some((r2, ch2, bps2, mono)) = Multimodal.decodeWav(adpcm)
+    assert(r2 == rate && ch2 == 1 && bps2 == 4)
+    assert(mono.length >= n, s"decoded ${mono.length} of $n samples")
+    // ADPCM tracks a 440 Hz sine closely once the step adapts: compare
+    // decoded to source over the signal body, relative RMS error < 5%
+    var err = 0.0
+    var sig = 0.0
+    (64 until n).foreach { i =>
+      val d = mono(i) * 32768 - pcm(i)
+      err += d * d; sig += pcm(i).toDouble * pcm(i)
+    }
+    assert(math.sqrt(err / sig) < 0.05,
+      s"relative RMS error ${math.sqrt(err / sig)}")
+    // stereo interleave: same frame on both channels must mix to the
+    // same mono signal as the mono encode
+    val st = Multimodal.encodeWavImaAdpcm(rate, 2, pcm)
+    val Some((_, chS, _, monoS)) = Multimodal.decodeWav(st)
+    assert(chS == 2)
+    assert(monoS.take(n).sameElements(mono.take(n)),
+      "stereo mix must equal mono decode for duplicated channels")
+    // and audioFeatures consumes ADPCM through the same real path
+    val feats = Multimodal.audioFeatures(
+      Seq(MediaRecord(9L, "audio", adpcm, Map.empty)).toDS()).collect()
+    assert(feats.length == 1 && feats(0).bitsPerSample == 4)
+    assert(math.abs(feats(0).rms - 8000.0 / 32768 / math.sqrt(2)) < 0.02)
+  }
 }
 
 class UdpSourceSpec extends AnyFunSuite {
