@@ -178,6 +178,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("IMA ADPCM decode terminates on forged channels/blockAlign/data") {
+    // the block walk advances by blockAlign per iteration — a forged
+    // blockAlign of 0, or channels of 0/65535, must make decodeWav
+    // return (None or short output), never spin or throw
+    val gen = for {
+      channels <- Gen.oneOf(0, 1, 2, 3, 255, 65535)
+      blockAlign <- Gen.oneOf(0, 1, 4, 8, 512, 65535)
+      n <- Gen.choose(0, 200)
+      data <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield {
+      val buf = java.nio.ByteBuffer.allocate(56 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(48 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(20)
+        .putShort(0x11).putShort(channels.toShort).putInt(8000).putInt(4000)
+        .putShort(blockAlign.toShort).putShort(4).putShort(2).putShort(505)
+      buf.put("data".getBytes("US-ASCII")).putInt(8 + n)
+      buf.putShort(0).put(0.toByte).put(0.toByte)
+      buf.put(Array[Byte](0x04, 0x00, 0x08, 0x00)).put(data.toArray)
+      buf.array()
+    }
+    forAll(gen, n = 200) { bytes =>
+      graft.streaming.Multimodal.decodeWav(bytes) // must terminate
+      ()
+    }
+  }
+
   /** Build a minimal-but-valid MJPEG AVI: RIFF(AVI ) with an hdrl/avih
     * header and a movi LIST of 00dc chunks, each a complete ImageIO JPEG.
     */
