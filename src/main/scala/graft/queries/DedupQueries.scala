@@ -354,6 +354,83 @@ object DedupQueries {
             .as("dup_ratio"))
     },
 
+    // The staged dedup funnel a corpus run actually reports: how many
+    // documents survive quality gate → exact dedup → span-near-dup gate,
+    // as one observability row per stage. Reuses the exact predicates of
+    // tx_quality_gate, dd_exact's keeper window, and dd_span_dup's
+    // positional-gram dup_ratio (threshold 0.5) — each stage strictly
+    // filters, so at 100 TB the funnel costs what its most expensive
+    // stage costs (one key window + one gram-df join over survivors),
+    // and the output is 4 rows.
+    Q("pl_dedup_funnel",
+      """WITH t AS (SELECT doc_id, length(text) AS chars,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |q AS (SELECT doc_id, w, chars, len(w) AS n_tokens,
+        |    len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+        |      * 1.0 / len(w) AS stop_ratio
+        |  FROM t WHERE len(w) > 0),
+        |gated AS (SELECT doc_id, w FROM q
+        |  WHERE n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.05
+        |    AND chars * 1.0 / n_tokens <= 12),
+        |exact AS (SELECT doc_id, w FROM (
+        |    SELECT doc_id, w, row_number() OVER (
+        |      PARTITION BY array_to_string(w[1:5], ' ') ORDER BY doc_id) AS rn
+        |    FROM gated) WHERE rn = 1),
+        |g AS (SELECT doc_id,
+        |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)] AS gs
+        |  FROM exact WHERE len(w) >= 5),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |dg AS (SELECT gram FROM e GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT e.doc_id, count(*) AS dup_spans
+        |  FROM e JOIN dg USING (gram) GROUP BY e.doc_id),
+        |spanok AS (SELECT g.doc_id FROM g LEFT JOIN d ON g.doc_id = d.doc_id
+        |  WHERE COALESCE(d.dup_spans, 0) * 1.0 / len(gs) <= 0.5)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'all' AS name,
+        |    (SELECT count(*) FROM documents) AS survivors
+        |  UNION ALL SELECT 1, 'quality_gate', (SELECT count(*) FROM gated)
+        |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM exact)
+        |  UNION ALL SELECT 3, 'span_dedup', (SELECT count(*) FROM spanok))""".stripMargin) { (s, dir) =>
+      val stopSet = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+      val docs = Tables.load(s, dir, "documents")
+      val q = docs
+        .select(col("doc_id"), length(col("text")).as("chars"),
+          TextOps.tokens(col("text")).as("w"))
+        .withColumn("n_tokens", size(col("w")))
+        .filter(col("n_tokens") > 0)
+        .withColumn("stop_ratio",
+          GraftFunctions.count_in_set(col("w"), stopSet) * lit(1.0) / col("n_tokens"))
+      val gated = q.filter(
+        col("n_tokens").between(20, 1000) && col("stop_ratio") >= 0.05 &&
+          col("chars") * lit(1.0) / col("n_tokens") <= 12)
+        .select(col("doc_id"), col("w"))
+      val keeper = Window
+        .partitionBy(array_join(slice(col("w"), 1, 5), " ")).orderBy("doc_id")
+      val exact = gated.withColumn("rn", row_number().over(keeper))
+        .filter(col("rn") === 1).select(col("doc_id"), col("w"))
+      // survivors feed both the gram-df count and the join-back: persist
+      // the positional-gram explode once (dd_span_dup's recompute trap)
+      val g = exact.filter(size(col("w")) >= 5)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("w")) - 4),
+            i => array_join(slice(col("w"), i, lit(5)), " ")).as("gs"))
+      val e = g.select(col("doc_id"), explode(col("gs")).as("gram")).cache()
+      val dg = e.groupBy("gram").agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2).select("gram")
+      val d = e.join(dg, "gram").groupBy("doc_id")
+        .agg(count(lit(1)).as("dup_spans"))
+      val spanok = g.join(d, Seq("doc_id"), "left")
+        .filter(coalesce(col("dup_spans"), lit(0L)).cast("double")
+          / size(col("gs")) <= 0.5)
+      def stageRow(n: Int, name: String, c: org.apache.spark.sql.DataFrame) =
+        c.agg(count(lit(1)).as("survivors"))
+          .select(lit(n.toLong).as("stage"), lit(name).as("name"), col("survivors"))
+      stageRow(0, "all", docs)
+        .unionAll(stageRow(1, "quality_gate", gated))
+        .unionAll(stageRow(2, "exact_dedup", exact))
+        .unionAll(stageRow(3, "span_dedup", spanok))
+    },
+
     // 64-bit SimHash fingerprints (native expression; oracle rebuilds the
     // bit votes from md5 nibbles).
     Q("dd_simhash",

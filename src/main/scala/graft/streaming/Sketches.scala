@@ -18,6 +18,13 @@ final case class MadGateState(medLevels: List[List[Double]],
 
 final case class BloomState(bits: Array[Byte])
 
+final case class LshCandidate(docA: Long, docB: Long, bucket: String)
+
+/** Per-bucket LSH index state: the doc ids seen in this (band, band-hash)
+  * bucket, capped at `maxBucket` with an overflow count.
+  */
+final case class LshBucketState(ids: List[Long], overflow: Long)
+
 /** Continuous heavy hitters with BOUNDED memory — the streaming twin of
   * the batch `tx_topk_ngrams` two-phase top-k. Each shard keeps a
   * Space-Saving summary (Metwally et al., public algorithm) of at most
@@ -191,4 +198,56 @@ object Sketches {
         state.update(st)
         out.iterator
       }
+
+  implicit private val lcEnc: Encoder[LshCandidate] = Encoders.product[LshCandidate]
+  implicit private val lsEnc: Encoder[LshBucketState] = Encoders.product[LshBucketState]
+  implicit private val lbEnc: Encoder[(Long, String)] = Encoders.product[(Long, String)]
+
+  /** Continuous near-duplicate candidate detection — the streaming twin
+    * of the batch `dd_incremental` probe-vs-index pattern: the banded
+    * MinHash index LIVES IN KEYED STATE, one key per (band, band-hash)
+    * bucket, so an arriving document is paired only against the docs
+    * already in its buckets — the corpus is never re-joined. Uses the
+    * exact banding of `TextOps.bandedSignatures` (same shingles, same
+    * md5-seeded minhash expression), so batch and stream agree on which
+    * pairs are candidates.
+    *
+    * Bounded state: a bucket holds at most `maxBucket` ids. By the LSH
+    * design (dd_lsh_design's S-curve) buckets are small — a bucket that
+    * overflows means a degenerate band (e.g. boilerplate shingles); the
+    * overflow count is kept in state and further ids in that bucket stop
+    * pairing (candidates, not guarantees — same contract as the batch
+    * index, which would cap the same bucket at write time). A pair
+    * sharing several buckets is emitted once per bucket (the `bucket`
+    * column says which); downstream dedup is the consumer's exact-verify
+    * join, exactly as in the batch pipeline.
+    */
+  def streamingLshCandidates(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3, k: Int = 8,
+      bands: Int = 4, maxBucket: Int = 64): Dataset[LshCandidate] = {
+    import org.apache.spark.sql.functions._
+    graft.operators.TextOps
+      .bandedSignatures(docs, idCol, textCol, shingleSize, k, bands)
+      .select(col(idCol).cast("long").as("id"),
+        concat(col("band").cast("string"), lit(":"), col("bh")).as("bucket"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[LshBucketState, LshCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (bucket, it, state) =>
+        val st = state.getOption.getOrElse(LshBucketState(Nil, 0L))
+        val known = st.ids.toSet
+        val fresh = it.map(_._1).toSeq.distinct.sorted.filterNot(known)
+        val room = math.max(0, maxBucket - st.ids.length)
+        val (admitted, spilled) = fresh.splitAt(room)
+        // existing × new, plus new intra-batch pairs, id-ordered
+        val out =
+          (for (n <- admitted; e <- st.ids)
+            yield LshCandidate(math.min(e, n), math.max(e, n), bucket)) ++
+          (for (i <- admitted.indices; j <- (i + 1) until admitted.length)
+            yield LshCandidate(admitted(i), admitted(j), bucket))
+        state.update(LshBucketState(st.ids ++ admitted,
+          st.overflow + spilled.length))
+        out.iterator
+      }
+  }
 }

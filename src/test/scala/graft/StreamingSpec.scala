@@ -137,6 +137,37 @@ class RtValsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingLshCandidates: banded index in keyed state pairs across batches") {
+    // streaming twin of the batch dd_incremental probe-vs-index: the
+    // bucket state must carry so a doc arriving BATCHES LATER still
+    // pairs with its near-dup, and the candidate set must agree with
+    // the batch lshCandidatePairs on the same corpus
+    import graft.streaming.Sketches
+    implicit val sc = spark.sqlContext
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val otherText = "completely different words about marine salinity sensors here"
+    val mem = MemoryStream[(Long, String)]
+    val q = Sketches.streamingLshCandidates(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("lsh_cand")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, dupText), (2L, otherText))
+      q.processAllAvailable()
+      assert(spark.table("lsh_cand").isEmpty, "no near-dups yet")
+      mem.addData((3L, dupText)) // later batch: must pair against state
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_cand").collect()
+        .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"))).distinct
+      assert(pairs.toSeq == Seq((1L, 3L)), s"got ${pairs.toSeq}")
+      val batch = graft.operators.TextOps.lshCandidatePairs(
+        Seq((1L, dupText), (2L, otherText), (3L, dupText)).toDF("doc_id", "text"),
+        "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(batch == Seq((1L, 3L)), s"batch disagrees: $batch")
+    } finally q.stop()
+  }
+
   test("snapshots maintain last/min/max/count/avg/stddev across batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[ValUpdate]
