@@ -290,6 +290,51 @@ object TextQueries {
         .limit(20)
     },
 
+    // Vocabulary coverage curve: what fraction of all token OCCURRENCES
+    // a top-k frequency vocabulary covers, at standard cut points — the
+    // tokenizer-design query (how big must the vocab be before <unk>
+    // rates are acceptable). Two shuffles (term counts, then one rank
+    // window over the vocabulary — vocab-sized, not corpus-sized) and a
+    // 4-row output; the corpus-sized explode collapses in the first
+    // map-side partial agg. Share is a ratio of exact BIGINTs rounded
+    // 6dp, so both engines agree bit-for-bit.
+    Q("tx_ngram_coverage",
+      """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk,
+        |    sum(n) OVER (ORDER BY n DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS vocab FROM c)
+        |SELECT k, vocab,
+        |  round(CAST(cov AS DOUBLE) / total, 6) AS coverage
+        |FROM (SELECT ks.k,
+        |    (SELECT max(cum) FROM r WHERE rnk <= ks.k) AS cov
+        |  FROM (SELECT unnest([10, 20, 40, 80]) AS k) ks) x
+        |CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      val counts = Tables.load(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("term"))
+      val ranked = counts
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cum",
+          sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = counts.agg(sum("n").cast("long").as("total"),
+        count(lit(1)).cast("long").as("vocab"))
+      val cuts = Seq(10, 20, 40, 80)
+      val cov = ranked
+        .crossJoin(broadcast(
+          s.createDataFrame(cuts.map(Tuple1(_))).toDF("k")))
+        .filter(col("rnk") <= col("k"))
+        .groupBy("k").agg(max("cum").as("cov"))
+      cov.crossJoin(broadcast(tot))
+        .select(col("k"), col("vocab"),
+          round(col("cov").cast("double") / col("total"), 6).as("coverage"))
+    },
+
     // Filter-funnel observability: how many documents survive each
     // cumulative quality gate. One scan, conditional aggregation — the
     // per-stage counts every corpus pipeline reports. Scales as a single

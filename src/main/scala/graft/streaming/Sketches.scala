@@ -20,6 +20,8 @@ final case class BloomState(bits: Array[Byte])
 
 final case class LshCandidate(docA: Long, docB: Long, bucket: String)
 
+final case class DedupDecision(id: Long, key: String, keep: Boolean, keeper: Long)
+
 /** Per-bucket LSH index state: the doc ids seen in this (band, band-hash)
   * bucket, capped at `maxBucket` with an overflow count.
   */
@@ -247,6 +249,36 @@ object Sketches {
             yield LshCandidate(admitted(i), admitted(j), bucket))
         state.update(LshBucketState(st.ids ++ admitted,
           st.overflow + spilled.length))
+        out.iterator
+      }
+  }
+
+  implicit private val ddEnc: Encoder[DedupDecision] = Encoders.product[DedupDecision]
+  implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Continuous exact dedup — the streaming twin of the batch `dd_exact`
+    * keeper window: first id to claim a key wins, every later arrival is
+    * marked a duplicate of that keeper, across micro-batches. Within a
+    * batch ids are ordered so the decision matches the batch window's
+    * `ORDER BY doc_id` determinism. State is ONE long per distinct key —
+    * this is the streaming dedup index itself (RocksDB-backed state
+    * store on a real cluster); it grows with the distinct-key count, not
+    * the stream length, exactly like the batch index it mirrors.
+    */
+  def streamingExactDedup(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, keyCol: String): Dataset[DedupDecision] = {
+    import org.apache.spark.sql.functions.col
+    docs.select(col(idCol).cast("long"), col(keyCol).cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, DedupDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        var keeper = state.getOption.getOrElse(-1L)
+        val out = it.toSeq.sortBy(_._1).map { case (id, _) =>
+          if (keeper < 0) { keeper = id; DedupDecision(id, key, keep = true, id) }
+          else DedupDecision(id, key, keep = id == keeper, keeper)
+        }
+        state.update(keeper)
         out.iterator
       }
   }

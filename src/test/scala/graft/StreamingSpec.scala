@@ -168,6 +168,29 @@ class RtValsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedup: first key claimant wins across batches") {
+    import graft.streaming.{DedupDecision, Sketches}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Sketches.streamingExactDedup(
+      mem.toDS().toDF("doc_id", "key"), "doc_id", "key")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((5L, "A"), (1L, "A"), (2L, "B"))
+      q.processAllAvailable()
+      mem.addData((9L, "A"), (3L, "C")) // later batch: keeper must persist
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").as[DedupDecision].collect()
+        .map(d => (d.id, d.key, d.keep, d.keeper)).sortBy(_._1)
+      // in-batch order is id-sorted, so 1 claims A and 5 is its dup —
+      // the same decision the batch keeper window makes
+      assert(rows.toSeq == Seq(
+        (1L, "A", true, 1L), (2L, "B", true, 2L), (3L, "C", true, 3L),
+        (5L, "A", false, 1L), (9L, "A", false, 1L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("snapshots maintain last/min/max/count/avg/stddev across batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[ValUpdate]
