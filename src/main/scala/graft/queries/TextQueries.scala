@@ -290,6 +290,49 @@ object TextQueries {
         .limit(20)
     },
 
+    // Per-source dataset card: the release-notes row of a corpus drop —
+    // doc/token volumes, mean and median length, language spread, and
+    // the exact-dup fraction (docs sharing dd_exact's first-5-token key
+    // with any other doc). One key-shuffle for the dup count, one
+    // source-agg; exact-integer ratios divide once in IEEE double so
+    // both engines agree. Median via the q_percentile interpolation
+    // twins (percentile / quantile_cont), rounded 4dp.
+    Q("pl_dataset_card",
+      """WITH t AS (SELECT source, lang, doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:5], ' ') AS key
+        |  FROM documents),
+        |k AS (SELECT key, count(*) AS kc FROM t GROUP BY key)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS avg_tokens,
+        |  round(quantile_cont(n_tok, 0.5), 4) AS med_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS en_share,
+        |  CAST(sum(CASE WHEN kc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |FROM t JOIN k USING (key)
+        |GROUP BY source""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val t = Tables.load(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(toks).cast("long").as("n_tok"),
+          array_join(slice(toks, 1, 5), " ").as("key"))
+      val k = t.groupBy("key").agg(count(lit(1)).as("kc"))
+      t.join(k, "key")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          round(sum("n_tok").cast("double") / count(lit(1)), 6).as("avg_tokens"),
+          round(expr("percentile(n_tok, 0.5)"), 4).as("med_tokens"),
+          countDistinct("lang").as("n_langs"),
+          round(sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("en_share"),
+          sum(when(col("kc") > 1, 1L).otherwise(0L)).as("dup_docs"))
+    },
+
     // Vocabulary coverage curve: what fraction of all token OCCURRENCES
     // a top-k frequency vocabulary covers, at standard cut points — the
     // tokenizer-design query (how big must the vocab be before <unk>

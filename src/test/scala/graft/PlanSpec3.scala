@@ -229,6 +229,21 @@ class PlanSpec3 extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("pl_dedup_funnel: no cartesian; stages share the cached gram explode") {
+    val p = plan("pl_dedup_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel degenerated:\n$p")
+    // the span stage reuses the persisted gram explode, so the whole
+    // 4-stage funnel stays within a bounded exchange budget
+    assert(exchanges(p) <= 10, s"funnel shuffles too much:\n$p")
+  }
+
+  test("tx_ngram_coverage: rank window runs over the vocab, cuts broadcast") {
+    val p = plan("tx_ngram_coverage")
+    assert(p.contains("BroadcastExchange"), s"cut table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("q_null_semantics: all three not-matched spellings plan as hash anti joins") {
     val p = plan("q_null_semantics")
     // NOT IN (nullable), NOT IN (clean), NOT EXISTS — each becomes a
