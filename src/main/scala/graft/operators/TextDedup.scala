@@ -177,11 +177,11 @@ object TextOps {
     * consume one similarity join before starting the next.
     */
   private val liveCaches = new scala.collection.mutable.ArrayBuffer[DataFrame]
-  private def trackCache(df: DataFrame): DataFrame = synchronized {
+  private[graft] def trackCache(df: DataFrame): DataFrame = synchronized {
     liveCaches += df.cache()
     df
   }
-  private def releasePriorCaches(): Unit = synchronized {
+  private[graft] def releasePriorCaches(): Unit = synchronized {
     liveCaches.foreach(_.unpersist(false))
     liveCaches.clear()
   }
