@@ -28,18 +28,24 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.
     *
     * Each build first releases the cached intermediates the PREVIOUS query
-    * registered via [[graft.operators.TextDedup.trackCache]]: queries are
+    * registered via [[graft.operators.TextOps.trackCache]]: queries are
     * lazy, so their caches must outlive the build call, and the next
     * query's build is the earliest point they are provably consumed. A
     * long-lived session (Bench runs the whole board × reps in one JVM)
     * therefore holds at most one query's worth of cached blocks — the
     * round-6 verdict traced storage-pool pressure across the dd_* stretch
     * to query-local caches that skipped this discipline.
+    *
+    * Caller contract: build one query and fully consume it BEFORE building
+    * the next (Bench and Verify both do). Building several lazy frames
+    * first, or running queries concurrently, unpersists earlier caches
+    * before consumption — results stay correct (unpersist only forces
+    * recompute), but the recompute the caches guard against returns.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { q =>
       q.name -> { (s: SparkSession, dir: String) =>
-        graft.operators.TextDedup.releasePriorCaches()
+        graft.operators.TextOps.releasePriorCaches()
         q.build(s, dir)
       }
     }.toMap

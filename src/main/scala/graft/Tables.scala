@@ -9,16 +9,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
-    * convert here (truncating div — same as DuckDB's ns->us cast for the
-    * positive epoch range). Oracle queries must emit epoch_ms/strftime
-    * rather than raw ns timestamps so both sides agree on precision.
+  /** events.ts normalization — the fixture generator has shipped it as
+    * TIMESTAMP(NANOS) (read as long under nanosAsLong, converted here) and
+    * as TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ, cast to
+    * session-TZ timestamp — identical instants since every session pins
+    * UTC). Dispatch on the read type so either vintage of testdata loads
+    * to the same TimestampType column. Oracle queries must emit
+    * epoch_ms/strftime rather than raw ns timestamps so both sides agree
+    * on precision.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => df
+    }
     else df
   }
 }

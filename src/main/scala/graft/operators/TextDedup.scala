@@ -97,7 +97,14 @@ object TextOps {
       cached.unpersist()
       import spark.implicits._
       nodes.map(n => (n, minOfRoot(find(n)))).toSeq.toDF("node", "cluster")
-    } else distributedCC(cached, aCol, bCol, maxIter)
+    } else {
+      // distributedCC's result is localCheckpoint'ed (eager), so the edge
+      // input is fully consumed by return time — release it here rather
+      // than leak it for the session's lifetime (round-6 cache audit).
+      val out = distributedCC(cached, aCol, bCol, maxIter)
+      cached.unpersist(false)
+      out
+    }
   }
 
   private def distributedCC(pairs: DataFrame, aCol: String,
@@ -164,17 +171,19 @@ object TextOps {
     */
   def similarityJoinExact(docs: DataFrame, idCol: String, blockCol: String,
       textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
-    releasePriorCaches()
     ppjoinFrom(shingled(docs, idCol, blockCol, textCol, shingleSize),
       idCol, blockCol, threshold)
   }
 
-  /** Cached intermediates (gram index, prefix index) of the most recent
-    * similarity join. They must outlive the call — the returned frame is
-    * lazy — so each NEW call releases the previous generation instead: a
-    * long-lived session holds at most one join's worth of cached blocks
-    * (round-2 advice: caches accumulated until memory pressure). Callers
-    * consume one similarity join before starting the next.
+  /** Cached intermediates (gram index, prefix index, funnel stages) of
+    * the most recent query build. They must outlive the build call — the
+    * returned frame is lazy — so the lifecycle is owned EXCLUSIVELY by the
+    * [[graft.SparkEntry.queries]] wrapper, which calls
+    * [[releasePriorCaches]] at the start of each query build: a long-lived
+    * session holds at most one query's worth of cached blocks (round-2
+    * advice: caches accumulated until memory pressure). Operators never
+    * release internally — a query that tracks its own frames and then
+    * invokes a join must not have them unpersisted mid-build.
     */
   private val liveCaches = new scala.collection.mutable.ArrayBuffer[DataFrame]
   private[graft] def trackCache(df: DataFrame): DataFrame = synchronized {
@@ -184,6 +193,37 @@ object TextOps {
   private[graft] def releasePriorCaches(): Unit = synchronized {
     liveCaches.foreach(_.unpersist(false))
     liveCaches.clear()
+  }
+
+  /** Positional-span duplicate frames shared by dd_span_dup and
+    * pl_dedup_funnel (round-7 advice: the duplicated explode let the
+    * cache policy diverge). Input: `(idCol, tokensCol: array<string>)`.
+    * Returns `(grams, dupCounts)`:
+    *  - `grams`: `(idCol, gs)` — every positional n-gram (NOT distinct: a
+    *    doc repeating a leaked span counts every occurrence), docs with
+    *    fewer than n tokens dropped;
+    *  - `dupCounts`: `(idCol, dup_spans)` — per doc, how many of its
+    *    spans occur in >= 2 docs.
+    * The gram explode is tracked-cached: it feeds BOTH the gram-df count
+    * and the join-back, and without the barrier the explode runs once per
+    * consumer. Plan at scale: one shuffle for gram document frequency,
+    * one gram-keyed join back (only df>=2 grams flow), then a per-doc
+    * partial agg — never all-pairs.
+    */
+  def spanDupFrames(docs: DataFrame, idCol: String, tokensCol: String,
+      n: Int): (DataFrame, DataFrame) = {
+    val g = docs.filter(size(col(tokensCol)) >= n)
+      .select(col(idCol),
+        transform(sequence(lit(1), size(col(tokensCol)) - (n - 1)),
+          i => array_join(slice(col(tokensCol), i, lit(n)), " ")).as("gs"))
+    val e = trackCache(g.select(col(idCol), explode(col("gs")).as("gram")))
+    val dg = e.groupBy("gram")
+      .agg(countDistinct(idCol).as("df"))
+      .filter(col("df") >= 2)
+      .select("gram")
+    val d = e.join(dg, "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("dup_spans"))
+    (g, d)
   }
 
   /** Shingled-docs index frame `(id, block, __g)`, cached: it is re-read
@@ -288,7 +328,6 @@ object TextOps {
   def similarityJoin(docs: DataFrame, idCol: String, blockCol: String,
       textCol: String, shingleSize: Int, threshold: Double,
       denseVocabAvgDf: Double = 64.0): DataFrame = {
-    releasePriorCaches()
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
     val st = grams
       .select(explode(col("__g")).as("x"))
@@ -322,7 +361,6 @@ object TextOps {
   def containmentJoin(docs: DataFrame, idCol: String, blockCol: String,
       textCol: String, shingleSize: Int, threshold: Double,
       denseVocabAvgDf: Double = 64.0): DataFrame = {
-    releasePriorCaches()
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
     val st = grams
       .select(explode(col("__g")).as("x"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{TextDedup, TextOps, VectorOps}
+import graft.operators.{TextOps, VectorOps}
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -183,7 +183,7 @@ object DedupQueries {
           TextOps.shingles(col("__toks"), 3).as("sh"),
           graft.functions.GraftFunctions.minhash_sig(
             TextOps.shingles(col("__toks"), 3), lit(64)).as("sig"))
-        .cache()
+        .transform(TextOps.trackCache)
       val pairs = TextOps.lshCandidatePairs(docs, "doc_id", "text",
         shingleSize = 3, k = 8, bands = 4)
       val a = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
@@ -300,7 +300,7 @@ object DedupQueries {
         .withColumn("s", TextOps.shingles(TextOps.tokens(col("text")), 5))
         .filter(size(col("s")) > 0)
         .select(col("doc_id"), explode(col("s")).as("x"))
-        .cache()
+        .transform(TextOps.trackCache)
       val testG = grams.filter(col("doc_id") < 20).select("x").distinct()
       grams.filter(col("doc_id") >= 20)
         .join(broadcast(testG), "x")
@@ -331,23 +331,9 @@ object DedupQueries {
         |  COALESCE(dup_spans, 0) AS dup_spans,
         |  round(COALESCE(dup_spans, 0) * 1.0 / n_spans, 6) AS dup_ratio
         |FROM tot LEFT JOIN d ON tot.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
-      // cache (tracked — released when the next query builds): the
-      // positional-gram explode feeds both the df count and the join-back
-      // (self-join recomputation trap, see ENGINEERING_NOTES)
-      val g = Tables.load(s, dir, "documents")
+      val toks = Tables.load(s, dir, "documents")
         .withColumn("w", TextOps.tokens(col("text")))
-        .filter(size(col("w")) >= 5)
-        .select(col("doc_id"),
-          transform(sequence(lit(1), size(col("w")) - 4),
-            i => array_join(slice(col("w"), i, lit(5)), " ")).as("gs"))
-      val e = TextDedup.trackCache(
-        g.select(col("doc_id"), explode(col("gs")).as("gram")))
-      val dg = e.groupBy("gram")
-        .agg(countDistinct("doc_id").as("df"))
-        .filter(col("df") >= 2)
-        .select("gram")
-      val d = e.join(dg, "gram")
-        .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+      val (g, d) = TextOps.spanDupFrames(toks, "doc_id", "w", 5)
       g.select(col("doc_id"), size(col("gs")).cast("long").as("n_spans"))
         .join(d, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_spans"),
@@ -411,27 +397,16 @@ object DedupQueries {
       // funnel really does cost what its most expensive stage costs. At
       // 100 TB these caches are the stage-survivor checkpoints a corpus
       // run would persist anyway.
-      val gated = TextDedup.trackCache(q.filter(
+      val gated = TextOps.trackCache(q.filter(
         col("n_tokens").between(20, 1000) && col("stop_ratio") >= 0.05 &&
           col("chars") * lit(1.0) / col("n_tokens") <= 12)
         .select(col("doc_id"), col("w")))
       val keeper = Window
         .partitionBy(array_join(slice(col("w"), 1, 5), " ")).orderBy("doc_id")
-      val exact = TextDedup.trackCache(
+      val exact = TextOps.trackCache(
         gated.withColumn("rn", row_number().over(keeper))
           .filter(col("rn") === 1).select(col("doc_id"), col("w")))
-      // survivors feed both the gram-df count and the join-back: persist
-      // the positional-gram explode once (dd_span_dup's recompute trap)
-      val g = exact.filter(size(col("w")) >= 5)
-        .select(col("doc_id"),
-          transform(sequence(lit(1), size(col("w")) - 4),
-            i => array_join(slice(col("w"), i, lit(5)), " ")).as("gs"))
-      val e = TextDedup.trackCache(
-        g.select(col("doc_id"), explode(col("gs")).as("gram")))
-      val dg = e.groupBy("gram").agg(countDistinct("doc_id").as("df"))
-        .filter(col("df") >= 2).select("gram")
-      val d = e.join(dg, "gram").groupBy("doc_id")
-        .agg(count(lit(1)).as("dup_spans"))
+      val (g, d) = TextOps.spanDupFrames(exact, "doc_id", "w", 5)
       val spanok = g.join(d, Seq("doc_id"), "left")
         .filter(coalesce(col("dup_spans"), lit(0L)).cast("double")
           / size(col("gs")) <= 0.5)
@@ -510,7 +485,7 @@ object DedupQueries {
           lpad(hex(GraftFunctions.simhash64(TextOps.tokens(col("text")))), 16, "0").as("h"))
         .withColumn("hi", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
         .withColumn("lo", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
-        .cache()
+        .transform(TextOps.trackCache)
       val bands = sh.select(col("doc_id"), col("hi"), col("lo"),
         posexplode(array((0 until 4).map(b =>
           substring(col("h"), 1 + b * 4, 4)): _*)).as(Seq("band", "bh")))
@@ -941,7 +916,7 @@ object DedupQueries {
       val mu = knn.as("x").join(knn.as("y"),
           col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
         .select(col("x.qid").as("a"), col("x.nid").as("b"))
-        .cache()
+        .transform(TextOps.trackCache)
       val deg = mu.groupBy("a").agg(count(lit(1)).as("outdeg"))
       val ed = mu.join(deg, "a")
       val nodes = e.select(col("vec_id"), col("label"))
@@ -992,7 +967,7 @@ object DedupQueries {
         .filter(size(col("w")) >= 5)
         .select(col("source"), explode(TextOps.shingles(col("w"), 5)).as("gram"))
         .distinct()
-        .cache()
+        .transform(TextOps.trackCache)
       val p = e.as("a").join(e.as("b"),
           col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
@@ -1123,7 +1098,89 @@ object DedupQueries {
             .as("drift_cos"),
           col("n_even"), col("n_odd"))
     },
+
+    // Streaming exact-dedup twin promoted to the oracle board (round-7
+    // advice #7): the keyed-state dedup index must make the SAME
+    // keep/keeper decision the batch keeper window makes. The corpus is
+    // replayed through a MemoryStream in ascending-id micro-batches (the
+    // arrival order a backfill replays in), so each key's first claimant
+    // is its global min id and the DuckDB window oracle is an exact twin —
+    // a full hash row, not a rows-only check. State is one long per
+    // distinct key: the streaming dedup index itself.
+    Q("dd_stream_exact",
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+        |       THEN 1 ELSE 0 END AS keep,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val keyed = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long"), md5(col("text").cast("binary")))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val sink = s"dd_stream_exact_${streamEpoch.incrementAndGet()}"
+      val q = graft.streaming.Sketches
+        .streamingExactDedup(mem.toDS().toDF("doc_id", "key"), "doc_id", "key")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        keyed.grouped(math.max(1, keyed.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).select(col("id"),
+        col("keep").cast("int").as("keep"), col("keeper"))
+    },
+
+    // Streaming LSH-index twin: the banded keyed-state index replayed
+    // over the corpus must surface EXACTLY the candidate-pair set the
+    // batch banded self-join produces (maxBucket high enough that no
+    // bucket overflows at this SF). Emitted as a bounds-gate row (the
+    // q_approx_*_bounds pattern): the oracle expects literal zeros, so
+    // any stream-only or batch-only pair turns the row red.
+    Q("dd_stream_lsh_parity",
+      "SELECT CAST(0 AS BIGINT) AS stream_only, CAST(0 AS BIGINT) AS batch_only") {
+      (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+      val local = docs.as[(Long, String)].collect().sortBy(_._1)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val sink = s"dd_stream_lsh_${streamEpoch.incrementAndGet()}"
+      val q = graft.streaming.Sketches
+        .streamingLshCandidates(mem.toDS().toDF("doc_id", "text"),
+          "doc_id", "text", shingleSize = 3, k = 8, bands = 4,
+          maxBucket = 1 << 20)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        local.grouped(math.max(1, local.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamPairs = s.table(sink)
+        .select(col("docA").as("doc_a"), col("docB").as("doc_b")).distinct()
+      val batchPairs = TextOps.lshCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, k = 8, bands = 4)
+      streamPairs.withColumn("src", lit("s"))
+        .join(batchPairs.withColumn("dst", lit("b")),
+          Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("dst").isNull, 1L).otherwise(0L)).as("stream_only"),
+          sum(when(col("src").isNull, 1L).otherwise(0L)).as("batch_only"))
+        .select(coalesce(col("stream_only"), lit(0L)).as("stream_only"),
+          coalesce(col("batch_only"), lit(0L)).as("batch_only"))
+    },
   )
+
+  /** Unique memory-sink suffix so Bench reps / Verify reruns in one JVM
+    * never collide on a registered streaming query name.
+    */
+  private val streamEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** dd_cross_split_leak body, dispatch-parameterized so PlanSpec3 can
     * force the corpus-scale path. Under `bloomDocBound` documents
@@ -1152,7 +1209,7 @@ object DedupQueries {
       .select(col("doc_id"), col("split"),
         TextOps.shingles(col("w"), 5).as("gs"))
     val e = g.select(col("doc_id"), col("split"),
-      explode(col("gs")).as("gram")).cache()
+      explode(col("gs")).as("gram")).transform(TextOps.trackCache)
     val tr = e.filter(col("split") === "train").select("gram").distinct()
     val testGrams = e.filter(col("split") === "test")
     val probe =

@@ -1030,7 +1030,7 @@ object TextQueries {
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 5)
         .select(col("doc_id"), explode(TextOps.shingles(col("w"), 5)).as("gram"))
-        .cache()
+        .transform(TextOps.trackCache)
       val fs = e.groupBy("gram").agg(min("doc_id").as("first_seen"))
       e.join(fs, "gram")
         .groupBy("doc_id")
