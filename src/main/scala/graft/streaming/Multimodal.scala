@@ -498,11 +498,20 @@ object Multimodal {
   }
 
   /** Real WAV decode, pure JVM (RIFF/WAVE chunk walk, fmt + data):
-    * 8-bit unsigned and 16-bit signed little-endian PCM plus IMA/DVI
-    * ADPCM (format tag 0x11 — the block-compressed 4-bit codec from the
-    * public IMA spec), any channel count. Returns (sampleRate, channels,
-    * bitsPerSample, mono mix in [-1, 1]). Other compressed codecs
-    * (MP3/AAC) stay stubbed (no codec libs).
+    * PCM 8-bit unsigned / 16 / 24 / 32-bit signed little-endian (tag 1),
+    * IEEE float32/float64 (tag 3), G.711 A-law (tag 6) and mu-law (tag
+    * 7, both from the public CCITT tables), IMA/DVI ADPCM (tag 0x11 —
+    * the block-compressed 4-bit codec from the public IMA spec), and
+    * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, dispatched on the SubFormat
+    * GUID's format code) — any channel count. Returns (sampleRate,
+    * channels, bitsPerSample, mono mix in [-1, 1]).
+    *
+    * Perceptual/entropy-coded codecs (MP3, AAC; video: H.264-class) are
+    * PERMANENTLY out of scope: no codec libraries exist in this
+    * dependency set and reimplementing them is not a data-engine
+    * concern. Containers around them still parse (AVI/RIFF walk, frame
+    * index, codec fourcc surface as metadata) so a cluster with codec
+    * libs can slot a real decoder into the same mapPartitions seam.
     */
   private[graft] def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
@@ -513,6 +522,8 @@ object Multimodal {
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var fmtTag = 0
     var channels, sampleRate, bps, blockAlign = 0
+    var fmtPos = -1
+    var fmtLen = 0
     var data: (Int, Int) = null // (offset, length)
     var pos = 12
     while (pos + 8 <= bytes.length) {
@@ -522,6 +533,8 @@ object Multimodal {
       // hang the executor task forever — corrupt RIFF means undecodable
       if (len < 0) return None
       if (id == "fmt " && len >= 16 && pos + 24 <= bytes.length) {
+        fmtPos = pos
+        fmtLen = len
         fmtTag = le16(pos + 8)
         channels = le16(pos + 10)
         sampleRate = le32(pos + 12)
@@ -534,10 +547,39 @@ object Multimodal {
       pos = if (next > bytes.length) bytes.length else next.toInt
     }
     if (data == null || channels <= 0) return None
+    // WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+    // bytes of the SubFormat GUID (fmt chunk offset 24)
+    if (fmtTag == 0xfffe) {
+      if (fmtPos < 0 || fmtLen < 40 || fmtPos + 8 + 26 > bytes.length) return None
+      fmtTag = le16(fmtPos + 8 + 24)
+    }
     if (fmtTag == 0x11)
       return decodeImaAdpcm(bytes, data._1, data._2, channels, blockAlign)
         .map(mono => (sampleRate, channels, 4, mono))
-    if (fmtTag != 1 || (bps != 8 && bps != 16)) return None
+    def le64(o: Int): Long =
+      (le32(o) & 0xffffffffL) | ((le32(o + 4) & 0xffffffffL) << 32)
+    val ok = fmtTag match {
+      case 1 => bps == 8 || bps == 16 || bps == 24 || bps == 32
+      case 3 => bps == 32 || bps == 64
+      case 6 | 7 => bps == 8
+      case _ => false
+    }
+    if (!ok) return None
+    @inline def sample(o: Int): Double = fmtTag match {
+      case 1 => bps match {
+        case 8  => ((bytes(o) & 0xff) - 128) / 128.0
+        case 16 => le16(o).toShort / 32768.0
+        // bytes(o+2) is a signed Byte: its <<16 carries the sign
+        case 24 => ((bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          (bytes(o + 2) << 16)) / 8388608.0
+        case _  => le32(o) / 2147483648.0
+      }
+      case 3 =>
+        if (bps == 32) java.lang.Float.intBitsToFloat(le32(o)).toDouble
+        else java.lang.Double.longBitsToDouble(le64(o))
+      case 6 => alaw2linear(bytes(o)) / 32768.0
+      case _ => ulaw2linear(bytes(o)) / 32768.0
+    }
     val bytesPerFrame = channels * bps / 8
     val n = data._2 / bytesPerFrame
     val mono = new Array[Double](n)
@@ -546,15 +588,35 @@ object Multimodal {
       var sum = 0.0
       var c = 0
       while (c < channels) {
-        val o = data._1 + i * bytesPerFrame + c * bps / 8
-        sum += (if (bps == 8) ((bytes(o) & 0xff) - 128) / 128.0
-          else le16(o).toShort / 32768.0)
+        sum += sample(data._1 + i * bytesPerFrame + c * bps / 8)
         c += 1
       }
       mono(i) = sum / channels
       i += 1
     }
     Some((sampleRate, channels, bps, mono))
+  }
+
+  /** G.711 mu-law expansion (public CCITT spec / Sun g711.c, public
+    * domain): invert, rebuild the biased mantissa, shift by the segment.
+    * Output is 16-bit linear range (max |32124|).
+    */
+  @inline private def ulaw2linear(b: Byte): Int = {
+    val u = ~b & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law expansion (same public source): XOR 0x55, segment 0/1
+    * special-cased, higher segments shift. Max |32640|.
+    */
+  @inline private def alaw2linear(b: Byte): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
   }
 
   // IMA ADPCM quantizer tables (public IMA/DVI specification)

@@ -361,6 +361,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mono.toSeq == expected, s"got ${mono.toSeq.map(_ * 32768)}")
   }
 
+  test("G.711 mu-law/A-law, float32 and 24-bit PCM WAV decode") {
+    def wav(fmtTag: Int, bps: Int, payload: Array[Byte],
+        extensible: Boolean = false): Array[Byte] = {
+      val fmtLen = if (extensible) 40 else 16
+      val buf = java.nio.ByteBuffer
+        .allocate(12 + 8 + fmtLen + 8 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+        .putInt(4 + 8 + fmtLen + 8 + payload.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(fmtLen)
+        .putShort((if (extensible) 0xfffe else fmtTag).toShort).putShort(1)
+        .putInt(8000).putInt(8000 * bps / 8)
+        .putShort((bps / 8).toShort).putShort(bps.toShort)
+      if (extensible) { // cbSize, validBits, channelMask, GUID code
+        buf.putShort(22).putShort(bps.toShort).putInt(0)
+        buf.putShort(fmtTag.toShort).put(new Array[Byte](14))
+      }
+      buf.put("data".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      buf.array()
+    }
+    // Pin the canonical Sun g711.c expansions directly: 0xFF/0x7F are
+    // the two zeros, 0x00/0x80 the extremes (+-32124)
+    val Some((_, _, _, mu)) = Multimodal.decodeWav(
+      wav(7, 8, Array[Byte](0xff.toByte, 0x7f, 0x00, 0x80.toByte)))
+    assert((mu(0) * 32768).round == 0L)   // 0xFF = +0
+    assert((mu(1) * 32768).round == 0L)   // 0x7F = -0
+    assert((mu(2) * 32768).round == -32124L)
+    assert((mu(3) * 32768).round == 32124L)
+    val Some((_, _, _, al)) = Multimodal.decodeWav(
+      wav(6, 8, Array[Byte](0x55, 0xd5.toByte, 0x2a, 0xaa.toByte)))
+    assert((al(0) * 32768).round == -8L)  // 0x55 = -8 (closest to 0)
+    assert((al(1) * 32768).round == 8L)
+    assert((al(2) * 32768).round == -32256L) // 0x2A ^ 0x55 = 0x7F: extreme
+    assert((al(3) * 32768).round == 32256L)
+    // float32: exact values through the IEEE path
+    val fb = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fb.putFloat(0.25f).putFloat(-1.0f).putFloat(0.0f)
+    val Some((_, _, bpsF, fl)) = Multimodal.decodeWav(wav(3, 32, fb.array()))
+    assert(bpsF == 32 && fl.toSeq == Seq(0.25, -1.0, 0.0))
+    // 24-bit PCM: sign extension through the third byte
+    val p24 = Array[Byte](0, 0, 0x40, 0, 0, 0x80.toByte, -1, -1, -1)
+    val Some((_, _, _, s24)) = Multimodal.decodeWav(wav(1, 24, p24))
+    assert(s24(0) == 0.5 && s24(1) == -1.0)
+    assert(math.abs(s24(2) * 8388608.0 + 1.0) < 1e-9)
+    // WAVE_FORMAT_EXTENSIBLE wrapping float32 dispatches on the GUID code
+    val Some((_, _, _, ext)) = Multimodal.decodeWav(
+      wav(3, 32, fb.array(), extensible = true))
+    assert(ext.toSeq == Seq(0.25, -1.0, 0.0))
+  }
+
   test("IMA ADPCM round-trip: encoder/decoder lockstep within step-size error") {
     val rate = 8000
     val n = 2000
