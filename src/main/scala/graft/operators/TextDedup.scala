@@ -239,6 +239,128 @@ object TextOps {
       .filter(size(col("__g")) > 0)
       .select(col(idCol), col(blockCol), col("__g")))
 
+  /** Vocabulary cap for the bitmap branch: 4096 grams = 64 longs per doc
+    * (512 B) — one cache line beyond the common 961-gram fixture case and
+    * still popcount-cheap per pair.
+    */
+  private val BitsetMaxVocab = 4096
+
+  /** Largest per-block row count the all-pairs bitmap kernel accepts. A
+    * block is one task (same granularity as [[VectorOps.blockedCosinePairs]]),
+    * so this bounds single-task work at ~2G candidate pairs before length
+    * filtering. Above it the prefix-filter plan is the only sub-quadratic
+    * option and the dispatch falls through.
+    */
+  private val BitsetMaxBlock = 65536L
+
+  /** The EXACT gram vocabulary when it is small enough for the bitmap
+    * branch, else None. Only attempted when the sketch estimate is near
+    * the cap (one cheap distinct pass over the cached gram index;
+    * `limit(cap+1)` keeps the driver collect bounded no matter what the
+    * sketch said).
+    */
+  private def smallVocab(grams: DataFrame, ndEstimate: Long): Option[Array[String]] = {
+    if (ndEstimate > BitsetMaxVocab * 1.2) return None
+    val v = grams.select(explode(col("__g")).as("x")).distinct()
+      .limit(BitsetMaxVocab + 1)
+      .collect().map(_.getString(0))
+    if (v.length > BitsetMaxVocab) None else Some(v.sorted)
+  }
+
+  private def maxBlockRows(grams: DataFrame, blockCol: String): Long =
+    grams.groupBy(col(blockCol)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+
+  /** Dense-small-vocabulary branch: when the whole gram vocabulary fits
+    * [[BitsetMaxVocab]], neither prefix filtering nor the inverted-index
+    * count-join can prune — EVERY gram is frequent, so the count-join's
+    * candidate mass is sum over grams of C(df,2), quadratic in the
+    * posting lists (measured 36M pairs at sf0.1 -> 3.6B at 10x, 274 s).
+    * Representing each doc's distinct-gram set as a fixed bitmap makes
+    * exact set intersection a ~word-per-64-grams popcount, so the honest
+    * all-pairs-within-block work runs at memory bandwidth with NO shuffle
+    * beyond the one groupByKey on the block — the same shape as
+    * [[VectorOps.blockedCosinePairs]]. Length and overlap prefilters are
+    * applied in-kernel with the same epsilon guards as the PPJoin plan
+    * (conservative, then verified exactly), so all three branches return
+    * identical rows.
+    */
+  private def bitsetPairRows(grams: DataFrame, idCol: String,
+      blockCol: String, vocab: Array[String],
+      minOverlap: (Int, Int) => Int, lengthOk: (Int, Int) => Boolean,
+      breakOnLengthFail: Boolean) = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val nWords = (vocab.length + 63) >>> 6
+    val bIndex = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
+    grams
+      .select(col(idCol).cast("long"), col(blockCol).cast("string"), col("__g"))
+      .as[(Long, String, Seq[String])]
+      .map { case (id, blk, gs) =>
+        val bits = new Array[Long](nWords)
+        val ix = bIndex.value
+        gs.foreach { g => val p = ix(g); bits(p >>> 6) |= 1L << (p & 63) }
+        (blk, id, bits, gs.size)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(r => (r._4, r._2)) // card asc, id asc
+        rows.indices.iterator.flatMap { i =>
+          val (_, ida, ba, na) = rows(i)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Int, Int)]
+          var j = i + 1
+          var go = true
+          while (go && j < rows.length) {
+            val (_, idb, bb, nb) = rows(j) // na <= nb by sort
+            if (!lengthOk(na, nb)) { if (breakOnLengthFail) go = false }
+            else {
+              var inter = 0
+              var w = 0
+              while (w < nWords) {
+                inter += java.lang.Long.bitCount(ba(w) & bb(w)); w += 1
+              }
+              if (inter >= minOverlap(na, nb) && inter > 0) {
+                if (ida < idb) out += ((ida, idb, inter.toLong, na, nb))
+                else out += ((idb, ida, inter.toLong, nb, na))
+              }
+            }
+            j += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_a", "doc_b", "i", "na", "nb")
+  }
+
+  private[graft] def bitsetJaccardFrom(grams: DataFrame, idCol: String,
+      blockCol: String, threshold: Double, vocab: Array[String]): DataFrame =
+    bitsetPairRows(grams, idCol, blockCol, vocab,
+      minOverlap = (na, nb) =>
+        math.ceil(threshold / (1 + threshold) * (na + nb) - 1e-9).toInt,
+      lengthOk = (na, nb) => na >= math.ceil(threshold * nb - 1e-9),
+      breakOnLengthFail = true)
+      .withColumn("jac_raw",
+        col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+
+  private[graft] def bitsetContainmentFrom(grams: DataFrame, idCol: String,
+      blockCol: String, threshold: Double, vocab: Array[String]): DataFrame =
+    bitsetPairRows(grams, idCol, blockCol, vocab,
+      // containment has no lossless length-ratio filter (see
+      // containmentJoin scaladoc); weakest pair requirement is
+      // i >= ceil(t * min(na, nb))
+      minOverlap = (na, nb) =>
+        math.ceil(threshold * math.min(na, nb) - 1e-9).toInt,
+      lengthOk = (_, _) => true,
+      breakOnLengthFail = false)
+      .withColumn("c_ab", col("i") * lit(1.0) / col("na"))
+      .withColumn("c_ba", col("i") * lit(1.0) / col("nb"))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c_ab"), 6).as("c_ab"), round(col("c_ba"), 6).as("c_ba"))
+
   private def ppjoinFrom(grams: DataFrame, idCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     val e = grams.select(col(idCol), col(blockCol), explode(col("__g")).as("x"))
@@ -327,15 +449,24 @@ object TextOps {
     */
   def similarityJoin(docs: DataFrame, idCol: String, blockCol: String,
       textCol: String, shingleSize: Int, threshold: Double,
-      denseVocabAvgDf: Double = 64.0): DataFrame = {
+      denseVocabAvgDf: Double = 64.0,
+      smallVocabBitset: Boolean = true): DataFrame = {
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
     val st = grams
       .select(explode(col("__g")).as("x"))
       .agg(count(lit(1)).as("tot"), approx_count_distinct(col("x")).as("nd"))
       .head()
     val avgDf = st.getLong(0).toDouble / math.max(st.getLong(1), 1L)
-    if (avgDf >= denseVocabAvgDf) countJoinFrom(grams, idCol, blockCol, threshold)
-    else ppjoinFrom(grams, idCol, blockCol, threshold)
+    val bitVocab =
+      if (smallVocabBitset) smallVocab(grams, st.getLong(1)) else None
+    bitVocab match {
+      case Some(v) if maxBlockRows(grams, blockCol) <= BitsetMaxBlock =>
+        bitsetJaccardFrom(grams, idCol, blockCol, threshold, v)
+      case _ =>
+        if (avgDf >= denseVocabAvgDf)
+          countJoinFrom(grams, idCol, blockCol, threshold)
+        else ppjoinFrom(grams, idCol, blockCol, threshold)
+    }
   }
 
   /** Exact asymmetric-containment self-join: pairs where
@@ -360,16 +491,24 @@ object TextOps {
     */
   def containmentJoin(docs: DataFrame, idCol: String, blockCol: String,
       textCol: String, shingleSize: Int, threshold: Double,
-      denseVocabAvgDf: Double = 64.0): DataFrame = {
+      denseVocabAvgDf: Double = 64.0,
+      smallVocabBitset: Boolean = true): DataFrame = {
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
     val st = grams
       .select(explode(col("__g")).as("x"))
       .agg(count(lit(1)).as("tot"), approx_count_distinct(col("x")).as("nd"))
       .head()
     val avgDf = st.getLong(0).toDouble / math.max(st.getLong(1), 1L)
-    if (avgDf >= denseVocabAvgDf)
-      containmentCountFrom(grams, idCol, blockCol, threshold)
-    else containmentPrefixFrom(grams, idCol, blockCol, threshold)
+    val bitVocab =
+      if (smallVocabBitset) smallVocab(grams, st.getLong(1)) else None
+    bitVocab match {
+      case Some(v) if maxBlockRows(grams, blockCol) <= BitsetMaxBlock =>
+        bitsetContainmentFrom(grams, idCol, blockCol, threshold, v)
+      case _ =>
+        if (avgDf >= denseVocabAvgDf)
+          containmentCountFrom(grams, idCol, blockCol, threshold)
+        else containmentPrefixFrom(grams, idCol, blockCol, threshold)
+    }
   }
 
   /** Inverted-index count-join for containment (dense-vocabulary path):

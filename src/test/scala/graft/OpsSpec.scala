@@ -650,16 +650,56 @@ class ZipfJaccardSpec extends org.scalatest.funsuite.AnyFunSuite {
     }).toSet
     assert(expected.nonEmpty, "fixture produced no containment pairs")
 
-    // dispatch override: avgDf=0 forces the count-join, 1e9 the prefix path
-    for (dense <- Seq(0.0, 1e9)) {
+    // dispatch override: avgDf=0 forces the count-join, 1e9 the prefix
+    // path (bitset disabled so the legacy branches actually run); the
+    // third case is the small-vocab bitmap kernel on its default dispatch
+    for ((dense, bitset) <- Seq((0.0, false), (1e9, false), (64.0, true))) {
       val got = graft.operators.TextOps
-        .containmentJoin(docs, "doc_id", "lang", "text", 2, 0.6, dense)
+        .containmentJoin(docs, "doc_id", "lang", "text", 2, 0.6, dense,
+          smallVocabBitset = bitset)
         .collect()
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
           r.getAs[Double]("c_ab"), r.getAs[Double]("c_ba")))
         .toSet
       assert(got == expected,
-        s"path(denseVocabAvgDf=$dense): missing=${expected -- got}, extra=${got -- expected}")
+        s"path(denseVocabAvgDf=$dense,bitset=$bitset): " +
+          s"missing=${expected -- got}, extra=${got -- expected}")
     }
+  }
+
+  test("similarityJoin: bitset branch equals count-join and PPJoin branches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // DENSE tiny vocabulary — the regime that routes to the bitmap kernel
+    // (every bigram frequent; prefix filtering and posting-list joins
+    // both degenerate, see TextOps scaladoc)
+    val vocab = (1 to 25).map(i => s"t$i")
+    val base = (0 until 150).map { i =>
+      (i.toLong,
+        (0 until (8 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(25))).mkString(" "))
+    }
+    val dups = (0 until 40).map { i =>
+      val (_, text) = base(rnd.nextInt(base.size))
+      val toks = text.split(" ")
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(25))
+      (3000L + i, toks.mkString(" "))
+    }
+    val docs = (base ++ dups).map { case (id, t) => (id, "b", t) }
+      .toDF("doc_id", "lang", "text")
+    def run(dense: Double, bitset: Boolean): Set[(Long, Long, Double)] =
+      graft.operators.TextOps
+        .similarityJoin(docs, "doc_id", "lang", "text", 2, 0.5, dense,
+          smallVocabBitset = bitset)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jac"))).toSet
+    val viaBitset = run(64.0, bitset = true)
+    val viaCount = run(0.0, bitset = false)
+    val viaPrefix = run(1e9, bitset = false)
+    assert(viaBitset.nonEmpty, "fixture produced no near-dup pairs")
+    assert(viaBitset == viaCount,
+      s"bitset vs count: missing=${viaCount -- viaBitset}, extra=${viaBitset -- viaCount}")
+    assert(viaBitset == viaPrefix,
+      s"bitset vs prefix: missing=${viaPrefix -- viaBitset}, extra=${viaBitset -- viaPrefix}")
   }
 }

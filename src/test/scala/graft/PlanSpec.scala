@@ -140,14 +140,25 @@ class PlanSpec2 extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     // dense-vocab branch: inverted-index count-join on the hashed gram
     val dense = shape(TextOps.similarityJoin(
-      docs, "doc_id", "lang", "text", 2, 0.5, denseVocabAvgDf = 0.0))
+      docs, "doc_id", "lang", "text", 2, 0.5, denseVocabAvgDf = 0.0,
+      smallVocabBitset = false))
     assert(!dense.contains("CartesianProduct"), s"count-join cross:\n$dense")
     assert(dense.contains("xxhash64"), s"gram hashing missing:\n$dense")
     // sparse-vocab branch: PPJoin prefix candidates, never a cross join
     val sparse = shape(TextOps.similarityJoin(
-      docs, "doc_id", "lang", "text", 2, 0.5, denseVocabAvgDf = 1e18))
+      docs, "doc_id", "lang", "text", 2, 0.5, denseVocabAvgDf = 1e18,
+      smallVocabBitset = false))
     assert(!sparse.contains("CartesianProduct"), s"ppjoin cross:\n$sparse")
-    // the registered query (dispatched on measured df) as a whole
+    // small-vocab bitmap branch (what this fixture dispatches to): no
+    // join operator AT ALL — one groupByKey exchange into the popcount
+    // kernel, SortMergeJoin/ShuffledHashJoin absent by construction
+    val bitset = shape(TextOps.similarityJoin(
+      docs, "doc_id", "lang", "text", 2, 0.5))
+    assert(!bitset.contains("CartesianProduct"), s"bitset cross:\n$bitset")
+    assert(bitset.contains("MapGroups"), s"bitset kernel missing:\n$bitset")
+    assert(!bitset.contains("SortMergeJoin") && !bitset.contains("ShuffledHashJoin"),
+      s"bitset branch still joins grams:\n$bitset")
+    // the registered query (dispatched on measured stats) as a whole
     val p = plan("dd_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), s"jaccard cross join:\n$p")
   }
@@ -214,9 +225,11 @@ class PlanSpec2 extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment degenerated to a cross join:\n$p")
     // dense corpora take the count-join (strict gram equality riding the
-    // xxhash64 leading key); Zipf corpora (this sf0.001 fixture measures
-    // sparse) take the prefix path verified row-local by array_intersect
-    assert(p.contains("xxhash64") || p.contains("array_intersect"),
-      s"neither containment path recognized:\n$p")
+    // xxhash64 leading key); Zipf corpora take the prefix path verified
+    // row-local by array_intersect; a small measured vocabulary (this
+    // fixture) takes the bitmap popcount kernel (FlatMapGroups, no join)
+    assert(p.contains("xxhash64") || p.contains("array_intersect") ||
+      p.contains("MapGroups"),
+      s"no containment path recognized:\n$p")
   }
 }
