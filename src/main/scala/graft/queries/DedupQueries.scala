@@ -1121,6 +1121,11 @@ object DedupQueries {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val sink = s"dd_stream_exact_${streamEpoch.incrementAndGet()}"
+      // state shuffle at 8 partitions for the replay: the keyed state is
+      // tiny (one long/key) and per-micro-batch task scheduling dominates
+      // at 32; restored before the returned batch frame is planned
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = graft.streaming.Sketches
         .streamingExactDedup(mem.toDS().toDF("doc_id", "key"), "doc_id", "key")
         .writeStream.format("memory").queryName(sink)
@@ -1129,7 +1134,10 @@ object DedupQueries {
         keyed.grouped(math.max(1, keyed.length / 4 + 1)).foreach { chunk =>
           mem.addData(chunk.toSeq); q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sink).select(col("id"),
         col("keep").cast("int").as("keep"), col("keeper"))
     },
@@ -1151,6 +1159,8 @@ object DedupQueries {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val sink = s"dd_stream_lsh_${streamEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = graft.streaming.Sketches
         .streamingLshCandidates(mem.toDS().toDF("doc_id", "text"),
           "doc_id", "text", shingleSize = 3, k = 8, bands = 4,
@@ -1161,7 +1171,10 @@ object DedupQueries {
         local.grouped(math.max(1, local.length / 3 + 1)).foreach { chunk =>
           mem.addData(chunk.toSeq); q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val streamPairs = s.table(sink)
         .select(col("docA").as("doc_a"), col("docB").as("doc_b")).distinct()
       val batchPairs = TextOps.lshCandidatePairs(docs, "doc_id", "text",
