@@ -678,10 +678,16 @@ object VectorOps {
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(_.id)
         val nrm = rows.map(r => math.sqrt(dotJvm(r.vec, r.vec)))
+        // round6 (BigDecimal, ~100 ns + garbage per call) only runs for
+        // pairs that can still pass after rounding (HALF_UP moves a value
+        // by <= 5e-7, so unrounded >= minCosine - 1e-6 is a safe gate);
+        // the cheap unrounded filter carries the block-quadratic load
         for {
           i <- rows.indices.iterator
           j <- (i + 1) until rows.length
-          c = round6(dotJvm(rows(i).vec, rows(j).vec) / (nrm(i) * nrm(j)))
+          u = dotJvm(rows(i).vec, rows(j).vec) / (nrm(i) * nrm(j))
+          if u >= minCosine - 1e-6
+          c = round6(u)
           if c >= minCosine
         } yield (rows(i).id, rows(j).id, c)
       }
@@ -886,13 +892,19 @@ object VectorOps {
       if (nCells > 0) nCells
       else math.max(8, math.min(256, ((total + 8191) / 8192).toInt))
     val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
+    if (maxBlock <= exactBlockMax) {
+      // exact per-label top-k as a typed kernel: one groupByKey shuffle
+      // on the label, then an O(n·k) insertion top-k per query inside the
+      // block. The previous rendering (label self-join + row_number
+      // window) materialized the full n² candidate set through a second
+      // qid-keyed shuffle — 200M rows and 17 s at the 10x scale fixture
+      // for the same answer (docs/SCALE_CURVES.md). Ordering, rounding
+      // (HALF_UP 6 BEFORE ranking) and the nid tie-break replicate the
+      // window exactly, so the DuckDB oracle is unchanged.
+      return exactKnnKernel(vectors, k)
+    }
     val candidates =
-      if (maxBlock <= exactBlockMax) {
-        e.select(col("label"), col("vec_id").as("qid"),
-            col("embedding").as("qe"), col("nrm").as("qn"))
-          .join(e.select(col("label"), col("vec_id").as("nid"),
-            col("embedding"), col("nrm")), Seq("label"))
-      } else {
+      {
         val cents = trainCentroids(vectors, "vec_id", "embedding", cells)
         val assigned = ivfAssign(e, "vec_id", "embedding", cents)
         val centArr: Array[(Int, Array[Float])] = cents
@@ -926,6 +938,72 @@ object VectorOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("label"), col("qid"), col("nid"), col("cos_r"))
+  }
+
+  /** Exact within-label k-NN: insertion top-k per query over the block's
+    * vectors, ordered by (rounded cosine desc, nid asc) — byte-identical
+    * to the join+window rendering it replaced. One shuffle (groupByKey on
+    * label), no window, no n²-row candidate materialization; per-block
+    * work is the irreducible n·(n-1) dot products plus O(n·k) selection.
+    */
+  private def exactKnnKernel(vectors: DataFrame, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors
+      .select(col("label").cast("int"), col("vec_id").cast("long"),
+        col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (label, it) =>
+        val arr = it.toArray.sortBy(_._2)
+        val nrm = arr.map(r => math.sqrt(dotJvm(r._3, r._3)))
+        val cosBuf = new Array[Double](arr.length)
+        arr.indices.iterator.flatMap { qi =>
+          val (qid, qe) = (arr(qi)._2, arr(qi)._3)
+          // Pass 1: UNROUNDED cosines + a running unrounded k-th best.
+          // round6 goes through BigDecimal (the only way to replicate
+          // Spark's HALF_UP-on-decimal-string exactly) and costs ~100 ns
+          // + garbage per call — at block-scale candidate counts it WAS
+          // the whole runtime. Only candidates within 2e-6 of the k-th
+          // best can change the final rounded ranking (rounding moves a
+          // value by <= 5e-7), so only those get the exact rounding.
+          var kth = Double.NegativeInfinity
+          val topU = new Array[Double](k)
+          var filled = 0
+          var j = 0
+          while (j < arr.length) {
+            cosBuf(j) =
+              if (j == qi) Double.NegativeInfinity
+              else dotJvm(qe, arr(j)._3) / (nrm(qi) * nrm(j))
+            val c = cosBuf(j)
+            if (filled < k || c > topU(filled - 1)) {
+              var p = filled
+              while (p > 0 && topU(p - 1) < c) p -= 1
+              if (p < k) {
+                val last = math.min(filled, k - 1)
+                var m = last
+                while (m > p) { topU(m) = topU(m - 1); m -= 1 }
+                topU(p) = c
+                if (filled < k) filled += 1
+                kth = topU(filled - 1)
+              }
+            }
+            j += 1
+          }
+          // Pass 2: exact rounding + (cos desc, nid asc) rank over the
+          // near-threshold candidates only
+          val cands = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          j = 0
+          while (j < arr.length) {
+            if (j != qi && (filled < k || cosBuf(j) >= kth - 2e-6))
+              cands += ((round6(cosBuf(j)), arr(j)._2))
+            j += 1
+          }
+          cands.sortBy { case (c, nid) => (-c, nid) }.take(k)
+            .iterator.map { case (c, nid) => (label, qid, nid, c) }
+        }
+      }
+      .toDF("label", "qid", "nid", "cos_r")
   }
 
   /** Random-hyperplane LSH bucket id: one sign bit per plane. Vectors in

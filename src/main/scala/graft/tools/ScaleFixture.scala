@@ -63,11 +63,37 @@ object ScaleFixture {
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // remaining tables: pass through unchanged (the scale queries under
-    // measurement read documents/embeddings; relational rows have their
-    // own TPC-H scale story)
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+    // Fact tables blow up with CONSISTENT key offsets (copy k shifts
+    // custkey/orderkey/user ids by k*10^9, preserving every FK chain), so
+    // join/window/stateful rows measure 10x facts against unchanged
+    // dimensions — the realistic shape of growth. Dims pass through.
+    def off(c: String): org.apache.spark.sql.Column =
+      col(c) + col("k").cast("long") * 1000000000L
+    spark.read.parquet(s"$src/events.parquet").crossJoin(broadcast(copies))
+      .select(off("event_id").as("event_id"), col("ts"),
+        off("user_id").as("user_id"), col("event_type"), col("value"),
+        col("props"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    spark.read.parquet(s"$src/customer.parquet").crossJoin(broadcast(copies))
+      .select(off("c_custkey").as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    spark.read.parquet(s"$src/orders.parquet").crossJoin(broadcast(copies))
+      .select(off("o_orderkey").as("o_orderkey"),
+        off("o_custkey").as("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    spark.read.parquet(s"$src/lineitem.parquet").crossJoin(broadcast(copies))
+      .select(off("l_orderkey").as("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    Seq("region", "nation", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
