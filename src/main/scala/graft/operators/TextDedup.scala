@@ -245,13 +245,15 @@ object TextOps {
     */
   private val BitsetMaxVocab = 4096
 
-  /** Largest per-block row count the all-pairs bitmap kernel accepts. A
-    * block is one task (same granularity as [[VectorOps.blockedCosinePairs]]),
-    * so this bounds single-task work at ~2G candidate pairs before length
-    * filtering. Above it the prefix-filter plan is the only sub-quadratic
-    * option and the dispatch falls through.
+  /** Largest per-block row count the all-pairs bitmap kernel accepts.
+    * The kernel parallelizes a block into (chunk, chunk) pair tasks of
+    * at most [[BitsetChunkTarget]]² candidates each, so this cap bounds
+    * TOTAL quadratic work (~34G raw pairs at 262144), not single-task
+    * work. Above it, exact all-pairs similarity on a no-prunable-
+    * structure corpus is a deliberate non-goal — the scale path is LSH —
+    * and the dispatch falls through to the measured-density choice.
     */
-  private val BitsetMaxBlock = 65536L
+  private val BitsetMaxBlock = 262144L
 
   /** The EXACT gram vocabulary when it is small enough for the bitmap
     * branch, else None. Only attempted when the sketch estimate is near
@@ -285,15 +287,31 @@ object TextOps {
     * (conservative, then verified exactly), so all three branches return
     * identical rows.
     */
+  /** Docs per chunk in the chunked all-pairs kernel. A (chunk-i,
+    * chunk-j) pair is one task of at most ChunkTarget² candidate pairs —
+    * bounded single-task work regardless of block size, so a large block
+    * scales OUT across executors instead of serializing in one task.
+    */
+  private val BitsetChunkTarget = 16384L
+
   private def bitsetPairRows(grams: DataFrame, idCol: String,
       blockCol: String, vocab: Array[String],
       minOverlap: (Int, Int) => Int, lengthOk: (Int, Int) => Boolean,
-      breakOnLengthFail: Boolean) = {
+      breakOnLengthFail: Boolean, chunkTarget: Long) = {
     val spark = grams.sparkSession
     import spark.implicits._
     val nWords = (vocab.length + 63) >>> 6
     val bIndex = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
-    grams
+    // per-block chunk counts from the measured block sizes (tiny agg on
+    // the cached gram index; one row per block key)
+    val chunksOf: Map[String, Int] = grams
+      .groupBy(col(blockCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) ->
+        math.max(1, ((r.getLong(1) + chunkTarget - 1) / chunkTarget).toInt))
+      .toMap
+    val bChunks = spark.sparkContext.broadcast(chunksOf)
+    val packed = grams
       .select(col(idCol).cast("long"), col(blockCol).cast("string"), col("__g"))
       .as[(Long, String, Seq[String])]
       .map { case (id, blk, gs) =>
@@ -302,51 +320,108 @@ object TextOps {
         gs.foreach { g => val p = ix(g); bits(p >>> 6) |= 1L << (p & 63) }
         (blk, id, bits, gs.size)
       }
+    // Each doc is replicated to every (its-chunk, other-chunk) task key;
+    // a pair (a, b) lands in EXACTLY one task — (blk, min(ca,cb),
+    // max(ca,cb)) — so no downstream dedup is needed. Replication factor
+    // is the block's chunk count (1 for blocks under ChunkTarget: the
+    // single-task fast path is unchanged).
+    packed
+      .flatMap { case (blk, id, bits, card) =>
+        val nc = bChunks.value(blk)
+        val c = (java.lang.Long.hashCode(id) & 0x7fffffff) % nc
+        (0 until nc).iterator.map { o =>
+          (blk + ":" + math.min(c, o) + ":" + math.max(c, o), c, id, bits, card)
+        }
+      }
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(r => (r._4, r._2)) // card asc, id asc
-        rows.indices.iterator.flatMap { i =>
-          val (_, ida, ba, na) = rows(i)
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, Int, Int)]
-          var j = i + 1
-          var go = true
-          while (go && j < rows.length) {
-            val (_, idb, bb, nb) = rows(j) // na <= nb by sort
-            if (!lengthOk(na, nb)) { if (breakOnLengthFail) go = false }
-            else {
-              var inter = 0
-              var w = 0
-              while (w < nWords) {
-                inter += java.lang.Long.bitCount(ba(w) & bb(w)); w += 1
+      .flatMapGroups { (key, it) =>
+        val parts = key.split(":")
+        val (ci, cj) = (parts(parts.length - 2).toInt, parts.last.toInt)
+        val rows = it.toArray
+        if (ci == cj) {
+          // intra-chunk all-pairs: card-ascending order enables the
+          // length-filter break
+          val a = rows.sortBy(r => (r._5, r._3))
+          a.indices.iterator.flatMap { i =>
+            val (_, _, ida, ba, na) = a(i)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Int, Int)]
+            var j = i + 1
+            var go = true
+            while (go && j < a.length) {
+              val (_, _, idb, bb, nb) = a(j) // na <= nb by sort
+              if (!lengthOk(na, nb)) { if (breakOnLengthFail) go = false }
+              else {
+                val inter = interCount(ba, bb, nWords)
+                if (inter >= minOverlap(na, nb) && inter > 0)
+                  out += orient(ida, idb, inter, na, nb)
               }
-              if (inter >= minOverlap(na, nb) && inter > 0) {
-                if (ida < idb) out += ((ida, idb, inter.toLong, na, nb))
-                else out += ((idb, ida, inter.toLong, nb, na))
-              }
+              j += 1
             }
-            j += 1
+            out.iterator
           }
-          out.iterator
+        } else {
+          // cross-chunk: pair each side-i doc against the card-window of
+          // the sorted side-j docs (binary-searched when the length
+          // filter applies — same lossless prune, two-sided)
+          // cross-chunk: every side-i doc against every side-j doc; the
+          // cheap integer length filter gates the popcount per pair (a
+          // rejected pair costs two compares, so no index structure is
+          // needed at ChunkTarget-bounded task sizes)
+          val a = rows.filter(_._2 == ci)
+          val b = rows.filter(_._2 == cj)
+          a.iterator.flatMap { case (_, _, ida, ba, na) =>
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Int, Int)]
+            var j = 0
+            while (j < b.length) {
+              val (_, _, idb, bb, nb) = b(j)
+              val lo = math.min(na, nb)
+              val hi = math.max(na, nb)
+              if (lengthOk(lo, hi)) {
+                val inter = interCount(ba, bb, nWords)
+                if (inter >= minOverlap(lo, hi) && inter > 0)
+                  out += orient(ida, idb, inter, na, nb)
+              }
+              j += 1
+            }
+            out.iterator
+          }
         }
       }
       .toDF("doc_a", "doc_b", "i", "na", "nb")
   }
 
+  @inline private def interCount(a: Array[Long], b: Array[Long],
+      nWords: Int): Int = {
+    var inter = 0
+    var w = 0
+    while (w < nWords) { inter += java.lang.Long.bitCount(a(w) & b(w)); w += 1 }
+    inter
+  }
+
+  @inline private def orient(ida: Long, idb: Long, inter: Int,
+      na: Int, nb: Int): (Long, Long, Long, Int, Int) =
+    if (ida < idb) (ida, idb, inter.toLong, na, nb)
+    else (idb, ida, inter.toLong, nb, na)
+
+
   private[graft] def bitsetJaccardFrom(grams: DataFrame, idCol: String,
-      blockCol: String, threshold: Double, vocab: Array[String]): DataFrame =
+      blockCol: String, threshold: Double, vocab: Array[String],
+      chunkTarget: Long = BitsetChunkTarget): DataFrame =
     bitsetPairRows(grams, idCol, blockCol, vocab,
       minOverlap = (na, nb) =>
         math.ceil(threshold / (1 + threshold) * (na + nb) - 1e-9).toInt,
       lengthOk = (na, nb) => na >= math.ceil(threshold * nb - 1e-9),
-      breakOnLengthFail = true)
+      breakOnLengthFail = true, chunkTarget = chunkTarget)
       .withColumn("jac_raw",
         col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
       .filter(col("jac_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
 
   private[graft] def bitsetContainmentFrom(grams: DataFrame, idCol: String,
-      blockCol: String, threshold: Double, vocab: Array[String]): DataFrame =
+      blockCol: String, threshold: Double, vocab: Array[String],
+      chunkTarget: Long = BitsetChunkTarget): DataFrame =
     bitsetPairRows(grams, idCol, blockCol, vocab,
       // containment has no lossless length-ratio filter (see
       // containmentJoin scaladoc); weakest pair requirement is
@@ -354,7 +429,7 @@ object TextOps {
       minOverlap = (na, nb) =>
         math.ceil(threshold * math.min(na, nb) - 1e-9).toInt,
       lengthOk = (_, _) => true,
-      breakOnLengthFail = false)
+      breakOnLengthFail = false, chunkTarget = chunkTarget)
       .withColumn("c_ab", col("i") * lit(1.0) / col("na"))
       .withColumn("c_ba", col("i") * lit(1.0) / col("nb"))
       .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)

@@ -667,6 +667,54 @@ class ZipfJaccardSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("bitset kernel: chunked (multi-task) pairs equal single-chunk pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val vocab = (1 to 20).map(i => s"c$i")
+    val base = (0 until 160).map { i =>
+      (i.toLong, if (i % 2 == 0) "x" else "y",
+        (0 until (6 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(20))).mkString(" "))
+    }
+    // planted near-dups (one word changed) so pairs exist at threshold —
+    // same block as their source so chunked tasks must recover them
+    val dups = (0 until 40).map { i =>
+      val (srcId, blk, text) = base(rnd.nextInt(base.size))
+      val toks = text.split(" ")
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(20))
+      (5000L + srcId * 10 + i, blk, toks.mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "lang", "text")
+    val grams = docs
+      .withColumn("__g", graft.operators.TextOps.shingles(
+        graft.operators.TextOps.tokens(col("text")), 2))
+      .filter(size(col("__g")) > 0)
+      .select(col("doc_id"), col("lang"), col("__g"))
+    val v = grams.select(explode(col("__g"))).distinct()
+      .collect().map(_.getString(0)).sorted
+    def pairs(chunkTarget: Long): Set[(Long, Long, Double)] =
+      graft.operators.TextOps
+        .bitsetJaccardFrom(grams, "doc_id", "lang", 0.4, v, chunkTarget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def cont(chunkTarget: Long): Set[(Long, Long, Double, Double)] =
+      graft.operators.TextOps
+        .bitsetContainmentFrom(grams, "doc_id", "lang", 0.5, v, chunkTarget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    // chunkTarget 16 over ~100-doc blocks => 7 chunks, 28 cross tasks —
+    // the multi-task path; 1e9 => the single-chunk fast path
+    val single = pairs(1000000000L)
+    val chunked = pairs(16L)
+    assert(single.nonEmpty, "fixture produced no pairs")
+    assert(chunked == single,
+      s"missing=${single -- chunked}, extra=${chunked -- single}")
+    val cSingle = cont(1000000000L)
+    val cChunked = cont(16L)
+    assert(cSingle.nonEmpty, "fixture produced no containment pairs")
+    assert(cChunked == cSingle,
+      s"missing=${cSingle -- cChunked}, extra=${cChunked -- cSingle}")
+  }
+
   test("similarityJoin: bitset branch equals count-join and PPJoin branches") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
