@@ -501,7 +501,8 @@ object Multimodal {
     * PCM 8-bit unsigned / 16 / 24 / 32-bit signed little-endian (tag 1),
     * IEEE float32/float64 (tag 3), G.711 A-law (tag 6) and mu-law (tag
     * 7, both from the public CCITT tables), IMA/DVI ADPCM (tag 0x11 —
-    * the block-compressed 4-bit codec from the public IMA spec), and
+    * the block-compressed 4-bit codec from the public IMA spec),
+    * Microsoft ADPCM (tag 0x02, predictor-coefficient blocks), and
     * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, dispatched on the SubFormat
     * GUID's format code) — any channel count. Returns (sampleRate,
     * channels, bitsPerSample, mono mix in [-1, 1]).
@@ -555,6 +556,9 @@ object Multimodal {
     }
     if (fmtTag == 0x11)
       return decodeImaAdpcm(bytes, data._1, data._2, channels, blockAlign)
+        .map(mono => (sampleRate, channels, 4, mono))
+    if (fmtTag == 0x02)
+      return decodeMsAdpcm(bytes, data._1, data._2, channels, blockAlign)
         .map(mono => (sampleRate, channels, 4, mono))
     def le64(o: Int): Long =
       (le32(o) & 0xffffffffL) | ((le32(o + 4) & 0xffffffffL) << 32)
@@ -695,6 +699,73 @@ object Multimodal {
         }
         g += 4 * channels
         if (g >= blockEnd) done = true
+      }
+      block += blockAlign
+    }
+    if (out.isEmpty) None else Some(out.toArray)
+  }
+
+  // MS ADPCM tables (public Microsoft WAVE spec)
+  private val MsAdaptTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230,
+    230, 230)
+  private val MsCoeff1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+  private val MsCoeff2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
+
+  /** Microsoft ADPCM (format tag 0x02, public spec) block decode: each
+    * block opens per channel with a predictor-coefficient index, initial
+    * delta, and the block's first two PCM samples (emitted verbatim),
+    * then packs one 4-bit code per sample, high nibble first, channels
+    * interleaved per nibble. Reconstruction:
+    * `pred = (s1*c1 + s2*c2)/256 + signed(code)*delta`, clamped;
+    * `delta = max(16, AdaptTable[code]*delta/256)`. Returns the mono mix.
+    */
+  private def decodeMsAdpcm(bytes: Array[Byte], off: Int, len: Int,
+      channels: Int, blockAlign: Int): Option[Array[Double]] = {
+    val headerPer = 7
+    if (channels <= 0 || blockAlign < headerPer * channels) return None
+    def le16s(o: Int): Int =
+      ((bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)).toShort.toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val c1 = new Array[Int](channels)
+    val c2 = new Array[Int](channels)
+    val delta = new Array[Int](channels)
+    val s1 = new Array[Int](channels)
+    val s2 = new Array[Int](channels)
+    var block = off
+    val end = off + len
+    while (block + headerPer * channels <= end) {
+      val blockEnd = math.min(block + blockAlign, end)
+      var c = 0
+      while (c < channels) {
+        val pidx = math.min(6, bytes(block + c) & 0xff)
+        c1(c) = MsCoeff1(pidx); c2(c) = MsCoeff2(pidx)
+        delta(c) = le16s(block + channels + c * 2)
+        if (delta(c) < 16) delta(c) = 16
+        s1(c) = le16s(block + 3 * channels + c * 2)
+        s2(c) = le16s(block + 5 * channels + c * 2)
+        c += 1
+      }
+      // the two stored samples open the block, older (s2) first
+      out += (0 until channels).map(s2(_) / 32768.0).sum / channels
+      out += (0 until channels).map(s1(_) / 32768.0).sum / channels
+      var pos = block + headerPer * channels
+      var nibHigh = true
+      var ch = 0
+      var sum = 0.0
+      while (pos < blockEnd) {
+        val b = bytes(pos) & 0xff
+        val code = if (nibHigh) b >> 4 else b & 0x0f
+        val signed = if (code >= 8) code - 16 else code
+        var p = (s1(ch) * c1(ch) + s2(ch) * c2(ch)) / 256 + signed * delta(ch)
+        if (p > 32767) p = 32767 else if (p < -32768) p = -32768
+        s2(ch) = s1(ch); s1(ch) = p
+        delta(ch) = math.max(16, MsAdaptTable(code) * delta(ch) / 256)
+        sum += p / 32768.0
+        ch += 1
+        if (ch == channels) { out += sum / channels; sum = 0.0; ch = 0 }
+        if (!nibHigh) pos += 1
+        nibHigh = !nibHigh
       }
       block += blockAlign
     }

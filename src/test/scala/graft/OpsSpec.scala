@@ -413,6 +413,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ext.toSeq == Seq(0.25, -1.0, 0.0))
   }
 
+  test("MS ADPCM golden block: hand-derived predictor walk from the spec tables") {
+    // mono block, coeff index 0 (c1=256, c2=0), delta=16, s1=100, s2=50,
+    // nibbles [1, -1, 2, -8]. Spec arithmetic:
+    //   out: 50, 100 (stored samples, older first)
+    //   n=+1: pred = 100 + 16  = 116; delta = max(16, 230*16/256) = 16
+    //   n=-1: pred = 116 - 16  = 100; delta = 16
+    //   n=+2: pred = 100 + 32  = 132; delta = 16
+    //   n=-8: pred = 132 - 128 = 4;   delta = 768*16/256 = 48
+    val buf = java.nio.ByteBuffer.allocate(12 + 8 + 16 + 8 + 9)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(33)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(0x02).putShort(1).putInt(8000).putInt(4000)
+      .putShort(9).putShort(4)
+    buf.put("data".getBytes("US-ASCII")).putInt(9)
+    buf.put(0.toByte).putShort(16).putShort(100).putShort(50)
+    buf.put(Array[Byte](0x1f, 0x28)) // nibbles high-first: 1,15(-1),2,8(-8)
+    val Some((rate, ch, bps, mono)) = Multimodal.decodeWav(buf.array())
+    assert(rate == 8000 && ch == 1 && bps == 4)
+    val expected = Seq(50, 100, 116, 100, 132, 4).map(_ / 32768.0)
+    assert(mono.toSeq == expected, s"got ${mono.toSeq.map(_ * 32768)}")
+  }
+
   test("IMA ADPCM round-trip: encoder/decoder lockstep within step-size error") {
     val rate = 8000
     val n = 2000
