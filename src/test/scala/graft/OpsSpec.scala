@@ -775,3 +775,77 @@ class ZipfJaccardSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"bitset vs prefix: missing=${viaPrefix -- viaBitset}, extra=${viaBitset -- viaPrefix}")
   }
 }
+
+/** Boundary-stress for the fast-gate + exact-round kernels: random
+  * corpora large enough that some candidate pairs statistically land
+  * within the 1e-6/2e-6 gates of the decision boundary, where a too-tight
+  * gate silently drops pairs. Brute force mirrors the kernels'
+  * accumulation order and BigDecimal rounding exactly.
+  */
+class KernelBoundarySpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def dotRef(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("blockedCosinePairs: rounding gate never drops a boundary pair (2M pairs)") {
+    val rnd = new scala.util.Random(97)
+    val n = 2000
+    val vecs = Array.tabulate(n)(i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+    val minCos = 0.6
+    val nrm = vecs.map(v => math.sqrt(dotRef(v._2, v._2)))
+    val expected = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until n
+      c = r6(dotRef(vecs(i)._2, vecs(j)._2) / (nrm(i) * nrm(j)))
+      if c >= minCos
+    } yield (vecs(i)._1, vecs(j)._1, c)).toSet
+    val boundary = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until n
+      u = dotRef(vecs(i)._2, vecs(j)._2) / (nrm(i) * nrm(j))
+      if math.abs(u - minCos) < 1e-6
+    } yield 1).size
+    val got = graft.operators.VectorOps.blockedCosinePairs(
+      vecs.toSeq.map { case (id, v) => (id, "b", v) }.toDF("vec_id", "label", "embedding"),
+      "vec_id", "label", "embedding", minCosine = minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"boundary pairs in fixture: $boundary; " +
+        s"missing=${expected -- got}, extra=${got -- expected}")
+  }
+
+  test("exactKnnKernel: deferred rounding reproduces full-rounding top-k") {
+    val rnd = new scala.util.Random(131)
+    val n = 1500
+    val k = 5
+    val vecs = Array.tabulate(n)(i =>
+      (i.toLong, Array.fill(3)(rnd.nextFloat() * 2 - 1)))
+    val nrm = vecs.map(v => math.sqrt(dotRef(v._2, v._2)))
+    val expected = vecs.indices.flatMap { qi =>
+      vecs.indices.filter(_ != qi)
+        .map(j => (r6(dotRef(vecs(qi)._2, vecs(j)._2) / (nrm(qi) * nrm(j))),
+          vecs(j)._1))
+        .sortBy { case (c, nid) => (-c, nid) }
+        .take(k)
+        .map { case (c, nid) => (7, vecs(qi)._1, nid, c) }
+    }.toSet
+    val got = graft.operators.VectorOps.knnGraph(
+      vecs.toSeq.map { case (id, v) => (id, 7, v) }
+        .toDF("vec_id", "label", "embedding"), k)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)}, extra=${(got -- expected).take(5)}")
+  }
+}
