@@ -269,9 +269,14 @@ object TextOps {
     if (v.length > BitsetMaxVocab) None else Some(v.sorted)
   }
 
-  private def maxBlockRows(grams: DataFrame, blockCol: String): Long =
-    grams.groupBy(col(blockCol)).agg(count(lit(1)).as("c"))
-      .agg(max(col("c"))).head().getLong(0)
+  /** Block-key row counts (one small agg on the cached gram index) —
+    * feeds BOTH the dispatch guard (max block size) and the kernel's
+    * per-block chunk counts, so the dispatch costs one job, not two.
+    */
+  private def blockSizes(grams: DataFrame, blockCol: String): Map[String, Long] =
+    grams.groupBy(col(blockCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Dense-small-vocabulary branch: when the whole gram vocabulary fits
     * [[BitsetMaxVocab]], neither prefix filtering nor the inverted-index
@@ -297,19 +302,16 @@ object TextOps {
   private def bitsetPairRows(grams: DataFrame, idCol: String,
       blockCol: String, vocab: Array[String],
       minOverlap: (Int, Int) => Int, lengthOk: (Int, Int) => Boolean,
-      breakOnLengthFail: Boolean, chunkTarget: Long) = {
+      breakOnLengthFail: Boolean, chunkTarget: Long,
+      sizes: Map[String, Long]) = {
     val spark = grams.sparkSession
     import spark.implicits._
     val nWords = (vocab.length + 63) >>> 6
     val bIndex = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
-    // per-block chunk counts from the measured block sizes (tiny agg on
-    // the cached gram index; one row per block key)
-    val chunksOf: Map[String, Int] = grams
-      .groupBy(col(blockCol).cast("string").as("b"))
-      .agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getString(0) ->
-        math.max(1, ((r.getLong(1) + chunkTarget - 1) / chunkTarget).toInt))
-      .toMap
+    // per-block chunk counts from the dispatch's measured block sizes
+    val chunksOf: Map[String, Int] = sizes.map { case (b, n) =>
+      b -> math.max(1, ((n + chunkTarget - 1) / chunkTarget).toInt)
+    }
     val bChunks = spark.sparkContext.broadcast(chunksOf)
     val packed = grams
       .select(col(idCol).cast("long"), col(blockCol).cast("string"), col("__g"))
@@ -408,12 +410,14 @@ object TextOps {
 
   private[graft] def bitsetJaccardFrom(grams: DataFrame, idCol: String,
       blockCol: String, threshold: Double, vocab: Array[String],
-      chunkTarget: Long = BitsetChunkTarget): DataFrame =
+      chunkTarget: Long = BitsetChunkTarget,
+      sizes: Map[String, Long] = null): DataFrame =
     bitsetPairRows(grams, idCol, blockCol, vocab,
       minOverlap = (na, nb) =>
         math.ceil(threshold / (1 + threshold) * (na + nb) - 1e-9).toInt,
       lengthOk = (na, nb) => na >= math.ceil(threshold * nb - 1e-9),
-      breakOnLengthFail = true, chunkTarget = chunkTarget)
+      breakOnLengthFail = true, chunkTarget = chunkTarget,
+      sizes = if (sizes == null) blockSizes(grams, blockCol) else sizes)
       .withColumn("jac_raw",
         col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
       .filter(col("jac_raw") >= threshold)
@@ -421,7 +425,8 @@ object TextOps {
 
   private[graft] def bitsetContainmentFrom(grams: DataFrame, idCol: String,
       blockCol: String, threshold: Double, vocab: Array[String],
-      chunkTarget: Long = BitsetChunkTarget): DataFrame =
+      chunkTarget: Long = BitsetChunkTarget,
+      sizes: Map[String, Long] = null): DataFrame =
     bitsetPairRows(grams, idCol, blockCol, vocab,
       // containment has no lossless length-ratio filter (see
       // containmentJoin scaladoc); weakest pair requirement is
@@ -429,7 +434,8 @@ object TextOps {
       minOverlap = (na, nb) =>
         math.ceil(threshold * math.min(na, nb) - 1e-9).toInt,
       lengthOk = (_, _) => true,
-      breakOnLengthFail = false, chunkTarget = chunkTarget)
+      breakOnLengthFail = false, chunkTarget = chunkTarget,
+      sizes = if (sizes == null) blockSizes(grams, blockCol) else sizes)
       .withColumn("c_ab", col("i") * lit(1.0) / col("na"))
       .withColumn("c_ba", col("i") * lit(1.0) / col("nb"))
       .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
@@ -535,8 +541,14 @@ object TextOps {
     val bitVocab =
       if (smallVocabBitset) smallVocab(grams, st.getLong(1)) else None
     bitVocab match {
-      case Some(v) if maxBlockRows(grams, blockCol) <= BitsetMaxBlock =>
-        bitsetJaccardFrom(grams, idCol, blockCol, threshold, v)
+      case Some(v) =>
+        val sizes = blockSizes(grams, blockCol)
+        if (sizes.valuesIterator.max <= BitsetMaxBlock)
+          bitsetJaccardFrom(grams, idCol, blockCol, threshold, v,
+            sizes = sizes)
+        else if (avgDf >= denseVocabAvgDf)
+          countJoinFrom(grams, idCol, blockCol, threshold)
+        else ppjoinFrom(grams, idCol, blockCol, threshold)
       case _ =>
         if (avgDf >= denseVocabAvgDf)
           countJoinFrom(grams, idCol, blockCol, threshold)
@@ -577,8 +589,14 @@ object TextOps {
     val bitVocab =
       if (smallVocabBitset) smallVocab(grams, st.getLong(1)) else None
     bitVocab match {
-      case Some(v) if maxBlockRows(grams, blockCol) <= BitsetMaxBlock =>
-        bitsetContainmentFrom(grams, idCol, blockCol, threshold, v)
+      case Some(v) =>
+        val sizes = blockSizes(grams, blockCol)
+        if (sizes.valuesIterator.max <= BitsetMaxBlock)
+          bitsetContainmentFrom(grams, idCol, blockCol, threshold, v,
+            sizes = sizes)
+        else if (avgDf >= denseVocabAvgDf)
+          containmentCountFrom(grams, idCol, blockCol, threshold)
+        else containmentPrefixFrom(grams, idCol, blockCol, threshold)
       case _ =>
         if (avgDf >= denseVocabAvgDf)
           containmentCountFrom(grams, idCol, blockCol, threshold)
