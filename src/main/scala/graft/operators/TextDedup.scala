@@ -759,30 +759,78 @@ object VectorOps {
     * aggregate(zip_with) rendering: same accumulation order, same
     * HALF_UP rounding.
     */
+  /** Docs per chunk for the cosine kernel's chunk-pair tasks: 8192² ≈
+    * 34M dot products a task at 64 dims — a few seconds of bounded work.
+    */
+  private val CosineChunkTarget = 8192L
+
   def blockedCosinePairs(vectors: DataFrame, idCol: String, blockCol: String,
-      vecCol: String, minCosine: Double): DataFrame = {
+      vecCol: String, minCosine: Double,
+      chunkTarget: Long = CosineChunkTarget): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    // per-block chunk counts: like the bitset kernel, a large block is
+    // parallelized into (chunk, chunk) PAIR tasks — every pair lands in
+    // exactly one task, so a 200k-vector cluster spreads its quadratic
+    // work across the cluster instead of serializing in one task.
+    // Fast path first: a metadata-cheap count() decides whether ANY
+    // block can exceed chunkTarget before paying the per-block agg
+    // (a fixture-scale corpus skips both the agg and the key strings).
+    val chunksOf: Map[String, Int] =
+      if (vectors.count() <= chunkTarget) Map.empty.withDefaultValue(1)
+      else vectors
+        .groupBy(col(blockCol).cast("string").as("b"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getString(0) ->
+          math.max(1, ((r.getLong(1) + chunkTarget - 1) / chunkTarget).toInt))
+        .toMap
+    val bChunks = spark.sparkContext.broadcast(chunksOf)
     vectors
-      .select(col(idCol).cast("long").as("id"), col(blockCol).as("block"),
-        col(vecCol).as("vec"))
+      .select(col(idCol).cast("long").as("id"),
+        col(blockCol).cast("string").as("block"), col(vecCol).as("vec"))
       .as[EmbBlockRow]
-      .groupByKey(_.block)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(_.id)
-        val nrm = rows.map(r => math.sqrt(dotJvm(r.vec, r.vec)))
+      .flatMap { r =>
+        val nc = bChunks.value(r.block)
+        val c = (java.lang.Long.hashCode(r.id) & 0x7fffffff) % nc
+        (0 until nc).iterator.map { o =>
+          (r.block + ":" + math.min(c, o) + ":" + math.max(c, o), c, r.id, r.vec)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val parts = key.split(":")
+        val (ci, cj) = (parts(parts.length - 2).toInt, parts.last.toInt)
+        val rows = it.toArray
         // round6 (BigDecimal, ~100 ns + garbage per call) only runs for
         // pairs that can still pass after rounding (HALF_UP moves a value
         // by <= 5e-7, so unrounded >= minCosine - 1e-6 is a safe gate);
         // the cheap unrounded filter carries the block-quadratic load
-        for {
-          i <- rows.indices.iterator
-          j <- (i + 1) until rows.length
-          u = dotJvm(rows(i).vec, rows(j).vec) / (nrm(i) * nrm(j))
-          if u >= minCosine - 1e-6
-          c = round6(u)
-          if c >= minCosine
-        } yield (rows(i).id, rows(j).id, c)
+        if (ci == cj) {
+          val a = rows.sortBy(_._3)
+          val nrm = a.map(r => math.sqrt(dotJvm(r._4, r._4)))
+          for {
+            i <- a.indices.iterator
+            j <- (i + 1) until a.length
+            u = dotJvm(a(i)._4, a(j)._4) / (nrm(i) * nrm(j))
+            if u >= minCosine - 1e-6
+            c = round6(u)
+            if c >= minCosine
+          } yield (a(i)._3, a(j)._3, c)
+        } else {
+          val a = rows.filter(_._2 == ci)
+          val b = rows.filter(_._2 == cj)
+          val na = a.map(r => math.sqrt(dotJvm(r._4, r._4)))
+          val nb = b.map(r => math.sqrt(dotJvm(r._4, r._4)))
+          for {
+            i <- a.indices.iterator
+            j <- b.indices
+            u = dotJvm(a(i)._4, b(j)._4) / (na(i) * nb(j))
+            if u >= minCosine - 1e-6
+            c = round6(u)
+            if c >= minCosine
+          } yield if (a(i)._3 < b(j)._3) (a(i)._3, b(j)._3, c)
+            else (b(j)._3, a(i)._3, c)
+        }
       }
       .toDF("vec_a", "vec_b", "cos")
   }

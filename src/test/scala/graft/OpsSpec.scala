@@ -815,13 +815,22 @@ class KernelBoundarySpec extends org.scalatest.funsuite.AnyFunSuite {
       u = dotRef(vecs(i)._2, vecs(j)._2) / (nrm(i) * nrm(j))
       if math.abs(u - minCos) < 1e-6
     } yield 1).size
+    val df = vecs.toSeq.map { case (id, v) => (id, "b", v) }
+      .toDF("vec_id", "label", "embedding")
     val got = graft.operators.VectorOps.blockedCosinePairs(
-      vecs.toSeq.map { case (id, v) => (id, "b", v) }.toDF("vec_id", "label", "embedding"),
-      "vec_id", "label", "embedding", minCosine = minCos)
+      df, "vec_id", "label", "embedding", minCosine = minCos)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == expected,
       s"boundary pairs in fixture: $boundary; " +
         s"missing=${expected -- got}, extra=${got -- expected}")
+    // chunk-pair parallel path (chunkTarget 128 over a 2000-row block =>
+    // 16 chunks, 136 tasks) must produce the identical pair set
+    val chunked = graft.operators.VectorOps.blockedCosinePairs(
+      df, "vec_id", "label", "embedding", minCosine = minCos,
+      chunkTarget = 128L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(chunked == expected,
+      s"chunked: missing=${expected -- chunked}, extra=${chunked -- expected}")
   }
 
   test("exactKnnKernel: deferred rounding reproduces full-rounding top-k") {
