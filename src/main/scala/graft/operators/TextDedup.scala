@@ -1081,13 +1081,118 @@ object VectorOps {
       .select(col("label"), col("qid"), col("nid"), col("cos_r"))
   }
 
+  /** Chunk size for the two-stage exact k-NN: above it, each label
+    * splits into (query-chunk, candidate-chunk) tasks that emit partial
+    * top-k lists, merged exactly per query. 8192² ≈ 67M dots a task.
+    */
+  private val KnnChunkTarget = 8192L
+
   /** Exact within-label k-NN: insertion top-k per query over the block's
     * vectors, ordered by (rounded cosine desc, nid asc) — byte-identical
-    * to the join+window rendering it replaced. One shuffle (groupByKey on
-    * label), no window, no n²-row candidate materialization; per-block
-    * work is the irreducible n·(n-1) dot products plus O(n·k) selection.
+    * to the join+window rendering it replaced. Small corpora (one
+    * metadata-cheap count() decides) run the one-shuffle single-task-per-
+    * label shape; larger ones run two stages — (query-chunk × candidate-
+    * chunk) tasks emit per-chunk top-k WITH the 2e-6 rounding margin
+    * (any candidate outside its chunk's margin set has >= k chunk-mates
+    * whose ROUNDED cosine is strictly greater, so it cannot enter the
+    * global top-k — the merge is exact), then a qid-keyed merge rounds
+    * the few survivors and ranks. Per-label work stays the irreducible
+    * n·(n-1) dot products, but spread across the cluster instead of one
+    * task per label.
     */
-  private def exactKnnKernel(vectors: DataFrame, k: Int): DataFrame = {
+  private[graft] def exactKnnKernel(vectors: DataFrame, k: Int,
+      chunkTarget: Long = KnnChunkTarget): DataFrame = {
+    if (vectors.count() > chunkTarget)
+      return exactKnnChunked(vectors, k, chunkTarget)
+    exactKnnSingle(vectors, k)
+  }
+
+  private def exactKnnChunked(vectors: DataFrame, k: Int,
+      chunkTarget: Long): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val chunksOf: Map[Int, Int] = vectors
+      .groupBy(col("label").cast("int").as("l"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0) ->
+        math.max(1, ((r.getLong(1) + chunkTarget - 1) / chunkTarget).toInt))
+      .toMap
+    val bChunks = spark.sparkContext.broadcast(chunksOf)
+    val partials = vectors
+      .select(col("label").cast("int"), col("vec_id").cast("long"),
+        col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .flatMap { case (label, id, vec) =>
+        val nc = bChunks.value(label)
+        val c = (java.lang.Long.hashCode(id) & 0x7fffffff) % nc
+        // role 0 = query in task (c, cc); role 1 = candidate in task
+        // (qc, c). The (c, c) task gets the row once (role 0) and uses
+        // it in both roles.
+        val asQ = (0 until nc).iterator.map(cc =>
+          (s"$label:$c:$cc", 0, label, id, vec))
+        val asC = (0 until nc).iterator.filter(_ != c).map(qc =>
+          (s"$label:$qc:$c", 1, label, id, vec))
+        asQ ++ asC
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val parts = key.split(":")
+        val intra = parts(parts.length - 2) == parts.last
+        val rows = it.toArray
+        val queries = rows.filter(_._2 == 0)
+        val cands = if (intra) queries else rows.filter(_._2 == 1)
+        val cNrm = cands.map(r => math.sqrt(dotJvm(r._5, r._5)))
+        queries.iterator.flatMap { case (_, _, label, qid, qe) =>
+          val qn = math.sqrt(dotJvm(qe, qe))
+          val cos = new Array[Double](cands.length)
+          var kth = Double.NegativeInfinity
+          val topU = new Array[Double](k)
+          var filled = 0
+          var j = 0
+          while (j < cands.length) {
+            cos(j) =
+              if (cands(j)._4 == qid) Double.NegativeInfinity
+              else dotJvm(qe, cands(j)._5) / (qn * cNrm(j))
+            val c = cos(j)
+            if (filled < k || c > topU(filled - 1)) {
+              var p = filled
+              while (p > 0 && topU(p - 1) < c) p -= 1
+              if (p < k) {
+                val last = math.min(filled, k - 1)
+                var m = last
+                while (m > p) { topU(m) = topU(m - 1); m -= 1 }
+                topU(p) = c
+                if (filled < k) filled += 1
+                kth = topU(filled - 1)
+              }
+            }
+            j += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Long, Double)]
+          j = 0
+          while (j < cands.length) {
+            if (cands(j)._4 != qid && (filled < k || cos(j) >= kth - 2e-6))
+              out += ((label, qid, cands(j)._4, cos(j)))
+            j += 1
+          }
+          out.iterator
+        }
+      }
+      // merge: each (qid, nid) occurs in exactly one candidate chunk, so
+      // no dedup — round the few margin survivors, rank, take k
+    partials
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Double)]) =>
+        it.toArray.map { case (_, _, nid, u) => (round6(u), nid) }
+          .sortBy { case (c, nid) => (-c, nid) }
+          .take(k)
+          .iterator.map { case (c, nid) => (key._1, key._2, nid, c) }
+      }
+      .toDF("label", "qid", "nid", "cos_r")
+  }
+
+  private def exactKnnSingle(vectors: DataFrame, k: Int): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     vectors

@@ -848,13 +848,23 @@ class KernelBoundarySpec extends org.scalatest.funsuite.AnyFunSuite {
         .take(k)
         .map { case (c, nid) => (7, vecs(qi)._1, nid, c) }
     }.toSet
-    val got = graft.operators.VectorOps.knnGraph(
-      vecs.toSeq.map { case (id, v) => (id, 7, v) }
-        .toDF("vec_id", "label", "embedding"), k)
+    val df = vecs.toSeq.map { case (id, v) => (id, 7, v) }
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.operators.VectorOps.knnGraph(df, k)
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(got == expected,
       s"missing=${(expected -- got).take(5)}, extra=${(got -- expected).take(5)}")
+    // two-stage chunked path (chunkTarget 128 => 12 chunks, partial
+    // top-k + margin merge) must reproduce the same exact graph
+    val chunked = graft.operators.VectorOps.exactKnnKernel(df, k,
+      chunkTarget = 128L)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(chunked == expected,
+      s"chunked: missing=${(expected -- chunked).take(5)}, " +
+        s"extra=${(chunked -- expected).take(5)}")
   }
 }
