@@ -202,6 +202,48 @@ object DedupQueries {
           (avg(col("err")) <= 0.1).cast("int").as("avg_ok"))
     },
 
+    // Candidate VERIFICATION by edit distance — the confirmation stage a
+    // production near-dup pipeline runs after LSH: every candidate pair is
+    // checked with a banded Levenshtein (threshold=160, so the DP is
+    // O(threshold x len) per pair, not O(len^2); Spark's built-in
+    // levenshtein(l, r, threshold) is the banded form and returns -1
+    // above the band). Texts rejoin the pair list by doc id — at 100 TB
+    // that is two hash joins on the id, never a text self-join; the
+    // quadratic term is bounded by the LSH candidate count. Distances and
+    // lengths are integers: the row is float-free and engine-exact.
+    Q("dd_edit_verify",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
+        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
+        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
+        |  FROM mh GROUP BY doc_id, k // 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT p.doc_a, p.doc_b,
+        |  levenshtein(da.text, db.text) AS edit_dist,
+        |  length(da.text) AS len_a, length(db.text) AS len_b
+        |FROM pairs p
+        |JOIN documents da ON p.doc_a = da.doc_id
+        |JOIN documents db ON p.doc_b = db.doc_id
+        |WHERE levenshtein(da.text, db.text) <= 160""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = TextOps.lshCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, k = 8, bands = 4)
+      val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("__ta"))
+      val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("__tb"))
+      pairs.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb"), 160))
+        .filter(col("edit_dist").between(0, 160))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+          length(col("__ta")).as("len_a"), length(col("__tb")).as("len_b"))
+    },
+
     // Dedup clustering: connected components over the LSH candidate pairs
     // — every near-dup doc maps to its cluster's min doc_id (the keeper).
     // Spark: iterative min-label propagation; oracle: recursive-CTE
