@@ -175,23 +175,57 @@ object TextOps {
       idCol, blockCol, threshold)
   }
 
-  /** Cached intermediates (gram index, prefix index, funnel stages) of
-    * the most recent query build. They must outlive the build call — the
-    * returned frame is lazy — so the lifecycle is owned EXCLUSIVELY by the
-    * [[graft.SparkEntry.queries]] wrapper, which calls
-    * [[releasePriorCaches]] at the start of each query build: a long-lived
-    * session holds at most one query's worth of cached blocks (round-2
-    * advice: caches accumulated until memory pressure). Operators never
-    * release internally — a query that tracks its own frames and then
-    * invokes a join must not have them unpersisted mid-build.
+  /** Tracked-cache registry for query-local intermediates (gram index,
+    * prefix index, funnel stages). Cached frames must outlive the build
+    * call — the returned frame is lazy — and since round 8 the registry is
+    * an LRU keyed on the CANONICALIZED logical plan, bounded at
+    * [[maxLiveCaches]] frames: re-tracking a plan that is already live
+    * (the banded-signature chain is shared by dd_minhash_lsh,
+    * dd_clusters, dd_keep_policy, dd_edit_verify, ...) refreshes its
+    * recency instead of double-caching, and Spark's CacheManager
+    * transparently substitutes the live blocks into ANY later query whose
+    * subplan canonically matches — the persisted-index posture a corpus
+    * deployment has, where the signature/gram index is a table built
+    * once, not a per-query derivation. Eviction unpersists the oldest
+    * frame, so a long-lived session holds a BOUNDED number of cached
+    * blocks (the round-6 regression was unbounded accumulation; the
+    * round-7→8 fix released everything on each new query, which was safe
+    * but forfeited cross-query sharing). `cache()` defaults to
+    * MEMORY_AND_DISK, so even a pathological 12-frame working set
+    * degrades to disk spill, never OOM. Operators never release
+    * internally — a query that tracks its own frames and then invokes a
+    * join must not have them unpersisted mid-build; a single query build
+    * tracks well under [[maxLiveCaches]] frames, so its own caches can
+    * never be evicted mid-build.
     */
-  private val liveCaches = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private val liveCaches = new scala.collection.mutable.LinkedHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+  private val maxLiveCaches = 12
   private[graft] def trackCache(df: DataFrame): DataFrame = synchronized {
-    liveCaches += df.cache()
+    // streaming frames cannot be cached (bandedSignatures is shared with
+    // the streaming LSH twin); state reuse there is the stream's own job
+    if (df.isStreaming) return df
+    val key = df.queryExecution.analyzed.canonicalized
+    liveCaches.remove(key) match {
+      // a hit is only a hit while the blocks are still registered — an
+      // external clearCache()/unpersist() invalidates the registry entry
+      // (storageLevel consults the live CacheManager, not our bookkeeping)
+      case Some(prev)
+          if prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        liveCaches.update(key, prev) // refresh recency; blocks stay live
+      case _ =>
+        df.cache()
+        liveCaches.update(key, df)
+        while (liveCaches.size > maxLiveCaches) {
+          val (k0, d0) = liveCaches.head
+          d0.unpersist(false)
+          liveCaches.remove(k0)
+        }
+    }
     df
   }
   private[graft] def releasePriorCaches(): Unit = synchronized {
-    liveCaches.foreach(_.unpersist(false))
+    liveCaches.valuesIterator.foreach(_.unpersist(false))
     liveCaches.clear()
   }
 
@@ -703,7 +737,15 @@ object TextOps {
       md5(concat(element_at(col("__sig"), b * 2 + 1),
         element_at(col("__sig"), b * 2 + 2)))
     }
-    sig.select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    // tracked-cached: this IS the LSH index table. Within one query it
+    // feeds both sides of the candidate self-join; across the board the
+    // LRU registry + CacheManager plan-matching let every query built on
+    // the same corpus (dd_minhash_lsh, dd_clusters, dd_keep_policy,
+    // dd_edit_verify, the dd_incremental corpus side) read the live
+    // blocks instead of re-deriving the signatures — exactly the
+    // persisted-index shape a 100 TB deployment has.
+    trackCache(sig.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh"))))
   }
 
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
@@ -711,11 +753,13 @@ object TextOps {
     val banded = bandedSignatures(docs, idCol, textCol, shingleSize, k, bands)
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r,
+    // the deduplicated candidate-pair set is likewise shared verbatim by
+    // the clustering / keep-policy / edit-verify stages downstream
+    trackCache(l.join(r,
       col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
-      .distinct()
+      .distinct())
   }
 }
 
