@@ -916,6 +916,73 @@ object VectorOps {
     * are bit-identical to the join rendering. Returns the input plus a
     * `bucket` column.
     */
+  /** Distributed Lloyd k-means over an embedding column — the canonical
+    * Spark iterative-ML shape. Per iteration: (1) assignment is a
+    * ZERO-SHUFFLE codegen projection — the k current centroids are
+    * literals in a struct-min argmin expression (the [[ivfAssign]]
+    * pattern), so every vector is scored in the scan stage; (2) the
+    * update is ONE shuffle on (cid, dim) with map-side partial
+    * aggregation, accumulating in DECIMAL(28,8) so the per-dim mean is
+    * order-independent and bit-reproducible (the [[graft.queries
+    * .DedupQueries]] v_centroids discipline); (3) the k x dims means
+    * round-trip through the driver to become the next iteration's
+    * literals — bounded state, exactly how MLlib's KMeans carries
+    * centroids between iterations. Init is the first k vectors by id, so
+    * the whole fit is bit-deterministic and an independent engine can
+    * replay it exactly (the v_kmeans DuckDB oracle unrolls the same
+    * iterations in SQL). Empty clusters keep their previous centroid.
+    * At 100 TB nothing here changes: per-iteration cost is one scan +
+    * one bounded shuffle, and driver state stays k x dims doubles.
+    *
+    * Returns the final centroid table in long form:
+    * (cid, dim (1-based), mean_v, n) with n = final cluster size.
+    */
+  def kmeansLloyd(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = vectors.sparkSession
+    val e = vectors.select(col(idCol).cast("long").as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    var cents: Array[Array[Double]] = e.orderBy(col("__id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.length == k, s"need at least $k vectors")
+    val dims = cents.head.length
+    var counts: Array[Long] = Array.fill(k)(0L)
+    for (_ <- 1 to iters) {
+      val scored = cents.zipWithIndex.map { case (cv, cid) =>
+        val cLit = array(cv.toIndexedSeq.map(lit(_)): _*)
+        // sum_i (v_i - c_i)^2 in ascending index order: the same fold the
+        // oracle's list_sum comprehension runs, so distances are
+        // bit-identical and the (dist, cid) struct-min picks the same cell
+        struct(
+          aggregate(zip_with(col("__v"), cLit, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d).as("d"),
+          lit(cid).as("c"))
+      }
+      val best = (if (scored.length == 1) scored.head
+        else least(scored.toIndexedSeq: _*)).getField("c")
+      val means = e.withColumn("cid", best)
+        .select(col("cid"), posexplode(col("__v")).as(Seq("p", "x")))
+        .groupBy(col("cid"), (col("p") + 1).as("dim"))
+        .agg((sum(col("x").cast(DecimalType(28, 8))).cast("double") /
+          count(lit(1))).as("mean_v"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      val cnt = Array.fill(k)(0L)
+      means.foreach { r =>
+        val cid = r.getInt(0)
+        next(cid)(r.getInt(1) - 1) = r.getDouble(2)
+        cnt(cid) = r.getLong(3)
+      }
+      cents = next
+      counts = cnt
+    }
+    val out = for (cid <- 0 until k; d <- 1 to dims)
+      yield (cid.toLong, d.toLong, cents(cid)(d - 1), counts(cid))
+    import spark.implicits._
+    out.toDF("cid", "dim", "mean_v", "n")
+  }
+
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val cents: Array[(Int, Array[Float])] = centroids

@@ -79,6 +79,53 @@ object DedupQueries {
           count(lit(1)).as("n"))
     },
 
+    // Distributed Lloyd k-means (k=4, 2 iterations), bit-replayed by the
+    // oracle: init = first k vectors by id; assignment = argmin of the
+    // index-ordered (v-c)^2 fold with cid tie-break (struct-min in Spark,
+    // row_number in SQL); update = DECIMAL(28,8)-accumulated per-dim mean
+    // (order-independent, so both engines compute the identical next
+    // centroid); empty clusters keep their previous centroid. The Spark
+    // side is the canonical scale plan: zero-shuffle literal-centroid
+    // scoring + one (cid, dim) shuffle per iteration (VectorOps
+    // .kmeansLloyd).
+    Q("v_kmeans",
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |ini AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])
+        |                         for i in range(1, 65)]), c.cid) AS rn
+        |    FROM e CROSS JOIN ini c) WHERE rn = 1),
+        |m1 AS (SELECT cid, s.d AS dim,
+        |    CAST(SUM(CAST(s.x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv
+        |  FROM (SELECT cid, unnest([{'d': i, 'x': v[i]} for i in range(1, 65)]) AS s
+        |        FROM a1) GROUP BY cid, s.d),
+        |c2 AS (SELECT i.cid, COALESCE(m.v, i.v) AS v FROM ini i LEFT JOIN
+        |  (SELECT cid, list(mv ORDER BY dim) AS v FROM m1 GROUP BY cid) m
+        |  ON i.cid = m.cid),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])
+        |                         for i in range(1, 65)]), c.cid) AS rn
+        |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+        |m2 AS (SELECT cid, s.d AS dim,
+        |    CAST(SUM(CAST(s.x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv,
+        |    count(*) AS n
+        |  FROM (SELECT cid, unnest([{'d': i, 'x': v[i]} for i in range(1, 65)]) AS s
+        |        FROM a2) GROUP BY cid, s.d)
+        |SELECT g.cid, g.dim, COALESCE(m2.mv, g.cv) AS mean_v,
+        |  COALESCE(m2.n, 0) AS n
+        |FROM (SELECT cid, s.d AS dim, s.x AS cv
+        |      FROM (SELECT cid, unnest([{'d': i, 'x': v[i]} for i in range(1, 65)]) AS s
+        |            FROM c2)) g
+        |LEFT JOIN m2 ON g.cid = m2.cid AND g.dim = m2.dim""".stripMargin) {
+      (s, dir) =>
+      VectorOps.kmeansLloyd(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2)
+    },
+
     // LSH design table: capture probability p = 1-(1-j^r)^b of the
     // banded MinHash index (b=4 bands, r=2 rows — the board's kernel)
     // across the Jaccard range, next to the configuration's S-curve
