@@ -939,28 +939,30 @@ object VectorOps {
     */
   def kmeansLloyd(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val spark = vectors.sparkSession
+    val (cents, counts) = lloydCentroids(vectors, idCol, vecCol, k, iters)
+    val dims = cents.head.length
+    val out = for (cid <- 0 until k; d <- 1 to dims)
+      yield (cid.toLong, d.toLong, cents(cid)(d - 1), counts(cid))
+    import spark.implicits._
+    out.toDF("cid", "dim", "mean_v", "n")
+  }
+
+  /** Lloyd iteration state: (centroids, final cluster sizes). Shared by
+    * [[kmeansLloyd]] (the fit table) and the silhouette scorer (which
+    * needs the raw centroid vectors as literals).
+    */
+  private[graft] def lloydCentroids(vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): (Array[Array[Double]], Array[Long]) = {
+    import org.apache.spark.sql.types.DecimalType
     val e = vectors.select(col(idCol).cast("long").as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     var cents: Array[Array[Double]] = e.orderBy(col("__id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     require(cents.length == k, s"need at least $k vectors")
-    val dims = cents.head.length
     var counts: Array[Long] = Array.fill(k)(0L)
     for (_ <- 1 to iters) {
-      val scored = cents.zipWithIndex.map { case (cv, cid) =>
-        val cLit = array(cv.toIndexedSeq.map(lit(_)): _*)
-        // sum_i (v_i - c_i)^2 in ascending index order: the same fold the
-        // oracle's list_sum comprehension runs, so distances are
-        // bit-identical and the (dist, cid) struct-min picks the same cell
-        struct(
-          aggregate(zip_with(col("__v"), cLit, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, d) => acc + d).as("d"),
-          lit(cid).as("c"))
-      }
-      val best = (if (scored.length == 1) scored.head
-        else least(scored.toIndexedSeq: _*)).getField("c")
+      val best = nearestCentroid(col("__v"), cents).getField("c")
       val means = e.withColumn("cid", best)
         .select(col("cid"), posexplode(col("__v")).as(Seq("p", "x")))
         .groupBy(col("cid"), (col("p") + 1).as("dim"))
@@ -977,10 +979,27 @@ object VectorOps {
       cents = next
       counts = cnt
     }
-    val out = for (cid <- 0 until k; d <- 1 to dims)
-      yield (cid.toLong, d.toLong, cents(cid)(d - 1), counts(cid))
-    import spark.implicits._
-    out.toDF("cid", "dim", "mean_v", "n")
+    (cents, counts)
+  }
+
+  /** struct(dist, cid) argmin over literal centroids: squared-L2 folded
+    * in ascending index order (the same fold the SQL oracles' list_sum
+    * comprehension runs, so distances are bit-identical and the
+    * (dist, cid) struct-min picks the same cell), ties to the lowest cid.
+    */
+  private[graft] def nearestCentroid(v: Column,
+      cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (cv, cid) =>
+      struct(sqDist(v, cv).as("d"), lit(cid).as("c"))
+    }
+    if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
+  }
+
+  /** sum_i (v_i - c_i)^2 against a literal centroid, ascending index. */
+  private[graft] def sqDist(v: Column, cv: Array[Double]): Column = {
+    val cLit = array(cv.toIndexedSeq.map(lit(_)): _*)
+    aggregate(zip_with(v, cLit, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
   }
 
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,

@@ -126,6 +126,70 @@ object DedupQueries {
         "vec_id", "embedding", k = 4, iters = 2)
     },
 
+    // Clustering-quality gate on the Lloyd fit: simplified silhouette
+    // s = (b - a) / b per vector (a = dist to own centroid = the argmin,
+    // b = dist to the runner-up; b >= a by construction), averaged per
+    // cluster through DECIMAL(28,8) so the mean is order-independent.
+    // Centroids are the k=4 / 1-iteration Lloyd state (the oracle's c2
+    // CTE), so the whole row is bit-replayable: sqrt and division are
+    // engine-exact, ranks break ties on cid, and the only rounding is
+    // the final 6 dp. Spark plan: zero-shuffle literal-centroid scoring
+    // + one groupBy(cid) — silhouette at 100 TB is a scan, not a join.
+    Q("v_silhouette",
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |ini AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])
+        |                         for i in range(1, 65)]), c.cid) AS rn
+        |    FROM e CROSS JOIN ini c) WHERE rn = 1),
+        |m1 AS (SELECT cid, s.d AS dim,
+        |    CAST(SUM(CAST(s.x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv
+        |  FROM (SELECT cid, unnest([{'d': i, 'x': v[i]} for i in range(1, 65)]) AS s
+        |        FROM a1) GROUP BY cid, s.d),
+        |c2 AS (SELECT i.cid, COALESCE(m.v, i.v) AS v FROM ini i LEFT JOIN
+        |  (SELECT cid, list(mv ORDER BY dim) AS v FROM m1 GROUP BY cid) m
+        |  ON i.cid = m.cid),
+        |d AS (SELECT e.vec_id, c.cid,
+        |    sqrt(list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])
+        |                   for i in range(1, 65)])) AS dist
+        |  FROM e CROSS JOIN c2 c),
+        |r AS (SELECT vec_id, cid, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d),
+        |sv AS (SELECT a.vec_id, a.cid,
+        |    CASE WHEN b.dist = 0 THEN 0.0
+        |         ELSE (b.dist - a.dist) / b.dist END AS s
+        |  FROM (SELECT * FROM r WHERE rn = 1) a
+        |  JOIN (SELECT * FROM r WHERE rn = 2) b ON a.vec_id = b.vec_id)
+        |SELECT cid,
+        |  round(CAST(SUM(CAST(s AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6)
+        |    AS mean_sil,
+        |  count(*) AS n
+        |FROM sv GROUP BY cid""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val (cents, _) = VectorOps.lloydCentroids(emb, "vec_id", "embedding",
+        k = 4, iters = 1)
+      val v = transform(col("embedding"), x => x.cast("double"))
+      // rank on the sqrt'd distance exactly as the oracle's window does:
+      // sqrt can collapse two adjacent squared distances to the same
+      // double, and the cid tie-break must then see the SAME tie
+      val scored = cents.toIndexedSeq.zipWithIndex.map { case (cv, cid) =>
+        struct(sqrt(VectorOps.sqDist(v, cv)).as("d"), lit(cid).as("c"))
+      }
+      val ranked = sort_array(array(scored: _*))
+      val a = element_at(ranked, 1).getField("d")
+      val b = element_at(ranked, 2).getField("d")
+      emb.select(
+        element_at(ranked, 1).getField("c").cast("long").as("cid"),
+        when(b === 0, lit(0.0)).otherwise((b - a) / b).as("s"))
+        .groupBy("cid")
+        .agg(round(sum(col("s").cast(DecimalType(28, 8))).cast("double") /
+          count(lit(1)), 6).as("mean_sil"), count(lit(1)).as("n"))
+    },
+
     // LSH design table: capture probability p = 1-(1-j^r)^b of the
     // banded MinHash index (b=4 bands, r=2 rows — the board's kernel)
     // across the Jaccard range, next to the configuration's S-curve
