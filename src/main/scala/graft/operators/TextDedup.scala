@@ -1002,6 +1002,143 @@ object VectorOps {
       lit(0.0), (acc, d) => acc + d)
   }
 
+  /** Product-quantization codebook state: m independent per-subspace
+    * Lloyd fits (k codes each) over the corpus, the compression stage of
+    * IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 — public literature). Init per
+    * subspace is the first k vectors' subvectors (by id), assignment is
+    * the (dist, code) struct-min with ties to the lowest code, the mean
+    * update accumulates through DECIMAL(28,8) — all bit-replayable by an
+    * independent engine (the v_pq DuckDB oracle unrolls the same
+    * iteration), exactly the [[lloydCentroids]] discipline. Empty codes
+    * keep their previous centroid.
+    *
+    * Scale shape: one scan per iteration (all m subspaces scored in the
+    * same pass — the explode is over m structs per row, not m scans) +
+    * one shuffle onto the bounded (s, code, dim) key space (m×k×d rows).
+    * Driver state is m×k×(dims/m) doubles = k×dims, same as plain Lloyd.
+    * At 100 TB the codes table this trains against is m bytes/vector —
+    * a 32× compression of float32 embeddings, which is why PQ is the
+    * standard billion-vector ANN representation.
+    *
+    * Returns (codebook(s)(code) = subvector centroid, counts(s)(code)).
+    */
+  private[graft] def pqState(vectors: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, iters: Int)
+      : (Array[Array[Array[Double]]], Array[Array[Long]]) = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = vectors.select(col(idCol).cast("long").as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val init: Array[Array[Double]] = e.orderBy(col("__id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(init.length == k, s"need at least $k vectors")
+    val dims = init.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val d = dims / m
+    var cb: Array[Array[Array[Double]]] =
+      Array.tabulate(m, k)((s, c) => init(c).slice(s * d, s * d + d))
+    var counts: Array[Array[Long]] = Array.fill(m, k)(0L)
+    for (_ <- 1 to iters) {
+      val subCols = (0 until m).map { s =>
+        val sv = slice(col("__v"), s * d + 1, d)
+        struct(lit(s).as("s"),
+          nearestCentroid(sv, cb(s)).getField("c").as("code"), sv.as("sv"))
+      }
+      val stats = e.select(explode(array(subCols: _*)).as("t"))
+        .select(col("t.s"), col("t.code"), posexplode(col("t.sv")).as(Seq("p", "x")))
+        .groupBy(col("s"), col("code"), (col("p") + 1).as("dim"))
+        .agg((sum(col("x").cast(DecimalType(28, 8))).cast("double") /
+          count(lit(1))).as("mv"), count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      val cnt = Array.fill(m, k)(0L)
+      stats.foreach { r =>
+        val s = r.getInt(0); val c = r.getInt(1)
+        next(s)(c)(r.getInt(2) - 1) = r.getDouble(3)
+        cnt(s)(c) = r.getLong(4)
+      }
+      cb = next
+      counts = cnt
+    }
+    (cb, counts)
+  }
+
+  /** The trained PQ codebook in long form: (s, code, dim (1-based within
+    * the subspace), mean_v, n). See [[pqState]] for the fit semantics.
+    */
+  def pqCodebook(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val (cb, counts) = pqState(vectors, idCol, vecCol, m, k, iters)
+    val d = cb(0)(0).length
+    val out = for (s <- 0 until m; c <- 0 until k; dim <- 1 to d)
+      yield (s.toLong, c.toLong, dim.toLong, cb(s)(c)(dim - 1), counts(s)(c))
+    import spark.implicits._
+    out.toDF("s", "code", "dim", "mean_v", "n")
+  }
+
+  /** PQ-encode: append `codes` (array of m subspace code ids) to each
+    * vector row — the m-bytes-per-vector representation the ADC scan
+    * reads. Zero shuffle: literal-codebook argmin per subspace, one pass.
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val d = cb(0)(0).length
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val codes = (0 until m).map(s =>
+      nearestCentroid(slice(v, s * d + 1, d), cb(s)).getField("c"))
+    vectors.withColumn("codes", array(codes: _*))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query keeps its
+    * raw subvectors; each corpus vector is represented only by its m
+    * codes, and its distance is the sum of per-subspace query→centroid
+    * distances looked up from a precomputed m×k table. Distances fold in
+    * ascending dim order inside a subspace and ascending s across
+    * subspaces, so an independent engine replays them bit-exactly;
+    * ranking is on the 6-dp-rounded distance with id tie-break (the
+    * ann_topk convention).
+    *
+    * Scale shape: the distance tables are queries×m×k doubles broadcast
+    * as literals; the scan reads m bytes/vector (the codes), computes
+    * q×m array lookups per row, and only the per-query top-k window
+    * shuffles. This is the standard billion-scale ANN scoring loop.
+    */
+  def adcSearch(vectors: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Array[Double]]], queries: Array[(Long, Array[Double])],
+      k: Int): DataFrame = {
+    val m = cb.length
+    val nCodes = cb(0).length
+    val d = cb(0)(0).length
+    val dtab: Array[Array[Array[Double]]] = queries.map { case (_, q) =>
+      Array.tabulate(m, nCodes) { (s, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < d) { val t = q(s * d + i) - cb(s)(c)(i); acc += t * t; i += 1 }
+        acc
+      }
+    }
+    val enc = pqEncode(vectors, idCol, vecCol, cb)
+      .select(col(idCol).cast("long").as("__id"), col("codes"))
+    val scored = queries.zipWithIndex.map { case ((qid, _), qi) =>
+      val dist = (0 until m).map { s =>
+        element_at(array(dtab(qi)(s).toIndexedSeq.map(lit(_)): _*),
+          element_at(col("codes"), s + 1) + 1)
+      }.reduceLeft(_ + _)
+      struct(lit(qid).as("qid"), dist.as("dist"))
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("dist_r"), col("__id"))
+    enc.select(col("__id"), explode(array(scored.toIndexedSeq: _*)).as("t"))
+      .select(col("t.qid").as("qid"), col("__id"),
+        round(col("t.dist"), 6).as("dist_r"))
+      .filter(col("__id") =!= col("qid"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("__id").as("vec_id"), col("rn"), col("dist_r"))
+  }
+
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val cents: Array[(Int, Array[Float])] = centroids

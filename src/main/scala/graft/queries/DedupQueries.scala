@@ -190,6 +190,110 @@ object DedupQueries {
           count(lit(1)), 6).as("mean_sil"), count(lit(1)).as("n"))
     },
 
+    // Product-quantization codebook (Jégou et al. 2011): m=8 subspaces ×
+    // k=4 codes over the 64-dim embeddings, one Lloyd iteration per
+    // subspace, init = the first 4 vectors' subvectors. The oracle
+    // unrolls the identical fit in SQL (argmin with (dist, code)
+    // tie-break, DECIMAL(28,8) mean update, COALESCE keeps empty codes'
+    // init centroids), so the whole training step is bit-replayable
+    // cross-engine. Spark plan: one scan scoring all 8 subspaces + one
+    // shuffle onto the 256-key (s, code, dim) space — PQ training at
+    // 100 TB is a scan, and the representation it feeds is m bytes per
+    // vector (32× compression of float32), the standard billion-vector
+    // ANN layout.
+    Q("v_pq",
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |sub AS (SELECT vec_id, s, [v[8 * s + i] for i in range(1, 9)] AS sv
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s)),
+        |ini AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+        |    AS code, sv
+        |  FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
+        |a1 AS (SELECT vec_id, s, sv, code FROM (
+        |  SELECT sub.vec_id, sub.s, sub.sv, c.code,
+        |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |      ORDER BY list_sum([(sub.sv[i] - c.sv[i]) * (sub.sv[i] - c.sv[i])
+        |                         for i in range(1, 9)]), c.code) AS rn
+        |  FROM sub JOIN ini c ON sub.s = c.s) t WHERE rn = 1),
+        |m1 AS (SELECT s, code, t.d AS dim,
+        |    CAST(SUM(CAST(t.x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv,
+        |    count(*) AS n
+        |  FROM (SELECT s, code, unnest([{'d': i, 'x': sv[i]} for i in range(1, 9)]) AS t
+        |        FROM a1) GROUP BY s, code, t.d)
+        |SELECT g.s, g.code, g.dim, COALESCE(m1.mv, g.cv) AS mean_v,
+        |  COALESCE(m1.n, 0) AS n
+        |FROM (SELECT s, code, t.d AS dim, t.x AS cv
+        |      FROM (SELECT s, code, unnest([{'d': i, 'x': sv[i]} for i in range(1, 9)]) AS t
+        |            FROM ini)) g
+        |LEFT JOIN m1 ON g.s = m1.s AND g.code = m1.code AND g.dim = m1.dim""".stripMargin) {
+      (s, dir) =>
+      VectorOps.pqCodebook(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", m = 8, k = 4, iters = 1)
+    },
+
+    // ADC (asymmetric distance) top-k over the trained PQ codes — the
+    // query stage of IVF-PQ ANN: queries keep raw subvectors, corpus
+    // vectors are just their 8 codes, and distance is 8 table lookups
+    // summed in ascending subspace order (so DuckDB's list_sum over the
+    // s-ordered list replays the fold bit-exactly). Ranked like
+    // ann_topk: 6-dp-rounded distance, vec_id tie-break. This is the
+    // hash-green exact-twin of what a billion-scale PQ scan computes —
+    // the codes table is 8 bytes/vector, the distance tables broadcast
+    // as literals, and only the tiny per-query top-k shuffles.
+    Q("ann_adc",
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |sub AS (SELECT vec_id, s, [v[8 * s + i] for i in range(1, 9)] AS sv
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s)),
+        |ini AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+        |    AS code, sv
+        |  FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
+        |a1 AS (SELECT vec_id, s, sv, code FROM (
+        |  SELECT sub.vec_id, sub.s, sub.sv, c.code,
+        |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |      ORDER BY list_sum([(sub.sv[i] - c.sv[i]) * (sub.sv[i] - c.sv[i])
+        |                         for i in range(1, 9)]), c.code) AS rn
+        |  FROM sub JOIN ini c ON sub.s = c.s) t WHERE rn = 1),
+        |m1 AS (SELECT s, code, t.d AS dim,
+        |    CAST(SUM(CAST(t.x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv
+        |  FROM (SELECT s, code, unnest([{'d': i, 'x': sv[i]} for i in range(1, 9)]) AS t
+        |        FROM a1) GROUP BY s, code, t.d),
+        |c2 AS (SELECT i.s, i.code, COALESCE(m.sv, i.sv) AS sv
+        |  FROM ini i LEFT JOIN
+        |    (SELECT s, code, list(mv ORDER BY dim) AS sv FROM m1 GROUP BY s, code) m
+        |  ON i.s = m.s AND i.code = m.code),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |  SELECT sub.vec_id, sub.s, c.code,
+        |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |      ORDER BY list_sum([(sub.sv[i] - c.sv[i]) * (sub.sv[i] - c.sv[i])
+        |                         for i in range(1, 9)]), c.code) AS rn
+        |  FROM sub JOIN c2 c ON sub.s = c.s) t WHERE rn = 1),
+        |dt AS (SELECT q.vec_id AS qid, c.s, c.code,
+        |    list_sum([(q.sv[i] - c.sv[i]) * (q.sv[i] - c.sv[i])
+        |              for i in range(1, 9)]) AS d
+        |  FROM (SELECT vec_id, s, sv FROM sub WHERE vec_id < 3) q
+        |  JOIN c2 c ON q.s = c.s),
+        |per AS (SELECT dt.qid, enc.vec_id, list(dt.d ORDER BY dt.s) AS ds
+        |  FROM enc JOIN dt ON enc.s = dt.s AND enc.code = dt.code
+        |  GROUP BY dt.qid, enc.vec_id)
+        |SELECT qid, vec_id, rn, dist_r FROM (
+        |  SELECT qid, vec_id, round(list_sum(ds), 6) AS dist_r,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(list_sum(ds), 6), vec_id) AS rn
+        |  FROM per WHERE vec_id <> qid) t WHERE rn <= 10""".stripMargin) {
+      (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val (cb, _) = VectorOps.pqState(e, "vec_id", "embedding",
+        m = 8, k = 4, iters = 1)
+      val qs: Array[(Long, Array[Double])] = e.filter(col("vec_id") < 3)
+        .orderBy("vec_id")
+        .select(col("vec_id").cast("long"),
+          transform(col("embedding"), x => x.cast("double")))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      VectorOps.adcSearch(e, "vec_id", "embedding", cb, qs, k = 10)
+    },
+
     // LSH design table: capture probability p = 1-(1-j^r)^b of the
     // banded MinHash index (b=4 bands, r=2 rows — the board's kernel)
     // across the Jaccard range, next to the configuration's S-curve

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+
+/** Pins VectorOps.pqState / adcSearch against an independent driver-side
+  * reference on the same data: per-subspace Lloyd with first-k init,
+  * strict-< argmin (lowest code on ties), DECIMAL(28,8)-quantized mean
+  * update, and ADC distances as ascending-order double folds — the same
+  * properties the v_pq / ann_adc DuckDB oracles assert cross-engine.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val M = 8
+  private val K = 4
+
+  private def load(): Array[Array[Double]] =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+
+  /** One per-subspace Lloyd iteration, driver-side. */
+  private def referencePq(vecs: Array[Array[Double]], iters: Int)
+      : (Array[Array[Array[Double]]], Array[Array[Long]]) = {
+    val dims = vecs.head.length
+    val d = dims / M
+    var cb = Array.tabulate(M, K)((s, c) => vecs(c).slice(s * d, s * d + d))
+    var counts = Array.fill(M, K)(0L)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(M, K, d)(java.math.BigDecimal.ZERO)
+      val cnt = Array.fill(M, K)(0L)
+      vecs.foreach { v =>
+        for (s <- 0 until M) {
+          var best = 0
+          var bestD = Double.MaxValue
+          for (c <- 0 until K) {
+            var dd = 0.0
+            var i = 0
+            while (i < d) { val t = v(s * d + i) - cb(s)(c)(i); dd += t * t; i += 1 }
+            if (dd < bestD) { bestD = dd; best = c }
+          }
+          var i = 0
+          while (i < d) {
+            sums(s)(best)(i) = sums(s)(best)(i).add(
+              new java.math.BigDecimal(v(s * d + i))
+                .setScale(8, java.math.RoundingMode.HALF_UP))
+            i += 1
+          }
+          cnt(s)(best) += 1
+        }
+      }
+      cb = Array.tabulate(M, K) { (s, c) =>
+        if (cnt(s)(c) == 0L) cb(s)(c)
+        else sums(s)(c).map(x => x.doubleValue() / cnt(s)(c))
+      }
+      counts = cnt
+    }
+    (cb, counts)
+  }
+
+  test("distributed PQ fit reproduces the driver reference bit-exactly") {
+    val vecs = load()
+    val (refCb, refN) = referencePq(vecs, iters = 1)
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (cb, n) = VectorOps.pqState(df, "vec_id", "embedding", M, K, iters = 1)
+    for (s <- 0 until M; c <- 0 until K) {
+      assert(n(s)(c) == refN(s)(c), s"count s=$s c=$c")
+      assert(cb(s)(c).sameElements(refCb(s)(c)), s"centroid s=$s c=$c")
+    }
+  }
+
+  test("ADC distances are the exact table-lookup sums of the encoded codes") {
+    val vecs = load()
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (cb, _) = VectorOps.pqState(df, "vec_id", "embedding", M, K, iters = 1)
+    val d = cb(0)(0).length
+    val qs = Array((0L, vecs(0)), (1L, vecs(1)))
+    // reference: encode every vector, sum per-subspace lookups ascending
+    def encode(v: Array[Double]): Array[Int] = Array.tabulate(M) { s =>
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- 0 until K) {
+        var dd = 0.0; var i = 0
+        while (i < d) { val t = v(s * d + i) - cb(s)(c)(i); dd += t * t; i += 1 }
+        if (dd < bestD) { bestD = dd; best = c }
+      }
+      best
+    }
+    def adc(q: Array[Double], codes: Array[Int]): Double = {
+      var total = 0.0
+      for (s <- 0 until M) {
+        var dd = 0.0; var i = 0
+        while (i < d) { val t = q(s * d + i) - cb(s)(codes(s))(i); dd += t * t; i += 1 }
+        total += dd
+      }
+      total
+    }
+    val want = qs.flatMap { case (qid, q) =>
+      vecs.zipWithIndex.filter(_._2 != qid)
+        .map { case (v, id) =>
+          val bd = new java.math.BigDecimal(adc(q, encode(v)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          (qid, id.toLong, bd)
+        }
+        .sortBy { case (_, id, dist) => (dist, id) }
+        .take(10)
+        .zipWithIndex
+        .map { case ((qid2, id, dist), i) => (qid2, id, (i + 1).toLong, dist) }
+    }.toSet
+    val got = VectorOps.adcSearch(df, "vec_id", "embedding", cb, qs, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getDouble(3)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("ADC top-k recalls a usable fraction of the exact L2 top-k") {
+    val vecs = load()
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (cb, _) = VectorOps.pqState(df, "vec_id", "embedding", M, K, iters = 1)
+    val qs = Array((0L, vecs(0)), (1L, vecs(1)), (2L, vecs(2)))
+    val got = VectorOps.adcSearch(df, "vec_id", "embedding", cb, qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val recalls = qs.map { case (qid, q) =>
+      val exact = vecs.zipWithIndex.filter(_._2 != qid)
+        .map { case (v, id) => (l2(q, v), id.toLong) }
+        .sortBy(identity).take(10).map(_._2).toSet
+      (exact intersect got(qid)).size / 10.0
+    }
+    // k=4 codes per subspace is a coarse 8-byte quantizer; the gate is a
+    // usefulness floor, not a tuning claim (mean over 3 queries).
+    assert(recalls.sum / recalls.length >= 0.2,
+      s"mean ADC recall@10 ${recalls.sum / recalls.length}")
+  }
+}
