@@ -883,6 +883,67 @@ object StateQueries {
           col("n").cast("long").as("n_pairs"))
     },
 
+    // Lagged cross-correlation between two sensor series ("does error
+    // volume follow click volume?"): each series is resampled to its
+    // hourly mean (decimal-accumulated, so the mean is order-independent
+    // and engine-exact), then Pearson r of click(t) vs error(t+lg) for
+    // lags 0..3 hours via the same DECIMAL(28,8) moment sums as
+    // ts_autocorr. The hour bucket is integer microsecond division —
+    // no timestamp rounding to disagree on. Scale shape: raw events
+    // aggregate once onto the bounded (series, hour) key; the lagged
+    // join then runs on the resampled series (rows = hours, not events)
+    // with the 4-row lag table broadcast — cross-correlating a year of
+    // 100 TB telemetry is one aggregation plus a tiny join.
+    Q("ts_cross_corr",
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS xm
+        |  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1, 2),
+        |p AS (SELECT l.lg, a.xm AS x, b.xm AS y
+        |  FROM (SELECT unnest(range(0, 4)) AS lg) l
+        |  JOIN (SELECT hb, xm FROM h WHERE event_type = 'click') a ON TRUE
+        |  JOIN (SELECT hb, xm FROM h WHERE event_type = 'error') b
+        |    ON b.hb = a.hb + l.lg)
+        |SELECT lg,
+        |  ROUND((n * sxy - sx * sy)
+        |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS xcorr,
+        |  CAST(n AS BIGINT) AS n_pairs
+        |FROM (SELECT lg,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y*y AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x*y AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY lg)""".stripMargin) { (s, dir) =>
+      def dsum28(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(28, 8))).cast("double")
+      val h = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "error"))
+        .withColumn("hb", expr("unix_micros(ts) div 3600000000"))
+        .groupBy("event_type", "hb")
+        .agg((sum(col("value").cast(DecimalType(28, 8))).cast("double") /
+          count(lit(1))).as("xm"))
+      val a = h.filter(col("event_type") === "click")
+        .select(col("hb"), col("xm").as("x"))
+      val b = h.filter(col("event_type") === "error")
+        .select(col("hb").as("hb2"), col("xm").as("y"))
+      val lags = a.sparkSession.range(0, 4).select(col("id").as("lg"))
+      a.crossJoin(broadcast(lags))
+        .join(b, col("hb2") === col("hb") + col("lg"))
+        .groupBy("lg")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum28(col("x")).as("sx"), dsum28(col("y")).as("sy"),
+          dsum28(col("x") * col("x")).as("sxx"),
+          dsum28(col("y") * col("y")).as("syy"),
+          dsum28(col("x") * col("y")).as("sxy"))
+        .select(col("lg"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("xcorr"),
+          col("n").cast("long").as("n_pairs"))
+    },
+
     // Next-event Markov transition matrix: per user each event paired
     // with its successor by time, then P(dst | src) over the corpus —
     // the path-analysis twin of q_funnel_steps (which checks ONE ordered

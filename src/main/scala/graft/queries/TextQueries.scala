@@ -1073,5 +1073,38 @@ object TextQueries {
       staged.withColumn("pos_in_stage", row_number().over(
         Window.partitionBy("lang", "stage").orderBy(col("difficulty"), col("doc_id"))))
     },
+
+    // Sequence packing: per language, documents are concatenated in
+    // doc_id order and 2048-token context windows are cut from the
+    // stream — each doc's pack_id/start_off say which window its first
+    // token lands in and where (docs may straddle boundaries, exactly as
+    // GPT-style packing does). The map a training data loader needs to
+    // emit packed sequences. All-integer arithmetic (token counts,
+    // prefix sums, floor division), so the row is hash-exact with no
+    // rounding discipline. One shuffle: the per-lang prefix-sum window —
+    // at 100 TB packing is a partitioned sorted scan, never a collect.
+    Q("pl_pack",
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS strt
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, lang, n_tokens, strt // 2048 AS pack_id,
+        |  strt - (strt // 2048) * 2048 AS start_off
+        |FROM c""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("strt", sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("strt div 2048").as("pack_id"),
+          (col("strt") - expr("strt div 2048") * 2048).as("start_off"))
+    },
   )
 }
