@@ -506,6 +506,47 @@ object Relational {
             (abs(col("a") - col("e")) <= col("e") * 0.1).cast("int").as("nd_ok"))
     },
 
+    // Mergeable Misra-Gries heavy hitters over the document token stream
+    // — the bounded-memory approximate top-k for vocabularies that don't
+    // fit anywhere (the sketch twin of the exact two-phase
+    // tx_topk_ngrams, like q_approx_distinct is to q_distinct). Counter
+    // contents are partition-layout-dependent -> rows-only check; the
+    // MG guarantees are hash-gated by q_approx_topk_bounds below.
+    Q.noOracle("q_approx_topk") { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+        .as[String]
+      graft.operators.SpaceSaving.topK(toks, capacity = 28, topK = 16)
+    },
+
+    // MG quality gate on the driver board (same literal-1 pattern as
+    // q_approx_distinct_bounds): with capacity c over N tokens, every
+    // reported estimate must satisfy 0 <= exact - est <= N/(c+1)
+    // (undercount only, bounded), and every token with exact count
+    // above N/(c+1) must be present in the summary.
+    Q("q_approx_topk_bounds",
+      "SELECT 1 AS error_ok, 1 AS coverage_ok") { (s, dir) =>
+      import s.implicits._
+      val cap = 28
+      val toksDf = Tables.load(s, dir, "documents")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      val sketch = graft.operators.SpaceSaving.summarize(toksDf.as[String], cap)
+      val exact = toksDf.groupBy("w").agg(count(lit(1)).as("n"))
+      val n = toksDf.count()
+      val bound = n / (cap + 1)
+      val est = typedLit(sketch)
+      val flags = exact.select(
+        col("n"), element_at(est, col("w")).as("est"))
+      val gate = flags.agg(
+        min(when(col("est").isNull, 1)
+          .otherwise((col("n") >= col("est") && col("n") - col("est") <= bound)
+            .cast("int"))).as("error_ok"),
+        min(when(col("n") > bound, col("est").isNotNull.cast("int"))
+          .otherwise(1)).as("coverage_ok"))
+      gate
+    },
+
     // Value-RANGE window frame (vs the rows-frames in q_window_funcs):
     // per customer, aggregate over all orders within 1000 price units
     // below the current row. Peers enter the frame wholly, so the result
