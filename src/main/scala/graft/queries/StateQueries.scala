@@ -917,12 +917,15 @@ object StateQueries {
         |  FROM p GROUP BY lg)""".stripMargin) { (s, dir) =>
       def dsum28(c: org.apache.spark.sql.Column) =
         sum(c.cast(DecimalType(28, 8))).cast("double")
-      val h = Tables.load(s, dir, "events")
-        .filter(col("event_type").isin("click", "error"))
-        .withColumn("hb", expr("unix_micros(ts) div 3600000000"))
-        .groupBy("event_type", "hb")
-        .agg((sum(col("value").cast(DecimalType(28, 8))).cast("double") /
-          count(lit(1))).as("xm"))
+      // both join sides derive from h; tracked-cache it so the events
+      // scan + hourly aggregation run once, not once per side
+      val h = graft.operators.TextOps.trackCache(
+        Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("click", "error"))
+          .withColumn("hb", expr("unix_micros(ts) div 3600000000"))
+          .groupBy("event_type", "hb")
+          .agg((sum(col("value").cast(DecimalType(28, 8))).cast("double") /
+            count(lit(1))).as("xm")))
       val a = h.filter(col("event_type") === "click")
         .select(col("hb"), col("xm").as("x"))
       val b = h.filter(col("event_type") === "error")
