@@ -1139,6 +1139,68 @@ object VectorOps {
       .select(col("qid"), col("__id").as("vec_id"), col("rn"), col("dist_r"))
   }
 
+  /** IVF-PQ search — the standard billion-vector ANN layout (Jégou et
+    * al. 2011): a coarse IVF quantizer routes each query to its `nProbe`
+    * nearest cells (cosine, like [[ivfAssign]]'s bucketing), and inside
+    * the probed cells candidates are scored by ADC over their PQ codes
+    * (see [[adcSearch]]) — the corpus is touched only through
+    * (bucket, codes) = ~m+1 bytes per vector. Probe sets and distance
+    * tables are driver-computed per query (nCells × dims and m × k
+    * doubles) and broadcast as literals; the probed filter is row-local
+    * here, and becomes partition pruning when the codes table is written
+    * bucketed by cell — at which point a query reads nProbe/nCells of
+    * the corpus. Exact fold discipline matches [[adcSearch]], so the
+    * returned distances are bit-identical to the full-scan ADC on the
+    * same candidates (pinned in PqSpec).
+    */
+  def ivfAdcSearch(assigned: DataFrame, centroids: DataFrame,
+      cb: Array[Array[Array[Double]]], queries: Array[(Long, Array[Double])],
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("cid").cast("int"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    val m = cb.length
+    val nCodes = cb(0).length
+    val d = cb(0)(0).length
+    def cosJ(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val scored = queries.map { case (qid, q) =>
+      val probes = cents.map { case (cid, cv) => (-cosJ(q, cv), cid) }
+        .sorted.take(nProbe).map(_._2)
+      val dtab = Array.tabulate(m, nCodes) { (s, c) =>
+        var acc = 0.0; var i = 0
+        while (i < d) { val t = q(s * d + i) - cb(s)(c)(i); acc += t * t; i += 1 }
+        acc
+      }
+      val dist = (0 until m).map { s =>
+        element_at(array(dtab(s).toIndexedSeq.map(lit(_)): _*),
+          element_at(col("codes"), s + 1) + 1)
+      }.reduceLeft(_ + _)
+      struct(lit(qid).as("qid"),
+        array_contains(array(probes.toIndexedSeq.map(lit(_)): _*),
+          col("bucket")).as("probed"),
+        dist.as("dist"))
+    }
+    val enc = pqEncode(assigned, idCol, vecCol, cb)
+      .select(col(idCol).cast("long").as("__id"), col("bucket"), col("codes"))
+    val w = Window.partitionBy("qid").orderBy(col("dist_r"), col("__id"))
+    enc.select(col("__id"),
+        explode(array(scored.toIndexedSeq: _*)).as("t"))
+      .filter(col("t.probed") && col("__id") =!= col("t.qid"))
+      .select(col("t.qid").as("qid"), col("__id"),
+        round(col("t.dist"), 6).as("dist_r"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("__id").as("vec_id"), col("rn"), col("dist_r"))
+  }
+
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val cents: Array[(Int, Array[Float])] = centroids

@@ -116,6 +116,43 @@ class PqSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("IVF-PQ hits lie in probed cells with exact full-scan ADC distances") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (cb, _) = VectorOps.pqState(df, "vec_id", "embedding", M, K, iters = 1)
+    val cents = VectorOps.trainCentroids(df, "vec_id", "embedding", 16)
+    val assigned = VectorOps.ivfAssign(df, "vec_id", "embedding", cents)
+    val vecs = load()
+    val qs = Array((0L, vecs(0)), (1L, vecs(1)))
+    val got = VectorOps.ivfAdcSearch(assigned, cents, cb, qs,
+      "vec_id", "embedding", k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // probe sets re-derived independently: cosine vs collected centroids
+    val cvs = cents.select("cid", "cvec").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probes = qs.map { case (qid, q) =>
+      qid -> cvs.map { case (cid, cv) => (-cos(q, cv), cid) }
+        .sorted.take(4).map(_._2).toSet
+    }.toMap
+    val bucketOf = assigned.select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // full-scan ADC on the same queries for distance cross-check
+    val full = VectorOps.adcSearch(df, "vec_id", "embedding", cb, qs,
+      k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    got.foreach { case (qid, vid, dist) =>
+      assert(probes(qid).contains(bucketOf(vid)),
+        s"hit $vid for q$qid outside probed cells")
+      assert(full((qid, vid)) == dist,
+        s"ADC distance drift for ($qid, $vid)")
+    }
+  }
+
   test("ADC top-k recalls a usable fraction of the exact L2 top-k") {
     val vecs = load()
     val df = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
