@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan pins for the round-8 continuation rows: each query's Scaladoc
+  * makes a scale claim (scan-only scoring, bounded shuffles, banded
+  * never-all-pairs joins); these tests keep the physical plans honest.
+  */
+class PlanSpec4 extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  private def exchanges(p: String): Int = raw"\(\d+\) Exchange".r.findAllIn(p).size
+
+  test("ann_adc: codes scan + top-k window, no joins at all") {
+    val p = plan("ann_adc")
+    assert(!p.contains("Join"), s"ADC must not join:\n$p")
+    // one Exchange for the per-query top-k window
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+  }
+
+  test("ann_ivfpq: probed-cell filter is row-local, no joins") {
+    val p = plan("ann_ivfpq")
+    assert(!p.contains("Join"), s"IVF-PQ scan must not join:\n$p")
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange (top-k):\n$p")
+  }
+
+  test("pl_pack: one per-lang window exchange, no joins") {
+    val p = plan("pl_pack")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+  }
+
+  test("mm_ahash_pairs: banded hash join, never a cross product") {
+    val p = plan("mm_ahash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded join degenerated:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join found:\n$p")
+  }
+
+  test("ts_cross_corr: events aggregate once; lag table broadcast") {
+    val p = plan("ts_cross_corr")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"lag table not broadcast:\n$p")
+    // hourly agg (1 exchange) + tiny joined agg exchanges; never a
+    // per-event join explosion
+    assert(!p.contains("CartesianProduct"), s"cross product crept in:\n$p")
+  }
+
+  test("v_pq training pass: one bounded (s, code, dim) aggregation shuffle") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.VectorOps
+    val e = Tables.load(spark, sf, "embeddings")
+    // the per-iteration stats job inside pqState: rebuild its frame shape
+    val (cb, _) = VectorOps.pqState(e, "vec_id", "embedding", 8, 4, 1)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val subCols = (0 until 8).map { s =>
+      val sv = slice(v, s * 8 + 1, 8)
+      struct(lit(s).as("s"),
+        element_at(sort_array(array((0 until 4).map(c =>
+          struct(lit(0.0).as("d"), lit(c).as("c"))): _*)), 1).getField("c").as("code"),
+        sv.as("sv"))
+    }
+    val stats = e.select(explode(array(subCols: _*)).as("t"))
+      .select(col("t.s"), col("t.code"), posexplode(col("t.sv")).as(Seq("p", "x")))
+      .groupBy(col("s"), col("code"), (col("p") + 1).as("dim"))
+      .agg(sum(col("x").cast(DecimalType(28, 8))).as("mv"))
+    val p = stats.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), s"training pass must not join:\n$p")
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(cb.length == 8 && cb(0).length == 4)
+  }
+}
