@@ -1153,6 +1153,100 @@ object VectorOps {
     * returned distances are bit-identical to the full-scan ADC on the
     * same candidates (pinned in PqSpec).
     */
+  /** Collected coarse centroids as dense double arrays, cid-ascending. */
+  private[graft] def centroidArrays(centroids: DataFrame): Array[Array[Double]] =
+    centroids.select(col("cid").cast("int"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1).map(_._2)
+
+  /** vectors + a `__resv` residual column (v − centroid[bucket]), the
+    * frame residual PQ trains and encodes on. The centroid table rides
+    * as a literal nested array; the subtraction is row-local.
+    */
+  private[graft] def residualFrame(assigned: DataFrame, vecCol: String,
+      centArr: Array[Array[Double]]): DataFrame = {
+    val centLit = array(centArr.toIndexedSeq.map(cv =>
+      array(cv.toIndexedSeq.map(lit(_)): _*)): _*)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    assigned.withColumn("__resv",
+      zip_with(v, element_at(centLit, col("bucket") + 1), (x, c) => x - c))
+  }
+
+  /** Residual IVF-PQ search — the faithful Jégou et al. 2011 layout:
+    * the coarse quantizer routes vectors to cells, PQ trains and encodes
+    * on the RESIDUAL (v − centroid[cell]) so the codebook spends its
+    * bits on within-cell structure (the published accuracy win over
+    * absolute-vector PQ), and queries score candidates by ADC with a
+    * per-(query, probed-cell) distance table built from the query's own
+    * residual to that cell. Distance folds ascend within a subspace and
+    * across subspaces, bit-replayably (PqSpec pins the sums against a
+    * driver reference). Scale shape: training is [[pqState]]'s one scan
+    * + 256-key shuffle over the residual frame; the search scan reads
+    * (bucket, codes) = m+1 bytes/vector, distance tables are
+    * queries × nProbe × m × k doubles broadcast as literals, and only
+    * the per-query top-k window shuffles — with the codes table written
+    * bucketed by cell the probed filter becomes partition pruning.
+    */
+  def ivfPqSearch(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: Array[(Long, Array[Double])], nCells: Int, m: Int, k: Int,
+      kTop: Int, nProbe: Int, iters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = trainCentroids(vectors, idCol, vecCol, nCells)
+    val assigned = ivfAssign(vectors, idCol, vecCol, cents)
+    val centArr = centroidArrays(cents)
+    val res = residualFrame(assigned, vecCol, centArr)
+    val (cb, _) = pqState(res, idCol, "__resv", m, k, iters)
+    val nCodes = cb(0).length
+    val d = cb(0)(0).length
+    def cosJ(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // residual-encoded corpus: codes from __resv against the residual cb
+    val rv = transform(col("__resv"), x => x.cast("double"))
+    val codes = array((0 until m).map(s =>
+      nearestCentroid(slice(rv, s * d + 1, d), cb(s)).getField("c")): _*)
+    val enc = res.select(col(idCol).cast("long").as("__id"),
+      col("bucket"), codes.as("codes"))
+    val scored = queries.map { case (qid, q) =>
+      val probes = centArr.indices.map(cid => (-cosJ(q, centArr(cid)), cid))
+        .sorted.take(nProbe).map(_._2)
+      // one distance table per probed cell, from the query's residual
+      val dists = probes.map { cid =>
+        val qres = q.indices.map(i => q(i) - centArr(cid)(i)).toArray
+        val dtab = Array.tabulate(m, nCodes) { (s, c) =>
+          var acc = 0.0; var i = 0
+          while (i < d) { val t = qres(s * d + i) - cb(s)(c)(i); acc += t * t; i += 1 }
+          acc
+        }
+        val cellDist = (0 until m).map { s =>
+          element_at(array(dtab(s).toIndexedSeq.map(lit(_)): _*),
+            element_at(col("codes"), s + 1) + 1)
+        }.reduceLeft(_ + _)
+        (cid, cellDist)
+      }
+      val dist = dists.tail.foldLeft(
+        when(col("bucket") === dists.head._1, dists.head._2)) {
+        case (acc, (cid, cd)) => acc.when(col("bucket") === cid, cd)
+      }
+      struct(lit(qid).as("qid"),
+        array_contains(array(probes.map(lit(_)): _*), col("bucket")).as("probed"),
+        dist.as("dist"))
+    }
+    val w = Window.partitionBy("qid").orderBy(col("dist_r"), col("__id"))
+    enc.select(col("__id"),
+        explode(array(scored.toIndexedSeq: _*)).as("t"))
+      .filter(col("t.probed") && col("__id") =!= col("t.qid"))
+      .select(col("t.qid").as("qid"), col("__id"),
+        round(col("t.dist"), 6).as("dist_r"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kTop)
+      .select(col("qid"), col("__id").as("vec_id"), col("rn"), col("dist_r"))
+  }
+
   def ivfAdcSearch(assigned: DataFrame, centroids: DataFrame,
       cb: Array[Array[Array[Double]]], queries: Array[(Long, Array[Double])],
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {

@@ -294,25 +294,24 @@ object DedupQueries {
       VectorOps.adcSearch(e, "vec_id", "embedding", cb, qs, k = 10)
     },
 
-    // The full IVF-PQ stack — coarse quantizer routes each query to
-    // nProbe=4 of 16 cells, PQ codes score candidates inside (ADC).
-    // Cell membership is engine-specific plan work (like ann_ivf) ->
-    // rows-only check; PqSpec pins that every hit lies in a probed cell
-    // and that its distance is the exact full-scan ADC value.
+    // The full IVF-PQ stack with RESIDUAL quantization (the faithful
+    // Jégou layout): coarse quantizer routes each query to nProbe=4 of
+    // 16 cells, PQ trains/encodes on (v - centroid[cell]) so codebook
+    // bits capture within-cell structure, and ADC scores candidates
+    // from a per-(query, probed-cell) residual distance table. Cell
+    // membership is engine-specific plan work (like ann_ivf) ->
+    // rows-only check; PqSpec pins probed-cell membership and the
+    // bit-exact lookup-sum distances against a driver reference.
     Q.noOracle("ann_ivfpq") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val cents = VectorOps.trainCentroids(e, "vec_id", "embedding", 16)
-      val assigned = VectorOps.ivfAssign(e, "vec_id", "embedding", cents)
-      val (cb, _) = VectorOps.pqState(e, "vec_id", "embedding",
-        m = 8, k = 4, iters = 1)
       val qs: Array[(Long, Array[Double])] = e.filter(col("vec_id") < 5)
         .orderBy("vec_id")
         .select(col("vec_id").cast("long"),
           transform(col("embedding"), x => x.cast("double")))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      VectorOps.ivfAdcSearch(assigned, cents, cb, qs,
-        "vec_id", "embedding", k = 10, nProbe = 4)
+      VectorOps.ivfPqSearch(e, "vec_id", "embedding", qs,
+        nCells = 16, m = 8, k = 4, kTop = 10, nProbe = 4)
     },
 
     // LSH design table: capture probability p = 1-(1-j^r)^b of the

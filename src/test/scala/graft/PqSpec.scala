@@ -153,6 +153,58 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVF-PQ: probed cells only, driver-exact residual ADC sums") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val vecs = load()
+    val qs = Array((0L, vecs(0)), (1L, vecs(1)))
+    val got = VectorOps.ivfPqSearch(df, "vec_id", "embedding", qs,
+      nCells = 16, m = M, k = K, kTop = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // independent driver replay of the whole residual pipeline
+    val cents = VectorOps.trainCentroids(df, "vec_id", "embedding", 16)
+    val assigned = VectorOps.ivfAssign(df, "vec_id", "embedding", cents)
+    val centArr = VectorOps.centroidArrays(cents)
+    val res = VectorOps.residualFrame(assigned, "embedding", centArr)
+    val (cb, _) = VectorOps.pqState(res, "vec_id", "__resv", M, K, iters = 1)
+    val d = cb(0)(0).length
+    val bucketOf = assigned.select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val resOf = res.select("vec_id", "__resv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def encode(rv: Array[Double]): Array[Int] = Array.tabulate(M) { s =>
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- 0 until K) {
+        var dd = 0.0; var i = 0
+        while (i < d) { val t = rv(s * d + i) - cb(s)(c)(i); dd += t * t; i += 1 }
+        if (dd < bestD) { bestD = dd; best = c }
+      }
+      best
+    }
+    got.foreach { case (qid, vid, dist) =>
+      val q = qs.find(_._1 == qid).get._2
+      val probes = centArr.indices.map(c => (-cos(q, centArr(c)), c))
+        .sorted.take(4).map(_._2).toSet
+      val cell = bucketOf(vid)
+      assert(probes.contains(cell), s"hit $vid for q$qid outside probed cells")
+      val qres = q.indices.map(i => q(i) - centArr(cell)(i)).toArray
+      val codes = encode(resOf(vid))
+      var total = 0.0
+      for (s <- 0 until M) {
+        var dd = 0.0; var i = 0
+        while (i < d) { val t = qres(s * d + i) - cb(s)(codes(s))(i); dd += t * t; i += 1 }
+        total += dd
+      }
+      val want = new java.math.BigDecimal(total)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(want == dist, s"residual ADC drift for ($qid, $vid): $want vs $dist")
+    }
+  }
+
   test("ADC top-k recalls a usable fraction of the exact L2 top-k") {
     val vecs = load()
     val df = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
