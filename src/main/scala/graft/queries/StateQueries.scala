@@ -14,6 +14,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object StateQueries {
 
+  /** Unique memory-sink suffix so Bench reps / Verify reruns in one JVM
+    * never collide on a registered streaming query name.
+    */
+  private val sessionEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def dsumOver(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
     sum(c.cast(DecimalType(28, 8))).over(w).cast("double")
 
@@ -295,6 +300,70 @@ object StateQueries {
           unix_millis(col("session_window.start")).as("session_start_ms"),
           unix_millis(col("session_window.end")).as("session_end_ms"),
           col("n"))
+    },
+
+    // Streaming session-window parity (the w_session twin, dd_stream_*
+    // pattern): the event stream replayed through a MemoryStream in
+    // ascending-ts micro-batches must produce EXACTLY the session set
+    // the batch session_window computes — chunks split user sessions
+    // arbitrarily, so this exercises Spark's session-state merge across
+    // micro-batches. Append mode + 0s watermark; a far-future sentinel
+    // event (user -1, excluded from the comparison) pushes the final
+    // watermark past every real session so they all emit. Emitted as a
+    // bounds-gate row: the oracle expects literal zeros, so any
+    // stream-only or batch-only session turns the row red.
+    Q("st_stream_session_parity",
+      "SELECT CAST(0 AS BIGINT) AS stream_only, CAST(0 AS BIGINT) AS batch_only") {
+      (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      // a 500-user slice keeps the replay bounded on the board while the
+      // cross-batch session merges stay fully exercised (the batch twin
+      // w_session covers the whole table)
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 500)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      val local = ev.as[(Long, java.sql.Timestamp)].collect().sortBy(_._2.getTime)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val sink = s"st_stream_session_${sessionEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = mem.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          unix_millis(col("session_window.end")).as("session_end_ms"), col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        local.grouped(math.max(1, local.length / 2 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        val sentinel = (-1L,
+          new java.sql.Timestamp(local.last._2.getTime + 36L * 3600 * 1000))
+        mem.addData(Seq(sentinel)); q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      val stream = s.table(sink).filter(col("user_id") >= 0)
+      val batch = ev
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          unix_millis(col("session_window.end")).as("session_end_ms"), col("n"))
+      stream.withColumn("src", lit("s"))
+        .join(batch.withColumn("dst", lit("b")),
+          Seq("user_id", "session_start_ms", "session_end_ms", "n"), "full_outer")
+        .agg(
+          sum(when(col("dst").isNull, 1L).otherwise(0L)).as("stream_only"),
+          sum(when(col("src").isNull, 1L).otherwise(0L)).as("batch_only"))
+        .select(coalesce(col("stream_only"), lit(0L)).as("stream_only"),
+          coalesce(col("batch_only"), lit(0L)).as("batch_only"))
     },
 
     // §2.11 time-series similarity search (streaming-sensor analytics, cf.
