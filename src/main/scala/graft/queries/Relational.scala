@@ -547,6 +547,70 @@ object Relational {
       gate
     },
 
+    // Chi-square independence test over the event_type × day-of-week
+    // contingency table — the statistical gate behind "is behavior
+    // day-dependent?". Day buckets are integer epoch-day mod 7 (no
+    // timezone/locale dow semantics to disagree on), expected counts are
+    // row_total × col_total / N in doubles, and the 35 per-cell
+    // (o-e)²/e terms sum through DECIMAL(28,8) so the statistic is
+    // order-independent and engine-exact. One shuffle onto the bounded
+    // (type, day) key; the marginals join 35 rows against 5+7.
+    Q("q_chi2",
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 % 7 AS dow,
+        |    count(*) AS o FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, SUM(o) AS r FROM c GROUP BY 1),
+        |ct AS (SELECT dow, SUM(o) AS cl FROM c GROUP BY 1),
+        |n AS (SELECT SUM(o) AS n FROM c)
+        |SELECT round(CAST(SUM(CAST(
+        |    (c.o - rt.r * ct.cl * 1.0 / n.n) * (c.o - rt.r * ct.cl * 1.0 / n.n)
+        |      / (rt.r * ct.cl * 1.0 / n.n) AS DECIMAL(28,8))) AS DOUBLE), 6) AS chi2,
+        |  CAST((count(DISTINCT c.event_type) - 1)
+        |    * (count(DISTINCT c.dow) - 1) AS BIGINT) AS df
+        |FROM c JOIN rt ON c.event_type = rt.event_type
+        |  JOIN ct ON c.dow = ct.dow CROSS JOIN n""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "events")
+        .withColumn("dow", expr("unix_micros(ts) div 86400000000 % 7"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+        .transform(graft.operators.TextOps.trackCache)
+      val rt = c.groupBy("event_type").agg(sum("o").as("r"))
+      val ct = c.groupBy("dow").agg(sum("o").as("cl"))
+      val n = c.agg(sum("o").as("n"))
+      val e = col("r") * col("cl") * lit(1.0) / col("n")
+      c.join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ct), Seq("dow"))
+        .crossJoin(broadcast(n))
+        .agg(
+          round(sum(((col("o") - e) * (col("o") - e) / e)
+            .cast(DecimalType(28, 8))).cast("double"), 6).as("chi2"),
+          ((countDistinct(col("event_type")) - 1) *
+            (countDistinct(col("dow")) - 1)).as("df"))
+    },
+
+    // HLL sketch MERGE gate — the property that makes approximate
+    // distinct usable at 100 TB: sketches stored per group (per
+    // partition, per day) and union-merged at query time. Union is a
+    // register-wise max, so merging the SAME rows under two DIFFERENT
+    // groupings must estimate identically (partition invariance — the
+    // re-aggregation guarantee; note a direct one-pass sketch may differ
+    // slightly, it keeps the HIP estimator that union legitimately
+    // drops), and the merged estimate must land inside the rsd envelope
+    // of the exact count. In-plan flags, literal-1 oracle
+    // (q_approx_*_bounds pattern).
+    Q("q_hll_merge_bounds",
+      "SELECT 1 AS merge_invariant, 1 AS err_ok") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      def mergedBy(key: String) = li.groupBy(key)
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      val m1 = mergedBy("l_returnflag").toDF("m1")
+      val m2 = mergedBy("l_linestatus").toDF("m2")
+      val g = li.agg(countDistinct(col("l_partkey")).as("exact"))
+      m1.crossJoin(m2).crossJoin(g).select(
+        (col("m1") === col("m2")).cast("int").as("merge_invariant"),
+        (abs(col("m1") - col("exact")) <= col("exact") * 0.1)
+          .cast("int").as("err_ok"))
+    },
+
     // Per-node triangle count over the co-purchase graph (parts sharing
     // an order), with DEGREE-ORIENTED wedge enumeration (Schank-Wagner
     // node-iterator, public algorithm): edges direct from the
