@@ -36,6 +36,7 @@ object GraftFunctions {
   def count_in_set(toks: Column, set: Column): Column = c(CountInSet(e(toks), e(set)))
   def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
   def minhash_sig(shingles: Column, k: Column): Column = c(MinHashSig(e(shingles), e(k)))
+  def jaro_winkler(a: Column, b: Column): Column = c(JaroWinkler(e(a), e(b)))
 
   /** Distributed bloom-filter build over xxhash64 of a column: map-side
     * partial sketches merge into one binary sketch (Catalyst's
@@ -134,6 +135,7 @@ object GraftFunctions {
     one("count_in_set", a => CountInSet(a(0), a(1)))
     one("nfc_normalize", a => NfcNormalize(a.head))
     one("minhash_sig", a => MinHashSig(a(0), a(1)))
+    one("jaro_winkler", a => JaroWinkler(a(0), a(1)))
     def macroFn(name: String, arity: Int, render: Seq[String] => String): Unit = {
       val names = (0 until arity).map(i => s"__arg$i")
       one(name, args => {

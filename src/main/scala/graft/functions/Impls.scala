@@ -430,4 +430,60 @@ object Impls {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** Jaro-Winkler similarity (Winkler 1990, the record-linkage standard):
+    * Jaro base — matches within window floor(max(|a|,|b|)/2)-1, greedy
+    * left-to-right; transpositions = half the out-of-order matched chars —
+    * then the Winkler prefix boost `j + l*0.1*(1-j)` for the common prefix
+    * l <= 4, applied only when the Jaro base exceeds 0.7 (the classic
+    * boost threshold; DuckDB's jaro_winkler_similarity agrees, which is
+    * what lets the oracle hash-compare). Empty-vs-nonempty is 0; both
+    * empty is 1. Operates on UTF-16 code units (fixture strings are
+    * ASCII, where every convention coincides).
+    */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString
+    val t = b.toString
+    val n = s.length
+    val m = t.length
+    if (n == 0 && m == 0) return 1.0
+    if (n == 0 || m == 0) return 0.0
+    val window = math.max(0, math.max(n, m) / 2 - 1)
+    val sMatch = new Array[Boolean](n)
+    val tMatch = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+          sMatch(i) = true; tMatch(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var k = 0
+    var half = 0
+    i = 0
+    while (i < n) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) half += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mm = matches.toDouble
+    val jaro = (mm / n + mm / m + (mm - half / 2.0) / mm) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(n, m))
+    while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
 }

@@ -246,18 +246,43 @@ object TextOps {
     */
   def spanDupFrames(docs: DataFrame, idCol: String, tokensCol: String,
       n: Int): (DataFrame, DataFrame) = {
+    val (g, e, dg) = spanCore(docs, idCol, tokensCol, n)
+    val d = e.join(dg, "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("dup_spans"))
+    (g, d)
+  }
+
+  /** Positional variant of [[spanDupFrames]] for span-extent analysis
+    * (longest duplicated run): returns `(grams, dupPositions)` where
+    * `dupPositions` is `(idCol, pos)` — the 0-based span positions whose
+    * n-gram occurs in >= 2 docs. Shares the tracked positional explode
+    * with [[spanDupFrames]] (same canonical plan -> same live cache), so
+    * running both costs one gram derivation. Same scale shape: gram-df
+    * shuffle + gram-keyed join back, never all-pairs.
+    */
+  def spanDupPositions(docs: DataFrame, idCol: String, tokensCol: String,
+      n: Int): (DataFrame, DataFrame) = {
+    val (g, e, dg) = spanCore(docs, idCol, tokensCol, n)
+    (g, e.join(dg, "gram").select(col(idCol), col("pos")))
+  }
+
+  /** Shared core: `g` = per-doc ordered positional n-grams, `e` = the
+    * tracked-cached positional explode `(idCol, pos, gram)` (pos 0-based,
+    * NOT distinct), `dg` = grams occurring in >= 2 distinct docs.
+    */
+  private def spanCore(docs: DataFrame, idCol: String, tokensCol: String,
+      n: Int): (DataFrame, DataFrame, DataFrame) = {
     val g = docs.filter(size(col(tokensCol)) >= n)
       .select(col(idCol),
         transform(sequence(lit(1), size(col(tokensCol)) - (n - 1)),
           i => array_join(slice(col(tokensCol), i, lit(n)), " ")).as("gs"))
-    val e = trackCache(g.select(col(idCol), explode(col("gs")).as("gram")))
+    val e = trackCache(g.select(col(idCol),
+      posexplode(col("gs")).as(Seq("pos", "gram"))))
     val dg = e.groupBy("gram")
       .agg(countDistinct(idCol).as("df"))
       .filter(col("df") >= 2)
       .select("gram")
-    val d = e.join(dg, "gram")
-      .groupBy(idCol).agg(count(lit(1)).as("dup_spans"))
-    (g, d)
+    (g, e, dg)
   }
 
   /** Shingled-docs index frame `(id, block, __g)`, cached: it is re-read

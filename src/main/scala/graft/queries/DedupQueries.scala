@@ -619,6 +619,48 @@ object DedupQueries {
             .as("dup_ratio"))
     },
 
+    // Longest duplicated span per document — the extent statistic behind
+    // exact-substring dedup (Lee et al. 2022 "Deduplicating Training Data
+    // Makes Language Models Better" trims repeated substrings, not whole
+    // docs; the run length tells you WHAT to trim). A span position is
+    // duplicated when its positional 5-gram occurs in >= 2 docs; a
+    // maximal run of R consecutive duplicated positions is a repeated
+    // substring of R+4 tokens. Gaps-and-islands (pos - row_number) finds
+    // maximal runs without self-joins; the only shuffles are the shared
+    // gram-df count, the gram join-back, and a per-doc window — the same
+    // 100 TB shape as dd_span_dup, whose tracked gram explode this reuses
+    // verbatim (one live cache serves both).
+    Q("dd_longest_dup_span",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)] AS gs
+        |  FROM toks WHERE len(w) >= 5),
+        |e AS (SELECT doc_id, unnest(range(1, len(gs)+1)) AS pos, unnest(gs) AS gram FROM g),
+        |dg AS (SELECT gram FROM e GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT e.doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY e.doc_id ORDER BY pos) AS grp
+        |  FROM e JOIN dg USING (gram)),
+        |runs AS (SELECT doc_id, count(*) AS run FROM dp GROUP BY doc_id, grp),
+        |mx AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
+        |SELECT g.doc_id, COALESCE(max_run, 0) AS max_run,
+        |  CASE WHEN max_run IS NULL THEN 0 ELSE max_run + 4 END AS dup_span_tokens
+        |FROM g LEFT JOIN mx ON g.doc_id = mx.doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .withColumn("w", TextOps.tokens(col("text")))
+      val (g, dp) = TextOps.spanDupPositions(toks, "doc_id", "w", 5)
+      val runs = dp
+        .withColumn("grp", col("pos") -
+          row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      val mx = runs.groupBy("doc_id").agg(max("run").as("max_run"))
+      g.select("doc_id").join(mx, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"),
+          when(col("max_run").isNull, lit(0L))
+            .otherwise(col("max_run") + 4).as("dup_span_tokens"))
+    },
+
     // The staged dedup funnel a corpus run actually reports: how many
     // documents survive quality gate → exact dedup → span-near-dup gate,
     // as one observability row per stage. Reuses the exact predicates of

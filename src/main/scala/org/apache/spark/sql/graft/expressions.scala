@@ -66,6 +66,27 @@ case class Crc16Modbus(child: Expression)
   override protected def withNewChildInternal(c: Expression): Crc16Modbus = copy(c)
 }
 
+/** Jaro-Winkler similarity as a codegen'd binary expression — the
+  * record-linkage scorer behind fuzzy blocking joins. Semantics pinned to
+  * the classic Winkler 1990 definition (boost threshold 0.7, prefix
+  * weight 0.1, prefix cap 4), which DuckDB's jaro_winkler_similarity
+  * shares — the oracle replays it exactly.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Impls.jaroWinkler(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Impls.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+    copy(l, r)
+}
+
 case class Lrc8(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)

@@ -44,6 +44,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq("école", "café"))
   }
 
+  test("jaro_winkler: classic golden values, boost threshold, codegen") {
+    def jw(a: String, b: String) = Impls.jaroWinkler(u(a), u(b))
+    // Winkler's canonical example: jaro 17/18, prefix 3
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    // prefix 2, jaro 23/30 (the standard DIXON example)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    // no common prefix -> boost is a no-op
+    assert(math.abs(jw("CRATE", "TRACE") - 0.7333333333333334) < 1e-15)
+    // jaro <= 0.7: boost threshold suppresses the prefix bonus
+    assert(math.abs(jw("aXXXXX", "aYYYYY") - 0.4444444444444444) < 1e-15)
+    // transpositions: abcd/abdc has one (t=1), prefix 2
+    assert(math.abs(jw("abcd", "abdc") - 0.9333333333333333) < 1e-15)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("", "") == 1.0)
+    assert(jw("a", "b") == 0.0)
+    // symmetric
+    assert(jw("JELLYFISH", "SMELLYFISH") == jw("SMELLYFISH", "JELLYFISH"))
+    // Column API + SQL registration ride whole-stage codegen
+    import spark.implicits._
+    val got = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+      .select(GraftFunctions.jaro_winkler($"a", $"b").as("jw"))
+      .as[Double].head()
+    assert(math.abs(got - 0.9611111111111111) < 1e-15)
+    val sql = spark.sql("SELECT jaro_winkler('DIXON', 'DICKSONX') AS jw")
+      .as[Double].head()
+    assert(math.abs(sql - 0.8133333333333332) < 1e-15)
+  }
+
   // FIXTURES.md §1.1 worked NMEA sentences.
   test("nmea checksum golden sentences") {
     assert(Impls.nmeaChecksum(

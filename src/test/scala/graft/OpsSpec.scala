@@ -572,6 +572,33 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 }
 
+class SpanDupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("spanDupPositions finds maximal duplicated runs; counts agree") {
+    import org.apache.spark.sql.functions._
+    // doc0/doc1 share the 8-token run "a..h" (4 consecutive dup 5-grams);
+    // doc2 is unique; doc3 repeats two isolated 5-grams of that run
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x x a b c d e f g h y y"),
+      (2L, "p q r s t u v w"),
+      (3L, "a b c d e z z z z d e f g h"))
+      .toDF("doc_id", "text")
+      .withColumn("w", graft.operators.TextOps.tokens(col("text")))
+    val (g, dp) = graft.operators.TextOps.spanDupPositions(docs, "doc_id", "w", 5)
+    assert(g.count() == 4)
+    val pos = dp.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(pos == Set((0L, 0), (0L, 1), (0L, 2), (0L, 3),
+      (1L, 2), (1L, 3), (1L, 4), (1L, 5), (3L, 0), (3L, 9)))
+    // and the count variant agrees with the positional one
+    val (_, d) = graft.operators.TextOps.spanDupFrames(docs, "doc_id", "w", 5)
+    val counts = d.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == Map(0L -> 4L, 1L -> 4L, 3L -> 2L))
+  }
+}
+
 class ZipfJaccardSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
