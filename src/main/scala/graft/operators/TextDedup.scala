@@ -266,6 +266,69 @@ object TextOps {
     (g, e.join(dg, "gram").select(col(idCol), col("pos")))
   }
 
+  /** Distributed BPE merge-pair learning (Sennrich et al. 2016, the
+    * tokenizer-training core): learn `iters` merge rules from corpus
+    * word frequencies.
+    *
+    * The corpus is scanned ONCE into the word-frequency table (the
+    * standard BPE-trainer reduction — pair statistics only depend on
+    * (word, count)), which is vocab-sized, tracked-cached, and is the
+    * only thing the iterations touch. Each iteration is one
+    * pair-explode hash aggregate over that vocab frame (map-side
+    * partial agg collapses the explode) plus a 1-row driver round-trip
+    * for the argmax pair — driver state is O(iters), exactly the
+    * MLlib-style bounded round-trip [[VectorOps.lloydCentroids]] uses.
+    * At 100 TB the word table is ~10M rows regardless of corpus size,
+    * so iteration cost is independent of the corpus after the first
+    * scan.
+    *
+    * Symbol sequences are rendered self-delimiting — every symbol
+    * suffixed with ';' and preceded by exactly one space — so a single
+    * literal `replace(s, " a; b;", " ab;")` applies one merge rule with
+    * exact BPE semantics: left-to-right, non-overlapping, chains merge
+    * correctly (" a; a; a;" -> " aa; a;"), and a symbol can never match
+    * a prefix of a longer symbol (" e; rt;" has no " e; r;"). Words are
+    * restricted to `^[a-z]+$` so ';' cannot occur inside a symbol.
+    *
+    * Ties on count break on (a, b) string order in both engines.
+    * Returns one row per learned rule: (iter, merged, cnt).
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val words = trackCache(docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(concat(lit(" "), array_join(
+        transform(sequence(lit(1), length(col("w"))),
+          i => concat(col("w").substr(i, lit(1)), lit(";"))), " ")).as("s"),
+        col("wc")))
+    var cur = words
+    val learned = Seq.newBuilder[(Int, String, Long)]
+    for (it <- 1 to iters) {
+      val syms = filter(split(col("s"), " "), x => x =!= "")
+      val top = cur
+        .select(col("wc"), syms.as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      learned += ((it, (a + b).replace(";", ""), cnt))
+      // a ends with ';' by construction; the merged symbol drops it.
+      cur = cur.select(
+        replace(col("s"), lit(s" $a $b"), lit(s" ${a.init}$b")).as("s"),
+        col("wc"))
+    }
+    import spark.implicits._
+    learned.result().toDF("iter", "merged", "cnt")
+  }
+
   /** Shared core: `g` = per-doc ordered positional n-grams, `e` = the
     * tracked-cached positional explode `(idCol, pos, gram)` (pos 0-based,
     * NOT distinct), `dg` = grams occurring in >= 2 distinct docs.

@@ -1200,5 +1200,53 @@ object TextQueries {
           expr("strt div 2048").as("pack_id"),
           (col("strt") - expr("strt div 2048") * 2048).as("start_off"))
     },
+
+    // Distributed BPE merge-pair learning (Sennrich et al. 2016): the
+    // first 10 merge rules of a byte-pair tokenizer trained on corpus
+    // word frequencies. The oracle replays the trainer exactly —
+    // self-delimiting ';'-suffixed symbols, literal replace as the merge
+    // rule, (cnt DESC, a, b) argmax — one unrolled CTE pair per
+    // iteration. At sf0.01 iterations 6 and 10 compose earlier merges
+    // (m+er -> mer, p+ar -> par), so the row is sensitive to merge-rule
+    // application, not just pair counting. Scale: corpus scanned once
+    // into the vocab-sized word table; see TextOps.bpeMerges.
+    Q("tx_bpe_merges", bpeOracle(10)) { (s, dir) =>
+      TextOps.bpeMerges(Tables.load(s, dir, "documents"), "text", iters = 10)
+    },
   )
+
+  /** DuckDB oracle for tx_bpe_merges: `iters` unrolled
+    * pair-count/argmax/merge CTE stages over the ';'-suffixed symbol
+    * rendering (same construction as TextOps.bpeMerges).
+    */
+  private def bpeOracle(iters: Int): String = {
+    def pairCte(name: String, src: String): String =
+      s"""$name AS (
+         |  SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |    SELECT wc, unnest([syms[i] for i in range(1, len(syms))]) AS a,
+         |               unnest([syms[i+1] for i in range(1, len(syms))]) AS b
+         |    FROM (SELECT wc, list_filter(string_split(s,' '), x->x<>'') AS syms FROM $src)
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY a, b)""".stripMargin
+    val ctes = Seq.newBuilder[String]
+    ctes += """words AS (
+              |  SELECT w AS word, count(*) AS wc FROM (
+              |    SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS w
+              |    FROM documents)
+              |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w)""".stripMargin
+    ctes += """s0 AS (SELECT wc,
+              |    ' ' || array_to_string([word[i:i] || ';' for i in range(1, len(word)+1)], ' ') AS s
+              |  FROM words)""".stripMargin
+    val sels = Seq.newBuilder[String]
+    for (i <- 1 to iters) {
+      ctes += pairCte(s"p$i", s"s${i - 1}")
+      ctes += s"m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"
+      if (i < iters)
+        ctes += (s"s$i AS (SELECT wc, replace(s, ' '||m$i.a||' '||m$i.b," +
+          s" ' '||replace(m$i.a,';','')||m$i.b) AS s FROM s${i - 1}, m$i)")
+      sels += s"SELECT $i AS iter, replace(a||b,';','') AS merged, cnt FROM m$i"
+    }
+    "WITH " + ctes.result().mkString(",\n") + "\n" +
+      sels.result().mkString("\nUNION ALL\n")
+  }
 }
