@@ -433,8 +433,11 @@ object Impls {
 
   /** Jaro-Winkler similarity (Winkler 1990, the record-linkage standard):
     * Jaro base — matches within window floor(max(|a|,|b|)/2)-1, greedy
-    * left-to-right; transpositions = half the out-of-order matched chars —
-    * then the Winkler prefix boost `j + l*0.1*(1-j)` for the common prefix
+    * left-to-right; transpositions = floor(half/2) where `half` counts
+    * out-of-order matched positions (INTEGER division, as in Winkler's
+    * strcmp95 and Commons Text — an odd count floors; keeping the exact
+    * half diverged from DuckDB on long low-similarity strings) — then
+    * the Winkler prefix boost `j + l*0.1*(1-j)` for the common prefix
     * l <= 4, applied only when the Jaro base exceeds 0.7 (the classic
     * boost threshold; DuckDB's jaro_winkler_similarity agrees, which is
     * what lets the oracle hash-compare). Empty-vs-nonempty is 0; both
@@ -479,7 +482,7 @@ object Impls {
       i += 1
     }
     val mm = matches.toDouble
-    val jaro = (mm / n + mm / m + (mm - half / 2.0) / mm) / 3.0
+    val jaro = (mm / n + mm / m + (mm - (half / 2).toDouble) / mm) / 3.0
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(n, m))

@@ -56,6 +56,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(jw("aXXXXX", "aYYYYY") - 0.4444444444444444) < 1e-15)
     // transpositions: abcd/abdc has one (t=1), prefix 2
     assert(math.abs(jw("abcd", "abdc") - 0.9333333333333333) < 1e-15)
+    // ODD half-transposition count: strcmp95/Commons/DuckDB floor it
+    // (t = half/2 integer division). These 39/40-char strings have
+    // half = 21 -> t = 10; the exact-half variant (t = 10.5) diverged
+    // from DuckDB here — the dd_snm regression this line pins.
+    assert(math.abs(jw("agg column part slow scan the merge key",
+      "agg customer key batch query data spark ")
+      - 0.8247524314765695) < 1e-15)
     assert(jw("abc", "abc") == 1.0)
     assert(jw("", "abc") == 0.0)
     assert(jw("", "") == 1.0)
