@@ -1576,6 +1576,60 @@ object DedupQueries {
         .select(coalesce(col("stream_only"), lit(0L)).as("stream_only"),
           coalesce(col("batch_only"), lit(0L)).as("batch_only"))
     },
+
+    // Streaming Space-Saving heavy hitters promoted to the oracle board
+    // (the last keyed-state twin without a CORRECTNESS row): the token
+    // stream replays through Sketches.spaceSavingTopK in 4 micro-batches
+    // and the FINAL summary (k = capacity, so the last batch emits the
+    // whole per-shard state) must satisfy the Space-Saving guarantees
+    // against exact counts: every estimate overcounts (est >= true),
+    // the overcount is bounded by the entry's own error term
+    // (est - err <= true) with err <= N/capacity, and every item with
+    // true count > N/capacity is present (coverage). Capacity 28 vs the
+    // 31-word vocabulary forces real evictions, and the fixture's head
+    // words exceed N/28, so neither gate is vacuous. State is one
+    // capacity-bounded list per shard — the bounded-memory contract.
+    Q("st_stream_topk_bounds",
+      "SELECT 1 AS over_ok, 1 AS err_ok, 1 AS coverage_ok") { (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .orderBy("doc_id").select("w").as[String].collect()
+      val cap = 28
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String]
+      val sink = s"st_stream_topk_${streamEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.Sketches
+        .spaceSavingTopK(mem.toDS(), shards = 1, capacity = cap, k = cap)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      var beforeFinal = 0
+      try {
+        val chunks = toks.grouped(toks.length / 4 + 1).toSeq
+        chunks.dropRight(1).foreach { c =>
+          mem.addData(c.toSeq); q.processAllAvailable()
+        }
+        beforeFinal = s.table(sink).count().toInt
+        mem.addData(chunks.last.toSeq); q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      val fin = s.table(sink).as[graft.streaming.HeavyHitter]
+        .collect().drop(beforeFinal)
+      val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val bound = toks.length.toLong / cap
+      val overOk = fin.forall(h => h.est >= exact(h.item))
+      val errOk = fin.forall(h => h.est - h.err <= exact(h.item) && h.err <= bound)
+      val covOk = exact.forall { case (w, c) =>
+        c <= bound || fin.exists(_.item == w)
+      }
+      Seq((if (overOk) 1 else 0, if (errOk) 1 else 0, if (covOk) 1 else 0))
+        .toDF("over_ok", "err_ok", "coverage_ok")
+    },
   )
 
   /** Unique memory-sink suffix so Bench reps / Verify reruns in one JVM

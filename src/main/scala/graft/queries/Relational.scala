@@ -676,16 +676,7 @@ object Relational {
         |  SELECT x AS node FROM t UNION ALL SELECT y AS node FROM t
         |  UNION ALL SELECT z AS node FROM t)
         |GROUP BY node""".stripMargin) { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val minsup = math.max(2L, Tables.load(s, dir, "orders").count() / 75000L)
-      val e0 = li.as("l1").join(li.as("l2"),
-          col("l1.l_orderkey") === col("l2.l_orderkey") &&
-            col("l1.l_partkey") < col("l2.l_partkey"))
-        .groupBy(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= minsup)
-        .select("a", "b")
-        .transform(graft.operators.TextOps.trackCache)
+      val e0 = copurchaseEdges(s, dir)
       val deg = e0.select(col("a").as("node"))
         .unionAll(e0.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -706,6 +697,51 @@ object Relational {
         .unionAll(t.select(col("y").as("node")))
         .unionAll(t.select(col("z").as("node")))
         .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    },
+
+    // 3-core peeling on the co-purchase graph (Seidman 1983; Batagelj-
+    // Zaversnik peel): 3 unrolled rounds of "drop nodes with degree < 3,
+    // keep edges whose endpoints both survive" — at sf0.01 each round
+    // removes nodes (1892 -> 1295 -> 1154 -> 1104), so the row is
+    // sensitive to the iteration, not just one degree filter. Output:
+    // surviving nodes and their degree after the final peel. The edge
+    // derivation is plan-identical to q_triangles', so the LRU registry
+    // shares one cached copy across both rows. Scale: each round is one
+    // degree agg + two keyed semi-joins — the peel never materializes
+    // anything denser than the edge list, and rounds-to-fixpoint is
+    // bounded by the max coreness (small for co-occurrence graphs).
+    Q("v_kcore",
+      """WITH ms AS (SELECT greatest(2, count(*) // 75000) AS minsup FROM orders),
+        |e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minsup FROM ms)),
+        |d1 AS (SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY node),
+        |v1 AS (SELECT node FROM d1 WHERE d >= 3),
+        |e1 AS (SELECT a, b FROM e0 JOIN v1 x ON e0.a = x.node JOIN v1 y ON e0.b = y.node),
+        |d2 AS (SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY node),
+        |v2 AS (SELECT node FROM d2 WHERE d >= 3),
+        |e2 AS (SELECT a, b FROM e1 JOIN v2 x ON e1.a = x.node JOIN v2 y ON e1.b = y.node),
+        |d3 AS (SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node)
+        |SELECT node, d FROM d3 WHERE d >= 3""".stripMargin) { (s, dir) =>
+      var e = copurchaseEdges(s, dir)
+      for (_ <- 1 to 2) {
+        val v = e.select(col("a").as("node"))
+          .unionAll(e.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 3).select("node")
+        e = e
+          .join(v.select(col("node").as("a")), "a")
+          .join(v.select(col("node").as("b")), "b")
+          .select("a", "b")
+          .transform(graft.operators.TextOps.trackCache)
+      }
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 3)
     },
 
     // Value-RANGE window frame (vs the rows-frames in q_window_funcs):
@@ -993,4 +1029,24 @@ object Relational {
         q("last_order").as("r_score"), q("freq").as("f_score"), q("mon").as("m_score"))
     },
   )
+
+  /** Co-purchase edge list shared by q_triangles and v_kcore: undirected
+    * (a < b) part pairs co-ordered at least max(2, |orders|/75k) times
+    * (fractional support — an absolute threshold melts as facts grow
+    * against the fixed part dimension). Tracked-cached with an identical
+    * plan from both call sites, so the LRU registry keeps ONE live copy
+    * however many graph queries run.
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val minsup = math.max(2L, Tables.load(s, dir, "orders").count() / 75000L)
+    li.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .groupBy(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minsup)
+      .select("a", "b")
+      .transform(graft.operators.TextOps.trackCache)
+  }
 }

@@ -1201,6 +1201,81 @@ object TextQueries {
           (col("strt") - expr("strt div 2048") * 2048).as("start_off"))
     },
 
+    // Deterministic epoch shuffle: the training loader's per-epoch
+    // permutation and shard assignment, derived purely from
+    // md5(epoch:doc_id) so every rerun (and every engine) deals the
+    // same order — no RNG state to ship. Per (epoch, shard): the doc
+    // count and an md5 checksum of the full doc_id sequence in shuffle
+    // order, which pins the entire permutation in a 9-row result.
+    // Scale: row-local hashing, one shuffle on (epoch, shard) — exactly
+    // the shard files a loader writes; within-shard order is a local
+    // sort of that shard's partition, never global.
+    Q("pl_epoch_shuffle",
+      """WITH t AS (SELECT e.epoch, d.doc_id,
+        |    list_reduce(list_transform(range(1, 8),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)),
+        |                    CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS hv
+        |  FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e),
+        |s AS (SELECT epoch, doc_id, hv, hv % 4 AS shard FROM t)
+        |SELECT epoch, shard, count(*) AS n_docs,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hv, doc_id)) AS perm_md5
+        |FROM s GROUP BY epoch, shard""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val epochs = broadcast(Seq(0, 1, 2).toDF("epoch"))
+      Tables.load(s, dir, "documents").select("doc_id")
+        .crossJoin(epochs)
+        .withColumn("hv", conv(substring(md5(concat(
+          col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))),
+          1, 7), 16, 10).cast("long"))
+        .withColumn("shard", col("hv") % 4)
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("hv"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")), ",")).as("perm_md5"))
+    },
+
+    // Inverted-index build with champion lists (Manning et al., IIR
+    // §7.1.3): per term, document frequency, total term frequency, and
+    // the top-16 postings by (tf DESC, doc_id) rendered "doc:tf,..." —
+    // the truncated posting lists web-scale query engines serve hot.
+    // Postings order inside the string is part of the hash row, so the
+    // rank window and the string-agg ordering are pinned cross-engine.
+    // Scale: one (term, doc) shuffle with map-side partial agg, a
+    // term-partitioned rank window, one term agg — the champion cut
+    // bounds output per term no matter how large the corpus; full
+    // posting lists would instead be emitted partitioned-by-term.
+    Q("tx_inverted_index",
+      """WITH e AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x->x<>'')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM e GROUP BY term, doc_id),
+        |r AS (SELECT term, doc_id, tf,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn FROM tf),
+        |a AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term),
+        |ch AS (SELECT term,
+        |    string_agg(doc_id || ':' || tf, ',' ORDER BY tf DESC, doc_id) AS champions
+        |  FROM r WHERE rn <= 16 GROUP BY term)
+        |SELECT term, df, total_tf, champions FROM a JOIN ch USING (term)""".stripMargin) {
+      (s, dir) =>
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .transform(TextOps.trackCache)
+      val rn = row_number().over(
+        Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id")))
+      val a = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+      val ch = tf.withColumn("rn", rn).filter(col("rn") <= 16)
+        .groupBy("term")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"),
+            concat_ws(":", col("doc_id"), col("tf")).as("p")))),
+          x => x.getField("p")), ",").as("champions"))
+      a.join(ch, "term")
+    },
+
     // Distributed BPE merge-pair learning (Sennrich et al. 2016): the
     // first 10 merge rules of a byte-pair tokenizer trained on corpus
     // word frequencies. The oracle replays the trainer exactly —

@@ -880,6 +880,50 @@ object Multimodal {
     out.array()
   }
 
+  /** Minimal RIFF/AVI writer for a single `vids`/`DIB ` stream of
+    * BI_RGB 24bpp bottom-up frames (the public AVI-1.0 layout:
+    * `RIFF('AVI ') -> LIST hdrl (avih, LIST strl (strh, strf)) ->
+    * LIST movi (00db...)`) — the encode half mm_scene_cut round-trips
+    * through the real [[aviFramePixels]] container walk + DIB decode.
+    * Each frame is `h` bottom-up rows of BGR triples (stride padded to
+    * 4 bytes by the caller if w*3 % 4 != 0; 8-wide frames need none).
+    */
+  private[graft] def encodeAviDib(w: Int, h: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val buf = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      buf.array()
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put(listType.getBytes("US-ASCII")).put(body)
+      buf.array()
+    }
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    val avih = new Array[Byte](56)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+    val movi = list("movi", frames.flatMap(f => chunk("00db", f)).toArray)
+    val body = hdrl ++ movi
+    val buf = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    buf.array()
+  }
+
   /** Partition-wise REAL audio feature extraction over decodable PCM
     * WAVs (everything else drops out): duration, RMS energy,
     * zero-crossing rate, peak — the audio-quality stage of a speech
