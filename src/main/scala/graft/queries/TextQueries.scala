@@ -926,6 +926,82 @@ object TextQueries {
         .distinct()
     },
 
+    // Video scene-cut detection, end-to-end and BIT-EXACT through the
+    // real AVI path: per document a 6-frame 8x8 DIB AVI is synthesized
+    // (one hard cut at frame 1 + doc_id%4 where the scene term of the
+    // LCG pixel formula flips, plus small per-frame jitter), encoded
+    // with encodeAviDib, decoded back through the REAL container walk +
+    // bottom-up BI_RGB decode (Multimodal.aviFramePixels — the
+    // production video-frame path), and adjacent frames are compared by
+    // sum-of-absolute-differences; frames whose SAD exceeds 2000 are
+    // cuts. The oracle recomputes SAD from the generator formula alone,
+    // and wsum (index-weighted sum of the cut frame's decoded pixels)
+    // is row-order sensitive — a missing bottom-up flip, stride slip,
+    // or chunk-walk error anywhere breaks the hash. Row-local
+    // mapPartitions, zero shuffles: at 100 TB scene-cut is one scan.
+    Q("mm_scene_cut",
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS cf FROM documents),
+        |px AS (SELECT doc_id, cf, f.f AS f, i.i AS i,
+        |    ((doc_id % 256) * (i.i + 1) * 2654435761
+        |     + (CASE WHEN f.f >= cf THEN 1 ELSE 0 END) * (i.i + 7) * 40503
+        |     + f.f * ((i.i % 7) + 1)) % 256 AS v
+        |  FROM d CROSS JOIN (SELECT unnest(range(0, 6)) AS f) f
+        |       CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+        |sad AS (SELECT a.doc_id, a.f AS frame_idx,
+        |    CAST(sum(abs(a.v - b.v)) AS BIGINT) AS sad,
+        |    CAST(sum((a.i + 1) * a.v) AS BIGINT) AS wsum
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.i = b.i AND b.f = a.f - 1
+        |  GROUP BY a.doc_id, a.f)
+        |SELECT doc_id, frame_idx, sad, wsum FROM sad WHERE sad > 2000""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val cf = 1 + (id % 4).toInt
+            val frames = (0 until 6).map { f =>
+              val scene = if (f >= cf) 1L else 0L
+              val payload = new Array[Byte](8 * 8 * 3)
+              var row = 0
+              while (row < 8) {
+                var c = 0
+                while (c < 8) {
+                  val iTop = row * 8 + c // formula indexes TOP-DOWN pixels
+                  val v = (((id % 256) * (iTop + 1) * 2654435761L +
+                    scene * (iTop + 7) * 40503L +
+                    f.toLong * ((iTop % 7) + 1)) % 256L).toInt
+                  val off = ((7 - row) * 8 + c) * 3 // serialize bottom-up
+                  payload(off) = v.toByte
+                  payload(off + 1) = v.toByte
+                  payload(off + 2) = v.toByte
+                  c += 1
+                }
+                row += 1
+              }
+              payload
+            }
+            val avi = graft.streaming.Multimodal.encodeAviDib(8, 8, frames)
+            val imgs = graft.streaming.Multimodal.aviFramePixels(avi)
+            (1 until imgs.length).flatMap { f =>
+              val a = imgs(f).pixels
+              val b = imgs(f - 1).pixels
+              var sad = 0L
+              var wsum = 0L
+              var i = 0
+              while (i < 64) {
+                val va = a(i * 3) & 0xff
+                val vb = b(i * 3) & 0xff
+                sad += math.abs(va - vb)
+                wsum += (i + 1).toLong * va
+                i += 1
+              }
+              if (sad > 2000) Some((id, f.toLong, sad, wsum)) else None
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "sad", "wsum")
+    },
+
     // BM25 retrieval over the corpus for a fixed query — the ranking
     // stage of a retrieval/RAG pipeline. Exactness discipline: idf's
     // ln() is rounded to 6dp on both engines (the tx_zipf pattern), the
