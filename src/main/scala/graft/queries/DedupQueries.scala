@@ -1630,6 +1630,55 @@ object DedupQueries {
       Seq((if (overOk) 1 else 0, if (errOk) 1 else 0, if (covOk) 1 else 0))
         .toDF("over_ok", "err_ok", "coverage_ok")
     },
+
+    // Streaming Bloom-novelty gate: the bounded-memory novelty flagger
+    // (Sketches.bloomNovelty — the keyed-state twin of the batch
+    // first-seen join) replayed over the doc-content key stream. Gates:
+    // (a) the one-sided Bloom guarantee — a true duplicate occurrence is
+    // NEVER flagged novel, checked as "no key collects a second novel
+    // flag" (once a key's first occurrence inserts its probe bits, every
+    // later occurrence must see them set); (b) the false-positive loss
+    // is bounded — at 2^17 bits for ~|corpus| distinct keys the expected
+    // miss count is well under 1%, so missed-novel <= max(1, D/100).
+    // Both are deterministic given the double-hashed probe sequence, so
+    // this is a stable literal-gate row, not a flaky statistical test.
+    Q("dd_stream_novelty_bounds",
+      "SELECT 1 AS dup_never_novel, 1 AS miss_bounded, 1 AS total_ok") {
+      (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val keys = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("k"))
+        .orderBy("doc_id").select("k").as[String].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String]
+      val sink = s"dd_stream_novelty_${streamEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.Sketches
+        .bloomNovelty(mem.toDS(), shards = 2, nBits = 1 << 17, nHashes = 4)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try {
+        keys.grouped(math.max(1, keys.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      val flags = s.table(sink).as[graft.streaming.NovelItem].collect()
+      val perKeyNovel = flags.filter(_.novel).groupBy(_.item)
+        .view.mapValues(_.length).toMap
+      val distinctKeys = keys.distinct.length
+      val dupNeverNovel = perKeyNovel.valuesIterator.forall(_ <= 1)
+      val missed = distinctKeys - perKeyNovel.size
+      val missBounded = missed >= 0 && missed <= math.max(1, distinctKeys / 100)
+      val totalOk = flags.length == keys.length
+      Seq((if (dupNeverNovel) 1 else 0, if (missBounded) 1 else 0,
+        if (totalOk) 1 else 0))
+        .toDF("dup_never_novel", "miss_bounded", "total_ok")
+    },
   )
 
   /** Unique memory-sink suffix so Bench reps / Verify reruns in one JVM

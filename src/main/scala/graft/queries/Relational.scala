@@ -699,11 +699,13 @@ object Relational {
         .groupBy("node").agg(count(lit(1)).as("n_tri"))
     },
 
-    // 3-core peeling on the co-purchase graph (Seidman 1983; Batagelj-
-    // Zaversnik peel): 3 unrolled rounds of "drop nodes with degree < 3,
-    // keep edges whose endpoints both survive" — at sf0.01 each round
-    // removes nodes (1892 -> 1295 -> 1154 -> 1104), so the row is
-    // sensitive to the iteration, not just one degree filter. Output:
+    // 2-core peeling on the co-purchase graph (Seidman 1983; Batagelj-
+    // Zaversnik peel): 3 unrolled rounds of "drop nodes with degree < 2,
+    // keep edges whose endpoints both survive" — pendant trees prune
+    // away round by round (sf0.01: 1595 -> 1565 -> 1562 survivors;
+    // sf0.1: 1202 -> 216 -> 61, the sparser graph is mostly tree), so
+    // the row is sensitive to the iteration at BOTH driver SFs (k = 3
+    // empties at sf0.1 — vacuously green, tests nothing). Output:
     // surviving nodes and their degree after the final peel. The edge
     // derivation is plan-identical to q_triangles', so the LRU registry
     // shares one cached copy across both rows. Scale: each round is one
@@ -718,21 +720,21 @@ object Relational {
         |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minsup FROM ms)),
         |d1 AS (SELECT node, count(*) AS d FROM (
         |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY node),
-        |v1 AS (SELECT node FROM d1 WHERE d >= 3),
+        |v1 AS (SELECT node FROM d1 WHERE d >= 2),
         |e1 AS (SELECT a, b FROM e0 JOIN v1 x ON e0.a = x.node JOIN v1 y ON e0.b = y.node),
         |d2 AS (SELECT node, count(*) AS d FROM (
         |    SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY node),
-        |v2 AS (SELECT node FROM d2 WHERE d >= 3),
+        |v2 AS (SELECT node FROM d2 WHERE d >= 2),
         |e2 AS (SELECT a, b FROM e1 JOIN v2 x ON e1.a = x.node JOIN v2 y ON e1.b = y.node),
         |d3 AS (SELECT node, count(*) AS d FROM (
         |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node)
-        |SELECT node, d FROM d3 WHERE d >= 3""".stripMargin) { (s, dir) =>
+        |SELECT node, d FROM d3 WHERE d >= 2""".stripMargin) { (s, dir) =>
       var e = copurchaseEdges(s, dir)
       for (_ <- 1 to 2) {
         val v = e.select(col("a").as("node"))
           .unionAll(e.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("d"))
-          .filter(col("d") >= 3).select("node")
+          .filter(col("d") >= 2).select("node")
         e = e
           .join(v.select(col("node").as("a")), "a")
           .join(v.select(col("node").as("b")), "b")
@@ -741,7 +743,7 @@ object Relational {
       }
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= 3)
+        .filter(col("d") >= 2)
     },
 
     // Value-RANGE window frame (vs the rows-frames in q_window_funcs):
