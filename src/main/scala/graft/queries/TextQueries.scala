@@ -1281,11 +1281,15 @@ object TextQueries {
     // permutation and shard assignment, derived purely from
     // md5(epoch:doc_id) so every rerun (and every engine) deals the
     // same order — no RNG state to ship. Per (epoch, shard): the doc
-    // count and an md5 checksum of the full doc_id sequence in shuffle
-    // order, which pins the entire permutation in a 9-row result.
-    // Scale: row-local hashing, one shuffle on (epoch, shard) — exactly
-    // the shard files a loader writes; within-shard order is a local
-    // sort of that shard's partition, never global.
+    // count and an ORDER-SENSITIVE permutation checksum,
+    // sum(rank * (doc_id % 1000003)) mod 1e9+7 over the within-shard
+    // rank — any transposition of two docs changes it, so the 12-row
+    // result pins every shard's full deal order. The checksum is a
+    // rank window + a commutative DECIMAL-accumulated sum (exact and
+    // order-independent to compute), NOT a string-agg of the whole
+    // shard — one reducer never holds a shard's permutation, which is
+    // what keeps the row honest at 100 TB. Row-local hashing, one
+    // shard-partitioned window, one hash agg.
     Q("pl_epoch_shuffle",
       """WITH t AS (SELECT e.epoch, d.doc_id,
         |    list_reduce(list_transform(range(1, 8),
@@ -1294,23 +1298,30 @@ object TextQueries {
         |                    CAST(i AS INT), 1)) - 1 AS BIGINT)),
         |      (a, x) -> a * 16 + x) AS hv
         |  FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e),
-        |s AS (SELECT epoch, doc_id, hv, hv % 4 AS shard FROM t)
+        |s AS (SELECT epoch, doc_id, hv, hv % 4 AS shard FROM t),
+        |r AS (SELECT epoch, shard, doc_id,
+        |    row_number() OVER (PARTITION BY epoch, shard ORDER BY hv, doc_id) AS rn
+        |  FROM s)
         |SELECT epoch, shard, count(*) AS n_docs,
-        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hv, doc_id)) AS perm_md5
-        |FROM s GROUP BY epoch, shard""".stripMargin) { (s, dir) =>
+        |  CAST(CAST(sum(CAST(rn * (doc_id % 1000003) AS DECIMAL(28,0))) AS DECIMAL(38,0))
+        |       % 1000000007 AS BIGINT) AS perm_check
+        |FROM r GROUP BY epoch, shard""".stripMargin) { (s, dir) =>
       import s.implicits._
       val epochs = broadcast(Seq(0, 1, 2).toDF("epoch"))
+      val w = Window.partitionBy("epoch", "shard")
+        .orderBy(col("hv"), col("doc_id"))
       Tables.load(s, dir, "documents").select("doc_id")
         .crossJoin(epochs)
         .withColumn("hv", conv(substring(md5(concat(
           col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))),
           1, 7), 16, 10).cast("long"))
         .withColumn("shard", col("hv") % 4)
+        .withColumn("rn", row_number().over(w))
         .groupBy("epoch", "shard")
         .agg(count(lit(1)).as("n_docs"),
-          md5(array_join(transform(
-            array_sort(collect_list(struct(col("hv"), col("doc_id")))),
-            x => x.getField("doc_id").cast("string")), ",")).as("perm_md5"))
+          (sum((col("rn") * (col("doc_id") % 1000003))
+            .cast(DecimalType(28, 0))).cast(DecimalType(38, 0)) % 1000000007)
+            .cast("long").as("perm_check"))
     },
 
     // Inverted-index build with champion lists (Manning et al., IIR
