@@ -1593,9 +1593,15 @@ object DedupQueries {
       "SELECT 1 AS over_ok, 1 AS err_ok, 1 AS coverage_ok") { (s, dir) =>
       import s.implicits._
       implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      // replay harness, not operator cost: a MemoryStream feeds from the
+      // driver, so cap the replayed stream at 1M tokens (sf0.1's ~450k
+      // replays in full; the 10x fixture trims — the guarantees are
+      // asserted against exact counts over the same replayed prefix, so
+      // the gate is equally strict at any cap)
       val toks = Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-        .orderBy("doc_id").select("w").as[String].collect()
+        .orderBy("doc_id").select("w").as[String]
+        .limit(1000000).collect()
       val cap = 28
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[String]
