@@ -295,6 +295,38 @@ object TextOps {
     */
   def bpeMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
     val spark = docs.sparkSession
+    val (_, learned) = bpeLoop(docs, textCol, iters)
+    import spark.implicits._
+    learned.toDF("iter", "merged", "cnt")
+  }
+
+  /** Encode-side companion of [[bpeMerges]]: learn `iters` merge rules,
+    * apply them, and report the corpus tokenization stats a tokenizer
+    * drop ships with — vocabulary words, corpus word/char volume, the
+    * post-merge token count, and chars-per-token (the compression the
+    * merges bought). Same scale shape as the trainer: everything after
+    * the first scan is vocab-sized.
+    */
+  def bpeEncodeStats(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val (fin, _) = bpeLoop(docs, textCol, iters)
+    val nSym = size(filter(split(col("s"), " "), x => x =!= ""))
+    fin.agg(
+      count(lit(1)).as("n_words"),
+      sum("wc").as("total_words"),
+      sum(col("wc") * col("cl")).as("total_chars"),
+      sum(col("wc") * nSym).as("total_tokens"))
+      .select(col("n_words"), col("total_words"), col("total_chars"),
+        col("total_tokens"),
+        round(col("total_chars") * lit(1.0) / col("total_tokens"), 6)
+          .as("chars_per_token"))
+  }
+
+  /** Shared BPE trainer loop: returns the fully-merged word frame
+    * `(s, cl, wc)` (symbol string, char length, word count) and the
+    * learned rules `(iter, merged, cnt)`.
+    */
+  private def bpeLoop(docs: DataFrame, textCol: String,
+      iters: Int): (DataFrame, Seq[(Int, String, Long)]) = {
     val words = trackCache(docs
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -302,6 +334,7 @@ object TextOps {
       .select(concat(lit(" "), array_join(
         transform(sequence(lit(1), length(col("w"))),
           i => concat(col("w").substr(i, lit(1)), lit(";"))), " ")).as("s"),
+        length(col("w")).cast("long").as("cl"),
         col("wc")))
     var cur = words
     val learned = Seq.newBuilder[(Int, String, Long)]
@@ -323,10 +356,9 @@ object TextOps {
       // a ends with ';' by construction; the merged symbol drops it.
       cur = cur.select(
         replace(col("s"), lit(s" $a $b"), lit(s" ${a.init}$b")).as("s"),
-        col("wc"))
+        col("cl"), col("wc"))
     }
-    import spark.implicits._
-    learned.result().toDF("iter", "merged", "cnt")
+    (cur, learned.result())
   }
 
   /** Shared core: `g` = per-doc ordered positional n-grams, `e` = the

@@ -1381,16 +1381,29 @@ object TextQueries {
     // (m+er -> mer, p+ar -> par), so the row is sensitive to merge-rule
     // application, not just pair counting. Scale: corpus scanned once
     // into the vocab-sized word table; see TextOps.bpeMerges.
-    Q("tx_bpe_merges", bpeOracle(10)) { (s, dir) =>
+    Q("tx_bpe_merges", bpeOracle(10, encode = false)) { (s, dir) =>
       TextOps.bpeMerges(Tables.load(s, dir, "documents"), "text", iters = 10)
+    },
+
+    // Encode-side twin of tx_bpe_merges: apply the 10 learned rules and
+    // report the tokenizer drop's corpus stats — vocabulary size, word
+    // and char volumes, post-merge token count, chars-per-token. The
+    // oracle extends the trainer CTE chain one more merge stage and
+    // folds the fully-merged symbol strings; everything is exact
+    // integers except the final 6dp ratio.
+    Q("tx_bpe_encode", bpeOracle(10, encode = true)) { (s, dir) =>
+      TextOps.bpeEncodeStats(Tables.load(s, dir, "documents"), "text", iters = 10)
     },
   )
 
-  /** DuckDB oracle for tx_bpe_merges: `iters` unrolled
+  /** DuckDB oracle for tx_bpe_merges / tx_bpe_encode: `iters` unrolled
     * pair-count/argmax/merge CTE stages over the ';'-suffixed symbol
-    * rendering (same construction as TextOps.bpeMerges).
+    * rendering (same construction as TextOps.bpeLoop). With
+    * `encode = false` the query emits the learned rules; with
+    * `encode = true` it applies the final merge too and emits the
+    * corpus tokenization stats.
     */
-  private def bpeOracle(iters: Int): String = {
+  private def bpeOracle(iters: Int, encode: Boolean): String = {
     def pairCte(name: String, src: String): String =
       s"""$name AS (
          |  SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
@@ -1405,19 +1418,29 @@ object TextQueries {
               |    SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS w
               |    FROM documents)
               |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w)""".stripMargin
-    ctes += """s0 AS (SELECT wc,
+    ctes += """s0 AS (SELECT wc, word,
               |    ' ' || array_to_string([word[i:i] || ';' for i in range(1, len(word)+1)], ' ') AS s
               |  FROM words)""".stripMargin
     val sels = Seq.newBuilder[String]
     for (i <- 1 to iters) {
       ctes += pairCte(s"p$i", s"s${i - 1}")
       ctes += s"m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"
-      if (i < iters)
-        ctes += (s"s$i AS (SELECT wc, replace(s, ' '||m$i.a||' '||m$i.b," +
+      if (i < iters || encode)
+        ctes += (s"s$i AS (SELECT wc, word, replace(s, ' '||m$i.a||' '||m$i.b," +
           s" ' '||replace(m$i.a,';','')||m$i.b) AS s FROM s${i - 1}, m$i)")
       sels += s"SELECT $i AS iter, replace(a||b,';','') AS merged, cnt FROM m$i"
     }
-    "WITH " + ctes.result().mkString(",\n") + "\n" +
-      sels.result().mkString("\nUNION ALL\n")
+    val body =
+      if (!encode) sels.result().mkString("\nUNION ALL\n")
+      else
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(wc) AS BIGINT) AS total_words,
+           |  CAST(sum(wc * len(word)) AS BIGINT) AS total_chars,
+           |  CAST(sum(wc * n_sym) AS BIGINT) AS total_tokens,
+           |  round(sum(wc * len(word)) * 1.0 / sum(wc * n_sym), 6) AS chars_per_token
+           |FROM (SELECT wc, word,
+           |    len(list_filter(string_split(s,' '), x->x<>'')) AS n_sym
+           |  FROM s$iters)""".stripMargin
+    "WITH " + ctes.result().mkString(",\n") + "\n" + body
   }
 }
