@@ -77,4 +77,61 @@ class PlanSpec4 extends AnyFunSuite {
     assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
     assert(cb.length == 8 && cb(0).length == 4)
   }
+
+  test("dd_snm: windows are block-partitioned, never a global sort") {
+    val p = plan("dd_snm")
+    assert(!p.contains("SinglePartition"),
+      s"SNM must not collapse to one partition:\n$p")
+    assert(p.contains("hashpartitioning"), s"expected partitioned windows:\n$p")
+  }
+
+  test("pl_epoch_shuffle: no per-shard list materialization") {
+    val p = plan("pl_epoch_shuffle")
+    assert(!p.contains("collect_list"),
+      s"permutation checksum must not gather a shard into one list:\n$p")
+    assert(!p.contains("SinglePartition"), s"no global window allowed:\n$p")
+  }
+
+  test("tx_inverted_index: salted local top-k precedes the per-term rank") {
+    val p = plan("tx_inverted_index")
+    // the (term, salt) local rank and the term rank, each with Spark's
+    // WindowGroupLimit pushdown (the rn <= 16 filter prunes DURING the
+    // sort, so a hot term's surplus postings never materialize)
+    val windows = raw"\(\d+\) Window".r.findAllIn(p).size
+    assert(windows >= 2, s"expected salted + global rank windows:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank limit not pushed into the window sort:\n$p")
+    assert(!p.contains("SinglePartition"), s"no single-partition sort:\n$p")
+  }
+
+  test("mm_scene_cut: row-local codec round-trip, zero exchanges") {
+    val p = plan("mm_scene_cut")
+    assert(!p.contains("Join") && exchanges(p) == 0,
+      s"scene-cut must be one scan:\n$p")
+  }
+
+  test("tx_bpe_merges pair count: one vocab-sized aggregation exchange") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, sf, "documents")
+    val words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val syms = filter(split(col("w"), ""), x => x =!= "")
+    val pairs = words
+      .select(col("wc"), syms.as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("wc"),
+        explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("wc").as("cnt"))
+    val p = pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), s"pair counting must not join:\n$p")
+    // word-count exchange + pair-count exchange, both map-side combined
+    assert(exchanges(p) == 2, s"expected exactly 2 exchanges:\n$p")
+    assert(p.contains("partial"), s"expected map-side partial agg:\n$p")
+  }
 }
