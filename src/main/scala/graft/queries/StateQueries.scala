@@ -781,6 +781,66 @@ object StateQueries {
     // 100 TB each sensor's timeline resamples independently; no driver
     // state, no per-gap joins. (Reference stores only current rtvals —
     // resampling is the batch twin its users run downstream.)
+    // Largest-triangle downsampling (Steinarsson 2013's LTTB, in the
+    // parallel bucket-average-anchor variant production downsamplers
+    // use): per event type, the value series is cut into 50-point
+    // buckets and each interior bucket keeps the ONE point with the
+    // largest triangle area against the neighbouring buckets' average
+    // points — the shape-preserving decimation a dashboard or training
+    // pipeline applies before plotting/windowing long sensor series.
+    // The sequential LTTB anchor (previously SELECTED point) would
+    // serialize the scan; average anchors make every bucket independent
+    // — windows partition by (type, bucket), the bucket-average table
+    // is tiny and broadcast. Determinism: x = within-type position
+    // (integer), averages accumulate in DECIMAL, the area expression
+    // tree is identical in both engines, ties break on position.
+    Q("ts_lttb",
+      """WITH t AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |b AS (SELECT event_type, value, rn, (rn - 1) // 50 AS bucket FROM t),
+        |a AS (SELECT event_type, bucket,
+        |    CAST(sum(rn) AS DOUBLE) / count(*) AS ax,
+        |    CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS ay
+        |  FROM b GROUP BY 1, 2),
+        |sc AS (SELECT p.event_type, p.bucket, p.rn, p.value,
+        |    abs((l.ax - r.ax) * (p.value - l.ay)
+        |        - (l.ax - p.rn) * (r.ay - l.ay)) AS area
+        |  FROM b p
+        |  JOIN a l ON p.event_type = l.event_type AND l.bucket = p.bucket - 1
+        |  JOIN a r ON p.event_type = r.event_type AND r.bucket = p.bucket + 1),
+        |sel AS (SELECT event_type, bucket, rn, value,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |                       ORDER BY area DESC, rn) AS k
+        |  FROM sc)
+        |SELECT event_type, bucket, rn AS pos, value FROM sel WHERE k = 1""".stripMargin) {
+      (s, dir) =>
+      val t = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))))
+        .select(col("event_type"), col("value"), col("rn"),
+          expr("(rn - 1) div 50").as("bucket"))
+        .transform(graft.operators.TextOps.trackCache)
+      val a = t.groupBy("event_type", "bucket")
+        .agg((sum("rn").cast("double") / count(lit(1))).as("ax"),
+          (sum(col("value").cast(DecimalType(28, 8))).cast("double")
+            / count(lit(1))).as("ay"))
+      val l = a.select(col("event_type"), (col("bucket") + 1).as("bucket"),
+        col("ax").as("lax"), col("ay").as("lay"))
+      val r = a.select(col("event_type"), (col("bucket") - 1).as("bucket"),
+        col("ax").as("rax"), col("ay").as("ray"))
+      val area = abs((col("lax") - col("rax")) * (col("value") - col("lay"))
+        - (col("lax") - col("rn")) * (col("ray") - col("lay")))
+      t.join(broadcast(l), Seq("event_type", "bucket"))
+        .join(broadcast(r), Seq("event_type", "bucket"))
+        .withColumn("area", area)
+        .withColumn("k", row_number().over(
+          Window.partitionBy("event_type", "bucket")
+            .orderBy(col("area").desc, col("rn"))))
+        .filter(col("k") === 1)
+        .select(col("event_type"), col("bucket"), col("rn").as("pos"), col("value"))
+    },
+
     Q("ts_resample",
       """WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
         |                  date_trunc('hour', max(ts)) AS t1
