@@ -1115,6 +1115,65 @@ object VectorOps {
     if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
   }
 
+  /** sum_i v_i * c_i against a literal vector, ascending index (the
+    * same fold the SQL oracles' list_sum comprehension runs, so dot
+    * products are bit-identical).
+    */
+  private[graft] def dotLit(v: Column, cv: Array[Double]): Column = {
+    val cLit = array(cv.toIndexedSeq.map(lit(_)): _*)
+    aggregate(zip_with(v, cLit, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998)
+    * — the diverse-subset pick a training-data or RAG pipeline runs
+    * after retrieval: greedily select k vectors maximizing
+    * `0.7 * cos(v, query) - 0.3 * max_{s in selected} cos(v, s)`,
+    * ties to the lowest id. Each step is one scan with the query and
+    * the selected vectors as LITERALS (zero shuffle — the kmeansLloyd
+    * posture) plus a 1-row argmax round-trip; driver state is
+    * O(k * dims). Relevance is computed once and tracked-cached; dot
+    * products fold ascending so the SQL oracle replays the scores
+    * bit-exactly. Returns (step, vec_id, score round6).
+    */
+  def mmrSelect(vectors: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val e = vectors.select(col(idCol).cast("long").as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val n = e.withColumn("__nrm",
+      sqrt(aggregate(zip_with(col("__v"), col("__v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)))
+    val qRow = n.filter(col("__id") === queryId).head()
+    val qv = qRow.getSeq[Double](1).toArray
+    val qn = qRow.getDouble(2)
+    val r = TextOps.trackCache(n.filter(col("__id") =!= queryId)
+      .withColumn("__rel", dotLit(col("__v"), qv) / (col("__nrm") * lit(qn))))
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]()
+    val out = Seq.newBuilder[(Int, Long, Double)]
+    for (step <- 1 to k) {
+      val penalty =
+        if (selected.isEmpty) lit(0.0)
+        else {
+          val coss = selected.map { case (_, sv, sn) =>
+            dotLit(col("__v"), sv) / (col("__nrm") * lit(sn))
+          }
+          if (coss.length == 1) coss.head else greatest(coss.toIndexedSeq: _*)
+        }
+      val pool =
+        if (selected.isEmpty) r
+        else r.filter(!col("__id").isInCollection(selected.map(_._1)))
+      val top = pool
+        .withColumn("__score", lit(0.7) * col("__rel") - lit(0.3) * penalty)
+        .orderBy(col("__score").desc, col("__id"))
+        .limit(1).select("__id", "__v", "__nrm", "__score").head()
+      selected += ((top.getLong(0), top.getSeq[Double](1).toArray, top.getDouble(2)))
+      out += ((step, top.getLong(0), top.getDouble(3)))
+    }
+    import spark.implicits._
+    out.result().toDF("step", "vec_id", "raw")
+      .select(col("step"), col("vec_id"), round(col("raw"), 6).as("score"))
+  }
+
   /** sum_i (v_i - c_i)^2 against a literal centroid, ascending index. */
   private[graft] def sqDist(v: Column, cv: Array[Double]): Column = {
     val cLit = array(cv.toIndexedSeq.map(lit(_)): _*)

@@ -191,6 +191,20 @@ object DedupQueries {
         "vec_id", "embedding", k = 4, iters = 2)
     },
 
+    // Maximal-marginal-relevance selection (Carbonell-Goldstein 1998):
+    // greedy diverse top-4 against query vector 0 — the
+    // relevance-vs-redundancy pick running after retrieval in RAG and
+    // diverse-sampling pipelines. Bit-replayable: relevance and each
+    // penalty cosine fold ascending (the list_sum comprehension), the
+    // 0.7/0.3 trade-off uses literal doubles in both engines, argmax
+    // ties break on vec_id, and the oracle unrolls all 4 greedy steps.
+    // Scale: each step is a literal-vector scan (zero shuffle) + 1-row
+    // round-trip — see VectorOps.mmrSelect.
+    Q("v_mmr", mmrOracle(4)) { (s, dir) =>
+      VectorOps.mmrSelect(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 4)
+    },
+
     // Clustering-quality gate on the Lloyd fit: simplified silhouette
     // s = (b - a) / b per vector (a = dist to own centroid = the argmin,
     // b = dist to the runner-up; b >= a by construction), averaged per
@@ -1691,6 +1705,44 @@ object DedupQueries {
     * never collide on a registered streaming query name.
     */
   private val streamEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** DuckDB oracle for v_mmr: `k` unrolled greedy steps. Step i scores
+    * every unselected candidate `0.7*rel - 0.3*greatest(cos to each
+    * prior pick)` and keeps the (score DESC, vec_id) argmax — the same
+    * literal-fold arithmetic VectorOps.mmrSelect runs.
+    */
+  private def mmrOracle(k: Int): String = {
+    def dot(a: String, b: String): String =
+      s"list_sum([$a.v[i] * $b.v[i] for i in range(1, 65)])"
+    val ctes = Seq.newBuilder[String]
+    ctes += """e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+              |  FROM embeddings)""".stripMargin
+    ctes += """n AS (SELECT vec_id, v,
+              |    sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm
+              |  FROM e)""".stripMargin
+    ctes += "q AS (SELECT v, nrm FROM n WHERE vec_id = 0)"
+    ctes += (s"r AS (SELECT c.vec_id, c.v, c.nrm, ${dot("c", "q")}" +
+      " / (c.nrm * q.nrm) AS rel FROM (SELECT * FROM n WHERE vec_id <> 0) c, q)")
+    for (i <- 1 to k) {
+      val prior = (1 until i).map(j => s"s$j")
+      val notIn =
+        if (prior.isEmpty) ""
+        else s" WHERE r.vec_id NOT IN (${prior.map(p => s"$p.vec_id").mkString(", ")})"
+      val penalty =
+        if (prior.isEmpty) "0.0"
+        else if (prior.length == 1)
+          s"${dot("r", "s1")} / (r.nrm * s1.nrm)"
+        else prior.map(p => s"${dot("r", p)} / (r.nrm * $p.nrm)")
+          .mkString("greatest(", ", ", ")")
+      val from = ("r" +: prior).mkString(", ")
+      ctes += (s"p$i AS (SELECT r.vec_id, r.v, r.nrm, r.rel," +
+        s" 0.7 * r.rel - 0.3 * $penalty AS score FROM $from$notIn)")
+      ctes += s"s$i AS (SELECT * FROM p$i ORDER BY score DESC, vec_id LIMIT 1)"
+    }
+    val sels = (1 to k).map(i =>
+      s"SELECT $i AS step, vec_id, round(score, 6) AS score FROM s$i")
+    "WITH " + ctes.result().mkString(",\n") + "\n" + sels.mkString("\nUNION ALL\n")
+  }
 
   /** dd_cross_split_leak body, dispatch-parameterized so PlanSpec3 can
     * force the corpus-scale path. Under `bloomDocBound` documents
