@@ -295,6 +295,39 @@ object Relational {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    // Z-order (Morton) interleaving of (partkey, suppkey) — the
+    // multi-dimensional clustering key behind Delta/Iceberg Z-ORDER
+    // layout: rows sorted by the interleaved key land so every file
+    // span covers a TIGHT rectangle of both dimensions, which is what
+    // lets a 2-D predicate prune file stats at 100 TB. The row computes
+    // the 32-bit interleave (16 bits per dimension, pure integer
+    // shifts — bit-identical across engines) and reports per-16k-z
+    // bucket counts and min/max extents: at sf0.01 buckets span 128 of
+    // partkey's 2000 values, the locality the layout buys. Row-local
+    // bit math + one bounded bucket agg.
+    Q("q_zorder",
+      """WITH z AS (SELECT l_partkey AS x, l_suppkey AS y,
+        |    list_sum([ (CAST((l_partkey >> i) & 1 AS BIGINT) << (2*i))
+        |             + (CAST((l_suppkey >> i) & 1 AS BIGINT) << (2*i+1))
+        |             for i in range(0,16)]) AS zv
+        |  FROM lineitem)
+        |SELECT CAST(zv AS BIGINT) // 16384 AS bucket, count(*) AS n,
+        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1""".stripMargin) { (s, dir) =>
+      val x = col("l_partkey").cast("long")
+      val y = col("l_suppkey").cast("long")
+      val zv = (0 until 16).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables.load(s, dir, "lineitem")
+        .select(x.as("x"), y.as("y"), zv.as("zv"))
+        .groupBy(expr("zv div 16384").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+    },
+
     // Equi-width histogram (data profiling): fixed [0, 120000) domain in
     // 20 buckets — integer bucket arithmetic is identical across engines,
     // and the shuffle carries only per-partition bucket counts.
