@@ -977,6 +977,48 @@ object DedupQueries {
     // detector Jaccard misses: a short doc fully embedded in a long one
     // has low Jaccard but containment ~1 (the signal used to catch
     // quoted/wrapped duplicates in corpus dedup). Same lossless count-join
+    // Dedup yield curve: how many near-dup pairs each Jaccard cutoff
+    // would remove — the tuning table an operator reads before picking
+    // the dedup threshold (too low deletes paraphrases, too high keeps
+    // templates). Buckets the exact similarity join's pairs by 0.1-wide
+    // bands (0.9 band = ">= 0.9" incl. exact dups) and accumulates the
+    // at-or-above count. Floor 0.1, below dd_ngram_jaccard's 0.5: the
+    // fixture's pair similarity is bimodal (random-overlap mass near
+    // 0.05-0.15, planted near-dups >= 0.9), and the curve must show
+    // BOTH shores or the threshold decision it informs is invisible.
+    // Same dispatched join plan; the curve itself is a <=9-row window.
+    Q("dd_dup_rate_curve",
+      """WITH toks AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |e AS (SELECT doc_id, lang, unnest(g) AS x FROM bg),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.x = b.x AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(g) AS n FROM bg),
+        |p AS (SELECT round(i * 1.0 / (na.n + nb.n - i), 6) AS jac
+        |  FROM inter JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.1),
+        |b AS (SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS b10,
+        |    count(*) AS n_band FROM p GROUP BY 1)
+        |SELECT b10 / 10.0 AS t, n_band,
+        |  CAST(sum(n_band) OVER (ORDER BY b10 DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge_t
+        |FROM b""".stripMargin) { (s, dir) =>
+      val pairs = TextOps.trackCache(TextOps.similarityJoin(
+        Tables.load(s, dir, "documents"),
+        "doc_id", "lang", "text", shingleSize = 2, threshold = 0.1))
+      val b = pairs
+        .select(least(floor(col("jac") * 10), lit(9)).cast("long").as("b10"))
+        .groupBy("b10").agg(count(lit(1)).as("n_band"))
+      val w = Window.orderBy(col("b10").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.select((col("b10") / 10.0).as("t"), col("n_band"),
+        sum("n_band").over(w).as("n_ge_t"))
+    },
+
     // shape as dd_ngram_jaccard: the only candidate shuffle is on shared
     // grams within a lang block; sizes join back on doc_id.
     Q("dd_containment",
