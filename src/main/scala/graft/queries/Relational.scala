@@ -295,6 +295,50 @@ object Relational {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    // SCD Type-2 MERGE (Kimball slowly-changing dimension): apply a
+    // deterministic change batch to the customer dimension — matched
+    // keys close their current row (is_current=0) and append version 2
+    // with the new balance; unmatched source keys insert; untouched
+    // target rows carry through — the warehouse upsert every dimension
+    // load runs (Delta MERGE INTO semantics, expressed as joins). The
+    // change batch derives from md5 buckets so both engines deal the
+    // same updates/inserts. Plan: one equi-join for closes, one anti
+    // join for carry-through, row-local inserts, all unioned — at
+    // 100 TB this is the standard copy-on-write MERGE shape (joins on
+    // the dimension key, no shuffle wider than the key).
+    Q("q_scd2_merge",
+      """WITH src AS (SELECT c_custkey AS k, c_acctbal + 100 AS bal FROM customer
+        |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '4'),
+        |ins AS (SELECT c_custkey + 1000000 AS k, 500.0 AS bal FROM customer
+        |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '1')
+        |SELECT t.c_custkey AS k, t.c_acctbal AS bal, 1 AS version, 0 AS is_current
+        |  FROM customer t JOIN src ON t.c_custkey = src.k
+        |UNION ALL
+        |SELECT k, bal, 2, 1 FROM src
+        |UNION ALL
+        |SELECT t.c_custkey, t.c_acctbal, 1, 1 FROM customer t
+        |  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.k = t.c_custkey)
+        |UNION ALL
+        |SELECT k, bal, 1, 1 FROM ins""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "customer").select("c_custkey", "c_acctbal")
+      val h = substring(md5(col("c_custkey").cast("string")), 1, 1)
+      val src = t.filter(h < "4")
+        .select(col("c_custkey").as("k"), (col("c_acctbal") + 100).as("bal"))
+      val ins = t.filter(h < "1")
+        .select((col("c_custkey") + 1000000).as("k"), lit(500.0).as("bal"))
+      val closed = t.join(src, t("c_custkey") === src("k"))
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+          lit(1).as("version"), lit(0).as("is_current"))
+      val updated = src.select(col("k"), col("bal"),
+        lit(2).as("version"), lit(1).as("is_current"))
+      val kept = t.join(src, t("c_custkey") === src("k"), "left_anti")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+          lit(1).as("version"), lit(1).as("is_current"))
+      val inserted = ins.select(col("k"), col("bal"),
+        lit(1).as("version"), lit(1).as("is_current"))
+      closed.unionAll(updated).unionAll(kept).unionAll(inserted)
+    },
+
     // Z-order (Morton) interleaving of (partkey, suppkey) — the
     // multi-dimensional clustering key behind Delta/Iceberg Z-ORDER
     // layout: rows sorted by the interleaved key land so every file
