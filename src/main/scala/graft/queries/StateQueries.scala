@@ -366,6 +366,77 @@ object StateQueries {
           coalesce(col("batch_only"), lit(0L)).as("batch_only"))
     },
 
+    // Watermark late-data semantics promoted to a FULL HASH row (the
+    // §2.8 late-data stance had only spec coverage): the event stream
+    // replays in 5 time-ordered micro-batches with an md5-chosen subset
+    // delayed one batch — most delayed rows fall behind the advancing
+    // watermark and must be DROPPED, rows within the 2-hour delay
+    // survive. The oracle replays Spark's exact watermark algebra in
+    // SQL: wm(batch) = max event time of prior batches - 2h, a row is
+    // kept iff its 1-hour window's end exceeds wm. Event times carry
+    // microseconds and window ends are on the hour, so the <=-vs-<
+    // eviction boundary can never coincide — the row is deterministic.
+    // Update-mode counts are monotone per window, so the final state is
+    // each window's max-n emission.
+    Q("st_stream_late_parity",
+      """WITH t AS (SELECT event_id, ts, value,
+        |    ntile(4) OVER (ORDER BY ts, event_id) - 1 AS q,
+        |    CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '4'
+        |         THEN 1 ELSE 0 END AS d
+        |  FROM events),
+        |e AS (SELECT ts, value, q + d AS b FROM t),
+        |wm AS (SELECT b1.b, (SELECT max(e2.ts) FROM e e2 WHERE e2.b < b1.b) AS mx
+        |  FROM (SELECT DISTINCT b FROM e) b1),
+        |keep AS (SELECT e.ts, e.value FROM e JOIN wm ON e.b = wm.b
+        |  WHERE wm.mx IS NULL
+        |     OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.mx - INTERVAL 2 HOUR)
+        |SELECT epoch_ms(date_trunc('hour', ts)) AS ws, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s
+        |FROM keep GROUP BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val batched = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+        .withColumn("q", ntile(4).over(
+          Window.orderBy(col("ts"), col("event_id"))) - 1)
+        .withColumn("b", col("q") + when(
+          substring(md5(col("event_id").cast("string")), 1, 1) < "4", 1)
+          .otherwise(0))
+        .select(col("b"), col("ts"), col("value"))
+        .as[(Int, java.sql.Timestamp, Double)].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Double)]
+      val sink = s"st_stream_late_${sessionEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = mem.toDS().toDF("ts", "v")
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 4))).as("sd"))
+        .select(unix_millis(col("window.start")).as("ws"), col("n"), col("sd"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try {
+        batched.foreach { case (_, rows) =>
+          mem.addData(rows.map(r => (r._2, r._3)).toSeq)
+          q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      val fin = s.table(sink)
+        .as[(Long, Long, java.math.BigDecimal)].collect()
+        .groupBy(_._1).map { case (ws, rs) =>
+          val last = rs.maxBy(_._2)
+          (ws, last._2, last._3)
+        }.toSeq
+      fin.toDF("ws", "n", "sd")
+        .select(col("ws"), col("n"), col("sd").cast("double").as("s"))
+    },
+
     // §2.11 time-series similarity search (streaming-sensor analytics, cf.
     // EDBT'19 distributed TS similarity): per-key sliding windows of 8
     // points, z-normalized, ranked by Euclidean distance to a broadcast
