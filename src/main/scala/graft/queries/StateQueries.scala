@@ -377,13 +377,16 @@ object StateQueries {
     // microseconds and window ends are on the hour, so the <=-vs-<
     // eviction boundary can never coincide — the row is deterministic.
     // Update-mode counts are monotone per window, so the final state is
-    // each window's max-n emission.
+    // each window's max-n emission. A 300-user slice bounds the replay
+    // harness (the st_stream_session_parity convention) while every
+    // hourly window stays populated.
     Q("st_stream_late_parity",
-      """WITH t AS (SELECT event_id, ts, value,
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 300),
+        |t AS (SELECT event_id, ts, value,
         |    ntile(4) OVER (ORDER BY ts, event_id) - 1 AS q,
         |    CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '4'
         |         THEN 1 ELSE 0 END AS d
-        |  FROM events),
+        |  FROM ev),
         |e AS (SELECT ts, value, q + d AS b FROM t),
         |wm AS (SELECT b1.b, (SELECT max(e2.ts) FROM e e2 WHERE e2.b < b1.b) AS mx
         |  FROM (SELECT DISTINCT b FROM e) b1),
@@ -396,6 +399,7 @@ object StateQueries {
       import s.implicits._
       implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
       val batched = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 300)
         .select(col("event_id"), col("ts"), col("value"))
         .withColumn("q", ntile(4).over(
           Window.orderBy(col("ts"), col("event_id"))) - 1)
