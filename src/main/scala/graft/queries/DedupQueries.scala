@@ -191,6 +191,87 @@ object DedupQueries {
         "vec_id", "embedding", k = 4, iters = 2)
     },
 
+    // IVF search with FIXED centroids (first 8 vectors), hash-green end
+    // to end — the dd_semantic trick applied to ann_ivf: with the
+    // centroids pinned, assignment (cosine argmax, ties to lowest cid),
+    // probe selection (top-2 cells per query), and the in-cell re-rank
+    // (round-6 cosine, id tie-break) are all bit-replayable in SQL, so
+    // the ENTIRE IVF pipeline carries a full hash row next to the
+    // engine-specific trained-centroid ann_ivf (rows + AnnSpec). Plan
+    // shape is the production one: zero-shuffle literal-centroid
+    // assignment, probed-cell filter row-local, one qid rank window.
+    Q("ann_ivf_fixed",
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nrm AS cn
+        |  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 8)),
+        |asn AS (SELECT vec_id, v, nrm, cid FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      list_sum([n.v[i] * c.cv[i] for i in range(1, 65)]) / (n.nrm * c.cn)
+        |        DESC, c.cid) AS rn
+        |  FROM n CROSS JOIN c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+        |pr AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    list_sum([q.qv[i] * c.cv[i] for i in range(1, 65)]) / (q.qn * c.cn)
+        |      DESC, c.cid) AS rn
+        |  FROM q CROSS JOIN c) WHERE rn <= 2),
+        |cand AS (SELECT q.qid, a.vec_id,
+        |    round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
+        |          / (q.qn * a.nrm), 6) AS cos_r
+        |  FROM q JOIN pr ON q.qid = pr.qid JOIN asn a ON a.cid = pr.cid
+        |  WHERE a.vec_id <> q.qid)
+        |SELECT qid, vec_id, rn, cos_r FROM (
+        |  SELECT qid, vec_id, cos_r,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
+        |  FROM cand) WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      def dotAsc(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val n = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(aggregate(
+          zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)))
+      val cents = n.orderBy("id").limit(8).collect().zipWithIndex.map {
+        case (r, i) => (i, r.getSeq[Double](1).toArray, r.getDouble(2))
+      }
+      val scored = cents.map { case (cid, cv, cn) =>
+        struct((VectorOps.dotLit(col("v"), cv) / (col("nrm") * lit(cn))).as("c"),
+          lit(-cid).as("nc"))
+      }
+      val asn = n.withColumn("bucket",
+          -greatest(scored.toIndexedSeq: _*).getField("nc"))
+        .transform(TextOps.trackCache)
+      val qs = n.filter(col("id") < 5).collect().map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      }
+      val perQ = qs.map { case (qid, qv, qn) =>
+        val probes = cents.map { case (cid, cv, cn) =>
+          (-(dotAsc(qv, cv) / (qn * cn)), cid)
+        }.sorted.take(2).map(_._2)
+        struct(lit(qid).as("qid"),
+          array_contains(array(probes.toIndexedSeq.map(lit(_)): _*),
+            col("bucket")).as("probed"),
+          round(VectorOps.dotLit(col("v"), qv) / (lit(qn) * col("nrm")), 6)
+            .as("cos_r"))
+      }
+      asn.select(col("id"), explode(array(perQ.toIndexedSeq: _*)).as("t"))
+        .filter(col("t.probed") && col("id") =!= col("t.qid"))
+        .select(col("t.qid").as("qid"), col("id").as("vec_id"),
+          col("t.cos_r").as("cos_r"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select("qid", "vec_id", "rn", "cos_r")
+    },
+
     // Maximal-marginal-relevance selection (Carbonell-Goldstein 1998):
     // greedy diverse top-4 against query vector 0 — the
     // relevance-vs-redundancy pick running after retrieval in RAG and
