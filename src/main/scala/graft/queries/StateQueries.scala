@@ -413,7 +413,7 @@ object StateQueries {
         .MemoryStream[(java.sql.Timestamp, Double)]
       val sink = s"st_stream_late_${sessionEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = mem.toDS().toDF("ts", "v")
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"))
