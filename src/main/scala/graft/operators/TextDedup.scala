@@ -297,7 +297,48 @@ object TextOps {
     val spark = docs.sparkSession
     val (_, learned) = bpeLoop(docs, textCol, iters)
     import spark.implicits._
-    learned.toDF("iter", "merged", "cnt")
+    learned.map { case (it, a, b, cnt) => (it, (a + b).replace(";", ""), cnt) }
+      .toDF("iter", "merged", "cnt")
+  }
+
+  /** Per-language tokenizer fertility under the globally learned rules
+    * — the multilingual-equity metric (does one language pay more
+    * tokens per word than another under a shared vocabulary?). Learns
+    * `iters` merges on the whole corpus, applies them to each
+    * language's word table, and reports per-lang word/char/token
+    * volumes, fertility (tokens per word occurrence) and chars per
+    * token. The merge application is `iters` chained literal replaces
+    * over the vocab-sized (lang, word) frame — row-local after one
+    * corpus scan.
+    */
+  def bpeFertilityByLang(docs: DataFrame, textCol: String, langCol: String,
+      iters: Int): DataFrame = {
+    val (_, learned) = bpeLoop(docs, textCol, iters)
+    val wl = trackCache(docs
+      .select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("wc"))
+      .select(col("lang"),
+        concat(lit(" "), array_join(
+          transform(sequence(lit(1), length(col("w"))),
+            i => concat(col("w").substr(i, lit(1)), lit(";"))), " ")).as("s"),
+        length(col("w")).cast("long").as("cl"),
+        col("wc")))
+    val merged = learned.foldLeft(col("s")) { case (expr0, (_, a, b, _)) =>
+      replace(expr0, lit(s" $a $b"), lit(s" ${a.init}$b"))
+    }
+    val nSym = size(filter(split(merged, " "), x => x =!= ""))
+    wl.groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("wc").as("total_words"),
+        sum(col("wc") * col("cl")).as("total_chars"),
+        sum(col("wc") * nSym).as("total_tokens"))
+      .select(col("lang"), col("n_words"), col("total_words"),
+        col("total_chars"), col("total_tokens"),
+        round(col("total_tokens") * lit(1.0) / col("total_words"), 6)
+          .as("fertility"),
+        round(col("total_chars") * lit(1.0) / col("total_tokens"), 6)
+          .as("chars_per_token"))
   }
 
   /** Encode-side companion of [[bpeMerges]]: learn `iters` merge rules,
@@ -323,10 +364,11 @@ object TextOps {
 
   /** Shared BPE trainer loop: returns the fully-merged word frame
     * `(s, cl, wc)` (symbol string, char length, word count) and the
-    * learned rules `(iter, merged, cnt)`.
+    * learned rules `(iter, a, b, cnt)` in RAW ';'-suffixed symbol form
+    * so callers can re-apply them as literal replaces.
     */
   private def bpeLoop(docs: DataFrame, textCol: String,
-      iters: Int): (DataFrame, Seq[(Int, String, Long)]) = {
+      iters: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
     val words = trackCache(docs
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -337,7 +379,7 @@ object TextOps {
         length(col("w")).cast("long").as("cl"),
         col("wc")))
     var cur = words
-    val learned = Seq.newBuilder[(Int, String, Long)]
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
     for (it <- 1 to iters) {
       val syms = filter(split(col("s"), " "), x => x =!= "")
       val top = cur
@@ -352,7 +394,7 @@ object TextOps {
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()(0)
       val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      learned += ((it, (a + b).replace(";", ""), cnt))
+      learned += ((it, a, b, cnt))
       // a ends with ';' by construction; the merged symbol drops it.
       cur = cur.select(
         replace(col("s"), lit(s" $a $b"), lit(s" ${a.init}$b")).as("s"),

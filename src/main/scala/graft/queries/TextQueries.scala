@@ -1394,7 +1394,48 @@ object TextQueries {
     Q("tx_bpe_encode", bpeOracle(10, encode = true)) { (s, dir) =>
       TextOps.bpeEncodeStats(Tables.load(s, dir, "documents"), "text", iters = 10)
     },
+
+    // Per-language tokenizer fertility under the GLOBAL merge rules —
+    // the multilingual-equity metric (a shared vocabulary that costs
+    // one language 1.4 tokens/word and another 1.1 skews effective
+    // context length and training mix). The oracle applies all 10
+    // learned rules as nested replaces to each language's word table.
+    Q("tx_bpe_fertility", bpeFertilityOracle(10)) { (s, dir) =>
+      TextOps.bpeFertilityByLang(Tables.load(s, dir, "documents"),
+        "text", "lang", iters = 10)
+    },
   )
+
+  /** DuckDB oracle for tx_bpe_fertility: the trainer CTE chain (shared
+    * shape with [[bpeOracle]]) plus a per-language word table with all
+    * `iters` merges applied as nested replaces, aggregated per lang.
+    */
+  private def bpeFertilityOracle(iters: Int): String = {
+    val base = bpeCtes(iters, throughFinal = false)
+    val nested = (1 to iters).foldLeft("s") { (e, i) =>
+      s"replace($e, ' '||m$i.a||' '||m$i.b, ' '||replace(m$i.a,';','')||m$i.b)"
+    }
+    val ms = (1 to iters).map(i => s"m$i").mkString(", ")
+    s"""WITH ${base.mkString(",\n")},
+       |wl AS (
+       |  SELECT lang, w AS word, count(*) AS wc FROM (
+       |    SELECT lang, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY lang, w),
+       |s0l AS (SELECT lang, wc, word,
+       |    ' ' || array_to_string([word[i:i] || ';' for i in range(1, len(word)+1)], ' ') AS s
+       |  FROM wl),
+       |fin AS (SELECT lang, wc, word, $nested AS s FROM s0l, $ms),
+       |agg AS (SELECT lang, wc, word,
+       |    len(list_filter(string_split(s,' '), x->x<>'')) AS n_sym FROM fin)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(wc) AS BIGINT) AS total_words,
+       |  CAST(sum(wc * len(word)) AS BIGINT) AS total_chars,
+       |  CAST(sum(wc * n_sym) AS BIGINT) AS total_tokens,
+       |  round(sum(wc * n_sym) * 1.0 / sum(wc), 6) AS fertility,
+       |  round(sum(wc * len(word)) * 1.0 / sum(wc * n_sym), 6) AS chars_per_token
+       |FROM agg GROUP BY lang""".stripMargin
+  }
 
   /** DuckDB oracle for tx_bpe_merges / tx_bpe_encode: `iters` unrolled
     * pair-count/argmax/merge CTE stages over the ';'-suffixed symbol
@@ -1404,6 +1445,29 @@ object TextQueries {
     * corpus tokenization stats.
     */
   private def bpeOracle(iters: Int, encode: Boolean): String = {
+    val ctes = bpeCtes(iters, throughFinal = encode)
+    val body =
+      if (!encode)
+        (1 to iters).map(i =>
+          s"SELECT $i AS iter, replace(a||b,';','') AS merged, cnt FROM m$i")
+          .mkString("\nUNION ALL\n")
+      else
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(wc) AS BIGINT) AS total_words,
+           |  CAST(sum(wc * len(word)) AS BIGINT) AS total_chars,
+           |  CAST(sum(wc * n_sym) AS BIGINT) AS total_tokens,
+           |  round(sum(wc * len(word)) * 1.0 / sum(wc * n_sym), 6) AS chars_per_token
+           |FROM (SELECT wc, word,
+           |    len(list_filter(string_split(s,' '), x->x<>'')) AS n_sym
+           |  FROM s$iters)""".stripMargin
+    "WITH " + ctes.mkString(",\n") + "\n" + body
+  }
+
+  /** The trainer CTE chain shared by all three BPE oracles: words, s0,
+    * and per iteration p_i (pair counts), m_i (argmax), s_i (merge
+    * applied; the final s_iters only when `throughFinal`).
+    */
+  private def bpeCtes(iters: Int, throughFinal: Boolean): Seq[String] = {
     def pairCte(name: String, src: String): String =
       s"""$name AS (
          |  SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
@@ -1421,26 +1485,13 @@ object TextQueries {
     ctes += """s0 AS (SELECT wc, word,
               |    ' ' || array_to_string([word[i:i] || ';' for i in range(1, len(word)+1)], ' ') AS s
               |  FROM words)""".stripMargin
-    val sels = Seq.newBuilder[String]
     for (i <- 1 to iters) {
       ctes += pairCte(s"p$i", s"s${i - 1}")
       ctes += s"m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"
-      if (i < iters || encode)
+      if (i < iters || throughFinal)
         ctes += (s"s$i AS (SELECT wc, word, replace(s, ' '||m$i.a||' '||m$i.b," +
           s" ' '||replace(m$i.a,';','')||m$i.b) AS s FROM s${i - 1}, m$i)")
-      sels += s"SELECT $i AS iter, replace(a||b,';','') AS merged, cnt FROM m$i"
     }
-    val body =
-      if (!encode) sels.result().mkString("\nUNION ALL\n")
-      else
-        s"""SELECT CAST(count(*) AS BIGINT) AS n_words,
-           |  CAST(sum(wc) AS BIGINT) AS total_words,
-           |  CAST(sum(wc * len(word)) AS BIGINT) AS total_chars,
-           |  CAST(sum(wc * n_sym) AS BIGINT) AS total_tokens,
-           |  round(sum(wc * len(word)) * 1.0 / sum(wc * n_sym), 6) AS chars_per_token
-           |FROM (SELECT wc, word,
-           |    len(list_filter(string_split(s,' '), x->x<>'')) AS n_sym
-           |  FROM s$iters)""".stripMargin
-    "WITH " + ctes.result().mkString(",\n") + "\n" + body
+    ctes.result()
   }
 }
