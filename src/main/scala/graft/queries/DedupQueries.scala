@@ -1883,6 +1883,51 @@ object DedupQueries {
         if (totalOk) 1 else 0))
         .toDF("dup_never_novel", "miss_bounded", "total_ok")
     },
+
+    // Streaming HyperLogLog gate — the third keyed-state sketch
+    // (Space-Saving = top-k, Bloom = novelty, HLL = cardinality): the
+    // doc-key stream replays through per-shard 2^12-register sketches,
+    // the shard registers merge by per-register max (same hash
+    // everywhere -> exact HLL union; register growth is monotone, so
+    // merging EVERY update-mode emission equals merging the final
+    // states), and the estimate must sit within the 10% envelope of the
+    // exact distinct count — which the oracle recomputes, so n_exact is
+    // a hash column, not a literal. At this cardinality the estimator
+    // is in its linear-counting regime (~1-2% error); the gate is
+    // deterministic because the murmur-seeded hash is.
+    Q("st_stream_hll_bounds",
+      """SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+        |  1 AS nd_ok FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val p = 12
+      val keys = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("k"))
+        .orderBy("doc_id").select("k").as[String].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String]
+      val sink = s"st_stream_hll_${streamEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.Sketches
+        .hllDistinct(mem.toDS(), shards = 2, p = p)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try {
+        keys.grouped(math.max(1, keys.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      val regs = s.table(sink).as[graft.streaming.HllShard].collect().map(_.regs)
+      val est = graft.streaming.Sketches.hllEstimate(
+        graft.streaming.Sketches.mergeHllRegisters(regs.toSeq, p), p)
+      val exact = keys.distinct.length.toLong
+      val ok = math.abs(est - exact) <= exact * 0.1
+      Seq((exact, if (ok) 1 else 0)).toDF("n_exact", "nd_ok")
+    },
   )
 
   /** Unique memory-sink suffix so Bench reps / Verify reruns in one JVM

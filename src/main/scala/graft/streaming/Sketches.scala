@@ -18,6 +18,10 @@ final case class MadGateState(medLevels: List[List[Double]],
 
 final case class BloomState(bits: Array[Byte])
 
+final case class HllShard(shard: Int, regs: Array[Byte])
+
+final case class HllState(regs: Array[Byte])
+
 final case class LshCandidate(docA: Long, docB: Long, bucket: String)
 
 final case class DedupDecision(id: Long, key: String, keep: Boolean, keeper: Long)
@@ -74,6 +78,87 @@ object Sketches {
 
   implicit private val niEnc: Encoder[NovelItem] = Encoders.product[NovelItem]
   implicit private val bsEnc: Encoder[BloomState] = Encoders.product[BloomState]
+  implicit private val hsEnc: Encoder[HllShard] = Encoders.product[HllShard]
+  implicit private val hstEnc: Encoder[HllState] = Encoders.product[HllState]
+
+  /** 64-bit item hash for the HLL paths: two seeded MurmurHash3 32-bit
+    * words. Deterministic across runs/partitions (no object hashCode).
+    */
+  private[graft] def hll64(w: String): Long = {
+    val hi = scala.util.hashing.MurmurHash3.stringHash(w, 0x2545f491)
+    val lo = scala.util.hashing.MurmurHash3.stringHash(w, 0x9e3779b9)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
+  /** Streaming HyperLogLog distinct count (Flajolet et al. 2007) with
+    * BOUNDED keyed state — the third streaming sketch next to
+    * Space-Saving (top-k) and Bloom (novelty). Each shard keeps one
+    * dense 2^p-register array; an item updates register
+    * h[63..64-p] with max(reg, rho(remaining bits)). Registers from
+    * different shards use the SAME hash, so the union merge is the
+    * standard per-register max — the property [[mergeHllRegisters]] and
+    * the board gate rely on. State is 2^p bytes per shard FOREVER; each
+    * batch emits the shard's current registers (update mode — last
+    * emission per shard is the live sketch).
+    */
+  def hllDistinct(items: Dataset[String], shards: Int, p: Int): Dataset[HllShard] = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val m = 1 << p
+    val sharded = items.map(w => (math.floorMod(w.hashCode, shards), w))
+    sharded.groupByKey(_._1)
+      .flatMapGroupsWithState[HllState, HllShard](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) { (shard, it, state) =>
+        val regs = state.getOption.map(_.regs.clone()).getOrElse(new Array[Byte](m))
+        it.foreach { case (_, w) =>
+          val h = hll64(w)
+          val idx = (h >>> (64 - p)).toInt
+          // rho = run of leading zeros of the remaining 64-p bits + 1
+          val rest = h << p
+          val rho = (if (rest == 0L) 64 - p
+                     else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+          if (rho > regs(idx)) regs(idx) = rho.toByte
+        }
+        state.update(HllState(regs))
+        Iterator.single(HllShard(shard, regs.clone()))
+      }
+  }
+
+  /** Per-register max merge of shard sketches (same hash everywhere, so
+    * this is the exact HLL union).
+    */
+  def mergeHllRegisters(shards: Iterable[Array[Byte]], p: Int): Array[Byte] = {
+    val m = 1 << p
+    val out = new Array[Byte](m)
+    shards.foreach { r =>
+      var i = 0
+      while (i < m) { if (r(i) > out(i)) out(i) = r(i); i += 1 }
+    }
+    out
+  }
+
+  /** Standard HLL estimate with the small-range (linear counting)
+    * correction — the regime the fixture sits in at 2^12 registers.
+    */
+  def hllEstimate(regs: Array[Byte], p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += math.pow(2.0, -regs(i))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m / sum
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
 
   /** Continuous novelty flags with BOUNDED memory — the streaming twin of
     * the batch `tx_novelty` first-seen join. Each shard keeps one Bloom

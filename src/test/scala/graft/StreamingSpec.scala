@@ -237,6 +237,37 @@ class RtValsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL: cross-batch registers, exact-union merge, estimate envelope") {
+    import graft.streaming.{HllShard, Sketches}
+    implicit val sc = spark.sqlContext
+    val p = 12
+    val mem = MemoryStream[String]
+    val q = Sketches.hllDistinct(mem.toDS(), shards = 2, p = p)
+      .writeStream.format("memory").queryName("hll_out").outputMode("update").start()
+    try {
+      // 3 batches, heavy duplication across batches: 600 distinct keys
+      val keys = (0 until 600).map(i => s"key-$i")
+      mem.addData(keys.take(300) ++ keys.take(100): _*)
+      q.processAllAvailable()
+      mem.addData(keys.slice(200, 500): _*)
+      q.processAllAvailable()
+      mem.addData(keys.slice(400, 600) ++ keys.take(50): _*)
+      q.processAllAvailable()
+      val regs = spark.table("hll_out").as[HllShard].collect().map(_.regs)
+      val est = Sketches.hllEstimate(Sketches.mergeHllRegisters(regs.toSeq, p), p)
+      // linear-counting regime at 600 << 2^12: a few percent of error
+      assert(math.abs(est - 600) <= 60, s"estimate $est vs 600")
+      // duplicates must not inflate: replaying batch 1 changes nothing
+      mem.addData(keys.take(300): _*)
+      q.processAllAvailable()
+      val regs2 = spark.table("hll_out").as[HllShard].collect().map(_.regs)
+      val est2 = Sketches.hllEstimate(Sketches.mergeHllRegisters(regs2.toSeq, p), p)
+      assert(est2 == est, s"duplicate replay moved the estimate: $est2 != $est")
+      // merging every update-mode emission == merging the final states
+      // (register growth is monotone) — the property the board row uses
+    } finally q.stop()
+  }
+
   test("bloom novelty: duplicates never flagged novel, state survives batches") {
     import graft.streaming.{NovelItem, Sketches}
     implicit val sc = spark.sqlContext
