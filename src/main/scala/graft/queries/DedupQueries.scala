@@ -734,6 +734,64 @@ object DedupQueries {
       TextOps.connectedComponents(pairs)
     },
 
+    // Dedup ROI table — the headline number a dedup run reports: per
+    // cluster-size bucket, how many clusters/docs there are and how
+    // many chars deduplication saves (everything but the keeper —
+    // min doc_id, the CC label — is removable). Singleton docs join
+    // via the LEFT join as their own cluster, so chars_total sums to
+    // the corpus and the size-1 row prices the untouched mass. Builds
+    // on the SAME LSH+CC chain as dd_clusters (shared cached frames);
+    // the rollup is two bounded aggregations.
+    Q("dd_savings",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
+        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
+        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
+        |  FROM mh GROUP BY doc_id, k // 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (SELECT node AS node, node AS r FROM nodes
+        |          UNION
+        |          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        |alld AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster, d.n_chars
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+        |cl AS (SELECT cluster, count(*) AS sz,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(min_by(n_chars, doc_id) AS BIGINT) AS kchars
+        |  FROM alld GROUP BY cluster)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(chars - kchars) AS BIGINT) AS chars_saved
+        |FROM cl GROUP BY sz""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = TextOps.lshCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, k = 8, bands = 4)
+      val lab = TextOps.connectedComponents(pairs)
+      val alld = docs.select(col("doc_id"), col("n_chars"))
+        .join(lab, docs("doc_id") === lab("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"), col("n_chars"))
+      val cl = alld.groupBy("cluster")
+        .agg(count(lit(1)).as("sz"), sum("n_chars").as("chars"),
+          min_by(col("n_chars"), col("doc_id")).as("kchars"))
+      cl.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+          sum("chars").as("chars_total"),
+          sum(col("chars") - col("kchars")).as("chars_saved"))
+    },
+
     // Dedup keep-policy: clusters -> one keeper per cluster by an explicit
     // policy (longest doc wins, doc_id breaks ties) — the decision table a
     // dedup pipeline actually emits. Builds on the same LSH+CC pipeline;
