@@ -212,13 +212,19 @@ object Bench {
     // robust path when any stdout capture window truncates. Also append to
     // bench_history.jsonl so round N+1 can diff per-query timings against
     // every earlier run instead of totals only (round-5 verdict task 8).
+    // bench_last.json is ONLY the full-board record — a name-filtered or
+    // alternate-fixture run writes bench_subset_last.json instead (a 10x
+    // subset run once overwrote the committed sf0.1 record silently).
     val full = line.dropRight(1) + s""","plans":$plans}""" + "\n"
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+    val isFullBoard = only.isEmpty && sfDir.startsWith("/root/testdata/")
+    val lastFile = if (isFullBoard) "bench_last.json" else "bench_subset_last.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(lastFile),
       full.getBytes("UTF-8"))
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
-      full.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    if (isFullBoard)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+        full.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     println(s"""{"plans":$plans}""")
     println(line)
