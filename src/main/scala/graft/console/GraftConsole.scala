@@ -71,7 +71,23 @@ class GraftConsole(spark: SparkSession) {
     case "help" =>
       "commands: help | ss | ss:addtcp/addudp/addmodbus/remove | st | rv | " +
         "raw:<name>[,N] | pf:list | pf:add,<id> | " +
-        "pf:test,<id>,<line> | dbm:... | tm:... | <sql>"
+        "pf:test,<id>,<line> | board:list | board:<query>[,<sfDir>[,N]] | " +
+        "dbm:... | tm:... | <sql>"
+    // analytics-board surface: every registered SparkEntry query is a
+    // console command — the ops face of the whole library (run a dedup
+    // funnel or a dataset card from the telnet prompt).
+    case "board:list" =>
+      graft.SparkEntry.queries.keys.toSeq.sorted.mkString("\n")
+    case c if c.startsWith("board:") =>
+      val parts = c.stripPrefix("board:").split(",").map(_.trim)
+      val name = parts(0)
+      val dir = if (parts.length > 1 && parts(1).nonEmpty) parts(1)
+        else "/root/testdata/sf0.001"
+      val n = if (parts.length > 2) parts(2).toInt else 20
+      graft.SparkEntry.queries.get(name) match {
+        case Some(fn) => render(fn(spark, dir).limit(n))
+        case None => s"unknown board query '$name' (board:list shows all)"
+      }
     case "ss" =>
       val names = spark.catalog.listTables().collect().map(_.name)
       if (names.isEmpty) "no registered streams" else names.mkString("\n")

@@ -29,6 +29,14 @@ class ConsoleSpec extends AnyFunSuite {
     assert(probe.contains("42.5"), probe)
   }
 
+  test("board: commands run the analytics library from the console") {
+    val c = new GraftConsole(spark)
+    assert(c.execute("board:list").linesIterator.contains("q1_agg"))
+    val out = c.execute("board:q1_agg,/root/testdata/sf0.001,5")
+    assert(out.linesIterator.nonEmpty && out.contains("sum_qty"), out)
+    assert(c.execute("board:nope").contains("unknown board query"))
+  }
+
   test("rv lists the rtvals snapshot view (the dcafs rtvals listing)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
