@@ -926,6 +926,62 @@ object TextQueries {
         .distinct()
     },
 
+    // WARC ingest, end-to-end and BIT-EXACT: documents are grouped 50
+    // to an archive, written as real ISO-28500 response records
+    // (WARC headers + HTTP/1.1 block) with deterministic payloads, and
+    // read back through the real record walk (Warc.records +
+    // httpResponse — the Common-Crawl ingest path). The oracle
+    // recomputes every field from the generator formula alone, and
+    // rec_pos pins the WALK ORDER within each archive — a skipped
+    // record, bad Content-Length arithmetic, or separator slip breaks
+    // the hash. Scale shape: one shuffle onto archive groups, then
+    // row-local parse — exactly how a crawl ingests (one task per
+    // WARC file).
+    Q("mm_warc",
+      """WITH d AS (SELECT doc_id, doc_id // 50 AS gid, 40 + doc_id % 60 AS n
+        |  FROM documents),
+        |p AS (SELECT doc_id, gid,
+        |    'doc-' || CAST(doc_id AS VARCHAR) || ':' ||
+        |    array_to_string([chr(97 + CAST((doc_id * 7 + i * 13) % 26 AS INT))
+        |                     for i in range(0, n)], '') AS body
+        |  FROM d)
+        |SELECT doc_id, gid,
+        |  CAST(row_number() OVER (PARTITION BY gid ORDER BY doc_id) - 1 AS BIGINT)
+        |    AS rec_pos,
+        |  200 AS status, CAST(strlen(body) AS BIGINT) AS content_len,
+        |  md5(body) AS body_md5
+        |FROM p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .groupByKey(_ / 50)
+        .flatMapGroups { (gid: Long, it: Iterator[Long]) =>
+          val ids = it.toArray.sorted
+          val blob = ids.flatMap { id =>
+            val n = (40 + id % 60).toInt
+            val payload = new Array[Byte](("doc-" + id + ":").length + n)
+            val pfx = s"doc-$id:".getBytes("US-ASCII")
+            System.arraycopy(pfx, 0, payload, 0, pfx.length)
+            var i = 0
+            while (i < n) {
+              payload(pfx.length + i) = (97 + ((id * 7 + i * 13) % 26)).toByte
+              i += 1
+            }
+            graft.sources.Warc.encodeResponse(
+              s"http://example.com/doc/$id", 200, payload)
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+          graft.sources.Warc.records(blob).zipWithIndex.flatMap { case (r, ix) =>
+            graft.sources.Warc.httpResponse(r.block).map { h =>
+              val id = r.headers("WARC-Target-URI").split("/").last.toLong
+              md.reset()
+              val hex = md.digest(h.body).map(b => f"$b%02x").mkString
+              (id, gid, ix.toLong, h.status, h.body.length.toLong, hex)
+            }
+          }
+        }
+        .toDF("doc_id", "gid", "rec_pos", "status", "content_len", "body_md5")
+    },
+
     // Video scene-cut detection, end-to-end and BIT-EXACT through the
     // real AVI path: per document a 6-frame 8x8 DIB AVI is synthesized
     // (one hard cut at frame 1 + doc_id%4 where the scene term of the
