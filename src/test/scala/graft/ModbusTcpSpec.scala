@@ -18,7 +18,18 @@ private class MiniModbusSlave(registers: Int => Int, bindPort: Int = 0) {
   val server = {
     val s = new ServerSocket()
     s.setReuseAddress(true)
-    s.bind(new java.net.InetSocketAddress(bindPort))
+    // rebinding a just-closed port can briefly race the old acceptor's
+    // teardown under heavy load; retry for up to ~2 s
+    var bound = false
+    val deadline = System.currentTimeMillis() + 2000
+    while (!bound) {
+      try { s.bind(new java.net.InetSocketAddress(bindPort)); bound = true }
+      catch {
+        case e: java.net.BindException
+            if bindPort != 0 && System.currentTimeMillis() < deadline =>
+          Thread.sleep(50)
+      }
+    }
     s
   }
   def port: Int = server.getLocalPort
@@ -106,7 +117,7 @@ class ModbusTcpSpec extends AnyFunSuite {
       // honored (it used to be silently dropped by the original-cased
       // lookup) a 50 ms poller keeps fresh data available essentially
       // always, and processAllAvailable never drains — livelock
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 40000
       var rows = Array.empty[org.apache.spark.sql.Row]
       while (rows.length < 2 && System.currentTimeMillis() < deadline) {
         rows = spark.table("mb_out").collect()
@@ -138,7 +149,7 @@ class ModbusTcpSpec extends AnyFunSuite {
       }
       .start()
     try {
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 40000
       while (received.isEmpty && System.currentTimeMillis() < deadline) {
         Thread.sleep(50) // sleep-poll; see the livelock note above
       }
@@ -149,7 +160,7 @@ class ModbusTcpSpec extends AnyFunSuite {
       // new slave on the SAME port with different register values
       val slave2 = new MiniModbusSlave(_ => 2, port)
       try {
-        val d2 = System.currentTimeMillis() + 15000
+        val d2 = System.currentTimeMillis() + 40000
         while (!received.contains("AI0:2") && System.currentTimeMillis() < d2) {
           Thread.sleep(100)
         }
@@ -180,7 +191,7 @@ class ModbusTcpSpec extends AnyFunSuite {
 
     val q1 = startQuery()
     try {
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 40000
       while (received.size < 3 && System.currentTimeMillis() < deadline) {
         Thread.sleep(50)
       }
@@ -191,7 +202,7 @@ class ModbusTcpSpec extends AnyFunSuite {
     received.clear()
     val q2 = startQuery()
     try {
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 40000
       while (received.isEmpty && System.currentTimeMillis() < deadline) {
         Thread.sleep(100)
       }
