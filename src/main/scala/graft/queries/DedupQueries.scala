@@ -1739,6 +1739,106 @@ object DedupQueries {
           col("n_even"), col("n_odd"))
     },
 
+    // Binned two-sample Kolmogorov-Smirnov drift test (the classic
+    // split-shift / feature-drift gate a data pipeline runs between
+    // snapshots): each event_type's value distribution vs the 'view'
+    // reference, KS = max |ECDF_a - ECDF_ref| over a fixed 64-bin grid.
+    // Exact KS needs a global sort; the binned variant is the 100 TB
+    // shape — one min/max pass (map-side combined), one (type, bin)
+    // count shuffle of ~types*64 rows, then window math over the tiny
+    // dense grid. Every division is exact-int / exact-int in IEEE
+    // doubles, so the statistic replays bit-identically cross-engine;
+    // the drift flag compares ROUNDED ks vs the rounded critical value
+    // at alpha=0.05 (c = 1.358) so the decision itself is hash-stable.
+    Q("v_ks_drift",
+      """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |b AS (SELECT event_type,
+        |    least(63, CAST(floor((value - mn) / (mx - mn) * 64) AS INT)) AS bin
+        |  FROM events, mm),
+        |c AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |grid AS (SELECT t.event_type, r.range AS bin
+        |  FROM (SELECT DISTINCT event_type FROM events) t, range(64) r),
+        |d AS (SELECT g.event_type, g.bin, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin),
+        |cd AS (SELECT event_type, bin,
+        |    CAST(CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT)
+        |         AS DOUBLE)
+        |      / CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS cdf,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM d),
+        |r AS (SELECT bin, cdf AS rcdf, tot AS rn FROM cd WHERE event_type = 'view'),
+        |k AS (SELECT cd.event_type, max(abs(cdf - rcdf)) AS ks,
+        |    max(tot) AS n1, max(rn) AS n2
+        |  FROM cd JOIN r USING (bin) WHERE cd.event_type <> 'view' GROUP BY 1)
+        |SELECT event_type, n1, n2, round(ks, 6) AS ks_r,
+        |  round(1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)), 6) AS crit_r,
+        |  CASE WHEN round(ks, 6) > round(1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)), 6)
+        |       THEN 1 ELSE 0 END AS drift
+        |FROM k""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").select(col("event_type"), col("value"))
+      val mm = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val binned = ev.crossJoin(broadcast(mm))
+        .withColumn("bin", least(lit(63L),
+          floor((col("value") - col("mn")) / (col("mx") - col("mn")) * 64)).cast("int"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(s.range(64).select(col("id").cast("int").as("bin"))))
+      val wCum = Window.partitionBy("event_type").orderBy("bin")
+      val wAll = Window.partitionBy("event_type")
+      val cd = grid.join(binned, Seq("event_type", "bin"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("tot", sum(col("c")).over(wAll))
+        .withColumn("cdf", sum(col("c")).over(wCum).cast("double") / col("tot"))
+      val ref = cd.filter(col("event_type") === "view")
+        .select(col("bin"), col("cdf").as("rcdf"), col("tot").as("rn"))
+      val ks = cd.filter(col("event_type") =!= "view")
+        .join(broadcast(ref), "bin")
+        .groupBy("event_type").agg(
+          max(abs(col("cdf") - col("rcdf"))).as("ks"),
+          max(col("tot")).as("n1"), max(col("rn")).as("n2"))
+      val crit = round(lit(1.358) *
+        sqrt((col("n1") + col("n2")).cast("double") / (col("n1") * col("n2"))), 6)
+      ks.select(col("event_type"), col("n1"), col("n2"),
+        round(col("ks"), 6).as("ks_r"), crit.as("crit_r"),
+        when(round(col("ks"), 6) > crit, 1).otherwise(0).as("drift"))
+    },
+
+    // Contrastive hard-negative mining: for each query vector, the top-5
+    // most-similar vectors with a DIFFERENT label — the pairs a
+    // contrastive / metric-learning trainer wants in the batch (closest
+    // impostors). Same plan shape as ann_topk (broadcast query side, one
+    // corpus scan, per-qid window top-k with cos rounded BEFORE ranking
+    // for tie stability); for query sets beyond a few thousand the typed
+    // top-k kernel behind v_knn_graph is the dispatch, not the window.
+    Q("v_hard_negatives",
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 8),
+        |s AS (SELECT q.vec_id AS qid, q.label AS q_label,
+        |    a.vec_id AS vec_id, a.label AS neg_label,
+        |    round(list_sum([q.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                    for i in range(1, 65)]) / (q.nrm * a.nrm), 6) AS cos_r
+        |  FROM q JOIN n a ON a.label <> q.label)
+        |SELECT qid, q_label, vec_id, neg_label, rn, cos_r FROM (
+        |  SELECT qid, q_label, vec_id, neg_label, cos_r,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
+        |  FROM s) t WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("q_label"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id"))
+      e.join(broadcast(q), col("label") =!= col("q_label"))
+        .withColumn("cos_r",
+          round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("q_label"), col("vec_id").as("vec_id"),
+          col("label").as("neg_label"), col("rn"), col("cos_r"))
+    },
+
     // Streaming exact-dedup twin promoted to the oracle board (round-7
     // advice #7): the keyed-state dedup index must make the SAME
     // keep/keeper decision the batch keeper window makes. The corpus is

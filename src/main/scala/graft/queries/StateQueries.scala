@@ -441,6 +441,75 @@ object StateQueries {
         .select(col("ws"), col("n"), col("sd").cast("double").as("s"))
     },
 
+    // Stream-stream interval join parity — the one Structured Streaming
+    // join mode the board did not yet exercise end-to-end: purchases
+    // joined to the SAME user's clicks in the preceding 6 hours
+    // (last-touch attribution), both sides watermarked 1 hour, run as a
+    // real two-input streaming query over time-aligned micro-batches
+    // and hash-compared against the plain batch join oracle. Parity is
+    // exact, not approximate: inner stream-stream joins emit eagerly,
+    // and with in-order time-aligned feeding a click is state-evicted
+    // (wm > c_ts + 6h) only when every future purchase is already out
+    // of its join range (p_ts >= wm + 1h > c_ts + 6h), so eviction can
+    // never drop a match. State per side is bounded by the 6h window +
+    // 1h delay — the 100 TB posture, not keep-everything.
+    Q("st_stream_join_parity",
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+        |  epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      def side(tpe: String): Array[(java.sql.Timestamp, Long, Long)] =
+        Tables.load(s, dir, "events").filter(col("event_type") === tpe)
+          .select(col("ts"), col("event_id"), col("user_id"))
+          .as[(java.sql.Timestamp, Long, Long)].collect().sortBy(_._1.getTime)
+      val purchases = side("purchase")
+      val clicks = side("click")
+      val all = purchases ++ clicks
+      val (t0, t1) = (all.map(_._1.getTime).min, all.map(_._1.getTime).max)
+      // 4 time-aligned micro-batches per side: both sides' chunk i cover
+      // the same wall-clock quarter, the replay order a log backfill has
+      def chunk(rows: Array[(java.sql.Timestamp, Long, Long)], i: Int) = {
+        val lo = t0 + (t1 - t0 + 1) * i / 4
+        val hi = t0 + (t1 - t0 + 1) * (i + 1) / 4
+        rows.filter(r => r._1.getTime >= lo && r._1.getTime < hi).toSeq
+      }
+      val pMem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Long)]
+      val cMem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Long)]
+      val sink = s"st_stream_join_${sessionEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = pMem.toDS().toDF("p_ts", "p_id", "user_id")
+        .withWatermark("p_ts", "1 hour")
+        .join(cMem.toDS().toDF("c_ts", "c_id", "c_user")
+            .withWatermark("c_ts", "1 hour"),
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
+            col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"), col("user_id"),
+          unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("c_ts")).as("c_ms"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        (0 until 4).foreach { i =>
+          pMem.addData(chunk(purchases, i))
+          cMem.addData(chunk(clicks, i))
+          q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink)
+        .select(col("p_id"), col("c_id"), col("user_id"), col("p_ms"), col("c_ms"))
+    },
+
     // §2.11 time-series similarity search (streaming-sensor analytics, cf.
     // EDBT'19 distributed TS similarity): per-key sliding windows of 8
     // points, z-normalized, ranked by Euclidean distance to a broadcast

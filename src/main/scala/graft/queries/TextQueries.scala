@@ -1460,6 +1460,66 @@ object TextQueries {
       TextOps.bpeFertilityByLang(Tables.load(s, dir, "documents"),
         "text", "lang", iters = 10)
     },
+
+    // Content-defined chunking (the FastCDC/LBFS idea at word
+    // granularity): a chunk boundary falls wherever the WORD's hash is
+    // 0 mod 8, so two documents sharing a long span re-synchronize at
+    // the first content boundary inside the span and all following
+    // shared chunks fingerprint identically regardless of offset — the
+    // dedup property fixed-size blocks lack. Fingerprint = sum of
+    // (relative-position x word-hash) — order-sensitive but
+    // aggregation-order-independent, so no reducer ever holds a chunk's
+    // words. One positional explode + ONE window pass keyed on doc_id
+    // (boundary id AND chunk start both ride the same running window —
+    // no second shuffle), then a (fp, len) group: the whole operator is
+    // two shuffles at any scale. Output: every chunk shape that occurs
+    // more than once corpus-wide, with its occurrence and distinct-doc
+    // counts and keeper doc.
+    Q("tx_cdc_chunks",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |e AS (SELECT doc_id,
+        |    unnest([{'p': i - 1, 'wd': w[i]} for i in range(1, len(w) + 1)]) AS s
+        |  FROM toks),
+        |h AS (SELECT doc_id, s.p AS p, list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(s.wd), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS hb
+        |  FROM e),
+        |b AS (SELECT doc_id, p, hb,
+        |    CASE WHEN p = 0 OR hb % 8 = 0 THEN 1 ELSE 0 END AS bd FROM h),
+        |ch AS (SELECT doc_id, p, hb,
+        |    sum(bd) OVER (PARTITION BY doc_id ORDER BY p) AS cid,
+        |    max(CASE WHEN bd = 1 THEN p END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS cstart
+        |  FROM b),
+        |fp AS (SELECT doc_id, cid,
+        |    CAST(sum((p - cstart + 1) * (hb % 1000000)) AS BIGINT) AS fp,
+        |    count(*) AS len
+        |  FROM ch GROUP BY doc_id, cid)
+        |SELECT fp, len, count(*) AS n_occ,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+        |FROM fp GROUP BY fp, len HAVING count(*) > 1""".stripMargin) { (s, dir) =>
+      val words = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("p", "wd")))
+        .withColumn("hb", conv(substring(md5(col("wd")), 1, 8), 16, 10).cast("long"))
+        .withColumn("bd",
+          when(col("p") === 0 || col("hb") % 8 === 0, 1).otherwise(0))
+      val run = Window.partitionBy("doc_id").orderBy("p")
+      val chunks = words
+        .withColumn("cid", sum(col("bd")).over(run))
+        .withColumn("cstart",
+          max(when(col("bd") === 1, col("p"))).over(run))
+        .groupBy("doc_id", "cid")
+        .agg(sum((col("p") - col("cstart") + 1) * (col("hb") % 1000000)).as("fp"),
+          count(lit(1)).as("len"))
+      chunks.groupBy("fp", "len")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper"))
+        .filter(col("n_occ") > 1)
+    },
   )
 
   /** DuckDB oracle for tx_bpe_fertility: the trainer CTE chain (shared
