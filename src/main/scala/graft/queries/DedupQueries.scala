@@ -1839,6 +1839,78 @@ object DedupQueries {
           col("label").as("neg_label"), col("rn"), col("cos_r"))
     },
 
+    // Top principal component by distributed power iteration — the
+    // classic embedding-space health probe (dominant-direction drift,
+    // anisotropy). Each of the 2 unrolled iterations is one corpus scan
+    // (per-row projection onto the broadcast current vector) plus a
+    // 64-key shuffle for the per-dimension accumulations — exactly the
+    // MLlib computeSVD data access, never materializing the 64x64 Gram
+    // matrix row set. Every cross-row sum goes through DECIMAL(28,8)
+    // (order-independent, v_kmeans idiom) and every within-row fold is
+    // an ascending list_sum twin, so the whole iteration chain —
+    // centering, projections, accumulate, normalize — replays
+    // bit-identically in the unrolled SQL oracle.
+    Q("v_pca_power",
+      """WITH mu0 AS (SELECT s.d AS d,
+        |    CAST(SUM(CAST(CAST(s.v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+        |      / count(*) AS mv
+        |  FROM (SELECT unnest([{'d': i, 'v': embedding[i]} for i in range(1, 65)]) AS s
+        |        FROM embeddings) GROUP BY 1),
+        |mul AS (SELECT list(mv ORDER BY d) AS mu FROM mu0),
+        |x AS (SELECT vec_id, embedding FROM embeddings),
+        |s1 AS (SELECT vec_id, embedding,
+        |    list_sum([(CAST(embedding[i] AS DOUBLE) - mu[i]) * 0.125
+        |              for i in range(1, 65)]) AS sc
+        |  FROM x, mul),
+        |w1 AS (SELECT i.i AS d,
+        |    CAST(SUM(CAST((CAST(embedding[i.i] AS DOUBLE) - mu[i.i]) * sc
+        |                   AS DECIMAL(28,8))) AS DOUBLE) AS w
+        |  FROM s1, mul, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1),
+        |n1 AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,8))) AS DOUBLE)) AS nv
+        |  FROM w1),
+        |v1 AS (SELECT list(w / nv ORDER BY d) AS v FROM w1, n1),
+        |s2 AS (SELECT vec_id, embedding,
+        |    list_sum([(CAST(embedding[i] AS DOUBLE) - mu[i]) * v[i]
+        |              for i in range(1, 65)]) AS sc
+        |  FROM x, mul, v1),
+        |w2 AS (SELECT i.i AS d,
+        |    CAST(SUM(CAST((CAST(embedding[i.i] AS DOUBLE) - mu[i.i]) * sc
+        |                   AS DECIMAL(28,8))) AS DOUBLE) AS w
+        |  FROM s2, mul, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1),
+        |n2 AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,8))) AS DOUBLE)) AS nv
+        |  FROM w2)
+        |SELECT d AS dim, round(w / nv, 6) AS loading_r FROM w2, n2""".stripMargin) {
+      (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings").select(col("embedding"))
+      val mu = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("d")
+        .agg((sum(col("x").cast("double").cast(DecimalType(28, 8))).cast("double")
+          / count(lit(1))).as("mv"))
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("mv")))),
+          f => f.getField("mv")).as("mu"))
+      def centered = zip_with(col("embedding"), col("mu"), (x, m) => x - m)
+      def step(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val withS = e.crossJoin(broadcast(mu)).crossJoin(broadcast(v))
+          .withColumn("sc", aggregate(zip_with(centered, col("v"), (a, b) => a * b),
+            lit(0.0), (acc, t) => acc + t))
+        val w = withS
+          .select(posexplode(centered).as(Seq("d", "xm")), col("sc"))
+          .groupBy("d")
+          .agg(sum((col("xm") * col("sc")).cast(DecimalType(28, 8)))
+            .cast("double").as("w"))
+        val nrm = w.agg(sqrt(sum((col("w") * col("w")).cast(DecimalType(28, 8)))
+          .cast("double")).as("nv"))
+        w.crossJoin(broadcast(nrm))
+          .select(col("d"), (col("w") / col("nv")).as("vd"))
+          .agg(transform(sort_array(collect_list(struct(col("d"), col("vd")))),
+            f => f.getField("vd")).as("v"))
+      }
+      val v0 = s.range(1).select(array_repeat(lit(0.125), 64).as("v"))
+      step(step(v0))
+        .select(posexplode(col("v")).as(Seq("d0", "vd")))
+        .select((col("d0") + 1).as("dim"), round(col("vd"), 6).as("loading_r"))
+    },
+
     // Streaming exact-dedup twin promoted to the oracle board (round-7
     // advice #7): the keyed-state dedup index must make the SAME
     // keep/keeper decision the batch keeper window makes. The corpus is

@@ -510,6 +510,58 @@ object StateQueries {
         .select(col("p_id"), col("c_id"), col("user_id"), col("p_ms"), col("c_ms"))
     },
 
+    // Built-in streaming dedup operator parity: Spark's
+    // dropDuplicatesWithinWatermark — the bounded-state engine operator
+    // (state expires at event time + delay), distinct from the custom
+    // keyed-state index dd_stream_exact tests. An md5-chosen ~25% of
+    // events are re-delivered one micro-batch later (the at-least-once
+    // redelivery a log replay produces); chunk width (~7.5 days) is
+    // inside the 10-day delay, so every duplicate is guaranteed to meet
+    // its first copy's live state and the emitted set must equal the
+    // original table exactly — a full hash row against the raw events
+    // oracle, red on any leaked duplicate OR dropped original.
+    Q("st_stream_dropdup_parity",
+      """SELECT event_id, epoch_ms(ts) AS ms, value FROM events""") { (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_id"), col("value"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("h"))
+        .as[(java.sql.Timestamp, Long, Double, String)].collect()
+        .sortBy(r => (r._1.getTime, r._2))
+      val (t0, t1) = (rows.map(_._1.getTime).min, rows.map(_._1.getTime).max)
+      def inChunk(t: Long, i: Int): Boolean = {
+        val lo = t0 + (t1 - t0 + 1) * i / 4
+        val hi = t0 + (t1 - t0 + 1) * (i + 1) / 4
+        t >= lo && t < hi
+      }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Double)]
+      val sink = s"st_stream_dropdup_${sessionEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = mem.toDS().toDF("ts", "event_id", "value")
+        .withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), unix_millis(col("ts")).as("ms"), col("value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        (0 until 4).foreach { i =>
+          val fresh = rows.filter(r => inChunk(r._1.getTime, i))
+          val redelivered =
+            if (i == 0) Array.empty[(java.sql.Timestamp, Long, Double, String)]
+            else rows.filter(r => inChunk(r._1.getTime, i - 1) && r._4 < "4")
+          mem.addData((fresh ++ redelivered).map(r => (r._1, r._2, r._3)).toSeq)
+          q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink).select(col("event_id"), col("ms"), col("value"))
+    },
+
     // §2.11 time-series similarity search (streaming-sensor analytics, cf.
     // EDBT'19 distributed TS similarity): per-key sliding windows of 8
     // points, z-normalized, ranked by Euclidean distance to a broadcast
@@ -983,6 +1035,41 @@ object StateQueries {
             .orderBy(col("area").desc, col("rn"))))
         .filter(col("k") === 1)
         .select(col("event_type"), col("bucket"), col("rn").as("pos"), col("value"))
+    },
+
+    // M4 downsampling (Jugel et al., VLDB'14): per pixel-column time
+    // bucket keep min, max, first, and last — the four values that make
+    // the downsampled line chart pixel-identical to the full series.
+    // Unlike LTTB this is PURE aggregation: first/last ride a
+    // lexicographic struct-min/max over (epoch, event_id, value), so
+    // every column is map-side combinable — one shuffle of ~types x 64
+    // rows at any scale, no window, no sort. Bucketing is all-integer
+    // (epoch micros), so bucket edges replay exactly cross-engine.
+    Q("ts_m4",
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    least(63, (epoch_us(ts) - t0) * 64 // (t1 - t0 + 1)) AS bucket,
+        |    {'e': epoch_us(ts), 'i': event_id, 'v': value} AS s, value
+        |  FROM events, mm)
+        |SELECT event_type, bucket, count(*) AS n,
+        |  min(value) AS vmin, max(value) AS vmax,
+        |  min(s).v AS vfirst, max(s).v AS vlast
+        |FROM b GROUP BY event_type, bucket""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("eu"),
+          col("event_id"), col("value"))
+      val mm = ev.agg(min(col("eu")).as("t0"), max(col("eu")).as("t1"))
+      ev.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          least(lit(63L), expr("((eu - t0) * 64) div (t1 - t0 + 1)")))
+        .withColumn("s", struct(col("eu").as("e"), col("event_id").as("i"),
+          col("value").as("v")))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"),
+          min(col("s")).getField("v").as("vfirst"),
+          max(col("s")).getField("v").as("vlast"))
     },
 
     Q("ts_resample",
