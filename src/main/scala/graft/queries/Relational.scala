@@ -830,6 +830,56 @@ object Relational {
         .filter(col("d") >= 2)
     },
 
+    // 3-hop BFS from the highest-degree node of the co-purchase graph
+    // (reach/propagation analysis — "what does a recall on this part
+    // touch within 3 supply hops"). Each unrolled round is the
+    // dataflow-BFS step every distributed graph engine runs: join the
+    // frontier to the edge list on the frontier key, dedup, anti-join
+    // the visited set — per round one key shuffle, no driver state.
+    // Shares the mined+cached edge set with v_kcore / q_triangles
+    // (plan-identical derivation, one live copy via the cache registry).
+    Q("v_bfs_hops",
+      """WITH ms AS (SELECT greatest(2, count(*) // 75000) AS minsup FROM orders),
+        |e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minsup FROM ms)),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |      UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+        |seed AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+        |h1 AS (SELECT DISTINCT dst AS node FROM e JOIN seed ON e.src = seed.node
+        |  WHERE dst NOT IN (SELECT node FROM seed)),
+        |h2 AS (SELECT DISTINCT dst AS node FROM e JOIN h1 ON e.src = h1.node
+        |  WHERE dst NOT IN (SELECT node FROM seed)
+        |    AND dst NOT IN (SELECT node FROM h1)),
+        |h3 AS (SELECT DISTINCT dst AS node FROM e JOIN h2 ON e.src = h2.node
+        |  WHERE dst NOT IN (SELECT node FROM seed)
+        |    AND dst NOT IN (SELECT node FROM h1)
+        |    AND dst NOT IN (SELECT node FROM h2))
+        |SELECT node, 0 AS hop FROM seed
+        |UNION ALL SELECT node, 1 FROM h1
+        |UNION ALL SELECT node, 2 FROM h2
+        |UNION ALL SELECT node, 3 FROM h3""".stripMargin) { (s, dir) =>
+      val e0 = copurchaseEdges(s, dir)
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        .transform(graft.operators.TextOps.trackCache)
+      val seed = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("node")).limit(1).select("node")
+      var all = seed.withColumn("hop", lit(0))
+      var frontier = seed
+      for (h <- 1 to 3) {
+        val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(all.select("node"), Seq("node"), "left_anti")
+          .transform(graft.operators.TextOps.trackCache)
+        all = all.unionAll(next.withColumn("hop", lit(h)))
+        frontier = next
+      }
+      all
+    },
+
     // Value-RANGE window frame (vs the rows-frames in q_window_funcs):
     // per customer, aggregate over all orders within 1000 price units
     // below the current row. Peers enter the frame wholly, so the result

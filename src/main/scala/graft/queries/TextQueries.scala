@@ -832,6 +832,86 @@ object TextQueries {
           "sum_abs", "sum_sq", "zero_cross", "peak_abs")
     },
 
+    // Voice-activity detection through the REAL audio path (mm_audio's
+    // end-to-end discipline): per document a deterministic PCM signal
+    // with alternating speech/silence regions (full-range LCG vs the
+    // same samples crushed to ±511 by % 512) is encoded as a real WAV,
+    // decoded back through Multimodal.decodeWav, framed at 16 samples,
+    // energy-gated, and run-length segmented — the speech-segmentation
+    // front of every audio-dataset pipeline. All-integer energies (the
+    // 16-bit round-trip is exact), so the oracle recomputes everything
+    // from the generator formula alone; regions are 4 frames wide, so
+    // any off-by-one in decode, framing, or the islands grouping moves
+    // a segment boundary and breaks the hash. Scale shape: decode is
+    // partition-local flatMap; segmentation is one doc-keyed window.
+    Q("mm_vad",
+      """WITH d AS (SELECT doc_id, 256 + (doc_id % 40) * 16 AS n FROM documents),
+        |s AS (SELECT doc_id, i,
+        |    CASE WHEN ((i // 64 + doc_id) % 3) <> 2
+        |         THEN (doc_id * 1103515245 + i * 12345) % 65536 - 32768
+        |         ELSE ((doc_id * 1103515245 + i * 12345) % 65536 - 32768) % 512
+        |    END AS v
+        |  FROM d, unnest(range(0, n)) AS t(i)),
+        |f AS (SELECT doc_id, i // 16 AS fr, CAST(sum(v * v) AS BIGINT) AS e
+        |  FROM s GROUP BY 1, 2),
+        |a AS (SELECT doc_id, fr,
+        |    fr - row_number() OVER (PARTITION BY doc_id ORDER BY fr) AS grp
+        |  FROM f WHERE e > 100000000),
+        |seg AS (SELECT doc_id, grp, count(*) AS len, min(fr) AS st
+        |  FROM a GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, count(*) AS n_seg, max(len) AS max_run,
+        |    CAST(sum(len) AS BIGINT) AS n_active, min(st) AS first_act
+        |  FROM seg GROUP BY 1),
+        |tot AS (SELECT doc_id, n // 16 AS n_frames FROM d)
+        |SELECT tot.doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  COALESCE(n_active, 0) AS n_active, COALESCE(n_seg, 0) AS n_seg,
+        |  COALESCE(max_run, 0) AS max_run, COALESCE(first_act, -1) AS first_act
+        |FROM tot LEFT JOIN pd ON tot.doc_id = pd.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val raw = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { docId =>
+            val n = 256 + (docId % 40).toInt * 16
+            val pcm = Array.tabulate(n) { i =>
+              val r = (docId * 1103515245L + i * 12345L) % 65536L - 32768L
+              val v = if ((i / 64 + docId) % 3 != 2) r else r % 512
+              v.toShort
+            }
+            val wav = graft.streaming.Multimodal.encodeWavPcm16(8000, 1, pcm)
+            graft.streaming.Multimodal.decodeWav(wav).map { case (_, _, _, mono) =>
+              val energies = Array.tabulate(mono.length / 16) { fr =>
+                var e = 0L
+                var i = fr * 16
+                while (i < fr * 16 + 16) {
+                  val v = math.round(mono(i) * 32768) // exact: s/32768 dyadic
+                  e += v * v
+                  i += 1
+                }
+                e
+              }
+              (docId, energies)
+            }
+          }
+        }.toDF("doc_id", "energies")
+      val act = raw
+        .select(col("doc_id"), posexplode(col("energies")).as(Seq("fr", "e")))
+        .filter(col("e") > 100000000L)
+        .withColumn("grp", col("fr").cast("long") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("fr")))
+      val seg = act.groupBy("doc_id", "grp")
+        .agg(count(lit(1)).as("len"), min(col("fr").cast("long")).as("st"))
+      val perDoc = seg.groupBy("doc_id").agg(
+        count(lit(1)).as("n_seg"), max(col("len")).as("max_run"),
+        sum(col("len")).as("n_active"), min(col("st")).as("first_act"))
+      raw.select(col("doc_id"), size(col("energies")).cast("long").as("n_frames"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_seg"), lit(0L)).as("n_seg"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"),
+          coalesce(col("first_act"), lit(-1L)).as("first_act"))
+    },
+
     // Image near-dup pairing, end-to-end and BIT-EXACT — the multimodal
     // analog of dd_simhash_pairs: per document a deterministic 8×8
     // grayscale image is synthesized (LCG pixels; every doc_id ≡ 1 mod
