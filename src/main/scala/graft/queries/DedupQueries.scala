@@ -289,48 +289,74 @@ object DedupQueries {
         |  SELECT qid, vec_id, cos_r,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
         |  FROM cand) WHERE rn <= 10""".stripMargin) { (s, dir) =>
-      def dotAsc(a: Array[Double], b: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < a.length) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
-      val n = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id").cast("long").as("id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(aggregate(
-          zip_with(col("v"), col("v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)))
-      val cents = n.orderBy("id").limit(8).collect().zipWithIndex.map {
-        case (r, i) => (i, r.getSeq[Double](1).toArray, r.getDouble(2))
-      }
-      val scored = cents.map { case (cid, cv, cn) =>
-        struct((VectorOps.dotLit(col("v"), cv) / (col("nrm") * lit(cn))).as("c"),
-          lit(-cid).as("nc"))
-      }
-      val asn = n.withColumn("bucket",
-          -greatest(scored.toIndexedSeq: _*).getField("nc"))
-        .transform(TextOps.trackCache)
-      val qs = n.filter(col("id") < 5).collect().map { r =>
-        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-      }
-      val perQ = qs.map { case (qid, qv, qn) =>
-        val probes = cents.map { case (cid, cv, cn) =>
-          (-(dotAsc(qv, cv) / (qn * cn)), cid)
-        }.sorted.take(2).map(_._2)
-        struct(lit(qid).as("qid"),
-          array_contains(array(probes.toIndexedSeq.map(lit(_)): _*),
-            col("bucket")).as("probed"),
-          round(VectorOps.dotLit(col("v"), qv) / (lit(qn) * col("nrm")), 6)
-            .as("cos_r"))
-      }
-      asn.select(col("id"), explode(array(perQ.toIndexedSeq: _*)).as("t"))
-        .filter(col("t.probed") && col("id") =!= col("t.qid"))
-        .select(col("t.qid").as("qid"), col("id").as("vec_id"),
-          col("t.cos_r").as("cos_r"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id"))))
-        .filter(col("rn") <= 10)
-        .select("qid", "vec_id", "rn", "cos_r")
+      annIvfFixedTopK(s, dir)
+    },
+
+    // ANN quality knob table: recall@{1,5,10} of the fixed-centroid IVF
+    // (2 probes of 8 cells) against the exact top-10, per query — the
+    // table an operator reads before trading probes for latency. Both
+    // chains are the already-hash-proven ann_topk / ann_ivf_fixed
+    // frames (extracted helpers, so the cache registry shares one live
+    // copy of each); the composition is a tiny (qid, vec_id) join — at
+    // any corpus size the cost is the two retrievals, not the audit.
+    Q("ann_recall_curve",
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+        |ex AS (SELECT qid, vec_id, rn FROM (
+        |  SELECT q.qid, a.vec_id,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
+        |            / (q.qn * a.nrm), 6) DESC, a.vec_id) AS rn
+        |  FROM q JOIN n a ON a.vec_id <> q.qid) WHERE rn <= 10),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nrm AS cn
+        |  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 8)),
+        |asn AS (SELECT vec_id, v, nrm, cid FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      list_sum([n.v[i] * c.cv[i] for i in range(1, 65)]) / (n.nrm * c.cn)
+        |        DESC, c.cid) AS rn
+        |  FROM n CROSS JOIN c) WHERE rn = 1),
+        |pr AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    list_sum([q.qv[i] * c.cv[i] for i in range(1, 65)]) / (q.qn * c.cn)
+        |      DESC, c.cid) AS rn
+        |  FROM q CROSS JOIN c) WHERE rn <= 2),
+        |cand AS (SELECT q.qid, a.vec_id,
+        |    round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
+        |          / (q.qn * a.nrm), 6) AS cos_r
+        |  FROM q JOIN pr ON q.qid = pr.qid JOIN asn a ON a.cid = pr.cid
+        |  WHERE a.vec_id <> q.qid),
+        |iv AS (SELECT qid, vec_id, rn FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
+        |  FROM cand) WHERE rn <= 10),
+        |ks AS (SELECT unnest([1, 5, 10]) AS k),
+        |hit AS (SELECT ex.qid, ks.k, count(*) AS hits
+        |  FROM ex JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+        |  CROSS JOIN ks WHERE ex.rn <= ks.k AND iv.rn <= ks.k GROUP BY 1, 2),
+        |grid AS (SELECT qid, k FROM (SELECT DISTINCT qid FROM q) CROSS JOIN ks)
+        |SELECT grid.qid, grid.k, COALESCE(hits, 0) AS hits,
+        |  round(COALESCE(hits, 0) * 1.0 / grid.k, 6) AS recall_r
+        |FROM grid LEFT JOIN hit ON grid.qid = hit.qid AND grid.k = hit.k""".stripMargin) {
+      (s, dir) =>
+      val ex = annExactTopK(s, dir).select(col("qid"), col("vec_id"), col("rn"))
+      val iv = annIvfFixedTopK(s, dir)
+        .select(col("qid"), col("vec_id"), col("rn").as("ir"))
+      val ks = s.range(3).select(element_at(
+        array(lit(1), lit(5), lit(10)), (col("id") + 1).cast("int")).as("k"))
+      val hits = ex.join(iv, Seq("qid", "vec_id"))
+        .crossJoin(broadcast(ks))
+        .filter(col("rn") <= col("k") && col("ir") <= col("k"))
+        .groupBy("qid", "k").agg(count(lit(1)).as("hits"))
+      ex.select("qid").distinct().crossJoin(broadcast(ks))
+        .join(hits, Seq("qid", "k"), "left")
+        .select(col("qid"), col("k"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) * lit(1.0) / col("k"), 6)
+            .as("recall_r"))
     },
 
     // Maximal-marginal-relevance selection (Carbonell-Goldstein 1998):
@@ -1278,17 +1304,7 @@ object DedupQueries {
         |  SELECT qid, vec_id, cos_r,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
         |  FROM s) t WHERE rn <= 10""".stripMargin) { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id"))
-      e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos_r",
-          round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
-        .select(col("qid"), col("vec_id"), col("rn"), col("cos_r"))
+      annExactTopK(s, dir)
     },
 
     // Cosine RANGE search: all corpus vectors above a similarity floor for
@@ -2252,5 +2268,73 @@ object DedupQueries {
         coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
         round(coalesce(col("n_leaked"), lit(0L)) * lit(1.0) / col("n_grams"), 6)
           .as("leak_ratio"))
+  }
+
+  /** Exact cosine top-10 for query vectors vec_id < 5 — the ann_topk
+    * frame, extracted so ann_recall_curve composes the IDENTICAL plan
+    * (one live cached copy via the registry's plan matching).
+    */
+  private def annExactTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .withColumn("nrm", VectorOps.l2norm(col("embedding")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_r",
+        round(VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), col("rn"), col("cos_r"))
+  }
+
+  /** Fixed-centroid IVF top-10 (first 8 vectors as centroids, 2 probes)
+    * — the ann_ivf_fixed frame, extracted for ann_recall_curve.
+    */
+  private def annIvfFixedTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    def dotAsc(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val n = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)))
+    val cents = n.orderBy("id").limit(8).collect().zipWithIndex.map {
+      case (r, i) => (i, r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+    val scored = cents.map { case (cid, cv, cn) =>
+      struct((VectorOps.dotLit(col("v"), cv) / (col("nrm") * lit(cn))).as("c"),
+        lit(-cid).as("nc"))
+    }
+    val asn = n.withColumn("bucket",
+        -greatest(scored.toIndexedSeq: _*).getField("nc"))
+      .transform(TextOps.trackCache)
+    val qs = n.filter(col("id") < 5).collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+    val perQ = qs.map { case (qid, qv, qn) =>
+      val probes = cents.map { case (cid, cv, cn) =>
+        (-(dotAsc(qv, cv) / (qn * cn)), cid)
+      }.sorted.take(2).map(_._2)
+      struct(lit(qid).as("qid"),
+        array_contains(array(probes.toIndexedSeq.map(lit(_)): _*),
+          col("bucket")).as("probed"),
+        round(VectorOps.dotLit(col("v"), qv) / (lit(qn) * col("nrm")), 6)
+          .as("cos_r"))
+    }
+    asn.select(col("id"), explode(array(perQ.toIndexedSeq: _*)).as("t"))
+      .filter(col("t.probed") && col("id") =!= col("t.qid"))
+      .select(col("t.qid").as("qid"), col("id").as("vec_id"),
+        col("t.cos_r").as("cos_r"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select("qid", "vec_id", "rn", "cos_r")
   }
 }

@@ -880,6 +880,47 @@ object Relational {
       all
     },
 
+    // Join-key skew diagnostics — the table an operator reads BEFORE
+    // picking a join strategy at 100 TB (salt? broadcast? AQE skew
+    // hints?): per candidate key, cardinality, heaviest key's share,
+    // and the Herfindahl concentration index. HHI is computed as
+    // sum(c^2)/n^2 — ALL-integer sums, so it needs no sorted ECDF, no
+    // window, no decimal: one hash aggregate per key column and a
+    // 3-row union, exactly reproducible cross-engine at any scale.
+    Q("q_key_skew",
+      """WITH ka AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |kb AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |kc AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT 'lineitem.l_partkey' AS key_col, count(*) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_n,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM ka
+        |  UNION ALL SELECT 'orders.o_custkey', count(*),
+        |    CAST(sum(c) AS BIGINT), max(c), CAST(sum(c * c) AS BIGINT) FROM kb
+        |  UNION ALL SELECT 'events.user_id', count(*),
+        |    CAST(sum(c) AS BIGINT), max(c), CAST(sum(c * c) AS BIGINT) FROM kc)
+        |SELECT key_col, n_keys, n_rows, max_n,
+        |  round(max_n * 1.0 / n_rows, 8) AS top1_share_r,
+        |  round(sum_c2 * 1.0 / (n_rows * n_rows), 8) AS hhi_r,
+        |  round(n_rows * 1.0 / n_keys, 6) AS avg_n_r
+        |FROM m""".stripMargin) { (s, dir) =>
+      def prof(table: String, key: String): DataFrame =
+        Tables.load(s, dir, table)
+          .groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            max(col("c")).as("max_n"), sum(col("c") * col("c")).as("sum_c2"))
+          .select(lit(s"$table.$key").as("key_col"), col("n_keys"),
+            col("n_rows"), col("max_n"), col("sum_c2"))
+      prof("lineitem", "l_partkey")
+        .unionAll(prof("orders", "o_custkey"))
+        .unionAll(prof("events", "user_id"))
+        .select(col("key_col"), col("n_keys"), col("n_rows"), col("max_n"),
+          round(col("max_n") * lit(1.0) / col("n_rows"), 8).as("top1_share_r"),
+          round(col("sum_c2") * lit(1.0) / (col("n_rows") * col("n_rows")), 8)
+            .as("hhi_r"),
+          round(col("n_rows") * lit(1.0) / col("n_keys"), 6).as("avg_n_r"))
+    },
+
     // Value-RANGE window frame (vs the rows-frames in q_window_funcs):
     // per customer, aggregate over all orders within 1000 price units
     // below the current row. Peers enter the frame wholly, so the result

@@ -1541,6 +1541,56 @@ object TextQueries {
         "text", "lang", iters = 10)
     },
 
+    // HTML extraction — the step between WARC ingest (mm_warc) and the
+    // text pipeline: per document a deterministic HTML page is
+    // synthesized from its words (every 5th word becomes a link, every
+    // 7th bold), then the REAL extraction path runs — tag-strip via
+    // regexp_replace, link harvest via regexp_extract_all — and the
+    // oracle rebuilds the same page with the same indexed-comprehension
+    // and extracts with the same regexes ('g' flag on the DuckDB side,
+    // where replace is first-match by default). Purely row-local: at
+    // 100 TB this is a scan-parallel projection, no shuffle at all.
+    Q("tx_html_extract",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |html AS (SELECT doc_id,
+        |    '<html><body>' || array_to_string(
+        |      [CASE WHEN (i - 1) % 5 = 0
+        |            THEN '<a href="http://' || w[i] || '.example">' || w[i] || '</a>'
+        |            WHEN (i - 1) % 7 = 0 THEN '<b>' || w[i] || '</b>'
+        |            ELSE w[i] END
+        |       for i in range(1, len(w) + 1)], ' ') || '</body></html>' AS page
+        |  FROM toks),
+        |x AS (SELECT doc_id, page,
+        |    regexp_extract_all(page, '<a href="([^"]*)">', 1) AS hrefs,
+        |    regexp_replace(page, '<[^>]*>', '', 'g') AS stripped
+        |  FROM html)
+        |SELECT doc_id,
+        |  CAST(len(hrefs) AS INT) AS n_links,
+        |  CAST(len(regexp_extract_all(page, '<b>', 0)) AS INT) AS n_bold,
+        |  CAST(length(stripped) AS INT) AS stripped_chars,
+        |  COALESCE(hrefs[1], '') AS first_href
+        |FROM x""".stripMargin) { (s, dir) =>
+      val w = TextOps.tokens(col("text"))
+      val page = concat(lit("<html><body>"),
+        array_join(transform(w, (wd, i) =>
+          when(i % 5 === 0,
+            concat(lit("<a href=\"http://"), wd, lit(".example\">"), wd, lit("</a>")))
+            .when(i % 7 === 0, concat(lit("<b>"), wd, lit("</b>")))
+            .otherwise(wd)), " "),
+        lit("</body></html>"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .withColumn("hrefs",
+          regexp_extract_all(col("page"), lit("<a href=\"([^\"]*)\">"), lit(1)))
+        .withColumn("stripped", regexp_replace(col("page"), "<[^>]*>", ""))
+        .select(col("doc_id"),
+          size(col("hrefs")).as("n_links"),
+          size(regexp_extract_all(col("page"), lit("<b>"), lit(0))).as("n_bold"),
+          length(col("stripped")).as("stripped_chars"),
+          coalesce(element_at(col("hrefs"), 1), lit("")).as("first_href"))
+    },
+
     // Content-defined chunking (the FastCDC/LBFS idea at word
     // granularity): a chunk boundary falls wherever the WORD's hash is
     // 0 mod 8, so two documents sharing a long span re-synchronize at
