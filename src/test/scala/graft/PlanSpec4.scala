@@ -110,6 +110,56 @@ class PlanSpec4 extends AnyFunSuite {
       s"scene-cut must be one scan:\n$p")
   }
 
+  test("ts_m4: pure aggregation — no window, no join on the series scan") {
+    val p = plan("ts_m4")
+    assert(!p.contains(") Window"), s"M4 must not use a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"M4 must not shuffle-join the series:\n$p")
+  }
+
+  test("tx_cdc_chunks: boundary id and chunk start share ONE doc sort-shuffle") {
+    val p = plan("tx_cdc_chunks")
+    // Spark renders the two running aggregates as two Window nodes, but
+    // they must ride a single Exchange+Sort on doc_id (and the chunk
+    // group-by reuses that distribution — no second shuffle before it)
+    val sorts = raw"\(\d+\) Sort".r.findAllIn(p).size
+    assert(sorts == 1, s"expected one sort for both running windows:\n$p")
+    assert(!p.contains("SinglePartition"), s"no global window allowed:\n$p")
+  }
+
+  test("tx_html_extract: row-local extraction, zero exchanges") {
+    val p = plan("tx_html_extract")
+    assert(!p.contains("Join") && exchanges(p) == 0,
+      s"extraction must be one scan:\n$p")
+  }
+
+  test("q_key_skew: aggregate-only skew profile, no window or sort-join") {
+    val p = plan("q_key_skew")
+    assert(!p.contains(") Window"), s"HHI must not sort an ECDF:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"profile must not join:\n$p")
+  }
+
+  test("mm_vad: codec flatMap + doc-partitioned segmentation windows") {
+    val p = plan("mm_vad")
+    assert(!p.contains("SinglePartition"),
+      s"segmentation must stay doc-partitioned:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
+  test("v_hard_negatives: corpus scanned once against a broadcast query side") {
+    val p = plan("v_hard_negatives")
+    assert(p.contains("Broadcast"), s"query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"mining must not shuffle-join the corpus:\n$p")
+  }
+
+  test("v_bfs_hops: frontier joins never degenerate to a cross product") {
+    val p = plan("v_bfs_hops")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"BFS round degenerated:\n$p")
+  }
+
   test("tx_bpe_merges pair count: one vocab-sized aggregation exchange") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextOps
