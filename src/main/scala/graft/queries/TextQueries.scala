@@ -966,44 +966,76 @@ object TextQueries {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8""".stripMargin) {
-      (s, dir) =>
-      import s.implicits._
-      val recs = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
-          it.map { id =>
-            val base = if (id % 10 == 1) id - 1 else id
-            val px = new Array[Byte](64 * 3)
-            var i = 0
-            while (i < 64) {
-              var v = (((base % 256L) * (i + 1) * 2654435761L +
-                (base % 65536L) / 256L * (i + 3) * (i + 5) * 12289L +
-                i * 40503L) % 256L).toInt
-              if (id % 10 == 1 && i == (id % 64).toInt) v = (v + 96) % 256
-              px(i * 3) = v.toByte; px(i * 3 + 1) = v.toByte; px(i * 3 + 2) = v.toByte
-              i += 1
-            }
-            graft.streaming.MediaRecord(id, "image", header ++ px, Map.empty)
-          }
-        }
-      val sh = graft.streaming.Multimodal.perceptualHashes(recs)
-        .select(col("id").as("doc_id"), lpad(hex(col("phash")), 16, "0").as("h"))
-        .withColumn("hi", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
-        .withColumn("lo", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
-        .transform(TextOps.trackCache)
-      val bands = sh.select(col("doc_id"), col("hi"), col("lo"),
-        posexplode(array((0 until 4).map(b =>
-          substring(col("h"), 1 + b * 4, 4)): _*)).as(Seq("band", "bh")))
-      val hamming = bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
-        bit_count(col("a.lo").bitwiseXOR(col("b.lo")))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          hamming.as("hamming"))
-        .filter(col("hamming") <= 8)
-        .distinct()
+      (s, dir) => ahashPairs(s, dir)
+    },
+
+    // Image near-dup CLUSTERS — the dedup ROI view of the mm_ahash_pairs
+    // edges (which asset groups collapse to one keeper): connected
+    // components over the banded-hamming pair graph, histogrammed by
+    // cluster size. Same scale shape as dd_savings (size-dispatched CC;
+    // the pair derivation is the shared tracked-cached chain), and the
+    // oracle walks the SAME pair SQL plus a recursive closure.
+    Q("mm_ahash_clusters",
+      """WITH px AS (SELECT doc_id, i,
+        |    ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END % 256)
+        |      * (i + 1) * 2654435761
+        |      + (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END % 65536)
+        |        // 256 * (i + 3) * (i + 5) * 12289
+        |      + i * 40503) % 256 AS vb
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |pv AS (SELECT doc_id, i,
+        |    CAST(CASE WHEN doc_id % 10 = 1 AND i = doc_id % 64
+        |         THEN (vb + 96) % 256 ELSE vb END AS DOUBLE) AS v
+        |  FROM px),
+        |lm AS (SELECT doc_id, i, 0.299 * v + 0.587 * v + 0.114 * v AS lum FROM pv),
+        |mn AS (SELECT doc_id, list_sum(list(lum ORDER BY i)) / 64 AS mean
+        |  FROM lm GROUP BY doc_id),
+        |bits AS (SELECT l.doc_id, l.i AS j,
+        |    CASE WHEN l.lum >= m.mean THEN 1 ELSE 0 END AS bit
+        |  FROM lm l JOIN mn m ON l.doc_id = m.doc_id),
+        |ch AS (SELECT doc_id, 16 - j // 4 AS pos,
+        |    SUM(bit << CAST(j % 4 AS INT)) AS cv
+        |  FROM bits GROUP BY doc_id, 16 - j // 4),
+        |sh AS (SELECT doc_id,
+        |    string_agg(substr('0123456789ABCDEF', CAST(cv AS INT) + 1, 1), '' ORDER BY pos) AS h
+        |  FROM ch GROUP BY doc_id),
+        |halves AS (SELECT doc_id, h,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789ABCDEF', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS hi,
+        |    list_reduce(list_transform(range(9, 17),
+        |      i -> CAST(strpos('0123456789ABCDEF', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS lo
+        |  FROM sh),
+        |bands AS (SELECT doc_id, band, substr(h, 1 + band * 4, 4) AS bh, hi, lo
+        |  FROM halves CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs),
+        |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |          UNION SELECT doc_b, doc_a FROM prs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (SELECT node AS node, node AS r FROM nodes
+        |          UNION
+        |          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        |alld AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+        |cl AS (SELECT cluster, count(*) AS sz FROM alld GROUP BY cluster)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs
+        |FROM cl GROUP BY sz""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      val pairs = ahashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val lab = TextOps.connectedComponents(pairs)
+      val alld = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .join(lab, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      alld.groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
     },
 
     // WARC ingest, end-to-end and BIT-EXACT: documents are grouped 50
@@ -1739,5 +1771,50 @@ object TextQueries {
           s" ' '||replace(m$i.a,';','')||m$i.b) AS s FROM s${i - 1}, m$i)")
     }
     ctes.result()
+  }
+
+  /** Banded aHash near-dup pairs through the real PPM encode/decode +
+    * perceptual-hash path — the mm_ahash_pairs frame, extracted so
+    * mm_ahash_clusters composes the identical (cache-shared) plan.
+    */
+  private def ahashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val recs = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+        it.map { id =>
+          val base = if (id % 10 == 1) id - 1 else id
+          val px = new Array[Byte](64 * 3)
+          var i = 0
+          while (i < 64) {
+            var v = (((base % 256L) * (i + 1) * 2654435761L +
+              (base % 65536L) / 256L * (i + 3) * (i + 5) * 12289L +
+              i * 40503L) % 256L).toInt
+            if (id % 10 == 1 && i == (id % 64).toInt) v = (v + 96) % 256
+            px(i * 3) = v.toByte; px(i * 3 + 1) = v.toByte; px(i * 3 + 2) = v.toByte
+            i += 1
+          }
+          graft.streaming.MediaRecord(id, "image", header ++ px, Map.empty)
+        }
+      }
+    val sh = graft.streaming.Multimodal.perceptualHashes(recs)
+      .select(col("id").as("doc_id"), lpad(hex(col("phash")), 16, "0").as("h"))
+      .withColumn("hi", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+      .transform(TextOps.trackCache)
+    val bands = sh.select(col("doc_id"), col("hi"), col("lo"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("h"), 1 + b * 4, 4)): _*)).as(Seq("band", "bh")))
+    val hamming = bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+      bit_count(col("a.lo").bitwiseXOR(col("b.lo")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct()
   }
 }
