@@ -463,12 +463,15 @@ object StateQueries {
       (s, dir) =>
       import s.implicits._
       implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
-      def side(tpe: String): Array[(java.sql.Timestamp, Long, Long)] =
-        Tables.load(s, dir, "events").filter(col("event_type") === tpe)
-          .select(col("ts"), col("event_id"), col("user_id"))
-          .as[(java.sql.Timestamp, Long, Long)].collect().sortBy(_._1.getTime)
-      val purchases = side("purchase")
-      val clicks = side("click")
+      // ONE scan feeds both replay sides (the two-filter version paid
+      // the events scan + driver sort twice)
+      val both = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+        .as[(java.sql.Timestamp, Long, Long, String)].collect()
+        .sortBy(_._1.getTime)
+      val purchases = both.filter(_._4 == "purchase").map(r => (r._1, r._2, r._3))
+      val clicks = both.filter(_._4 == "click").map(r => (r._1, r._2, r._3))
       val all = purchases ++ clicks
       val (t0, t1) = (all.map(_._1.getTime).min, all.map(_._1.getTime).max)
       // 4 time-aligned micro-batches per side: both sides' chunk i cover
@@ -484,7 +487,9 @@ object StateQueries {
         .MemoryStream[(java.sql.Timestamp, Long, Long)]
       val sink = s"st_stream_join_${sessionEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // 4 state partitions: the replay cost is per-partition state-store
+      // commits x micro-batches, not row volume, at this fixture size
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = pMem.toDS().toDF("p_ts", "p_id", "user_id")
         .withWatermark("p_ts", "1 hour")
         .join(cMem.toDS().toDF("c_ts", "c_id", "c_user")
@@ -539,7 +544,7 @@ object StateQueries {
         .MemoryStream[(java.sql.Timestamp, Long, Double)]
       val sink = s"st_stream_dropdup_${sessionEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = mem.toDS().toDF("ts", "event_id", "value")
         .withWatermark("ts", "10 days")
         .dropDuplicatesWithinWatermark("event_id")
