@@ -661,6 +661,56 @@ object Relational {
       gate
     },
 
+    // Count-min sketch (Cormode-Muthukrishnan) — completes the sketch
+    // quartet (HLL distinct / Misra-Gries top-k / Bloom membership /
+    // CMS frequency) and, unlike the engine-state sketches, is a FULL
+    // hash row: every hash is md5-derived, so the 2x8 counter grid
+    // and the min-over-rows estimates replay exactly in SQL. Checked
+    // property is the CMS contract — est >= exact always, overcount =
+    // collision mass, never negative. The grid is sized 2x8 AGAINST the
+    // fixture's 31-word vocabulary (the SpaceSaving capacity-28 move) so
+    // collisions survive the row-min and the overcount column is
+    // non-vacuous; production sizing just widens w. Scale shape: one
+    // vocab-sized aggregate, a grid-cell shuffle, then broadcast joins
+    // for the audited top-20 — the corpus is scanned once.
+    Q("q_approx_cms",
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |hashed AS (SELECT w, c, d.d AS d,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(d.d AS VARCHAR) || ':' || w),
+        |                    CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) % 8 AS b
+        |  FROM wc CROSS JOIN (SELECT unnest(range(0, 2)) AS d) d),
+        |counters AS (SELECT d, b, CAST(sum(c) AS BIGINT) AS cell
+        |  FROM hashed GROUP BY 1, 2),
+        |top AS (SELECT w, c AS exact FROM wc ORDER BY c DESC, w LIMIT 20),
+        |est AS (SELECT h.w, t.exact, min(cell) AS est
+        |  FROM hashed h JOIN top t ON h.w = t.w
+        |  JOIN counters ct ON ct.d = h.d AND ct.b = h.b
+        |  GROUP BY 1, 2)
+        |SELECT w, exact, est, est - exact AS overcount FROM est""".stripMargin) {
+      (s, dir) =>
+      val wc = Tables.load(s, dir, "documents")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .transform(graft.operators.TextOps.trackCache)
+      val hashed = wc.select(col("w"), col("c"),
+        posexplode(array((0 until 2).map(d =>
+          conv(substring(md5(concat(lit(s"$d:"), col("w"))), 1, 8), 16, 10)
+            .cast("long") % 8): _*)).as(Seq("d", "b")))
+      val counters = hashed.groupBy("d", "b").agg(sum("c").as("cell"))
+      val top = wc.orderBy(col("c").desc, col("w")).limit(20)
+        .select(col("w"), col("c").as("exact"))
+      hashed.join(broadcast(top), "w")
+        .join(broadcast(counters), Seq("d", "b"))
+        .groupBy("w", "exact").agg(min("cell").as("est"))
+        .select(col("w"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overcount"))
+    },
+
     // Chi-square independence test over the event_type × day-of-week
     // contingency table — the statistical gate behind "is behavior
     // day-dependent?". Day buckets are integer epoch-day mod 7 (no
