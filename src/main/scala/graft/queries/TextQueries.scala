@@ -1038,6 +1038,51 @@ object TextQueries {
         .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
     },
 
+    // ISO-BMFF (MP4) container probe as a board row: per document a
+    // minimal real MP4 is synthesized (ftyp; moov{mvhd timescale 1000 +
+    // deterministic duration; trak{tkhd with 16.16 fixed-point dims}};
+    // empty mdat) and walked back through Multimodal.probeVideo — the
+    // REAL box walk with 64-bit largesize and corrupt-length guards the
+    // specs fuzz. The oracle recomputes width/height/duration from the
+    // generator formula alone, so any box-size arithmetic, version
+    // offset, or fixed-point error breaks the hash. Row-local at any
+    // scale (header walk, no pixel decode — codecs stay declared
+    // out-of-scope).
+    Q("mm_mp4_probe",
+      """SELECT doc_id,
+        |  CAST(160 + (doc_id % 8) * 80 AS INT) AS width,
+        |  CAST(120 + (doc_id % 6) * 60 AS INT) AS height,
+        |  1000 + doc_id % 9000 AS duration_ms
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val dur = 1000 + (id % 9000)
+            val w = (160 + (id % 8) * 80).toInt
+            val h = (120 + (id % 6) * 60).toInt
+            val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 8 + 92 + 8)
+            bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+              .put("isom".getBytes("US-ASCII")).putInt(0)
+            bb.putInt(8 + 108 + 8 + 92).put("moov".getBytes("US-ASCII"))
+            bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+            bb.putInt(0) // version 0 + flags
+            bb.putInt(0).putInt(0) // creation, modification
+            bb.putInt(1000).putInt(dur.toInt) // timescale, duration
+            bb.position(bb.position() + 108 - 8 - 20) // rest of mvhd zeros
+            bb.putInt(8 + 92).put("trak".getBytes("US-ASCII"))
+            bb.putInt(92).put("tkhd".getBytes("US-ASCII"))
+            val tp = bb.position()
+            bb.position(tp + 76)
+            bb.putInt(w << 16).putInt(h << 16)
+            bb.putInt(8).put("mdat".getBytes("US-ASCII"))
+            graft.streaming.Multimodal.probeVideo(bb.array()).map { vi =>
+              (id, vi.width, vi.height, math.round(vi.durationSec * 1000))
+            }
+          }
+        }.toDF("doc_id", "width", "height", "duration_ms")
+    },
+
     // WARC ingest, end-to-end and BIT-EXACT: documents are grouped 50
     // to an archive, written as real ISO-28500 response records
     // (WARC headers + HTTP/1.1 block) with deterministic payloads, and
