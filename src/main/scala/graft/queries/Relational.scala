@@ -930,6 +930,72 @@ object Relational {
       all
     },
 
+    // Deterministic random walks over the co-purchase graph — the
+    // sampled-walk corpus prep behind DeepWalk/node2vec embeddings,
+    // made bit-replayable: each step's neighbor pick is an md5 of
+    // (seed, step, current) mod the node's degree over a rank-ordered
+    // adjacency list, so both engines walk the SAME path with zero RNG
+    // state. Per step the dataflow is one join on the node key against
+    // the ranked-neighbor frame (built once: one window over src, the
+    // same shuffle family the edge cache already has); a production
+    // corpus runs millions of walks as MORE ROWS in the frontier frame,
+    // not more rounds — the per-step shuffle count stays 1.
+    Q("v_random_walk", {
+      def h(seedE: String, t: Int, curE: String): String =
+        s"list_reduce(list_transform(range(1, 9), i -> CAST(strpos(" +
+          s"'0123456789abcdef', substr(md5(CAST($seedE AS VARCHAR) || ':$t:' " +
+          s"|| CAST($curE AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)), " +
+          s"(a, x) -> a * 16 + x)"
+      s"""WITH ms AS (SELECT greatest(2, count(*) // 75000) AS minsup FROM orders),
+         |e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minsup FROM ms)),
+         |e AS (SELECT a AS src, b AS dst FROM e0
+         |      UNION ALL SELECT b, a FROM e0),
+         |nb AS (SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+         |    count(*) OVER (PARTITION BY src) AS deg FROM e),
+         |dg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+         |seeds AS (SELECT node AS seed FROM dg ORDER BY d DESC, node LIMIT 4),
+         |w1 AS (SELECT s.seed, nb.dst AS cur FROM seeds s JOIN nb ON nb.src = s.seed
+         |  WHERE nb.rn = ${h("s.seed", 1, "s.seed")} % nb.deg + 1),
+         |w2 AS (SELECT w1.seed, nb.dst AS cur FROM w1 JOIN nb ON nb.src = w1.cur
+         |  WHERE nb.rn = ${h("w1.seed", 2, "w1.cur")} % nb.deg + 1),
+         |w3 AS (SELECT w2.seed, nb.dst AS cur FROM w2 JOIN nb ON nb.src = w2.cur
+         |  WHERE nb.rn = ${h("w2.seed", 3, "w2.cur")} % nb.deg + 1)
+         |SELECT seed, 0 AS step, seed AS node FROM seeds
+         |UNION ALL SELECT seed, 1, cur FROM w1
+         |UNION ALL SELECT seed, 2, cur FROM w2
+         |UNION ALL SELECT seed, 3, cur FROM w3""".stripMargin
+    }) { (s, dir) =>
+      val e0 = copurchaseEdges(s, dir)
+      val e = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        .transform(graft.operators.TextOps.trackCache)
+      val nb = e
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy("dst")))
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      val seeds = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("node")).limit(4)
+        .select(col("node").as("seed"))
+      var cur = seeds.select(col("seed"), col("seed").as("cur"))
+      var out = seeds.select(col("seed"), lit(0).as("step"), col("seed").as("node"))
+      for (t <- 1 to 3) {
+        val h = conv(substring(md5(concat(
+          col("seed").cast("string"), lit(s":$t:"), col("cur").cast("string"))),
+          1, 8), 16, 10).cast("long")
+        val nxt = cur.join(nb, col("cur") === col("src"))
+          .filter(col("rn") === (h % col("deg")) + 1)
+          .select(col("seed"), col("dst").as("cur"))
+        out = out.unionAll(
+          nxt.select(col("seed"), lit(t).as("step"), col("cur").as("node")))
+        cur = nxt
+      }
+      out
+    },
+
     // Join-key skew diagnostics — the table an operator reads BEFORE
     // picking a join strategy at 100 TB (salt? broadcast? AQE skew
     // hints?): per candidate key, cardinality, heaviest key's share,
