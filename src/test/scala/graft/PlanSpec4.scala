@@ -160,6 +160,25 @@ class PlanSpec4 extends AnyFunSuite {
       s"BFS round degenerated:\n$p")
   }
 
+  test("q_approx_cms: sketch audit joins broadcast, never shuffle-join the vocab") {
+    val p = plan("q_approx_cms")
+    assert(p.contains("BroadcastHashJoin"), s"audit joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"CMS audit degenerated:\n$p")
+  }
+
+  test("mm_mp4_probe: row-local container walk, zero exchanges") {
+    val p = plan("mm_mp4_probe")
+    assert(!p.contains("Join") && exchanges(p) == 0,
+      s"probe must be one scan:\n$p")
+  }
+
+  test("v_random_walk: per-step node-key joins, no cross product") {
+    val p = plan("v_random_walk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"walk step degenerated:\n$p")
+  }
+
   test("tx_bpe_merges pair count: one vocab-sized aggregation exchange") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextOps
