@@ -973,10 +973,12 @@ object Relational {
       val e = e0.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
         .transform(graft.operators.TextOps.trackCache)
+      // tracked-cached: all 3 walk steps probe the same ranked adjacency
       val nb = e
         .withColumn("rn", row_number().over(
           Window.partitionBy("src").orderBy("dst")))
         .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+        .transform(graft.operators.TextOps.trackCache)
       val seeds = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
         .orderBy(col("d").desc, col("node")).limit(4)
         .select(col("node").as("seed"))
