@@ -1924,7 +1924,8 @@ object DedupQueries {
       val v0 = s.range(1).select(array_repeat(lit(0.125), 64).as("v"))
       step(step(v0))
         .select(posexplode(col("v")).as(Seq("d0", "vd")))
-        .select((col("d0") + 1).as("dim"), round(col("vd"), 6).as("loading_r"))
+        .select((col("d0") + 1).cast("long").as("dim"),
+          round(col("vd"), 6).as("loading_r"))
     },
 
     // Streaming exact-dedup twin promoted to the oracle board (round-7
