@@ -1928,6 +1928,59 @@ object DedupQueries {
           round(col("vd"), 6).as("loading_r"))
     },
 
+    // Per-label medoid on a deterministic 25% sample — the cluster-
+    // representative pick (SemDeDup keeps the medoid, drops the rest;
+    // k-medoids PAM seeds the same way). Sampling IS the scale story:
+    // exact medoid is quadratic per label, the sampled medoid bounds
+    // the block at (|label|/4)^2 and is the standard big-data move
+    // (CLARA). Pairwise distances round to 6dp then sum through
+    // DECIMAL(18,6), so the argmin ordering replays exactly; the
+    // label-keyed self-join shuffles once on label.
+    Q("v_medoid",
+      """WITH n AS (SELECT vec_id, label,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |m AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM n),
+        |p AS (SELECT a.label, a.vec_id AS i,
+        |    CAST(round(1 - list_sum([a.v[k] * b.v[k] for k in range(1, 65)])
+        |               / (a.nrm * b.nrm), 6) AS DECIMAL(18,6)) AS dist
+        |  FROM m a JOIN m b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |sums AS (SELECT label, i AS vec_id, CAST(SUM(dist) AS DOUBLE) AS sd,
+        |    count(*) AS cnt FROM p GROUP BY 1, 2)
+        |SELECT label, vec_id, round(sd / cnt, 6) AS avg_dist_r FROM (
+        |  SELECT label, vec_id, sd, cnt,
+        |    row_number() OVER (PARTITION BY label ORDER BY sd, vec_id) AS rn
+        |  FROM sums) t WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val m = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(aggregate(
+          zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)))
+      val a = m.select(col("label"), col("vec_id").as("i"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = m.select(col("label"), col("vec_id").as("j"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val p = a.join(b, Seq("label"))
+        .filter(col("i") =!= col("j"))
+        .withColumn("dist", round(lit(1) - aggregate(
+          zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 6)
+          .cast(DecimalType(18, 6)))
+      val sums = p.groupBy("label", "i")
+        .agg(sum(col("dist")).as("sdec"), count(lit(1)).as("cnt"))
+        .select(col("label"), col("i").as("vec_id"),
+          col("sdec").cast("double").as("sd"), col("cnt"))
+      sums
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy(col("sd"), col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("label"), col("vec_id"),
+          round(col("sd") / col("cnt"), 6).as("avg_dist_r"))
+    },
+
     // Streaming exact-dedup twin promoted to the oracle board (round-7
     // advice #7): the keyed-state dedup index must make the SAME
     // keep/keeper decision the batch keeper window makes. The corpus is

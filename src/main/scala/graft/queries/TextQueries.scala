@@ -1490,6 +1490,41 @@ object TextQueries {
           (col("strt") - expr("strt div 2048") * 2048).as("start_off"))
     },
 
+    // Length-bucketed batching audit — the padding-efficiency table a
+    // dynamic-batching loader is tuned against (pl_pack's packing
+    // alternative): docs bucketed to power-of-2 token caps, per bucket
+    // the real tokens vs the padding burned if every doc pads to the
+    // cap. All-integer (the bucket edges are a fixed CASE ladder, no
+    // log2 libm), so the ratios are exact; one row-local projection +
+    // one tiny aggregate at any scale.
+    Q("pl_length_buckets",
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    CASE WHEN n <= 8 THEN 8 WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |         WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 ELSE 256 END AS cap
+        |  FROM t WHERE n > 0)
+        |SELECT cap, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS tokens_total,
+        |  CAST(sum(cap - n) AS BIGINT) AS padding_waste,
+        |  round(sum(cap - n) * 1.0 / sum(cap), 6) AS waste_r
+        |FROM b GROUP BY cap""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .filter(col("n") > 0)
+      val cap = when(col("n") <= 8, 8L).when(col("n") <= 16, 16L)
+        .when(col("n") <= 32, 32L).when(col("n") <= 64, 64L)
+        .when(col("n") <= 128, 128L).otherwise(256L)
+      t.withColumn("cap", cap)
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens_total"),
+          sum(col("cap") - col("n")).as("padding_waste"),
+          round(sum(col("cap") - col("n")) * lit(1.0) /
+            sum(col("cap")), 6).as("waste_r"))
+    },
+
     // Deterministic epoch shuffle: the training loader's per-epoch
     // permutation and shard assignment, derived purely from
     // md5(epoch:doc_id) so every rerun (and every engine) deals the
