@@ -1077,6 +1077,37 @@ object StateQueries {
           max(col("s")).getField("v").as("vlast"))
     },
 
+    // Time-weighted average — the statistic a shipboard sensor stream
+    // actually wants (samples arrive irregularly; the arithmetic mean
+    // over-weights bursts): each reading weighted by its holding
+    // interval to the next reading. Intervals are exact micros
+    // (lead over the per-series window — the per-sensor partition is
+    // the natural key at fleet scale), value x dt products go through
+    // DECIMAL(28,6) so the weighted sum is order-independent and
+    // engine-exact.
+    Q("ts_twa",
+      """WITH o AS (SELECT event_type, value, epoch_us(ts) AS eu,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |f AS (SELECT event_type, value, nxt - eu AS dt FROM o
+        |  WHERE nxt IS NOT NULL)
+        |SELECT event_type, count(*) AS n, CAST(sum(dt) AS BIGINT) AS span_us,
+        |  round(CAST(SUM(CAST(value * dt AS DECIMAL(28,6))) AS DOUBLE)
+        |        / CAST(sum(dt) AS BIGINT), 6) AS twa_r
+        |FROM f GROUP BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"), unix_micros(col("ts")).as("eu"),
+          lead(unix_micros(col("ts")), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dt", col("nxt") - col("eu"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("dt")).as("span_us"),
+          round(sum((col("value") * col("dt")).cast(DecimalType(28, 6)))
+            .cast("double") / sum(col("dt")), 6).as("twa_r"))
+    },
+
     Q("ts_resample",
       """WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
         |                  date_trunc('hour', max(ts)) AS t1
