@@ -1323,6 +1323,105 @@ object Relational {
       j.select(col("c_custkey"), col("freq"), round(col("mon"), 4).as("monetary"),
         q("last_order").as("r_score"), q("freq").as("f_score"), q("mon").as("m_score"))
     },
+
+    // Community detection by synchronous label propagation (Raghavan et
+    // al. 2007) over the co-purchase graph, 3 unrolled rounds. Each node
+    // starts labelled with its own id; a round relabels every node with
+    // its neighbours' most frequent label, ties broken toward the
+    // SMALLEST label — both choices make the sweep fully deterministic,
+    // so the row hashes. One round = one key-shuffle join (neighbour
+    // label lookup) + a two-level hash aggregate with the argmax ridden
+    // on a lexicographic struct-min — map-side combinable, no window, no
+    // driver state; per-round cost is O(E) however large the cluster.
+    // Shares the mined+cached co-purchase edges with q_triangles/v_kcore
+    // via the LRU plan registry. Output: every node's final label — the
+    // most iteration-sensitive shape (community sizes would hash-match
+    // under label permutation; per-node labels cannot).
+    Q("v_lpa",
+      """WITH ms AS (SELECT greatest(2, count(*) // 75000) AS minsup FROM orders),
+        |e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minsup FROM ms)),
+        |d AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM d),
+        |c1 AS (SELECT d.src AS node, l.lbl, count(*) AS c
+        |  FROM d JOIN l0 l ON d.dst = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, min({'nc': -c, 'l': lbl}).l AS lbl FROM c1 GROUP BY node),
+        |c2 AS (SELECT d.src AS node, l.lbl, count(*) AS c
+        |  FROM d JOIN l1 l ON d.dst = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, min({'nc': -c, 'l': lbl}).l AS lbl FROM c2 GROUP BY node),
+        |c3 AS (SELECT d.src AS node, l.lbl, count(*) AS c
+        |  FROM d JOIN l2 l ON d.dst = l.node GROUP BY 1, 2)
+        |SELECT node, min({'nc': -c, 'l': lbl}).l AS lbl FROM c3 GROUP BY node""".stripMargin) { (s, dir) =>
+      val e0 = copurchaseEdges(s, dir)
+      val d = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        .transform(graft.operators.TextOps.trackCache)
+      var lbl = d.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 3) {
+        lbl = d
+          .join(lbl.select(col("node").as("dst"), col("lbl")), "dst")
+          .groupBy(col("src").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy("node")
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+            .getField("l").as("lbl"))
+      }
+      lbl
+    },
+
+    // Link prediction over the co-purchase graph (Liben-Nowell &
+    // Kleinberg 2003): score NON-adjacent part pairs by common-neighbour
+    // count, Jaccard of neighbourhoods, and preferential attachment —
+    // the "customers who bought X also bought Y" candidate ranking.
+    // Candidates are open wedges (neighbour pairs of each centre node,
+    // a < b), existing edges removed by anti-join; Jaccard is kept in
+    // exact INTEGER parts-per-million (cn*1e6 div (da+db-cn)) so the
+    // ranking replays bit-identically cross-engine — no float division.
+    // Degrees broadcast (|parts| rows); top-50 by (cn DESC, a, b) is a
+    // TakeOrdered, not a global sort. Wedge work is sum-of-deg^2 like
+    // the triangle row — bounded because the fractional-support edge
+    // mining keeps hub degrees statistical, not promotional.
+    Q("v_link_pred",
+      """WITH ms AS (SELECT greatest(2, count(*) // 75000) AS minsup FROM orders),
+        |e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minsup FROM ms)),
+        |d AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS dg FROM d GROUP BY 1),
+        |w AS (SELECT n1.dst AS a, n2.dst AS b, count(*) AS cn
+        |  FROM d n1 JOIN d n2 ON n1.src = n2.src AND n1.dst < n2.dst
+        |  GROUP BY 1, 2),
+        |nw AS (SELECT w.a, w.b, w.cn FROM w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = w.a AND e0.b = w.b)),
+        |sc AS (SELECT nw.a, nw.b, cn, da.dg AS da, db.dg AS db,
+        |    cn * 1000000 // (da.dg + db.dg - cn) AS jac_ppm,
+        |    da.dg * db.dg AS pref_att
+        |  FROM nw JOIN deg da ON nw.a = da.node JOIN deg db ON nw.b = db.node)
+        |SELECT a, b, cn, jac_ppm, pref_att FROM sc
+        |ORDER BY cn DESC, a, b LIMIT 50""".stripMargin) { (s, dir) =>
+      val e0 = copurchaseEdges(s, dir)
+      val d = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        .transform(graft.operators.TextOps.trackCache)
+      val deg = d.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      val w = d.as("n1").join(d.as("n2"),
+          col("n1.src") === col("n2.src") && col("n1.dst") < col("n2.dst"))
+        .groupBy(col("n1.dst").as("a"), col("n2.dst").as("b"))
+        .agg(count(lit(1)).as("cn"))
+      val nw = w.join(e0, Seq("a", "b"), "left_anti")
+      nw
+        .join(broadcast(deg.select(col("node").as("a"), col("dg").as("da"))), Seq("a"))
+        .join(broadcast(deg.select(col("node").as("b"), col("dg").as("db"))), Seq("b"))
+        .select(col("a"), col("b"), col("cn"),
+          expr("(cn * 1000000) div (da + db - cn)").as("jac_ppm"),
+          (col("da") * col("db")).as("pref_att"))
+        .orderBy(col("cn").desc, col("a"), col("b"))
+        .limit(50)
+    },
   )
 
   /** Co-purchase edge list shared by q_triangles and v_kcore: undirected

@@ -1762,6 +1762,170 @@ object TextQueries {
           min(col("doc_id")).as("keeper"))
         .filter(col("n_occ") > 1)
     },
+
+    // Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken 2003 —
+    // the MOSS algorithm): hash every positional word 3-gram, slide a
+    // window of 4 consecutive hashes, keep the RIGHTMOST MINIMUM of each
+    // window. Winnowing guarantees any shared run of >= w+k-1 tokens
+    // between two documents shares a selected fingerprint (the property
+    // plain modular sampling lacks), at expected density 2/(w+1). Both
+    // the window min and the rightmost tie-break ride ONE lexicographic
+    // struct-min over (hash, -pos) — a single sort-window per doc, no
+    // self-join; everything else is row-local, so the op scales with the
+    // corpus like any per-doc projection. Output is per-doc selection
+    // stats plus an order-independent position-weighted checksum — a
+    // change to any single selected (pos, hash) breaks the hash.
+    Q("tx_winnow",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |g0 AS (SELECT doc_id,
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS gs
+        |  FROM t WHERE len(w) >= 6),
+        |g AS (SELECT doc_id, len(gs) AS ng,
+        |    unnest([{'p': i - 1, 'g': gs[i]} for i in range(1, len(gs) + 1)]) AS s
+        |  FROM g0),
+        |h AS (SELECT doc_id, ng, s.p AS p,
+        |    list_reduce(list_transform(range(1, 8),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(s.g), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS hv
+        |  FROM g),
+        |m AS (SELECT doc_id, ng, p,
+        |    min({'hv': hv, 'np': -p}) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+        |  FROM h),
+        |sel AS (SELECT DISTINCT doc_id, ng, m.hv AS hv, -m.np AS sp
+        |  FROM m WHERE p >= 3)
+        |SELECT doc_id, ng AS n_grams, count(*) AS n_fp,
+        |  count(DISTINCT hv) AS n_hash,
+        |  CAST(sum((sp + 1) * (hv % 1000000)) AS BIGINT) AS fp_checksum,
+        |  round(count(*) * 1.0 / (ng - 3), 6) AS density
+        |FROM sel GROUP BY doc_id, ng""".stripMargin) { (s, dir) =>
+      val g = Tables.load(s, dir, "documents")
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 6)
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"))
+            .as(Seq("p", "gram")))
+        .withColumn("hv", conv(substring(md5(col("gram")), 1, 7), 16, 10).cast("long"))
+      val frame = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-3, 0)
+      val whole = Window.partitionBy("doc_id")
+      val sel = g
+        .withColumn("ng", max(col("p")).over(whole) + 1)
+        .withColumn("m", min(struct(col("hv"), (-col("p")).as("np"))).over(frame))
+        .filter(col("p") >= 3)
+        .select(col("doc_id"), col("ng"),
+          col("m").getField("hv").as("hv"), (-col("m").getField("np")).as("sp"))
+        .distinct()
+      sel.groupBy("doc_id", "ng")
+        .agg(count(lit(1)).as("n_fp"), countDistinct(col("hv")).as("n_hash"),
+          sum((col("sp") + 1) * (col("hv") % 1000000)).as("fp_checksum"),
+          round(count(lit(1)).cast("double") / (col("ng") - 3), 6).as("density"))
+        .select(col("doc_id"), col("ng").as("n_grams"), col("n_fp"),
+          col("n_hash"), col("fp_checksum"), col("density"))
+    },
+
+    // URL canonicalization + dedup — the first pass of every web-corpus
+    // pipeline (a CommonCrawl snapshot holds the same page under
+    // scheme-case, www, default-port, param-order, tracking-param,
+    // fragment and trailing-slash variants). Raw URLs are synthesized
+    // deterministically per doc (md5-digit-driven variants around a
+    // (host, path) identity), then canonicalized by a REAL generic
+    // chain: strip fragment; lowercase scheme+host; drop 'www.'; drop
+    // the scheme's default port; strip trailing slash; drop
+    // utm_*/fbclid/gclid/msclkid params; sort surviving params. Every
+    // step is a row-local regexp/array builtin (codegen, no UDF); the
+    // only exchange is the final canonical-key aggregate, so the op
+    // scales exactly like exact dedup. Output: per canonical URL the
+    // cluster size, distinct raw variants and keeper doc.
+    Q("tx_url_canon",
+      """WITH raw AS (SELECT doc_id,
+        |    (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < '8' THEN 'https' ELSE 'HTTPS' END)
+        |    || '://'
+        |    || (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),3,1) < '8'
+        |          THEN upper((CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),2,1) < '8' THEN 'www.' ELSE '' END)
+        |                     || 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com')
+        |          ELSE (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),2,1) < '8' THEN 'www.' ELSE '' END)
+        |               || 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' END)
+        |    || (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),7,1) < '4' THEN ':443' ELSE '' END)
+        |    || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),6,1) < '8' THEN '/' ELSE '' END)
+        |    || '?'
+        |    || (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),4,1) < '8'
+        |          THEN 'page=2&ref=home' ELSE 'ref=home&page=2' END)
+        |    || (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),5,1) < '8'
+        |          THEN '&utm_source=' || source ELSE '' END)
+        |    || (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),8,1) < '8'
+        |          THEN '&fbclid=' || substr(md5(CAST(doc_id AS VARCHAR)),9,6) ELSE '' END)
+        |    || (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),15,1) < '8' THEN '#top' ELSE '' END)
+        |    AS url FROM documents),
+        |parts AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q0
+        |  FROM raw),
+        |np AS (SELECT doc_id, url, scheme,
+        |    regexp_replace(
+        |      CASE WHEN hostport LIKE 'www.%' THEN substr(hostport, 5) ELSE hostport END,
+        |      CASE WHEN scheme = 'https' THEN ':443$' ELSE ':80$' END, '') AS host,
+        |    CASE WHEN path0 = '' THEN '/'
+        |         WHEN len(path0) > 1 AND path0 LIKE '%/'
+        |           THEN substr(path0, 1, len(path0) - 1)
+        |         ELSE path0 END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid)='))), '&') AS q
+        |  FROM parts),
+        |canon AS (SELECT doc_id, url,
+        |    scheme || '://' || host || path ||
+        |      (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url,
+        |    host FROM np)
+        |SELECT canon_url, host, count(*) AS n_urls,
+        |  count(DISTINCT url) AS n_raw, min(doc_id) AS keeper
+        |FROM canon GROUP BY canon_url, host""".stripMargin) { (s, dir) =>
+      val md = md5(col("doc_id").cast("string"))
+      def d(i: Int) = substring(md, i, 1)
+      val hostRaw = concat(
+        when(d(2) < "8", lit("www.")).otherwise(lit("")),
+        lit("h"), (col("doc_id") % 7).cast("string"), lit(".example.com"))
+      val raw = Tables.load(s, dir, "documents").select(col("doc_id"), concat(
+        when(d(1) < "8", lit("https")).otherwise(lit("HTTPS")), lit("://"),
+        when(d(3) < "8", upper(hostRaw)).otherwise(hostRaw),
+        when(d(7) < "4", lit(":443")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 40).cast("string"),
+        when(d(6) < "8", lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(d(4) < "8", lit("page=2&ref=home")).otherwise(lit("ref=home&page=2")),
+        when(d(5) < "8", concat(lit("&utm_source="), col("source"))).otherwise(lit("")),
+        when(d(8) < "8", concat(lit("&fbclid="), substring(md, 9, 6))).otherwise(lit("")),
+        when(d(15) < "8", lit("#top")).otherwise(lit(""))).as("url"))
+      val parts = raw.select(col("doc_id"), col("url"),
+        lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)).as("scheme"),
+        lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)).as("hostport"),
+        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1).as("path0"),
+        regexp_extract(col("url"), "\\?([^#]*)", 1).as("q0"))
+      val np = parts.select(col("doc_id"), col("url"), col("scheme"),
+        regexp_replace(
+          when(col("hostport").startsWith("www."), expr("substring(hostport, 5)"))
+            .otherwise(col("hostport")),
+          when(col("scheme") === "https", lit(":443$")).otherwise(lit(":80$")),
+          lit("")).as("host"),
+        when(col("path0") === "", lit("/"))
+          .when(length(col("path0")) > 1 && col("path0").endsWith("/"),
+            expr("substring(path0, 1, length(path0) - 1)"))
+          .otherwise(col("path0")).as("path"),
+        array_join(array_sort(expr(
+          "filter(split(q0, '&'), p -> p != '' AND NOT p rlike '^(utm_[^=]*|fbclid|gclid|msclkid)=')")),
+          "&").as("q"))
+      np.select(col("doc_id"), col("url"), col("host"),
+          concat(col("scheme"), lit("://"), col("host"), col("path"),
+            when(col("q") === "", lit("")).otherwise(concat(lit("?"), col("q"))))
+            .as("canon_url"))
+        .groupBy("canon_url", "host")
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("url")).as("n_raw"),
+          min(col("doc_id")).as("keeper"))
+    },
   )
 
   /** DuckDB oracle for tx_bpe_fertility: the trainer CTE chain (shared
