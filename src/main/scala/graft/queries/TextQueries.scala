@@ -1926,6 +1926,65 @@ object TextQueries {
         .agg(count(lit(1)).as("n_urls"), countDistinct(col("url")).as("n_raw"),
           min(col("doc_id")).as("keeper"))
     },
+
+    // GIF ingest, end-to-end and BIT-EXACT through a REAL LZW codec: per
+    // document a 16×12 64-colour palette image is synthesized from an
+    // all-integer formula, encoded as a real GIF87a (variable-width LZW,
+    // sub-blocks) by Multimodal.encodeGif, decoded back through
+    // decodePixels' GIF path (full LZW decompressor — KwKwK, width
+    // growth, interlace support; pinned against ImageIO both directions
+    // in GifCodecSpec), and reduced to channel sums plus an
+    // order-SENSITIVE position-weighted checksum. The oracle recomputes
+    // the expected RGB from the generator formula alone, so any header,
+    // palette, bit-unpacking, code-width or row-order defect in the
+    // codec breaks the hash. Scale shape: pure mapPartitions projection,
+    // one scan, no exchange before the final per-doc aggregate, and the
+    // decode is init-free per record — embarrassingly parallel at any
+    // corpus size.
+    Q("mm_gif",
+      """WITH px AS (SELECT doc_id, i,
+        |    ((doc_id % 256) * (i + 7) * 2654435761
+        |     + i * i * 12289 + (doc_id % 64) * (i + 1) * 40503) % 64 AS c
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 192)) AS i)),
+        |rgb AS (SELECT doc_id, i, (c * 37) % 256 AS r, (c * 101) % 256 AS g,
+        |    (c * 193) % 256 AS b FROM px)
+        |SELECT doc_id, 16 AS w, 12 AS h,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum((i + 1) * (r * 65536 + g * 256 + b)) AS BIGINT) AS checksum
+        |FROM rgb GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pal = Array.tabulate(64)(c =>
+        ((c * 37) % 256 << 16) | ((c * 101) % 256 << 8) | ((c * 193) % 256))
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val idx = new Array[Byte](192)
+            var i = 0
+            while (i < 192) {
+              idx(i) = (((id % 256) * (i + 7) * 2654435761L +
+                i.toLong * i * 12289L + (id % 64) * (i + 1) * 40503L) % 64L).toByte
+              i += 1
+            }
+            val bytes = graft.streaming.Multimodal.encodeGif(16, 12, idx, pal)
+            graft.streaming.Multimodal.decodePixels(bytes).map { img =>
+              var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+              var j = 0
+              while (j < img.width * img.height) {
+                val r = img.pixels(j * 3) & 0xff
+                val g = img.pixels(j * 3 + 1) & 0xff
+                val b = img.pixels(j * 3 + 2) & 0xff
+                sr += r; sg += g; sb += b
+                ck += (j + 1).toLong * (r * 65536L + g * 256L + b)
+                j += 1
+              }
+              (id, img.width, img.height, sr, sg, sb, ck)
+            }
+          }
+        }
+        .toDF("doc_id", "w", "h", "sum_r", "sum_g", "sum_b", "checksum")
+    },
   )
 
   /** DuckDB oracle for tx_bpe_fertility: the trainer CTE chain (shared

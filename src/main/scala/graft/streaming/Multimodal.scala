@@ -228,6 +228,8 @@ object Multimodal {
     else if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
       decodePng(bytes)
+    else if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      decodeGif(bytes)
     else None
   } catch {
     // truncated/corrupt payloads must DROP, not kill the task — the
@@ -404,6 +406,218 @@ object Multimodal {
       }
       Some(PixelImage(width, height, 3, rgb))
     } else Some(PixelImage(width, height, chRaw, out))
+  }
+
+  /** GIF87a/89a decode (CompuServe spec + RFC-adjacent W3C note — public):
+    * logical-screen walk, global/local color table, extension-block skip,
+    * and a full variable-width LSB-first LZW decompressor including the
+    * KwKwK self-reference case and clear-code table resets, plus the
+    * four-pass interlace row order. Malformed streams return None, same
+    * contract as the other stills decoders. Reference behavior mirrored
+    * from the reference engine's opaque-binary ingest only — the decode
+    * itself is spec-derived (reference keeps media as pass-through blobs).
+    */
+  private[graft] def decodeGif(bytes: Array[Byte]): Option[PixelImage] = {
+    if (bytes.length < 13) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val gctFlag = (bytes(10) & 0x80) != 0
+    val gctSize = 2 << (bytes(10) & 0x07)
+    var pos = 13
+    var gct: Array[Byte] = null
+    if (gctFlag) {
+      if (pos + gctSize * 3 > bytes.length) return None
+      gct = java.util.Arrays.copyOfRange(bytes, pos, pos + gctSize * 3)
+      pos += gctSize * 3
+    }
+    // block walk: skip extensions until the first image descriptor
+    while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) {
+      pos += 2 // introducer + label
+      while (pos < bytes.length && bytes(pos) != 0) pos += 1 + (bytes(pos) & 0xff)
+      pos += 1 // block terminator
+    }
+    if (pos >= bytes.length || (bytes(pos) & 0xff) != 0x2c) return None
+    val w = le16(pos + 5); val h = le16(pos + 7)
+    val iflags = bytes(pos + 9) & 0xff
+    pos += 10
+    var pal = gct
+    if ((iflags & 0x80) != 0) { // local color table overrides
+      val lctSize = 2 << (iflags & 0x07)
+      if (pos + lctSize * 3 > bytes.length) return None
+      pal = java.util.Arrays.copyOfRange(bytes, pos, pos + lctSize * 3)
+      pos += lctSize * 3
+    }
+    if (pal == null || w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
+    val minCode = bytes(pos) & 0xff
+    pos += 1
+    if (minCode < 2 || minCode > 11) return None
+    // concatenate the data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (pos < bytes.length && bytes(pos) != 0) {
+      val n = bytes(pos) & 0xff
+      if (pos + 1 + n > bytes.length) return None
+      data.write(bytes, pos + 1, n)
+      pos += 1 + n
+    }
+    val in = data.toByteArray
+    // LZW decompress: codes read LSB-first at growing width
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var next = eoi + 1
+    var codeSize = minCode + 1
+    var bitBuf = 0; var bitCnt = 0; var ip = 0
+    var prev = -1
+    val out = new Array[Byte](w * h)
+    var op = 0
+    var i = 0
+    while (i < clear) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
+    var done = false
+    while (!done && op < out.length) {
+      while (bitCnt < codeSize && ip < in.length) {
+        bitBuf |= (in(ip) & 0xff) << bitCnt; bitCnt += 8; ip += 1
+      }
+      if (bitCnt < codeSize) done = true
+      else {
+        val code = bitBuf & ((1 << codeSize) - 1)
+        bitBuf >>>= codeSize; bitCnt -= codeSize
+        if (code == clear) {
+          next = eoi + 1; codeSize = minCode + 1; prev = -1
+        } else if (code == eoi) done = true
+        else if (prev < 0) {
+          // first code after a clear must be a root symbol
+          if (code >= clear) return None
+          out(op) = suffix(code); op += 1; prev = code
+        } else {
+          if (code > next) return None
+          // expand the chain of (code or, for KwKwK, prev) onto the stack
+          var sp = 0
+          var cur = if (code == next) prev else code
+          while (cur >= 0) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+          val first = stack(sp - 1) // the decoded string's head symbol
+          var j = sp - 1
+          while (j >= 0 && op < out.length) { out(op) = stack(j); op += 1; j -= 1 }
+          // KwKwK (code == next): string is prev-string + its own head
+          if (code == next && op < out.length) { out(op) = first; op += 1 }
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = first
+            next += 1
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        }
+      }
+    }
+    if (op < out.length) return None
+    // interlaced streams store rows in four passes (spec appendix E):
+    // rows 0,8,16…, then 4,12…, then 2,6…, then 1,3,5…
+    val rows =
+      if ((iflags & 0x40) == 0) out
+      else {
+        val deinter = new Array[Byte](out.length)
+        var src = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var y = start
+          while (y < h) {
+            System.arraycopy(out, src * w, deinter, y * w, w)
+            src += 1; y += step
+          }
+        }
+        deinter
+      }
+    val palN = pal.length / 3
+    val rgb = new Array[Byte](w * h * 3)
+    i = 0
+    while (i < w * h) {
+      val p = math.min(rows(i) & 0xff, palN - 1) * 3
+      rgb(i * 3) = pal(p); rgb(i * 3 + 1) = pal(p + 1); rgb(i * 3 + 2) = pal(p + 2)
+      i += 1
+    }
+    Some(PixelImage(w, h, 3, rgb))
+  }
+
+  /** GIF87a encode of a palette-indexed image — real variable-width LZW
+    * with clear/EOI codes, table growth to 12 bits with mid-stream clear,
+    * LSB-first packing and 255-byte sub-blocks. `palette(c)` is 0xRRGGBB.
+    * Exists so the mm_gif board row and the specs can round-trip the
+    * decoder against independently produced streams (ImageIO cross-check
+    * in MultimodalSpec).
+    */
+  private[graft] def encodeGif(w: Int, h: Int, indices: Array[Byte],
+      palette: Array[Int]): Array[Byte] = {
+    require(indices.length == w * h, "index buffer must be w*h")
+    val palBits = math.max(1,
+      32 - Integer.numberOfLeadingZeros(math.max(2, palette.length) - 1))
+    val palN = 1 << palBits
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | 0x70 | (palBits - 1)) // GCT present, 8-bit colour res
+    out.write(0); out.write(0)
+    var c = 0
+    while (c < palN) {
+      val rgb = if (c < palette.length) palette(c) else 0
+      out.write((rgb >> 16) & 0xff); out.write((rgb >> 8) & 0xff); out.write(rgb & 0xff)
+      c += 1
+    }
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+    val minCode = math.max(2, palBits)
+    out.write(minCode)
+    // LZW compress with a chained-hash dictionary over (prefix, symbol)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // boxed keys on purpose: a primitive-typed java.util.HashMap unboxes a
+    // missing key's null to 0, which reads as a (wrong) dictionary hit
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    var codeSize = minCode + 1
+    val body = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeSize
+      while (bitCnt >= 8) { body.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    emit(clear)
+    var prev = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      val key = Integer.valueOf((prev << 12) | k)
+      val ext = dict.get(key)
+      if (ext != null) prev = ext.intValue()
+      else {
+        emit(prev)
+        if (next < 4096) {
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          // standard (late-change) GIF width growth. The +1 offsets the
+          // encoder/decoder phase difference: the encoder ADDS an entry
+          // before its next emit, the decoder adds it only after reading
+          // that code — so the encoder must switch width one add later
+          // to stay in sync (pinned against ImageIO in GifCodecSpec).
+          if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        } else {
+          emit(clear); dict.clear(); next = eoi + 1; codeSize = minCode + 1
+        }
+        prev = k
+      }
+      i += 1
+    }
+    emit(prev); emit(eoi)
+    if (bitCnt > 0) body.write((bitBuf & 0xff).toInt)
+    val data = body.toByteArray
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n)
+      off += n
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
   }
 
   /** Partition-wise REAL pixel feature extraction over the decodable
