@@ -1324,6 +1324,42 @@ object Relational {
         q("last_order").as("r_score"), q("freq").as("f_score"), q("mon").as("m_score"))
     },
 
+    // Exact distinct counting through 64-bit bitmap words — the
+    // roaring-bitmap/Iceberg-manifest trick, SQL-expressible: shard each
+    // user id into (word = id div 32, bit = id mod 32; 32-bit words keep
+    // the mask off BIGINT's sign bit in every engine), OR the bit masks
+    // per (group, word) — map-side combinable, commutative — then
+    // popcount-sum the words. Two cheap keyed aggregates replace a
+    // countDistinct's dedup shuffle, and the word table IS a reusable
+    // precomputed index (membership/intersection by AND, union by OR —
+    // the q_mix_alloc/tx_contamination acceleration structure). The row
+    // cross-checks the bitmap count against the engine's exact
+    // count(DISTINCT) and emits per-group word-population stats.
+    Q("q_bitmap_distinct",
+      """WITH b AS (SELECT event_type, user_id // 32 AS w,
+        |    CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS BIGINT) AS word
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, count(*) AS n_words,
+        |    CAST(sum(bit_count(word)) AS BIGINT) AS n_bitmap,
+        |    max(bit_count(word)) AS max_pop
+        |  FROM b GROUP BY 1),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+        |SELECT c.event_type, n_words, n_bitmap, max_pop, n_exact,
+        |  CAST(n_bitmap = n_exact AS INT) AS bitmap_exact
+        |FROM c JOIN x ON c.event_type = x.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val words = ev
+        .groupBy(col("event_type"), (col("user_id") / 32).cast("long").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))").as("word"))
+      val c = words.groupBy("event_type")
+        .agg(count(lit(1)).as("n_words"),
+          sum(bit_count(col("word"))).as("n_bitmap"),
+          max(bit_count(col("word"))).as("max_pop"))
+      val x = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+      c.join(x, "event_type")
+        .withColumn("bitmap_exact", (col("n_bitmap") === col("n_exact")).cast("int"))
+    },
+
     // Community detection by synchronous label propagation (Raghavan et
     // al. 2007) over the co-purchase graph, 3 unrolled rounds. Each node
     // starts labelled with its own id; a round relabels every node with

@@ -1085,6 +1085,61 @@ object StateQueries {
     // the natural key at fleet scale), value x dt products go through
     // DECIMAL(28,6) so the weighted sum is order-independent and
     // engine-exact.
+    Q("ts_holt",
+      """WITH RECURSIVE hb AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS y
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+        |  FROM hb),
+        |n AS (SELECT event_type, max(rn) AS n FROM h GROUP BY 1),
+        |st AS (
+        |  SELECT h1.event_type, 1 AS rn, h1.y AS l, h2.y - h1.y AS b
+        |  FROM h h1 JOIN h h2 ON h1.event_type = h2.event_type
+        |    AND h1.rn = 1 AND h2.rn = 2
+        |  UNION ALL
+        |  SELECT s.event_type, s.rn + 1,
+        |    0.5 * h.y + 0.5 * (s.l + s.b),
+        |    0.5 * (0.5 * h.y + 0.5 * (s.l + s.b) - s.l) + 0.5 * s.b
+        |  FROM st s JOIN h ON h.event_type = s.event_type AND h.rn = s.rn + 1)
+        |SELECT s.event_type, n.n AS n_hours,
+        |  round(s.l, 6) AS level, round(s.b, 6) AS trend,
+        |  round(s.l + 3 * s.b, 6) AS forecast3
+        |FROM st s JOIN n ON s.event_type = n.event_type AND s.rn = n.n""".stripMargin) { (s, dir) =>
+      // Holt's linear-trend double exponential smoothing (Holt 1957;
+      // Hyndman FPP §7.2) over the hourly-resampled per-type series.
+      // The smoothing constants are EXACT binary halves and the
+      // recursion is evaluated in the same strict IEEE order by both
+      // engines — Spark folds the sorted hourly array with an
+      // aggregate() HOF; the oracle advances one rank per recursive-CTE
+      // step — so level/trend replay bit-identically before the final
+      // 6-dp display rounding. Scale shape: the hourly pre-aggregate is
+      // map-side combinable and bounds the folded state by the time
+      // span (hours), not the event volume; one shuffle to the per-type
+      // fold. The fold itself is inherently sequential per series —
+      // exactly how a 1000-executor deployment runs per-key EWMA-family
+      // models (many short series in parallel, not one long one).
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+        .agg(round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
+          / count(lit(1)), 6).as("y"))
+      hourly.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hr"), col("y")))).as("pts"))
+        .withColumn("ys", expr("transform(pts, p -> p.y)"))
+        .filter(size(col("ys")) >= 2)
+        .withColumn("fin", expr(
+          """aggregate(slice(ys, 2, size(ys) - 1),
+            |  named_struct('l', ys[0], 'b', ys[1] - ys[0]),
+            |  (s, y) -> named_struct(
+            |    'l', 0.5D * y + 0.5D * (s.l + s.b),
+            |    'b', 0.5D * (0.5D * y + 0.5D * (s.l + s.b) - s.l) + 0.5D * s.b))""".stripMargin))
+        .select(col("event_type"), size(col("ys")).cast("long").as("n_hours"),
+          round(col("fin.l"), 6).as("level"), round(col("fin.b"), 6).as("trend"),
+          round(col("fin.l") + col("fin.b") * 3, 6).as("forecast3"))
+    },
+
     Q("ts_twa",
       """WITH o AS (SELECT event_type, value, epoch_us(ts) AS eu,
         |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
