@@ -515,6 +515,79 @@ object StateQueries {
         .select(col("p_id"), col("c_id"), col("user_id"), col("p_ms"), col("c_ms"))
     },
 
+    // Streaming CEP parity — the keyed-state 3-step sequence machine
+    // (graft.streaming.Cep: first signup, first click within 24 h, first
+    // purchase within 24 h of that click, emit + reset) replayed over 5
+    // time-ordered micro-batches and reduced to the FIRST match per
+    // user, which must hash-equal the batch anchor-join oracle (the
+    // q_sequence_match construction, inner-joined to matched users).
+    // State is two longs per live key regardless of history length —
+    // the bounded-state posture a fleet-wide CEP deployment needs; the
+    // parity argument is exact because the machine is fed in event-time
+    // order, so its greedy anchors coincide with the min() anchors of
+    // the batch query.
+    Q("st_stream_cep_parity",
+      """WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click'
+        |        AND epoch_ms(CAST(e.ts AS TIMESTAMP)) > epoch_ms(CAST(s.s_ts AS TIMESTAMP))
+        |        AND epoch_ms(CAST(e.ts AS TIMESTAMP))
+        |            <= epoch_ms(CAST(s.s_ts AS TIMESTAMP)) + 86400000
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase'
+        |        AND epoch_ms(CAST(e.ts AS TIMESTAMP)) > epoch_ms(CAST(c.c_ts AS TIMESTAMP))
+        |        AND epoch_ms(CAST(e.ts AS TIMESTAMP))
+        |            <= epoch_ms(CAST(c.c_ts AS TIMESTAMP)) + 86400000
+        |      GROUP BY e.user_id)
+        |SELECT s.user_id, epoch_ms(CAST(s.s_ts AS TIMESTAMP)) AS s_ms,
+        |  epoch_ms(CAST(c.c_ts AS TIMESTAMP)) AS c_ms,
+        |  epoch_ms(CAST(p.p_ts AS TIMESTAMP)) AS p_ms
+        |FROM s JOIN c ON s.user_id = c.user_id
+        |JOIN p ON s.user_id = p.user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("ts"), col("user_id"), col("event_type"))
+        .as[(java.sql.Timestamp, Long, String)].collect()
+        .sortBy(r => (r._1.getTime, r._3))
+      val (t0, t1) = (rows.map(_._1.getTime).min, rows.map(_._1.getTime).max)
+      def chunk(i: Int) = {
+        val lo = t0 + (t1 - t0 + 1) * i / 5
+        val hi = t0 + (t1 - t0 + 1) * (i + 1) / 5
+        rows.filter(r => r._1.getTime >= lo && r._1.getTime < hi)
+          .map(r => graft.streaming.SeqEvent(r._2.toString, r._3, r._1.getTime)).toSeq
+      }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.SeqEvent]
+      val sink = s"st_stream_cep_${sessionEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.Cep
+        .sequenceMatches(mem.toDS(), "signup", "click", "purchase", 86400000L)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        (0 until 5).foreach { i =>
+          mem.addData(chunk(i))
+          q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink)
+        .groupBy(col("key"))
+        .agg(min(struct(col("sTs"), col("cTs"), col("pTs"))).as("m"))
+        .select(col("key").cast("long").as("user_id"),
+          col("m.sTs").as("s_ms"), col("m.cTs").as("c_ms"), col("m.pTs").as("p_ms"))
+    },
+
     // Built-in streaming dedup operator parity: Spark's
     // dropDuplicatesWithinWatermark — the bounded-state engine operator
     // (state expires at event time + delay), distinct from the custom
