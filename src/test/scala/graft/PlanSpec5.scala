@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan pins for the fourth-continuation rows: the Scaladoc scale claims
+  * (agg-only shapes, bounded exchanges, never-cross-product wedge joins,
+  * scan-only codec projections) stay honest against plan regressions.
+  */
+class PlanSpec5 extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  private def exchanges(p: String): Int = raw"\(\d+\) Exchange".r.findAllIn(p).size
+
+  test("v_lpa: equi-joins only, argmax via agg — no window, no cross product") {
+    val p = plan("v_lpa")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LPA join degenerated:\n$p")
+    assert(!p.contains("Window"), s"LPA argmax must ride the struct-min agg:\n$p")
+  }
+
+  test("v_link_pred: wedge equi-join + anti-join + broadcast degrees, top-k not a global sort") {
+    val p = plan("v_link_pred")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge join degenerated:\n$p")
+    assert(p.contains("LeftAnti"), s"existing-edge removal must be an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"degree lookup should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 must be TakeOrdered:\n$p")
+  }
+
+  test("tx_winnow: one doc-partition pass — no join, bounded exchanges") {
+    val p = plan("tx_winnow")
+    assert(!p.contains("Join"), s"winnowing is per-doc, no join:\n$p")
+    assert(exchanges(p) <= 2, s"selection+stats should reuse the doc partitioning:\n$p")
+  }
+
+  test("tx_url_canon: row-local canonicalization, one canonical-key aggregate") {
+    val p = plan("tx_url_canon")
+    assert(!p.contains("Join"), s"canonicalization must not join:\n$p")
+    assert(exchanges(p) <= 2, s"only the canonical-key agg (+distinct) shuffles:\n$p")
+  }
+
+  test("mm_gif: pure scan-side codec projection — zero exchanges, no join") {
+    val p = plan("mm_gif")
+    assert(!p.contains("Join"), s"codec path must not join:\n$p")
+    assert(exchanges(p) == 0, s"mm_gif is embarrassingly parallel:\n$p")
+  }
+
+  test("ts_holt: two bounded aggregates, no join, no window") {
+    val p = plan("ts_holt")
+    assert(!p.contains("Join"), s"holt must not join:\n$p")
+    assert(!p.contains("Window"), s"the fold rides aggregate(), not a window:\n$p")
+    assert(exchanges(p) <= 2, s"hourly agg + per-type fold only:\n$p")
+  }
+
+  test("q_bitmap_distinct: map-side-combinable word aggs, no cross product") {
+    val p = plan("q_bitmap_distinct")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"5-row join degenerated:\n$p")
+    assert(p.contains("partial_bit_or") || p.contains("bit_or"),
+      s"word build must be an aggregate:\n$p")
+  }
+}
