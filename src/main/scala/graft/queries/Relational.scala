@@ -1408,6 +1408,110 @@ object Relational {
       lbl
     },
 
+    // HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    // customer->part purchase graph, two unrolled UNNORMALIZED rounds —
+    // dropping the norm keeps every score an exact BIGINT (the ranking
+    // is norm-invariant), so the full mutual-reinforcement chain
+    // replays bit-identically cross-engine: auth1 = in-degree,
+    // hub1 = per-customer sum of bought parts' auth1, auth2 =
+    // per-part sum of buying customers' hub1. Each round is one keyed
+    // equi-join + a partial-agg shuffle on a bounded key — the
+    // power-iteration shape every distributed ranking engine runs.
+    // The distinct edge list is tracked-cached across its three uses.
+    Q("v_hits",
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |a1 AS (SELECT p, count(*) AS auth1 FROM e GROUP BY p),
+        |h1 AS (SELECT e.c, CAST(sum(a1.auth1) AS BIGINT) AS hub1
+        |  FROM e JOIN a1 ON e.p = a1.p GROUP BY e.c),
+        |a2 AS (SELECT e.p, CAST(sum(h1.hub1) AS BIGINT) AS auth2
+        |  FROM e JOIN h1 ON e.c = h1.c GROUP BY e.p)
+        |SELECT a1.p AS part, a1.auth1, a2.auth2
+        |FROM a1 JOIN a2 ON a1.p = a2.p""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .transform(graft.operators.TextOps.trackCache)
+      val a1 = e.groupBy("p").agg(count(lit(1)).as("auth1"))
+      val h1 = e.join(a1, "p").groupBy("c").agg(sum(col("auth1")).as("hub1"))
+      val a2 = e.join(h1, "c").groupBy("p").agg(sum(col("hub1")).as("auth2"))
+      a1.join(a2, "p").select(col("p").as("part"), col("auth1"), col("auth2"))
+    },
+
+    // Modularity audit of the v_lpa partition (Newman-Girvan Q, the
+    // standard community-quality score): per community its size, its
+    // internal edge count L_c and degree mass D_c, and the community's
+    // contribution L_c/m - (D_c/2m)^2 at fixed 6-dp (floor(x*1e6+0.5) —
+    // identical half-up in both engines). The label derivation is
+    // plan-identical to v_lpa, so the LRU cache registry shares ONE
+    // live copy of the edge table and the propagation rounds across
+    // both rows — the "compute communities once, audit them many ways"
+    // posture. The audit itself is two keyed joins against the label
+    // table plus bounded per-label aggregates.
+    Q("v_modularity",
+      """WITH ms AS (SELECT greatest(2, count(*) // 75000) AS minsup FROM orders),
+        |e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minsup FROM ms)),
+        |d AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM d),
+        |c1 AS (SELECT d.src AS node, l.lbl, count(*) AS c
+        |  FROM d JOIN l0 l ON d.dst = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, min({'nc': -c, 'l': lbl}).l AS lbl FROM c1 GROUP BY node),
+        |c2 AS (SELECT d.src AS node, l.lbl, count(*) AS c
+        |  FROM d JOIN l1 l ON d.dst = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, min({'nc': -c, 'l': lbl}).l AS lbl FROM c2 GROUP BY node),
+        |c3 AS (SELECT d.src AS node, l.lbl, count(*) AS c
+        |  FROM d JOIN l2 l ON d.dst = l.node GROUP BY 1, 2),
+        |lf AS (SELECT node, min({'nc': -c, 'l': lbl}).l AS lbl FROM c3 GROUP BY node),
+        |m AS (SELECT count(*) AS m FROM e0),
+        |li AS (SELECT la.lbl, count(*) AS l_in
+        |  FROM e0 JOIN lf la ON e0.a = la.node JOIN lf lb ON e0.b = lb.node
+        |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+        |deg AS (SELECT src AS node, count(*) AS dg FROM d GROUP BY 1),
+        |dm AS (SELECT lf.lbl, count(*) AS size, CAST(sum(deg.dg) AS BIGINT) AS d_sum
+        |  FROM lf JOIN deg ON lf.node = deg.node GROUP BY lf.lbl)
+        |SELECT dm.lbl AS label, dm.size, coalesce(li.l_in, 0) AS l_in, dm.d_sum,
+        |  CAST(floor((coalesce(li.l_in, 0) * 1.0 / m.m
+        |    - (dm.d_sum * 0.5 / m.m) * (dm.d_sum * 0.5 / m.m)) * 1e6 + 0.5) AS BIGINT)
+        |    AS q_contrib_ppm
+        |FROM dm LEFT JOIN li ON dm.lbl = li.lbl CROSS JOIN m""".stripMargin) { (s, dir) =>
+      val e0 = copurchaseEdges(s, dir)
+      val d = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+        .transform(graft.operators.TextOps.trackCache)
+      var lbl = d.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 3) {
+        lbl = d
+          .join(lbl.select(col("node").as("dst"), col("lbl")), "dst")
+          .groupBy(col("src").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy("node")
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+            .getField("l").as("lbl"))
+      }
+      lbl = lbl.transform(graft.operators.TextOps.trackCache)
+      val m = e0.agg(count(lit(1)).as("m"))
+      val li = e0
+        .join(lbl.select(col("node").as("a"), col("lbl").as("la")), "a")
+        .join(lbl.select(col("node").as("b"), col("lbl").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("l_in"))
+      val deg = d.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      val dm = lbl.join(deg, "node")
+        .groupBy("lbl").agg(count(lit(1)).as("size"), sum(col("dg")).as("d_sum"))
+      dm.join(li, Seq("lbl"), "left").crossJoin(broadcast(m))
+        .select(col("lbl").as("label"), col("size"),
+          coalesce(col("l_in"), lit(0L)).as("l_in"), col("d_sum"),
+          floor((coalesce(col("l_in"), lit(0L)) * lit(1.0) / col("m")
+            - (col("d_sum") * lit(0.5) / col("m")) * (col("d_sum") * lit(0.5) / col("m")))
+            * lit(1e6) + lit(0.5)).cast("long").as("q_contrib_ppm"))
+    },
+
     // Link prediction over the co-purchase graph (Liben-Nowell &
     // Kleinberg 2003): score NON-adjacent part pairs by common-neighbour
     // count, Jaccard of neighbourhoods, and preferential attachment —

@@ -1927,6 +1927,78 @@ object TextQueries {
           min(col("doc_id")).as("keeper"))
     },
 
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    // maximal stopword-free token runs; every word scores
+    // deg(w)/freq(w) over the CORPUS phrase table (deg = summed length
+    // of containing phrases — co-occurrence mass; freq = occurrences),
+    // a phrase scores the sum of its words' scores, and each document
+    // keeps its top-3 phrases. Scores are integer parts-per-million
+    // (deg*1e6 div freq) so the ranking replays exactly — no float
+    // division anywhere. Shapes: run segmentation is one per-doc window
+    // (running stopword count), the word-stat table is a bounded-key
+    // hash agg joined back by word, and the top-3 is a per-doc window
+    // over few candidate phrases — all bounded shuffles at corpus scale.
+    Q("tx_keyword_rake",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |e AS (SELECT doc_id,
+        |    unnest([{'p': i - 1, 'wd': w[i]} for i in range(1, len(w) + 1)]) AS s
+        |  FROM t),
+        |b AS (SELECT doc_id, s.p AS p, s.wd AS wd,
+        |    CASE WHEN s.wd IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END AS st
+        |  FROM e),
+        |r AS (SELECT doc_id, p, wd, st,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY p) AS pid
+        |  FROM b),
+        |ph AS (SELECT doc_id, pid,
+        |    string_agg(wd, ' ' ORDER BY p) AS phrase, count(*) AS plen
+        |  FROM r WHERE st = 0 GROUP BY doc_id, pid),
+        |occ AS (SELECT r.doc_id, r.pid, r.wd, ph.plen
+        |  FROM r JOIN ph ON r.doc_id = ph.doc_id AND r.pid = ph.pid
+        |  WHERE r.st = 0),
+        |ws AS (SELECT wd, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM occ GROUP BY wd),
+        |sc AS (SELECT occ.doc_id, occ.pid,
+        |    CAST(sum(ws.deg * 1000000 // ws.freq) AS BIGINT) AS score_ppm
+        |  FROM occ JOIN ws ON occ.wd = ws.wd GROUP BY occ.doc_id, occ.pid),
+        |cand AS (SELECT DISTINCT ph.doc_id, ph.phrase, ph.plen, sc.score_ppm
+        |  FROM ph JOIN sc ON ph.doc_id = sc.doc_id AND ph.pid = sc.pid),
+        |rk AS (SELECT doc_id, phrase, plen, score_ppm,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_ppm DESC, phrase) AS rank
+        |  FROM cand)
+        |SELECT doc_id, rank, phrase, plen AS n_words, score_ppm
+        |FROM rk WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      val stops = Seq("the", "a", "of", "and", "to", "in")
+      val r = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("p", "wd")))
+        .withColumn("st", col("wd").isin(stops: _*).cast("int"))
+        .withColumn("pid", sum(col("st")).over(
+          Window.partitionBy("doc_id").orderBy("p")))
+        .filter(col("st") === 0)
+        .transform(TextOps.trackCache)
+      val ph = r.groupBy("doc_id", "pid")
+        .agg(array_join(expr("transform(array_sort(collect_list(struct(p, wd))), x -> x.wd)"),
+          " ").as("phrase"), count(lit(1)).as("plen"))
+        .transform(TextOps.trackCache)
+      val occ = r.join(ph, Seq("doc_id", "pid")).select(col("doc_id"),
+        col("pid"), col("wd"), col("plen"))
+      val ws = occ.groupBy("wd")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      val sc = occ.join(ws, "wd")
+        .groupBy("doc_id", "pid")
+        .agg(sum(expr("(deg * 1000000) div freq")).as("score_ppm"))
+      val cand = ph.join(sc, Seq("doc_id", "pid"))
+        .select(col("doc_id"), col("phrase"), col("plen"), col("score_ppm"))
+        .distinct()
+      cand
+        .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score_ppm").desc, col("phrase"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("phrase"),
+          col("plen").as("n_words"), col("score_ppm"))
+    },
+
     // GIF ingest, end-to-end and BIT-EXACT through a REAL LZW codec: per
     // document a 16×12 64-colour palette image is synthesized from an
     // all-integer formula, encoded as a real GIF87a (variable-width LZW,
