@@ -66,3 +66,32 @@ class PlanSpec5 extends AnyFunSuite {
       s"word build must be an aggregate:\n$p")
   }
 }
+
+/** Pins for the graph/keyword batch that followed. */
+class PlanSpec5b extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("v_hits: equi-joins + partial aggs only, no cross product, no window") {
+    val p = plan("v_hits")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"HITS join degenerated:\n$p")
+    assert(!p.contains("Window"), s"HITS is aggregate-only:\n$p")
+  }
+
+  test("v_modularity: no cross product beyond the 1-row m broadcast") {
+    val p = plan("v_modularity")
+    assert(!p.contains("CartesianProduct"), s"modularity must broadcast m:\n$p")
+    assert(!p.contains("Window"), s"audit is joins+aggs:\n$p")
+  }
+
+  test("tx_keyword_rake: one per-doc window; word stats never a cross join") {
+    val p = plan("tx_keyword_rake")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rake join degenerated:\n$p")
+  }
+}
