@@ -1408,6 +1408,76 @@ object Relational {
       lbl
     },
 
+    // Distributed ordinary least squares, closed form: price ~ quantity
+    // + discount over lineitem. ONE map-side-combinable aggregate pass
+    // collects the 9 normal-equation moments through DECIMAL(28,8) —
+    // exact and order-independent, so the moment vector is
+    // engine-identical however the scan is partitioned — then the 3x3
+    // system solves by Cramer's rule in scalar double arithmetic (same
+    // IEEE expression tree in both engines), coefficients and R^2
+    // rounded to 6 dp. This is the textbook "big data, small model"
+    // shape: at 100 TB the only communication is 9 numbers per
+    // partition, and the solve is free. (MLlib's summarizer does the
+    // same moment pass; here the whole chain is SQL-replayable.)
+    Q("q_ols",
+      """WITH m AS (SELECT count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS s2y,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy
+        |  FROM lineitem),
+        |d AS (SELECT n, s1, s2, sy, s1y, s2y, syy,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM m)
+        |SELECT n, round(det0 / det, 6) AS b0, round(det1 / det, 6) AS b1,
+        |  round(det2 / det, 6) AS b2,
+        |  round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+        |                   - (det2 / det) * s2y)
+        |            / (syy - sy * sy / n), 6) AS r2
+        |FROM d""".stripMargin) { (s, dir) =>
+      def m(c: Column) = sum(c.cast(DecimalType(28, 8))).cast("double")
+      val li = Tables.load(s, dir, "lineitem")
+      val (q, dc, y) = (col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      val mo = li.agg(count(lit(1)).as("n"), m(q).as("s1"), m(dc).as("s2"),
+        m(y).as("sy"), m(q * q).as("s11"), m(q * dc).as("s12"),
+        m(dc * dc).as("s22"), m(q * y).as("s1y"), m(dc * y).as("s2y"),
+        m(y * y).as("syy"))
+      val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+      val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+        col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+      val det1 = col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+        col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+      val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+        col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+        col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+      mo.withColumn("det", det)
+        .withColumn("det0", det0).withColumn("det1", det1).withColumn("det2", det2)
+        .select(col("n"),
+          round(col("det0") / col("det"), 6).as("b0"),
+          round(col("det1") / col("det"), 6).as("b1"),
+          round(col("det2") / col("det"), 6).as("b2"),
+          round(lit(1.0) - (col("syy") - (col("det0") / col("det")) * col("sy")
+            - (col("det1") / col("det")) * col("s1y")
+            - (col("det2") / col("det")) * col("s2y"))
+            / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"))
+    },
+
     // HITS hubs & authorities (Kleinberg 1999) over the bipartite
     // customer->part purchase graph, two unrolled UNNORMALIZED rounds —
     // dropping the norm keeps every score an exact BIGINT (the ranking

@@ -1999,6 +1999,91 @@ object TextQueries {
           col("plen").as("n_words"), col("score_ppm"))
     },
 
+    // Animated-GIF scene-cut detection, end-to-end through the REAL
+    // multi-block container + LZW codec (the GIF twin of mm_scene_cut's
+    // AVI walk): 6 frames per doc with a planted pattern change at
+    // frame 2+doc_id%3 and a one-pixel jitter per frame (so every
+    // adjacent-frame SAD is nonzero and order-sensitive), encoded with
+    // encodeGifAnim, decoded via gifFrames' canvas compositing, scored
+    // by per-boundary RGB SAD. cut frame = argmax SAD (ties to the
+    // earliest). The oracle recomputes everything from the generator
+    // formulas, so a frame-order, compositing, GCE-skip or LZW defect
+    // anywhere in the animation path breaks the hash. Scale: pure
+    // partition-local codec work, one scan, aggregates only at the end.
+    Q("mm_gif_anim",
+      """WITH px AS (SELECT doc_id, f.f, i.i,
+        |    CASE WHEN f.f < 2 + doc_id % 3 THEN
+        |      ((doc_id % 256) * (i.i + 7) * 2654435761
+        |       + i.i * i.i * 12289 + (doc_id % 64) * (i.i + 1) * 40503) % 64
+        |    ELSE
+        |      ((doc_id % 128) * (i.i + 11) * 40503
+        |       + i.i * (i.i + 3) * 2654435761 + 12289 * (i.i + 1)) % 64
+        |    END AS v0
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS f) f
+        |  CROSS JOIN (SELECT unnest(range(0, 192)) AS i) i),
+        |pj AS (SELECT doc_id, f, i,
+        |    CASE WHEN i = (doc_id + f * 17) % 192 THEN (v0 + 32) % 64 ELSE v0 END AS c
+        |  FROM px),
+        |rgb AS (SELECT doc_id, f, i, (c * 37) % 256 AS r, (c * 101) % 256 AS g,
+        |    (c * 193) % 256 AS b FROM pj),
+        |sad AS (SELECT a.doc_id, a.f,
+        |    CAST(sum(abs(a.r - b.r) + abs(a.g - b.g) + abs(a.b - b.b)) AS BIGINT) AS sad
+        |  FROM rgb a JOIN rgb b ON a.doc_id = b.doc_id AND a.i = b.i AND b.f = a.f - 1
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, 6 AS n_frames,
+        |  min({'s': -sad, 'f': f}).f AS cut_at,
+        |  max(sad) AS sad_max, CAST(sum(sad) AS BIGINT) AS sad_total
+        |FROM sad GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pal = Array.tabulate(64)(c =>
+        ((c * 37) % 256 << 16) | ((c * 101) % 256 << 8) | ((c * 193) % 256))
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val cut = 2 + (id % 3).toInt
+            val frames = (0 until 6).map { f =>
+              val idx = new Array[Byte](192)
+              var i = 0
+              while (i < 192) {
+                var v =
+                  if (f < cut)
+                    ((id % 256) * (i + 7) * 2654435761L +
+                      i.toLong * i * 12289L + (id % 64) * (i + 1) * 40503L) % 64L
+                  else
+                    ((id % 128) * (i + 11) * 40503L +
+                      i.toLong * (i + 3) * 2654435761L + 12289L * (i + 1)) % 64L
+                if (i == ((id + f * 17) % 192).toInt) v = (v + 32) % 64
+                idx(i) = v.toByte
+                i += 1
+              }
+              idx
+            }
+            val bytes = graft.streaming.Multimodal.encodeGifAnim(16, 12, frames, pal)
+            val got = graft.streaming.Multimodal.gifFrames(bytes)
+            if (got.size != 6) None
+            else {
+              var cutAt = 0L; var sadMax = 0L; var sadTotal = 0L
+              var f = 1
+              while (f < 6) {
+                var sad = 0L
+                var j = 0
+                while (j < 192 * 3) {
+                  sad += math.abs((got(f).pixels(j) & 0xff) -
+                    (got(f - 1).pixels(j) & 0xff))
+                  j += 1
+                }
+                sadTotal += sad
+                if (sad > sadMax) { sadMax = sad; cutAt = f }
+                f += 1
+              }
+              Some((id, 6, cutAt, sadMax, sadTotal))
+            }
+          }
+        }
+        .toDF("doc_id", "n_frames", "cut_at", "sad_max", "sad_total")
+    },
+
     // GIF ingest, end-to-end and BIT-EXACT through a REAL LZW codec: per
     // document a 16×12 64-colour palette image is synthesized from an
     // all-integer formula, encoded as a real GIF87a (variable-width LZW,

@@ -417,51 +417,111 @@ object Multimodal {
     * from the reference engine's opaque-binary ingest only — the decode
     * itself is spec-derived (reference keeps media as pass-through blobs).
     */
-  private[graft] def decodeGif(bytes: Array[Byte]): Option[PixelImage] = {
-    if (bytes.length < 13) return None
+  private[graft] def decodeGif(bytes: Array[Byte]): Option[PixelImage] =
+    gifFrames(bytes).headOption
+
+  /** All frames of a (possibly animated) GIF, composited in order onto
+    * the logical screen with do-not-dispose semantics — each image
+    * block (any sub-rectangle, local colour table, interlace) draws
+    * over the previous canvas state and a snapshot is emitted per
+    * block. Malformed streams yield the frames decoded so far (empty
+    * for a broken header), never throw.
+    */
+  private[graft] def gifFrames(bytes: Array[Byte]): IndexedSeq[PixelImage] = try {
+    val none = IndexedSeq.empty[PixelImage]
+    if (bytes.length < 13) return none
     val sig = new String(bytes, 0, 6, "US-ASCII")
-    if (sig != "GIF87a" && sig != "GIF89a") return None
+    if (sig != "GIF87a" && sig != "GIF89a") return none
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val sw = le16(6); val sh = le16(8)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh * 3 > Int.MaxValue) return none
     val gctFlag = (bytes(10) & 0x80) != 0
     val gctSize = 2 << (bytes(10) & 0x07)
     var pos = 13
     var gct: Array[Byte] = null
     if (gctFlag) {
-      if (pos + gctSize * 3 > bytes.length) return None
+      if (pos + gctSize * 3 > bytes.length) return none
       gct = java.util.Arrays.copyOfRange(bytes, pos, pos + gctSize * 3)
       pos += gctSize * 3
     }
-    // block walk: skip extensions until the first image descriptor
-    while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) {
-      pos += 2 // introducer + label
-      while (pos < bytes.length && bytes(pos) != 0) pos += 1 + (bytes(pos) & 0xff)
-      pos += 1 // block terminator
+    val canvas = new Array[Byte](sw * sh * 3)
+    val frames = IndexedSeq.newBuilder[PixelImage]
+    var stop = false
+    while (!stop && pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x21 => // extension: skip its sub-blocks
+          pos += 2
+          while (pos < bytes.length && bytes(pos) != 0) pos += 1 + (bytes(pos) & 0xff)
+          pos += 1
+        case 0x3b => stop = true // trailer
+        case 0x2c =>
+          val left = le16(pos + 1); val top = le16(pos + 3)
+          val w = le16(pos + 5); val h = le16(pos + 7)
+          val iflags = bytes(pos + 9) & 0xff
+          pos += 10
+          var pal = gct
+          if ((iflags & 0x80) != 0) { // local colour table overrides
+            val lctSize = 2 << (iflags & 0x07)
+            if (pos + lctSize * 3 > bytes.length) return frames.result()
+            pal = java.util.Arrays.copyOfRange(bytes, pos, pos + lctSize * 3)
+            pos += lctSize * 3
+          }
+          if (pal == null || w <= 0 || h <= 0 ||
+            left + w > sw || top + h > sh) return frames.result()
+          val minCode = bytes(pos) & 0xff
+          pos += 1
+          if (minCode < 2 || minCode > 11) return frames.result()
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < bytes.length && bytes(pos) != 0) {
+            val n = bytes(pos) & 0xff
+            if (pos + 1 + n > bytes.length) return frames.result()
+            data.write(bytes, pos + 1, n)
+            pos += 1 + n
+          }
+          pos += 1 // data terminator
+          val out = lzwDecode(data.toByteArray, minCode, w * h)
+            .getOrElse(return frames.result())
+          // interlaced streams store rows in four passes (spec app. E):
+          // rows 0,8,16…, then 4,12…, then 2,6…, then 1,3,5…
+          val rows =
+            if ((iflags & 0x40) == 0) out
+            else {
+              val deinter = new Array[Byte](out.length)
+              var src = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var y = start
+                while (y < h) {
+                  System.arraycopy(out, src * w, deinter, y * w, w)
+                  src += 1; y += step
+                }
+              }
+              deinter
+            }
+          val palN = pal.length / 3
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = math.min(rows(y * w + x) & 0xff, palN - 1) * 3
+              val d = ((top + y) * sw + (left + x)) * 3
+              canvas(d) = pal(p); canvas(d + 1) = pal(p + 1); canvas(d + 2) = pal(p + 2)
+              x += 1
+            }
+            y += 1
+          }
+          frames += PixelImage(sw, sh, 3, canvas.clone())
+        case _ => stop = true // unknown block: stop cleanly
+      }
     }
-    if (pos >= bytes.length || (bytes(pos) & 0xff) != 0x2c) return None
-    val w = le16(pos + 5); val h = le16(pos + 7)
-    val iflags = bytes(pos + 9) & 0xff
-    pos += 10
-    var pal = gct
-    if ((iflags & 0x80) != 0) { // local color table overrides
-      val lctSize = 2 << (iflags & 0x07)
-      if (pos + lctSize * 3 > bytes.length) return None
-      pal = java.util.Arrays.copyOfRange(bytes, pos, pos + lctSize * 3)
-      pos += lctSize * 3
-    }
-    if (pal == null || w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
-    val minCode = bytes(pos) & 0xff
-    pos += 1
-    if (minCode < 2 || minCode > 11) return None
-    // concatenate the data sub-blocks
-    val data = new java.io.ByteArrayOutputStream()
-    while (pos < bytes.length && bytes(pos) != 0) {
-      val n = bytes(pos) & 0xff
-      if (pos + 1 + n > bytes.length) return None
-      data.write(bytes, pos + 1, n)
-      pos += 1 + n
-    }
-    val in = data.toByteArray
-    // LZW decompress: codes read LSB-first at growing width
+    frames.result()
+  } catch { case _: Exception => IndexedSeq.empty }
+
+  /** Variable-width LSB-first GIF-LZW decompress of a concatenated data
+    * stream to exactly `outLen` palette indices (KwKwK, width growth,
+    * clear resets). None on malformed/truncated input.
+    */
+  private def lzwDecode(in: Array[Byte], minCode: Int, outLen: Int): Option[Array[Byte]] = {
     val clear = 1 << minCode
     val eoi = clear + 1
     val prefix = new Array[Int](4096)
@@ -471,7 +531,7 @@ object Multimodal {
     var codeSize = minCode + 1
     var bitBuf = 0; var bitCnt = 0; var ip = 0
     var prev = -1
-    val out = new Array[Byte](w * h)
+    val out = new Array[Byte](outLen)
     var op = 0
     var i = 0
     while (i < clear) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
@@ -511,32 +571,7 @@ object Multimodal {
         }
       }
     }
-    if (op < out.length) return None
-    // interlaced streams store rows in four passes (spec appendix E):
-    // rows 0,8,16…, then 4,12…, then 2,6…, then 1,3,5…
-    val rows =
-      if ((iflags & 0x40) == 0) out
-      else {
-        val deinter = new Array[Byte](out.length)
-        var src = 0
-        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
-          var y = start
-          while (y < h) {
-            System.arraycopy(out, src * w, deinter, y * w, w)
-            src += 1; y += step
-          }
-        }
-        deinter
-      }
-    val palN = pal.length / 3
-    val rgb = new Array[Byte](w * h * 3)
-    i = 0
-    while (i < w * h) {
-      val p = math.min(rows(i) & 0xff, palN - 1) * 3
-      rgb(i * 3) = pal(p); rgb(i * 3 + 1) = pal(p + 1); rgb(i * 3 + 2) = pal(p + 2)
-      i += 1
-    }
-    Some(PixelImage(w, h, 3, rgb))
+    if (op < out.length) None else Some(out)
   }
 
   /** GIF87a encode of a palette-indexed image — real variable-width LZW
@@ -547,13 +582,27 @@ object Multimodal {
     * in MultimodalSpec).
     */
   private[graft] def encodeGif(w: Int, h: Int, indices: Array[Byte],
-      palette: Array[Int]): Array[Byte] = {
-    require(indices.length == w * h, "index buffer must be w*h")
+      palette: Array[Int]): Array[Byte] =
+    encodeGifStream(w, h, Seq(indices), palette, animated = false)
+
+  /** Animated GIF89a: one full-frame image block per element of
+    * `frames`, each preceded by a graphic-control extension with a
+    * 4/100 s delay — the real multi-block container shape `gifFrames`
+    * walks. Same shared LZW core as the stills encoder.
+    */
+  private[graft] def encodeGifAnim(w: Int, h: Int, frames: Seq[Array[Byte]],
+      palette: Array[Int]): Array[Byte] =
+    encodeGifStream(w, h, frames, palette, animated = true)
+
+  private def encodeGifStream(w: Int, h: Int, frames: Seq[Array[Byte]],
+      palette: Array[Int], animated: Boolean): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == w * h),
+      "each index buffer must be w*h")
     val palBits = math.max(1,
       32 - Integer.numberOfLeadingZeros(math.max(2, palette.length) - 1))
     val palN = 1 << palBits
     val out = new java.io.ByteArrayOutputStream()
-    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write((if (animated) "GIF89a" else "GIF87a").getBytes("US-ASCII"))
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     le16(w); le16(h)
     out.write(0x80 | 0x70 | (palBits - 1)) // GCT present, 8-bit colour res
@@ -564,10 +613,31 @@ object Multimodal {
       out.write((rgb >> 16) & 0xff); out.write((rgb >> 8) & 0xff); out.write(rgb & 0xff)
       c += 1
     }
-    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
     val minCode = math.max(2, palBits)
-    out.write(minCode)
-    // LZW compress with a chained-hash dictionary over (prefix, symbol)
+    frames.foreach { indices =>
+      if (animated) { // graphic control extension: 4/100 s, no disposal
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0); le16(4); out.write(0); out.write(0)
+      }
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(minCode)
+      val data = lzwEncode(indices, minCode)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n); out.write(data, off, n)
+        off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** GIF-LZW compress: real variable-width codes with clear/EOI, table
+    * growth to 12 bits and a mid-stream clear when the dictionary fills.
+    */
+  private def lzwEncode(indices: Array[Byte], minCode: Int): Array[Byte] = {
     val clear = 1 << minCode
     val eoi = clear + 1
     // boxed keys on purpose: a primitive-typed java.util.HashMap unboxes a
@@ -609,15 +679,7 @@ object Multimodal {
     }
     emit(prev); emit(eoi)
     if (bitCnt > 0) body.write((bitBuf & 0xff).toInt)
-    val data = body.toByteArray
-    var off = 0
-    while (off < data.length) {
-      val n = math.min(255, data.length - off)
-      out.write(n); out.write(data, off, n)
-      off += n
-    }
-    out.write(0); out.write(0x3b)
-    out.toByteArray
+    body.toByteArray
   }
 
   /** Partition-wise REAL pixel feature extraction over the decodable

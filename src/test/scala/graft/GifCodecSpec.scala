@@ -86,6 +86,73 @@ class GifCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("animated GIF: encodeGifAnim -> gifFrames round-trips every frame") {
+    val (w, h) = (16, 12)
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(w * h)(i => ((i * 7 + f * 13 + 3) % 64).toByte))
+    val bytes = Multimodal.encodeGifAnim(w, h, frames, palette64)
+    val got = Multimodal.gifFrames(bytes)
+    assert(got.size == 4)
+    for (f <- 0 until 4; i <- 0 until w * h) {
+      val rgb = palette64(frames(f)(i) & 0xff)
+      val o = i * 3
+      val px = ((got(f).pixels(o) & 0xff) << 16) |
+        ((got(f).pixels(o + 1) & 0xff) << 8) | (got(f).pixels(o + 2) & 0xff)
+      assert(px == rgb, s"frame $f pixel $i")
+    }
+  }
+
+  test("animated GIF frames agree with ImageIO's frame reader") {
+    System.setProperty("java.awt.headless", "true")
+    val (w, h) = (9, 7)
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(w * h)(i => ((i * 11 + f * 29) % 64).toByte))
+    val bytes = Multimodal.encodeGifAnim(w, h, frames, palette64)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 3)
+    for (f <- 0 until 3) {
+      val im = reader.read(f)
+      for (i <- Seq(0, w * h / 2, w * h - 1)) {
+        assert((im.getRGB(i % w, i / w) & 0xffffff) == palette64(frames(f)(i) & 0xff),
+          s"frame $f pixel $i")
+      }
+    }
+  }
+
+  test("partial-rect second frame composites onto the prior canvas") {
+    // hand-build: full first frame, then a 2x2 block at (1,1) drawing
+    // palette index 5 — gifFrames must keep the untouched pixels
+    val (w, h) = (4, 4)
+    val f0 = Array.tabulate(w * h)(i => (i % 16).toByte)
+    val full = Multimodal.encodeGifAnim(w, h, Seq(f0), palette64)
+    // splice a second image block before the trailer
+    val block = new java.io.ByteArrayOutputStream()
+    val f1 = Array.fill(4)(5.toByte) // 2x2 all index 5
+    block.write(0x2c)
+    def le16(v: Int): Unit = { block.write(v & 0xff); block.write((v >> 8) & 0xff) }
+    le16(1); le16(1); le16(2); le16(2); block.write(0)
+    block.write(6) // min code size matching the 64-colour table
+    val m = classOf[Multimodal.type].getDeclaredMethod("lzwEncode",
+      classOf[Array[Byte]], classOf[Int])
+    m.setAccessible(true)
+    val data = m.invoke(Multimodal, f1, Integer.valueOf(6)).asInstanceOf[Array[Byte]]
+    block.write(data.length); block.write(data, 0, data.length); block.write(0)
+    val spliced = full.dropRight(1) ++ block.toByteArray ++ Array(0x3b.toByte)
+    val got = Multimodal.gifFrames(spliced)
+    assert(got.size == 2)
+    val fr = got(1)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expectIdx = if (x >= 1 && x <= 2 && y >= 1 && y <= 2) 5 else f0(y * w + x) & 0xff
+      val o = (y * w + x) * 3
+      val px = ((fr.pixels(o) & 0xff) << 16) |
+        ((fr.pixels(o + 1) & 0xff) << 8) | (fr.pixels(o + 2) & 0xff)
+      assert(px == palette64(expectIdx), s"($x,$y)")
+    }
+  }
+
   test("decodePixels dispatches GIF magic; corrupt stream drops to None") {
     val idx = Array.tabulate(64)(i => (i % 64).toByte)
     val bytes = Multimodal.encodeGif(8, 8, idx, palette64)
