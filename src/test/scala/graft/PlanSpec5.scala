@@ -95,3 +95,27 @@ class PlanSpec5b extends AnyFunSuite {
       s"rake join degenerated:\n$p")
   }
 }
+
+/** Pins for the OLS/animation batch. */
+class PlanSpec5c extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  private def exchanges(p: String): Int = raw"\(\d+\) Exchange".r.findAllIn(p).size
+
+  test("q_ols: single global aggregate — one exchange, no join, no window") {
+    val p = plan("q_ols")
+    assert(!p.contains("Join") && !p.contains("Window"), s"OLS is one moment pass:\n$p")
+    assert(exchanges(p) == 1, s"only the final 1-row agg shuffles:\n$p")
+  }
+
+  test("mm_gif_anim: partition-local codec — zero exchanges, no join") {
+    val p = plan("mm_gif_anim")
+    assert(!p.contains("Join"), s"codec path must not join:\n$p")
+    assert(exchanges(p) == 0, s"mm_gif_anim is embarrassingly parallel:\n$p")
+  }
+}
