@@ -1776,49 +1776,13 @@ object TextQueries {
     // stats plus an order-independent position-weighted checksum — a
     // change to any single selected (pos, hash) breaks the hash.
     Q("tx_winnow",
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
-        |g0 AS (SELECT doc_id,
-        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS gs
-        |  FROM t WHERE len(w) >= 6),
-        |g AS (SELECT doc_id, len(gs) AS ng,
-        |    unnest([{'p': i - 1, 'g': gs[i]} for i in range(1, len(gs) + 1)]) AS s
-        |  FROM g0),
-        |h AS (SELECT doc_id, ng, s.p AS p,
-        |    list_reduce(list_transform(range(1, 8),
-        |      i -> CAST(strpos('0123456789abcdef',
-        |             substr(md5(s.g), CAST(i AS INT), 1)) - 1 AS BIGINT)),
-        |      (a, x) -> a * 16 + x) AS hv
-        |  FROM g),
-        |m AS (SELECT doc_id, ng, p,
-        |    min({'hv': hv, 'np': -p}) OVER (PARTITION BY doc_id ORDER BY p
-        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
-        |  FROM h),
-        |sel AS (SELECT DISTINCT doc_id, ng, m.hv AS hv, -m.np AS sp
-        |  FROM m WHERE p >= 3)
+      s"""WITH $winnowCtes
         |SELECT doc_id, ng AS n_grams, count(*) AS n_fp,
         |  count(DISTINCT hv) AS n_hash,
         |  CAST(sum((sp + 1) * (hv % 1000000)) AS BIGINT) AS fp_checksum,
         |  round(count(*) * 1.0 / (ng - 3), 6) AS density
         |FROM sel GROUP BY doc_id, ng""".stripMargin) { (s, dir) =>
-      val g = Tables.load(s, dir, "documents")
-        .withColumn("w", TextOps.tokens(col("text")))
-        .filter(size(col("w")) >= 6)
-        .select(col("doc_id"),
-          posexplode(expr(
-            "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"))
-            .as(Seq("p", "gram")))
-        .withColumn("hv", conv(substring(md5(col("gram")), 1, 7), 16, 10).cast("long"))
-      val frame = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-3, 0)
-      val whole = Window.partitionBy("doc_id")
-      val sel = g
-        .withColumn("ng", max(col("p")).over(whole) + 1)
-        .withColumn("m", min(struct(col("hv"), (-col("p")).as("np"))).over(frame))
-        .filter(col("p") >= 3)
-        .select(col("doc_id"), col("ng"),
-          col("m").getField("hv").as("hv"), (-col("m").getField("np")).as("sp"))
-        .distinct()
-      sel.groupBy("doc_id", "ng")
+      winnowSelected(s, dir).groupBy("doc_id", "ng")
         .agg(count(lit(1)).as("n_fp"), countDistinct(col("hv")).as("n_hash"),
           sum((col("sp") + 1) * (col("hv") % 1000000)).as("fp_checksum"),
           round(count(lit(1)).cast("double") / (col("ng") - 3), 6).as("density"))
@@ -2142,6 +2106,99 @@ object TextQueries {
         }
         .toDF("doc_id", "w", "h", "sum_r", "sum_g", "sum_b", "checksum")
     },
+
+    // MOSS-style match detection over the winnowed fingerprints: doc
+    // pairs sharing >= 2 selected fingerprint hashes, scored by the
+    // shared count and by coverage of the smaller document's selection
+    // (integer ppm). Winnowing guarantees any shared token run of
+    // >= w+k-1 = 7 words surfaces here — this row is the cross-doc
+    // payoff of tx_winnow's selection (same tracked-cached frame, so
+    // the selection is computed once for both rows). Fingerprints held
+    // by > 50 docs are excluded before the join — the standard MOSS
+    // boilerplate mask, and the same hot-key cap that keeps the
+    // inverted-index join's fan-out bounded at corpus scale (the join
+    // shuffles on hv; without the mask one template fingerprint would
+    // fan out quadratically).
+    Q("dd_winnow_pairs",
+      s"""WITH $winnowCtes,
+        |df AS (SELECT hv, count(DISTINCT doc_id) AS df FROM sel GROUP BY hv),
+        |keep AS (SELECT DISTINCT s.doc_id, s.hv FROM sel s
+        |  JOIN df ON s.hv = df.hv WHERE df.df <= 50),
+        |nf AS (SELECT doc_id, count(*) AS n_fp FROM keep GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM keep a JOIN keep b ON a.hv = b.hv AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+        |  pr.n_shared * 1000000 // least(na.n_fp, nb.n_fp) AS cover_ppm
+        |FROM pr JOIN nf na ON pr.doc_a = na.doc_id
+        |JOIN nf nb ON pr.doc_b = nb.doc_id""".stripMargin) { (s, dir) =>
+      val sel = winnowSelected(s, dir)
+      val dfp = sel.groupBy("hv").agg(countDistinct(col("doc_id")).as("df"))
+      val keep = sel.join(dfp.filter(col("df") <= 50), "hv")
+        .select(col("doc_id"), col("hv")).distinct()
+        .transform(TextOps.trackCache)
+      val nf = keep.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      val pr = keep.as("a")
+        .join(keep.as("b"),
+          col("a.hv") === col("b.hv") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      pr
+        .join(nf.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), "doc_a")
+        .join(nf.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          expr("(n_shared * 1000000) div least(na, nb)").as("cover_ppm"))
+    },
+
+    // K-minimum-values distinct sketch (Bar-Yossef et al. 2002) — the
+    // order-statistics member of the sketch family (HLL, CMS, Bloom,
+    // Misra-Gries, bitmap are already board rows): per event type keep
+    // the k=128 smallest md5-derived 28-bit hashes of the user ids,
+    // SALTED by the type (every type holds the same users, so an
+    // unsalted sketch replicates one draw's order-statistic luck five
+    // times — measured 30% off in one direction for all five);
+    // est = (k-1) * 2^28 / h_(k) — pure integer arithmetic, so the
+    // whole sketch AND its estimate replay exactly in SQL. The sketch
+    // is mergeable (union = k smallest of the union — how a
+    // 1000-executor tree-reduce combines partials); the row gates the
+    // estimate to ±25% of the exact distinct count in-row, so a skewed
+    // hash or off-by-one in the order statistic goes red.
+    Q("q_approx_kmv",
+      """WITH h AS (SELECT DISTINCT event_type, user_id,
+        |    list_reduce(list_transform(range(1, 8),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(event_type || ':' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv, user_id) AS rn
+        |  FROM h),
+        |kth AS (SELECT event_type, max(hv) AS hk, count(*) AS k
+        |  FROM r WHERE rn <= 128 GROUP BY event_type),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+        |SELECT kth.event_type, kth.k, kth.hk,
+        |  (kth.k - 1) * 268435456 // kth.hk AS est,
+        |  x.n_exact,
+        |  CAST(abs((kth.k - 1) * 268435456 // kth.hk - x.n_exact)
+        |       <= x.n_exact // 4 AS INT) AS within_25pct
+        |FROM kth JOIN x ON kth.event_type = x.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val h = ev.select(col("event_type"), col("user_id")).distinct()
+        .withColumn("hv",
+          conv(substring(md5(concat(col("event_type"), lit(":"),
+            col("user_id").cast("string"))), 1, 7), 16, 10).cast("long"))
+      val r = h.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("hv"), col("user_id"))))
+      val kth = r.filter(col("rn") <= 128).groupBy("event_type")
+        .agg(max(col("hv")).as("hk"), count(lit(1)).as("k"))
+      val x = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+      kth.join(x, "event_type")
+        .select(col("event_type"), col("k"), col("hk"),
+          expr("(k - 1) * 268435456 div hk").as("est"), col("n_exact"),
+          (abs(expr("(k - 1) * 268435456 div hk") - col("n_exact"))
+            <= expr("n_exact div 4")).cast("int").as("within_25pct"))
+    },
   )
 
   /** DuckDB oracle for tx_bpe_fertility: the trainer CTE chain (shared
@@ -2231,6 +2288,58 @@ object TextQueries {
           s" ' '||replace(m$i.a,';','')||m$i.b) AS s FROM s${i - 1}, m$i)")
     }
     ctes.result()
+  }
+
+  /** Shared winnowing CTE chain (tokens → positional 3-gram hashes →
+    * rightmost-min-per-window selection) — the oracle half of
+    * [[winnowSelected]]; tx_winnow and dd_winnow_pairs both embed it so
+    * the two oracles cannot drift.
+    */
+  private val winnowCtes: String =
+    """t AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+      |g0 AS (SELECT doc_id,
+      |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS gs
+      |  FROM t WHERE len(w) >= 6),
+      |g AS (SELECT doc_id, len(gs) AS ng,
+      |    unnest([{'p': i - 1, 'g': gs[i]} for i in range(1, len(gs) + 1)]) AS s
+      |  FROM g0),
+      |h AS (SELECT doc_id, ng, s.p AS p,
+      |    list_reduce(list_transform(range(1, 8),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |             substr(md5(s.g), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, x) -> a * 16 + x) AS hv
+      |  FROM g),
+      |m AS (SELECT doc_id, ng, p,
+      |    min({'hv': hv, 'np': -p}) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+      |  FROM h),
+      |sel AS (SELECT DISTINCT doc_id, ng, m.hv AS hv, -m.np AS sp
+      |  FROM m WHERE p >= 3)""".stripMargin
+
+  /** Winnowed fingerprint selection (doc_id, ng, hv, sp), tracked-cached
+    * with an identical plan from tx_winnow and dd_winnow_pairs so the
+    * LRU registry keeps one live copy across both rows.
+    */
+  private def winnowSelected(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val g = Tables.load(s, dir, "documents")
+      .withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 6)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"))
+          .as(Seq("p", "gram")))
+      .withColumn("hv", conv(substring(md5(col("gram")), 1, 7), 16, 10).cast("long"))
+    val frame = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-3, 0)
+    val whole = Window.partitionBy("doc_id")
+    g.withColumn("ng", max(col("p")).over(whole) + 1)
+      .withColumn("m", min(struct(col("hv"), (-col("p")).as("np"))).over(frame))
+      .filter(col("p") >= 3)
+      .select(col("doc_id"), col("ng"),
+        col("m").getField("hv").as("hv"), (-col("m").getField("np")).as("sp"))
+      .distinct()
+      .transform(TextOps.trackCache)
   }
 
   /** Banded aHash near-dup pairs through the real PPM encode/decode +
