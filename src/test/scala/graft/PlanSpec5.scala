@@ -119,3 +119,27 @@ class PlanSpec5c extends AnyFunSuite {
     assert(exchanges(p) == 0, s"mm_gif_anim is embarrassingly parallel:\n$p")
   }
 }
+
+/** Pins for the winnow-pairs/KMV batch. */
+class PlanSpec5d extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("dd_winnow_pairs: fingerprint join is an equi-join, never a cross product") {
+    val p = plan("dd_winnow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint join degenerated:\n$p")
+  }
+
+  test("q_approx_kmv: distinct + per-type window, no cross product") {
+    val p = plan("q_approx_kmv")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"kmv join degenerated:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"order statistic should ride a window:\n$p")
+  }
+}
