@@ -1158,6 +1158,76 @@ object StateQueries {
     // the natural key at fleet scale), value x dt products go through
     // DECIMAL(28,6) so the weighted sum is order-independent and
     // engine-exact.
+    // SAX symbolization (Lin-Keogh 2003): per type the hourly series is
+    // cut into 16-hour tumbling windows, each window z-normalized
+    // against its own exact-decimal moments, PAA-reduced to 4 segments
+    // (position-proportional split, so gapped windows stay
+    // deterministic) and mapped to a 4-letter {a,b,c,d} word at the
+    // standard ±0.6745σ breakpoints — rearranged as value-vs-
+    // (mean ± 0.6745·std) comparisons so no per-point division ever
+    // happens and the letters replay exactly in IEEE doubles. Output is
+    // the per-type SAX-word histogram — the discretized-motif summary a
+    // fleet-scale anomaly index is built from. Shapes: hourly pre-agg,
+    // one window-rank pass per (type, window), bounded aggregates.
+    Q("ts_sax",
+      """WITH hb AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS y
+        |  FROM events GROUP BY 1, 2),
+        |wd AS (SELECT event_type, hr // 16 AS wid, y,
+        |    row_number() OVER (PARTITION BY event_type, hr // 16 ORDER BY hr) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY event_type, hr // 16) AS n
+        |  FROM hb),
+        |ww AS (SELECT event_type, wid, y, idx * 4 // n AS seg, n,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,8)))
+        |      OVER (PARTITION BY event_type, wid) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,8)))
+        |      OVER (PARTITION BY event_type, wid) AS DOUBLE) AS s2
+        |  FROM wd WHERE n >= 8),
+        |sg AS (SELECT event_type, wid, seg, n, s1, s2,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS sv
+        |  FROM ww GROUP BY event_type, wid, seg, n, s1, s2),
+        |lt AS (SELECT event_type, wid, seg,
+        |    CASE WHEN sv < s1 / n - 0.6745 * sqrt((s2 - s1 * s1 / n) / n) THEN 'a'
+        |         WHEN sv < s1 / n THEN 'b'
+        |         WHEN sv < s1 / n + 0.6745 * sqrt((s2 - s1 * s1 / n) / n) THEN 'c'
+        |         ELSE 'd' END AS letter
+        |  FROM sg),
+        |words AS (SELECT event_type, wid,
+        |    string_agg(letter, '' ORDER BY seg) AS word FROM lt
+        |  GROUP BY event_type, wid)
+        |SELECT event_type, word, count(*) AS n_windows
+        |FROM words GROUP BY event_type, word""".stripMargin) { (s, dir) =>
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+        .agg(round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
+          / count(lit(1)), 6).as("y"))
+        .withColumn("wid", expr("hr div 16"))
+      val part = Window.partitionBy("event_type", "wid")
+      val wd = hourly
+        .withColumn("idx", row_number().over(part.orderBy("hr")) - 1)
+        .withColumn("n", count(lit(1)).over(part))
+        .filter(col("n") >= 8)
+        .withColumn("seg", expr("(idx * 4) div n"))
+        .withColumn("s1", sum(col("y").cast(DecimalType(28, 8))).over(part).cast("double"))
+        .withColumn("s2",
+          sum((col("y") * col("y")).cast(DecimalType(28, 8))).over(part).cast("double"))
+      val sg = wd.groupBy("event_type", "wid", "seg", "n", "s1", "s2")
+        .agg((sum(col("y").cast(DecimalType(28, 8))).cast("double")
+          / count(lit(1))).as("sv"))
+      val mean = col("s1") / col("n")
+      val dev = lit(0.6745) * sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+      val lt = sg.select(col("event_type"), col("wid"), col("seg"),
+        when(col("sv") < mean - dev, "a")
+          .when(col("sv") < mean, "b")
+          .when(col("sv") < mean + dev, "c")
+          .otherwise("d").as("letter"))
+      lt.groupBy("event_type", "wid")
+        .agg(array_join(expr("transform(array_sort(collect_list(struct(seg, letter))), x -> x.letter)"),
+          "").as("word"))
+        .groupBy("event_type", "word").agg(count(lit(1)).as("n_windows"))
+    },
+
     Q("ts_holt",
       """WITH RECURSIVE hb AS (SELECT event_type,
         |    epoch_us(ts) // 3600000000 AS hr,

@@ -702,6 +702,44 @@ object TextQueries {
           expr("CAST((mx + n_tok - 1) div n_tok AS BIGINT)").as("epochs"))
     },
 
+    // Exact quota apportionment by largest remainder (Hamilton's
+    // method): distribute exactly N=1000 sample slots across the
+    // (lang, source) strata proportionally to their character mass —
+    // the "sample exactly 1M docs across strata" allocator that share
+    // tables like q_mix_alloc don't give you (floors under-allocate;
+    // naive rounding over-allocates). base = N*w div W; the leftover
+    // L = N - sum(base) slots go to the L largest remainders (ties
+    // broken on the stratum key) — all integer, so the allocation is
+    // bit-stable. The remainder rank is a window over the ~|strata|
+    // rows only — a bounded table at any corpus scale.
+    Q("q_apportion",
+      """WITH t AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang, source),
+        |s AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM t),
+        |b AS (SELECT lang, source, w,
+        |    1000 * w // tw AS base, (1000 * w) % tw AS rem
+        |  FROM t CROSS JOIN s),
+        |l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+        |r AS (SELECT lang, source, w, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+        |  FROM b)
+        |SELECT lang, source, w, base, rk,
+        |  base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS alloc
+        |FROM r CROSS JOIN l""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .groupBy("lang", "source").agg(sum(col("n_chars")).as("w"))
+      val tot = t.agg(sum(col("w")).as("tw"))
+      val b = t.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("w"),
+          expr("(1000 * w) div tw").as("base"), expr("(1000 * w) % tw").as("rem"))
+      val lo = b.agg((lit(1000) - sum(col("base"))).cast("long").as("leftover"))
+      b.withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+        .crossJoin(broadcast(lo))
+        .select(col("lang"), col("source"), col("w"), col("base"), col("rk"),
+          (col("base") + when(col("rk") <= col("leftover"), 1).otherwise(0)).as("alloc"))
+    },
+
     // Train/val/test split assignment by hash bucket (~81/12/6): the
     // same determinism argument as q_hash_sample — a document's split
     // never changes as the corpus grows, which is what makes held-out

@@ -36,7 +36,12 @@ class PlanSpec5 extends AnyFunSuite {
   test("tx_winnow: one doc-partition pass — no join, bounded exchanges") {
     val p = plan("tx_winnow")
     assert(!p.contains("Join"), s"winnowing is per-doc, no join:\n$p")
-    assert(exchanges(p) <= 2, s"selection+stats should reuse the doc partitioning:\n$p")
+    // 2 exchanges for the selection itself; the tracked-cache boundary
+    // (selection shared with dd_winnow_pairs) hides the doc_id
+    // partitioning from the stats agg, which re-shuffles the already
+    // winnowed (≈2/(w+1)-density) rows — bounded, and the cache buys a
+    // whole shared derivation
+    assert(exchanges(p) <= 3, s"selection+stats exchanges grew:\n$p")
   }
 
   test("tx_url_canon: row-local canonicalization, one canonical-key aggregate") {
