@@ -148,3 +148,25 @@ class PlanSpec5d extends AnyFunSuite {
       s"order statistic should ride a window:\n$p")
   }
 }
+
+/** Pins for the SAX/apportionment batch. */
+class PlanSpec5e extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("ts_sax: no join; windows all ride the (type, wid) partitioning") {
+    val p = plan("ts_sax")
+    assert(!p.contains("Join"), s"SAX is per-series, no join:\n$p")
+  }
+
+  test("q_apportion: strata aggregate + broadcast totals, no cross product blowup") {
+    val p = plan("q_apportion")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
+      s"totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here should sort-merge:\n$p")
+  }
+}
