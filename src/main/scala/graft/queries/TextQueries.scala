@@ -2145,6 +2145,57 @@ object TextQueries {
         .toDF("doc_id", "w", "h", "sum_r", "sum_g", "sum_b", "checksum")
     },
 
+    // Pitch detection by integer autocorrelation through the REAL WAV
+    // codec path (the DSP sibling of mm_vad): per doc a square wave of
+    // period 25+doc_id%30 samples is synthesized, PCM16-encoded,
+    // decoded back by decodeWav (mono mix s/32768 — dyadic, so
+    // round(mono*32768) recovers the EXACT integers), and the lag of
+    // the maximum autocorrelation R(L)=Σ s_i·s_{i+L} over L∈[20,60] is
+    // the detected period. Everything is integer, so best lag, peak
+    // value and the lag-weighted checksum replay exactly; the oracle
+    // recomputes R from the generator formula with a banded self-join.
+    // Spark side is a pure partition-local kernel — one scan, zero
+    // exchanges before the output.
+    Q("mm_pitch",
+      """WITH s AS (SELECT doc_id, i.i AS i,
+        |    CASE WHEN (i.i % (25 + doc_id % 30)) * 2 < (25 + doc_id % 30)
+        |         THEN 2000 + doc_id % 1000 ELSE -(2000 + doc_id % 1000) END AS v
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 400)) AS i) i),
+        |r AS (SELECT a.doc_id, b.i - a.i AS lag, CAST(sum(a.v * b.v) AS BIGINT) AS r
+        |  FROM s a JOIN s b ON a.doc_id = b.doc_id
+        |    AND b.i >= a.i + 20 AND b.i <= a.i + 60
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, min({'nr': -r, 'l': lag}).l AS best_lag, max(r) AS r_max,
+        |  CAST(sum(lag * (r % 1000000)) AS BIGINT) AS chk
+        |FROM r GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val p = (25 + id % 30).toInt
+            val amp = (2000 + id % 1000).toInt
+            val sm = Array.tabulate[Short](400)(i =>
+              (if ((i % p) * 2 < p) amp else -amp).toShort)
+            val bytes = graft.streaming.Multimodal.encodeWavPcm16(8000, 1, sm)
+            graft.streaming.Multimodal.decodeWav(bytes).map { case (_, _, _, mono) =>
+              val si = mono.map(d => math.round(d * 32768).toInt)
+              var bestLag = 0L; var rMax = Long.MinValue; var chk = 0L
+              var lag = 20
+              while (lag <= 60) {
+                var r = 0L
+                var i = 0
+                while (i + lag < 400) { r += si(i).toLong * si(i + lag); i += 1 }
+                if (r > rMax) { rMax = r; bestLag = lag }
+                chk += lag * (r % 1000000)
+                lag += 1
+              }
+              (id, bestLag, rMax, chk)
+            }
+          }
+        }
+        .toDF("doc_id", "best_lag", "r_max", "chk")
+    },
+
     // MOSS-style match detection over the winnowed fingerprints: doc
     // pairs sharing >= 2 selected fingerprint hashes, scored by the
     // shared count and by coverage of the smaller document's selection
