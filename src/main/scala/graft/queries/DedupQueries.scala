@@ -760,6 +760,107 @@ object DedupQueries {
       TextOps.connectedComponents(pairs)
     },
 
+    // Adjusted Rand Index (Hubert-Arabie 1985) between the MinHash-LSH
+    // clustering and the exact bigram-Jaccard>=0.5 ground-truth
+    // clustering — the standard external evaluation of a dedup run
+    // ("how close is the cheap banded clustering to the exact one").
+    // Both clusterings ride chains the board already caches (the LSH
+    // pair graph of dd_clusters; the dispatched exact similarity join
+    // of dd_ngram_jaccard), each closed by connected components;
+    // unclustered docs are their own singleton, so the contingency
+    // table covers the whole corpus. All pair counts are exact
+    // integers; the final ARI alone is one double expression, fixed at
+    // 6 dp with the same floor(x*1e6+0.5) in both engines. The
+    // integer products sa*sb fit BIGINT up to ~100M docs per
+    // evaluation slice; beyond that an engine would compute the ratio
+    // in doubles (noted, not needed at any realistic eval-slice size).
+    Q("v_ari",
+      """WITH RECURSIVE toks AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
+        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
+        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
+        |  FROM mh GROUP BY doc_id, k // 2),
+        |pairsA AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |edgesA AS (SELECT da AS src, db AS dst FROM pairsA
+        |           UNION SELECT db, da FROM pairsA),
+        |nodesA AS (SELECT DISTINCT src AS node FROM edgesA),
+        |reachA AS (SELECT node AS node, node AS r FROM nodesA
+        |           UNION
+        |           SELECT reachA.node, e.dst FROM reachA JOIN edgesA e ON reachA.r = e.src),
+        |labA AS (SELECT node, min(r) AS cluster FROM reachA GROUP BY node),
+        |bg AS (SELECT doc_id, lang,
+        |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |e AS (SELECT doc_id, lang, unnest(g) AS x FROM bg),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.x = b.x AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(g) AS n FROM bg),
+        |pairsB AS (SELECT da, db
+        |  FROM inter JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
+        |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5),
+        |edgesB AS (SELECT da AS src, db AS dst FROM pairsB
+        |           UNION SELECT db, da FROM pairsB),
+        |nodesB AS (SELECT DISTINCT src AS node FROM edgesB),
+        |reachB AS (SELECT node AS node, node AS r FROM nodesB
+        |           UNION
+        |           SELECT reachB.node, e2.dst FROM reachB JOIN edgesB e2 ON reachB.r = e2.src),
+        |labB AS (SELECT node, min(r) AS cluster FROM reachB GROUP BY node),
+        |d AS (SELECT doc.doc_id, COALESCE(a.cluster, doc.doc_id) AS la,
+        |    COALESCE(b.cluster, doc.doc_id) AS lb
+        |  FROM documents doc LEFT JOIN labA a ON doc.doc_id = a.node
+        |  LEFT JOIN labB b ON doc.doc_id = b.node),
+        |nij AS (SELECT la, lb, count(*) AS c FROM d GROUP BY 1, 2),
+        |spb AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS spb FROM nij),
+        |rs AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS sa FROM (
+        |    SELECT la, CAST(sum(c) AS BIGINT) AS c FROM nij GROUP BY la)),
+        |cs AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS sb FROM (
+        |    SELECT lb, CAST(sum(c) AS BIGINT) AS c FROM nij GROUP BY lb)),
+        |nn AS (SELECT count(*) AS n FROM d)
+        |SELECT n AS n_docs, spb AS pairs_both, sa AS pairs_lsh, sb AS pairs_exact,
+        |  CAST(floor((spb - sa * sb / (n * (n - 1) / 2.0))
+        |    / ((sa + sb) / 2.0 - sa * sb / (n * (n - 1) / 2.0)) * 1e6 + 0.5) AS BIGINT)
+        |    AS ari_ppm
+        |FROM spb CROSS JOIN rs CROSS JOIN cs CROSS JOIN nn""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairsA = TextOps.lshCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, k = 8, bands = 4)
+      val labA = TextOps.connectedComponents(pairsA)
+      val pairsB = TextOps.similarityJoin(docs, "doc_id", "lang", "text",
+        shingleSize = 2, threshold = 0.5).select(col("doc_a"), col("doc_b"))
+      val labB = TextOps.connectedComponents(pairsB)
+      val d = docs.select(col("doc_id"))
+        .join(labA.select(col("node"), col("cluster").as("ca")),
+          col("doc_id") === col("node"), "left").drop("node")
+        .join(labB.select(col("node"), col("cluster").as("cb")),
+          col("doc_id") === col("node"), "left").drop("node")
+        .select(col("doc_id"), coalesce(col("ca"), col("doc_id")).as("la"),
+          coalesce(col("cb"), col("doc_id")).as("lb"))
+        .transform(TextOps.trackCache)
+      val nij = d.groupBy("la", "lb").agg(count(lit(1)).as("c"))
+        .transform(TextOps.trackCache)
+      def pairsOf(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.agg(sum(expr("c * (c - 1) div 2")).cast("long").as(as))
+      val spb = pairsOf(nij, "spb")
+      val sa = pairsOf(nij.groupBy("la").agg(sum(col("c")).as("c")), "sa")
+      val sb = pairsOf(nij.groupBy("lb").agg(sum(col("c")).as("c")), "sb")
+      val nn = d.agg(count(lit(1)).as("n"))
+      val expPairs = col("sa") * col("sb") / (col("n") * (col("n") - 1) / lit(2.0))
+      spb.crossJoin(broadcast(sa)).crossJoin(broadcast(sb)).crossJoin(broadcast(nn))
+        .select(col("n").as("n_docs"), col("spb").as("pairs_both"),
+          col("sa").as("pairs_lsh"), col("sb").as("pairs_exact"),
+          floor((col("spb") - expPairs)
+            / ((col("sa") + col("sb")) / lit(2.0) - expPairs) * lit(1e6) + lit(0.5))
+            .cast("long").as("ari_ppm"))
+    },
+
     // Dedup ROI table — the headline number a dedup run reports: per
     // cluster-size bucket, how many clusters/docs there are and how
     // many chars deduplication saves (everything but the keeper —
