@@ -1158,6 +1158,58 @@ object StateQueries {
     // the natural key at fleet scale), value x dt products go through
     // DECIMAL(28,6) so the weighted sum is order-independent and
     // engine-exact.
+    // Full autocorrelation function (correlogram) at lags 1..24 h over
+    // the hourly-resampled series — the diagnostics table behind
+    // seasonality/ARIMA order choices (ts_autocorr is the lag-1 point;
+    // this is the curve). The lagged self-join runs on the RESAMPLED
+    // series (rows = hours, not events) keyed by (type, hr+lag), and
+    // every moment goes through DECIMAL so each lag's Pearson r
+    // replays exactly; the final r is one double expression rounded
+    // 6 dp, identical in shape to the ts_autocorr oracle.
+    Q("ts_acf",
+      """WITH hb AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, l.l AS lag, a.y AS x, b.y AS y
+        |  FROM hb a JOIN (SELECT unnest(range(1, 25)) AS l) l ON true
+        |  JOIN hb b ON a.event_type = b.event_type AND b.hr = a.hr + l.l),
+        |m AS (SELECT event_type, lag, count(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+        |  round((n * sxy - sx * sy)
+        |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+        |FROM m""".stripMargin) { (s, dir) =>
+      val hb = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+        .agg(round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
+          / count(lit(1)), 6).as("y"))
+        .transform(graft.operators.TextOps.trackCache)
+      val lags = s.range(1, 25).toDF("lag")
+      // hr+lag precomputed on the left so the pairing is a clean
+      // (type, hour) equi-join — 24x the resampled rows, never a
+      // per-type cross product
+      val p = hb.select(col("event_type"), col("hr"), col("y").as("x"))
+        .crossJoin(broadcast(lags))
+        .withColumn("hr2", col("hr") + col("lag"))
+        .join(hb.select(col("event_type"), col("hr").as("hr2"), col("y")),
+          Seq("event_type", "hr2"))
+      def dm(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(28, 8))).cast("double")
+      val m = p.groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n"), dm(col("x")).as("sx"), dm(col("y")).as("sy"),
+          dm(col("x") * col("x")).as("sxx"), dm(col("y") * col("y")).as("syy"),
+          dm(col("x") * col("y")).as("sxy"))
+      m.select(col("event_type"), col("lag"), col("n").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r"))
+    },
+
     // SAX symbolization (Lin-Keogh 2003): per type the hourly series is
     // cut into 16-hour tumbling windows, each window z-normalized
     // against its own exact-decimal moments, PAA-reduced to 4 segments

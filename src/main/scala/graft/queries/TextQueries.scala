@@ -52,6 +52,52 @@ object TextQueries {
           .otherwise("fr").as("pred_lang"))
     },
 
+    // Language-ID EVALUATION: confusion matrix of the tx_langid
+    // heuristic against the corpus's true lang labels, with per-truth
+    // row shares in integer ppm — the accuracy audit any classifier
+    // stage ships with. On THIS fixture the matrix collapses to the
+    // 'en' column (the synthetic text draws from an English-like
+    // vocabulary for every lang label), which is precisely what the
+    // audit exists to expose: the heuristic's score margins, not the
+    // labels, drive the prediction. Same row-local
+    // scoring projection as tx_langid; the matrix itself is a bounded
+    // (5x4) aggregate plus a broadcast of per-lang totals.
+    Q("tx_lang_confusion", {
+      val scores = profiles.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''), t -> t IN ($set))) AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, lang, $scores FROM documents),
+         |p AS (SELECT lang,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |  FROM t),
+         |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY lang)
+         |SELECT c.lang, c.pred_lang, c.n, c.n * 1000000 // tot.tot AS share_ppm,
+         |  CAST(c.lang = c.pred_lang AS INT) AS is_correct
+         |FROM c JOIN tot ON c.lang = tot.lang""".stripMargin
+    }) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val withScores = profiles.foldLeft(Tables.load(s, dir, "documents")) {
+        case (df, (l, ws)) =>
+          df.withColumn(s"s_$l",
+            GraftFunctions.count_in_set(toks, array(ws.map(lit): _*)))
+      }
+      val p = withScores.select(col("lang"),
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr").as("pred_lang"))
+      val c = p.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val tot = c.groupBy("lang").agg(sum(col("n")).as("tot"))
+      c.join(broadcast(tot), "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("(n * 1000000) div tot").as("share_ppm"),
+          (col("lang") === col("pred_lang")).cast("int").as("is_correct"))
+    },
+
     // Quality scoring: length / token / stopword / whitespace ratios.
     Q("tx_quality",
       """WITH t AS (SELECT doc_id, text, length(text) AS chars,
