@@ -120,5 +120,64 @@ object Marine {
           col("utm.zone").as("zone"),
           col("utm.north").as("north"))
     },
+
+    // Grid-bucketed spatial self-join — the geohash/S2 pattern every
+    // fleet-track engine uses for "vessels within R of each other":
+    // positions quantize to a 0.005°(≈550 m) grid, one side explodes to
+    // its 9-cell neighbourhood, the join is a plain equi-join on the
+    // cell key (shuffle on bounded keys — NEVER an all-pairs distance
+    // cross product), and candidates verify with the real haversine at
+    // R=500 m. Cell size ≥ R in both axes at this latitude, so the
+    // 9-neighbourhood is lossless. Both engines evaluate the identical
+    // haversine expression text, so the doubles — and the 100 m
+    // distance bands — replay exactly; output is the per-band pair
+    // count plus an id-sum checksum (any lost or phantom pair breaks
+    // it). Same shape at 100 TB: density-bounded cells, no global sort.
+    Q("j_geo_bucket", {
+      val d = Formulas.haversineSql("a.lat", "a.lon", "b.lat", "b.lon")
+      s"""WITH p AS (SELECT event_id, 51.0 + value/1000.0 AS lat,
+         |    3.0 + CAST(user_id AS DOUBLE)/1000.0 AS lon
+         |  FROM events),
+         |c AS (SELECT event_id, lat, lon,
+         |    CAST(floor(lat/0.005) AS BIGINT) AS cy,
+         |    CAST(floor(lon/0.005) AS BIGINT) AS cx FROM p),
+         |n AS (SELECT c.event_id, lat, lon, cy + dy.dy AS ky, cx + dx.dx AS kx
+         |  FROM c CROSS JOIN (SELECT unnest([-1,0,1]) AS dy) dy
+         |         CROSS JOIN (SELECT unnest([-1,0,1]) AS dx) dx),
+         |cand AS (SELECT a.event_id AS ea, b.event_id AS eb,
+         |    a.lat AS alat, a.lon AS alon, b.lat AS blat, b.lon AS blon
+         |  FROM n a JOIN c b ON a.ky = b.cy AND a.kx = b.cx
+         |    AND a.event_id < b.event_id),
+         |v AS (SELECT ea, eb,
+         |    ${Formulas.haversineSql("alat", "alon", "blat", "blon")} AS d
+         |  FROM cand)
+         |SELECT CAST(floor(d/100) AS INT) AS band_100m, count(*) AS n_pairs,
+         |  CAST(sum(ea + eb) AS BIGINT) AS id_checksum
+         |FROM v WHERE d <= 500.0 GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+      val p = Tables.load(s, dir, "events")
+        .selectExpr("event_id", "51.0 + value/1000.0 AS lat",
+          "3.0 + CAST(user_id AS DOUBLE)/1000.0 AS lon")
+        .selectExpr("event_id", "lat", "lon",
+          "CAST(floor(lat/0.005) AS BIGINT) AS cy",
+          "CAST(floor(lon/0.005) AS BIGINT) AS cx")
+        .transform(graft.operators.TextOps.trackCache)
+      val offs = (for (dy <- -1 to 1; dx <- -1 to 1)
+        yield struct(lit(dy).as("dy"), lit(dx).as("dx"))).toSeq
+      val a = p.withColumn("o", explode(array(offs: _*)))
+        .select(col("event_id").as("ea"), col("lat").as("alat"), col("lon").as("alon"),
+          (col("cy") + col("o.dy")).as("ky"), (col("cx") + col("o.dx")).as("kx"))
+      val b = p.select(col("event_id").as("eb"), col("lat").as("blat"),
+        col("lon").as("blon"), col("cy"), col("cx"))
+      val cand = a.join(b,
+        col("ky") === col("cy") && col("kx") === col("cx") && col("ea") < col("eb"))
+      cand
+        .selectExpr("ea", "eb",
+          s"${Formulas.haversineSql("alat", "alon", "blat", "blon")} AS d")
+        .filter(col("d") <= 500.0)
+        .groupBy(floor(col("d") / 100).cast("int").as("band_100m"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("ea") + col("eb")).as("id_checksum"))
+    },
   )
 }
