@@ -1158,6 +1158,58 @@ object StateQueries {
     // the natural key at fleet scale), value x dt products go through
     // DECIMAL(28,6) so the weighted sum is order-independent and
     // engine-exact.
+    // Storage-encoding analyzer — the table a columnar engine's writer
+    // consults when picking encodings (Parquet/ORC style): per sensor
+    // series, delta-encode the centi-unit integer values in (ts, id)
+    // order, zigzag-map the deltas (branch form, no shift-semantics
+    // dependence), cost them as LEB128 varints via an all-integer CASE
+    // ladder, and count equal-value runs for the RLE alternative.
+    // Everything is BIGINT, so byte totals and compression-ratio ppm
+    // replay exactly. One window pass per series + a bounded aggregate
+    // — the same shape at fleet scale, where this IS the per-column
+    // stats pass a 100 TB writer runs before committing a layout.
+    Q("q_encoding_stats",
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    lag(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pv
+        |  FROM events),
+        |d AS (SELECT event_type, v,
+        |    CASE WHEN pv IS NULL THEN v ELSE v - pv END AS delta,
+        |    CASE WHEN pv IS NOT NULL AND v = pv THEN 0 ELSE 1 END AS run_start
+        |  FROM v),
+        |z AS (SELECT event_type, run_start,
+        |    CASE WHEN delta >= 0 THEN delta * 2 ELSE -delta * 2 - 1 END AS zz
+        |  FROM d),
+        |b AS (SELECT event_type, run_start,
+        |    CASE WHEN zz < 128 THEN 1 WHEN zz < 16384 THEN 2
+        |         WHEN zz < 2097152 THEN 3 WHEN zz < 268435456 THEN 4
+        |         WHEN zz < 34359738368 THEN 5 ELSE 6 END AS nb
+        |  FROM z)
+        |SELECT event_type, count(*) AS n, count(*) * 8 AS raw_bytes,
+        |  CAST(sum(nb) AS BIGINT) AS varint_bytes,
+        |  CAST(sum(run_start) AS BIGINT) AS n_runs,
+        |  CAST(sum(nb) * 1000000 // (count(*) * 8) AS BIGINT) AS ratio_ppm
+        |FROM b GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val vi = floor(col("value") * 100 + lit(0.5)).cast("long")
+      val d = Tables.load(s, dir, "events")
+        .select(col("event_type"), vi.as("v"), lag(vi, 1).over(w).as("pv"))
+        .select(col("event_type"),
+          when(col("pv").isNull, col("v")).otherwise(col("v") - col("pv")).as("delta"),
+          when(col("pv").isNotNull && col("v") === col("pv"), 0).otherwise(1).as("run_start"))
+      val zz = when(col("delta") >= 0, col("delta") * 2).otherwise(-col("delta") * 2 - 1)
+      d.withColumn("zz", zz)
+        .withColumn("nb",
+          when(col("zz") < 128L, 1).when(col("zz") < 16384L, 2)
+            .when(col("zz") < 2097152L, 3).when(col("zz") < 268435456L, 4)
+            .when(col("zz") < 34359738368L, 5).otherwise(6))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), (count(lit(1)) * 8).as("raw_bytes"),
+          sum(col("nb")).as("varint_bytes"), sum(col("run_start")).as("n_runs"))
+        .withColumn("ratio_ppm", expr("(varint_bytes * 1000000) div (n * 8)"))
+    },
+
     // Full autocorrelation function (correlogram) at lags 1..24 h over
     // the hourly-resampled series — the diagnostics table behind
     // seasonality/ARIMA order choices (ts_autocorr is the lag-1 point;
