@@ -2191,6 +2191,58 @@ object TextQueries {
         .toDF("doc_id", "w", "h", "sum_r", "sum_g", "sum_b", "checksum")
     },
 
+    // TIFF ingest, end-to-end and BIT-EXACT through the real baseline
+    // codec (the TIFF twin of mm_gif): per doc a 16x12 RGB raster from
+    // an all-integer formula, encoded by encodeTiff (classic II header,
+    // 9-entry IFD, one strip), decoded back through decodePixels' TIFF
+    // dispatch (IFD walk, either byte order, strip assembly — pinned
+    // against the JDK ImageIO TIFF plugin both directions in
+    // TiffCodecSpec), reduced to channel sums + an order-sensitive
+    // position-weighted checksum; oracle recomputed from the formula.
+    // Pure partition-local projection, zero exchanges.
+    Q("mm_tiff",
+      """WITH px AS (SELECT doc_id, i.i AS i,
+        |    ((doc_id % 256) * (i.i + 13) + i.i * i.i * 31) % 256 AS r,
+        |    ((doc_id % 128) * (i.i + 5) + i.i * 17) % 256 AS g,
+        |    ((doc_id % 64) * (i.i + 3) + i.i * i.i * 7) % 256 AS b
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 192)) AS i) i)
+        |SELECT doc_id, 16 AS w, 12 AS h,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum((i + 1) * (r * 65536 + g * 256 + b)) AS BIGINT) AS checksum
+        |FROM px GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val rgb = new Array[Byte](192 * 3)
+            var i = 0
+            while (i < 192) {
+              rgb(i * 3) = (((id % 256) * (i + 13) + i.toLong * i * 31) % 256).toByte
+              rgb(i * 3 + 1) = (((id % 128) * (i + 5) + i * 17L) % 256).toByte
+              rgb(i * 3 + 2) = (((id % 64) * (i + 3) + i.toLong * i * 7) % 256).toByte
+              i += 1
+            }
+            val bytes = graft.streaming.Multimodal.encodeTiff(16, 12, rgb)
+            graft.streaming.Multimodal.decodePixels(bytes).map { img =>
+              var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+              var j = 0
+              while (j < img.width * img.height) {
+                val r = img.pixels(j * 3) & 0xff
+                val g = img.pixels(j * 3 + 1) & 0xff
+                val b = img.pixels(j * 3 + 2) & 0xff
+                sr += r; sg += g; sb += b
+                ck += (j + 1).toLong * (r * 65536L + g * 256L + b)
+                j += 1
+              }
+              (id, img.width, img.height, sr, sg, sb, ck)
+            }
+          }
+        }
+        .toDF("doc_id", "w", "h", "sum_r", "sum_g", "sum_b", "checksum")
+    },
+
     // Pitch detection by integer autocorrelation through the REAL WAV
     // codec path (the DSP sibling of mm_vad): per doc a square wave of
     // period 25+doc_id%30 samples is synthesized, PCM16-encoded,

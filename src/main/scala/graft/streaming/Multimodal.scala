@@ -230,6 +230,10 @@ object Multimodal {
       decodePng(bytes)
     else if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
       decodeGif(bytes)
+    else if (bytes.length >= 8 &&
+      ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
+        (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42)))
+      decodeTiff(bytes)
     else None
   } catch {
     // truncated/corrupt payloads must DROP, not kill the task — the
@@ -572,6 +576,119 @@ object Multimodal {
       }
     }
     if (op < out.length) None else Some(out)
+  }
+
+  /** Baseline TIFF 6.0 decode (public Adobe spec): classic header in
+    * either byte order (II/MM), IFD walk with inline-or-offset values
+    * (SHORT/LONG), uncompressed (Compression=1) chunky
+    * (PlanarConfiguration=1) rasters, 8-bit grayscale (Photometric 0/1)
+    * or RGB (Photometric 2, 3+ samples — extra samples dropped), any
+    * strip layout. Malformed streams return None, never throw.
+    */
+  private[graft] def decodeTiff(bytes: Array[Byte]): Option[PixelImage] = try {
+    if (bytes.length < 8) return None
+    val le =
+      if (bytes(0) == 'I' && bytes(1) == 'I') true
+      else if (bytes(0) == 'M' && bytes(1) == 'M') false
+      else return None
+    def u16(o: Int): Int =
+      if (le) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    if (u16(2) != 42) return None
+    val ifd = u32(4).toInt
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd)
+    if (ifd + 2 + n * 12 + 4 > bytes.length) return None
+    // tag -> list of numeric values (SHORT=3 or LONG=4 only)
+    val tags = scala.collection.mutable.Map.empty[Int, IndexedSeq[Long]]
+    for (i <- 0 until n) {
+      val e = ifd + 2 + i * 12
+      val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4).toInt
+      val elemSize = typ match { case 3 => 2; case 4 => 4; case _ => 0 }
+      if (elemSize > 0 && cnt > 0 && cnt <= (1 << 20)) {
+        val total = elemSize * cnt
+        val base = if (total <= 4) e + 8 else u32(e + 8).toInt
+        if (base >= 0 && base + total <= bytes.length)
+          tags(tag) = (0 until cnt).map(j =>
+            if (typ == 3) u16(base + j * 2).toLong else u32(base + j * 4))
+      }
+    }
+    def one(tag: Int, dflt: Long = -1L): Long =
+      tags.get(tag).flatMap(_.headOption).getOrElse(dflt)
+    val w = one(256).toInt; val h = one(257).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
+    if (one(259, 1L) != 1L) return None // uncompressed only
+    if (one(284, 1L) != 1L) return None // chunky only
+    val photo = one(262).toInt
+    val spp = one(277, 1L).toInt
+    if (tags.get(258).exists(_.exists(_ != 8L))) return None // 8-bit only
+    val offs = tags.getOrElse(273, return None)
+    val cnts = tags.getOrElse(279,
+      IndexedSeq(w.toLong * h * spp)) // single-strip fallback
+    if (offs.size != cnts.size) return None
+    val raster = new Array[Byte](w * h * spp)
+    var op = 0
+    for (k <- offs.indices) {
+      val o = offs(k).toInt; val c = cnts(k).toInt
+      if (o < 0 || c < 0 || o + c > bytes.length || op + c > raster.length) return None
+      System.arraycopy(bytes, o, raster, op, c)
+      op += c
+    }
+    if (op < raster.length) return None
+    photo match {
+      case 2 if spp >= 3 =>
+        if (spp == 3) Some(PixelImage(w, h, 3, raster))
+        else { // drop extra samples (e.g. alpha)
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            rgb(i * 3) = raster(i * spp); rgb(i * 3 + 1) = raster(i * spp + 1)
+            rgb(i * 3 + 2) = raster(i * spp + 2)
+            i += 1
+          }
+          Some(PixelImage(w, h, 3, rgb))
+        }
+      case 1 if spp == 1 => Some(PixelImage(w, h, 1, raster))
+      case 0 if spp == 1 => // WhiteIsZero: invert
+        val inv = raster.map(b => (255 - (b & 0xff)).toByte)
+        Some(PixelImage(w, h, 1, inv))
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
+  /** Minimal classic little-endian baseline TIFF encode (RGB chunky,
+    * one strip) — exists so mm_tiff and the specs can round-trip
+    * [[decodeTiff]] against independently produced streams (the JDK's
+    * ImageIO TIFF plugin cross-check in TiffCodecSpec).
+    */
+  private[graft] def encodeTiff(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "raster must be w*h*3")
+    val out = java.nio.ByteBuffer.allocate(128 + rgb.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    val nEntries = 9
+    val bpsOff = 8 + 2 + nEntries * 12 + 4 // BitsPerSample triple after IFD
+    val dataOff = bpsOff + 6
+    out.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int): Unit = {
+      out.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3 && cnt == 1) { out.putShort(v.toShort); out.putShort(0) }
+      else out.putInt(v)
+    }
+    entry(256, 4, 1, w); entry(257, 4, 1, h)
+    entry(258, 3, 3, bpsOff) // -> [8,8,8]
+    entry(259, 3, 1, 1); entry(262, 3, 1, 2)
+    entry(273, 4, 1, dataOff); entry(277, 3, 1, 3)
+    entry(278, 4, 1, h); entry(279, 4, 1, rgb.length)
+    out.putInt(0) // no next IFD
+    out.putShort(8).putShort(8).putShort(8)
+    out.put(rgb)
+    java.util.Arrays.copyOf(out.array(), out.position())
   }
 
   /** GIF87a encode of a palette-indexed image — real variable-width LZW
