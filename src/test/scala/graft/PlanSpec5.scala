@@ -184,3 +184,24 @@ class PlanSpec5f extends AnyFunSuite {
       s"density cap should push a group limit below the sort:\n$p")
   }
 }
+
+/** Pins for the encoding-stats/TIFF batch. */
+class PlanSpec5g extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q_encoding_stats: one window pass, no join") {
+    val p = plan("q_encoding_stats")
+    assert(!p.contains("Join"), s"encoding stats must not join:\n$p")
+  }
+
+  test("mm_tiff: partition-local codec — zero exchanges, no join") {
+    val p = plan("mm_tiff")
+    assert(!p.contains("Join"), s"codec path must not join:\n$p")
+    assert(!raw"\(\d+\) Exchange".r.findFirstIn(p).isDefined,
+      s"mm_tiff is embarrassingly parallel:\n$p")
+  }
+}
