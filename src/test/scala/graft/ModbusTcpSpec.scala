@@ -202,14 +202,40 @@ class ModbusTcpSpec extends AnyFunSuite {
     received.clear()
     val q2 = startQuery()
     try {
+      val num0 = raw"(\d+)$$".r
+      def peak(): Int = {
+        val arr = received.toArray(Array.empty[String])
+        if (arr.isEmpty) Int.MinValue
+        else arr.flatMap(s => num0.findFirstIn(s).map(_.toInt)).max
+      }
+      val firstMax = firstRun.flatMap(s => num0.findFirstIn(s).map(_.toInt)).max
       val deadline = System.currentTimeMillis() + 40000
-      while (received.isEmpty && System.currentTimeMillis() < deadline) {
+      // wait for PROGRESS past the first run, not merely first output —
+      // the first batch after restart may legally be a replay
+      while (peak() <= firstMax && System.currentTimeMillis() < deadline) {
         Thread.sleep(100)
       }
       val secondRun = received.toArray(Array.empty[String]).toSeq
-      // committed offsets were restored: nothing from the first run replays
-      assert(secondRun.toSet.intersect(firstRun.toSet).isEmpty,
-        s"replayed lines across restart: ${secondRun.toSet.intersect(firstRun.toSet)}")
+      // The exact Structured Streaming recovery contract, not more:
+      // foreachBatch output is at-least-once, so a stop() that lands
+      // between a batch's processing and its commit-log write legally
+      // replays THAT batch after restart (seen under co-tenant load).
+      // What must hold: (1) any replayed lines are a SUFFIX of the
+      // first run — only the trailing uncommitted batch(es) may
+      // reappear, never earlier committed ones; (2) the source makes
+      // progress past the first run (offsets were restored, the poll
+      // counter keeps climbing — no loss, no reset).
+      val replayed = secondRun.toSet.intersect(firstRun.toSet)
+      if (replayed.nonEmpty) {
+        val k = firstRun.indexWhere(replayed.contains)
+        assert(firstRun.drop(k).toSet == replayed,
+          s"replay was not a trailing-batch suffix: $replayed of $firstRun")
+      }
+      val num = raw"(\d+)$$".r
+      def v(s: String): Int =
+        num.findFirstIn(s).map(_.toInt).getOrElse(Int.MinValue)
+      assert(secondRun.map(v).max > firstRun.map(v).max,
+        s"no progress after restart: $secondRun vs $firstRun")
     } finally {
       q2.stop()
       slave.close()
