@@ -351,5 +351,43 @@ object PipelineQueries {
         .withColumn("val_mapped",
           when(col("key") === "type", translate).otherwise(col("val")))
     },
+
+    // SFT loss-mask construction — the per-token supervision map an
+    // instruction-tuning pipeline emits alongside pl_pack's windows:
+    // tokens segment into alternating 8-token user/assistant turns and
+    // only assistant positions carry loss. Output per doc: token/turn
+    // volumes, masked-token count, span count, and a position-weighted
+    // mask checksum — any off-by-one in the turn boundaries or role
+    // parity breaks the hash. Pure row-local positional arithmetic
+    // (posexplode + integer div), no exchange before the per-doc agg;
+    // at 100 TB this fuses into the same scan that tokenizes.
+    Q("pl_loss_mask",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |e AS (SELECT doc_id, len(w) AS n_tokens,
+        |    unnest([{'p': i - 1} for i in range(1, len(w) + 1)]) AS s
+        |  FROM t),
+        |m AS (SELECT doc_id, n_tokens, s.p AS p, s.p // 8 AS turn,
+        |    CASE WHEN (s.p // 8) % 2 = 1 THEN 1 ELSE 0 END AS masked
+        |  FROM e)
+        |SELECT doc_id, n_tokens,
+        |  CAST(max(turn) + 1 AS BIGINT) AS n_turns,
+        |  CAST(sum(masked) AS BIGINT) AS n_loss_tokens,
+        |  CAST(count(DISTINCT CASE WHEN masked = 1 THEN turn END) AS BIGINT) AS n_spans,
+        |  CAST(sum(masked * (p + 1)) AS BIGINT) AS mask_checksum
+        |FROM m GROUP BY doc_id, n_tokens""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.operators.TextOps.tokens(col("text"))).as(Seq("p", "wd")))
+        .withColumn("n_tokens", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        .withColumn("turn", expr("p div 8"))
+        .withColumn("masked", (col("turn") % 2 === 1).cast("int"))
+        .groupBy("doc_id", "n_tokens")
+        .agg((max(col("turn")) + 1).as("n_turns"),
+          sum(col("masked")).as("n_loss_tokens"),
+          countDistinct(when(col("masked") === 1, col("turn"))).as("n_spans"),
+          sum(col("masked") * (col("p") + 1)).as("mask_checksum"))
+    },
   )
 }
