@@ -1478,6 +1478,52 @@ object Relational {
             / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"))
     },
 
+    // One exact ALS half-step (Koren-Bell-Volinsky style, rank 2) over
+    // implicit customer-part feedback: with item factors fixed at a
+    // deterministic integer init, each user's factors solve the 2x2
+    // ridge normal equations (A = ΣffT + λI, b = Σ f·r) in closed form
+    // — the distributed-recommender shape where the ONLY communication
+    // is k² + k integers per user (here 6), aggregated map-side. Every
+    // matrix entry is an exact BIGINT; the final Cramer division is the
+    // single double op, rounded 6 dp with the identical expression in
+    // both engines. This is what a 1000-executor ALS iteration reduces
+    // to per block: tiny dense solves over exact partial sums.
+    Q("v_als_step",
+      """WITH r AS (SELECT o.o_custkey AS c, l.l_partkey AS p, count(*) AS r
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |f AS (SELECT c, r.r, (p % 7) + 1 AS f1, (p % 5) + 1 AS f2 FROM r),
+        |a AS (SELECT c, count(*) AS n_items,
+        |    CAST(sum(f1 * f1) + 10 AS BIGINT) AS a11,
+        |    CAST(sum(f1 * f2) AS BIGINT) AS a12,
+        |    CAST(sum(f2 * f2) + 10 AS BIGINT) AS a22,
+        |    CAST(sum(f1 * r) AS BIGINT) AS b1,
+        |    CAST(sum(f2 * r) AS BIGINT) AS b2
+        |  FROM f GROUP BY c)
+        |SELECT c AS custkey, n_items,
+        |  round((b1 * a22 - b2 * a12) * 1.0 / (a11 * a22 - a12 * a12), 6) AS u1,
+        |  round((a11 * b2 - a12 * b1) * 1.0 / (a11 * a22 - a12 * a12), 6) AS u2
+        |FROM a""".stripMargin) { (s, dir) =>
+      val r = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("r"))
+      val f = r.select(col("c"), col("r"),
+        (col("p") % 7 + 1).as("f1"), (col("p") % 5 + 1).as("f2"))
+      val a = f.groupBy("c")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("f1") * col("f1")) + 10).as("a11"),
+          sum(col("f1") * col("f2")).as("a12"),
+          (sum(col("f2") * col("f2")) + 10).as("a22"),
+          sum(col("f1") * col("r")).as("b1"),
+          sum(col("f2") * col("r")).as("b2"))
+      val det = col("a11") * col("a22") - col("a12") * col("a12")
+      a.select(col("c").as("custkey"), col("n_items"),
+        round((col("b1") * col("a22") - col("b2") * col("a12")) * lit(1.0) / det, 6).as("u1"),
+        round((col("a11") * col("b2") - col("a12") * col("b1")) * lit(1.0) / det, 6).as("u2"))
+    },
+
     // HITS hubs & authorities (Kleinberg 1999) over the bipartite
     // customer->part purchase graph, two unrolled UNNORMALIZED rounds —
     // dropping the norm keeps every score an exact BIGINT (the ranking
