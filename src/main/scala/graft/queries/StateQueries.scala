@@ -727,6 +727,30 @@ object StateQueries {
         .select(col("event_id"), col("last_err").as("err_event_id"))
     },
 
+    // §2.11 as-of join through the NATIVE physical operator
+    // (org.apache.spark.sql.graft.AsOfJoinExec): logical AsOfJoinPlan ->
+    // AsOfJoinStrategy -> one linear merge per co-partitioned sorted
+    // partition — the (c)-tier custom-operator rendering of j_asof.
+    // Same DuckDB ASOF oracle as j_asof, so the exec, the window
+    // rendering, and DuckDB's native ASOF triple-check each other.
+    // Scale: ONE hash exchange per side on user_id + per-partition sort;
+    // no candidate materialization at any key skew (merge is O(n+m)).
+    Q("j_asof_exec",
+      """SELECT p.event_id, e.event_id AS err_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("r_event_id"),
+          col("user_id").as("r_user_id"), unix_micros(col("ts")).as("r_tus"))
+      org.apache.spark.sql.graft.AsOf.joinAsOf(purchases, errors,
+          "user_id", "r_user_id", "tus", "r_tus", "event_id", "r_event_id")
+        .select(col("event_id"), col("r_event_id").as("err_event_id"))
+    },
+
     // §2.11 ordered conversion funnel: per-user signup -> first LATER
     // purchase with latency, plus step counts. Order-dependent two-level
     // aggregation: the signup anchor aggregates first, purchases join

@@ -1,0 +1,148 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join as a first-class operator — the (c) tier of the custom-op
+  * ladder: a logical node, a planner Strategy and a physical exec,
+  * registered through [[GraftExtensions]] /
+  * [[GraftOptimizations.install]]. Spark has no native as-of join; the
+  * compositional renderings (union + last-ignore-nulls window, or range
+  * join + argmax) either widen the shuffle or materialize candidate
+  * pairs. This operator does what a time-series engine does: hash-
+  * partition both sides by key, sort each partition by (key, time, id),
+  * then ONE linear merge per partition — for every left row, the
+  * latest right row with the same key and time <= left time (ties to
+  * the largest (time, id), deterministic). Cost is sort + O(n+m) per
+  * partition, no candidate blowup at any skew.
+  *
+  * Scope: one integral (long) key and long event-time per side — the
+  * fleet shape (sensor id + epoch). Wider keys are key-projection
+  * plumbing, not new algorithm. Left semantics: LEFT OUTER (unmatched
+  * left rows emit nulls on the right), mirroring pandas merge_asof and
+  * DuckDB ASOF LEFT JOIN.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    leftId: Expression,
+    rightId: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(p.leftKey, p.rightKey, p.leftTime, p.rightTime,
+        p.leftId, p.rightId, planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    leftId: Expression,
+    rightId: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition both sides on the key: EnsureRequirements inserts the
+  // exchanges and aligns partition counts exactly as for a sort-merge join
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  // per-partition (key, time, id) sort: the merge is then a single pass
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending),
+      SortOrder(leftId, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightId, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rightArity = right.output.size
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      new Iterator[InternalRow] {
+        private val joined = new JoinedRow
+        private val nulls = new GenericInternalRow(rightArity)
+        private val rBuf = rIt.buffered
+        // latest right row (copied — iterators reuse row objects) with
+        // candKey / candTime valid only when candSet
+        private var cand: InternalRow = _
+        private var candKey = 0L
+        private var candSet = false
+        override def hasNext: Boolean = lIt.hasNext
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val k = lKey.eval(l).asInstanceOf[Long]
+          val t = lTime.eval(l).asInstanceOf[Long]
+          // advance the right side through every row at-or-before (k, t);
+          // the last one advanced over for key k is the as-of match
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rKey.eval(r).asInstanceOf[Long]
+            if (rk < k || (rk == k && rTime.eval(r).asInstanceOf[Long] <= t)) {
+              if (rk == k) { cand = r.copy(); candKey = k; candSet = true }
+              rBuf.next()
+            } else advancing = false
+          }
+          if (candSet && candKey == k) joined(l, cand) else joined(l, nulls)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public construction surface for the operator. */
+object AsOf {
+  /** `left` as-of `right` on an integral key and long time column: for
+    * each left row, columns of the latest right row with the same key
+    * and `right(timeCol) <= left(timeCol)` (nulls when none). Column
+    * names must not collide across sides (alias before joining).
+    */
+  def joinAsOf(leftDf: DataFrame, rightDf: DataFrame, leftKeyCol: String,
+      rightKeyCol: String, leftTimeCol: String, rightTimeCol: String,
+      leftIdCol: String, rightIdCol: String): DataFrame = {
+    GraftOptimizations.install(leftDf.sparkSession)
+    val lp = leftDf.queryExecution.analyzed
+    val rp = rightDf.queryExecution.analyzed
+    def a(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n"))
+    Dataset.ofRows(leftDf.sparkSession.asInstanceOf[SparkSession],
+      AsOfJoinPlan(lp, rp, a(lp, leftKeyCol), a(rp, rightKeyCol),
+        a(lp, leftTimeCol), a(rp, rightTimeCol),
+        a(lp, leftIdCol), a(rp, rightIdCol)))
+  }
+}

@@ -32,8 +32,10 @@ object PowToMultiply extends Rule[LogicalPlan] {
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PowToMultiply)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 /** Install on an already-built session (extensions can only be injected
@@ -44,5 +46,8 @@ object GraftOptimizations {
     val current = spark.experimental.extraOptimizations
     if (!current.contains(PowToMultiply))
       spark.experimental.extraOptimizations = current :+ PowToMultiply
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
   }
 }
