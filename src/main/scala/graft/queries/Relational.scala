@@ -372,6 +372,80 @@ object Relational {
           min("y").as("min_y"), max("y").as("max_y"))
     },
 
+    // Zone-map / data-skipping audit (the min-max pruning every parquet
+    // footer and Delta/Iceberg file-stats layer does): zone rows by
+    // 40-day shipdate stripes (the physical clustering a date-sorted
+    // write produces), record per-zone min/max of the clustered column
+    // (shipdate) AND an unclustered one (quantity), then evaluate which
+    // zones a year-range predicate and a quantity predicate could skip.
+    // The contrast IS the lakehouse story: the sorted column prunes
+    // nearly every out-of-range zone, the unsorted one prunes none —
+    // q_zorder is the fix for the latter. All-integer day arithmetic;
+    // one agg shuffle on ~60 zone keys at any SF.
+    Q("q_zone_map",
+      """WITH z AS (SELECT
+        |    datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 40 AS zone,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sday,
+        |    l_quantity
+        |  FROM lineitem),
+        |m AS (SELECT zone, count(*) AS n_rows,
+        |    min(sday) AS min_ship, max(sday) AS max_ship,
+        |    min(l_quantity) AS min_q, max(l_quantity) AS max_q
+        |  FROM z GROUP BY zone)
+        |SELECT zone, n_rows, min_ship, max_ship, min_q, max_q,
+        |  CAST(max_ship < datediff('day', DATE '1970-01-01', DATE '1998-01-01')
+        |    OR min_ship > datediff('day', DATE '1970-01-01', DATE '1998-12-31')
+        |    AS INT) AS skip_ship,
+        |  CAST(max_q < 5 OR min_q > 45 AS INT) AS skip_qty
+        |FROM m""".stripMargin) { (s, dir) =>
+      val sday = datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+      val zone = expr(
+        "datediff(cast(l_shipdate as date), date'1995-01-01') div 40")
+      val d98lo = datediff(lit("1998-01-01").cast("date"), lit("1970-01-01").cast("date"))
+      val d98hi = datediff(lit("1998-12-31").cast("date"), lit("1970-01-01").cast("date"))
+      Tables.load(s, dir, "lineitem")
+        .select(zone.as("zone"), sday.as("sday"), col("l_quantity"))
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_rows"),
+          min("sday").as("min_ship"), max("sday").as("max_ship"),
+          min("l_quantity").as("min_q"), max("l_quantity").as("max_q"))
+        .select(col("zone"), col("n_rows"), col("min_ship"), col("max_ship"),
+          col("min_q"), col("max_q"),
+          (col("max_ship") < d98lo || col("min_ship") > d98hi)
+            .cast("int").as("skip_ship"),
+          (col("max_q") < 5 || col("min_q") > 45).cast("int").as("skip_qty"))
+    },
+
+    // Small-file compaction planner (the OPTIMIZE bin-packing pass):
+    // treat each order date as one "file" of size count(*), order files
+    // by date, and assign each to the first-fit-by-prefix-sum bin of
+    // ~6000 rows — bin = floor(preceding-cumulative / target), the
+    // greedy packing Delta/Iceberg OPTIMIZE performs. The global-order
+    // window runs over the FILE MANIFEST (one row per file: ~10^3 here,
+    // ~10^5 for a 100 TB table), which is metadata-scale — a
+    // single-partition prefix sum over a manifest is exactly how the
+    // real table services plan compaction, not a data-scale sort.
+    Q("q_compact_bins",
+      """WITH f AS (SELECT
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS fday,
+        |    count(*) AS fsize
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT fday, fsize, sum(fsize) OVER
+        |    (ORDER BY fday ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+        |  FROM f)
+        |SELECT fday, fsize, CAST((csum - fsize) // 6000 AS BIGINT) AS bin
+        |FROM c""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy("fday")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).as("fday"))
+        .agg(count(lit(1)).as("fsize"))
+        .withColumn("csum", sum("fsize").over(w))
+        .select(col("fday"), col("fsize"),
+          expr("(csum - fsize) div 6000").as("bin"))
+    },
+
     // Equi-width histogram (data profiling): fixed [0, 120000) domain in
     // 20 buckets — integer bucket arithmetic is identical across engines,
     // and the shuffle carries only per-partition bucket counts.
@@ -831,6 +905,41 @@ object Relational {
         .unionAll(t.select(col("y").as("node")))
         .unionAll(t.select(col("z").as("node")))
         .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    },
+
+    // Degree distribution + CCDF of the co-purchase graph — the first
+    // graph-health audit anyone runs (is it power-law? where does the
+    // hub tail start?), and the input to the q_key_skew-style join
+    // planning decision (a heavy-tailed degree histogram is the signal
+    // to salt). All-integer: degree histogram plus nodes-with-degree>=d
+    // via one cumulative window over the ~tens-of-rows histogram
+    // (metadata-scale — the window never sees node-scale data). Edge
+    // derivation is plan-identical to q_triangles'/v_kcore's, so the
+    // cache registry serves all three from one copy.
+    Q("v_degree_dist",
+      """WITH ms AS (SELECT greatest(2, count(*) // 75000) AS minsup FROM orders),
+        |e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT minsup FROM ms)),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+        |  GROUP BY node),
+        |h AS (SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d)
+        |SELECT degree, n_nodes,
+        |  CAST(sum(n_nodes) OVER (ORDER BY degree DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge
+        |FROM h""".stripMargin) { (s, dir) =>
+      val e0 = copurchaseEdges(s, dir)
+      val deg = e0.select(col("a").as("node"))
+        .unionAll(e0.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val w = Window.orderBy(col("degree").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deg.groupBy(col("d").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(col("degree"), col("n_nodes"),
+          sum("n_nodes").over(w).as("n_ge"))
     },
 
     // 2-core peeling on the co-purchase graph (Seidman 1983; Batagelj-

@@ -858,6 +858,84 @@ object StateQueries {
           element_at(col("win"), 5).as("med"))
     },
 
+    // §2.8-adjacent alert debouncing: a key's alarm fires only if the
+    // last EMITTED alarm is >= 24h older — the cooldown every alerting
+    // system applies so a flapping sensor doesn't page 50 times
+    // (reference issue-pool "message seen n times" suppression is the
+    // same idea). Inherently sequential per key: each decision depends
+    // on the previous EMITTED time, not the previous candidate — so a
+    // window can't express it. Spark folds the per-key candidate list
+    // with aggregate() over a struct accumulator (candidates per key are
+    // bounded by the trigger rate, not the corpus — the list stays
+    // small at any SF); DuckDB replays the same recursion as a
+    // recursive CTE. Emitted count + emitted-epoch sum checksum make
+    // any divergence in any step break the hash.
+    Q("st_debounce",
+      """WITH RECURSIVE cand AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_cand
+        |  FROM events WHERE value > 90),
+        |rec AS (
+        |  SELECT user_id, rn, n_cand, tms AS last_em, 1 AS n, tms AS s
+        |  FROM cand WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.user_id, c.rn, c.n_cand,
+        |    CASE WHEN c.tms - r.last_em >= 86400000 THEN c.tms ELSE r.last_em END,
+        |    r.n + CASE WHEN c.tms - r.last_em >= 86400000 THEN 1 ELSE 0 END,
+        |    r.s + CASE WHEN c.tms - r.last_em >= 86400000 THEN c.tms ELSE 0 END
+        |  FROM rec r JOIN cand c ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+        |SELECT user_id, n_cand, n AS n_emit, s AS emit_sum_ms
+        |FROM rec WHERE rn = n_cand""".stripMargin) { (s, dir) =>
+      val acc0 = struct(
+        lit(-1000000000000000L).as("last"), lit(0).as("n"), lit(0L).as("s"))
+      val deb = aggregate(col("cands"), acc0, (a, t) =>
+        when(t - a.getField("last") >= 86400000L,
+          struct(t.as("last"), (a.getField("n") + 1).as("n"),
+            (a.getField("s") + t).as("s")))
+          .otherwise(a))
+      Tables.load(s, dir, "events")
+        .filter(col("value") > 90)
+        .select(col("user_id"), unix_millis(col("ts")).as("tms"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list("tms")).as("cands"))
+        .select(col("user_id"), size(col("cands")).as("n_cand"),
+          deb.getField("n").as("n_emit"), deb.getField("s").as("emit_sum_ms"))
+    },
+
+    // §2.8-adjacent flap detection: a sensor oscillating around its
+    // threshold generates alarm/clear churn — flag keys whose
+    // state-transition rate clears 40% so hysteresis (st_hysteresis)
+    // can be pointed at them. One per-key window pass for lag, one
+    // aggregate; transition rate in integer ppm so the flag replays
+    // exactly cross-engine.
+    Q("st_flapping",
+      """WITH st AS (SELECT user_id,
+        |    CAST(value > 50 AS INT) AS state,
+        |    CASE WHEN CAST(value > 50 AS INT)
+        |      <> lag(CAST(value > 50 AS INT)) OVER w THEN 1 ELSE 0 END AS trans
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, count(*) AS n_rows,
+        |  CAST(sum(trans) AS BIGINT) AS n_trans,
+        |  CAST(sum(trans) * 1000000 // (count(*) - 1) AS BIGINT) AS trans_ppm,
+        |  CAST(sum(trans) * 1000000 // (count(*) - 1) >= 400000 AS INT) AS flapping
+        |FROM st GROUP BY user_id HAVING count(*) > 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val state = (col("value") > 50).cast("int")
+      val ppm = expr("n_trans * 1000000 div (n_rows - 1)")
+      Tables.load(s, dir, "events")
+        .withColumn("trans",
+          when(state =!= lag(state, 1).over(w), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"), sum("trans").as("n_trans"))
+        .filter(col("n_rows") > 1)
+        .select(col("user_id"), col("n_rows"), col("n_trans"),
+          ppm.as("trans_ppm"),
+          (ppm >= 400000).cast("int").as("flapping"))
+    },
+
     // §2.11 NEAREST as-of join: each purchase matches its closest error
     // (same user) by absolute time distance — backward as-of (j_asof)
     // takes the latest prior only; sensor fusion wants the nearest
