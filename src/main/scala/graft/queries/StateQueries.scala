@@ -1489,6 +1489,55 @@ object StateQueries {
           round(col("fin.l") + col("fin.b") * 3, 6).as("forecast3"))
     },
 
+    // 1-D Kalman filter (random-walk state model, q=0.25 process /
+    // r=4.0 measurement noise) over the hourly-resampled per-type
+    // series — the optimal linear fuser every sensor deployment runs
+    // where EWMA (ts_ewma) is the ad-hoc one; the posterior variance
+    // converging to its Riccati fixed point is the filter's self-check.
+    // Same cross-engine contract as ts_holt: identical IEEE expression
+    // order on both sides (predict variance, gain = p/(p+r), innovate),
+    // so estimate and variance replay bit-identically before the 6-dp
+    // display round. Hourly pre-agg is map-side combinable; the fold is
+    // bounded by the time span, and a fleet runs many short series in
+    // parallel — never one long one.
+    Q("ts_kalman",
+      """WITH RECURSIVE hb AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS y
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+        |  FROM hb),
+        |n AS (SELECT event_type, max(rn) AS n FROM h GROUP BY 1),
+        |st AS (
+        |  SELECT event_type, 1 AS rn, y AS x, CAST(1.0 AS DOUBLE) AS p
+        |  FROM h WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.rn + 1,
+        |    s.x + ((s.p + 0.25) / (s.p + 0.25 + 4.0)) * (h.y - s.x),
+        |    (1.0 - (s.p + 0.25) / (s.p + 0.25 + 4.0)) * (s.p + 0.25)
+        |  FROM st s JOIN h ON h.event_type = s.event_type AND h.rn = s.rn + 1)
+        |SELECT s.event_type, n.n AS n_hours,
+        |  round(s.x, 6) AS est, round(s.p, 6) AS post_var
+        |FROM st s JOIN n ON s.event_type = n.event_type AND s.rn = n.n""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+        .agg(round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
+          / count(lit(1)), 6).as("y"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hr"), col("y")))).as("pts"))
+        .withColumn("ys", expr("transform(pts, p -> p.y)"))
+        .withColumn("fin", expr(
+          """aggregate(slice(ys, 2, size(ys) - 1),
+            |  named_struct('x', ys[0], 'p', 1.0D),
+            |  (s, y) -> named_struct(
+            |    'x', s.x + ((s.p + 0.25D) / (s.p + 0.25D + 4.0D)) * (y - s.x),
+            |    'p', (1.0D - (s.p + 0.25D) / (s.p + 0.25D + 4.0D)) * (s.p + 0.25D)))""".stripMargin))
+        .select(col("event_type"), size(col("ys")).cast("long").as("n_hours"),
+          round(col("fin.x"), 6).as("est"), round(col("fin.p"), 6).as("post_var"))
+    },
+
     Q("ts_twa",
       """WITH o AS (SELECT event_type, value, epoch_us(ts) AS eu,
         |    lead(epoch_us(ts)) OVER (PARTITION BY event_type

@@ -1167,6 +1167,77 @@ object TextQueries {
         }.toDF("doc_id", "width", "height", "duration_ms")
     },
 
+    // MPEG-1 Layer III stream probe as a board row: per document a CBR
+    // frame sequence is synthesized (ID3v2 prefix of doc-varying
+    // syncsafe length, doc-varying non-sync junk before the first
+    // frame, per-frame padding bit alternating — the three things real
+    // MP3 walkers get wrong) and walked back through
+    // Multimodal.probeMp3: ID3 skip, 11-bit resync, and the
+    // 144*bitrate/samplerate+padding frame advance from ISO/IEC
+    // 11172-3. The oracle recomputes frame count, CBR bitrate,
+    // frame-byte total and exact sample-count duration from the
+    // generator formula alone — a wrong bitrate table entry, a
+    // padding-arithmetic slip, or an off-by-one in the ID3 syncsafe
+    // decode breaks the hash. Row-local at any scale; Huffman payload
+    // decode stays declared out of scope with the other perceptual
+    // codecs.
+    Q("mm_mp3_probe",
+      """SELECT doc_id,
+        |  CAST(5 + doc_id % 20 AS INT) AS n_frames,
+        |  CAST([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |       [CAST(doc_id % 14 AS INT) + 1] AS INT) AS bitrate_kbps,
+        |  CAST([44100,48000,32000][CAST(doc_id % 3 AS INT) + 1] AS INT)
+        |    AS sample_rate,
+        |  CAST((5 + doc_id % 20) *
+        |    (144 * [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |           [CAST(doc_id % 14 AS INT) + 1] * 1000
+        |     // [44100,48000,32000][CAST(doc_id % 3 AS INT) + 1])
+        |    + (5 + doc_id % 20) // 2 AS BIGINT) AS frame_bytes,
+        |  CAST((5 + doc_id % 20) * 1152 * 1000
+        |    // [44100,48000,32000][CAST(doc_id % 3 AS INT) + 1] AS BIGINT)
+        |    AS duration_ms
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val bitrates = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+            192, 224, 256, 320)
+          val rates = Array(44100, 48000, 32000)
+          it.flatMap { id =>
+            val br = bitrates((id % 14).toInt)
+            val sr = rates((id % 3).toInt)
+            val n = (5 + id % 20).toInt
+            val id3Body = (id % 50).toInt
+            val junk = (id % 5).toInt
+            val base = 144 * br * 1000 / sr
+            val total = 10 + id3Body + junk +
+              (0 until n).map(i => base + (i % 2)).sum
+            val out = new java.io.ByteArrayOutputStream(total)
+            out.write('I'.toInt); out.write('D'.toInt); out.write('3'.toInt)
+            out.write(3); out.write(0); out.write(0) // ver 2.3, flags
+            out.write((id3Body >> 21) & 0x7f); out.write((id3Body >> 14) & 0x7f)
+            out.write((id3Body >> 7) & 0x7f); out.write(id3Body & 0x7f)
+            (0 until id3Body).foreach(_ => out.write(0))
+            (0 until junk).foreach(_ => out.write(0xAA)) // resync fodder
+            (0 until n).foreach { i =>
+              val padding = i % 2
+              out.write(0xFF); out.write(0xFB) // sync + MPEG-1 Layer III
+              out.write(((bitrates.indexOf(br) + 1) << 4) |
+                ((id % 3).toInt << 2) | (padding << 1))
+              out.write(0xC0)
+              val len = base + padding
+              (4 until len).foreach(j =>
+                out.write(((id * 31 + i * 7 + j) % 251).toInt))
+            }
+            graft.streaming.Multimodal.probeMp3(out.toByteArray).map { mi =>
+              (id, mi.frames, mi.bitrateKbps, mi.sampleRate, mi.frameBytes,
+                mi.durationMs)
+            }
+          }
+        }.toDF("doc_id", "n_frames", "bitrate_kbps", "sample_rate",
+          "frame_bytes", "duration_ms")
+    },
+
     // WARC ingest, end-to-end and BIT-EXACT: documents are grouped 50
     // to an archive, written as real ISO-28500 response records
     // (WARC headers + HTTP/1.1 block) with deterministic payloads, and
@@ -2385,6 +2456,97 @@ object TextQueries {
           expr("(k - 1) * 268435456 div hk").as("est"), col("n_exact"),
           (abs(expr("(k - 1) * 268435456 div hk") - col("n_exact"))
             <= expr("n_exact div 4")).cast("int").as("within_25pct"))
+    },
+
+    // KMV/theta-sketch SET-OPERATION estimation (Beyer et al. SIGMOD'07;
+    // the Datasketches theta union/intersection): high-value purchasers
+    // vs high-value clickers as two partially-overlapping user sets
+    // (31/111 union at sf0.01, 344/1099 at sf0.1). A COMMON unsalted
+    // hash this time — set algebra needs comparable sketches. Union
+    // sketch = k smallest of the two per-set sketches' union (the
+    // mergeable path a tree-reduce takes — never the raw sets);
+    // intersection via the membership flags, which are EXACT against the
+    // truncated per-set sketches (x in K-union and x in A implies x in
+    // K_A — k-th-order-statistic argument in Beyer et al. §4). Every
+    // hash, rank, and integer-division estimate replays in SQL; in-row
+    // gates hold the union to ±25% and the intersection to ±35% of the
+    // exact counts (sketches go exact below k, so the gates bite at
+    // sf0.1 and 10x where n > k).
+    Q("q_approx_setops",
+      """WITH au AS (SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'purchase' AND value > 150),
+        |bu AS (SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'click' AND value > 150),
+        |ha AS (SELECT user_id, list_reduce(list_transform(range(1, 8),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('u:' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS hv FROM au),
+        |hb AS (SELECT user_id, list_reduce(list_transform(range(1, 8),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('u:' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS hv FROM bu),
+        |ka AS (SELECT user_id, hv FROM (SELECT user_id, hv,
+        |    row_number() OVER (ORDER BY hv, user_id) AS rn FROM ha) WHERE rn <= 128),
+        |kb AS (SELECT user_id, hv FROM (SELECT user_id, hv,
+        |    row_number() OVER (ORDER BY hv, user_id) AS rn FROM hb) WHERE rn <= 128),
+        |km AS (SELECT coalesce(ka.user_id, kb.user_id) AS user_id,
+        |    coalesce(ka.hv, kb.hv) AS hv,
+        |    CASE WHEN ka.user_id IS NULL THEN 0 ELSE 1 END AS in_a,
+        |    CASE WHEN kb.user_id IS NULL THEN 0 ELSE 1 END AS in_b
+        |  FROM ka FULL OUTER JOIN kb ON ka.user_id = kb.user_id AND ka.hv = kb.hv),
+        |ku AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (ORDER BY hv, user_id) AS rn FROM km) WHERE rn <= 128),
+        |sk AS (SELECT CAST(max(hv) AS BIGINT) AS hk, count(*) AS ku_n,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM ku),
+        |x AS (SELECT (SELECT count(*) FROM au) AS na, (SELECT count(*) FROM bu) AS nb,
+        |    (SELECT count(*) FROM au JOIN bu USING (user_id)) AS n_inter,
+        |    (SELECT count(*) FROM (SELECT user_id FROM au UNION SELECT user_id FROM bu)) AS n_union),
+        |e AS (SELECT hk, ku_n, n_both, na, nb, n_inter, n_union,
+        |    CASE WHEN ku_n < 128 THEN ku_n
+        |         ELSE (ku_n - 1) * 268435456 // hk END AS est_union
+        |  FROM sk, x)
+        |SELECT ku_n, hk, n_both, na, nb, n_union, n_inter,
+        |  CAST(est_union AS BIGINT) AS est_union,
+        |  CAST(n_both * est_union // ku_n AS BIGINT) AS est_inter,
+        |  CAST(abs(est_union - n_union) <= n_union // 4 AS INT) AS union_ok,
+        |  CAST(abs(n_both * est_union // ku_n - n_inter) * 100 <= n_inter * 35 AS INT) AS inter_ok
+        |FROM e""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val hv = conv(substring(md5(concat(lit("u:"),
+        col("user_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      def kset(et: String) = {
+        val base = ev.filter(col("event_type") === et && col("value") > 150)
+          .select(col("user_id")).distinct().withColumn("hv", hv)
+        base.withColumn("rn",
+            row_number().over(Window.orderBy(col("hv"), col("user_id"))))
+          .filter(col("rn") <= 128).select("user_id", "hv")
+      }
+      val au = ev.filter(col("event_type") === "purchase" && col("value") > 150)
+        .select(col("user_id")).distinct()
+      val bu = ev.filter(col("event_type") === "click" && col("value") > 150)
+        .select(col("user_id")).distinct()
+      val km = kset("purchase").withColumn("in_a", lit(1))
+        .join(kset("click").withColumn("in_b", lit(1)), Seq("user_id", "hv"), "outer")
+        .na.fill(0, Seq("in_a", "in_b"))
+      val ku = km.withColumn("rn",
+          row_number().over(Window.orderBy(col("hv"), col("user_id"))))
+        .filter(col("rn") <= 128)
+      val sk = ku.agg(max("hv").as("hk"), count(lit(1)).as("ku_n"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both"))
+      val x = au.agg(count(lit(1)).as("na")).crossJoin(
+          bu.agg(count(lit(1)).as("nb")))
+        .crossJoin(au.join(bu, "user_id").agg(count(lit(1)).as("n_inter")))
+        .crossJoin(au.union(bu).distinct().agg(count(lit(1)).as("n_union")))
+      sk.crossJoin(x)
+        .withColumn("est_union",
+          expr("CASE WHEN ku_n < 128 THEN ku_n ELSE (ku_n - 1) * 268435456 div hk END"))
+        .select(col("ku_n"), col("hk"), col("n_both"), col("na"), col("nb"),
+          col("n_union"), col("n_inter"), col("est_union"),
+          expr("n_both * est_union div ku_n").as("est_inter"),
+          (abs(col("est_union") - col("n_union")) <= expr("n_union div 4"))
+            .cast("int").as("union_ok"),
+          (abs(expr("n_both * est_union div ku_n") - col("n_inter")) * 100
+            <= col("n_inter") * 35).cast("int").as("inter_ok"))
     },
   )
 

@@ -216,6 +216,74 @@ object Multimodal {
     } else None
   } catch { case _: Exception => None } // truncated/corrupt: drop out
 
+  /** MPEG audio stream metadata from the frame-header walk: CBR frame
+    * count, header bitrate/samplerate, frame-payload byte total and the
+    * exact sample-count duration (1152 samples per MPEG-1 Layer III
+    * frame).
+    */
+  final case class Mp3Info(frames: Int, bitrateKbps: Int, sampleRate: Int,
+      frameBytes: Long, durationMs: Long)
+
+  /** MPEG-1 Layer III *stream* probe — a real frame-header walk over the
+    * public header layout (ISO/IEC 11172-3 §2.4.1.3): skips an ID3v2
+    * prefix by its syncsafe length, resyncs to the first 11-bit sync
+    * run, then advances frame-by-frame via
+    * `len = 144 * bitrate / samplerate + padding`, validating every
+    * header (MPEG-1, Layer III, legal bitrate/samplerate indices).
+    * Payload decode (Huffman spectra) stays permanently out of scope
+    * like the other perceptual codecs — this walk is the metadata +
+    * integrity surface (frame count, CBR check, exact duration) a data
+    * engine needs.
+    */
+  private[graft] def probeMp3(bytes: Array[Byte]): Option[Mp3Info] = try {
+    val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+      192, 224, 256, 320)
+    val rates = Array(44100, 48000, 32000)
+    var pos = 0
+    // ID3v2 prefix: "ID3" + ver(2) + flags + 4-byte syncsafe body length
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      pos = 10 + sz
+    }
+    // resync: scan for the 11-bit sync word
+    while (pos + 1 < bytes.length &&
+      !((bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xe0) == 0xe0))
+      pos += 1
+    var frames = 0
+    var kbps = -1
+    var rate = -1
+    var frameBytes = 0L
+    var ok = true
+    while (ok && pos + 4 <= bytes.length &&
+        (bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xe0) == 0xe0) {
+      val b1 = bytes(pos + 1) & 0xff
+      val b2 = bytes(pos + 2) & 0xff
+      val version = (b1 >> 3) & 3 // 3 = MPEG-1
+      val layer = (b1 >> 1) & 3   // 1 = Layer III
+      val bri = (b2 >> 4) & 15
+      val sri = (b2 >> 2) & 3
+      val padding = (b2 >> 1) & 1
+      if (version != 3 || layer != 1 || bri == 0 || bri == 15 || sri == 3)
+        ok = false
+      else {
+        val br = bitrates(bri); val sr = rates(sri)
+        if (kbps == -1) { kbps = br; rate = sr }
+        else if (kbps != br || rate != sr) ok = false // VBR: out of scope
+        if (ok) {
+          val len = 144 * br * 1000 / sr + padding
+          if (pos + len > bytes.length) ok = false // truncated final frame
+          else { frames += 1; frameBytes += len; pos += len }
+        }
+      }
+    }
+    if (frames > 0)
+      Some(Mp3Info(frames, kbps, rate, frameBytes,
+        frames.toLong * 1152L * 1000L / rate))
+    else None
+  } catch { case _: Exception => None }
+
   /** Real pixel decode, pure JVM: PNG (zlib inflate + per-scanline
     * None/Sub/Up/Average/Paeth unfilter, 8-bit depth, color types
     * 0/2/3/4/6, non-interlaced — the overwhelmingly common profile), PPM
