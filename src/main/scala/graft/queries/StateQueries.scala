@@ -588,6 +588,61 @@ object StateQueries {
           col("m.sTs").as("s_ms"), col("m.cTs").as("c_ms"), col("m.pTs").as("p_ms"))
     },
 
+    // Streaming AS-OF enrichment parity — the keyed-state continuous
+    // twin of j_asof / the native AsOfJoinExec, against the SAME DuckDB
+    // ASOF LEFT JOIN oracle: purchases replayed through 5 time-ordered
+    // micro-batches must each carry the latest prior error the state
+    // held at processing time, hash-equal to the batch join. State is
+    // 16 bytes/key (latest dim ts + id); events advance in (ts, id)
+    // order within each batch — the same total order the batch window
+    // sorts by — so batch boundaries cannot reorder a key's history.
+    // Three independent formulations now cross-check: window rendering
+    // (j_asof), custom physical merge operator (j_asof_exec), and this
+    // keyed-state stream.
+    Q("st_stream_asof_parity",
+      """SELECT p.event_id, e.event_id AS err_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(unix_micros(col("ts")), col("user_id"), col("event_type"),
+          col("event_id"))
+        .as[(Long, Long, String, Long)].collect()
+      val (t0, t1) = (rows.map(_._1).min, rows.map(_._1).max)
+      def chunk(i: Int) = {
+        val lo = t0 + (t1 - t0 + 1) * i / 5
+        val hi = t0 + (t1 - t0 + 1) * (i + 1) / 5
+        rows.filter(r => r._1 >= lo && r._1 < hi)
+          .map(r => graft.streaming.EnrichEvent(r._2.toString, r._3, r._1, r._4))
+          .toSeq
+      }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EnrichEvent]
+      val sink = s"st_stream_asof_${sessionEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.Cep
+        .asOfEnrich(mem.toDS(), "error", "purchase")
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        (0 until 5).foreach { i =>
+          mem.addData(chunk(i))
+          q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink).select(col("queryId").as("event_id"),
+        when(col("matchId") < 0, lit(null).cast("long"))
+          .otherwise(col("matchId")).as("err_event_id"))
+    },
+
     // Built-in streaming dedup operator parity: Spark's
     // dropDuplicatesWithinWatermark — the bounded-state engine operator
     // (state expires at event time + delay), distinct from the custom

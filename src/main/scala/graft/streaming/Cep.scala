@@ -5,6 +5,8 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 final case class SeqEvent(key: String, kind: String, ts: Long)
 final case class SeqMatch(key: String, sTs: Long, cTs: Long, pTs: Long)
+final case class EnrichEvent(key: String, kind: String, ts: Long, id: Long)
+final case class EnrichMatch(key: String, queryId: Long, matchId: Long)
 
 /** Streaming 3-step sequence matcher — the continuous twin of the batch
   * `q_sequence_match` board row (CEP shape: first A, then the first B
@@ -24,6 +26,8 @@ object Cep {
 
   implicit private val evEnc: Encoder[SeqEvent] = Encoders.product[SeqEvent]
   implicit private val mEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
+  implicit private val eeEnc: Encoder[EnrichEvent] = Encoders.product[EnrichEvent]
+  implicit private val emEnc: Encoder[EnrichMatch] = Encoders.product[EnrichMatch]
   implicit private val stEnc: Encoder[(Long, Long)] = Encoders.product[(Long, Long)]
   implicit private val keyEnc: Encoder[String] = Encoders.STRING
 
@@ -50,6 +54,33 @@ object Cep {
           }
         }
         state.update((sTs, cTs))
+        out.iterator
+      }
+
+  /** Streaming as-of enrichment — the continuous twin of the batch as-of
+    * join (`j_asof` / the native `AsOfJoinExec`): keyed state carries the
+    * latest dimension row (16 bytes/key: ts + id), and every query-kind
+    * event emits immediately with whatever the state held when it was
+    * processed. Events are advanced in (ts, id) order within each
+    * micro-batch — the same total order the batch window rendering sorts
+    * by — so given time-ordered batches the emitted set is EXACTLY the
+    * ASOF LEFT JOIN result (matchId -1 = no prior dimension row = the
+    * batch join's null). This is the stream-enrich shape every fleet
+    * runs: readings against the latest calibration, purchases against
+    * the latest error, ticks against the latest quote.
+    */
+  def asOfEnrich(events: Dataset[EnrichEvent],
+      dimKind: String, queryKind: String): Dataset[EnrichMatch] =
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), EnrichMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (key, it, state) =>
+        var (lastTs, lastId) = state.getOption.getOrElse((-1L, -1L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[EnrichMatch]
+        it.toSeq.sortBy(e => (e.ts, e.id)).foreach { e =>
+          if (e.kind == dimKind) { lastTs = e.ts; lastId = e.id }
+          else if (e.kind == queryKind) out += EnrichMatch(key, e.id, lastId)
+        }
+        state.update((lastTs, lastId))
         out.iterator
       }
 }
