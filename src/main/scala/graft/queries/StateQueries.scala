@@ -1544,6 +1544,46 @@ object StateQueries {
           round(col("fin.l") + col("fin.b") * 3, 6).as("forecast3"))
     },
 
+    // Theil-Sen robust trend (Theil 1950 / Sen 1968): median of all
+    // pairwise slopes on the hourly-resampled series — the estimator
+    // that shrugs off the spikes an OLS line (q_ols) chases. Pair
+    // enumeration is bounded by the TIME SPAN squared (hours², not
+    // events²: ~230k pairs/series here and at ANY event volume), and
+    // both engines interpolate the even-count median from the same two
+    // order statistics of identical IEEE slope values. Per-type
+    // slope+level in value-units/hour, display-rounded at 6 dp.
+    Q("ts_theil_sen",
+      """WITH hb AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    (b.y - a.y) / CAST(b.hr - a.hr AS DOUBLE) AS slope
+        |  FROM hb a JOIN hb b
+        |    ON a.event_type = b.event_type AND a.hr < b.hr)
+        |SELECT p.event_type,
+        |  (SELECT count(*) FROM hb h WHERE h.event_type = p.event_type) AS n_hours,
+        |  round(quantile_cont(slope, 0.5), 6) AS slope_med
+        |FROM p GROUP BY p.event_type""".stripMargin) { (s, dir) =>
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+        .agg(round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
+          / count(lit(1)), 6).as("y"))
+        .transform(graft.operators.TextOps.trackCache)
+      val pairs = hourly.as("a").join(hourly.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.hr") < col("b.hr"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.y") - col("a.y"))
+            / (col("b.hr") - col("a.hr")).cast("double")).as("slope"))
+      val nh = hourly.groupBy("event_type").agg(count(lit(1)).as("n_hours"))
+      pairs.groupBy("event_type")
+        .agg(round(expr("percentile(slope, 0.5)"), 6).as("slope_med"))
+        .join(nh, "event_type")
+        .select(col("event_type"), col("n_hours"), col("slope_med"))
+    },
+
     // 1-D Kalman filter (random-walk state model, q=0.25 process /
     // r=4.0 measurement noise) over the hourly-resampled per-type
     // series — the optimal linear fuser every sensor deployment runs
