@@ -143,6 +143,91 @@ object Relational {
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
     },
 
+    // TPC-H Q3 shape (shipping priority): selective dim filter ->
+    // fact-fact join -> revenue agg -> top-10. The canonical
+    // multi-join-plus-top-k plan: customer filter broadcasts into
+    // orders, the orders->lineitem join shuffles on orderkey (both
+    // sides date-pruned BEFORE the join — PushedFilters on the scans),
+    // and the top-10 is TakeOrderedAndProject, never a global sort.
+    // Deterministic tie-break on l_orderkey added to the standard query
+    // so the boundary of the LIMIT replays cross-engine.
+    Q("q_tpch3",
+      """SELECT l.l_orderkey,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS oday,
+        |  o.o_orderpriority
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+        |  AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < lit("1998-03-15").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > lit("1998-03-15").cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).as("oday"),
+          col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select("l_orderkey", "revenue", "oday", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape (local supplier volume): the 6-way join with the
+    // co-location predicate (customer nation = supplier nation) that
+    // separates real join planners from toy ones. Dims (supplier,
+    // nation, region, filtered customer keys) broadcast; the only
+    // shuffles are the fact-side orderkey join. Region filter prunes
+    // at the bottom of the dim chain.
+    Q("q_tpch5",
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+    },
+
     // CUBE grouping sets.
     Q("q_cube",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

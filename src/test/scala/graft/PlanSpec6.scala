@@ -72,6 +72,24 @@ class PlanSpec6 extends AnyFunSuite {
     assert(p.contains("Window"), s"sketch rank must be a window:\n$p")
   }
 
+  test("q_tpch3: date filters pushed to scans, top-10 is TakeOrdered") {
+    val p = plan("q_tpch3")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must not be a global sort:\n$p")
+    assert(raw"PushedFilters: \[[^\]]*o_orderdate".r.findFirstIn(p).isDefined,
+      s"orders date filter must reach the parquet scan:\n$p")
+    assert(raw"PushedFilters: \[[^\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"lineitem date filter must reach the parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"join degenerated:\n$p")
+  }
+
+  test("q_tpch5: dims broadcast, no cartesian, one fact-side agg") {
+    val p = plan("q_tpch5")
+    assert(p.contains("BroadcastHashJoin"), s"dim chain should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"co-location predicate degenerated the join:\n$p")
+  }
+
   test("mm_mp3_probe: pure scan-side synth+walk — zero exchanges, no join") {
     val p = plan("mm_mp3_probe")
     assert(!p.contains("Join"), s"probe path must not join:\n$p")
