@@ -457,6 +457,137 @@ object Relational {
           min("y").as("min_y"), max("y").as("max_y"))
     },
 
+    // Declarative data-quality audit (the Deequ/Great-Expectations
+    // shape): five constraint checks — PK uniqueness, FK orphans
+    // (anti-join, never a driver loop), completeness, a domain range
+    // the fixture honors, and one it genuinely violates (events.value
+    // drifts past its declared [0,200] envelope) — each reported as
+    // (check, n_checked, n_violations, pass). Every check is one
+    // aggregate or one anti-join; the union of five scalar frames is
+    // metadata-scale. Zeros on the clean checks are the finding, not a
+    // vacuous gate — the violated check keeps the row honest.
+    Q("q_dq_audit",
+      """SELECT 'orders_pk_unique' AS chk, count(*) AS n_checked,
+        |  count(*) - count(DISTINCT o_orderkey) AS n_violations,
+        |  CAST(count(*) = count(DISTINCT o_orderkey) AS INT) AS pass
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_fk_orders', (SELECT count(*) FROM lineitem),
+        |  count(*), CAST(count(*) = 0 AS INT)
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'events_props_complete', (SELECT count(*) FROM events),
+        |  count(*) FILTER (WHERE props IS NULL),
+        |  CAST(count(*) FILTER (WHERE props IS NULL) = 0 AS INT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'lineitem_qty_domain', count(*),
+        |  count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50),
+        |  CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) = 0 AS INT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'events_value_domain', count(*),
+        |  count(*) FILTER (WHERE value < 0 OR value > 200),
+        |  CAST(count(*) FILTER (WHERE value < 0 OR value > 200) = 0 AS INT)
+        |FROM events""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val ev = Tables.load(s, dir, "events")
+      val liCount = li.agg(count(lit(1)).as("__n"))
+      val evCount = ev.agg(count(lit(1)).as("__n"))
+      def chk(name: String, checked: org.apache.spark.sql.Column,
+          viol: org.apache.spark.sql.Column) =
+        (name, checked, viol)
+      val pk = orders.agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+        .select(lit("orders_pk_unique").as("chk"), col("n_checked"),
+          col("n_violations"),
+          (col("n_violations") === 0).cast("int").as("pass"))
+      val fk = li.join(orders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(liCount)
+        .select(lit("lineitem_fk_orders").as("chk"), col("__n").as("n_checked"),
+          col("n_violations"),
+          (col("n_violations") === 0).cast("int").as("pass"))
+      def domain(name: String, df: org.apache.spark.sql.DataFrame,
+          bad: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_checked"),
+            count(when(bad, 1)).as("n_violations"))
+          .select(lit(name).as("chk"), col("n_checked"), col("n_violations"),
+            (col("n_violations") === 0).cast("int").as("pass"))
+      pk.unionAll(fk)
+        .unionAll(domain("events_props_complete", ev, col("props").isNull))
+        .unionAll(domain("lineitem_qty_domain", li,
+          col("l_quantity") < 1 || col("l_quantity") > 50))
+        .unionAll(domain("events_value_domain", ev,
+          col("value") < 0 || col("value") > 200))
+    },
+
+    // Benford first-digit audit (the fraud / synthetic-data screen):
+    // observed first-digit proportions of order totals in integer ppm
+    // against the Benford expectation (log10(1+1/d), hardcoded as ppm
+    // literals so no cross-engine log). The fixture's totals are NOT
+    // Benford-distributed and the deviation column says so by how much
+    // — an audit that reports is more useful than one that asserts.
+    Q("q_benford",
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+        |o AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757)) AS v(digit, exp_ppm))
+        |SELECT e.digit, coalesce(o.n, 0) AS n,
+        |  CAST(coalesce(o.n, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
+        |  e.exp_ppm,
+        |  CAST(coalesce(o.n, 0) * 1000000 // t.total - e.exp_ppm AS BIGINT)
+        |    AS dev_ppm
+        |FROM e LEFT JOIN o ON e.digit = o.digit, t""".stripMargin) { (s, dir) =>
+      val expected = Seq(1 -> 301030, 2 -> 176091, 3 -> 124939, 4 -> 96910,
+        5 -> 79181, 6 -> 66947, 7 -> 57992, 8 -> 51153, 9 -> 45757)
+      import s.implicits._
+      val e = expected.toDF("digit", "exp_ppm")
+      val o = Tables.load(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+          1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = o.agg(sum("n").as("total"))
+      e.join(o, Seq("digit"), "left").na.fill(0, Seq("n")).crossJoin(t)
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div total").as("obs_ppm"), col("exp_ppm"),
+          expr("n * 1000000 div total - exp_ppm").as("dev_ppm"))
+    },
+
+    // Equi-DEPTH histogram (the ANALYZE TABLE stats CBO planners feed
+    // on — equi-WIDTH is q_histogram), the way production ANALYZE runs
+    // it: a deterministic md5-keyed sample of 4096 rows (TakeOrdered on
+    // the hash — distributed top-k, never a global sort of the table),
+    // then 32 ntile buckets with per-bucket count/min/max over the
+    // BOUNDED sample. Stats cost is therefore flat in table size; the
+    // md5 order replays exactly in SQL. First measured as an exact
+    // global ntile: 5.3x for 10x data — the sample restores flat.
+    Q("q_equidepth_hist",
+      """WITH smp AS (SELECT o_totalprice, o_orderkey FROM orders
+        |  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 4096),
+        |r AS (SELECT o_totalprice,
+        |    ntile(32) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM smp)
+        |SELECT bucket, count(*) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM r GROUP BY bucket""".stripMargin) { (s, dir) =>
+      val smp = Tables.load(s, dir, "orders")
+        .select(col("o_totalprice"), col("o_orderkey"))
+        .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+        .limit(4096)
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      smp.select(col("o_totalprice"), ntile(32).over(w).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    },
+
     // Zone-map / data-skipping audit (the min-max pruning every parquet
     // footer and Delta/Iceberg file-stats layer does): zone rows by
     // 40-day shipdate stripes (the physical clustering a date-sorted
