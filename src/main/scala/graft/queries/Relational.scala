@@ -457,6 +457,73 @@ object Relational {
           min("y").as("min_y"), max("y").as("max_y"))
     },
 
+    // Join-cardinality estimation audit (the System-R formula every CBO
+    // starts from: |A join B| ~= |A|*|B| / max(ndv_A, ndv_B)) evaluated
+    // against the actual join size for the three fact joins this board
+    // runs — the row that tells you WHERE the textbook estimate breaks
+    // (uniform-key joins land close; the skewed event join overshoots).
+    // Error in integer ppm of actual; all counts single-pass aggregates.
+    Q("q_join_card_est",
+      """WITH j1 AS (SELECT 'orders_lineitem' AS jn,
+        |    (SELECT count(*) FROM orders) AS na,
+        |    (SELECT count(*) FROM lineitem) AS nb,
+        |    greatest((SELECT count(DISTINCT o_orderkey) FROM orders),
+        |             (SELECT count(DISTINCT l_orderkey) FROM lineitem)) AS ndv,
+        |    (SELECT count(*) FROM orders JOIN lineitem
+        |       ON o_orderkey = l_orderkey) AS actual),
+        |j2 AS (SELECT 'customer_orders',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM orders),
+        |    greatest((SELECT count(DISTINCT c_custkey) FROM customer),
+        |             (SELECT count(DISTINCT o_custkey) FROM orders)),
+        |    (SELECT count(*) FROM customer JOIN orders
+        |       ON c_custkey = o_custkey)),
+        |j3 AS (SELECT 'events_self_user',
+        |    (SELECT count(*) FROM events WHERE event_type = 'purchase'),
+        |    (SELECT count(*) FROM events WHERE event_type = 'error'),
+        |    greatest((SELECT count(DISTINCT user_id) FROM events
+        |                WHERE event_type = 'purchase'),
+        |             (SELECT count(DISTINCT user_id) FROM events
+        |                WHERE event_type = 'error')),
+        |    (SELECT count(*) FROM
+        |       (SELECT user_id FROM events WHERE event_type = 'purchase') a
+        |       JOIN (SELECT user_id FROM events WHERE event_type = 'error') b
+        |       ON a.user_id = b.user_id)),
+        |u AS (SELECT * FROM j1 UNION ALL SELECT * FROM j2
+        |      UNION ALL SELECT * FROM j3)
+        |SELECT jn, na, nb, ndv, actual,
+        |  CAST(na * nb // ndv AS BIGINT) AS est,
+        |  CAST((na * nb // ndv) * 1000000 // actual - 1000000 AS BIGINT)
+        |    AS err_ppm
+        |FROM u""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val cust = Tables.load(s, dir, "customer")
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val errors = ev.filter(col("event_type") === "error")
+      def audit(jn: String, a: org.apache.spark.sql.DataFrame, ka: String,
+          b: org.apache.spark.sql.DataFrame, kb: String) = {
+        val na = a.agg(count(lit(1)).as("na"),
+          countDistinct(col(ka)).as("ndva"))
+        val nb = b.agg(count(lit(1)).as("nb"),
+          countDistinct(col(kb)).as("ndvb"))
+        val actual = a.select(col(ka).as("__k")).join(
+          b.select(col(kb).as("__k")), "__k").agg(count(lit(1)).as("actual"))
+        na.crossJoin(nb).crossJoin(actual)
+          .select(lit(jn).as("jn"), col("na"), col("nb"),
+            greatest(col("ndva"), col("ndvb")).as("ndv"), col("actual"))
+      }
+      audit("orders_lineitem", orders, "o_orderkey", li, "l_orderkey")
+        .unionAll(audit("customer_orders", cust, "c_custkey", orders, "o_custkey"))
+        .unionAll(audit("events_self_user", purchases, "user_id", errors, "user_id"))
+        .select(col("jn"), col("na"), col("nb"), col("ndv"), col("actual"),
+          expr("na * nb div ndv").as("est"),
+          // positive-only division: Spark div truncates, DuckDB //
+          // floors — they agree only for non-negative operands
+          expr("(na * nb div ndv) * 1000000 div actual - 1000000").as("err_ppm"))
+    },
+
     // Declarative data-quality audit (the Deequ/Great-Expectations
     // shape): five constraint checks — PK uniqueness, FK orphans
     // (anti-join, never a driver loop), completeness, a domain range

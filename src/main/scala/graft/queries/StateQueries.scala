@@ -1544,6 +1544,93 @@ object StateQueries {
           round(col("fin.l") + col("fin.b") * 3, 6).as("forecast3"))
     },
 
+    // Generalized-ESD-style iterative outlier peel (Rosner 1983 shape,
+    // 3 unrolled rounds): drop readings beyond mean±3σ, recompute, drop
+    // again — the parametric complement to the robust ts_anomaly_mad.
+    // Moments are DECIMAL-exact (order-independent) and the peel
+    // boundary |x−μ| ≤ 3σ evaluates on identical doubles in identical
+    // expression order, so the per-round survivor counts replay exactly.
+    // Each round is one agg + one broadcast-scalar filter — no window,
+    // no sort, linear at any volume.
+    Q("ts_outlier_esd",
+      """WITH m1 AS (SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |d1 AS (SELECT e.event_type, e.value FROM events e
+        |  JOIN m1 ON e.event_type = m1.event_type
+        |  WHERE abs(e.value - s1 / n) <= 3 * sqrt((s2 - s1 * s1 / n) / (n - 1))),
+        |m2 AS (SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS s2
+        |  FROM d1 GROUP BY 1),
+        |d2 AS (SELECT e.event_type, e.value FROM d1 e
+        |  JOIN m2 ON e.event_type = m2.event_type
+        |  WHERE abs(e.value - s1 / n) <= 3 * sqrt((s2 - s1 * s1 / n) / (n - 1))),
+        |m3 AS (SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS s2
+        |  FROM d2 GROUP BY 1)
+        |SELECT m1.event_type, m1.n AS n0, m2.n AS n1, m3.n AS n2,
+        |  round(m3.s1 / m3.n, 6) AS mean_final,
+        |  round(sqrt((m3.s2 - m3.s1 * m3.s1 / m3.n) / (m3.n - 1)), 6) AS std_final
+        |FROM m1 JOIN m2 ON m1.event_type = m2.event_type
+        |JOIN m3 ON m1.event_type = m3.event_type""".stripMargin) { (s, dir) =>
+      def moments(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(28, 8))).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 8)))
+            .cast("double").as("s2"))
+      def peel(df: org.apache.spark.sql.DataFrame,
+          m: org.apache.spark.sql.DataFrame) =
+        df.join(broadcast(m), "event_type")
+          .filter(abs(col("value") - col("s1") / col("n"))
+            <= lit(3) * sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+              / (col("n") - 1)))
+          .select("event_type", "value")
+      val d0 = Tables.load(s, dir, "events").select("event_type", "value")
+      val m1 = moments(d0)
+      val d1 = peel(d0, m1)
+      val m2 = moments(d1)
+      val d2 = peel(d1, m2)
+      val m3 = moments(d2)
+      m1.select(col("event_type"), col("n").as("n0"))
+        .join(m2.select(col("event_type"), col("n").as("n1")), "event_type")
+        .join(m3, "event_type")
+        .select(col("event_type"), col("n0"), col("n1"), col("n").as("n2"),
+          round(col("s1") / col("n"), 6).as("mean_final"),
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+            / (col("n") - 1)), 6).as("std_final"))
+    },
+
+    // Per-key uptime / SLA coverage: the share of wall-clock minutes in
+    // the fleet's observation span where a key reported at least once —
+    // the "is this sensor alive enough" ops row next to st_last's age.
+    // All integer (minute buckets, ppm share); one distinct-minute agg
+    // per key plus a 1-row span scalar.
+    Q("st_uptime_sla",
+      """WITH span AS (SELECT (epoch_us(max(ts)) - epoch_us(min(ts)))
+        |    // 60000000 + 1 AS total_min FROM events),
+        |c AS (SELECT user_id,
+        |    count(DISTINCT epoch_us(ts) // 60000000) AS n_min
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_min, CAST(total_min AS BIGINT) AS total_min,
+        |  CAST(n_min * 1000000 // total_min AS BIGINT) AS coverage_ppm,
+        |  CAST(n_min * 1000000 // total_min >= 1527 AS INT) AS sla_ok
+        |FROM c, span""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val span = ev.agg(max(unix_micros(col("ts"))).as("__mx"),
+          min(unix_micros(col("ts"))).as("__mn"))
+        .select(expr("(__mx - __mn) div 60000000 + 1").as("total_min"))
+      ev.groupBy("user_id")
+        .agg(countDistinct(expr("unix_micros(ts) div 60000000")).as("n_min"))
+        .crossJoin(broadcast(span))
+        .select(col("user_id"), col("n_min"), col("total_min"),
+          expr("n_min * 1000000 div total_min").as("coverage_ppm"),
+          (expr("n_min * 1000000 div total_min") >= 1527)
+            .cast("int").as("sla_ok"))
+    },
+
     // Theil-Sen robust trend (Theil 1950 / Sen 1968): median of all
     // pairwise slopes on the hourly-resampled series — the estimator
     // that shrugs off the spikes an OLS line (q_ols) chases. Pair
