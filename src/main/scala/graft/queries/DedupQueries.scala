@@ -359,6 +359,77 @@ object DedupQueries {
             .as("recall_r"))
     },
 
+    // NDCG@10 of the 2-probe IVF retrieval against the exact top-10
+    // (Järvelin-Kekäläinen 2002) — the position-weighted retrieval
+    // metric that recall@k (ann_recall_curve) can't see: an ANN index
+    // that finds the right neighbors but in the wrong order scores
+    // lower. Binary relevance = membership in the exact top-10; the
+    // 1/log2(i+1) discounts are HARDCODED integer-ppm literals (no
+    // cross-engine log), so DCG, the constant IDCG=4543560, and the
+    // final ppm ratio are pure integer arithmetic. Rides the same two
+    // cached retrieval chains as ann_recall_curve.
+    Q("v_ndcg",
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+        |ex AS (SELECT qid, vec_id FROM (
+        |  SELECT q.qid, a.vec_id,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
+        |            / (q.qn * a.nrm), 6) DESC, a.vec_id) AS rn
+        |  FROM q JOIN n a ON a.vec_id <> q.qid) WHERE rn <= 10),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nrm AS cn
+        |  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 8)),
+        |asn AS (SELECT vec_id, v, nrm, cid FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      list_sum([n.v[i] * c.cv[i] for i in range(1, 65)]) / (n.nrm * c.cn)
+        |        DESC, c.cid) AS rn
+        |  FROM n CROSS JOIN c) WHERE rn = 1),
+        |pr AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    list_sum([q.qv[i] * c.cv[i] for i in range(1, 65)]) / (q.qn * c.cn)
+        |      DESC, c.cid) AS rn
+        |  FROM q CROSS JOIN c) WHERE rn <= 2),
+        |cand AS (SELECT q.qid, a.vec_id,
+        |    round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
+        |          / (q.qn * a.nrm), 6) AS cos_r
+        |  FROM q JOIN pr ON q.qid = pr.qid JOIN asn a ON a.cid = pr.cid
+        |  WHERE a.vec_id <> q.qid),
+        |iv AS (SELECT qid, vec_id, rn FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
+        |  FROM cand) WHERE rn <= 10),
+        |w AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+        |  (4, 430677), (5, 386853), (6, 356207), (7, 333333), (8, 315465),
+        |  (9, 301030), (10, 289065)) AS v(pos, wt)),
+        |d AS (SELECT iv.qid, count(*) AS hits,
+        |    CAST(sum(w.wt) AS BIGINT) AS dcg
+        |  FROM iv JOIN ex ON iv.qid = ex.qid AND iv.vec_id = ex.vec_id
+        |  JOIN w ON w.pos = iv.rn GROUP BY iv.qid)
+        |SELECT q.qid, COALESCE(d.hits, 0) AS hits,
+        |  COALESCE(d.dcg, 0) AS dcg,
+        |  CAST(COALESCE(d.dcg, 0) * 1000000 // 4543560 AS BIGINT) AS ndcg_ppm
+        |FROM (SELECT DISTINCT qid FROM q) q
+        |LEFT JOIN d ON q.qid = d.qid""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val weights = Seq(1 -> 1000000L, 2 -> 630930L, 3 -> 500000L,
+        4 -> 430677L, 5 -> 386853L, 6 -> 356207L, 7 -> 333333L,
+        8 -> 315465L, 9 -> 301030L, 10 -> 289065L).toDF("pos", "wt")
+      val ex = annExactTopK(s, dir).select(col("qid"), col("vec_id"))
+      val iv = annIvfFixedTopK(s, dir).select(col("qid"), col("vec_id"), col("rn"))
+      val d = iv.join(ex, Seq("qid", "vec_id"))
+        .join(broadcast(weights), col("pos") === col("rn"))
+        .groupBy("qid").agg(count(lit(1)).as("hits"), sum("wt").as("dcg"))
+      ex.select("qid").distinct()
+        .join(d, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+          coalesce(col("dcg"), lit(0L)).as("dcg"),
+          expr("coalesce(dcg, 0) * 1000000 div 4543560").as("ndcg_ppm"))
+    },
+
     // Maximal-marginal-relevance selection (Carbonell-Goldstein 1998):
     // greedy diverse top-4 against query vector 0 — the
     // relevance-vs-redundancy pick running after retrieval in RAG and
