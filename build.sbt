@@ -28,3 +28,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Bootstrap: install the compile-guard pre-commit hook on every sbt load
+// (round-8 verdict: tools/pre-commit existed but was never linked into
+// .git/hooks, so the round-7 failure class — committing a non-compiling
+// tree — stayed live; any sbt invocation now repairs the link).
+Global / onLoad := {
+  val prev = (Global / onLoad).value
+  prev.andThen { state =>
+    try {
+      val hooks = file(".git/hooks")
+      val link = hooks / "pre-commit"
+      if (hooks.isDirectory && !link.exists()) {
+        java.nio.file.Files.createSymbolicLink(
+          link.toPath, java.nio.file.Paths.get("../../tools/pre-commit"))
+        state.log.info("installed .git/hooks/pre-commit -> tools/pre-commit")
+      }
+    } catch { case _: Throwable => () }
+    state
+  }
+}

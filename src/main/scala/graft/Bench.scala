@@ -175,19 +175,39 @@ object Bench {
     // warm the session (parquet reader, codegen, shuffle machinery) so the
     // first measured query doesn't absorb JVM start-up costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // count registry behavior over the measured pass only, not the warm-up
+    graft.operators.TextOps.resetCacheStats()
     // optional query-name filter for iterating on a single row's timing
     val only = args.toSet
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Pin the cache-registry state each query fingerprints (and first
+      // executes) against: EMPTY. Round-8 postmortem: the LRU registry made
+      // a query's plan depend on which OTHER board rows ran before it —
+      // adding any row shifted the alphabetical order and churned 174/246
+      // fingerprints between same-code runs, destroying the
+      // "unchanged fingerprint ⇒ environment, not plan" attribution. With a
+      // per-query reset, rep 1 derives the query's own caches from scratch
+      // (deterministic), reps 2-3 hit them, and min-of-3 still reports the
+      // warm steady state — only bench wall-time pays, never the metric.
+      // This also removes eviction-order interference between rows, the
+      // other suspect in the round-8 j_inner 0.40→3.42 s spread.
+      graft.operators.TextOps.releasePriorCaches()
+      spark.catalog.clearCache()
       var fp = "err"
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
           df.count()
-          fp = planFingerprint(df)
+          // fingerprint the FIRST successful rep only: it is built against
+          // the pinned empty cache state, matching FingerprintSpec's
+          // clearCache-then-fingerprint convention (later reps see rep 1's
+          // own cached frames substituted in — deterministic too, but a
+          // different rendering than the spec pins)
+          if (fp == "err") fp = planFingerprint(df)
         } catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
@@ -206,8 +226,28 @@ object Bench {
     val plans = results.map { case (k, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Canary: the mean of the trivial fn_/op_ projection rows. Their clean
+    // floor is ~0.10 s (docs/ENGINEERING_NOTES.md bench-noise protocol); a
+    // run whose canary mean is >=2x that is a co-tenant load window, and the
+    // round-8 verdict required the number IN the artifact so a driver-side
+    // record can be read against host load without a builder re-run.
+    val canaryRows = results.filter { case (k, _, _) =>
+      k.startsWith("fn_") || k.startsWith("op_") }
+    val canary =
+      if (canaryRows.isEmpty) -1.0
+      else canaryRows.map(_._2).sum / canaryRows.size
+    // Tier split (round-8 verdict task 5): the st_stream_/dd_stream_ rows are
+    // MemoryStream replay HARNESSES — their cost is per-micro-batch state
+    // commits, linear in replayed rows by construction, not operator plan
+    // cost — so the artifact separates them from the operator rows the 2x
+    // per-query gate is meant to police.
+    def isReplay(k: String) =
+      k.startsWith("st_stream_") || k.startsWith("dd_stream_")
+    val replayTotal = results.filter(r => isReplay(r._1)).map(_._2).sum
+    val opsTotal = total - replayTotal
+    val (cHits, cMisses, cEvict) = graft.operators.TextOps.cacheStats
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","canary_mean":${f"$canary%.4f"},"ops_sec":${f"$opsTotal%.4f"},"replay_harness_sec":${f"$replayTotal%.4f"},"cache_registry":{"hits":$cHits,"misses":$cMisses,"evictions":$cEvict}}"""
     // full artifact (timings + plans in one object) persisted to disk: the
     // robust path when any stdout capture window truncates. Also append to
     // bench_history.jsonl so round N+1 can diff per-query timings against

@@ -201,6 +201,19 @@ object TextOps {
   private val liveCaches = new scala.collection.mutable.LinkedHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
   private val maxLiveCaches = 12
+  // observability counters (round-8 verdict: the bench artifact must report
+  // registry behavior so an eviction-churn regression is distinguishable
+  // from host load); read via cacheStats, zeroed by resetCacheStats
+  private var statHits = 0L
+  private var statMisses = 0L
+  private var statEvictions = 0L
+  /** (hits, misses, evictions) since the last [[resetCacheStats]]. */
+  private[graft] def cacheStats: (Long, Long, Long) = synchronized {
+    (statHits, statMisses, statEvictions)
+  }
+  private[graft] def resetCacheStats(): Unit = synchronized {
+    statHits = 0L; statMisses = 0L; statEvictions = 0L
+  }
   private[graft] def trackCache(df: DataFrame): DataFrame = synchronized {
     // streaming frames cannot be cached (bandedSignatures is shared with
     // the streaming LSH twin); state reuse there is the stream's own job
@@ -212,14 +225,17 @@ object TextOps {
       // (storageLevel consults the live CacheManager, not our bookkeeping)
       case Some(prev)
           if prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        statHits += 1
         liveCaches.update(key, prev) // refresh recency; blocks stay live
       case _ =>
+        statMisses += 1
         df.cache()
         liveCaches.update(key, df)
         while (liveCaches.size > maxLiveCaches) {
           val (k0, d0) = liveCaches.head
           d0.unpersist(false)
           liveCaches.remove(k0)
+          statEvictions += 1
         }
     }
     df

@@ -289,17 +289,39 @@ object Relational {
 
     // Mergeable approximate percentile — the 100 TB twin of q_percentile
     // (exact interpolation needs per-group sorted data; the sketch
-    // doesn't). Sketch values are engine-specific -> rows-only check.
-    Q.noOracle("q_approx_percentile") { (s, dir) =>
-      // Scalar p50/p95 columns (not one array column): the driver's
-      // rows-only check sorts/hashes cells and can't hash an ndarray.
-      Tables.load(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+    // doesn't). Sketch VALUES are engine-specific, so instead of a
+    // rows-only row (round-8 verdict: zero `err` rows on the board) this
+    // row gates the sketch's actual CONTRACT in-plan: percentile_approx
+    // with accuracy=1000 guarantees a returned value whose RANK is within
+    // eps*N of the target rank (eps = 1/accuracy). Per group we join the
+    // sketch output back onto the rows, bracket each returned value's rank
+    // as [count(x < v), count(x <= v)], and require that interval to
+    // intersect [q*N - slack, q*N + slack] with slack = 2*N/1000 + 1 (2x
+    // for merge degradation). The oracle expects literal 1s, so a contract
+    // violation turns the row red. Complements the VALUE-accuracy twin
+    // q_approx_percentile_bounds (1% relative value envelope).
+    Q("q_approx_percentile",
+      """SELECT l_returnflag, 1 AS p50_rank_ok, 1 AS p95_rank_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val sk = li.groupBy("l_returnflag")
         .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)")
           .as("ps"))
-        .select(col("l_returnflag"),
-          expr("ps[0]").as("p50"),
-          expr("ps[1]").as("p95"))
+        .select(col("l_returnflag").as("rf"),
+          expr("ps[0]").as("p50"), expr("ps[1]").as("p95"))
+      def rankOk(v: Column, q: Double): Column = {
+        val n = count(lit(1))
+        val lo = sum((col("l_extendedprice") < v).cast("long"))
+        val hi = sum((col("l_extendedprice") <= v).cast("long"))
+        val slack = n * 2 / lit(1000) + 1
+        val target = n * q
+        (lo <= target + slack && hi >= target - slack).cast("int")
+      }
+      li.join(broadcast(sk), col("l_returnflag") === col("rf"))
+        .groupBy("l_returnflag")
+        .agg(rankOk(col("p50"), 0.5).as("p50_rank_ok"),
+          rankOk(col("p95"), 0.95).as("p95_rank_ok"))
     },
 
     // Driver-board quality gate for the sketch row above: the sketch
@@ -955,12 +977,31 @@ object Relational {
     },
 
     // HLL approximate distinct — the 100TB-scale path. HLL sketches differ
-    // across engines, so no DuckDB oracle (rows-only check); exactness is
-    // covered by q_distinct above.
-    Q.noOracle("q_approx_distinct") { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
+    // across engines, so the VALUE has no DuckDB oracle; what IS exactly
+    // checkable is the mergeable-sketch contract the 100 TB posture rests
+    // on: HLL++ register merge is commutative/associative/idempotent, so
+    // the estimate must be a pure function of the value SET — identical
+    // under any partitioning. The row computes the same sketch under two
+    // different layouts (hash-partitioned by the counted key vs
+    // round-robin) and gates equality, plus positivity; the oracle expects
+    // literal 1s (round-8 verdict: zero `err` rows). The VALUE-accuracy
+    // envelope lives in the q_approx_distinct_bounds twin.
+    Q("q_approx_distinct",
+      """SELECT l_returnflag, 1 AS merge_stable_ok, 1 AS positive_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"))
+      val a1 = li.repartition(4, col("l_partkey"))
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a1"))
+      val a2 = li.repartition(13)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a2"))
+        .withColumnRenamed("l_returnflag", "rf")
+      a1.join(broadcast(a2), col("l_returnflag") === col("rf"))
+        .select(col("l_returnflag"),
+          (col("a1") === col("a2")).cast("int").as("merge_stable_ok"),
+          (col("a1") > 0).cast("int").as("positive_ok"))
     },
 
     // HLL quality gate on the driver board (same pattern as
@@ -981,14 +1022,32 @@ object Relational {
     // — the bounded-memory approximate top-k for vocabularies that don't
     // fit anywhere (the sketch twin of the exact two-phase
     // tx_topk_ngrams, like q_approx_distinct is to q_distinct). Counter
-    // contents are partition-layout-dependent -> rows-only check; the
-    // MG guarantees are hash-gated by q_approx_topk_bounds below.
-    Q.noOracle("q_approx_topk") { (s, dir) =>
+    // VALUES are partition-layout-dependent, but the sketch's coverage
+    // guarantee is deterministic: with capacity c over N tokens, EVERY
+    // token whose exact count exceeds N/(c+1) must be in the summary. So
+    // the row emits exactly those guaranteed-heavy tokens — restricted to
+    // the sketch's reported set via an inner join, with their EXACT counts
+    // — which DuckDB reproduces from first principles (round-8 verdict:
+    // zero `err` rows). A coverage bug drops rows -> hash/row mismatch ->
+    // red. The error-bound side of the contract stays in
+    // q_approx_topk_bounds below.
+    Q("q_approx_topk",
+      """WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT c.w, c.n FROM c, tot WHERE c.n > tot.total // 29""".stripMargin) {
+      (s, dir) =>
       import s.implicits._
-      val toks = Tables.load(s, dir, "documents")
+      val cap = 28
+      val toksDf = Tables.load(s, dir, "documents")
         .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
-        .as[String]
-      graft.operators.SpaceSaving.topK(toks, capacity = 28, topK = 16)
+      val sketch = graft.operators.SpaceSaving.summarize(toksDf.as[String], cap)
+      val reported = typedLit(sketch.keys.toSeq)
+      val n = toksDf.count()
+      val bound = n / (cap + 1)
+      toksDf.groupBy("w").agg(count(lit(1)).as("n"))
+        .filter(col("n") > bound && array_contains(reported, col("w")))
     },
 
     // MG quality gate on the driver board (same literal-1 pattern as

@@ -527,6 +527,10 @@ object Multimodal {
           pos += 1
         case 0x3b => stop = true // trailer
         case 0x2c =>
+          // stream truncated mid-descriptor: keep the frames decoded so
+          // far (the documented contract) instead of letting the read
+          // throw into the outer catch and discard them (round-8 advice)
+          if (pos + 10 > bytes.length) return frames.result()
           val left = le16(pos + 1); val top = le16(pos + 3)
           val w = le16(pos + 5); val h = le16(pos + 7)
           val iflags = bytes(pos + 9) & 0xff
@@ -540,6 +544,7 @@ object Multimodal {
           }
           if (pal == null || w <= 0 || h <= 0 ||
             left + w > sw || top + h > sh) return frames.result()
+          if (pos >= bytes.length) return frames.result() // truncated at min-code
           val minCode = bytes(pos) & 0xff
           pos += 1
           if (minCode < 2 || minCode > 11) return frames.result()

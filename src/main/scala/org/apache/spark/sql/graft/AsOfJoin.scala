@@ -100,18 +100,37 @@ case class AsOfJoinExec(
         override def hasNext: Boolean = lIt.hasNext
         override def next(): InternalRow = {
           val l = lIt.next()
-          val k = lKey.eval(l).asInstanceOf[Long]
-          val t = lTime.eval(l).asInstanceOf[Long]
+          val kAny = lKey.eval(l)
+          val tAny = lTime.eval(l)
+          // null key/time on the left: no row can match (SQL comparison
+          // semantics) — emit the left-outer null row WITHOUT advancing the
+          // right side (null-key left rows sort first, so no later left row
+          // needed the skipped advance anyway)
+          if (kAny == null || tAny == null) return joined(l, nulls)
+          val k = kAny.asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
           // advance the right side through every row at-or-before (k, t);
-          // the last one advanced over for key k is the as-of match
+          // the last one advanced over for key k is the as-of match.
+          // Null-key/null-time right rows sort FIRST (Ascending = nulls
+          // first) and can never match — consume them without candidacy,
+          // so they cannot masquerade as key/time 0 (round-8 advice).
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val r = rBuf.head
-            val rk = rKey.eval(r).asInstanceOf[Long]
-            if (rk < k || (rk == k && rTime.eval(r).asInstanceOf[Long] <= t)) {
-              if (rk == k) { cand = r.copy(); candKey = k; candSet = true }
-              rBuf.next()
-            } else advancing = false
+            val rkAny = rKey.eval(r)
+            if (rkAny == null) rBuf.next()
+            else {
+              val rk = rkAny.asInstanceOf[Long]
+              if (rk < k) rBuf.next()
+              else if (rk == k) {
+                val rtAny = rTime.eval(r)
+                if (rtAny == null) rBuf.next()
+                else if (rtAny.asInstanceOf[Long] <= t) {
+                  cand = r.copy(); candKey = k; candSet = true
+                  rBuf.next()
+                } else advancing = false
+              } else advancing = false
+            }
           }
           if (candSet && candKey == k) joined(l, cand) else joined(l, nulls)
         }
@@ -134,15 +153,43 @@ object AsOf {
   def joinAsOf(leftDf: DataFrame, rightDf: DataFrame, leftKeyCol: String,
       rightKeyCol: String, leftTimeCol: String, rightTimeCol: String,
       leftIdCol: String, rightIdCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     GraftOptimizations.install(leftDf.sparkSession)
     val lp = leftDf.queryExecution.analyzed
-    val rp = rightDf.queryExecution.analyzed
+    val rp0 = rightDf.queryExecution.analyzed
+    // Self-join hygiene (round-8 advice): when both sides derive from the
+    // same DataFrame — the most natural as-of use — left.output and
+    // right.output share attribute exprIds, and the joined node's output
+    // would carry duplicates that downstream resolution can bind to the
+    // wrong side. Re-alias the right side with fresh exprIds, the same
+    // dedup Spark's analyzer applies to self-joins.
+    val lIds = lp.output.map(_.exprId).toSet
+    val rp: LogicalPlan =
+      if (rp0.output.exists(a => lIds.contains(a.exprId)))
+        Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+      else rp0
     def a(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column $n"))
+      p.output.collectFirst { case at: Attribute if at.name == n => at }
+        .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    // The merge unboxes key/time as Long: widen smaller integral types
+    // (monotonic cast, ordering preserved) and reject everything else up
+    // front — an INT key must not surface as a runtime ClassCastException
+    // deep in a stage (round-8 advice).
+    def asLong(p: LogicalPlan, n: String, side: String): Expression = {
+      val at = a(p, n)
+      at.dataType match {
+        case LongType => at
+        case ByteType | ShortType | IntegerType => Cast(at, LongType)
+        case dt => throw new IllegalArgumentException(
+          s"as-of join $side column '$n' must be an integral type, got $dt")
+      }
+    }
     Dataset.ofRows(leftDf.sparkSession.asInstanceOf[SparkSession],
-      AsOfJoinPlan(lp, rp, a(lp, leftKeyCol), a(rp, rightKeyCol),
-        a(lp, leftTimeCol), a(rp, rightTimeCol),
+      AsOfJoinPlan(lp, rp,
+        asLong(lp, leftKeyCol, "left key"), asLong(rp, rightKeyCol, "right key"),
+        asLong(lp, leftTimeCol, "left time"), asLong(rp, rightTimeCol, "right time"),
         a(lp, leftIdCol), a(rp, rightIdCol)))
   }
 }

@@ -42,7 +42,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * at build time; experimental methods take effect immediately).
   */
 object GraftOptimizations {
-  def install(spark: SparkSession): Unit = {
+  // install() is called from every AsOf.joinAsOf; the read-check-append on
+  // the session's experimental lists is not atomic, so two threads building
+  // as-of joins concurrently could double-register a rule or drop one
+  // registration (round-8 advice). One global lock is enough — installs are
+  // rare and cheap, and a per-session lock would need a registry of its own.
+  def install(spark: SparkSession): Unit = synchronized {
     val current = spark.experimental.extraOptimizations
     if (!current.contains(PowToMultiply))
       spark.experimental.extraOptimizations = current :+ PowToMultiply

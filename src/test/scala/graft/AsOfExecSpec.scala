@@ -59,6 +59,66 @@ class AsOfExecSpec extends AnyFunSuite {
       (15L, -1L, "")))
   }
 
+  test("null keys/times never match and never block other keys; INT keys widen") {
+    // Null key/time rows sort FIRST under the exec's required ordering
+    // (Ascending = nulls first); before the round-9 fix they unboxed to 0L
+    // and either falsely matched key-0 left rows or halted the merge for
+    // negative keys. Cover: null left key, null left time, null right key,
+    // null right time, a real key 0, and a negative key AFTER the nulls.
+    val left = Seq(
+      (null.asInstanceOf[java.lang.Long], jl(100L), jl(1L)), // null key -> nulls
+      (jl(0L), null.asInstanceOf[java.lang.Long], jl(2L)),   // null time -> nulls
+      (jl(0L), jl(100L), jl(3L)),   // key 0 must match ONLY real key-0 rows
+      (jl(-5L), jl(100L), jl(4L)),  // negative key: must still reach its match
+      (jl(7L), jl(100L), jl(5L))
+    ).toDF("k", "t", "id")
+    val right = Seq(
+      (null.asInstanceOf[java.lang.Long], jl(10L), jl(20L), "nullkey"),
+      (jl(0L), null.asInstanceOf[java.lang.Long], jl(21L), "nulltime"),
+      (jl(0L), jl(50L), jl(22L), "zero"),
+      (jl(-5L), jl(90L), jl(23L), "neg"),
+      (jl(7L), jl(80L), jl(24L), "seven")
+    ).toDF("rk", "rt", "rid", "payload")
+    val out = AsOf.joinAsOf(left, right, "k", "rk", "t", "rt", "id", "rid")
+    assert(execOf(out).nonEmpty)
+    val got = out.select("id", "payload").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""))).toSet
+    assert(got == Set(
+      (1L, ""), (2L, ""), (3L, "zero"), (4L, "neg"), (5L, "seven")))
+
+    // INT key/time must widen to long, not ClassCastException at execute
+    val li = Seq((1, 100, 1L)).toDF("k", "t", "id")
+    val ri = Seq((1, 50, 10L, "x")).toDF("rk", "rt", "rid", "payload")
+    val outI = AsOf.joinAsOf(li, ri, "k", "rk", "t", "rt", "id", "rid")
+    assert(outI.select("payload").collect().map(_.getString(0)).toSeq == Seq("x"))
+
+    // non-integral key is a clear argument error, not a stage failure
+    val ls = Seq(("a", 1L, 1L)).toDF("k", "t", "id")
+    val rs = Seq(("a", 1L, 2L, "x")).toDF("rk", "rt", "rid", "payload")
+    intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(ls, rs, "k", "rk", "t", "rt", "id", "rid")
+    }
+  }
+
+  test("self-join (same DataFrame both sides) resolves without exprId collision") {
+    val ev = spark.range(0, 100).select(
+      (col("id") % 5).as("k"), (col("id") * 3 % 97).as("t"), col("id").as("id"))
+    // both sides ARE the same analyzed plan — identical exprIds on every
+    // column unless joinAsOf re-aliases the right side (round-8 advice);
+    // select-with-.as would mint fresh ids and mask the bug
+    val out = AsOf.joinAsOf(ev, ev, "k", "k", "t", "t", "id", "id")
+    val ids = out.queryExecution.analyzed.output.map(_.exprId)
+    assert(ids.distinct.size == ids.size,
+      s"duplicate exprIds in as-of self-join output: $ids")
+    // names collide by construction; rebind positionally to inspect sides
+    val named = out.toDF("k", "t", "id", "rk", "rt", "rid")
+    // every left row has itself at-or-before -> zero null matches
+    assert(named.filter(col("rid").isNull).count() == 0)
+    assert(named.count() == 100)
+  }
+
+  private def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+
   test("parity with the union+window as-of rendering on the events fixture") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     // union + last(ignore nulls) window: the j_asof board rendering

@@ -109,6 +109,13 @@ class FingerprintSpec extends AnyFunSuite {
       // test-harness artifact a fresh JVM (the case under test) never sees
       s.catalog.clearCache()
       SparkEntry.queries.map { case (name, fn) =>
+        // per-query pin, matching Bench's convention since round 9: each
+        // query's plan is rendered against an EMPTY cache registry, so the
+        // hash is independent of which other board rows exist or ran first
+        // (round-8 postmortem: shared registry state churned 174/246
+        // fingerprints when 20 rows joined the board)
+        graft.operators.TextOps.releasePriorCaches()
+        s.catalog.clearCache()
         val norm = Bench.normalizePlan(fn(s, sf).queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("simple")))
         name -> (Bench.md5Hex(norm), norm)

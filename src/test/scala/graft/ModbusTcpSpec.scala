@@ -234,7 +234,12 @@ class ModbusTcpSpec extends AnyFunSuite {
       val num = raw"(\d+)$$".r
       def v(s: String): Int =
         num.findFirstIn(s).map(_.toInt).getOrElse(Int.MinValue)
-      assert(secondRun.map(v).max > firstRun.map(v).max,
+      // maxOption: an empty secondRun (restart emitted nothing before the
+      // deadline) must fail via this assert's message, not an opaque
+      // UnsupportedOperationException from .max (round-8 advice)
+      def peakOf(xs: Seq[String]): Int =
+        xs.map(v).maxOption.getOrElse(Int.MinValue)
+      assert(peakOf(secondRun) > peakOf(firstRun),
         s"no progress after restart: $secondRun vs $firstRun")
     } finally {
       q2.stop()
