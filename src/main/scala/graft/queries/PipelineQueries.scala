@@ -389,5 +389,42 @@ object PipelineQueries {
           countDistinct(when(col("masked") === 1, col("turn"))).as("n_spans"),
           sum(col("masked") * (col("p") + 1)).as("mask_checksum"))
     },
+
+    // The dcafs compatibility path END TO END (round-8 verdict task 6): a
+    // reference-style settings.xml <path> — filter -> math -> editor ->
+    // store, PathForward.java:115-263 — parsed by DcafsXml.parsePath and
+    // compiled by PathCompiler into one fused Catalyst projection chain
+    // over the events fixture, hash-matched against a DuckDB replay of
+    // every stage (split, minlength filter, i2 write-back with the
+    // double->string rejoin, string edit, typed store extraction). Math
+    // stays integral (i2*3+7 on the bigint user_id field) so the
+    // write-back rendering is "N.0" in both engines.
+    Q("op_path_xml",
+      s"""WITH t AS (SELECT $lineSqlDuck AS line FROM events),
+         |f AS (SELECT line FROM t WHERE length(line) >= 22),
+         |s1 AS (SELECT string_split(line, ',') AS p FROM f),
+         |m AS (SELECT p[1:2]
+         |    || [CAST(TRY_CAST(p[3] AS DOUBLE) * 3 + 7 AS VARCHAR)]
+         |    || p[4:] AS p2 FROM s1),
+         |e AS (SELECT replace(array_to_string(p2, ','), 'click', 'tap') AS line
+         |  FROM m),
+         |s2 AS (SELECT line, string_split(line, ',') AS p FROM e)
+         |SELECT line, p[1] AS etype, TRY_CAST(p[2] AS DOUBLE) AS val,
+         |  TRY_CAST(p[3] AS DOUBLE) AS uid3, p[4] AS props_t
+         |FROM s2""".stripMargin) { (s, dir) =>
+      val spec = graft.DcafsXml.parsePath(
+        """<path id="compat" delimiter=",">
+          |  <filter type="minlength">22</filter>
+          |  <math><op>i2=i2*3+7</op></math>
+          |  <editor type="replace" find="click">tap</editor>
+          |  <store>
+          |    <text index="0">etype</text>
+          |    <real index="1">val</real>
+          |    <real index="2">uid3</real>
+          |    <text index="3">props_t</text>
+          |  </store>
+          |</path>""".stripMargin)
+      graft.PathCompiler.compile(spec, withLine(s, dir))
+    },
   )
 }
