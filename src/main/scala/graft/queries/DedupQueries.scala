@@ -1542,12 +1542,7 @@ object DedupQueries {
         |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val e = Tables.load(s, dir, "embeddings")
-      val cents = VectorOps.trainCentroids(e, "vec_id", "embedding", 16)
-      val assigned = VectorOps.ivfAssign(e, "vec_id", "embedding", cents)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val res = VectorOps.ivfSearch(assigned, cents, q,
-        "vec_id", "embedding", "qid", "qe", k = 10, nProbe = 2)
+      val res = annIvfTrainedTopK(s, dir)
       val corpus = e.select(col("vec_id").as("cid2"), col("embedding").as("cv"),
         VectorOps.l2norm(col("embedding")).as("cn"))
       val qn = e.filter(col("vec_id") < 5)
@@ -2597,6 +2592,22 @@ object DedupQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("qid"), col("vec_id"), col("rn"), col("cos_r"))
+  }
+
+  /** Trained-centroid IVF top-10 retrieval (16 Lloyd cells, 2 probes,
+    * queries vec_id < 5) — the engine path the ann_ivf gate row verifies
+    * in-plan; extracted so AnnSpec pins recall/score-exactness against
+    * the SAME frame the board gates.
+    */
+  private[graft] def annIvfTrainedTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val cents = VectorOps.trainCentroids(e, "vec_id", "embedding", 16)
+    val assigned = VectorOps.ivfAssign(e, "vec_id", "embedding", cents)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    VectorOps.ivfSearch(assigned, cents, q,
+      "vec_id", "embedding", "qid", "qe", k = 10, nProbe = 2)
   }
 
   /** Fixed-centroid IVF top-10 (first 8 vectors as centroids, 2 probes)

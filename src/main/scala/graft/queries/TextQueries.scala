@@ -916,6 +916,62 @@ object TextQueries {
           "sum_abs", "sum_sq", "zero_cross", "peak_abs")
     },
 
+    // FLAC, end-to-end and BIT-EXACT (mm_audio's discipline on the
+    // compressed codec): per document the same deterministic LCG PCM is
+    // encoded as a REAL FLAC stream (fixed predictors, Rice residuals,
+    // frame CRCs — streaming/Flac.scala, public xiph spec) and decoded
+    // back through the full frame/subframe parser. FLAC is lossless, so
+    // every feature is recomputable from the generator formula alone —
+    // any predictor, Rice, bit-packing, CRC, or frame-boundary error
+    // anywhere in the codec breaks the hash. blockSize=256 forces
+    // multi-frame streams (n_frames gates frame segmentation); channel
+    // count alternates by doc parity (same frame per channel).
+    // Row-local mapPartitions, zero shuffles — one scan at any scale.
+    Q("mm_flac",
+      """WITH d AS (SELECT doc_id, 200 + (doc_id % 50) * 8 AS n FROM documents),
+        |s AS (SELECT doc_id, n, i,
+        |    ((doc_id * 1103515245 + i * 12345) % 65536) - 32768 AS v
+        |  FROM d, unnest(range(0, n)) AS t(i))
+        |SELECT doc_id,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST((max(n) + 255) // 256 AS BIGINT) AS n_frames,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  CAST(min(CASE WHEN i = 0 THEN v END) AS BIGINT) AS first_v,
+        |  CAST(min(CASE WHEN i = n - 1 THEN v END) AS BIGINT) AS last_v
+        |FROM s GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(200) + col("doc_id") % 50 * 8).cast("int").as("n"))
+        .as[(Long, Int)]
+        .mapPartitions { it =>
+          it.flatMap { case (docId, n) =>
+            val pcm = Array.tabulate(n) { i =>
+              (((docId * 1103515245L + i * 12345L) % 65536L) - 32768L).toShort
+            }
+            val flac = graft.streaming.Flac.encodeFlac(
+              8000, 1 + (docId % 2).toInt, pcm, blockSize = 256)
+            graft.streaming.Flac.decodeFlacPcm(flac).map { a =>
+              val x = a.samples(0) // channels carry the same frame
+              var sumAbs, sumSq = 0L
+              var peak = 0L
+              x.foreach { v =>
+                sumAbs += math.abs(v.toLong); sumSq += v.toLong * v
+                if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+              }
+              (docId, x.length.toLong, a.nFrames.toLong,
+                a.channels.toLong, sumAbs, sumSq, peak,
+                x.head.toLong, x.last.toLong)
+            }
+          }
+        }
+        .toDF("doc_id", "n_samples", "n_frames", "channels",
+          "sum_abs", "sum_sq", "peak_abs", "first_v", "last_v")
+    },
+
     // Voice-activity detection through the REAL audio path (mm_audio's
     // end-to-end discipline): per document a deterministic PCM signal
     // with alternating speech/silence regions (full-range LCG vs the
