@@ -1036,10 +1036,13 @@ object Relational {
         |    t -> t <> '')) AS w FROM documents),
         |c AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
         |tot AS (SELECT count(*) AS total FROM toks)
-        |SELECT c.w, c.n FROM c, tot WHERE c.n > tot.total // 29""".stripMargin) {
+        |SELECT c.w, c.n FROM c, tot WHERE c.n > tot.total // 65""".stripMargin) {
       (s, dir) =>
       import s.implicits._
-      val cap = 28
+      // capacity 64: the guarantee bound N/(c+1) then admits ~30 tokens at
+      // BOTH sf0.01 and sf0.1 (cap 28 admitted zero at sf0.1, a vacuous
+      // gate); the error-bound twin below keeps its own capacity
+      val cap = 64
       val toksDf = Tables.load(s, dir, "documents")
         .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
       val sketch = graft.operators.SpaceSaving.summarize(toksDf.as[String], cap)

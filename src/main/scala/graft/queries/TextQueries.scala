@@ -150,6 +150,91 @@ object TextQueries {
             .cast("int").as("keep"))
     },
 
+    // TRAIN the quality filter, not just apply one: two exact gradient
+    // steps of logistic regression for a document-quality classifier
+    // (the CCNet/fastText-style learned filter every corpus pipeline
+    // fits), distributed as the real thing is — per-row features and
+    // gradients map-side, ONE partial-agg shuffle per step, weights
+    // broadcast back. Determinism engineering: lr = 2^-28 (dyadic) and
+    // step-1 gradients are integers/2, so the step-1 weights and every
+    // per-row logit are EXACT dyadic doubles in both engines; the step-2
+    // sigmoid is rounded to 5 dp before the decimal-cast sum (the
+    // op_math_funcs libm discipline), so both gradient aggregations are
+    // order-independent exact decimals. Labels from `source` membership
+    // (independent of the features), features: token count, comma count,
+    // long-token count. At 100 TB each step is one scan + one tiny agg;
+    // more steps = more passes, the standard full-batch L-BFGS/SGD
+    // trade every distributed trainer makes.
+    Q("tx_quality_train",
+      """WITH f AS (SELECT
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |         THEN 1 ELSE 0 END AS y,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS x1,
+        |    length(text) - length(replace(text, ',', '')) AS x2,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t <> '' AND length(t) > 6)) AS x3
+        |  FROM documents),
+        |g AS (SELECT count(*) AS n,
+        |    CAST(SUM(CAST((y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g0,
+        |    CAST(SUM(CAST(x1 * (y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g1,
+        |    CAST(SUM(CAST(x2 * (y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g2,
+        |    CAST(SUM(CAST(x3 * (y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g3
+        |  FROM f),
+        |w1 AS (SELECT n, g0 / 268435456.0 AS w0, g1 / 268435456.0 AS w1,
+        |    g2 / 268435456.0 AS w2, g3 / 268435456.0 AS w3 FROM g),
+        |s AS (SELECT f.y, f.x1, f.x2, f.x3,
+        |    round(1.0 / (1.0 + exp(-(w1.w0 + w1.w1 * f.x1 + w1.w2 * f.x2
+        |                             + w1.w3 * f.x3))), 5) AS sg
+        |  FROM f, w1),
+        |h AS (SELECT
+        |    CAST(SUM(CAST((y - sg) AS DECIMAL(28,8))) AS DOUBLE) AS h0,
+        |    CAST(SUM(CAST(x1 * (y - sg) AS DECIMAL(28,8))) AS DOUBLE) AS h1,
+        |    CAST(SUM(CAST(x2 * (y - sg) AS DECIMAL(28,8))) AS DOUBLE) AS h2,
+        |    CAST(SUM(CAST(x3 * (y - sg) AS DECIMAL(28,8))) AS DOUBLE) AS h3
+        |  FROM s)
+        |SELECT w1.n,
+        |  round(w1.w0, 10) AS b0_s1, round(w1.w1, 10) AS b1_s1,
+        |  round(w1.w2, 10) AS b2_s1, round(w1.w3, 10) AS b3_s1,
+        |  round(w1.w0 + h.h0 / 268435456.0, 10) AS b0_s2,
+        |  round(w1.w1 + h.h1 / 268435456.0, 10) AS b1_s2,
+        |  round(w1.w2 + h.h2 / 268435456.0, 10) AS b2_s2,
+        |  round(w1.w3 + h.h3 / 268435456.0, 10) AS b3_s2
+        |FROM w1, h""".stripMargin) { (s, dir) =>
+      val lrDen = 268435456.0 // 2^28: lr = 2^-28 keeps every weight dyadic
+      val w = TextOps.tokens(col("text"))
+      val base = Tables.load(s, dir, "documents").select(
+        col("source").isin("src0", "src1", "src2", "src3", "src4")
+          .cast("int").as("y"),
+        size(w).as("x1"),
+        (length(col("text")) - length(expr("replace(text, ',', '')"))).as("x2"),
+        size(filter(w, t => length(t) > 6)).as("x3"))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(28, 8))).cast("double")
+      val w1 = base.agg(count(lit(1)).as("n"),
+          dsum(col("y") - lit(0.5)).as("g0"),
+          dsum(col("x1") * (col("y") - lit(0.5))).as("g1"),
+          dsum(col("x2") * (col("y") - lit(0.5))).as("g2"),
+          dsum(col("x3") * (col("y") - lit(0.5))).as("g3"))
+        .select(col("n"), (col("g0") / lrDen).as("w0"), (col("g1") / lrDen).as("w1"),
+          (col("g2") / lrDen).as("w2"), (col("g3") / lrDen).as("w3"))
+      val h = base.crossJoin(broadcast(w1))
+        .withColumn("sg", round(lit(1.0) / (lit(1.0) +
+          exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")
+            + col("w3") * col("x3")))), 5))
+        .agg(
+          dsum(col("y") - col("sg")).as("h0"),
+          dsum(col("x1") * (col("y") - col("sg"))).as("h1"),
+          dsum(col("x2") * (col("y") - col("sg"))).as("h2"),
+          dsum(col("x3") * (col("y") - col("sg"))).as("h3"))
+      w1.crossJoin(broadcast(h)).select(col("n"),
+        round(col("w0"), 10).as("b0_s1"), round(col("w1"), 10).as("b1_s1"),
+        round(col("w2"), 10).as("b2_s1"), round(col("w3"), 10).as("b3_s1"),
+        round(col("w0") + col("h0") / lrDen, 10).as("b0_s2"),
+        round(col("w1") + col("h1") / lrDen, 10).as("b1_s2"),
+        round(col("w2") + col("h2") / lrDen, 10).as("b2_s2"),
+        round(col("w3") + col("h3") / lrDen, 10).as("b3_s2"))
+    },
+
     // Token counting: whitespace tokens + a BPE-ish regex token stream.
     Q("tx_tokens",
       """SELECT doc_id,
