@@ -2179,18 +2179,26 @@ object DedupQueries {
           round(col("vd"), 6).as("loading_r"))
     },
 
-    // Per-label medoid on a deterministic 25% sample — the cluster-
+    // Per-label medoid on a deterministic sample — the cluster-
     // representative pick (SemDeDup keeps the medoid, drops the rest;
     // k-medoids PAM seeds the same way). Sampling IS the scale story:
-    // exact medoid is quadratic per label, the sampled medoid bounds
-    // the block at (|label|/4)^2 and is the standard big-data move
-    // (CLARA). Pairwise distances round to 6dp then sum through
-    // DECIMAL(18,6), so the argmin ordering replays exactly; the
-    // label-keyed self-join shuffles once on label.
+    // exact medoid is quadratic per label, so the sample must be
+    // BOUNDED, not proportional (the round-9 10x sweep measured the
+    // fixed 25% sample going super-linear — a proportional sample keeps
+    // the quadratic term). CLARA's move: the stride scales with the
+    // corpus (step = max(4, 4*ceil(n/8192)), integer arithmetic both
+    // engines replay), capping the sampled block at ~2k vectors per
+    // label at ANY corpus size; at the sf0.01/sf0.1 verification scales
+    // step stays 4, so the oracle rows are unchanged. Pairwise
+    // distances round to 6dp then sum through DECIMAL(18,6), so the
+    // argmin ordering replays exactly; the label-keyed self-join
+    // shuffles once on label.
     Q("v_medoid",
-      """WITH n AS (SELECT vec_id, label,
+      """WITH st AS (SELECT greatest(4, 4 * ((count(*) + 8191) // 8192)) AS step
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label,
         |    [CAST(x AS DOUBLE) for x in embedding] AS v
-        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |  FROM embeddings, st WHERE vec_id % st.step = 0),
         |m AS (SELECT vec_id, label, v,
         |    sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM n),
         |p AS (SELECT a.label, a.vec_id AS i,
@@ -2203,8 +2211,14 @@ object DedupQueries {
         |  SELECT label, vec_id, sd, cnt,
         |    row_number() OVER (PARTITION BY label ORDER BY sd, vec_id) AS rn
         |  FROM sums) t WHERE rn = 1""".stripMargin) { (s, dir) =>
-      val m = Tables.load(s, dir, "embeddings")
-        .filter(col("vec_id") % 4 === 0)
+      val e = Tables.load(s, dir, "embeddings")
+      // bounded sample stride (one cheap count — the same measured
+      // dispatch knnGraph uses): 4 at the verification scales, growing
+      // with the corpus so the sampled block never exceeds ~2k vectors
+      val total = e.count()
+      val step = math.max(4L, 4L * ((total + 8191) / 8192))
+      val m = e
+        .filter(col("vec_id") % step === 0)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm", sqrt(aggregate(

@@ -1852,15 +1852,30 @@ object TextQueries {
         |FROM r GROUP BY epoch, shard""".stripMargin) { (s, dir) =>
       import s.implicits._
       val epochs = broadcast(Seq(0, 1, 2).toDF("epoch"))
-      val w = Window.partitionBy("epoch", "shard")
-        .orderBy(col("hv"), col("doc_id"))
-      Tables.load(s, dir, "documents").select("doc_id")
+      // Two-level distributed rank (round-9 10x sweep: the naive
+      // per-(epoch, shard) row_number window has only 12 partitions, so
+      // one executor sorted the whole epoch — 30x wall at 10x data, and
+      // at corpus scale a guaranteed straggler). hv's high bits are order-
+      // consistent with hv, so rank(hv, doc_id) = count of rows in lower
+      // hv-buckets (a metadata-scale 3072-row offsets table, broadcast
+      // back) + row_number within the (epoch, shard, bucket) — 3072
+      // bounded sorts instead of 12 unbounded ones. Output identical.
+      val base = Tables.load(s, dir, "documents").select("doc_id")
         .crossJoin(epochs)
         .withColumn("hv", conv(substring(md5(concat(
           col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))),
           1, 7), 16, 10).cast("long"))
         .withColumn("shard", col("hv") % 4)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("bkt", (col("hv") / 1048576L).cast("long")) // hv >> 20
+      val wOff = Window.partitionBy("epoch", "shard").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy("epoch", "shard", "bkt").count()
+        .withColumn("off", coalesce(sum("count").over(wOff), lit(0L)))
+        .drop("count")
+      val wIn = Window.partitionBy("epoch", "shard", "bkt")
+        .orderBy(col("hv"), col("doc_id"))
+      base.join(broadcast(offsets), Seq("epoch", "shard", "bkt"))
+        .withColumn("rn", col("off") + row_number().over(wIn))
         .groupBy("epoch", "shard")
         .agg(count(lit(1)).as("n_docs"),
           (sum((col("rn") * (col("doc_id") % 1000003))
