@@ -2614,6 +2614,52 @@ object TextQueries {
             <= expr("n_exact div 4")).cast("int").as("within_25pct"))
     },
 
+    // The SAME KMV sketch as a NATIVE Catalyst aggregate
+    // (org.apache.spark.sql.graft.KmvAgg, a TypedImperativeAggregate —
+    // the custom-op ladder's tier (b) applied to aggregation, which the
+    // scalar expression library already demonstrates for projections).
+    // The compositional q_approx_kmv above shuffles every distinct
+    // (type, user) pair into a per-group rank window; the native
+    // aggregate keeps O(k) state per group, partials merge map-side,
+    // and the shuffle carries one 2 KB sketch per (group, partition) —
+    // the bounded tree-reduce shape at 100 TB. Set semantics make the
+    // sketch a pure function of the input SET (partitioning-, order-
+    // and duplicate-invariant — KmvAggSpec pins all three), so unlike
+    // GK/HLL internals the full sketch replays exactly in SQL: k, the
+    // kth order statistic, the whole-sketch sum, and the estimate are
+    // all hash-gated. Fed RAW rows (no pre-distinct) on purpose.
+    Q("q_kmv_native",
+      """WITH h AS (SELECT DISTINCT event_type, user_id,
+        |    list_reduce(list_transform(range(1, 8),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(event_type || ':' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv, user_id) AS rn
+        |  FROM h),
+        |s AS (SELECT event_type, count(*) AS k, max(hv) AS hk,
+        |    CAST(SUM(hv) AS BIGINT) AS sketch_sum
+        |  FROM r WHERE rn <= 128 GROUP BY event_type)
+        |SELECT event_type, k, hk, sketch_sum,
+        |  (k - 1) * 268435456 // hk AS est
+        |FROM s""".stripMargin) { (s, dir) =>
+      val withH = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+        .withColumn("hv",
+          conv(substring(md5(concat(col("event_type"), lit(":"),
+            col("user_id").cast("string"))), 1, 7), 16, 10).cast("long"))
+      withH.groupBy("event_type")
+        .agg(org.apache.spark.sql.graft.KmvAgg
+          .kmvMinhashes(col("hv"), col("user_id"), 128).as("sketch"))
+        .select(col("event_type"),
+          size(col("sketch")).cast("long").as("k"),
+          element_at(col("sketch"), -1).as("hk"),
+          expr("aggregate(sketch, 0L, (a, x) -> a + x)").as("sketch_sum"))
+        .withColumn("est", expr("(k - 1) * 268435456 div hk"))
+        .select("event_type", "k", "hk", "sketch_sum", "est")
+    },
+
     // KMV/theta-sketch SET-OPERATION estimation (Beyer et al. SIGMOD'07;
     // the Datasketches theta union/intersection): high-value purchasers
     // vs high-value clickers as two partially-overlapping user sets
