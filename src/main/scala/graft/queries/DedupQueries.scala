@@ -2493,6 +2493,68 @@ object DedupQueries {
       val ok = math.abs(est - exact) <= exact * 0.1
       Seq((exact, if (ok) 1 else 0)).toDF("n_exact", "nd_ok")
     },
+
+    // The NATIVE KMV aggregate (org.apache.spark.sql.graft.KmvAgg)
+    // running under Structured Streaming — a custom
+    // TypedImperativeAggregate's buffer serializing in and out of the
+    // streaming state store across micro-batches, which is the part no
+    // batch test exercises. Because KMV is a pure set function, the
+    // complete-mode result after the last batch must equal the batch
+    // sketch BIT-EXACTLY regardless of how the replay chunks the rows,
+    // so this row carries the same full DuckDB oracle as q_kmv_native
+    // (k, kth order statistic, whole-sketch sum, estimate) — streaming
+    // parity as a hash row, not a bounds gate.
+    Q("st_stream_kmv_parity",
+      """WITH h AS (SELECT DISTINCT event_type, user_id,
+        |    list_reduce(list_transform(range(1, 8),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(event_type || ':' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv, user_id) AS rn
+        |  FROM h),
+        |s AS (SELECT event_type, count(*) AS k, max(hv) AS hk,
+        |    CAST(SUM(hv) AS BIGINT) AS sketch_sum
+        |  FROM r WHERE rn <= 128 GROUP BY event_type)
+        |SELECT event_type, k, hk, sketch_sum,
+        |  (k - 1) * 268435456 // hk AS est
+        |FROM s""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+        .orderBy("user_id", "event_type")
+        .as[(String, Long)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val sink = s"st_stream_kmv_${streamEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val agg = mem.toDF().toDF("event_type", "user_id")
+        .withColumn("hv",
+          conv(substring(md5(concat(col("event_type"), lit(":"),
+            col("user_id").cast("string"))), 1, 7), 16, 10).cast("long"))
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.graft.KmvAgg
+          .kmvMinhashes(col("hv"), col("user_id"), 128).as("sketch"))
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      val fin = s.table(sink).collect().map { r =>
+        val sk = r.getSeq[Long](1)
+        (r.getString(0), sk.length.toLong, sk.last, sk.sum,
+          (sk.length - 1) * 268435456L / sk.last)
+      }.toSeq
+      fin.toDF("event_type", "k", "hk", "sketch_sum", "est")
+    },
   )
 
   /** Unique memory-sink suffix so Bench reps / Verify reruns in one JVM

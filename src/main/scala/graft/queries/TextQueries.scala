@@ -235,6 +235,98 @@ object TextQueries {
         round(col("w3") + col("h3") / lrDen, 10).as("b3_s2"))
     },
 
+    // EVALUATE the trained quality filter: ROC-AUC of tx_quality_train's
+    // step-2 weights on the corpus, via the Mann-Whitney rank-sum with
+    // average ranks for ties. Scores are the same deterministic w·x
+    // logits (dyadic weights, identical double ops both engines), so
+    // ranks replay exactly. Scale shape: the global rank is computed
+    // with the SAME two-level trick as pl_epoch_shuffle — scores bucket
+    // by floor(score·4096) (order-consistent), a metadata-scale offsets
+    // table broadcasts back, and each bucket sorts independently; no
+    // single-partition window anywhere. The oracle ranks directly (it
+    // doesn't need to scale). One row: n_pos, n_neg, auc.
+    Q("tx_quality_auc",
+      """WITH f AS (SELECT doc_id,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |         THEN 1 ELSE 0 END AS y,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS x1,
+        |    length(text) - length(replace(text, ',', '')) AS x2,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t <> '' AND length(t) > 6)) AS x3
+        |  FROM documents),
+        |g AS (SELECT
+        |    CAST(SUM(CAST((y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g0,
+        |    CAST(SUM(CAST(x1 * (y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g1,
+        |    CAST(SUM(CAST(x2 * (y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g2,
+        |    CAST(SUM(CAST(x3 * (y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g3
+        |  FROM f),
+        |w1 AS (SELECT g0 / 268435456.0 AS w0, g1 / 268435456.0 AS w1,
+        |    g2 / 268435456.0 AS w2, g3 / 268435456.0 AS w3 FROM g),
+        |sc AS (SELECT f.doc_id, f.y,
+        |    w1.w0 + w1.w1 * f.x1 + w1.w2 * f.x2 + w1.w3 * f.x3 AS score
+        |  FROM f, w1),
+        |rk AS (SELECT y, score,
+        |    row_number() OVER (ORDER BY score, doc_id) AS rn FROM sc),
+        |byscore AS (SELECT score, min(rn) AS rn0, count(*) AS cnt,
+        |    SUM(y) AS npos_g FROM rk GROUP BY score),
+        |tot AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - SUM(y) AS BIGINT) AS n_neg FROM rk),
+        |u AS (SELECT CAST(SUM(CAST(npos_g * (rn0 + (cnt - 1) / 2.0)
+        |                           AS DECIMAL(28,8))) AS DOUBLE) AS rsum
+        |  FROM byscore)
+        |SELECT tot.n_pos, tot.n_neg,
+        |  round((u.rsum - tot.n_pos * (tot.n_pos + 1) / 2.0)
+        |        / (tot.n_pos * tot.n_neg), 6) AS auc_r
+        |FROM tot, u""".stripMargin) { (s, dir) =>
+      val lrDen = 268435456.0
+      val w = TextOps.tokens(col("text"))
+      val f = Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")
+          .cast("int").as("y"),
+        size(w).as("x1"),
+        (length(col("text")) - length(expr("replace(text, ',', '')"))).as("x2"),
+        size(filter(w, t => length(t) > 6)).as("x3"))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(28, 8))).cast("double")
+      val w1 = f.agg(
+          dsum(col("y") - lit(0.5)).as("g0"),
+          dsum(col("x1") * (col("y") - lit(0.5))).as("g1"),
+          dsum(col("x2") * (col("y") - lit(0.5))).as("g2"),
+          dsum(col("x3") * (col("y") - lit(0.5))).as("g3"))
+        .select((col("g0") / lrDen).as("w0"), (col("g1") / lrDen).as("w1"),
+          (col("g2") / lrDen).as("w2"), (col("g3") / lrDen).as("w3"))
+      val sc = f.crossJoin(broadcast(w1))
+        .select(col("doc_id"), col("y"),
+          (col("w0") + col("w1") * col("x1") + col("w2") * col("x2")
+            + col("w3") * col("x3")).as("score"))
+        .withColumn("bkt", floor(col("score") * 4096))
+      val wOff = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // the offsets frame is one row per occupied score bucket —
+      // metadata scale, so its global window is over a tiny table
+      val offsets = sc.groupBy("bkt").count()
+        .withColumn("off", coalesce(sum("count").over(wOff), lit(0L)))
+        .drop("count")
+      val wIn = Window.partitionBy("bkt").orderBy(col("score"), col("doc_id"))
+      val rk = sc.join(broadcast(offsets), Seq("bkt"))
+        .withColumn("rn", col("off") + row_number().over(wIn))
+      val byscore = rk.groupBy("score")
+        .agg(min("rn").as("rn0"), count(lit(1)).as("cnt"),
+          sum("y").as("npos_g"))
+      val tot = rk.agg(sum("y").cast("long").as("n_pos"),
+        (count(lit(1)) - sum("y")).cast("long").as("n_neg"))
+      // per-group terms are exact halves; decimal-cast before the sum so
+      // the aggregation is order-independent across engines
+      val u = byscore.agg(
+        sum((col("npos_g") * (col("rn0") + (col("cnt") - 1) / 2.0))
+          .cast(DecimalType(28, 8))).cast("double").as("rsum"))
+      tot.crossJoin(broadcast(u))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("rsum") - col("n_pos") * (col("n_pos") + 1) / 2.0)
+            / (col("n_pos") * col("n_neg")), 6).as("auc_r"))
+    },
+
     // Token counting: whitespace tokens + a BPE-ish regex token stream.
     Q("tx_tokens",
       """SELECT doc_id,
