@@ -38,7 +38,14 @@ Global / onLoad := {
     try {
       val hooks = file(".git/hooks")
       val link = hooks / "pre-commit"
-      if (hooks.isDirectory && !link.exists()) {
+      // File.exists() follows symlinks — a DANGLING link reads as absent,
+      // and createSymbolicLink would then throw into the catch-all,
+      // silently leaving the guard broken; detect and remove stale links
+      val stale = java.nio.file.Files.isSymbolicLink(link.toPath) &&
+        !link.exists()
+      if (stale) java.nio.file.Files.delete(link.toPath)
+      if (hooks.isDirectory && !link.exists() &&
+          !java.nio.file.Files.isSymbolicLink(link.toPath)) {
         java.nio.file.Files.createSymbolicLink(
           link.toPath, java.nio.file.Paths.get("../../tools/pre-commit"))
         state.log.info("installed .git/hooks/pre-commit -> tools/pre-commit")

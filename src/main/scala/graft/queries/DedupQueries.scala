@@ -17,6 +17,24 @@ import org.apache.spark.sql.types.DecimalType
   */
 object DedupQueries {
 
+  /** Shared DuckDB rendering of the md5-derived LSH hyperplanes —
+    * referenced by ann_lsh_buckets AND ann_lsh so the plane derivation
+    * cannot drift between the bucket row and the full probe row
+    * (round-9 review finding). Must mirror VectorOps.buckets exactly.
+    */
+  // NOTE: deliberately NOT pre-stripped — the fragment keeps its margin
+  // pipes and is interpolated into SQL strings BEFORE their .stripMargin
+  // runs (a pre-stripped fragment's continuation lines starting with the
+  // SQL || operator would have their first pipe eaten by the outer strip)
+  private val lshPlanesSql: String =
+    """pl AS (SELECT p,
+        |    [ (strpos('0123456789abcdef', substr(md5('plane' || CAST(p AS VARCHAR)
+        |          || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) * 16.0
+        |      + (strpos('0123456789abcdef', substr(md5('plane' || CAST(p AS VARCHAR)
+        |          || ':' || CAST(j AS VARCHAR)), 2, 1)) - 1) - 127.5
+        |      for j in range(0, 64) ] AS c
+        |  FROM (SELECT unnest(range(0, 4)) AS p))"""
+
   def defs: Seq[Q] = Seq(
 
     // Exact dedup after normalization (first-5-token key): hash-groupBy,
@@ -1549,7 +1567,11 @@ object DedupQueries {
         .select(col("vec_id").as("qid2"), col("embedding").as("qv"),
           VectorOps.l2norm(col("embedding")).as("qn2"))
       val w = Window.partitionBy("qid").orderBy(col("rn"))
-      res.join(broadcast(qn), col("qid") === col("qid2"))
+      // the gate side is <=50 rows but flows through windows, so its size
+      // estimate is pessimistic — hint the broadcast explicitly or the
+      // corpus-side verification join degenerates to a sort-merge shuffle
+      // of the whole corpus at scale (round-9 review finding)
+      broadcast(res.join(broadcast(qn), col("qid") === col("qid2")))
         .join(corpus, col("vec_id") === col("cid2"))
         .withColumn("cos_exact",
           round(VectorOps.dot(col("qv"), col("cv")) / (col("qn2") * col("cn")), 6))
@@ -1578,13 +1600,7 @@ object DedupQueries {
     // recall-pinned in AnnSpec), the same upgrade dd_semantic gives
     // ann_ivf. Pure projection over the corpus: zero shuffle.
     Q("ann_lsh_buckets",
-      """WITH pl AS (SELECT p,
-        |    [ (strpos('0123456789abcdef', substr(md5('plane' || CAST(p AS VARCHAR)
-        |          || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) * 16.0
-        |      + (strpos('0123456789abcdef', substr(md5('plane' || CAST(p AS VARCHAR)
-        |          || ':' || CAST(j AS VARCHAR)), 2, 1)) - 1) - 127.5
-        |      for j in range(0, 64) ] AS c
-        |  FROM (SELECT unnest(range(0, 4)) AS p)),
+      s"""WITH $lshPlanesSql,
         |proj AS (SELECT e.vec_id, pl.p,
         |    list_sum([e.embedding[i]::DOUBLE * pl.c[i] for i in range(1, 65)]) AS pr
         |  FROM embeddings e CROSS JOIN pl)
@@ -1602,17 +1618,11 @@ object DedupQueries {
     // probe on top is just a bucket equi-join + round-6 cosine + rank —
     // all exactly replayable too, so the whole row carries a real oracle.
     Q("ann_lsh",
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
         |  FROM embeddings),
         |n AS (SELECT vec_id, v,
         |    sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
-        |pl AS (SELECT p,
-        |    [ (strpos('0123456789abcdef', substr(md5('plane' || CAST(p AS VARCHAR)
-        |          || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) * 16.0
-        |      + (strpos('0123456789abcdef', substr(md5('plane' || CAST(p AS VARCHAR)
-        |          || ':' || CAST(j AS VARCHAR)), 2, 1)) - 1) - 127.5
-        |      for j in range(0, 64) ] AS c
-        |  FROM (SELECT unnest(range(0, 4)) AS p)),
+        |$lshPlanesSql,
         |proj AS (SELECT n.vec_id, pl.p,
         |    list_sum([n.v[i] * pl.c[i] for i in range(1, 65)]) AS pr
         |  FROM n CROSS JOIN pl),
@@ -2504,22 +2514,7 @@ object DedupQueries {
     // so this row carries the same full DuckDB oracle as q_kmv_native
     // (k, kth order statistic, whole-sketch sum, estimate) — streaming
     // parity as a hash row, not a bounds gate.
-    Q("st_stream_kmv_parity",
-      """WITH h AS (SELECT DISTINCT event_type, user_id,
-        |    list_reduce(list_transform(range(1, 8),
-        |      i -> CAST(strpos('0123456789abcdef',
-        |             substr(md5(event_type || ':' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
-        |      (a, x) -> a * 16 + x) AS hv
-        |  FROM events),
-        |r AS (SELECT event_type, hv,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY hv, user_id) AS rn
-        |  FROM h),
-        |s AS (SELECT event_type, count(*) AS k, max(hv) AS hk,
-        |    CAST(SUM(hv) AS BIGINT) AS sketch_sum
-        |  FROM r WHERE rn <= 128 GROUP BY event_type)
-        |SELECT event_type, k, hk, sketch_sum,
-        |  (k - 1) * 268435456 // hk AS est
-        |FROM s""".stripMargin) { (s, dir) =>
+    Q("st_stream_kmv_parity", TextQueries.kmvOracleSql) { (s, dir) =>
       import s.implicits._
       implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = Tables.load(s, dir, "events")
@@ -2548,10 +2543,16 @@ object DedupQueries {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
-      val fin = s.table(sink).collect().map { r =>
+      // mirror q_kmv_native's null semantics (review finding): a group
+      // with zero non-null pairs never reaches the oracle's h CTE (drop
+      // its empty sketch), and a zero max-hash divides to NULL in both
+      // engines' integer div — not an ArithmeticException here
+      val fin = s.table(sink).collect().flatMap { r =>
         val sk = r.getSeq[Long](1)
-        (r.getString(0), sk.length.toLong, sk.last, sk.sum,
-          (sk.length - 1) * 268435456L / sk.last)
+        if (sk.isEmpty) None
+        else Some((r.getString(0), sk.length.toLong, sk.last, sk.sum,
+          if (sk.last == 0L) None
+          else Some((sk.length - 1) * 268435456L / sk.last)))
       }.toSeq
       fin.toDF("event_type", "k", "hk", "sketch_sum", "est")
     },

@@ -1043,8 +1043,11 @@ object Relational {
       // BOTH sf0.01 and sf0.1 (cap 28 admitted zero at sf0.1, a vacuous
       // gate); the error-bound twin below keeps its own capacity
       val cap = 64
-      val toksDf = Tables.load(s, dir, "documents")
-        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      // three passes consume the exploded stream (summarize, count, the
+      // returned groupBy) — one tracked cache instead of three scans
+      val toksDf = graft.operators.TextOps.trackCache(
+        Tables.load(s, dir, "documents")
+          .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w")))
       val sketch = graft.operators.SpaceSaving.summarize(toksDf.as[String], cap)
       val reported = typedLit(sketch.keys.toSeq)
       val n = toksDf.count()

@@ -19,6 +19,43 @@ object TextQueries {
     "de" -> Seq("der", "und", "die", "das"),
     "fr" -> Seq("le", "la", "et", "les"))
 
+  /** Shared DuckDB oracle for the KMV sketch contract — referenced by
+    * BOTH the batch row (q_kmv_native) and the streaming parity row
+    * (st_stream_kmv_parity, DedupQueries), so an edit to the hash
+    * width / k / tie-break / estimator cannot drift one-sided
+    * (round-9 review finding).
+    */
+  private[queries] val kmvOracleSql: String =
+    """WITH h AS (SELECT DISTINCT event_type, user_id,
+      |    list_reduce(list_transform(range(1, 8),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |             substr(md5(event_type || ':' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, x) -> a * 16 + x) AS hv
+      |  FROM events),
+      |r AS (SELECT event_type, hv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hv, user_id) AS rn
+      |  FROM h),
+      |s AS (SELECT event_type, count(*) AS k, max(hv) AS hk,
+      |    CAST(SUM(hv) AS BIGINT) AS sketch_sum
+      |  FROM r WHERE rn <= 128 GROUP BY event_type)
+      |SELECT event_type, k, hk, sketch_sum,
+      |  (k - 1) * 268435456 // hk AS est
+      |FROM s""".stripMargin
+
+  /** Shared quality-classifier feature CTE (label + 3 features) —
+    * referenced by tx_quality_train and tx_quality_auc so the trained
+    * and evaluated models can never drift apart (round-9 review).
+    */
+  private[queries] val qualityFeaturesSql: String =
+    """f AS (SELECT doc_id,
+      |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+      |         THEN 1 ELSE 0 END AS y,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS x1,
+      |    length(text) - length(replace(text, ',', '')) AS x2,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t <> '' AND length(t) > 6)) AS x3
+      |  FROM documents)""".stripMargin
+
   def defs: Seq[Q] = Seq(
 
     // n-gram/stopword language-ID heuristic: per-language stopword hit
@@ -166,14 +203,7 @@ object TextQueries {
     // more steps = more passes, the standard full-batch L-BFGS/SGD
     // trade every distributed trainer makes.
     Q("tx_quality_train",
-      """WITH f AS (SELECT
-        |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
-        |         THEN 1 ELSE 0 END AS y,
-        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS x1,
-        |    length(text) - length(replace(text, ',', '')) AS x2,
-        |    len(list_filter(string_split(text, ' '),
-        |        t -> t <> '' AND length(t) > 6)) AS x3
-        |  FROM documents),
+      s"""WITH $qualityFeaturesSql,
         |g AS (SELECT count(*) AS n,
         |    CAST(SUM(CAST((y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g0,
         |    CAST(SUM(CAST(x1 * (y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g1,
@@ -246,14 +276,7 @@ object TextQueries {
     // single-partition window anywhere. The oracle ranks directly (it
     // doesn't need to scale). One row: n_pos, n_neg, auc.
     Q("tx_quality_auc",
-      """WITH f AS (SELECT doc_id,
-        |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
-        |         THEN 1 ELSE 0 END AS y,
-        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS x1,
-        |    length(text) - length(replace(text, ',', '')) AS x2,
-        |    len(list_filter(string_split(text, ' '),
-        |        t -> t <> '' AND length(t) > 6)) AS x3
-        |  FROM documents),
+      s"""WITH $qualityFeaturesSql,
         |g AS (SELECT
         |    CAST(SUM(CAST((y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g0,
         |    CAST(SUM(CAST(x1 * (y - 0.5) AS DECIMAL(28,8))) AS DOUBLE) AS g1,
@@ -280,13 +303,16 @@ object TextQueries {
         |FROM tot, u""".stripMargin) { (s, dir) =>
       val lrDen = 268435456.0
       val w = TextOps.tokens(col("text"))
-      val f = Tables.load(s, dir, "documents").select(
+      // the feature frame feeds the w1 aggregation AND the scoring pass,
+      // and the scored frame feeds both the offsets groupBy and the rank
+      // join — tracked caches halve the scans (review finding)
+      val f = TextOps.trackCache(Tables.load(s, dir, "documents").select(
         col("doc_id"),
         col("source").isin("src0", "src1", "src2", "src3", "src4")
           .cast("int").as("y"),
         size(w).as("x1"),
         (length(col("text")) - length(expr("replace(text, ',', '')"))).as("x2"),
-        size(filter(w, t => length(t) > 6)).as("x3"))
+        size(filter(w, t => length(t) > 6)).as("x3")))
       def dsum(c: org.apache.spark.sql.Column) =
         sum(c.cast(DecimalType(28, 8))).cast("double")
       val w1 = f.agg(
@@ -296,21 +322,13 @@ object TextQueries {
           dsum(col("x3") * (col("y") - lit(0.5))).as("g3"))
         .select((col("g0") / lrDen).as("w0"), (col("g1") / lrDen).as("w1"),
           (col("g2") / lrDen).as("w2"), (col("g3") / lrDen).as("w3"))
-      val sc = f.crossJoin(broadcast(w1))
+      val sc = TextOps.trackCache(f.crossJoin(broadcast(w1))
         .select(col("doc_id"), col("y"),
           (col("w0") + col("w1") * col("x1") + col("w2") * col("x2")
             + col("w3") * col("x3")).as("score"))
-        .withColumn("bkt", floor(col("score") * 4096))
-      val wOff = Window.orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // the offsets frame is one row per occupied score bucket —
-      // metadata scale, so its global window is over a tiny table
-      val offsets = sc.groupBy("bkt").count()
-        .withColumn("off", coalesce(sum("count").over(wOff), lit(0L)))
-        .drop("count")
-      val wIn = Window.partitionBy("bkt").orderBy(col("score"), col("doc_id"))
-      val rk = sc.join(broadcast(offsets), Seq("bkt"))
-        .withColumn("rn", col("off") + row_number().over(wIn))
+        .withColumn("bkt", floor(col("score") * 4096)))
+      val rk = graft.operators.Ranks.bucketedRank(sc, Seq.empty, "bkt",
+        Seq(col("score"), col("doc_id")), "rn")
       val byscore = rk.groupBy("score")
         .agg(min("rn").as("rn0"), count(lit(1)).as("cnt"),
           sum("y").as("npos_g"))
@@ -1959,15 +1977,8 @@ object TextQueries {
           1, 7), 16, 10).cast("long"))
         .withColumn("shard", col("hv") % 4)
         .withColumn("bkt", (col("hv") / 1048576L).cast("long")) // hv >> 20
-      val wOff = Window.partitionBy("epoch", "shard").orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy("epoch", "shard", "bkt").count()
-        .withColumn("off", coalesce(sum("count").over(wOff), lit(0L)))
-        .drop("count")
-      val wIn = Window.partitionBy("epoch", "shard", "bkt")
-        .orderBy(col("hv"), col("doc_id"))
-      base.join(broadcast(offsets), Seq("epoch", "shard", "bkt"))
-        .withColumn("rn", col("off") + row_number().over(wIn))
+      graft.operators.Ranks.bucketedRank(base, Seq("epoch", "shard"), "bkt",
+          Seq(col("hv"), col("doc_id")), "rn")
         .groupBy("epoch", "shard")
         .agg(count(lit(1)).as("n_docs"),
           (sum((col("rn") * (col("doc_id") % 1000003))
@@ -2720,22 +2731,7 @@ object TextQueries {
     // GK/HLL internals the full sketch replays exactly in SQL: k, the
     // kth order statistic, the whole-sketch sum, and the estimate are
     // all hash-gated. Fed RAW rows (no pre-distinct) on purpose.
-    Q("q_kmv_native",
-      """WITH h AS (SELECT DISTINCT event_type, user_id,
-        |    list_reduce(list_transform(range(1, 8),
-        |      i -> CAST(strpos('0123456789abcdef',
-        |             substr(md5(event_type || ':' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
-        |      (a, x) -> a * 16 + x) AS hv
-        |  FROM events),
-        |r AS (SELECT event_type, hv,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY hv, user_id) AS rn
-        |  FROM h),
-        |s AS (SELECT event_type, count(*) AS k, max(hv) AS hk,
-        |    CAST(SUM(hv) AS BIGINT) AS sketch_sum
-        |  FROM r WHERE rn <= 128 GROUP BY event_type)
-        |SELECT event_type, k, hk, sketch_sum,
-        |  (k - 1) * 268435456 // hk AS est
-        |FROM s""".stripMargin) { (s, dir) =>
+    Q("q_kmv_native", kmvOracleSql) { (s, dir) =>
       val withH = Tables.load(s, dir, "events")
         .select(col("event_type"), col("user_id"))
         .withColumn("hv",
