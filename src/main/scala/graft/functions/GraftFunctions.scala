@@ -32,6 +32,7 @@ object GraftFunctions {
   def shingles(toks: Column, n: Column): Column = c(Shingles(e(toks), e(n)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def znorm_dist(win: Column, pattern: Column): Column = c(ZNormDist(e(win), e(pattern)))
+  def dtw_dist(a: Column, b: Column): Column = c(DtwDist(e(a), e(b)))
   def tokens_ws(text: Column): Column = c(TokensWs(e(text)))
   def count_in_set(toks: Column, set: Column): Column = c(CountInSet(e(toks), e(set)))
   def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
@@ -131,6 +132,7 @@ object GraftFunctions {
     one("shingles", a => Shingles(a(0), a(1)))
     one("vec_dot", a => VecDot(a(0), a(1)))
     one("znorm_dist", a => ZNormDist(a(0), a(1)))
+    one("dtw_dist", a => DtwDist(a(0), a(1)))
     one("tokens_ws", a => TokensWs(a.head))
     one("count_in_set", a => CountInSet(a(0), a(1)))
     one("nfc_normalize", a => NfcNormalize(a.head))

@@ -249,6 +249,41 @@ object Impls {
     new GenericArrayData(out)
   }
 
+  /** Dynamic-time-warping distance between two integer series (full
+    * window, |a_i - b_j| cost, symmetric step pattern) — the classic
+    * O(n·m) DP (Sakoe & Chiba 1978), all-integer so the result is exact
+    * and the DuckDB oracle's cell-by-cell recursive-CTE replay matches
+    * bit for bit. Rolling single-row buffer: O(m) memory per call.
+    * Empty input on either side yields -1 (no alignment).
+    */
+  def dtwDist(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return -1L
+    val INF = 1000000000000000L
+    var prev = new Array[Long](m + 1)
+    var curr = new Array[Long](m + 1)
+    java.util.Arrays.fill(prev, INF)
+    prev(0) = 0L
+    var i = 1
+    while (i <= n) {
+      curr(0) = INF
+      val ai = a.getLong(i - 1)
+      var j = 1
+      while (j <= m) {
+        val cost = math.abs(ai - b.getLong(j - 1))
+        var best = prev(j)
+        if (prev(j - 1) < best) best = prev(j - 1)
+        if (curr(j - 1) < best) best = curr(j - 1)
+        curr(j) = cost + best
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(m)
+  }
+
   /** Dot product over double arrays, ascending index order (same
     * accumulation as aggregate(zip_with(a, b, *), 0.0, +)).
     */

@@ -1367,6 +1367,65 @@ object StateQueries {
         .withColumn("ratio_ppm", expr("(varint_bytes * 1000000) div (n * 8)"))
     },
 
+    // Dynamic-time-warping distance between the per-type daily activity
+    // profiles (hour-of-day event counts, zero-filled to a dense 24) —
+    // the alignment-tolerant similarity a fleet uses to group sensors
+    // whose daily rhythms match under phase shift (Sakoe & Chiba 1978).
+    // The O(n·m) DP is a native codegen expression (dtw_dist — a lambda
+    // rendering cannot express the sequential inner fold without
+    // quadratic interpreted nesting), all-integer so it is exact; the
+    // oracle replays the DP cell by cell in a recursive CTE. Scale
+    // shape: the heavy work is one hour-of-day partial agg over the
+    // events; the pair join runs on the 5-row profile table.
+    Q("ts_dtw",
+      """WITH RECURSIVE
+        |byh AS (SELECT event_type, CAST(hour(ts) AS INT) AS h,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT ty.event_type, gs.h, coalesce(b.n, 0) AS n
+        |  FROM types ty CROSS JOIN (SELECT unnest(range(0, 24)) AS h) gs
+        |  LEFT JOIN byh b ON b.event_type = ty.event_type AND b.h = gs.h),
+        |prof AS (SELECT event_type, list(n ORDER BY h) AS v
+        |  FROM grid GROUP BY event_type),
+        |pairs AS (SELECT a.event_type AS ta, a.v AS va,
+        |    b.event_type AS tb, b.v AS vb
+        |  FROM prof a JOIN prof b ON a.event_type < b.event_type),
+        |dp AS (
+        |  SELECT ta, tb, va, vb, 1 AS i, 0 AS j,
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(1000000000000000 AS BIGINT) for x in range(1, 25)]) AS prev,
+        |    [CAST(1000000000000000 AS BIGINT)] AS curr
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT ta, tb, va, vb,
+        |    CASE WHEN j = 24 THEN i + 1 ELSE i END,
+        |    CASE WHEN j = 24 THEN 0 ELSE j + 1 END,
+        |    CASE WHEN j = 24 THEN curr ELSE prev END,
+        |    CASE WHEN j = 24 THEN [CAST(1000000000000000 AS BIGINT)]
+        |         ELSE list_append(curr,
+        |            abs(va[i] - vb[j + 1])
+        |            + least(prev[j + 2], prev[j + 1], curr[j + 1]))
+        |    END
+        |  FROM dp WHERE i <= 24)
+        |SELECT ta, tb, curr[25] AS dtw
+        |FROM dp WHERE i = 24 AND j = 24""".stripMargin) { (s, dir) =>
+      val byh = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      // dense 24-hour profile: map lookup with zero fill, so a type that
+      // is silent for an hour still aligns positionally with the oracle
+      val prof = byh.groupBy("event_type")
+        .agg(map_from_entries(collect_list(struct(col("h"), col("n")))).as("m"))
+        .select(col("event_type"),
+          transform(sequence(lit(0), lit(23)),
+            hh => coalesce(element_at(col("m"), hh), lit(0L))).as("v"))
+      val a = prof.select(col("event_type").as("ta"), col("v").as("va"))
+      val b = prof.select(col("event_type").as("tb"), col("v").as("vb"))
+      a.join(broadcast(b), col("ta") < col("tb"))
+        .select(col("ta"), col("tb"),
+          graft.functions.GraftFunctions.dtw_dist(col("va"), col("vb")).as("dtw"))
+    },
+
     // Full autocorrelation function (correlogram) at lags 1..24 h over
     // the hourly-resampled series — the diagnostics table behind
     // seasonality/ARIMA order choices (ts_autocorr is the lag-1 point;

@@ -235,6 +235,26 @@ case class VecDot(left: Expression, right: Expression)
   * whole-stage codegen instead of three CodegenFallback lambda trees per
   * window.
   */
+/** dtw_dist(a, b): integer dynamic-time-warping distance between two
+  * long-array series in one codegen'd call — tier (b) of the custom-op
+  * ladder for a whole DP kernel (a lambda rendering would need a
+  * sequential inner fold that array HOFs cannot express without
+  * quadratic nesting, all interpreted).
+  */
+case class DtwDist(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dtw_dist"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Impls.dtwDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Impls.dtwDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DtwDist =
+    copy(l, r)
+}
+
 case class ZNormDist(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =

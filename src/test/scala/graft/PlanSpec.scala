@@ -84,6 +84,12 @@ class PlanSpec extends AnyFunSuite {
       "vecDot")
     inlined(emb.select(GraftFunctions.znorm_dist(
       col("embedding"), col("embedding"))), "znormDist")
+    // dtw_dist (ts_dtw) — the DP kernel must also stay inside codegen
+    // (CreateArray is codegen-capable; transform() is CodegenFallback and
+    // would evict the whole projection, testing nothing)
+    inlined(emb.select(GraftFunctions.dtw_dist(
+      array(col("vec_id"), col("vec_id") + 1),
+      array(col("vec_id") + 2, col("vec_id")))), "dtwDist")
     inlined(docs.select(GraftFunctions.count_in_set(
       TextOps.tokens(col("text")), array(lit("the"), lit("a")))), "countIn")
     inlined(docs.select(GraftFunctions.minhash_sig(
