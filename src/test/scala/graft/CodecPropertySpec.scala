@@ -93,4 +93,51 @@ class CodecPropertySpec extends AnyFunSuite {
       }
     }
   }
+  private val flacGen = for {
+    n <- Gen.choose(0, 3000)
+    blockSize <- Gen.oneOf(16, 17, 64, 192, 256, 576, 1024, 4096)
+    channels <- Gen.choose(1, 4)
+    mode <- Gen.oneOf(0, 1, 2, 3) // noise, constant, ramp, quiet
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield (n, blockSize, channels, mode, seed)
+
+  test("FLAC: arbitrary PCM round-trips losslessly at any block size") {
+    forAll(flacGen) { case (n, blockSize, channels, mode, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val body: Array[Short] = mode match {
+        case 0 => Array.fill(n)(rnd.nextInt(65536).toShort)
+        case 1 => Array.fill(n)(rnd.nextInt(65536).toShort) match {
+          case a if a.nonEmpty => Array.fill(n)(a(0)) // constant signal
+          case a => a
+        }
+        case 2 => Array.tabulate(n)(i => ((i * 7 + rnd.nextInt(3)) - n).toShort)
+        case _ => Array.fill(n)((rnd.nextInt(256) - 128).toShort)
+      }
+      val enc = graft.streaming.Flac.encodeFlac(8000, channels, body, blockSize)
+      val dec = graft.streaming.Flac.decodeFlacPcm(enc)
+        .getOrElse(fail(s"decode failed n=$n bs=$blockSize ch=$channels mode=$mode"))
+      assert(dec.channels == channels && dec.bps == 16)
+      (0 until channels).foreach { c =>
+        assert(dec.samples(c).toSeq == body.map(_.toInt).toSeq,
+          s"lossless violated n=$n bs=$blockSize ch=$channels mode=$mode seed=$seed")
+      }
+    }
+  }
+
+  test("FLAC: random prefix truncation never throws and yields whole frames") {
+    forAll(Gen.zip(Gen.choose(100, 2000), Gen.choose(0L, Long.MaxValue)), n = 40) {
+      case (n, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val pcm = Array.fill(n)(rnd.nextInt(65536).toShort)
+        val enc = graft.streaming.Flac.encodeFlac(8000, 1, pcm, blockSize = 64)
+        val cut = rnd.nextInt(enc.length + 1)
+        graft.streaming.Flac.decodeFlacPcm(enc.take(cut)).foreach { a =>
+          val got = a.samples(0).length
+          assert(got % 64 == 0 || got == n,
+            s"partial decode not frame-aligned: $got of $n (cut=$cut)")
+          assert(a.samples(0).toSeq == pcm.take(got).map(_.toInt).toSeq)
+        }
+    }
+  }
+
 }
