@@ -50,7 +50,12 @@ Global / onLoad := {
           link.toPath, java.nio.file.Paths.get("../../tools/pre-commit"))
         state.log.info("installed .git/hooks/pre-commit -> tools/pre-commit")
       }
-    } catch { case _: Throwable => () }
+    } catch {
+      // a failed install leaves the commit guard broken — say so rather
+      // than silently continuing (round-9 advice)
+      case t: Throwable =>
+        state.log.warn(s"pre-commit hook install failed: $t")
+    }
     state
   }
 }

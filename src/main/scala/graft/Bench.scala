@@ -55,6 +55,15 @@ object Bench {
     // comparison operator can't start a match.
     .replaceAll("\\[[^\\]\\n]*\\.\\.\\.", "[...")
     .replaceAll("struct<[^>\\n]*\\.\\.\\.", "struct<...")
+    // driver-computed sketch summaries embedded as plan literals (Misra-
+    // Gries keys in q_approx_topk) have run-varying MARGINAL elements:
+    // the row's RESULT is deterministic (a bound filter keeps only
+    // guaranteed-heavy keys) but the literal's tail would churn the
+    // fingerprint between same-code runs. Collapse any very long FLAT
+    // bracket body (no nesting — plan operator lists like keys=[...]
+    // contain #-marked attrs and parens and stay under this shape) to a
+    // stable token. Line-bounded like the truncation rules above.
+    .replaceAll("\\[[^\\[\\]()\\n]{400,}\\]", "[:longlit:]")
     // RewriteDistinctAggregates numbers its gid groups by iterating a map
     // keyed on expr-ids (a session-global counter): two sessions render the
     // SAME multi-countDistinct plan with the distinct columns swapped and
@@ -175,14 +184,16 @@ object Bench {
     // warm the session (parquet reader, codegen, shuffle machinery) so the
     // first measured query doesn't absorb JVM start-up costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // count registry behavior over the measured pass only, not the warm-up
-    graft.operators.TextOps.resetCacheStats()
     // optional query-name filter for iterating on a single row's timing
     val only = args.toSet
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def runPass(): Seq[(String, Double, String)] = {
+    // count registry behavior over the measured pass only, not the warm-up
+    graft.operators.TextOps.resetCacheStats()
+    selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Pin the cache-registry state each query fingerprints (and first
       // executes) against: EMPTY. Round-8 postmortem: the LRU registry made
       // a query's plan depend on which OTHER board rows ran before it —
@@ -223,6 +234,57 @@ object Bench {
       }
       (name, times.min, fp)
     }
+    }
+
+    def canaryOf(rs: Seq[(String, Double, String)]): Double = {
+      // Canary: the mean of the trivial fn_/op_ projection rows. Their
+      // clean floor is ~0.10 s (docs/ENGINEERING_NOTES.md bench-noise
+      // protocol); a run whose canary mean is well above that is a
+      // co-tenant load window, not a plan regression.
+      val rows = rs.filter { case (k, _, _) =>
+        k.startsWith("fn_") || k.startsWith("op_") }
+      if (rows.isEmpty) -1.0 else rows.map(_._2).sum / rows.size
+    }
+    // Self-defending record (round-9 verdict task 2: BENCH_r09's official
+    // 312.5 s total was a 6x-loaded window over a 116.5 s quiet board).
+    // The acceptance threshold is 2x the rolling quiet median of recorded
+    // canaries in bench_history.jsonl (floored at 0.25 s so a pristine
+    // history can't make normal jitter a rejection); a pass measured under
+    // a hotter canary is REJECTED and re-run, up to 3 passes, keeping the
+    // quietest. The artifact then carries the canary, the threshold, and a
+    // record_quality verdict so no later round adjudicates a loaded number.
+    val canaryGate: Double = {
+      val hist = try {
+        val p = java.nio.file.Paths.get("bench_history.jsonl")
+        if (java.nio.file.Files.exists(p))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala.toSeq
+            .flatMap { l =>
+              val m = "\"canary_mean\":([0-9.]+)".r.findFirstMatchIn(l)
+              m.map(_.group(1).toDouble)
+            }
+        else Seq.empty
+      } catch { case _: Throwable => Seq.empty[Double] }
+      val quiet = hist.filter(c => c > 0 && c <= 0.30)
+      val median =
+        if (quiet.isEmpty) 0.125
+        else quiet.sorted.apply(quiet.size / 2)
+      math.max(0.25, 2.0 * median)
+    }
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    var best: Seq[(String, Double, String)] = runPass()
+    var bestCanary = canaryOf(best)
+    var passes = 1
+    while (bestCanary > canaryGate && passes < maxPasses) {
+      System.err.println(f"[bench] canary $bestCanary%.4f > gate " +
+        f"$canaryGate%.4f - rejecting loaded pass ${passes} and re-running")
+      val again = runPass()
+      val c = canaryOf(again)
+      if (c < bestCanary) { best = again; bestCanary = c }
+      passes += 1
+    }
+    val results = best
+    val recordQuality = if (bestCanary <= canaryGate) "quiet" else "loaded"
     // compact per-query seconds (4 decimals ≈ 0.1 ms resolution — bench noise
     // floor) so the timings line stays as short as possible for the driver's
     // bounded stdout capture; the fat plans map goes on its OWN line so a
@@ -236,16 +298,7 @@ object Bench {
     val plans = results.map { case (k, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Canary: the mean of the trivial fn_/op_ projection rows. Their clean
-    // floor is ~0.10 s (docs/ENGINEERING_NOTES.md bench-noise protocol); a
-    // run whose canary mean is >=2x that is a co-tenant load window, and the
-    // round-8 verdict required the number IN the artifact so a driver-side
-    // record can be read against host load without a builder re-run.
-    val canaryRows = results.filter { case (k, _, _) =>
-      k.startsWith("fn_") || k.startsWith("op_") }
-    val canary =
-      if (canaryRows.isEmpty) -1.0
-      else canaryRows.map(_._2).sum / canaryRows.size
+    val canary = bestCanary
     // Tier split (round-8 verdict task 5): the st_stream_/dd_stream_ rows are
     // MemoryStream replay HARNESSES — their cost is per-micro-batch state
     // commits, linear in replayed rows by construction, not operator plan
@@ -257,7 +310,7 @@ object Bench {
     val opsTotal = total - replayTotal
     val (cHits, cMisses, cEvict) = graft.operators.TextOps.cacheStats
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","canary_mean":${f"$canary%.4f"},"ops_sec":${f"$opsTotal%.4f"},"replay_harness_sec":${f"$replayTotal%.4f"},"cache_registry":{"hits":$cHits,"misses":$cMisses,"evictions":$cEvict}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","canary_mean":${f"$canary%.4f"},"canary_gate":${f"$canaryGate%.4f"},"record_quality":"$recordQuality","passes":$passes,"ops_sec":${f"$opsTotal%.4f"},"replay_harness_sec":${f"$replayTotal%.4f"},"cache_registry":{"hits":$cHits,"misses":$cMisses,"evictions":$cEvict}}"""
     // full artifact (timings + plans in one object) persisted to disk: the
     // robust path when any stdout capture window truncates. Also append to
     // bench_history.jsonl so round N+1 can diff per-query timings against

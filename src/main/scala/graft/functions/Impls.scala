@@ -254,12 +254,22 @@ object Impls {
     * O(n·m) DP (Sakoe & Chiba 1978), all-integer so the result is exact
     * and the DuckDB oracle's cell-by-cell recursive-CTE replay matches
     * bit for bit. Rolling single-row buffer: O(m) memory per call.
-    * Empty input on either side yields -1 (no alignment).
+    * Empty input on either side, or a null element on either side,
+    * yields -1 (no alignment). The function is registered as the
+    * user-callable `dtw_dist`, so adversarial magnitudes must not wrap:
+    * per-cell costs and the running sum saturate at Long.MaxValue/4
+    * (far above any real alignment cost, never reached by the in-range
+    * inputs the oracle replays) instead of silently overflowing.
     */
   def dtwDist(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     val m = b.numElements()
     if (n == 0 || m == 0) return -1L
+    var z = 0
+    while (z < n) { if (a.isNullAt(z)) return -1L; z += 1 }
+    z = 0
+    while (z < m) { if (b.isNullAt(z)) return -1L; z += 1 }
+    val SAT = Long.MaxValue / 4
     val INF = 1000000000000000L
     var prev = new Array[Long](m + 1)
     var curr = new Array[Long](m + 1)
@@ -271,11 +281,17 @@ object Impls {
       val ai = a.getLong(i - 1)
       var j = 1
       while (j <= m) {
-        val cost = math.abs(ai - b.getLong(j - 1))
+        val bj = b.getLong(j - 1)
+        val d = ai - bj
+        // subtraction overflow (operands of opposite sign, result sign
+        // flipped) or abs(Long.MinValue) -> saturate
+        val cost =
+          if (((ai ^ bj) & (ai ^ d)) < 0 || d == Long.MinValue) SAT
+          else math.abs(d)
         var best = prev(j)
         if (prev(j - 1) < best) best = prev(j - 1)
         if (curr(j - 1) < best) best = curr(j - 1)
-        curr(j) = cost + best
+        curr(j) = if (best >= SAT - cost) SAT else cost + best
         j += 1
       }
       val t = prev; prev = curr; curr = t

@@ -39,8 +39,17 @@ object Ranks {
       .drop("count")
     val wIn = Window.partitionBy((partCols :+ bktCol).map(col): _*)
       .orderBy(orderCols: _*)
-    df.join(broadcast(offsets), partCols :+ bktCol)
+    // null-safe (<=>) join so rows with a NULL partition key or NULL
+    // bucket value keep the row_number-window semantics this helper is
+    // pinned against (window partitioning groups nulls; a plain equi-join
+    // would silently drop them — round-9 advice). Null buckets rank as
+    // the lowest bucket, matching the offsets window's nulls-first order.
+    val keyCols = partCols :+ bktCol
+    val off = offsets.select(
+      keyCols.map(c => col(c).as(s"__k_$c")) :+ col("__off"): _*)
+    val cond = keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    df.join(broadcast(off), cond)
       .withColumn(rnCol, col("__off") + row_number().over(wIn))
-      .drop("__off")
+      .drop(("__off" +: keyCols.map(c => s"__k_$c")): _*)
   }
 }

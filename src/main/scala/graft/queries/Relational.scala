@@ -1049,7 +1049,14 @@ object Relational {
         Tables.load(s, dir, "documents")
           .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w")))
       val sketch = graft.operators.SpaceSaving.summarize(toksDf.as[String], cap)
-      val reported = typedLit(sketch.keys.toSeq)
+      // sorted before embedding: treeAggregate merges partials in arrival
+      // order and MG trims on every merge, so the summary's MARGINAL keys
+      // (not the guaranteed-heavy ones the bound filter keeps) can differ
+      // between same-code runs — unsorted they would also churn the plan
+      // literal's rendering order. Bench.normalizePlan additionally
+      // collapses long flat literal lists so residual marginal-key churn
+      // can't move this row's fingerprint (round-9 advice).
+      val reported = typedLit(sketch.keys.toSeq.sorted)
       val n = toksDf.count()
       val bound = n / (cap + 1)
       toksDf.groupBy("w").agg(count(lit(1)).as("n"))

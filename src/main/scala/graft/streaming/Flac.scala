@@ -178,7 +178,7 @@ object Flac {
     out.toByteArray
   }
 
-  private def writeUtf8Number(w: BitWriter, v: Long): Unit = {
+  private[graft] def writeUtf8Number(w: BitWriter, v: Long): Unit = {
     if (v < 0x80) w.writeBits(v, 8)
     else if (v < 0x800) {
       w.writeBits(0xc0L | (v >> 6), 8); w.writeBits(0x80L | (v & 0x3f), 8)
@@ -186,13 +186,29 @@ object Flac {
       w.writeBits(0xe0L | (v >> 12), 8)
       w.writeBits(0x80L | ((v >> 6) & 0x3f), 8)
       w.writeBits(0x80L | (v & 0x3f), 8)
-    } else {
-      // frames beyond 2^16 don't occur at our block sizes/test scales, but
-      // keep the next tier for spec completeness (up to 2^21)
+    } else if (v < 0x200000) {
       w.writeBits(0xf0L | (v >> 18), 8)
       w.writeBits(0x80L | ((v >> 12) & 0x3f), 8)
       w.writeBits(0x80L | ((v >> 6) & 0x3f), 8)
       w.writeBits(0x80L | (v & 0x3f), 8)
+    } else if (v < 0x4000000) {
+      // 5-7-byte tiers: frame numbers past 2^21 are reachable well inside
+      // the 36-bit STREAMINFO sample budget (~33.5M samples at the minimum
+      // block size), and the encoder previously spilled v>>18 into the
+      // length-prefix bits there, emitting a silently-misparsed stream
+      // (round-9 advice). The decoder above already reads all tiers.
+      w.writeBits(0xf8L | (v >> 24), 8)
+      var sh = 18
+      while (sh >= 0) { w.writeBits(0x80L | ((v >> sh) & 0x3f), 8); sh -= 6 }
+    } else if (v < 0x80000000L) {
+      w.writeBits(0xfcL | (v >> 30), 8)
+      var sh = 24
+      while (sh >= 0) { w.writeBits(0x80L | ((v >> sh) & 0x3f), 8); sh -= 6 }
+    } else {
+      require(v < (1L << 36), s"utf8-coded number out of 36-bit range: $v")
+      w.writeBits(0xfeL, 8)
+      var sh = 30
+      while (sh >= 0) { w.writeBits(0x80L | ((v >> sh) & 0x3f), 8); sh -= 6 }
     }
   }
 
@@ -406,7 +422,7 @@ object Flac {
     r.bytePos
   }
 
-  private def readUtf8Number(r: BitReader): Long = {
+  private[graft] def readUtf8Number(r: BitReader): Long = {
     val b0 = r.readBits(8).toInt
     var extra = 0
     var v = 0L

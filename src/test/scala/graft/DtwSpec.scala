@@ -34,4 +34,21 @@ class DtwSpec extends AnyFunSuite {
     assert(d(Seq.empty, Seq(1L, 2)) == -1L)
     assert(d(Seq(1L, 2), Seq.empty) == -1L)
   }
+
+  test("adversarial inputs saturate instead of wrapping; null elements -> -1") {
+    // |MinValue - MaxValue| overflows Long; the user-callable dtw_dist
+    // must not silently wrap (round-9 advice)
+    val sat = d(Seq(Long.MinValue), Seq(Long.MaxValue))
+    assert(sat > 0L && sat <= Long.MaxValue / 4, s"expected saturation, got $sat")
+    // a long series of extreme costs must not wrap the running sum either
+    val many = d(Seq.fill(64)(Long.MinValue), Seq.fill(64)(Long.MaxValue))
+    assert(many > 0L && many <= Long.MaxValue / 4)
+    // abs(MinValue) alone is also UB without the guard
+    assert(d(Seq(Long.MinValue), Seq(0L)) == Long.MaxValue / 4)
+    // null elements (ArrayType(LongType) permits them) -> no alignment
+    val withNull = ArrayData.toArrayData(Array[Any](1L, null, 3L))
+    val clean = ArrayData.toArrayData(Array[Any](1L, 2L))
+    assert(graft.functions.Impls.dtwDist(withNull, clean) == -1L)
+    assert(graft.functions.Impls.dtwDist(clean, withNull) == -1L)
+  }
 }

@@ -209,6 +209,26 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(Flac.decodeFlacPcm(Array.emptyByteArray).isEmpty)
   }
 
+  test("utf8-coded frame numbers roundtrip across all 1-7 byte tiers") {
+    // round-9 advice: the encoder used to stop at the 4-byte tier and
+    // spill v>>18 into the length-prefix bits for frameNo >= 2^21 —
+    // reachable at ~33.5M samples with blockSize=16 — emitting a stream
+    // any spec decoder misparses. Pin the full tier table boundary values.
+    val vals = Seq(0L, 1L, 0x7fL, 0x80L, 0x7ffL, 0x800L, 0xffffL, 0x10000L,
+      0x1fffffL, 0x200000L, 0x3ffffffL, 0x4000000L, 0x7fffffffL,
+      0x80000000L, (1L << 36) - 1)
+    for (v <- vals) {
+      val w = new BitWriter
+      Flac.writeUtf8Number(w, v)
+      val r = new BitReader(w.toBytes, 0)
+      assert(Flac.readUtf8Number(r) == v, s"roundtrip failed for $v")
+    }
+    // out of the 36-bit budget: loud failure, not silent corruption
+    intercept[IllegalArgumentException] {
+      Flac.writeUtf8Number(new BitWriter, 1L << 36)
+    }
+  }
+
   test("bit io: signed reads, unary, alignment") {
     val w = new BitWriter
     w.writeBits(-5L & 0x3f, 6)

@@ -62,4 +62,26 @@ class RanksSpec extends AnyFunSuite {
       .select("rn").as[Long].collect().sorted
     assert(r2.toSeq == (1L to 100L))
   }
+
+  test("null partition keys and null buckets rank like the window (not dropped)") {
+    // round-9 advice: the offsets equi-join silently dropped NULL-keyed
+    // rows that row_number windows would rank. Null-safe join keeps them;
+    // null buckets sort first, matching the window's nulls-first order.
+    val rows = Seq(
+      (Some("a"), Some(1L), 10L, 1L), (Some("a"), Some(1L), 20L, 2L),
+      (Some("a"), None, 5L, 3L), // null bucket in a live partition
+      (None, Some(0L), 7L, 4L), (None, Some(0L), 9L, 5L), // null part key
+      (None, None, 1L, 6L)) // both null
+    val df = rows.toDF("k", "bkt", "v", "id")
+    val got = graft.operators.Ranks
+      .bucketedRank(df, Seq("k"), "bkt", Seq(col("v"), col("id")), "rn")
+      .select("k", "v", "id", "rn")
+    val naive = df.withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("bkt").asc_nulls_first,
+          col("v"), col("id"))))
+      .select("k", "v", "id", "rn")
+    assert(got.count() == rows.size, "null-keyed rows were dropped")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "null-key ranking diverged from the window semantics")
+  }
 }
