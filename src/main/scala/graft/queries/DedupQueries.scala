@@ -2259,24 +2259,26 @@ object DedupQueries {
     // Streaming exact-dedup twin promoted to the oracle board (round-7
     // advice #7): the keyed-state dedup index must make the SAME
     // keep/keeper decision the batch keeper window makes. The corpus is
-    // replayed through a MemoryStream in ascending-id micro-batches (the
-    // arrival order a backfill replays in), so each key's first claimant
-    // is its global min id and the DuckDB window oracle is an exact twin —
-    // a full hash row, not a rows-only check. State is one long per
-    // distinct key: the streaming dedup index itself.
+    // replayed through a FILE-BACKED stream (FileReplay: distributed
+    // partitioned write + one atomic rename per micro-batch — the corpus
+    // never passes through the driver, round-9 verdict task 3) in
+    // ascending-id-range micro-batches, the arrival order a backfill
+    // replays in; the operator sorts by id within each batch, so each
+    // key's first claimant is its global min id and the DuckDB window
+    // oracle is an exact twin — a full hash row, not a rows-only check.
+    // State is one long per distinct key: the streaming dedup index
+    // itself.
     Q("dd_stream_exact",
       """SELECT doc_id AS id,
         |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
         |       THEN 1 ELSE 0 END AS keep,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
         |FROM documents""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
       val keyed = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long"), md5(col("text").cast("binary")))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text").cast("binary")).as("key"))
+      val replay = graft.streaming.FileReplay.stage(keyed,
+        graft.streaming.FileReplay.rangeChunks(keyed, col("doc_id"), 4))
       val sink = s"dd_stream_exact_${streamEpoch.incrementAndGet()}"
       // state shuffle at 8 partitions for the replay: the keyed state is
       // tiny (one long/key) and per-micro-batch task scheduling dominates
@@ -2284,16 +2286,14 @@ object DedupQueries {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = graft.streaming.Sketches
-        .streamingExactDedup(mem.toDS().toDF("doc_id", "key"), "doc_id", "key")
+        .streamingExactDedup(replay.stream, "doc_id", "key")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        keyed.grouped(math.max(1, keyed.length / 4 + 1)).foreach { chunk =>
-          mem.addData(chunk.toSeq); q.processAllAvailable()
-        }
-      } finally {
+      try replay.feedAll(q)
+      finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        replay.close()
       }
       s.table(sink).select(col("id"),
         col("keep").cast("int").as("keep"), col("keeper"))
@@ -2308,29 +2308,28 @@ object DedupQueries {
     Q("dd_stream_lsh_parity",
       "SELECT CAST(0 AS BIGINT) AS stream_only, CAST(0 AS BIGINT) AS batch_only") {
       (s, dir) =>
-      import s.implicits._
-      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
       val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long"), col("text"))
-      val local = docs.as[(Long, String)].collect().sortBy(_._1)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      // file-backed replay in 3 ascending-id-range micro-batches (no
+      // driver collect — round-9 verdict task 3); the candidate set is
+      // chunking-invariant: a pair is emitted by whichever batch delivers
+      // its later member, against bucket state or intra-batch
+      val replay = graft.streaming.FileReplay.stage(docs,
+        graft.streaming.FileReplay.rangeChunks(docs, col("doc_id"), 3))
       val sink = s"dd_stream_lsh_${streamEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = graft.streaming.Sketches
-        .streamingLshCandidates(mem.toDS().toDF("doc_id", "text"),
+        .streamingLshCandidates(replay.stream,
           "doc_id", "text", shingleSize = 3, k = 8, bands = 4,
           maxBucket = 1 << 20)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        local.grouped(math.max(1, local.length / 3 + 1)).foreach { chunk =>
-          mem.addData(chunk.toSeq); q.processAllAvailable()
-        }
-      } finally {
+      try replay.feedAll(q)
+      finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        replay.close()
       }
       val streamPairs = s.table(sink)
         .select(col("docA").as("doc_a"), col("docB").as("doc_b")).distinct()
@@ -2365,47 +2364,62 @@ object DedupQueries {
     Q("st_stream_topk_bounds",
       "SELECT 1 AS over_ok, 1 AS err_ok, 1 AS coverage_ok") { (s, dir) =>
       import s.implicits._
-      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
-      // replay harness, not operator cost: a MemoryStream feeds from the
-      // driver, so cap the replayed stream at 1M tokens (sf0.1's ~450k
-      // replays in full; the 10x fixture trims — the guarantees are
-      // asserted against exact counts over the same replayed prefix, so
-      // the gate is equally strict at any cap)
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-        .orderBy("doc_id").select("w").as[String]
-        .limit(1000000).collect()
+      // replay harness, not operator cost: cap the replayed stream near
+      // 1M tokens (sf0.1's ~450k replays in full; larger fixtures trim —
+      // the guarantees are asserted against exact counts over the same
+      // replayed prefix, so the gate is equally strict at any cap). The
+      // cutoff doc is found from a cumsum over PER-DOC counts — metadata
+      // scale (#docs rows), not corpus scale — and the corpus itself
+      // replays through a file-backed stream with no driver collect
+      // (round-9 verdict task 3).
+      val docToks = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+      val capRow = docToks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum("n").over(Window.orderBy("doc_id")))
+        .agg(max(when(col("cum") <= 1000000L, col("doc_id"))),
+          min(col("doc_id"))).head()
+      val docCap = if (capRow.isNullAt(0)) capRow.getLong(1) else capRow.getLong(0)
+      val toks = docToks.filter(col("doc_id") <= docCap)
+      val replay = graft.streaming.FileReplay.stage(toks,
+        graft.streaming.FileReplay.rangeChunks(toks, col("doc_id"), 4))
       val cap = 28
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[String]
       val sink = s"st_stream_topk_${streamEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = graft.streaming.Sketches
-        .spaceSavingTopK(mem.toDS(), shards = 1, capacity = cap, k = cap)
+        .spaceSavingTopK(replay.stream.select("w").as[String],
+          shards = 1, capacity = cap, k = cap)
         .writeStream.format("memory").queryName(sink)
         .outputMode("update").start()
       var beforeFinal = 0
       try {
-        val chunks = toks.grouped(toks.length / 4 + 1).toSeq
-        chunks.dropRight(1).foreach { c =>
-          mem.addData(c.toSeq); q.processAllAvailable()
-        }
+        val ids = replay.chunkIds
+        ids.dropRight(1).foreach(replay.feed(q, _))
         beforeFinal = s.table(sink).count().toInt
-        mem.addData(chunks.last.toSeq); q.processAllAvailable()
+        replay.feed(q, ids.last)
       } finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
+      // gates against exact counts of the replayed corpus, computed
+      // DISTRIBUTED over the staged files; only the final summary (<= cap
+      // rows) and the heavy-item set (<= cap by the N/capacity bound)
+      // ever reach the driver
       val fin = s.table(sink).as[graft.streaming.HeavyHitter]
         .collect().drop(beforeFinal)
-      val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
-      val bound = toks.length.toLong / cap
+      val exactDf = replay.staged.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val n = replay.staged.count()
+      val bound = n / cap
+      val exact = exactDf
+        .filter(col("w").isin(fin.map(_.item).toSeq: _*))
+        .as[(String, Long)].collect().toMap
+      val heavy = exactDf.filter(col("cnt") > bound)
+        .select("w").as[String].collect()
+      replay.close()
       val overOk = fin.forall(h => h.est >= exact(h.item))
       val errOk = fin.forall(h => h.est - h.err <= exact(h.item) && h.err <= bound)
-      val covOk = exact.forall { case (w, c) =>
-        c <= bound || fin.exists(_.item == w)
-      }
+      val covOk = heavy.forall(w => fin.exists(_.item == w))
       Seq((if (overOk) 1 else 0, if (errOk) 1 else 0, if (covOk) 1 else 0))
         .toDF("over_ok", "err_ok", "coverage_ok")
     },
@@ -2425,35 +2439,44 @@ object DedupQueries {
       "SELECT 1 AS dup_never_novel, 1 AS miss_bounded, 1 AS total_ok") {
       (s, dir) =>
       import s.implicits._
-      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
-      val keys = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("k"))
-        .orderBy("doc_id").select("k").as[String].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[String]
+      val keyed = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text").cast("binary")).as("k"))
+      // file-backed replay (round-9 verdict task 3); the gates are
+      // chunking/order-invariant: WHICH occurrence of a duplicated key is
+      // flagged novel doesn't matter, only that exactly <= 1 per key is
+      val replay = graft.streaming.FileReplay.stage(keyed,
+        graft.streaming.FileReplay.rangeChunks(keyed, col("doc_id"), 4))
       val sink = s"dd_stream_novelty_${streamEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = graft.streaming.Sketches
-        .bloomNovelty(mem.toDS(), shards = 2, nBits = 1 << 17, nHashes = 4)
+        .bloomNovelty(replay.stream.select("k").as[String],
+          shards = 2, nBits = 1 << 17, nHashes = 4)
         .writeStream.format("memory").queryName(sink)
         .outputMode("update").start()
-      try {
-        keys.grouped(math.max(1, keys.length / 4 + 1)).foreach { chunk =>
-          mem.addData(chunk.toSeq); q.processAllAvailable()
-        }
-      } finally {
+      try replay.feedAll(q)
+      finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
-      val flags = s.table(sink).as[graft.streaming.NovelItem].collect()
-      val perKeyNovel = flags.filter(_.novel).groupBy(_.item)
-        .view.mapValues(_.length).toMap
-      val distinctKeys = keys.distinct.length
-      val dupNeverNovel = perKeyNovel.valuesIterator.forall(_ <= 1)
-      val missed = distinctKeys - perKeyNovel.size
-      val missBounded = missed >= 0 && missed <= math.max(1, distinctKeys / 100)
-      val totalOk = flags.length == keys.length
+      // gates as aggregates over the sink/staged frames — only four
+      // scalars reach the driver
+      val flags = s.table(sink)
+      val maxNovelPerKey = flags.filter(col("novel"))
+        .groupBy("item").agg(count(lit(1)).as("c"))
+        .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
+      val novelKeys = flags.filter(col("novel"))
+        .select("item").distinct().count()
+      val stats = replay.staged
+        .agg(countDistinct(col("k")), count(lit(1))).head()
+      val (distinctKeys, totalKeys) = (stats.getLong(0), stats.getLong(1))
+      val flagCount = flags.count()
+      replay.close()
+      val dupNeverNovel = maxNovelPerKey <= 1
+      val missed = distinctKeys - novelKeys
+      val missBounded = missed >= 0 && missed <= math.max(1L, distinctKeys / 100)
+      val totalOk = flagCount == totalKeys
       Seq((if (dupNeverNovel) 1 else 0, if (missBounded) 1 else 0,
         if (totalOk) 1 else 0))
         .toDF("dup_never_novel", "miss_bounded", "total_ok")
@@ -2474,32 +2497,33 @@ object DedupQueries {
       """SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
         |  1 AS nd_ok FROM documents""".stripMargin) { (s, dir) =>
       import s.implicits._
-      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
       val p = 12
-      val keys = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("k"))
-        .orderBy("doc_id").select("k").as[String].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[String]
+      val keyed = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text").cast("binary")).as("k"))
+      // file-backed replay (round-9 verdict task 3); HLL register growth
+      // is per-register-max monotone, so chunking/order never changes the
+      // merged final state
+      val replay = graft.streaming.FileReplay.stage(keyed,
+        graft.streaming.FileReplay.rangeChunks(keyed, col("doc_id"), 4))
       val sink = s"st_stream_hll_${streamEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.Sketches
-        .hllDistinct(mem.toDS(), shards = 2, p = p)
+        .hllDistinct(replay.stream.select("k").as[String], shards = 2, p = p)
         .writeStream.format("memory").queryName(sink)
         .outputMode("update").start()
-      try {
-        keys.grouped(math.max(1, keys.length / 4 + 1)).foreach { chunk =>
-          mem.addData(chunk.toSeq); q.processAllAvailable()
-        }
-      } finally {
+      try replay.feedAll(q)
+      finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
+      // sink rows = shards x batches (bounded); exact count is a scalar
       val regs = s.table(sink).as[graft.streaming.HllShard].collect().map(_.regs)
+      val exact = replay.staged.agg(countDistinct(col("k"))).head().getLong(0)
+      replay.close()
       val est = graft.streaming.Sketches.hllEstimate(
         graft.streaming.Sketches.mergeHllRegisters(regs.toSeq, p), p)
-      val exact = keys.distinct.length.toLong
       val ok = math.abs(est - exact) <= exact * 0.1
       Seq((exact, if (ok) 1 else 0)).toDF("n_exact", "nd_ok")
     },
@@ -2516,17 +2540,16 @@ object DedupQueries {
     // parity as a hash row, not a bounds gate.
     Q("st_stream_kmv_parity", TextQueries.kmvOracleSql) { (s, dir) =>
       import s.implicits._
-      implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = Tables.load(s, dir, "events")
         .select(col("event_type"), col("user_id"))
-        .orderBy("user_id", "event_type")
-        .as[(String, Long)].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Long)]
+      // file-backed replay (round-9 verdict task 3); KMV is a pure set
+      // function, so ANY chunking yields the bit-exact batch sketch
+      val replay = graft.streaming.FileReplay.stage(rows,
+        graft.streaming.FileReplay.rangeChunks(rows, col("user_id"), 4))
       val sink = s"st_stream_kmv_${streamEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val agg = mem.toDF().toDF("event_type", "user_id")
+      val agg = replay.stream
         .withColumn("hv",
           conv(substring(md5(concat(col("event_type"), lit(":"),
             col("user_id").cast("string"))), 1, 7), 16, 10).cast("long"))
@@ -2535,13 +2558,11 @@ object DedupQueries {
           .kmvMinhashes(col("hv"), col("user_id"), 128).as("sketch"))
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
-      try {
-        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-          mem.addData(chunk.toSeq); q.processAllAvailable()
-        }
-      } finally {
+      try replay.feedAll(q)
+      finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        replay.close()
       }
       // mirror q_kmv_native's null semantics (review finding): a group
       // with zero non-null pairs never reaches the oracle's h CTE (drop

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Formulas
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -303,7 +304,7 @@ object StateQueries {
     },
 
     // Streaming session-window parity (the w_session twin, dd_stream_*
-    // pattern): the event stream replayed through a MemoryStream in
+    // pattern): the event stream replayed through a file-backed stream in
     // ascending-ts micro-batches must produce EXACTLY the session set
     // the batch session_window computes — chunks split user sessions
     // arbitrarily, so this exercises Spark's session-state merge across
@@ -323,13 +324,22 @@ object StateQueries {
       val ev = Tables.load(s, dir, "events")
         .filter(col("user_id") < 500)
         .select(col("user_id").cast("long").as("user_id"), col("ts"))
-      val local = ev.as[(Long, java.sql.Timestamp)].collect().sortBy(_._2.getTime)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, java.sql.Timestamp)]
+      // file-backed replay in 2 time-range micro-batches plus a one-row
+      // sentinel batch (round-9 verdict task 3: no corpus collect; the
+      // sentinel is the only driver-created row). Range chunks are
+      // time-ordered, so no real row is ever late against the 0s
+      // watermark — same contract the count-half MemoryStream feed had.
+      val maxMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      val sentinel = s.range(1).select(lit(-1L).as("user_id"),
+        timestamp_millis(lit(maxMs + 36L * 3600 * 1000)).as("ts"))
+      val chunkExpr = when(col("user_id") === -1L, lit(2)).otherwise(
+        graft.streaming.FileReplay.rangeChunks(ev, unix_millis(col("ts")), 2))
+      val replay = graft.streaming.FileReplay.stage(
+        ev.unionByName(sentinel), chunkExpr)
       val sink = s"st_stream_session_${sessionEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = mem.toDS().toDF("user_id", "ts")
+      val q = replay.stream
         .withWatermark("ts", "0 seconds")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
@@ -338,16 +348,11 @@ object StateQueries {
           unix_millis(col("session_window.end")).as("session_end_ms"), col("n"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        local.grouped(math.max(1, local.length / 2 + 1)).foreach { chunk =>
-          mem.addData(chunk.toSeq); q.processAllAvailable()
-        }
-        val sentinel = (-1L,
-          new java.sql.Timestamp(local.last._2.getTime + 36L * 3600 * 1000))
-        mem.addData(Seq(sentinel)); q.processAllAvailable()
-      } finally {
+      try replay.feedAll(q)
+      finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        replay.close()
       }
       val stream = s.table(sink).filter(col("user_id") >= 0)
       val batch = ev
@@ -398,6 +403,11 @@ object StateQueries {
         |FROM keep GROUP BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
       implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      // batch id b (time quartile + md5-chosen one-batch delay) is part
+      // of the FIXTURE definition the oracle replays — computed in-plan
+      // (the ntile window is over the 300-user slice, bounded); the rows
+      // themselves replay through a file-backed stream with b as the
+      // chunk column, no driver collect (round-9 verdict task 3)
       val batched = Tables.load(s, dir, "events")
         .filter(col("user_id") < 300)
         .select(col("event_id"), col("ts"), col("value"))
@@ -406,15 +416,12 @@ object StateQueries {
         .withColumn("b", col("q") + when(
           substring(md5(col("event_id").cast("string")), 1, 1) < "4", 1)
           .otherwise(0))
-        .select(col("b"), col("ts"), col("value"))
-        .as[(Int, java.sql.Timestamp, Double)].collect()
-        .groupBy(_._1).toSeq.sortBy(_._1)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, Double)]
+        .select(col("b"), col("ts"), col("value").as("v"))
+      val replay = graft.streaming.FileReplay.stage(batched, col("b"))
       val sink = s"st_stream_late_${sessionEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = mem.toDS().toDF("ts", "v")
+      val q = replay.stream
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"),
@@ -422,22 +429,18 @@ object StateQueries {
         .select(unix_millis(col("window.start")).as("ws"), col("n"), col("sd"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("update").start()
-      try {
-        batched.foreach { case (_, rows) =>
-          mem.addData(rows.map(r => (r._2, r._3)).toSeq)
-          q.processAllAvailable()
-        }
-      } finally {
+      try replay.feedAll(q)
+      finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        replay.close()
       }
-      val fin = s.table(sink)
-        .as[(Long, Long, java.math.BigDecimal)].collect()
-        .groupBy(_._1).map { case (ws, rs) =>
-          val last = rs.maxBy(_._2)
-          (ws, last._2, last._3)
-        }.toSeq
-      fin.toDF("ws", "n", "sd")
+      // final state per window = its max-n update emission (counts are
+      // monotone per window) — reduced in-plan, not on the driver
+      s.table(sink)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("ws").orderBy(col("n").desc)))
+        .filter(col("rn") === 1)
         .select(col("ws"), col("n"), col("sd").cast("double").as("s"))
     },
 
@@ -463,36 +466,35 @@ object StateQueries {
       (s, dir) =>
       import s.implicits._
       implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
-      // ONE scan feeds both replay sides (the two-filter version paid
-      // the events scan + driver sort twice)
+      // two file-backed replay sides over one base filter, chunked by the
+      // SAME 4 time-aligned quarters (round-9 verdict task 3: no corpus
+      // collect): both sides' chunk i cover the same wall-clock quarter,
+      // the replay order a log backfill has
       val both = Tables.load(s, dir, "events")
         .filter(col("event_type").isin("purchase", "click"))
         .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
-        .as[(java.sql.Timestamp, Long, Long, String)].collect()
-        .sortBy(_._1.getTime)
-      val purchases = both.filter(_._4 == "purchase").map(r => (r._1, r._2, r._3))
-      val clicks = both.filter(_._4 == "click").map(r => (r._1, r._2, r._3))
-      val all = purchases ++ clicks
-      val (t0, t1) = (all.map(_._1.getTime).min, all.map(_._1.getTime).max)
-      // 4 time-aligned micro-batches per side: both sides' chunk i cover
-      // the same wall-clock quarter, the replay order a log backfill has
-      def chunk(rows: Array[(java.sql.Timestamp, Long, Long)], i: Int) = {
-        val lo = t0 + (t1 - t0 + 1) * i / 4
-        val hi = t0 + (t1 - t0 + 1) * (i + 1) / 4
-        rows.filter(r => r._1.getTime >= lo && r._1.getTime < hi).toSeq
-      }
-      val pMem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, Long, Long)]
-      val cMem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, Long, Long)]
+      val b = both.agg(min(unix_millis(col("ts"))),
+        max(unix_millis(col("ts")))).head()
+      val (t0, t1) = (b.getLong(0), b.getLong(1))
+      val width = math.max(1L, (t1 - t0 + 4) / 4)
+      def chunkOf(c: Column): Column =
+        ((unix_millis(c) - lit(t0)) / lit(width)).cast("int")
+      val pReplay = graft.streaming.FileReplay.stage(
+        both.filter(col("event_type") === "purchase")
+          .select(col("ts").as("p_ts"), col("event_id").as("p_id"),
+            col("user_id")), chunkOf(col("p_ts")))
+      val cReplay = graft.streaming.FileReplay.stage(
+        both.filter(col("event_type") === "click")
+          .select(col("ts").as("c_ts"), col("event_id").as("c_id"),
+            col("user_id").as("c_user")), chunkOf(col("c_ts")))
       val sink = s"st_stream_join_${sessionEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       // 4 state partitions: the replay cost is per-partition state-store
       // commits x micro-batches, not row volume, at this fixture size
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = pMem.toDS().toDF("p_ts", "p_id", "user_id")
+      val q = pReplay.stream
         .withWatermark("p_ts", "1 hour")
-        .join(cMem.toDS().toDF("c_ts", "c_id", "c_user")
+        .join(cReplay.stream
             .withWatermark("c_ts", "1 hour"),
           col("user_id") === col("c_user") &&
             col("c_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
@@ -502,14 +504,21 @@ object StateQueries {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
+        // publish both sides' quarter i before draining, so each
+        // micro-batch sees the time-aligned pair (a mid-publish trigger
+        // is harmless: inner-join state holds both sides and the global
+        // watermark is the min across sources, so a split batch can
+        // neither duplicate nor evict a match)
         (0 until 4).foreach { i =>
-          pMem.addData(chunk(purchases, i))
-          cMem.addData(chunk(clicks, i))
+          pReplay.publish(i)
+          cReplay.publish(i)
           q.processAllAvailable()
         }
       } finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        pReplay.close()
+        cReplay.close()
       }
       s.table(sink)
         .select(col("p_id"), col("c_id"), col("user_id"), col("p_ms"), col("c_ms"))
@@ -550,36 +559,31 @@ object StateQueries {
         |JOIN p ON s.user_id = p.user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      // file-backed replay in 5 time-range micro-batches (round-9 verdict
+      // task 3: no corpus collect); the state machine sorts each batch's
+      // group by (ts, kind) itself, so within-chunk arrival order is
+      // immaterial and time-range chunks preserve the event-time-order
+      // parity argument
       val rows = Tables.load(s, dir, "events")
         .filter(col("event_type").isin("signup", "click", "purchase"))
-        .select(col("ts"), col("user_id"), col("event_type"))
-        .as[(java.sql.Timestamp, Long, String)].collect()
-        .sortBy(r => (r._1.getTime, r._3))
-      val (t0, t1) = (rows.map(_._1.getTime).min, rows.map(_._1.getTime).max)
-      def chunk(i: Int) = {
-        val lo = t0 + (t1 - t0 + 1) * i / 5
-        val hi = t0 + (t1 - t0 + 1) * (i + 1) / 5
-        rows.filter(r => r._1.getTime >= lo && r._1.getTime < hi)
-          .map(r => graft.streaming.SeqEvent(r._2.toString, r._3, r._1.getTime)).toSeq
-      }
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.SeqEvent]
+        .select(col("user_id").cast("string").as("key"),
+          col("event_type").as("kind"), unix_millis(col("ts")).as("ts"))
+      val replay = graft.streaming.FileReplay.stage(rows,
+        graft.streaming.FileReplay.rangeChunks(rows, col("ts"), 5))
       val sink = s"st_stream_cep_${sessionEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.Cep
-        .sequenceMatches(mem.toDS(), "signup", "click", "purchase", 86400000L)
+        .sequenceMatches(replay.stream.as[graft.streaming.SeqEvent],
+          "signup", "click", "purchase", 86400000L)
         .toDF()
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        (0 until 5).foreach { i =>
-          mem.addData(chunk(i))
-          q.processAllAvailable()
-        }
-      } finally {
+      try replay.feedAll(q)
+      finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        replay.close()
       }
       s.table(sink)
         .groupBy(col("key"))
@@ -606,37 +610,30 @@ object StateQueries {
         |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin) { (s, dir) =>
       import s.implicits._
       implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+      // file-backed replay in 5 time-range micro-batches (round-9 verdict
+      // task 3: no corpus collect); the enrich machine sorts each batch's
+      // group by (ts, id) itself, so within-chunk order is immaterial
       val rows = Tables.load(s, dir, "events")
         .filter(col("event_type").isin("purchase", "error"))
-        .select(unix_micros(col("ts")), col("user_id"), col("event_type"),
-          col("event_id"))
-        .as[(Long, Long, String, Long)].collect()
-      val (t0, t1) = (rows.map(_._1).min, rows.map(_._1).max)
-      def chunk(i: Int) = {
-        val lo = t0 + (t1 - t0 + 1) * i / 5
-        val hi = t0 + (t1 - t0 + 1) * (i + 1) / 5
-        rows.filter(r => r._1 >= lo && r._1 < hi)
-          .map(r => graft.streaming.EnrichEvent(r._2.toString, r._3, r._1, r._4))
-          .toSeq
-      }
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.EnrichEvent]
+        .select(col("user_id").cast("string").as("key"),
+          col("event_type").as("kind"), unix_micros(col("ts")).as("ts"),
+          col("event_id").as("id"))
+      val replay = graft.streaming.FileReplay.stage(rows,
+        graft.streaming.FileReplay.rangeChunks(rows, col("ts"), 5))
       val sink = s"st_stream_asof_${sessionEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.Cep
-        .asOfEnrich(mem.toDS(), "error", "purchase")
+        .asOfEnrich(replay.stream.as[graft.streaming.EnrichEvent],
+          "error", "purchase")
         .toDF()
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        (0 until 5).foreach { i =>
-          mem.addData(chunk(i))
-          q.processAllAvailable()
-        }
-      } finally {
+      try replay.feedAll(q)
+      finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        replay.close()
       }
       s.table(sink).select(col("queryId").as("event_id"),
         when(col("matchId") < 0, lit(null).cast("long"))
@@ -657,40 +654,35 @@ object StateQueries {
       """SELECT event_id, epoch_ms(ts) AS ms, value FROM events""") { (s, dir) =>
       import s.implicits._
       implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables.load(s, dir, "events")
-        .select(col("ts"), col("event_id"), col("value"),
-          substring(md5(col("event_id").cast("string")), 1, 1).as("h"))
-        .as[(java.sql.Timestamp, Long, Double, String)].collect()
-        .sortBy(r => (r._1.getTime, r._2))
-      val (t0, t1) = (rows.map(_._1.getTime).min, rows.map(_._1.getTime).max)
-      def inChunk(t: Long, i: Int): Boolean = {
-        val lo = t0 + (t1 - t0 + 1) * i / 4
-        val hi = t0 + (t1 - t0 + 1) * (i + 1) / 4
-        t >= lo && t < hi
-      }
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, Long, Double)]
+      // file-backed replay (round-9 verdict task 3): fresh rows land in
+      // their time-quarter chunk; the md5-chosen ~25% are ADDITIONALLY
+      // staged one chunk later — the at-least-once redelivery a log
+      // replay produces — all assigned in-plan, no corpus collect
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_id"), col("value"))
+      val quarter =
+        graft.streaming.FileReplay.rangeChunks(ev, unix_millis(col("ts")), 4)
+      val fresh = ev.withColumn("__c", quarter)
+      val redelivered = fresh
+        .filter(substring(md5(col("event_id").cast("string")), 1, 1) < "4" &&
+          col("__c") < 3)
+        .withColumn("__c", col("__c") + 1)
+      val staged = fresh.unionByName(redelivered)
+      val replay = graft.streaming.FileReplay.stage(staged, col("__c"))
       val sink = s"st_stream_dropdup_${sessionEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = mem.toDS().toDF("ts", "event_id", "value")
+      val q = replay.stream
         .withWatermark("ts", "10 days")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), unix_millis(col("ts")).as("ms"), col("value"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        (0 until 4).foreach { i =>
-          val fresh = rows.filter(r => inChunk(r._1.getTime, i))
-          val redelivered =
-            if (i == 0) Array.empty[(java.sql.Timestamp, Long, Double, String)]
-            else rows.filter(r => inChunk(r._1.getTime, i - 1) && r._4 < "4")
-          mem.addData((fresh ++ redelivered).map(r => (r._1, r._2, r._3)).toSeq)
-          q.processAllAvailable()
-        }
-      } finally {
+      try replay.feedAll(q)
+      finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        replay.close()
       }
       s.table(sink).select(col("event_id"), col("ms"), col("value"))
     },
