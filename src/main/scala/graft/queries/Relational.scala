@@ -228,6 +228,169 @@ object Relational {
           .as("revenue"), count(lit(1)).as("n_items"))
     },
 
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated-subquery +
+    // min-join pattern — the oracle states it as Q2's correlated scalar
+    // subquery; the Spark side runs the decorrelated plan a warehouse
+    // planner produces: eligible offers once (fact scan joined to
+    // BROADCAST dim chain region->nation->supplier), min-per-part
+    // aggregate on the part-filtered slice, equi-join back on
+    // (partkey, cost). The fixtures carry no partsupp table, so the
+    // offer relation is lineitem's (part, supplier, unit price) — same
+    // shape, same join graph. Unit cost is a raw IEEE division (both
+    // engines bit-identical), so the min-join equality is exact.
+    Q("q_tpch2",
+      """WITH eligible AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |         l.l_extendedprice / l.l_quantity AS cost
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE')
+        |SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+        |  p.p_type, e.cost
+        |FROM part p
+        |JOIN eligible e ON e.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = e.l_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_size <= 10 AND p.p_type = 'MEDIUM'
+        |  AND e.cost = (SELECT min(e2.cost) FROM eligible e2
+        |                WHERE e2.l_partkey = e.l_partkey)
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val supEu = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val parts = Tables.load(s, dir, "part")
+        .filter(col("p_size") <= 10 && col("p_type") === "MEDIUM")
+        .select("p_partkey", "p_type")
+      val offers = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("cost"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supEu), col("l_suppkey") === col("s_suppkey"))
+      val mins = offers.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min(col("cost")).as("min_cost"))
+      offers.join(broadcast(mins),
+          col("l_partkey") === col("m_partkey") &&
+            col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_type"), col("cost"))
+        .distinct()
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q8 shape (national market share): two-level aggregation —
+    // per-year revenue volume over an 8-way join, then one nation's
+    // share of it. Dims broadcast; the two fact-side shuffles are the
+    // lineitem->orders orderkey join and the final year groupBy. The
+    // ratio divides two decimal sums AFTER casting each to double
+    // (decimal division scale rules differ across engines; double
+    // division is IEEE-identical).
+    Q("q_tpch8",
+      """WITH vol AS (
+        |  SELECT year(CAST(o.o_orderdate AS TIMESTAMP)) AS o_year,
+        |    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+        |      AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM part p
+        |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY')
+        |SELECT CAST(o_year AS INTEGER) AS o_year,
+        |  CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_3'
+        |                         THEN volume END), 0) AS DOUBLE)
+        |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+        |  count(*) AS n_rows
+        |FROM vol GROUP BY 1""".stripMargin) { (s, dir) =>
+      val n1 = Tables.load(s, dir, "nation")
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+      val vol = Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("volume"),
+          col("supp_nation"))
+      vol.groupBy("o_year")
+        .agg(
+          (coalesce(sum(when(col("supp_nation") === "NATION_3",
+              col("volume"))), lit(0).cast(DecimalType(18, 4)))
+            .cast("double") / sum(col("volume")).cast("double"))
+            .as("mkt_share"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // TPC-H Q9 shape (product-type profit rollup): profit per
+    // (supplier nation, order year) over the part->lineitem->supplier->
+    // orders join graph. The fixtures carry no partsupp, so supply cost
+    // is rendered as p_retailprice * quantity * 0.1 — double arithmetic
+    // with a fixed expression tree, IEEE-identical in both engines
+    // before the decimal cast the order-independent sum needs. Dims
+    // broadcast; the fact side shuffles once on orderkey, then on the
+    // group key.
+    Q("q_tpch9",
+      """SELECT n.n_name AS nation,
+        |  CAST(year(CAST(o.o_orderdate AS TIMESTAMP)) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                - p.p_retailprice * l.l_quantity * 0.1
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit,
+        |  count(*) AS n_rows
+        |FROM part p
+        |JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_name").like("%gear%"))
+          .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity") * lit(0.1))
+          .as("sum_profit"),
+          count(lit(1)).as("n_rows"))
+    },
+
     // CUBE grouping sets.
     Q("q_cube",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
