@@ -73,15 +73,39 @@ object PathCompiler {
   private def steps(spec: PathSpec, input: DataFrame): (DataFrame, DataFrame) = {
     val d = java.util.regex.Pattern.quote(spec.delimiter)
     var df = input.withColumn("__f", split(col("line"), d))
+    // Reverse-branch chaining (PathForward.java:203-208): a filter that
+    // IMMEDIATELY follows another filter subscribes to the previous
+    // filter's REJECTED rows (dcafs's if/elif routing) — the previous
+    // filter's matches leave the path (no subscriber) and the chain
+    // continues on the new filter's matches. A filter's rejects are only
+    // committed to the path's reject output once the next step is NOT a
+    // filter (or the path ends).
     var reject: DataFrame = null
+    var pendingReject: DataFrame = null
+    var prevWasFilter = false
+    def commitPending(): Unit = if (pendingReject != null) {
+      reject =
+        if (reject == null) pendingReject
+        else reject.unionByName(pendingReject)
+      pendingReject = null
+    }
     spec.steps.foreach {
       case FilterStep(rules) =>
         val pred = rules.map(r => expr(MathDsl.compile(r))).reduce(_ && _)
-        val r = df.filter(!pred)
-        reject = if (reject == null) r else reject.unionByName(r)
-        df = df.filter(pred)
+        val src = if (prevWasFilter && pendingReject != null) {
+          val consumed = pendingReject
+          pendingReject = null
+          consumed
+        } else {
+          commitPending()
+          df
+        }
+        pendingReject = src.filter(!pred)
+        df = src.filter(pred)
+        prevWasFilter = true
 
       case MathStep(ops, suffix) =>
+        prevWasFilter = false
         // write-back semantics: each op replaces field `target` in __f and
         // re-joins the line, so later ops and edits see the new value
         ops.foreach { case (target, exprText) =>
@@ -106,12 +130,14 @@ object PathCompiler {
         }
 
       case EditStep(exprs) =>
+        prevWasFilter = false
         exprs.foreach { e =>
           df = df.withColumn("line", expr(MathDsl.compile(e)))
             .withColumn("__f", split(col("line"), d))
         }
 
       case StoreStep(cols) =>
+        prevWasFilter = false
         val projected = cols.map { case (name, idx, tpe, default) =>
           coalesce(
             try_element_at(col("__f"), lit(idx + 1)).try_cast(tpe),
@@ -119,6 +145,7 @@ object PathCompiler {
         }
         df = df.select(col("line") +: projected: _*)
     }
+    commitPending()
     val rej =
       if (reject != null) reject.drop("__f")
       else input.limit(0)

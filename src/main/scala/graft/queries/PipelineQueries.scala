@@ -426,5 +426,62 @@ object PipelineQueries {
           |</path>""".stripMargin)
       graft.PathCompiler.compile(spec, withLine(s, dir))
     },
+
+    // The reverse-branch path END TO END (round-9 verdict task 7): a
+    // declared path whose SECOND filter consumes the first filter's
+    // REJECTED rows (PathForward.java:203-208 addReverseTarget — dcafs's
+    // if/elif routing), with rtvals READ in the math op ({r:gain}/
+    // {r:offset} resolved from the broadcast state row), rtvals
+    // WRITE-BACK rendered as the st_last state the surviving stream
+    // feeds (last value per stored key, ordered by the written-back
+    // monotone field), and the task-scheduler req guard ("value above
+    // {r:limit}") counted per key as n_fired. Math stays integral on the
+    // event_id field so the write-back rendering is "N.0" in both
+    // engines.
+    Q("op_path_xml_branch",
+      """WITH t AS (SELECT concat_ws(',', event_type, CAST(value AS VARCHAR),
+        |    CAST(event_id AS VARCHAR), props) AS line FROM events),
+        |r1 AS (SELECT line FROM t WHERE NOT contains(line, 'purchase')),
+        |f2 AS (SELECT line FROM r1 WHERE NOT starts_with(line, 'error')),
+        |s1 AS (SELECT string_split(line, ',') AS p FROM f2),
+        |m AS (SELECT p[1:2]
+        |    || [CAST(TRY_CAST(p[3] AS DOUBLE) * 2 + 7 AS VARCHAR)]
+        |    || p[4:] AS p2 FROM s1),
+        |e AS (SELECT replace(array_to_string(p2, ','), 'click', 'tap') AS line
+        |  FROM m),
+        |s2 AS (SELECT string_split(line, ',') AS p FROM e),
+        |st AS (SELECT p[1] AS etype, TRY_CAST(p[2] AS DOUBLE) AS val,
+        |    TRY_CAST(p[3] AS DOUBLE) AS eid3 FROM s2)
+        |SELECT etype, max_by(val, eid3) AS last_val, count(*) AS n_rows,
+        |  CAST(count(CASE WHEN val > 0.75 THEN 1 END) AS BIGINT) AS n_fired
+        |FROM st GROUP BY etype""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // the rtvals state plane: gain/offset interpolate into the math op,
+      // limit guards the task req — 3 driver literals, the reference's
+      // settings-scale state
+      val rtvals = Seq(("gain", 2.0), ("offset", 7.0), ("limit", 0.75))
+        .toDF("key", "value")
+      val spec = graft.DcafsXml.parsePath(
+        """<path id="branchy" delimiter=",">
+          |  <filter type="contain">purchase</filter>
+          |  <filter type="nostart">error</filter>
+          |  <math><op>i2=i2*{r:gain}+{r:offset}</op></math>
+          |  <editor type="replace" find="click">tap</editor>
+          |  <store>
+          |    <text index="0">etype</text>
+          |    <real index="1">val</real>
+          |    <real index="2">eid3</real>
+          |  </store>
+          |</path>""".stripMargin)
+      val line = Tables.load(s, dir, "events").withColumn("line",
+        expr("concat_ws(',', event_type, CAST(value AS STRING), " +
+          "CAST(event_id AS STRING), props)"))
+      val out = graft.PathCompiler.compileWithRtVals(spec, line, rtvals)
+      val limit = rtvals.filter(col("key") === "limit").head().getDouble(1)
+      out.groupBy("etype")
+        .agg(max_by(col("val"), col("eid3")).as("last_val"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("val") > limit, 1L).otherwise(0L)).as("n_fired"))
+    },
   )
 }

@@ -35,6 +35,35 @@ class DcafsXmlSpec extends AnyFunSuite {
     assert(reject.count() == 3)
   }
 
+  test("consecutive filters chain on the reverse branch (PathForward.java:203-208)") {
+    // dcafs if/elif routing: filter2 subscribes to filter1's REJECTS;
+    // filter1's matches leave the path, and the path's own reject output
+    // is the LAST filter's rejects only
+    val spec = DcafsXml.parsePath(
+      """<path id="elif" delimiter=",">
+        |  <filter type="start">A</filter>
+        |  <filter type="start">B</filter>
+        |  <editor type="append">,tagged</editor>
+        |</path>""".stripMargin)
+    val in = Seq("A,1", "B,2", "B,3", "C,4").toDF("line")
+    val (out, reject) = PathCompiler.compileWithReject(spec, in)
+    // only filter1's rejects that match filter2 flow forward
+    assert(out.select("line").as[String].collect().sorted.toSeq ==
+      Seq("B,2,tagged", "B,3,tagged"))
+    // path reject = filter2's rejects (filter1's were consumed)
+    assert(reject.select("line").as[String].collect().toSeq == Seq("C,4"))
+    // a NON-consecutive second filter still filters the main stream
+    val spec2 = DcafsXml.parsePath(
+      """<path id="and" delimiter=",">
+        |  <filter type="start">A</filter>
+        |  <editor type="append">,x</editor>
+        |  <filter type="contain">1</filter>
+        |</path>""".stripMargin)
+    val (out2, rej2) = PathCompiler.compileWithReject(spec2, in)
+    assert(out2.select("line").as[String].collect().toSeq == Seq("A,1,x"))
+    assert(rej2.count() == 3) // B,2 B,3 C,4 from f1
+  }
+
   test("single-rule filter form + editor chains + store defaults") {
     val spec = DcafsXml.parsePath(
       """<path id="p" delimiter=",">
