@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PowToMultiply)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => LshSelfJoinStrategy)
   }
 }
 
@@ -54,5 +55,8 @@ object GraftOptimizations {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
+    val strategies2 = spark.experimental.extraStrategies
+    if (!strategies2.contains(LshSelfJoinStrategy))
+      spark.experimental.extraStrategies = strategies2 :+ LshSelfJoinStrategy
   }
 }

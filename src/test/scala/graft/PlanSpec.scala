@@ -96,10 +96,15 @@ class PlanSpec extends AnyFunSuite {
       TextOps.shingles(TextOps.tokens(col("text")), 3), lit(8))), "minhashSig")
   }
 
-  test("dedup LSH join shuffles on the band hash, not a cross join") {
+  test("dedup LSH candidates run through the native bucket-run operator") {
     val p = plan("dd_minhash_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"LSH degenerated to cross join:\n$p")
+    // round-10: the banded self-equi-join was replaced by LshSelfJoinExec
+    // (one clustering shuffle of one table copy, no hash build)
+    assert(p.contains("LshSelfJoin"), s"native LSH operator missing:\n$p")
+    assert(!p.contains("SortMergeJoin(band") && !p.contains("ShuffledHashJoin(band"),
+      s"banded self-join resurfaced as a generic join:\n$p")
   }
 
   test("ann_topk broadcasts the query vectors") {
