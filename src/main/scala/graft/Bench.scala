@@ -190,6 +190,60 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
 
+    // Concurrent-board mode (round-9 verdict task 4): a production
+    // pipeline runs stages concurrently on ONE session, so the board
+    // must hold up under contention — shared cache registry, shared
+    // CacheManager, concurrent jobs. N worker threads drain the query
+    // list; per-query times are wall-clock under contention (reported
+    // for context, not comparable to the serial record), the headline is
+    // board wall time and the serial-sum/wall speedup. No per-query
+    // registry pinning or fingerprints here — the registry is shared
+    // state BY DESIGN in this mode, and ConcurrencySpec pins that results
+    // stay equal to the serial board under exactly that sharing.
+    val concurrency =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CONCURRENCY", "0").toInt
+    if (concurrency > 1) {
+      graft.operators.TextOps.releasePriorCaches()
+      spark.catalog.clearCache()
+      graft.operators.TextOps.resetCacheStats()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+      val t0 = System.nanoTime()
+      // replay-harness rows excluded: they scope-set session conf
+      // (shuffle.partitions) as a fixture knob — not a concurrent-stage
+      // shape, and a conf race under contention would measure the race,
+      // not the operators (ConcurrencySpec documents the same exclusion)
+      val futs = selected.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) =>
+          n.startsWith("st_stream_") || n.startsWith("dd_stream_") }
+        .map { case (name, fn) =>
+        name -> pool.submit(new java.util.concurrent.Callable[(Double, String)] {
+          override def call(): (Double, String) = {
+            val s0 = System.nanoTime()
+            val st =
+              try { fn(spark, sfDir).count(); "ok" }
+              catch { case _: Throwable => "err" }
+            ((System.nanoTime() - s0) / 1e9, st)
+          }
+        })
+      }
+      val results = futs.map { case (n, f) => val (t, st) = f.get(); (n, t, st) }
+      val wall = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      val serialSum = results.map(_._2).sum
+      val errs = results.count(_._3 == "err")
+      val (h, m, e) = graft.operators.TextOps.cacheStats
+      val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      val line =
+        s"""{"metric":"concurrent_wall","value":${f"$wall%.4f"},"unit":"sec","concurrency":$concurrency,"queries":$qs,"serial_sum_sec":${f"$serialSum%.4f"},"speedup":${f"${serialSum / wall}%.3f"},"errors":$errs,"sf":"$sfDir","cache_registry":{"hits":$h,"misses":$m,"evictions":$e}}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_concurrent_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+      spark.stop()
+      println(line)
+      return
+    }
+
     def runPass(): Seq[(String, Double, String)] = {
     // count registry behavior over the measured pass only, not the warm-up
     graft.operators.TextOps.resetCacheStats()
