@@ -1314,26 +1314,60 @@ object DedupQueries {
       // per-row work that would otherwise be recomputed on both join
       // sides. At corpus scale this is the persisted fingerprint store;
       // here cache() plays that role (16 bytes/doc).
+      // Family factorization (round-10 100x sweep: the per-DOC banded
+      // self-join OOMed an 8g heap at 100x — a corpus with large
+      // identical-fingerprint families makes the doc-level join emit
+      // every duplicate pair once PER SHARED BAND and then distinct
+      // billions of rows). A dedup engine dedupes the INDEX first:
+      // group docs by identical fingerprint (hamming within a family is
+      // 0 by definition), band-join only the distinct-fingerprint
+      // FAMILY representatives through the native LshSelfJoinExec
+      // (fingerprint-pair scale, tiny at any duplication factor), then
+      // expand within-family and cross-family doc pairs as streaming
+      // generators — the output is still every qualifying pair, but no
+      // operator ever buffers or dedups the expanded set. Semantics are
+      // identical: hamming depends only on the fingerprints, identical
+      // fingerprints share every band, and family id sets are disjoint.
       val sh = Tables.load(s, dir, "documents")
         .select(
           col("doc_id"),
           lpad(hex(GraftFunctions.simhash64(TextOps.tokens(col("text")))), 16, "0").as("h"))
         .withColumn("hi", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
         .withColumn("lo", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+      val fam = sh.groupBy("h", "hi", "lo")
+        .agg(min(col("doc_id")).as("fid"),
+          sort_array(collect_list(col("doc_id"))).as("ids"),
+          count(lit(1)).as("n"))
         .transform(TextOps.trackCache)
-      val bands = sh.select(col("doc_id"), col("hi"), col("lo"),
+      // within-family: identical fingerprints -> hamming 0, all pairs
+      val within = fam.filter(col("n") >= 2)
+        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+        .select(col("a").as("doc_a"),
+          explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("doc_b"),
+          lit(0).as("hamming"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      // cross-family: band-join the representatives, hamming-filter the
+      // fingerprint pairs, THEN expand to doc pairs
+      val fbands = fam.select(col("fid"),
         posexplode(array((0 until 4).map(b =>
           substring(col("h"), 1 + b * 4, 4)): _*)).as(Seq("band", "bh")))
-      val hamming = bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
-        bit_count(col("a.lo").bitwiseXOR(col("b.lo")))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          hamming.as("hamming"))
+      val fpairs = org.apache.spark.sql.graft.LshSelfJoin
+        .candidatePairs(fbands, "fid", "band", "bh").distinct()
+        .select(col("doc_a").as("fa_id"), col("doc_b").as("fb_id"))
+      val meta = fam.select(col("fid"), col("hi"), col("lo"), col("ids"))
+      val cross = fpairs
+        .join(meta.as("fa"), col("fa_id") === col("fa.fid"))
+        .join(meta.as("fb"), col("fb_id") === col("fb.fid"))
+        .withColumn("hamming",
+          bit_count(col("fa.hi").bitwiseXOR(col("fb.hi"))) +
+            bit_count(col("fa.lo").bitwiseXOR(col("fb.lo"))))
         .filter(col("hamming") <= 16)
-        .distinct()
+        .select(col("fa.ids").as("aids"), col("fb.ids").as("bids"), col("hamming"))
+        .select(explode(col("aids")).as("x"), col("bids"), col("hamming"))
+        .select(col("x"), explode(col("bids")).as("y"), col("hamming"))
+        .select(least(col("x"), col("y")).as("doc_a"),
+          greatest(col("x"), col("y")).as("doc_b"), col("hamming"))
+      within.unionByName(cross)
     },
 
     // SemDeDup-style semantic dedup (cf. Abbas et al. 2023): coarse
