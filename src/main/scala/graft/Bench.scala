@@ -244,6 +244,18 @@ object Bench {
       return
     }
 
+    // Memory-sink hygiene (round-10 100x sweep: the JVM OOMed in the
+    // dd_stream_* tier): every streaming parity row registers a
+    // memory-sink temp view whose rows live on the driver until the view
+    // is dropped — at large fixtures that is millions of rows per rep,
+    // accumulating across the whole board. Drop all temp views at each
+    // rep boundary; by then the previous rep's result has been fully
+    // consumed (counted + fingerprinted).
+    def dropTempViews(): Unit =
+      try spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+      catch { case _: Throwable => }
+
     def runPass(): Seq[(String, Double, String)] = {
     // count registry behavior over the measured pass only, not the warm-up
     graft.operators.TextOps.resetCacheStats()
@@ -264,6 +276,7 @@ object Bench {
       var fp = "err"
       var pinned = true
       val times = (1 to reps).map { _ =>
+        dropTempViews()
         // if rep 1 died AFTER trackCache registered frames, a later rep's
         // fingerprint would render against a non-empty registry — re-pin
         // until a fingerprint has actually been recorded (review finding)

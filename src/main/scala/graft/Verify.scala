@@ -28,6 +28,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release streaming memory-sink temp views (their rows live on the
+      // driver until dropped; the parquet write above consumed them)
+      try spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+      catch { case _: Throwable => }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
