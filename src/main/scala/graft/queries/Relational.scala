@@ -391,6 +391,532 @@ object Relational {
           count(lit(1)).as("n_rows"))
     },
 
+    // TPC-H Q4 shape (order priority checking): EXISTS rendered as a
+    // left-semi hash join on the orderkey with the correlated non-equi
+    // lateness predicate carried as the join's extra condition — never a
+    // subquery re-execution per row. The fixtures carry no commit/receipt
+    // dates, so "late" is shipped >30 days after the order date.
+    Q("q_tpch4",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-07-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1996-10-01").cast("date"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate").cast("date") >
+              date_add(col("o_orderdate").cast("date"), 30),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // TPC-H Q6 shape (forecast revenue change): the pure
+    // scan-filter-aggregate — every predicate must reach the parquet
+    // scan and the whole plan is one WholeStageCodegen span with a
+    // single-row partial-agg exchange.
+    Q("q_tpch6",
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01").cast("date") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q7 shape (volume shipping): the two-nation-pair join — both
+    // nation dims are pre-filtered to the two names BEFORE broadcasting
+    // (so the IN-pair disjunction prunes each scan), the pair condition
+    // itself is applied once both sides are bound, and the only
+    // fact-scale shuffle is lineitem->orders on the orderkey.
+    Q("q_tpch7",
+      """WITH shipping AS (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(CAST(l.l_shipdate AS TIMESTAMP)) AS l_year,
+        |    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume
+        |  FROM supplier s
+        |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |SELECT supp_nation, cust_nation, CAST(l_year AS INTEGER) AS l_year,
+        |  CAST(SUM(volume) AS DOUBLE) AS revenue, count(*) AS n
+        |FROM shipping GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(broadcast(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .select("supp_nation", "cust_nation", "l_year", "revenue", "n")
+    },
+
+    // TPC-H Q10 shape (returned-item reporting): date-pruned orders join
+    // returnflag-pruned lineitem on the orderkey (the one fact shuffle),
+    // customer+nation broadcast, top-20 as TakeOrderedAndProject with a
+    // custkey tie-break so the LIMIT boundary replays cross-engine.
+    Q("q_tpch10",
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 4, 5
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1996-04-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q11 shape (important stock): per-part value over one
+    // nation's suppliers, kept when above a global scalar threshold.
+    // The fixtures carry no partsupp so value is lineitem revenue; the
+    // original's fixed fraction scales with 1/SF, so the threshold here
+    // is 2x the mean part value — a scalar subquery with scale-invariant
+    // selectivity. The scalar lands as a broadcast cross join (1 row),
+    // never a shuffle.
+    Q("q_tpch11",
+      """WITH v AS (
+        |  SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS val
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_5'
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(val AS DOUBLE) AS value
+        |FROM v
+        |WHERE CAST(val AS DOUBLE) > (SELECT 2.0 * CAST(SUM(val) AS DOUBLE) / count(*) FROM v)""".stripMargin) { (s, dir) =>
+      val sup5 = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val v = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(sup5), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("val"))
+      val th = v.agg((lit(2.0) * sum(col("val")).cast("double") / count(lit(1)))
+        .as("th"))
+      v.crossJoin(broadcast(th))
+        .filter(col("val").cast("double") > col("th"))
+        .select(col("l_partkey"), col("val").cast("double").as("value"))
+    },
+
+    // TPC-H Q12 shape (shipping-mode priority counts): fact-fact
+    // orderkey join with a derived group key and conditional counts.
+    // The fixtures carry no shipmode/commit/receipt dates, so the mode
+    // is a ship-lag bucket (>90 days SLOW) over lines shipped >60 days
+    // late within one year. COUNT(CASE..) keeps both engines in BIGINT.
+    Q("q_tpch12",
+      """SELECT CASE WHEN CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90
+        |            THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+        |  COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01").cast("date"))
+        .select("l_orderkey", "l_shipdate")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate").cast("date") >
+          date_add(col("o_orderdate").cast("date"), 60))
+        .groupBy(when(col("l_shipdate").cast("date") >
+            date_add(col("o_orderdate").cast("date"), 90), lit("SLOW"))
+          .otherwise(lit("FAST")).as("ship_bucket"))
+        .agg(count(when(hi, lit(1))).as("high_line_count"),
+          count(when(!hi, lit(1))).as("low_line_count"))
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join with the filter INSIDE the join condition (pre-filtering the
+    // right side — equivalent since the predicate only touches orders),
+    // then the double aggregation. The custkey join and the custkey
+    // groupBy share a partitioning, so only the tiny c_count histogram
+    // re-shuffles.
+    Q("q_tpch13",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority NOT LIKE '%URGENT%'
+        |  GROUP BY 1) t
+        |GROUP BY c_count""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(!col("o_orderpriority").like("%URGENT%"))
+        .select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // TPC-H Q14 shape (promo revenue): conditional-ratio aggregate over
+    // a month of date-pruned lineitem joined to a broadcast part dim.
+    // Numerator COALESCEd so an empty promo slice yields 0, and the
+    // ratio divides the two exact decimal sums in double.
+    Q("q_tpch14",
+      """SELECT 100.0 * CAST(COALESCE(SUM(CASE WHEN p.p_type = 'PROMO'
+        |      THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) END), 0) AS DOUBLE)
+        |    / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS promo_revenue,
+        |  count(*) AS n
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
+        |  AND CAST(l.l_shipdate AS DATE) < DATE '1996-10-01'""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1996-09-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1996-10-01").cast("date"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      l.join(broadcast(Tables.load(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            coalesce(sum(when(col("p_type") === "PROMO", rev)),
+              lit(0).cast(DecimalType(18, 4))).cast("double") /
+            sum(rev).cast("double")).as("promo_revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q15 shape (top supplier): the revenue view built once as a
+    // suppkey aggregate, its max taken as a 1-row broadcast, and the
+    // equality join back — exact because both sides compare the SAME
+    // decimal sums, never a double. Ties (none in the fixtures) would
+    // return the same set in both engines.
+    Q("q_tpch15",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin) { (s, dir) =>
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1996-04-01").cast("date"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name")),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
+    },
+
+    // TPC-H Q16 shape (parts/supplier relationship): NOT IN rendered as
+    // a left-anti join against the excluded supplier set (s_suppkey is
+    // non-null so NOT IN == anti), part attribute filters pushed to the
+    // scan including the IN-list on p_size, then COUNT(DISTINCT) per
+    // attribute triple.
+    Q("q_tpch16",
+      """SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excl = Tables.load(s, dir, "supplier")
+        .filter(col("s_name").like("%7%")).select("s_suppkey")
+      Tables.load(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
+    // TPC-H Q17 shape (small-quantity revenue): the correlated per-part
+    // average decorrelated into a partkey aggregate joined back — both
+    // computed over the SAME part-pruned slice (the correlation key only
+    // spans filtered parts, so pruning first is equivalence-preserving
+    // and avoids aggregating the whole fact). The per-part threshold
+    // table is small (one row per filtered part) and broadcasts.
+    Q("q_tpch17",
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+        .select("p_partkey")
+      val lif = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val th = lif.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2) * sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .cast("double") / count(lit(1))).as("th"))
+      lif.join(broadcast(th), col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("th"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q18 shape (large-volume customers): the IN-over-grouped-
+    // HAVING rendered as a left-semi join of orders against the
+    // qty>300 orderkey aggregate, then the fact re-join on the same
+    // orderkey partitioning, broadcast customer, and TakeOrdered-100
+    // with the orderkey tie-break.
+    Q("q_tpch18",
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS oday,
+        |  o.o_totalprice,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val big = li.groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("sq"))
+        .filter(col("sq") > 300)
+        .select("b_orderkey")
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(big, col("o_orderkey") === col("b_orderkey"), "left_semi")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).as("oday"),
+          col("o_totalprice"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+    // OR-of-ANDs mixing part and lineitem columns. The part-only
+    // projection of the disjunction is applied to the dim BEFORE the
+    // broadcast (so the scan prunes), the full mixed disjunction after
+    // the equi-join — never a nested-loop join.
+    Q("q_tpch19",
+      """SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, dir) =>
+      val partOnly =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15))
+      val full =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+      Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(partOnly).select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(full)
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q20 shape (potential part promotion): the nested
+    // IN-over-grouped-HAVING — heavy shippers of 'red%' parts in one
+    // year — rendered as (suppkey, partkey) aggregate -> HAVING ->
+    // left-semi into the region-filtered supplier dim. The supplier
+    // side is tiny, so the semi-join builds on the aggregate's
+    // distinct-suppkey projection.
+    Q("q_tpch20",
+      """SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND s.s_suppkey IN (
+        |    SELECT l.l_suppkey
+        |    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |    WHERE p.p_name LIKE 'red%'
+        |      AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+        |      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+        |    GROUP BY l.l_suppkey, l.l_partkey
+        |    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) > 40)""".stripMargin) { (s, dir) =>
+      val heavy = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01").cast("date"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_name").like("red%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("sq"))
+        .filter(col("sq") > 40)
+        .select("l_suppkey")
+      Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // EXISTS + NOT EXISTS double correlation on the same fact — a
+    // left-semi then a left-anti join on the orderkey, each carrying
+    // the supplier-inequality as the join's extra condition. The
+    // fixtures carry no receipt/commit dates, so the "blocking" line is
+    // a big one (quantity > 45). Supplier+nation broadcast prunes l1
+    // FIRST so the semi/anti probes run on 1/25th of the fact.
+    Q("q_tpch21",
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_1' AND l1.l_quantity > 45
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_quantity > 45)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val sup1 = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      val l1 = li.filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
+        .join(broadcast(sup1), col("sk1") === col("s_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      val l3 = li.filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
+      val oF = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      l1.join(oF, col("k1") === col("o_orderkey"), "left_semi")
+        .join(l2, col("k1") === col("k2") && col("sk2") =!= col("sk1"), "left_semi")
+        .join(l3, col("k1") === col("k3") && col("sk3") =!= col("sk1"), "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+    },
+
+    // TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    // threshold (mean positive balance over the country slice, exact
+    // decimal sum / count) broadcast into the filter, then NOT EXISTS
+    // as a left-anti join against date-pruned orders. "Country code"
+    // is the nationkey (the fixtures carry no phone), and the lapse is
+    // no orders since 1999 (every fixture customer has SOME order).
+    Q("q_tpch22",
+      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        |  AND c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |    FROM customer
+        |    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01')
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val codes = Seq(1, 3, 5, 7, 9, 11, 13)
+      val cIn = Tables.load(s, dir, "customer")
+        .filter(col("c_nationkey").isin(codes: _*))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val th = cIn.filter(col("c_acctbal") > 0.0)
+        .agg(davg(col("c_acctbal")).as("th"))
+      val recent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1999-01-01").cast("date"))
+        .select("o_custkey")
+      cIn.crossJoin(broadcast(th))
+        .filter(col("c_acctbal") > col("th"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+    },
+
     // CUBE grouping sets.
     Q("q_cube",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
