@@ -2273,6 +2273,39 @@ object Relational {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     },
 
+    // Per-group top-k through the NATIVE TopKAgg aggregate
+    // (TypedImperativeAggregate, O(k) primitive-array state/group — the
+    // KmvAgg sibling for order statistics), on the LOW-cardinality
+    // regime where the rendering choice decides scalability: a ranking
+    // window over 15 (status, priority) groups would shuffle the whole
+    // fact onto 15 partitions and sort each, no matter how many
+    // executors exist; the aggregate is a near-stateless scan whose
+    // shuffle carries one k-entry buffer per (group, partition)
+    // (TopKProbe at 100x: 0.32 s vs the window's 1.40 s, and the gap is
+    // structural). q_topk_group keeps the window rendering for the
+    // HIGH-cardinality per-customer regime, where the per-partition
+    // sort has the better constant — right rendering per regime. The
+    // oracle replays the ranking bit-exactly because the
+    // (value DESC, id ASC) tie-break makes the result a pure function
+    // of the input set.
+    Q("q_topk_native",
+      """SELECT o_orderstatus, o_orderpriority, CAST(rn AS INT) AS rn,
+        |  o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus, o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(org.apache.spark.sql.graft.TopKAgg
+          .topkEntries(col("o_totalprice"), col("o_orderkey"), 5).as("tk"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          posexplode(col("tk")))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          (col("pos") + 1).cast("int").as("rn"),
+          col("col.id").as("o_orderkey"), col("col.value").as("o_totalprice"))
+    },
+
     // Window-function battery: rank/dense_rank/lag/lead/ntile + running sum.
     Q("q_window_funcs",
       """SELECT o_orderkey, o_custkey,

@@ -789,6 +789,74 @@ object TextQueries {
         .limit(20)
     },
 
+    // DSIR data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw
+    // document by the log importance weight between a target
+    // distribution (the curated src0-4 slice — the same slice
+    // tx_quality_train labels positive) and the raw pool, both
+    // modeled as bag-of-hashed-unigram multinomials over 256 md5
+    // buckets with add-1 smoothing; keep raw docs whose weight is
+    // positive. Parity: the per-bucket log-ratio is one ln() of an
+    // exact integer ratio (products < 2^53), rounded to 6 dp before
+    // the per-doc sum (the tx_zipf pattern), and the score rounds
+    // again before the threshold. Scale posture: bucket counts are a
+    // 256-key aggregate, totals a 1-row broadcast, the 256-row weight
+    // table a broadcast join — the only fact-scale shuffle is the
+    // per-doc score aggregate, and the hashed feature space is FIXED
+    // (256) no matter how large the vocabulary grows, which is the
+    // point of DSIR at 100 TB.
+    Q("tx_dsir_select",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bkt
+        |  FROM tok),
+        |cnts AS (
+        |  SELECT bkt, count(*) AS cr,
+        |    count(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |               THEN 1 END) AS ct
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT SUM(cr) AS r, SUM(ct) AS t FROM cnts),
+        |lr AS (
+        |  SELECT bkt, round(ln(CAST((ct + 1) * (r + 256) AS DOUBLE)
+        |                       / CAST((cr + 1) * (t + 256) AS DOUBLE)), 6) AS lw
+        |  FROM cnts, tot),
+        |score AS (
+        |  SELECT doc_id, max(source) AS source, round(SUM(lw), 6) AS dsir_score
+        |  FROM b JOIN lr USING (bkt) GROUP BY doc_id)
+        |SELECT doc_id, source, dsir_score,
+        |  CAST(dsir_score > 0 AS INT) AS selected
+        |FROM score
+        |WHERE source NOT IN ('src0','src1','src2','src3','src4')""".stripMargin) { (s, dir) =>
+      val target = Seq("src0", "src1", "src2", "src3", "src4")
+      val b = TextOps.trackCache(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("source"),
+            (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"))
+              .as("bkt")))
+      val cnts = b.groupBy("bkt").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("source").isin(target: _*), 1)).as("ct"))
+      val tot = cnts.agg(sum("cr").as("r"), sum("ct").as("t"))
+      val lr = cnts.crossJoin(broadcast(tot))
+        .select(col("bkt"),
+          round(log(((col("ct") + 1) * (col("r") + 256)).cast("double") /
+            ((col("cr") + 1) * (col("t") + 256)).cast("double")), 6).as("lw"))
+      b.join(broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(max(col("source")).as("source"),
+          round(sum(col("lw")), 6).as("dsir_score"))
+        .filter(!col("source").isin(target: _*))
+        .select(col("doc_id"), col("source"), col("dsir_score"),
+          (col("dsir_score") > 0).cast("int").as("selected"))
+    },
+
     // Corpus Zipf fit: slope of the log-log rank/frequency regression
     // over the top-50 vocabulary — the standard sanity statistic for a
     // token distribution (natural text ~ -1). Parity handling: ln() is

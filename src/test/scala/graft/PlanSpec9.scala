@@ -149,6 +149,24 @@ class PlanSpec9 extends AnyFunSuite {
     noNestedLoopOverFacts(p)
   }
 
+  test("q_topk_native: native aggregate, never a window sort over the fact") {
+    val p = plan("q_topk_native")
+    assert(p.contains("ObjectHashAggregate") && p.contains("topk_entries"),
+      s"the native TopKAgg must plan as an object hash aggregate:\n$p")
+    assert(!p.contains("(\\d+) Window") && !p.contains("row_number"),
+      s"low-cardinality top-k must not render as a ranking window:\n$p")
+  }
+
+  test("tx_dsir_select: weight table broadcasts, token table cached once") {
+    val p = plan("tx_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 256-row weight table must broadcast into the fact:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the bucketed token table must come from the tracked cache:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no fact-fact shuffle join belongs in this plan:\n$p")
+  }
+
   test("q_tpch22: threshold broadcast, NOT EXISTS anti join, IN-list pushed") {
     val p = plan("q_tpch22")
     assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$p")
