@@ -857,6 +857,156 @@ object TextQueries {
           (col("dsir_score") > 0).cast("int").as("selected"))
     },
 
+    // Unigram-LM tokenizer (Kudo 2018, SentencePiece's second algorithm —
+    // the BPE rows' sibling): seed vocabulary = all substrings (len<=4)
+    // of the distinct words scored by containing-word frequency, then
+    // Viterbi-EM — round-1 Viterbi segmentation under the seed probs,
+    // piece counts re-estimated from it (E/M), round-2 Viterbi under the
+    // re-estimated probs. Determinism: piece log-probs are INTEGER
+    // milli-nats (round(1000*ln p) — one ln per piece, the house libm
+    // envelope), so segmentation scores are exact integer sums with a
+    // (score DESC, piece-count ASC, segmentation ASC) total order both
+    // engines replay bit-for-bit; segmentations are enumerated by
+    // boundary MASK (words are <=8 chars, <=128 masks) rather than a DP,
+    // which keeps the whole computation relational. Scale posture: ONLY
+    // the word-count aggregate touches the corpus; everything after is
+    // vocab-bounded (distinct words x 128 masks) — the standard
+    // tokenizer-training shape where the corpus pass and the
+    // vocabulary-sized EM are separate tiers.
+    Q("tx_unigram_lm",
+      """WITH wc AS (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents) GROUP BY 1),
+        |sub AS (
+        |  SELECT DISTINCT substr(w, s, l) AS piece
+        |  FROM wc, range(1, 9) r1(s), range(1, 5) r2(l)
+        |  WHERE s + l - 1 <= length(w)),
+        |f0 AS (
+        |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS f
+        |  FROM sub JOIN wc ON strpos(w, piece) > 0
+        |  GROUP BY 1
+        |  ORDER BY f DESC, piece LIMIT 4096),
+        |t0 AS (SELECT CAST(SUM(f) AS BIGINT) AS tot FROM f0),
+        |lw0 AS (
+        |  SELECT piece, CAST(round(1000 * ln(CAST(f AS DOUBLE) / tot)) AS BIGINT) AS lw
+        |  FROM f0, t0),
+        |segs AS (
+        |  SELECT w, cnt, mask,
+        |    list_transform(range(1, len(bnd)),
+        |      j -> substr(w, bnd[CAST(j AS INT)] + 1,
+        |                  bnd[CAST(j AS INT) + 1] - bnd[CAST(j AS INT)])) AS pieces
+        |  FROM (
+        |    SELECT w, cnt, mask,
+        |      list_concat(list_concat([0],
+        |        list_filter(range(1, CAST(length(w) AS BIGINT)),
+        |          i -> (mask >> CAST(i - 1 AS INT)) & 1 = 1)),
+        |        [CAST(length(w) AS BIGINT)]) AS bnd
+        |    FROM wc, range(0, 128) m(mask)
+        |    WHERE mask < CAST(pow(2, length(w) - 1) AS BIGINT))),
+        |sc1 AS (
+        |  SELECT s.w, s.cnt, s.mask, s.pieces, CAST(SUM(l.lw) AS BIGINT) AS score
+        |  FROM segs s, unnest(s.pieces) AS u(p)
+        |  JOIN lw0 l ON l.piece = u.p
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) = len(s.pieces)),
+        |best1 AS (
+        |  SELECT w, cnt, pieces FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY w
+        |      ORDER BY score DESC, len(pieces) ASC,
+        |               array_to_string(pieces, ' ') ASC) AS rn
+        |    FROM sc1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT p AS piece, CAST(SUM(cnt) AS BIGINT) AS c
+        |  FROM best1, unnest(pieces) AS u(p) GROUP BY 1),
+        |t1 AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c1),
+        |lw1 AS (
+        |  SELECT piece, CAST(round(1000 * ln(CAST(c AS DOUBLE) / tot)) AS BIGINT) AS lw
+        |  FROM c1, t1),
+        |sc2 AS (
+        |  SELECT s.w, s.cnt, s.mask, s.pieces, CAST(SUM(l.lw) AS BIGINT) AS score
+        |  FROM segs s, unnest(s.pieces) AS u(p)
+        |  JOIN lw1 l ON l.piece = u.p
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) = len(s.pieces)),
+        |best2 AS (
+        |  SELECT w, cnt, pieces, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY w
+        |      ORDER BY score DESC, len(pieces) ASC,
+        |               array_to_string(pieces, ' ') ASC) AS rn
+        |    FROM sc2) WHERE rn = 1)
+        |SELECT w AS word, cnt, array_to_string(pieces, ' ') AS seg,
+        |  CAST(len(pieces) AS INT) AS k, score AS milli_nats
+        |FROM best2""".stripMargin) { (s, dir) =>
+      val wc = TextOps.trackCache(
+        Tables.load(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt")))
+      // seed pieces: substrings len 1..4 of any distinct word
+      val sub = wc
+        .select(col("w"), explode(sequence(lit(1), lit(8))).as("s"))
+        .select(col("w"), col("s"), explode(sequence(lit(1), lit(4))).as("l"))
+        .filter(col("s") + col("l") - 1 <= length(col("w")))
+        .select(expr("substring(w, s, l)").as("piece")).distinct()
+      // f0: containing-word frequency (vocab x vocab bounded non-equi join)
+      val f0 = sub.join(broadcast(wc), instr(col("w"), col("piece")) > 0)
+        .groupBy("piece").agg(sum(col("cnt")).as("f"))
+        .orderBy(col("f").desc, col("piece")).limit(4096)
+      def milliNats(tbl: org.apache.spark.sql.DataFrame,
+          cField: String): org.apache.spark.sql.DataFrame = {
+        val tot = tbl.agg(sum(col(cField)).as("tot"))
+        tbl.crossJoin(broadcast(tot))
+          .select(col("piece"),
+            round(lit(1000) * log(col(cField).cast("double") / col("tot")))
+              .cast("long").as("lw"))
+      }
+      // all segmentations of each distinct word via boundary masks
+      val segs = TextOps.trackCache(wc
+        .select(col("w"), col("cnt"),
+          explode(sequence(lit(0), lit(127))).as("mask"))
+        .filter(col("mask") < pow(lit(2.0), length(col("w")) - 1).cast("long"))
+        .withColumn("bnd", expr(
+          // CASE guard: Spark's sequence(1, 0) runs DESCENDING, so a
+          // 1-char word would otherwise probe bit -1
+          """concat(array(0L),
+            |  CASE WHEN length(w) > 1 THEN
+            |    filter(sequence(1L, cast(length(w) AS LONG) - 1),
+            |      i -> (mask >> cast(i - 1 AS INT)) & 1 = 1)
+            |  ELSE cast(array() AS array<bigint>) END,
+            |  array(cast(length(w) AS LONG)))""".stripMargin))
+        .withColumn("pieces", expr(
+          """transform(sequence(1, size(bnd) - 1),
+            |  j -> substring(w, cast(element_at(bnd, j) AS INT) + 1,
+            |    cast(element_at(bnd, j + 1) - element_at(bnd, j) AS INT)))"""
+            .stripMargin))
+        .select("w", "cnt", "mask", "pieces"))
+      // Viterbi under a piece table: integer milli-nat sum, all pieces
+      // known, (score DESC, k ASC, seg ASC) argmax per word
+      def viterbi(lw: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val scored = segs
+          .select(col("w"), col("cnt"), col("mask"), col("pieces"),
+            explode(col("pieces")).as("p"))
+          .join(broadcast(lw), col("p") === col("piece"))
+          .groupBy("w", "cnt", "mask", "pieces")
+          .agg(sum(col("lw")).as("score"), count(lit(1)).as("np"))
+          .filter(col("np") === size(col("pieces")))
+        val rnw = org.apache.spark.sql.expressions.Window.partitionBy("w")
+          .orderBy(col("score").desc, size(col("pieces")).asc,
+            array_join(col("pieces"), " ").asc)
+        scored.withColumn("rn", row_number().over(rnw)).filter(col("rn") === 1)
+          .select("w", "cnt", "pieces", "score")
+      }
+      val best1 = viterbi(milliNats(f0, "f"))
+      // E-step piece counts from the round-1 segmentation, M-step probs
+      val c1 = best1.select(col("cnt"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("c"))
+      viterbi(milliNats(c1, "c"))
+        .select(col("w").as("word"), col("cnt"),
+          array_join(col("pieces"), " ").as("seg"),
+          size(col("pieces")).as("k"), col("score").as("milli_nats"))
+    },
+
     // Corpus Zipf fit: slope of the log-log rank/frequency regression
     // over the top-50 vocabulary — the standard sanity statistic for a
     // token distribution (natural text ~ -1). Parity handling: ln() is

@@ -170,6 +170,18 @@ class PlanSpec9 extends AnyFunSuite {
       s"no fact-fact shuffle join belongs in this plan:\n$p")
   }
 
+  test("tx_unigram_lm: corpus touched once (cached word counts), piece tables broadcast") {
+    val p = plan("tx_unigram_lm")
+    assert(p.contains("InMemoryTableScan"),
+      s"word counts + mask segmentations must come from the tracked cache:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"piece log-prob tables must broadcast into the segmentation scorer:\n$p")
+    // the seed's containment join (piece substring-of word) is non-equi
+    // over two vocab-bounded sides — a broadcast nested loop is the
+    // intended shape there, but never a full cartesian
+    assert(!p.contains("CartesianProduct"), s"cartesian degeneration:\n$p")
+  }
+
   test("q_tpch22: threshold broadcast, NOT EXISTS anti join, IN-list pushed") {
     val p = plan("q_tpch22")
     assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$p")
