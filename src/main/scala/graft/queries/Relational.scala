@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.operators.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -2100,6 +2101,92 @@ object Relational {
         frontier = next
       }
       all
+    },
+
+    // GraphSAGE-style fixed-fanout neighbor sampling (Hamilton et al.
+    // 2017) over the customer->part purchase graph: per seed customer,
+    // sample 3 parts (hop 1), and per sampled part 3 customers (hop 2),
+    // each pick ranked by a salted md5 so both engines draw the SAME
+    // sample with zero RNG state — the minibatch neighborhood
+    // construction a distributed GNN trainer runs per epoch. Per-layer
+    // samples are per NODE (standard GraphSAGE: a node's sample is
+    // shared across seeds that reach it), so the ranked adjacency is
+    // built once per direction with a src-partitioned window (node-
+    // bounded groups — distributes), and hops compose as joins. Scale:
+    // one fact join builds the edge set; everything downstream is
+    // edges-scale with map-side-prunable fanout caps.
+    Q("v_neighbor_sample", {
+      def mh(salt: String, a: String, b: String): String =
+        s"md5('$salt' || CAST($a AS VARCHAR) || ':' || CAST($b AS VARCHAR))"
+      // hop-2 ranks by the first 13 hex digits AS AN INTEGER (52 bits —
+      // exact inside the native aggregate's double) with the customer as
+      // the tie-break; hop-1 ranks by the md5 string
+      def h13(salt: String, a: String, b: String): String =
+        s"list_reduce(list_transform(range(1, 14), i -> CAST(strpos(" +
+          s"'0123456789abcdef', substr(${mh(salt, a, b)}, CAST(i AS INT), 1))" +
+          s" - 1 AS BIGINT)), (a, x) -> a * 16 + x)"
+      s"""WITH e AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |seeds AS (SELECT DISTINCT c AS seed FROM e
+         |  WHERE substr(md5(CAST(c AS VARCHAR)), 1, 1) = '0'),
+         |h1 AS (SELECT c, p FROM (
+         |  SELECT c, p, row_number() OVER (PARTITION BY c
+         |    ORDER BY ${mh("h1:", "c", "p")}, p) AS rn FROM e) t WHERE rn <= 3),
+         |h2 AS (SELECT p, c FROM (
+         |  SELECT p, c, row_number() OVER (PARTITION BY p
+         |    ORDER BY ${h13("h2:", "p", "c")}, c) AS rn FROM e) t WHERE rn <= 3)
+         |SELECT s.seed, h1.p AS hop1_part, h2.c AS hop2_cust
+         |FROM seeds s JOIN h1 ON h1.c = s.seed JOIN h2 ON h2.p = h1.p""".stripMargin
+    }) { (s, dir) =>
+      // repartition-first distinct (the q_tpch18 layout lesson: partial
+      // agg over scattered fact rows is pure churn; shuffle raw rows
+      // once, combine co-located, no second exchange)
+      val e = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .repartition(col("c"), col("p"))
+        .distinct()
+      val eC = TextOps.trackCache(e)
+      def fanout(df: DataFrame, src: String, dst: String, salt: String,
+          f: Int): DataFrame = {
+        val w = Window.partitionBy(src).orderBy(
+          md5(concat(lit(salt), col(src).cast("string"), lit(":"),
+            col(dst).cast("string"))), col(dst))
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") <= f)
+          .select(src, dst)
+      }
+      // hop-1 sampling only ever reads seed customers' adjacency — the
+      // row-local seed predicate prunes 15/16 of the edges BEFORE the
+      // window (a node's sample is a function of its own neighbor set,
+      // so filtering by src is equivalence-preserving)
+      val h1 = fanout(
+        eC.filter(substring(md5(col("c").cast("string")), 1, 1) === "0"),
+        "c", "p", "h1:", 3)
+      // hop-2 samples per PART — 2k groups, the native top-k aggregate's
+      // regime (a p-partitioned window would shuffle + sort every edge;
+      // the aggregate's map-side partial top-k shuffles 3 entries per
+      // (part, partition)). Rank key = 52-bit md5 prefix as a negated
+      // double (exact), customer tie-break = the aggregate's id order.
+      // ObjectHashAggregate's sort-based fallback would re-insert the
+      // sort past 128 groups/partition — raise it (session-wide: every
+      // other native-agg row has <=128 groups, so this is inert there).
+      s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
+      val h2rank = conv(substring(md5(concat(lit("h2:"),
+        col("p").cast("string"), lit(":"), col("c").cast("string"))),
+        1, 13), 16, 10).cast("long")
+      val h2 = eC
+        .select(col("p"), col("c"), (-h2rank.cast("double")).as("nv"))
+        .groupBy("p")
+        .agg(org.apache.spark.sql.graft.TopKAgg
+          .topkEntries(col("nv"), col("c"), 3).as("tk"))
+        .select(col("p").as("p2"), explode(col("tk")).as("e"))
+        .select(col("p2"), col("e.id").as("hop2_cust"))
+      h1.join(h2, col("p") === col("p2"))
+        .select(col("c").as("seed"), col("p").as("hop1_part"),
+          col("hop2_cust"))
     },
 
     // Deterministic random walks over the co-purchase graph — the

@@ -2204,6 +2204,44 @@ object TextQueries {
             .cast("long").as("perm_check"))
     },
 
+    // Balanced shard assignment for training-data output (the
+    // webdataset/TFRecord shard-writing step): serpentine
+    // (boustrophedon) allocation — rank documents by size descending,
+    // deal rank r to shard r%N on even passes and N-1-r%N on odd
+    // passes — the deterministic relational stand-in for greedy
+    // first-fit-decreasing (FFD is inherently sequential; serpentine
+    // gets within a largest-item of its balance and replays exactly).
+    // The global size rank uses the two-level bucketed rank, never a
+    // single-partition window; the oracle states the plain row_number
+    // (pinned equivalent, RanksSpec).
+    Q("pl_shard_balance",
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r0
+        |  FROM documents)
+        |SELECT CAST(CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+        |                 ELSE 7 - (r0 % 8) END AS INT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_doc,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_doc
+        |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents")
+        .select("doc_id", "n_chars")
+        // order-consistent coarse bucket for the DESC size sort
+        .withColumn("bkt", -(col("n_chars") / 16).cast("long"))
+      val ranked = graft.operators.Ranks.bucketedRank(base, Seq.empty, "bkt",
+          Seq(col("n_chars").desc, col("doc_id")), "rn")
+        .withColumn("r0", col("rn") - 1)
+      ranked
+        .groupBy(when(((col("r0") / 8).cast("long") % 2) === 0,
+            col("r0") % 8)
+          .otherwise(lit(7) - (col("r0") % 8)).cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("n_chars")).as("max_doc"),
+          min(col("n_chars")).as("min_doc"))
+    },
+
     // Inverted-index build with champion lists (Manning et al., IIR
     // §7.1.3): per term, document frequency, total term frequency, and
     // the top-16 postings by (tf DESC, doc_id) rendered "doc:tf,..." —

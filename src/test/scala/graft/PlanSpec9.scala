@@ -182,6 +182,22 @@ class PlanSpec9 extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian degeneration:\n$p")
   }
 
+  test("pl_shard_balance: two-level rank (broadcast offsets), no fact-wide window") {
+    val p = plan("pl_shard_balance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-offsets table must broadcast back (bucketedRank):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian degeneration:\n$p")
+  }
+
+  test("v_neighbor_sample: hop-2 through the native top-k aggregate on cached edges") {
+    val p = plan("v_neighbor_sample")
+    assert(p.contains("ObjectHashAggregate") && p.contains("topk_entries"),
+      s"hop-2 per-part sampling must be the native top-k aggregate:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the distinct edge set must come from the tracked cache:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian degeneration:\n$p")
+  }
+
   test("q_tpch22: threshold broadcast, NOT EXISTS anti join, IN-list pushed") {
     val p = plan("q_tpch22")
     assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$p")
