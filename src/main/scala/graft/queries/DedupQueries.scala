@@ -2611,6 +2611,45 @@ object DedupQueries {
       }.toSeq
       fin.toDF("event_type", "k", "hk", "sketch_sum", "est")
     },
+
+    // The SECOND native aggregate under Structured Streaming: TopKAgg's
+    // primitive-array buffer serializing through the state store across
+    // micro-batches (the KmvAgg row's sibling — together they pin that
+    // the TypedImperativeAggregate serde path holds for both sketch
+    // families). Top-k is a pure set function over (value, id) pairs, so
+    // the complete-mode result after the last batch equals the batch
+    // ranking BIT-EXACTLY regardless of chunking — a full row_number
+    // hash oracle, not a bounds gate.
+    Q("st_stream_topk_exact",
+      """SELECT event_type, CAST(rn AS INT) AS rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL) t WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val rows = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val replay = graft.streaming.FileReplay.stage(rows,
+        graft.streaming.FileReplay.rangeChunks(rows, col("event_id"), 4))
+      val sink = s"st_stream_topk_exact_${streamEpoch.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val agg = replay.stream
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.graft.TopKAgg
+          .topkEntries(col("value"), col("event_id"), 5).as("tk"))
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try replay.feedAll(q)
+      finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        replay.close()
+      }
+      s.table(sink)
+        .select(col("event_type"), posexplode(col("tk")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rn"),
+          col("col.id").as("event_id"), col("col.value").as("value"))
+    },
   )
 
   /** Unique memory-sink suffix so Bench reps / Verify reruns in one JVM
