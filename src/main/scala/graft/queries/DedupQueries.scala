@@ -1552,6 +1552,63 @@ object DedupQueries {
       annExactTopK(s, dir)
     },
 
+    // Matryoshka-truncation ranking fidelity (Kusupati et al. 2022, MRL):
+    // how much of the full-dimension top-5 neighborhood survives when
+    // retrieval runs on the first-16-dim PREFIX of the embedding — the
+    // measurement that decides whether a deployment can serve the
+    // cheap truncated index and re-rank with full vectors. Per query:
+    // overlap of the 64-dim and 16-dim top-5 sets (deterministic 6dp +
+    // id ties). Scale: queries broadcast, corpus scanned once per
+    // ranking; the truncated kernel reads 4x fewer floats — the point.
+    Q("v_matryoshka",
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nrm,
+        |    sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                   for i in range(1, 17)])) AS nrm16
+        |  FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 8),
+        |full5 AS (SELECT qid, vec_id FROM (
+        |  SELECT q.vec_id AS qid, a.vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_sum([q.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                      for i in range(1, 65)]) / (q.nrm * a.nrm), 6) DESC,
+        |      a.vec_id) AS rn
+        |  FROM q JOIN n a ON a.vec_id <> q.vec_id) t WHERE rn <= 5),
+        |tr5 AS (SELECT qid, vec_id FROM (
+        |  SELECT q.vec_id AS qid, a.vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_sum([q.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+        |                      for i in range(1, 17)]) / (q.nrm16 * a.nrm16), 6) DESC,
+        |      a.vec_id) AS rn
+        |  FROM q JOIN n a ON a.vec_id <> q.vec_id) t WHERE rn <= 5)
+        |SELECT f.qid, count(t.vec_id) AS overlap5
+        |FROM full5 f LEFT JOIN tr5 t ON t.qid = f.qid AND t.vec_id = f.vec_id
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", VectorOps.l2norm(col("embedding")))
+        .withColumn("nrm16", VectorOps.l2norm(slice(col("embedding"), 1, 16)))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("nrm16").as("qn16"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("vec_id"))
+      def top5(cosCol: org.apache.spark.sql.Column) =
+        e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cos_r", cosCol)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"))
+      val full5 = top5(round(
+        VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      val tr5 = top5(round(
+        VectorOps.dot(slice(col("qe"), 1, 16), slice(col("embedding"), 1, 16)) /
+          (col("qn16") * col("nrm16")), 6))
+        .select(col("qid").as("tqid"), col("vec_id").as("tvid"))
+      full5.join(tr5,
+          col("tqid") === col("qid") && col("tvid") === col("vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(col("tvid")).as("overlap5"))
+    },
+
     // Cosine RANGE search: all corpus vectors above a similarity floor for
     // each query — the recall-oriented sibling of top-k ANN (dedup sweeps
     // and contamination scans want "everything above t", not "the best
