@@ -2170,10 +2170,14 @@ object Relational {
       // (part, partition)). Rank key = 52-bit md5 prefix as a negated
       // double (exact), customer tie-break = the aggregate's id order.
       // ObjectHashAggregate's sort-based fallback would re-insert the
-      // sort past 128 groups/partition — raise it (session-wide: every
-      // other native-agg row has <=128 groups, so this is inert there).
+      // sort past 128 groups/partition — raise it to cover the 2k part
+      // groups. Session-wide by necessity (the conf is read at
+      // EXECUTION, after this lazy builder returns, so save/restore
+      // here would undo it) — bounded at 4096 so any OTHER object
+      // aggregate in the shared session holds at most 4096 buffers per
+      // partition before its fallback still engages.
       s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
+        "4096")
       val h2rank = conv(substring(md5(concat(lit("h2:"),
         col("p").cast("string"), lit(":"), col("c").cast("string"))),
         1, 13), 16, 10).cast("long")

@@ -948,10 +948,13 @@ object TextQueries {
         .select(col("w"), col("s"), explode(sequence(lit(1), lit(4))).as("l"))
         .filter(col("s") + col("l") - 1 <= length(col("w")))
         .select(expr("substring(w, s, l)").as("piece")).distinct()
-      // f0: containing-word frequency (vocab x vocab bounded non-equi join)
-      val f0 = sub.join(broadcast(wc), instr(col("w"), col("piece")) > 0)
-        .groupBy("piece").agg(sum(col("cnt")).as("f"))
-        .orderBy(col("f").desc, col("piece")).limit(4096)
+      // f0: containing-word frequency (vocab x vocab bounded non-equi
+      // join) — tracked-cached: milliNats reads its input twice (total
+      // + crossJoin), and this is the row's most expensive vocab stage
+      val f0 = TextOps.trackCache(
+        sub.join(broadcast(wc), instr(col("w"), col("piece")) > 0)
+          .groupBy("piece").agg(sum(col("cnt")).as("f"))
+          .orderBy(col("f").desc, col("piece")).limit(4096))
       def milliNats(tbl: org.apache.spark.sql.DataFrame,
           cField: String): org.apache.spark.sql.DataFrame = {
         val tot = tbl.agg(sum(col(cField)).as("tot"))
@@ -999,8 +1002,10 @@ object TextQueries {
       }
       val best1 = viterbi(milliNats(f0, "f"))
       // E-step piece counts from the round-1 segmentation, M-step probs
-      val c1 = best1.select(col("cnt"), explode(col("pieces")).as("piece"))
-        .groupBy("piece").agg(sum(col("cnt")).as("c"))
+      // (cached for milliNats' double read, like f0)
+      val c1 = TextOps.trackCache(
+        best1.select(col("cnt"), explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(sum(col("cnt")).as("c")))
       viterbi(milliNats(c1, "c"))
         .select(col("w").as("word"), col("cnt"),
           array_join(col("pieces"), " ").as("seg"),

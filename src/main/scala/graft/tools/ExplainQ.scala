@@ -9,9 +9,12 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object ExplainQ {
   def main(args: Array[String]): Unit = {
-    val (flags, names) = args.partition(_.startsWith("-"))
-    val sf = flags.sliding(2).collectFirst { case Array("-sf", d) => d }
+    val sf = args.sliding(2).collectFirst { case Array("-sf", d) => d }
       .getOrElse("/root/testdata/sf0.001")
+    val names = args.indexOf("-sf") match {
+      case -1 => args.toSeq
+      case i => args.toSeq.patch(i, Nil, 2)
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

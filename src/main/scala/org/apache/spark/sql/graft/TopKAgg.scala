@@ -23,8 +23,12 @@ final class TopKBuf(val k: Int) {
     if (c != 0) c else java.lang.Long.compare(i1, i2)
   }
 
-  def insert(v: Double, id: Long): Unit = {
-    if (v != v) return // NaN would poison the ordering invariant
+  def insert(v0: Double, id: Long): Unit = {
+    if (v0 != v0) return // NaN would poison the ordering invariant
+    // normalize -0.0: Double.compare ranks 0.0 above -0.0, but the
+    // row_number oracle (and Spark/DuckDB comparisons) treat them as a
+    // value TIE broken by id — fold both to +0.0 so they are
+    val v = if (v0 == 0.0) 0.0 else v0
     if (size == k &&
       cmp(v, id, vs(size - 1), ids(size - 1)) >= 0) return // fast reject
     // binary search for the rank position

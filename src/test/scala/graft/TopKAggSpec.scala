@@ -45,6 +45,16 @@ class TopKAggSpec extends AnyFunSuite {
     assert(t1 == t2, "result must be a pure function of the input set")
   }
 
+  test("signed zero is a value TIE (oracle comparison semantics), not an order") {
+    // Double.compare ranks 0.0 above -0.0; SQL ORDER BY treats them as
+    // equal — the buffer must too (review finding)
+    val df = Seq(("g", 0.0, 9L), ("g", -0.0, 1L)).toDF("g", "v", "id")
+    assert(topOf(df, 1) == Map("g" -> Seq((0.0, 1L))))
+    // and (0.0, id) / (-0.0, id) are ONE set member, not two
+    val dup = Seq(("g", 0.0, 7L), ("g", -0.0, 7L)).toDF("g", "v", "id")
+    assert(topOf(dup, 5) == Map("g" -> Seq((0.0, 7L))))
+  }
+
   test("value ties break on ascending id") {
     val df = Seq(("g", 5.0, 30L), ("g", 5.0, 10L), ("g", 5.0, 20L),
       ("g", 9.0, 99L)).toDF("g", "v", "id")
