@@ -22,8 +22,15 @@ class ConcurrencySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  // round-10 extension rows included: tx_unigram_lm holds THREE tracked
+  // caches (word counts, mask segmentations, f0/c1 piece tables) so it
+  // stresses the LRU bound hardest; v_neighbor_sample additionally
+  // mutates the ObjectHashAggregate fallback conf mid-flight (a value
+  // race there must not change answers, only spill behavior)
   private val names = Seq("q1_agg", "dd_exact", "dd_minhash_lsh",
-    "dd_clusters", "dd_keep_policy", "tx_tfidf", "q_tpch9", "ann_topk")
+    "dd_clusters", "dd_keep_policy", "tx_tfidf", "q_tpch9", "ann_topk",
+    "tx_unigram_lm", "tx_dsir_select", "v_neighbor_sample",
+    "q_topk_native", "pl_shard_balance")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()
