@@ -857,6 +857,68 @@ object TextQueries {
           (col("dsir_score") > 0).cast("int").as("selected"))
     },
 
+    // INCREMENTAL DSIR — the daily-ingest posture (dd_incremental's
+    // sibling for data selection): the importance weights are fitted on
+    // the EXISTING corpus only (an md5-keyed 15/16 split standing in for
+    // yesterday's persisted weight table) and the md5-keyed 1/16
+    // incoming batch is scored against them — new data never re-fits
+    // the model it is being selected by. Same 256-bucket hashed-unigram
+    // machinery and 6dp-ln parity rules as tx_dsir_select; at 100 TB
+    // the weight table is a 256-row persisted artifact and each ingest
+    // batch pays one tokenize + one doc-score aggregate.
+    Q("tx_dsir_incremental",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS incoming,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, incoming,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bkt
+        |  FROM tok),
+        |cnts AS (
+        |  SELECT bkt, count(*) AS cr,
+        |    count(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |               THEN 1 END) AS ct
+        |  FROM b WHERE NOT incoming GROUP BY 1),
+        |tot AS (SELECT SUM(cr) AS r, SUM(ct) AS t FROM cnts),
+        |lr AS (
+        |  SELECT bkt, round(ln(CAST((ct + 1) * (r + 256) AS DOUBLE)
+        |                       / CAST((cr + 1) * (t + 256) AS DOUBLE)), 6) AS lw
+        |  FROM cnts, tot),
+        |score AS (
+        |  SELECT doc_id, max(source) AS source, round(SUM(lw), 6) AS dsir_score
+        |  FROM b JOIN lr USING (bkt) WHERE incoming GROUP BY doc_id)
+        |SELECT doc_id, source, dsir_score,
+        |  CAST(dsir_score > 0 AS INT) AS selected
+        |FROM score""".stripMargin) { (s, dir) =>
+      val target = Seq("src0", "src1", "src2", "src3", "src4")
+      val b = TextOps.trackCache(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            (substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+              .as("incoming"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("source"), col("incoming"),
+            (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"))
+              .as("bkt")))
+      val cnts = b.filter(!col("incoming")).groupBy("bkt").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("source").isin(target: _*), 1)).as("ct"))
+      val tot = cnts.agg(sum("cr").as("r"), sum("ct").as("t"))
+      val lr = cnts.crossJoin(broadcast(tot))
+        .select(col("bkt"),
+          round(log(((col("ct") + 1) * (col("r") + 256)).cast("double") /
+            ((col("cr") + 1) * (col("t") + 256)).cast("double")), 6).as("lw"))
+      b.filter(col("incoming")).join(broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(max(col("source")).as("source"),
+          round(sum(col("lw")), 6).as("dsir_score"))
+        .select(col("doc_id"), col("source"), col("dsir_score"),
+          (col("dsir_score") > 0).cast("int").as("selected"))
+    },
+
     // Unigram-LM tokenizer (Kudo 2018, SentencePiece's second algorithm —
     // the BPE rows' sibling): seed vocabulary = all substrings (len<=4)
     // of the distinct words scored by containing-word frequency, then
