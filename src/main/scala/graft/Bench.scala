@@ -171,15 +171,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // multi-process cluster mode (round-10 verdict task 1) — see Verify:
+    // same env knobs, default stays the driver's local[N] contract
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // never truncate scan metadata in explain strings: the default 100-char
       // budget is applied to the RAW string, so runs whose expr-ids are wider
       // truncate where others don't, destabilizing the plan fingerprint
       .config("spark.sql.maxMetadataStringLength", "100000")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => b.config("spark.jars", j))
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+      .foreach(m => b.config("spark.executor.memory", m))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (parquet reader, codegen, shuffle machinery) so the
     // first measured query doesn't absorb JVM start-up costs
@@ -386,8 +392,16 @@ object Bench {
     // alternate-fixture run writes bench_subset_last.json instead (a 10x
     // subset run once overwrote the committed sf0.1 record silently).
     val full = line.dropRight(1) + s""","plans":$plans}""" + "\n"
-    val isFullBoard = only.isEmpty && sfDir.startsWith("/root/testdata/")
-    val lastFile = if (isFullBoard) "bench_last.json" else "bench_subset_last.json"
+    // a multi-process (SPARK_GRAFT_MASTER) record is comparable only to
+    // other cluster-mode runs — keep it out of the local-mode record and
+    // its history (same reasoning as the subset-run split below)
+    val isLocalMaster = master.startsWith("local[")
+    val isFullBoard = only.isEmpty && sfDir.startsWith("/root/testdata/") &&
+      isLocalMaster
+    val lastFile =
+      if (isFullBoard) "bench_last.json"
+      else if (only.isEmpty && !isLocalMaster) "bench_cluster_last.json"
+      else "bench_subset_last.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(lastFile),
       full.getBytes("UTF-8"))
     if (isFullBoard)

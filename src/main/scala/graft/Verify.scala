@@ -11,12 +11,22 @@ object Verify {
     // optional query-name filter for fast single-query iteration
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // multi-process cluster mode (round-10 verdict task 1): the driver
+    // contract stays local[N], but SPARK_GRAFT_MASTER can point the same
+    // board at e.g. local-cluster[2,16,8192] so broadcast fetch, closure/
+    // native-operator serialization and state-store serde cross a real
+    // JVM boundary; SPARK_GRAFT_JARS ships the packaged library to the
+    // executor processes (they don't share the driver's classpath).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => b.config("spark.jars", j))
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+      .foreach(m => b.config("spark.executor.memory", m))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val selected =

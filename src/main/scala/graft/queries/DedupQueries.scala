@@ -2682,9 +2682,14 @@ object DedupQueries {
         |  SELECT event_type, event_id, value,
         |    row_number() OVER (PARTITION BY event_type
         |                       ORDER BY value DESC, event_id) AS rn
-        |  FROM events WHERE value IS NOT NULL) t WHERE rn <= 5""".stripMargin) { (s, dir) =>
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_id IS NOT NULL) t WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      // both engines state the SAME input set explicitly: TopKAgg skips
+      // rows with a null id (its output id is non-nullable), so the
+      // oracle and the batch feed both exclude null event_id up front
       val rows = Tables.load(s, dir, "events")
         .select(col("event_type"), col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
       val replay = graft.streaming.FileReplay.stage(rows,
         graft.streaming.FileReplay.rangeChunks(rows, col("event_id"), 4))
       val sink = s"st_stream_topk_exact_${streamEpoch.incrementAndGet()}"

@@ -797,7 +797,10 @@ object TextQueries {
     // modeled as bag-of-hashed-unigram multinomials over 256 md5
     // buckets with add-1 smoothing; keep raw docs whose weight is
     // positive. Parity: the per-bucket log-ratio is one ln() of an
-    // exact integer ratio (products < 2^53), rounded to 6 dp before
+    // ratio of per-factor double products (each factor exact below
+    // 2^53; the PRODUCT is computed in double on both engines so
+    // corpus-wide token totals past ~3e9 round identically instead of
+    // wrapping 64-bit), rounded to 6 dp before
     // the per-doc sum (the tx_zipf pattern), and the score rounds
     // again before the threshold. Scale posture: bucket counts are a
     // 256-key aggregate, totals a 1-row broadcast, the 256-row weight
@@ -822,8 +825,8 @@ object TextQueries {
         |  FROM b GROUP BY 1),
         |tot AS (SELECT SUM(cr) AS r, SUM(ct) AS t FROM cnts),
         |lr AS (
-        |  SELECT bkt, round(ln(CAST((ct + 1) * (r + 256) AS DOUBLE)
-        |                       / CAST((cr + 1) * (t + 256) AS DOUBLE)), 6) AS lw
+        |  SELECT bkt, round(ln(CAST(ct + 1 AS DOUBLE) * CAST(r + 256 AS DOUBLE)
+        |                       / (CAST(cr + 1 AS DOUBLE) * CAST(t + 256 AS DOUBLE))), 6) AS lw
         |  FROM cnts, tot),
         |score AS (
         |  SELECT doc_id, max(source) AS source, round(SUM(lw), 6) AS dsir_score
@@ -846,8 +849,8 @@ object TextQueries {
       val tot = cnts.agg(sum("cr").as("r"), sum("ct").as("t"))
       val lr = cnts.crossJoin(broadcast(tot))
         .select(col("bkt"),
-          round(log(((col("ct") + 1) * (col("r") + 256)).cast("double") /
-            ((col("cr") + 1) * (col("t") + 256)).cast("double")), 6).as("lw"))
+          round(log((col("ct") + 1).cast("double") * (col("r") + 256).cast("double") /
+            ((col("cr") + 1).cast("double") * (col("t") + 256).cast("double"))), 6).as("lw"))
       b.join(broadcast(lr), "bkt")
         .groupBy("doc_id")
         .agg(max(col("source")).as("source"),
@@ -884,8 +887,8 @@ object TextQueries {
         |  FROM b WHERE NOT incoming GROUP BY 1),
         |tot AS (SELECT SUM(cr) AS r, SUM(ct) AS t FROM cnts),
         |lr AS (
-        |  SELECT bkt, round(ln(CAST((ct + 1) * (r + 256) AS DOUBLE)
-        |                       / CAST((cr + 1) * (t + 256) AS DOUBLE)), 6) AS lw
+        |  SELECT bkt, round(ln(CAST(ct + 1 AS DOUBLE) * CAST(r + 256 AS DOUBLE)
+        |                       / (CAST(cr + 1 AS DOUBLE) * CAST(t + 256 AS DOUBLE))), 6) AS lw
         |  FROM cnts, tot),
         |score AS (
         |  SELECT doc_id, max(source) AS source, round(SUM(lw), 6) AS dsir_score
@@ -909,8 +912,8 @@ object TextQueries {
       val tot = cnts.agg(sum("cr").as("r"), sum("ct").as("t"))
       val lr = cnts.crossJoin(broadcast(tot))
         .select(col("bkt"),
-          round(log(((col("ct") + 1) * (col("r") + 256)).cast("double") /
-            ((col("cr") + 1) * (col("t") + 256)).cast("double")), 6).as("lw"))
+          round(log((col("ct") + 1).cast("double") * (col("r") + 256).cast("double") /
+            ((col("cr") + 1).cast("double") * (col("t") + 256).cast("double"))), 6).as("lw"))
       b.filter(col("incoming")).join(broadcast(lr), "bkt")
         .groupBy("doc_id")
         .agg(max(col("source")).as("source"),

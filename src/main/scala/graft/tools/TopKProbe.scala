@@ -61,6 +61,11 @@ object TopKProbe {
     // the native agg's map-side combine pays off when the shuffle is a
     // real network (k entries per (group, partition) vs every row).
     println(s"== high-cardinality groups (o_custkey)")
+    // round-11: the decision is CODE now — print what TopKDispatch picks
+    // so a regime regression (dispatcher choosing the loser) is visible
+    // in the same output as the measured times
+    println("dispatch: " + graft.operators.TopKDispatch
+      .decide(orders, Seq("o_custkey"), 3))
     time("window")(window("o_custkey"))
     time("native")(native("o_custkey"))
 
@@ -84,6 +89,8 @@ object TopKProbe {
         .agg(org.apache.spark.sql.graft.TopKAgg
           .topkEntries(col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
         .select(col("g"), posexplode(col("tk")))
+    println("dispatch: " + graft.operators.TopKDispatch
+      .decide(withPrio, Seq("g"), 3))
     time("window")(windowLow())
     time("native")(nativeLow())
     spark.stop()

@@ -88,6 +88,13 @@ case class AsOfJoinExec(
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val rightArity = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      // project JoinedRow -> UnsafeRow at the operator boundary: SparkPlan
+      // consumers (getByteArrayRdd/shuffle writers) cast output rows to
+      // UnsafeRow, so emitting the raw JoinedRow only works when a
+      // ProjectExec happens to sit above — found by RetryDeterminismSpec
+      // collecting the bare join output (round-11)
+      val resultProj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(output, output)
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val nulls = new GenericInternalRow(rightArity)
@@ -106,7 +113,7 @@ case class AsOfJoinExec(
           // semantics) — emit the left-outer null row WITHOUT advancing the
           // right side (null-key left rows sort first, so no later left row
           // needed the skipped advance anyway)
-          if (kAny == null || tAny == null) return joined(l, nulls)
+          if (kAny == null || tAny == null) return resultProj(joined(l, nulls))
           val k = kAny.asInstanceOf[Long]
           val t = tAny.asInstanceOf[Long]
           // advance the right side through every row at-or-before (k, t);
@@ -132,7 +139,8 @@ case class AsOfJoinExec(
               } else advancing = false
             }
           }
-          if (candSet && candKey == k) joined(l, cand) else joined(l, nulls)
+          if (candSet && candKey == k) resultProj(joined(l, cand))
+          else resultProj(joined(l, nulls))
         }
       }
     }

@@ -24,9 +24,10 @@ class ConcurrencySpec extends AnyFunSuite {
 
   // round-10 extension rows included: tx_unigram_lm holds THREE tracked
   // caches (word counts, mask segmentations, f0/c1 piece tables) so it
-  // stresses the LRU bound hardest; v_neighbor_sample additionally
-  // mutates the ObjectHashAggregate fallback conf mid-flight (a value
-  // race there must not change answers, only spill behavior)
+  // stresses the LRU bound hardest; v_neighbor_sample raises the
+  // ObjectHashAggregate fallback conf on a CLONED session (round-10
+  // advice) so no conf race exists — this suite pins that the isolated
+  // conf still yields serial-equal answers under contention
   private val names = Seq("q1_agg", "dd_exact", "dd_minhash_lsh",
     "dd_clusters", "dd_keep_policy", "tx_tfidf", "q_tpch9", "ann_topk",
     "tx_unigram_lm", "tx_dsir_select", "v_neighbor_sample",

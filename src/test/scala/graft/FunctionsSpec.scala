@@ -8,8 +8,13 @@ import org.apache.spark.unsafe.types.UTF8String
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    // local[4, 2]: maxFailures=2, so a task may fail once and RETRY —
+    // required by RetryDeterminismSpec (round-10 verdict task 5: the
+    // native operators must be re-execution-stable under Spark's task
+    // retry/speculation model). Genuine task failures elsewhere in the
+    // suite now surface on the second attempt instead of the first.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

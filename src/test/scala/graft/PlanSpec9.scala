@@ -189,12 +189,19 @@ class PlanSpec9 extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian degeneration:\n$p")
   }
 
-  test("v_neighbor_sample: hop-2 through the native top-k aggregate on cached edges") {
+  test("v_neighbor_sample: both hops native top-k, no dedup/sort of the pair mass") {
     val p = plan("v_neighbor_sample")
     assert(p.contains("ObjectHashAggregate") && p.contains("topk_entries"),
-      s"hop-2 per-part sampling must be the native top-k aggregate:\n$p")
+      s"both hops must sample through the native top-k aggregate:\n$p")
+    // round-11 rewrite (the r10 sweep's 11.7x defect): TopKBuf's set
+    // semantics on (value, id) collapse duplicate pairs inside the O(k)
+    // buffer, so the raw pair stream feeds the aggregates directly —
+    // no global distinct, no repartition of the pair mass, and no
+    // window sort anywhere in the plan
+    assert(!p.contains("Window"),
+      s"no hop may sort the pair mass through a window:\n$p")
     assert(p.contains("InMemoryTableScan"),
-      s"the distinct edge set must come from the tracked cache:\n$p")
+      s"the projected pair stream (consumed by both hops) must be cached:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian degeneration:\n$p")
   }
 
