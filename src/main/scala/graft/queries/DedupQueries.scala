@@ -1490,6 +1490,81 @@ object DedupQueries {
         sum("n_band").over(w).as("n_ge_t"))
     },
 
+    // The DEPLOYMENT-PATH dup-rate curve (round-10 verdict task 4): the
+    // exact dd_dup_rate_curve is answer-bound quadratic (>100x at 100x
+    // by problem statement); this row computes the same yield curve the
+    // way a 100 TB run actually would — banded MinHash candidates
+    // (the cached dd_minhash_lsh chain) VERIFIED by exact bigram
+    // Jaccard computed row-locally per candidate pair (each pair
+    // carries its two gram arrays; no gram-level all-pairs join
+    // anywhere). The verify stage applies the exact row's lang-block
+    // constraint so both curves rank the SAME pair universe (the
+    // lang-agnostic banding also surfaces cross-lang planted dups the
+    // blocked exact join cannot see — dropped here for comparability).
+    // Fully hash-gated: the DuckDB oracle replays the
+    // identical LSH + verify chain, so banding misses are IN the
+    // oracle, not noise. Recall vs the exact curve is measured per
+    // band in docs/SCALE_CURVES.md — the planted near-dup shore
+    // (>= 0.5) is captured at ~full recall by the b=4/r=2 design
+    // (dd_lsh_recall_gate pins the >= 0.85 slice at zero misses);
+    // the random-overlap shore below banding's operating point is
+    // deliberately not what a dedup run pays for.
+    Q("dd_dup_rate_curve_lsh",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |tokl AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
+        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
+        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
+        |  FROM mh GROUP BY doc_id, k // 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |bg AS (SELECT doc_id, lang,
+        |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+        |  FROM tokl WHERE len(w) >= 2),
+        |v AS (SELECT round(len(list_intersect(ga.g, gb.g)) * 1.0
+        |    / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))), 6) AS jac
+        |  FROM pairs JOIN bg ga ON da = ga.doc_id JOIN bg gb ON db = gb.doc_id
+        |  WHERE ga.lang = gb.lang),
+        |p AS (SELECT jac FROM v WHERE jac >= 0.1),
+        |b AS (SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS b10,
+        |    count(*) AS n_band FROM p GROUP BY 1)
+        |SELECT b10 / 10.0 AS t, n_band,
+        |  CAST(sum(n_band) OVER (ORDER BY b10 DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge_t
+        |FROM b""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val cands = TextOps.lshCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, k = 8, bands = 4)
+      val bg = TextOps.trackCache(docs
+        .select(col("doc_id"), col("lang"),
+          TextOps.shingles(TextOps.tokens(col("text")), 2).as("g"))
+        .filter(size(col("g")) >= 1))
+      val inter = size(array_intersect(col("ga"), col("gb")))
+      val verified = cands
+        .join(bg.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+          col("g").as("ga")), "doc_a")
+        .join(bg.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+          col("g").as("gb")), "doc_b")
+        .filter(col("la") === col("lb"))
+        .select(round(inter * 1.0 /
+          (size(col("ga")) + size(col("gb")) - inter), 6).as("jac"))
+        .filter(col("jac") >= 0.1)
+      val b = verified
+        .select(least(floor(col("jac") * 10), lit(9)).cast("long").as("b10"))
+        .groupBy("b10").agg(count(lit(1)).as("n_band"))
+      val w = Window.orderBy(col("b10").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.select((col("b10") / 10.0).as("t"), col("n_band"),
+        sum("n_band").over(w).as("n_ge_t"))
+    },
+
     // shape as dd_ngram_jaccard: the only candidate shuffle is on shared
     // grams within a lang block; sizes join back on doc_id.
     Q("dd_containment",
