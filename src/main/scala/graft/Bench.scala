@@ -400,7 +400,13 @@ object Bench {
       isLocalMaster
     val lastFile =
       if (isFullBoard) "bench_last.json"
-      else if (only.isEmpty && !isLocalMaster) "bench_cluster_last.json"
+      // the cluster record gets the SAME fixture guard as the local one
+      // (an alternate-fixture run must never overwrite the committed
+      // sf0.1 record), and name-filtered cluster runs stay out of the
+      // local-mode subset file — four distinct artifacts, no crosstalk
+      else if (!isLocalMaster && only.isEmpty &&
+        sfDir.startsWith("/root/testdata/")) "bench_cluster_last.json"
+      else if (!isLocalMaster) "bench_cluster_subset_last.json"
       else "bench_subset_last.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(lastFile),
       full.getBytes("UTF-8"))

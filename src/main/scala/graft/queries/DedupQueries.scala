@@ -1542,10 +1542,17 @@ object DedupQueries {
       val docs = Tables.load(s, dir, "documents")
       val cands = TextOps.lshCandidatePairs(docs, "doc_id", "text",
         shingleSize = 3, k = 8, bands = 4)
-      val bg = TextOps.trackCache(docs
+      // deliberately NOT tracked-cached: the gram-array frame is ~750 MB
+      // at 100x and its blocks linger in the capped storage pool long
+      // after this row finishes, tripling the streaming replay rows that
+      // run later in the board (measured: dd_stream_lsh_parity 85 s solo
+      // vs 214 s with this frame cached). Recomputing the tokenize+
+      // shingle for the second join side is cheaper than what the cache
+      // does to the rest of the board.
+      val bg = docs
         .select(col("doc_id"), col("lang"),
           TextOps.shingles(TextOps.tokens(col("text")), 2).as("g"))
-        .filter(size(col("g")) >= 1))
+        .filter(size(col("g")) >= 1)
       val inter = size(array_intersect(col("ga"), col("gb")))
       val verified = cands
         .join(bg.select(col("doc_id").as("doc_a"), col("lang").as("la"),

@@ -773,7 +773,8 @@ object Relational {
         .select("l_orderkey", "l_quantity")
         .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey").as("b_orderkey"))
-        .agg(sum(when(col("l_quantity") === floor(col("l_quantity")),
+        .agg(sum(when(col("l_quantity").isNull ||
+            col("l_quantity") === floor(col("l_quantity")),
             col("l_quantity").cast("long"))
           .otherwise(raise_error(lit(
             "q_tpch18: fractional l_quantity — the LONG-sum rewrite no " +

@@ -45,9 +45,14 @@ object ExecutorKillProbe {
     val clean = q()
     println(s"[probe] clean run: ${clean.size} rows")
 
+    // scope the pid scan to THIS application's executors (--app-id on
+    // the executor command line) so a concurrent cluster session on the
+    // host can neither abort the probe nor become the kill target
+    val appId = spark.sparkContext.applicationId
     def executorPids(): Seq[Long] = {
       val out = new ProcessBuilder("sh", "-c",
-        "ps -eo pid,args | grep CoarseGrainedExecutorBackend | grep -v grep")
+        "ps -eo pid,args | grep CoarseGrainedExecutorBackend" +
+          s" | grep -- '--app-id $appId' | grep -v grep")
         .start()
       val lines = scala.io.Source.fromInputStream(out.getInputStream)
         .getLines().toList
@@ -62,6 +67,10 @@ object ExecutorKillProbe {
     val t = new Thread(() => { retried = q() })
     t.start()
     Thread.sleep(400) // let the map stage start
+    // the kill must land MID-QUERY or the probe proves nothing — fail
+    // loudly instead of printing a vacuous PASS (enlarge the workload
+    // or shorten the sleep if this trips)
+    require(t.isAlive, "query finished before the kill — nothing was tested")
     val victim = before.head
     Runtime.getRuntime.exec(Array("kill", "-9", victim.toString)).waitFor()
     println(s"[probe] killed executor pid $victim mid-query")

@@ -1,13 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Component timing for the round-11 v_neighbor_sample rewrite: the
-  * per-hop pruned dedups replacing the global 60M-pair distinct.
-  * Times each stage cold (no caches) so the breakdown is the COLD
-  * plan's, not a rep-warming artifact.
+/** Component timing for the round-11 v_neighbor_sample rewrite (both
+  * hops as dedup-free native top-k aggregates over the raw pair
+  * stream). rank()/hopTopK() mirror the builders inside
+  * Relational.v_neighbor_sample — keep them in sync when the query
+  * changes, or the probe times a different plan.
   *
   *   runMain graft.tools.NeighborProbe <sfDir> [reps]
   */
@@ -42,15 +42,6 @@ object NeighborProbe {
         .select("l_orderkey", "l_partkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-
-    def fanout(df: DataFrame, src: String, dst: String, salt: String,
-        f: Int): DataFrame = {
-      val w = Window.partitionBy(src).orderBy(
-        md5(concat(lit(salt), col(src).cast("string"), lit(":"),
-          col(dst).cast("string"))), col(dst))
-      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= f)
-        .select(src, dst)
-    }
 
     time("raw fact join")(raw.count())
     val eC = raw.cache()

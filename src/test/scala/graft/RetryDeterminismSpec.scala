@@ -35,15 +35,30 @@ class RetryDeterminismSpec extends AnyFunSuite {
     * the source) and downstream of an aggregation (reduce-stage retry
     * re-fetches shuffle blocks and re-aggregates).
     */
-  private def onceFailing(df: DataFrame): DataFrame = {
+  private def onceFailing(df: DataFrame): DataFrame = onceFailingAfter(df, 0)
+
+  /** Like [[onceFailing]] but the failing attempt first yields `after`
+    * rows — so a downstream WRITER has already opened files and emitted
+    * real output when the task dies, and the commit protocol must
+    * discard that partial attempt output (a creation-time throw would
+    * leave nothing to discard and prove less).
+    */
+  private def onceFailingAfter(df: DataFrame, after: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(df.schema)
     df.mapPartitions { it =>
       val tc = TaskContext.get()
       if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
         RetryProbe.fires.incrementAndGet()
-        throw new RuntimeException("injected task failure (retry probe)")
-      }
-      it
+        if (after <= 0)
+          throw new RuntimeException("injected task failure (retry probe)")
+        var yielded = 0
+        it.map { r =>
+          yielded += 1
+          if (yielded > after)
+            throw new RuntimeException("injected mid-write task failure (retry probe)")
+          r
+        }
+      } else it
     }(enc)
   }
 
@@ -117,10 +132,11 @@ class RetryDeterminismSpec extends AnyFunSuite {
       .select("event_type", "value")
     val cleanCounts = sorted(rows.groupBy("event_type").count())
     withFireCheck {
-      // the injected failure hits the staging WRITE job's first task —
-      // the parquet commit protocol must discard the failed attempt's
-      // output so the replayed stream still carries exactly-once rows
-      val replay = graft.streaming.FileReplay.stage(onceFailing(rows),
+      // the injected failure hits the staging WRITE job's first task
+      // AFTER 50 rows have flowed — the attempt has a real partially
+      // written file the parquet commit protocol must discard, so the
+      // replayed stream still carries exactly-once rows
+      val replay = graft.streaming.FileReplay.stage(onceFailingAfter(rows, 50),
         graft.streaming.FileReplay.rangeChunks(rows, col("value"), 3))
       val sink = "retry_replay_sink"
       val q = replay.stream

@@ -59,10 +59,12 @@ class StreamRecoverySpec extends AnyFunSuite {
     val ids = replay.chunkIds
     val q1 = start()
     try ids.take(3).foreach(replay.feed(q1, _))
-    finally {
-      replay.publish(ids(3)) // pending at crash time
-      q1.stop()
-    }
+    finally q1.stop()
+    // publish AFTER the stop: the query is dead, so the chunk is
+    // deterministically pending (publishing before the stop races a
+    // micro-batch trigger that could commit it to the offset log and
+    // quietly degrade the test to "nothing was in flight")
+    replay.publish(ids(3))
     val q2 = start() // restart: reload state, pick up the pending file
     try {
       q2.processAllAvailable()
@@ -104,7 +106,8 @@ class StreamRecoverySpec extends AnyFunSuite {
         else {
           val q1 = start()
           try ids.take(3).foreach(replay.feed(q1, _))
-          finally { replay.publish(ids(3)); q1.stop() }
+          finally q1.stop()
+          replay.publish(ids(3)) // deterministically pending (see above)
           val q2 = start()
           try { q2.processAllAvailable(); ids.drop(4).foreach(replay.feed(q2, _)) }
           finally q2.stop()
