@@ -345,10 +345,16 @@ object Bench {
       math.max(0.25, 2.0 * median)
     }
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // the gate's rolling median comes from sf0.1 full-board history, so
+    // it is only meaningful against that fixture: at a 10x/100x scale
+    // fixture the canary rows scan 10-100x the data and sit above the
+    // gate on an idle host — don't burn re-run passes there, and tag
+    // the record "uncalibrated" rather than falsely "loaded"
+    val gateApplies = sfDir.startsWith("/root/testdata/")
     var best: Seq[(String, Double, String)] = runPass()
     var bestCanary = canaryOf(best)
     var passes = 1
-    while (bestCanary > canaryGate && passes < maxPasses) {
+    while (gateApplies && bestCanary > canaryGate && passes < maxPasses) {
       System.err.println(f"[bench] canary $bestCanary%.4f > gate " +
         f"$canaryGate%.4f - rejecting loaded pass ${passes} and re-running")
       val again = runPass()
@@ -357,7 +363,9 @@ object Bench {
       passes += 1
     }
     val results = best
-    val recordQuality = if (bestCanary <= canaryGate) "quiet" else "loaded"
+    val recordQuality =
+      if (!gateApplies) "uncalibrated"
+      else if (bestCanary <= canaryGate) "quiet" else "loaded"
     // compact per-query seconds (4 decimals ≈ 0.1 ms resolution — bench noise
     // floor) so the timings line stays as short as possible for the driver's
     // bounded stdout capture; the fat plans map goes on its OWN line so a
