@@ -76,6 +76,36 @@ class RocksDbStateSpec extends AnyFunSuite {
     } finally replay.close()
   }
 
+  test("KmvAgg state through RocksDB equals the heap-backed provider") {
+    // the OTHER TypedImperativeAggregate family: KMV's variable-length
+    // long-array buffers through the RocksDB value serde
+    def kmv(in: DataFrame): DataFrame = in
+      .withColumn("hv", conv(substring(md5(concat(col("event_type"),
+        lit(":"), col("event_id").cast("string"))), 1, 7), 16, 10)
+        .cast("long"))
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.graft.KmvAgg
+        .kmvMinhashes(col("hv"), col("event_id"), 64).as("sk"))
+    def go(sink: String): Seq[String] = {
+      val replay = graft.streaming.FileReplay.stage(rows,
+        graft.streaming.FileReplay.rangeChunks(rows, col("event_id"), 4))
+      val cp = Files.createTempDirectory("graft_cp_rocks_kmv").toString
+      val q = kmv(replay.stream).writeStream.format("memory")
+        .queryName(sink).outputMode("complete")
+        .option("checkpointLocation", cp).start()
+      try {
+        replay.feedAll(q)
+        val out = sorted(spark.table(sink)
+          .select(col("event_type"), explode(col("sk"))))
+        spark.catalog.dropTempView(sink)
+        out
+      } finally { q.stop(); replay.close() }
+    }
+    val heap = withProvider(None)(go("rocks_kmv_heap"))
+    assert(heap.nonEmpty)
+    assert(withProvider(Some(rocksDb))(go("rocks_kmv")) == heap)
+  }
+
   test("TopKAgg state through RocksDB equals the heap-backed provider, with and without a restart") {
     val heap = withProvider(None)(run("rocks_ref_heap", interrupted = false))
     assert(heap.nonEmpty)
