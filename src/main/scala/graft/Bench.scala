@@ -345,12 +345,18 @@ object Bench {
       math.max(0.25, 2.0 * median)
     }
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    // the gate's rolling median comes from sf0.1 full-board history, so
-    // it is only meaningful against that fixture: at a 10x/100x scale
-    // fixture the canary rows scan 10-100x the data and sit above the
-    // gate on an idle host — don't burn re-run passes there, and tag
-    // the record "uncalibrated" rather than falsely "loaded"
-    val gateApplies = sfDir.startsWith("/root/testdata/")
+    // the gate's rolling median comes from LOCAL-MODE sf0.1 full-board
+    // history, so it is only meaningful against that exact fixture AND
+    // master: at a 10x/100x scale fixture the canary rows scan 10-100x
+    // the data; at sf0.01/sf0.001 they scan 10-100x LESS (and would drag
+    // the rolling median down if recorded); in cluster mode they pay
+    // executor RPC/serde the local floor never sees. Any of those would
+    // either burn re-run passes on an idle host or mislabel the record —
+    // tag them "uncalibrated" rather than falsely "quiet"/"loaded".
+    val isLocalMaster = master.startsWith("local[")
+    val isCalibratedFixture =
+      sfDir.stripSuffix("/") == "/root/testdata/sf0.1"
+    val gateApplies = isCalibratedFixture && isLocalMaster
     var best: Seq[(String, Double, String)] = runPass()
     var bestCanary = canaryOf(best)
     var passes = 1
@@ -402,18 +408,22 @@ object Bench {
     val full = line.dropRight(1) + s""","plans":$plans}""" + "\n"
     // a multi-process (SPARK_GRAFT_MASTER) record is comparable only to
     // other cluster-mode runs — keep it out of the local-mode record and
-    // its history (same reasoning as the subset-run split below)
-    val isLocalMaster = master.startsWith("local[")
-    val isFullBoard = only.isEmpty && sfDir.startsWith("/root/testdata/") &&
-      isLocalMaster
+    // its history (same reasoning as the subset-run split below).
+    // isCalibratedFixture (NOT a /root/testdata/ prefix) guards the
+    // committed record: the prefix also matches the sf0.001/sf0.01
+    // fixtures, so a full-board run at a smaller SF would silently
+    // overwrite the sf0.1 record and poison the canary history with
+    // 10-100x-smaller canaries — exactly the failure the guard exists
+    // to prevent.
+    val isFullBoard = only.isEmpty && isCalibratedFixture && isLocalMaster
     val lastFile =
       if (isFullBoard) "bench_last.json"
       // the cluster record gets the SAME fixture guard as the local one
       // (an alternate-fixture run must never overwrite the committed
       // sf0.1 record), and name-filtered cluster runs stay out of the
       // local-mode subset file — four distinct artifacts, no crosstalk
-      else if (!isLocalMaster && only.isEmpty &&
-        sfDir.startsWith("/root/testdata/")) "bench_cluster_last.json"
+      else if (!isLocalMaster && only.isEmpty && isCalibratedFixture)
+        "bench_cluster_last.json"
       else if (!isLocalMaster) "bench_cluster_subset_last.json"
       else "bench_subset_last.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(lastFile),

@@ -50,7 +50,11 @@ object TopKDispatch {
 
   /** Per-group top-k by `(value DESC, id ASC)` with an `rn` rank column —
     * identical output schema and rows under either rendering:
-    * `groupCols..., rn INT, <idCol>, <valueCol>`.
+    * `groupCols..., rn INT, <idCol>, <valueCol>`. Semantics are top-k
+    * over the DISTINCT non-null non-NaN (value, id) pairs per group
+    * with -0.0 ≡ +0.0 (TopKAgg's native contract, replicated exactly by
+    * the window rendering — see [[normalized]]); pinned by
+    * TopKDispatchSpec including duplicate-pair / NaN / -0.0 frames.
     */
   def perGroupTopK(
       df: DataFrame,
@@ -82,15 +86,33 @@ object TopKDispatch {
         // CBO off (the Spark default) never propagates attributeStats
         // through plan.stats — read the ANALYZE'd column stats straight
         // off the catalog leaf, but ONLY when the frame is a bare
-        // scan/projection of that table: a filter (or join/aggregate)
-        // above the leaf makes whole-table cardinalities wrong for the
-        // frame actually being aggregated — fall through to the probe,
+        // scan/projection of that table. "Bare" is a WHITELIST, not a
+        // blacklist: every node must be a Project (row-count-preserving
+        // by construction) over the single relation leaf — a blacklist
+        // of Filter/Join/Aggregate would wave through Generate (explode
+        // multiplies rows), Limit/Sample (truncate rows), Window,
+        // Distinct... and feed whole-table cardinalities to a frame
+        // with a different row count. The group column must also trace
+        // to the RELATION'S OWN attribute (same exprId end to end): a
+        // Project aliasing `upper(x) AS x` keeps the name but changes
+        // the distinct count. Anything else falls through to the probe,
         // which measures the frame as given.
-        val bareScan = df.queryExecution.optimizedPlan.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
-          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-        }.isEmpty
+        import org.apache.spark.sql.catalyst.plans.logical.{
+          LogicalPlan, Project, SubqueryAlias}
+        val plan2 = df.queryExecution.optimizedPlan
+        val allProjections = plan2.collect {
+          case p: LogicalPlan => p
+        }.forall {
+          case _: Project | _: SubqueryAlias => true
+          case leaf if leaf.children.isEmpty => true
+          case _ => false
+        }
+        val bareScan = allProjections && (for {
+          leaf <- plan2.collectLeaves() match {
+            case Seq(l) => Some(l); case _ => None }
+          la <- leaf.output.find(_.name == groupCols.head)
+          oa <- plan2.output.find(_.name == groupCols.head)
+        } yield la.exprId == oa.exprId).getOrElse(false)
         viaCbo.orElse {
           if (!bareScan) None
           else df.queryExecution.analyzed.collectLeaves() match {
@@ -124,17 +146,29 @@ object TopKDispatch {
   }
 
   /** Both renderings normalize to the SAME input contract so a regime
-    * flip can never change answers: rows with a null value or id are
-    * excluded (TopKAgg skips them natively; the window filters them
-    * explicitly), and value/id are cast to double/long up front (the
-    * aggregate's input types) so the output schema is identical too.
+    * flip can never change answers. The contract is TopKAgg's native
+    * semantics, made explicit on the window side too:
+    *  - rows with a null value or id are excluded (TopKAgg skips them
+    *    natively; the window filters them explicitly);
+    *  - NaN values are excluded (TopKBuf rejects them on insert; a
+    *    window would rank them FIRST — disjoint top-k sets otherwise);
+    *  - -0.0 folds to +0.0 (`x + 0.0` is the identity for every other
+    *    double; TopKBuf folds on insert, and Double.compare would
+    *    otherwise rank 0.0 above -0.0 where SQL comparison ties them);
+    *  - duplicate (value, id) pairs within a group collapse to one
+    *    entry (TopKBuf has set semantics; the window dedups adjacent
+    *    rows — see [[renderWindow]]);
+    *  - value/id are cast to double/long up front (the aggregate's
+    *    input types) so the output schema is identical too.
     */
   private def normalized(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, idCol: String): DataFrame =
-    df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      valueCol: String, idCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(col(valueCol).isNotNull && col(idCol).isNotNull && !isnan(v))
       .select(groupCols.map(col) ++ Seq(
-        col(valueCol).cast("double").as(valueCol),
+        (v + lit(0.0)).as(valueCol),
         col(idCol).cast("long").as(idCol)): _*)
+  }
 
   private[graft] def renderNative(df0: DataFrame, groupCols: Seq[String],
       valueCol: String, idCol: String, k: Int): DataFrame = {
@@ -153,7 +187,17 @@ object TopKDispatch {
     val df = normalized(df0, groupCols, valueCol, idCol)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(valueCol).desc, col(idCol))
-    df.withColumn("rn", row_number().over(w))
+    // set semantics to match TopKBuf: the window sort makes duplicate
+    // (value, id) pairs ADJACENT, so lag over the SAME window spec
+    // detects them without any extra exchange — and the row_number
+    // after the filter reuses the same partitioning/ordering too
+    // (one shuffle + one sort for the whole rendering; pinned in
+    // TopKDispatchSpec's plan check)
+    df.withColumn("_pv", lag(col(valueCol), 1).over(w))
+      .withColumn("_pi", lag(col(idCol), 1).over(w))
+      .filter(col("_pv").isNull ||
+        col("_pv") =!= col(valueCol) || col("_pi") =!= col(idCol))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(groupCols.map(col) ++ Seq(
         col("rn"), col(idCol), col(valueCol)): _*)

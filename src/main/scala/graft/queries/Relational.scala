@@ -2432,15 +2432,23 @@ object Relational {
     // the events fact lands in the native aggregate's bounded-tree-reduce
     // regime at every SF, so the plan is stable for the pin while the
     // decision stays measured, not hard-coded. Output is identical under
-    // either rendering (TopKDispatchSpec pins row-set equality), so a
-    // regime flip at some future fixture can never change answers.
+    // either rendering (TopKDispatchSpec pins row-set equality incl.
+    // duplicate-pair/NaN/-0.0 frames), so a regime flip at some future
+    // fixture can never change answers. The oracle states the
+    // dispatcher's contract EXPLICITLY — top-k over the DISTINCT
+    // non-null non-NaN pairs with -0.0 folded to +0.0 (TopKAgg's set
+    // semantics) — rather than relying on the fixture's unique event
+    // ids to make plain ROW_NUMBER agree.
     Q("q_topk_dispatch",
       """SELECT event_type, CAST(rn AS INT) AS rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,
         |    ROW_NUMBER() OVER (PARTITION BY event_type
         |                       ORDER BY value DESC, event_id) AS rn
-        |  FROM events WHERE value IS NOT NULL
-        |    AND event_id IS NOT NULL) t WHERE rn <= 4""".stripMargin) { (s, dir) =>
+        |  FROM (SELECT DISTINCT event_type, event_id,
+        |          CASE WHEN value = 0 THEN 0.0 ELSE value END AS value
+        |        FROM events WHERE value IS NOT NULL
+        |          AND event_id IS NOT NULL AND NOT isnan(value)) u
+        |  ) t WHERE rn <= 4""".stripMargin) { (s, dir) =>
       val in = Tables.load(s, dir, "events")
         .filter(col("value").isNotNull && col("event_id").isNotNull)
         .select("event_type", "event_id", "value")

@@ -20,8 +20,12 @@ object NeighborProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // MUST match the cloned-session conf v_neighbor_sample sets
+      // (Relational.scala: 65536 covers hop-2's ~20k part groups per map
+      // partition) — at 4096 the probe's hop-2 would take the sort-based
+      // fallback the real query never pays, timing the wrong plan.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "4096")
+        "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

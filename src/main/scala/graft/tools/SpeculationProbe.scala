@@ -82,12 +82,25 @@ object SpeculationProbe {
 
     val clean = q(inject = false)
     println(s"[probe] clean run: ${clean.size} rows")
+    // snapshot AFTER draining the (async) listener bus: speculation is
+    // active during the clean run too, so natural variance there could
+    // launch attempts — counting only the injected run's DELTA keeps the
+    // gate from passing vacuously on a clean-run speculation; draining
+    // again before reading keeps a genuinely-speculated healthy run from
+    // failing on an event still in flight
+    org.apache.spark.sql.graft.ListenerBridge
+      .drainListenerBus(spark.sparkContext)
+    val before = speculated.get()
     val raced = q(inject = true)
-    println(s"[probe] speculative attempts launched: ${speculated.get()}")
+    org.apache.spark.sql.graft.ListenerBridge
+      .drainListenerBus(spark.sparkContext)
+    val injectedAttempts = speculated.get() - before
+    println(s"[probe] speculative attempts launched (injected run): " +
+      s"$injectedAttempts (session total ${speculated.get()})")
     println(s"[probe] result equal to clean run: ${raced == clean}")
-    require(speculated.get() > 0,
-      "no speculative attempt launched — the probe tested nothing " +
-        "(raise the sleep or lower the quantile)")
+    require(injectedAttempts > 0,
+      "no speculative attempt launched during the injected run — the " +
+        "probe tested nothing (raise the sleep or lower the quantile)")
     require(raced == clean, "result diverged under speculative execution")
     spark.stop()
     println("[probe] PASS: duplicate-attempt (speculation) commit is result-identical")

@@ -68,6 +68,83 @@ class TopKDispatchSpec extends AnyFunSuite {
     assert(ns.size == 3, s"expected (a,5),(a,4),(b,1) ranked: $ns")
   }
 
+  test("duplicate (value,id) pairs, NaN and -0.0 normalize identically") {
+    // round-11 second-pass review finding: TopKBuf has SET semantics on
+    // (value, id), rejects NaN on insert and folds -0.0 to +0.0 — a raw
+    // window does none of those, so the renderings disagreed on frames
+    // with duplicate pairs (the window double-counts them and can push a
+    // distinct pair out of the top-k), NaN values (Spark ranks NaN above
+    // every double; TopKAgg drops the row) or negative zero. The
+    // dispatcher's contract is now TopKAgg's semantics on BOTH sides.
+    import spark.implicits._
+    val in = Seq(
+      // g=a: (5.0,2) duplicated — plain row_number would emit it twice
+      // and evict (3.0,9) from the top-3
+      ("a", 5.0, 2L), ("a", 5.0, 2L), ("a", 4.0, 4L), ("a", 3.0, 9L),
+      // g=b: NaN must be dropped, not ranked first
+      ("b", Double.NaN, 1L), ("b", 7.0, 2L), ("b", 6.0, 3L),
+      // g=c: -0.0 and +0.0 with the SAME id collapse to one +0.0 entry;
+      // with different ids they tie on value and break by id
+      ("c", -0.0, 5L), ("c", 0.0, 5L), ("c", -0.0, 3L)
+    ).toDF("g", "v", "id")
+    val n = TopKDispatch.renderNative(in, Seq("g"), "v", "id", 3)
+    val w = TopKDispatch.renderWindow(in, Seq("g"), "v", "id", 3)
+    val ns = n.collect().map(_.toString).sorted.toSeq
+    val ws = w.collect().map(_.toString).sorted.toSeq
+    assert(ns == ws, s"native=$ns window=$ws")
+    assert(ns == Seq(
+      "[a,1,2,5.0]", "[a,2,4,4.0]", "[a,3,9,3.0]",
+      "[b,1,2,7.0]", "[b,2,3,6.0]",
+      "[c,1,3,0.0]", "[c,2,5,0.0]").sorted.toSeq)
+  }
+
+  test("the window rendering's set semantics cost no extra exchange") {
+    // the adjacent-dedup lag and the post-filter row_number share the
+    // window's (partition, order) spec, so Catalyst plans ONE shuffle
+    // and ONE sort for the whole rendering — dedup via dropDuplicates
+    // would add a second, differently-keyed exchange
+    val w = TopKDispatch.renderWindow(
+      orders, Seq("o_orderstatus"), "o_totalprice", "o_orderkey", 3)
+    val plan = w.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val sorts = "\\bSort\\b".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one shuffle, got $exchanges:\n$plan")
+    assert(sorts == 1, s"expected one sort, got $sorts:\n$plan")
+  }
+
+  test("frames with row-count-changing nodes never use catalog stats") {
+    // the bare-scan guard is a WHITELIST (Project-over-leaf only): a
+    // blacklist of Filter/Join/Aggregate waved through Limit (truncates
+    // rows) and Generate/explode (multiplies rows), feeding whole-table
+    // cardinalities to a frame with a different row count
+    val name = "topk_dispatch_shape_t"
+    orders.select("o_orderstatus", "o_totalprice", "o_orderkey")
+      .write.mode("overwrite").saveAsTable(name)
+    try {
+      spark.sql(
+        s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS o_orderstatus")
+      val limited = TopKDispatch.decide(
+        spark.table(name).limit(100), Seq("o_orderstatus"), 3)
+      assert(limited.source == "probe",
+        s"limit changes the row count — stats are invalid: $limited")
+      assert(limited.rows == 100, s"probe must see the limited frame: $limited")
+      val exploded = TopKDispatch.decide(
+        spark.table(name).withColumn("x",
+          explode(array(lit(1), lit(2), lit(3)))),
+        Seq("o_orderstatus"), 3)
+      assert(exploded.source == "probe",
+        s"explode multiplies the row count — stats are invalid: $exploded")
+      // a Project that REPLACES the group column under the same name
+      // must not reuse the raw column's distinct count
+      val aliased = TopKDispatch.decide(
+        spark.table(name).withColumn("o_orderstatus",
+          concat(col("o_orderstatus"), col("o_orderkey"))),
+        Seq("o_orderstatus"), 3)
+      assert(aliased.source == "probe",
+        s"derived grouping key must not reuse raw-column stats: $aliased")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("filtered frames never use whole-table catalog stats") {
     val name = "topk_dispatch_filter_t"
     orders.select("o_orderstatus", "o_totalprice", "o_orderkey")
