@@ -370,7 +370,11 @@ object Bench {
     }
     val results = best
     val recordQuality =
-      if (!gateApplies) "uncalibrated"
+      // canaryOf returns the -1.0 sentinel when the run has no fn_/op_
+      // rows at all (a name-filtered subset): the canary measured
+      // nothing, so the record must say "uncalibrated", not sail under
+      // the gate as a vacuous "quiet"
+      if (!gateApplies || bestCanary < 0) "uncalibrated"
       else if (bestCanary <= canaryGate) "quiet" else "loaded"
     // compact per-query seconds (4 decimals ≈ 0.1 ms resolution — bench noise
     // floor) so the timings line stays as short as possible for the driver's

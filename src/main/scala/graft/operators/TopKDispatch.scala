@@ -96,26 +96,36 @@ object TopKDispatch {
         // to the RELATION'S OWN attribute (same exprId end to end): a
         // Project aliasing `upper(x) AS x` keeps the name but changes
         // the distinct count. Anything else falls through to the probe,
-        // which measures the frame as given.
+        // which measures the frame as given. Both the whitelist walk
+        // AND the catalog-leaf read use the SAME optimized plan (post
+        // withCachedData, post constant folding): reading the leaf off
+        // the ANALYZED plan instead would let a cached aggregate
+        // (optimized = bare InMemoryRelation leaf, analyzed = Aggregate
+        // over the relation) or a folded-away frame
+        // (filter(lit(false)) -> empty LocalRelation leaf) slip
+        // whole-table stats onto a frame with a different row count —
+        // on this plan, a non-LogicalRelation leaf simply has no
+        // catalogTable and falls to the probe. (EliminateSubqueryAliases
+        // means no SubqueryAlias survives optimization, so Project is
+        // the only allowed non-leaf node.)
         import org.apache.spark.sql.catalyst.plans.logical.{
-          LogicalPlan, Project, SubqueryAlias}
-        val plan2 = df.queryExecution.optimizedPlan
-        val allProjections = plan2.collect {
+          LogicalPlan, Project}
+        val allProjections = plan.collect {
           case p: LogicalPlan => p
         }.forall {
-          case _: Project | _: SubqueryAlias => true
+          case _: Project => true
           case leaf if leaf.children.isEmpty => true
           case _ => false
         }
         val bareScan = allProjections && (for {
-          leaf <- plan2.collectLeaves() match {
+          leaf <- plan.collectLeaves() match {
             case Seq(l) => Some(l); case _ => None }
           la <- leaf.output.find(_.name == groupCols.head)
-          oa <- plan2.output.find(_.name == groupCols.head)
+          oa <- plan.output.find(_.name == groupCols.head)
         } yield la.exprId == oa.exprId).getOrElse(false)
         viaCbo.orElse {
           if (!bareScan) None
-          else df.queryExecution.analyzed.collectLeaves() match {
+          else plan.collectLeaves() match {
             case Seq(lr: org.apache.spark.sql.execution.datasources.LogicalRelation) =>
               for {
                 tbl <- lr.catalogTable

@@ -142,6 +142,28 @@ class TopKDispatchSpec extends AnyFunSuite {
         Seq("o_orderstatus"), 3)
       assert(aliased.source == "probe",
         s"derived grouping key must not reuse raw-column stats: $aliased")
+      // the whitelist and the catalog-leaf read must walk the SAME
+      // (optimized, post-withCachedData) plan: a cached aggregate's
+      // optimized plan is a bare InMemoryRelation leaf while its
+      // ANALYZED plan still bottoms out at the relation — reading the
+      // leaf off the analyzed plan handed whole-table stats to a
+      // group-count-sized frame
+      val agg = spark.table(name).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n")).cache()
+      try {
+        agg.count() // materialize so the InMemoryRelation substitutes
+        val cached = TopKDispatch.decide(agg, Seq("o_orderstatus"), 3)
+        assert(cached.source == "probe",
+          s"a cached aggregate must not reuse base-table stats: $cached")
+        assert(cached.rows == 3, s"probe must see the aggregated frame: $cached")
+      } finally agg.unpersist()
+      // a constant-folded frame (optimized to an empty LocalRelation)
+      // has no catalog leaf either
+      val folded = TopKDispatch.decide(
+        spark.table(name).filter(lit(false)), Seq("o_orderstatus"), 3)
+      assert(folded.source == "probe",
+        s"a folded-empty frame must not report whole-table stats: $folded")
+      assert(folded.rows == 0, s"probe must see the empty frame: $folded")
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
