@@ -764,7 +764,19 @@ object StateQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // order by (ts, errors-BEFORE-purchases, id): the oracle's
+      // `p.ts >= e.ts` is INCLUSIVE, so an error sharing a purchase's
+      // exact ts must land inside the purchase's frame regardless of
+      // how their event_ids compare — plain (ts, id) ordering would
+      // exclude a same-ts error with a larger id, silently diverging
+      // from both DuckDB and AsOfJoinExec (whose merge advances through
+      // `rt <= t`, ties to the largest (time, id)) on a ts collision.
+      // Among equal-ts errors the largest id sorts last in the frame
+      // and wins `last()` — the exec's tie rule exactly.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"),
+          when(col("event_type") === "error", 0).otherwise(1),
+          col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       Tables.load(s, dir, "events")
         .filter(col("event_type").isin("purchase", "error"))

@@ -61,9 +61,14 @@ object Cep {
     * join (`j_asof` / the native `AsOfJoinExec`): keyed state carries the
     * latest dimension row (16 bytes/key: ts + id), and every query-kind
     * event emits immediately with whatever the state held when it was
-    * processed. Events are advanced in (ts, id) order within each
-    * micro-batch — the same total order the batch window rendering sorts
-    * by — so given time-ordered batches the emitted set is EXACTLY the
+    * processed. Events are advanced in (ts, dim-before-query, id) order
+    * within each micro-batch: dims at ts T are visible to queries at the
+    * SAME T, matching the oracle's inclusive `p.ts >= e.ts` and
+    * AsOfJoinExec's `rt <= t` merge (plain (ts, id) order would make a
+    * same-ts dim's visibility depend on how the ids happen to compare),
+    * and among equal-ts dims the largest id overwrites last and wins —
+    * the exec's ties-to-largest-(time, id) rule exactly. Given
+    * time-ordered batches the emitted set is then EXACTLY the
     * ASOF LEFT JOIN result (matchId -1 = no prior dimension row = the
     * batch join's null). This is the stream-enrich shape every fleet
     * runs: readings against the latest calibration, purchases against
@@ -76,7 +81,8 @@ object Cep {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (key, it, state) =>
         var (lastTs, lastId) = state.getOption.getOrElse((-1L, -1L))
         val out = scala.collection.mutable.ArrayBuffer.empty[EnrichMatch]
-        it.toSeq.sortBy(e => (e.ts, e.id)).foreach { e =>
+        it.toSeq.sortBy(e =>
+          (e.ts, if (e.kind == dimKind) 0 else 1, e.id)).foreach { e =>
           if (e.kind == dimKind) { lastTs = e.ts; lastId = e.id }
           else if (e.kind == queryKind) out += EnrichMatch(key, e.id, lastId)
         }

@@ -51,11 +51,21 @@ object FileReplay {
   private val stagedCache = new scala.collection.mutable.LinkedHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), Staged]
 
+  /** Eagerly-materialized directory listing with the stream CLOSED:
+    * `Files.list` holds an open directory fd until the stream is closed
+    * — looping its iterator and dropping the stream leaks one fd per
+    * call (publish runs per chunk per rep; hundreds of reps between GC
+    * cycles can exhaust the ulimit and fail unrelated driver opens).
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+      .asScala.toVector
+    finally s.close()
+  }
+
   private def rm(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) rm(it.next())
-    }
+    if (Files.isDirectory(p)) listDir(p).foreach(rm)
     Files.deleteIfExists(p)
   }
 
@@ -81,9 +91,7 @@ object FileReplay {
           .write.partitionBy("__chunk")
           .parquet(stageDir.toString)
         var chunks = Map.empty[Int, Path]
-        val dirs = Files.list(stageDir).iterator()
-        while (dirs.hasNext) {
-          val d = dirs.next()
+        listDir(stageDir).foreach { d =>
           val n = d.getFileName.toString
           if (n.startsWith("__chunk="))
             chunks += (n.stripPrefix("__chunk=").toInt -> d)
@@ -121,9 +129,7 @@ object FileReplay {
       * first).
       */
     def publish(i: Int): Unit = st.chunks.get(i).foreach { dir =>
-      val files = Files.list(dir).iterator()
-      while (files.hasNext) {
-        val f = files.next()
+      listDir(dir).foreach { f =>
         val name = f.getFileName.toString
         if (name.endsWith(".parquet")) {
           val target = watchDir.resolve(s"chunk$i-$name")
@@ -166,8 +172,15 @@ object FileReplay {
     */
   def rangeChunks(df: DataFrame, c: Column, n: Int): Column = {
     val r = df.agg(min(c).cast("long"), max(c).cast("long")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val width = (hi - lo + 1 + n - 1) / n max 1L
-    ((c.cast("long") - lit(lo)) / lit(width)).cast("int")
+    // empty (or all-null-column) corpus: min/max aggregate to NULL and
+    // getLong would NPE — a filtered feed with zero matching rows at a
+    // small SF is a legitimate replay, not a crash; everything (if
+    // anything) lands in one chunk
+    if (r.isNullAt(0) || r.isNullAt(1)) lit(0)
+    else {
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = (hi - lo + 1 + n - 1) / n max 1L
+      ((c.cast("long") - lit(lo)) / lit(width)).cast("int")
+    }
   }
 }

@@ -120,6 +120,11 @@ object Flac {
       blockSize: Int = 1024): Array[Byte] = {
     require(channels >= 1 && channels <= 8, s"channels $channels")
     require(blockSize >= 16 && blockSize <= 65535, s"blockSize $blockSize")
+    // STREAMINFO's sample-rate field is 20 bits; writeBits would
+    // silently truncate a larger rate (1100000 -> 51424) and the stream
+    // would decode with the wrong rate — refuse it at encode time
+    require(sampleRate >= 1 && sampleRate < (1 << 20),
+      s"sampleRate $sampleRate exceeds FLAC's 20-bit STREAMINFO field")
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO (type 0, last metadata block), 34 bytes

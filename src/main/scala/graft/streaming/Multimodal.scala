@@ -429,12 +429,17 @@ object Multimodal {
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     var off = 0
-    while (!inflater.finished() && off < raw.length) {
-      val n = inflater.inflate(raw, off, raw.length - off)
-      if (n == 0 && inflater.needsInput()) return None // truncated stream
-      off += n
-    }
-    inflater.end()
+    // end() in finally: the truncated-stream early return (and a
+    // DataFormatException from malformed IDAT) would otherwise retain
+    // native zlib memory until finalization — exactly under the
+    // corrupt-input load this decoder is documented to tolerate
+    try {
+      while (!inflater.finished() && off < raw.length) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+    } finally inflater.end()
     if (off < raw.length) return None
     // per-scanline unfilter (PNG spec 9.2): bpp is the full-pixel stride
     val out = new Array[Byte](rowBytes * height)
@@ -1711,7 +1716,11 @@ object Multimodal {
     * JPEG [[decodePixelsAny]] can pixel-decode); other containers fall
     * back to stub byte slices until their codecs have a JVM decode path.
     */
-  def frameSample(ds: Dataset[MediaRecord], everyN: Int): Dataset[FrameSample] =
+  def frameSample(ds: Dataset[MediaRecord], everyN: Int): Dataset[FrameSample] = {
+    // fail at the method boundary, not as a per-record Range
+    // IllegalArgumentException inside an executor task (and a negative
+    // everyN would silently yield zero frames rather than erroring)
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     ds.flatMap { r =>
       val avi = aviVideoFrames(r.bytes)
       if (avi.nonEmpty)
@@ -1726,4 +1735,5 @@ object Multimodal {
         }
       }
     }
+  }
 }

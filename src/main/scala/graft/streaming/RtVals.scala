@@ -160,7 +160,14 @@ object RtVals {
         var (kind, lastNum, lastText, mn, mx, n, lastTs) =
           state.getOption.getOrElse(("", Double.NaN, "",
             Double.PositiveInfinity, Double.NegativeInfinity, 0L, Long.MinValue))
-        it.toSeq.sortBy(_.ts).foreach { u =>
+        // total-order tie-break like every sibling machine (snapshots/
+        // ewma sort (ts, value); Cep sorts (ts, kind)/(ts, id)): ts
+        // alone would leave same-timestamp updates in shuffle order, so
+        // lastText/lastFlag could differ between a replay and its rerun
+        // (or a speculative duplicate attempt). doubleToLongBits gives
+        // num a deterministic order with one canonical NaN.
+        it.toSeq.sortBy(u => (u.ts, u.kind, u.text,
+          java.lang.Double.doubleToLongBits(u.num))).foreach { u =>
           kind = u.kind
           u.kind match {
             case "real" | "int" =>

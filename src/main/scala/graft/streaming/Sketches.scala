@@ -358,12 +358,18 @@ object Sketches {
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, DedupDecision](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
-        var keeper = state.getOption.getOrElse(-1L)
+        // Option, not a -1 sentinel: ids are an arbitrary cast("long")
+        // column, so a NEGATIVE keeper id is reachable — a sentinel
+        // would make it indistinguishable from empty state and every
+        // later arrival would re-claim (and duplicate) the key
+        var keeper: Option[Long] = state.getOption
         val out = it.toSeq.sortBy(_._1).map { case (id, _) =>
-          if (keeper < 0) { keeper = id; DedupDecision(id, key, keep = true, id) }
-          else DedupDecision(id, key, keep = id == keeper, keeper)
+          keeper match {
+            case None => keeper = Some(id); DedupDecision(id, key, keep = true, id)
+            case Some(k) => DedupDecision(id, key, keep = id == k, k)
+          }
         }
-        state.update(keeper)
+        keeper.foreach(state.update)
         out.iterator
       }
   }

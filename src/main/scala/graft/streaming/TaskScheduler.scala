@@ -60,8 +60,22 @@ class TaskScheduler(
     String, List[ScheduledTask]]()
   private val futures = new java.util.concurrent.ConcurrentLinkedQueue[ScheduledFuture[_]]()
 
+  /** One scheduler tick, exception-contained: scheduleAtFixedRate
+    * silently suppresses ALL future runs after a single thrown
+    * exception, so one transient dispatch failure (a socket down for
+    * one tick) would otherwise permanently and invisibly kill a
+    * recurring task — and a throwing Clock tick would skip its re-arm,
+    * ending the daily schedule forever. A failed tick is logged and the
+    * task stays armed; the next tick retries.
+    */
+  private def tick(label: String)(body: => Unit): Unit =
+    try body catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[tasks] task '$label' tick failed (kept armed): $e")
+    }
+
   private def guarded(t: ScheduledTask): Unit =
-    if (t.req()) dispatch(t.id, t.cmd)
+    tick(t.id) { if (t.req()) dispatch(t.id, t.cmd) }
 
   /** Arm a task; returns this for chaining. */
   def add(t: ScheduledTask): TaskScheduler = {
@@ -87,7 +101,7 @@ class TaskScheduler(
         // the runnable may fire before ref is set (initial delay 0): a
         // null ref skips the cancel this tick; the next tick retries
         val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
-        ref.set(scheduler.scheduleAtFixedRate(() => {
+        ref.set(scheduler.scheduleAtFixedRate(() => tick(t.id) {
           if (!stopped.get()) {
             if (t.req() && runs.incrementAndGet() <= maxChecks) dispatch(t.id, t.cmd)
             else { stopped.set(true); Option(ref.get()).foreach(_.cancel(false)) }
@@ -98,7 +112,7 @@ class TaskScheduler(
         val polls = new java.util.concurrent.atomic.AtomicInteger(0)
         val ref = new java.util.concurrent.atomic.AtomicReference[ScheduledFuture[_]]()
         val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-        ref.set(scheduler.scheduleAtFixedRate(() => {
+        ref.set(scheduler.scheduleAtFixedRate(() => tick(t.id) {
           if (!done.get()) {
             if (t.req()) { done.set(true); dispatch(t.id, t.cmd) }
             else if (polls.incrementAndGet() >= maxChecks) done.set(true)
@@ -175,32 +189,68 @@ class TasklistRunner(
   def startSet(id: String): Boolean = sets.get(id) match {
     case None => false
     case Some(s) =>
-      (0 until math.max(s.repeat, 1)).foreach { _ =>
-        if (s.run == "step") runStep(s.tasks.toList)
-        else s.tasks.foreach { t =>
+      // replay passes run SEQUENTIALLY: a plain loop would launch every
+      // pass at once whenever a task has a Delay trigger (the schedule
+      // call returns immediately), interleaving t1,t1,t2,t2 across
+      // passes instead of replaying t1,t2 then t1,t2. Step sets chain
+      // the next pass through the step continuation (exact: pass N+1
+      // starts after pass N's last task); oneshot sets schedule it
+      // after the pass's Delay horizon (interval/clock arms are
+      // persistent, not pass-scoped, so they don't gate replay).
+      def oneshotPass(): Long = {
+        var horizonMs = 0L
+        s.tasks.foreach { t =>
           outputs.put(t.id, t.output)
           t.trigger match {
-            case Some(tr) => tasks.add(ScheduledTask(t.id, tr, t.value, guard(t)))
+            case Some(tr) =>
+              tasks.add(ScheduledTask(t.id, tr, t.value, guard(t)))
+              tr match {
+                case Delay(d) => horizonMs = math.max(horizonMs, d)
+                case _ => ()
+              }
             case None => if (guard(t)()) dispatch(t.id, t.value)
           }
         }
+        horizonMs
       }
+      def runPass(remaining: Int): Unit = if (remaining > 0) {
+        if (s.run == "step") runStep(s.tasks.toList, () => runPass(remaining - 1))
+        else {
+          val horizonMs = oneshotPass()
+          if (remaining > 1) {
+            if (horizonMs == 0L) runPass(remaining - 1)
+            else scheduler.schedule((() => runPass(remaining - 1)): Runnable,
+              horizonMs, TimeUnit.MILLISECONDS)
+          }
+        }
+      }
+      runPass(math.max(s.repeat, 1))
       true
   }
 
   /** Step mode: each task runs after the previous one completed; a
     * failing guard stops the set (the reference then runs the `failure`
     * set — surfaced to the caller as a false return from the guard, the
-    * alert path being control plane).
+    * alert path being control plane). A failing guard — or a throwing
+    * dispatch — also cancels the remaining replay passes, which is what
+    * "stop at the first failing task" means across a repeat. `done`
+    * fires only when the whole pass completed.
     */
-  private def runStep(rest: List[TaskSpec]): Unit = rest match {
-    case Nil => ()
+  private def runStep(rest: List[TaskSpec], done: () => Unit): Unit = rest match {
+    case Nil => done()
     case t :: more =>
       val run: Runnable = () =>
         if (guard(t)()) {
           outputs.put(t.id, t.output)
-          dispatch(t.id, t.value)
-          runStep(more)
+          val ok =
+            try { dispatch(t.id, t.value); true }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[tasks] step task '${t.id}' failed - set stopped: $e")
+                false
+            }
+          if (ok) runStep(more, done)
         }
       t.trigger match {
         case Some(Delay(d)) => scheduler.schedule(run, d, TimeUnit.MILLISECONDS)

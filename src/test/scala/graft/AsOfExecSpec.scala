@@ -122,7 +122,12 @@ class AsOfExecSpec extends AnyFunSuite {
   test("parity with the union+window as-of rendering on the events fixture") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     // union + last(ignore nulls) window: the j_asof board rendering
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // (ts ties: errors sort BEFORE purchases — the oracle's inclusive
+    // `p.ts >= e.ts`; kept in sync with StateQueries.j_asof)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"),
+        when(col("event_type") === "error", 0).otherwise(1),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val expected = ev.filter(col("event_type").isin("purchase", "error"))
       .withColumn("err_id", when(col("event_type") === "error", col("event_id")))
@@ -146,6 +151,68 @@ class AsOfExecSpec extends AnyFunSuite {
     // sanity: the fixture exercises both the match and no-match paths
     assert(native.filter(col("err_event_id").isNull).count() > 0)
     assert(native.filter(col("err_event_id").isNotNull).count() > 0)
+  }
+
+  test("ts-tie semantics agree across window, exec and streaming formulations") {
+    // round-11 streaming review finding: DuckDB's ASOF `p.ts >= e.ts` is
+    // INCLUSIVE, so a dim row sharing a query's exact ts must match
+    // regardless of how the ids compare — the window rendering and the
+    // stream machine previously ordered by plain (ts, id), making a
+    // same-ts dim's visibility depend on the id comparison. All three
+    // formulations now pin the exec's rule: at-or-before, ties to the
+    // largest (time, id).
+    val frame = Seq(
+      // (user, type, ts, id)
+      (1L, "error", 100L, 9L), (1L, "purchase", 100L, 5L), // inclusive, dim id larger
+      (1L, "purchase", 99L, 1L),                           // strictly before any dim
+      (2L, "error", 100L, 3L), (2L, "error", 100L, 7L),    // equal-ts dims: largest id
+      (2L, "purchase", 100L, 5L),
+      (3L, "error", 100L, 2L), (3L, "purchase", 100L, 8L)  // inclusive, dim id smaller
+    )
+    val expected = Set((5L, 9L), (1L, -1L), (5L, 7L), (8L, 2L))
+    val ev = frame.toDF("user_id", "event_type", "ts", "event_id")
+
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"),
+        when(col("event_type") === "error", 0).otherwise(1),
+        col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val window = ev
+      .withColumn("err_id", when(col("event_type") === "error", col("event_id")))
+      .withColumn("last_err", last("err_id", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("last_err"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(window == expected, s"window rendering: $window")
+
+    val native = AsOf.joinAsOf(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("r_event_id"),
+            col("user_id").as("r_user_id"), col("ts").as("r_ts")),
+        "user_id", "r_user_id", "ts", "r_ts", "event_id", "r_event_id")
+      .select(col("event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(native == expected, s"native exec: $native")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EnrichEvent]
+    ms.addData(frame.map { case (u, k, t, i) =>
+      graft.streaming.EnrichEvent(u.toString, if (k == "error") "dim" else "qry", t, i)
+    })
+    val sink = "asof_tie_stream_t"
+    val q = graft.streaming.Cep.asOfEnrich(ms.toDS(), "dim", "qry").toDF()
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(sink)
+      .select(col("queryId"), col("matchId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.dropTempView(sink)
+    assert(streamed == expected, s"stream machine: $streamed")
   }
 
   test("plan shape: sorted co-partitioned children, merge only — no join node") {

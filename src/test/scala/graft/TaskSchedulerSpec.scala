@@ -165,6 +165,46 @@ class TaskSchedulerSpec extends AnyFunSuite {
     } finally r.shutdown()
   }
 
+  test("a throwing dispatch does not kill a recurring task") {
+    // scheduleAtFixedRate suppresses all future runs after one thrown
+    // exception — a single transient dispatch failure (socket down for
+    // one tick) must not permanently and silently end an interval task
+    val fired = new ConcurrentLinkedQueue[(String, String)]()
+    @volatile var boom = true
+    val ts = new TaskScheduler((id, cmd) => {
+      if (boom) { boom = false; throw new RuntimeException("socket down") }
+      fired.add((id, cmd))
+    })
+    try {
+      ts.add(ScheduledTask("beat", Interval(40), "st"))
+      awaitCount(fired, 2)
+      assert(fired.size >= 2, "task must stay armed after a failed tick")
+      assert(!boom, "the first tick must actually have thrown")
+    } finally ts.shutdown()
+  }
+
+  test("step-set replay passes run sequentially, not interleaved") {
+    // repeat=2 with a Delay on a LATER step: a plain replay loop starts
+    // pass 2 the moment pass 1's delay is SCHEDULED, so both pass-1
+    // tasks interleave with pass 2's (GO 1, GO 1, GO 2, GO 2) — the
+    // replay must chain pass 2 after pass 1's last task completes
+    val sent = new ConcurrentLinkedQueue[(String, String, String)]()
+    val tl = DcafsXml.Tasklist(Nil, Seq(DcafsXml.TaskSetSpec(
+      "boot", "boot", "step", 2, Seq(
+        DcafsXml.TaskSpec("t1", None, "stream:dev", "GO 1", None),
+        DcafsXml.TaskSpec("t2", Some(Delay(60)), "stream:dev", "GO 2", None)))))
+    val r = new TasklistRunner(tl, send = (id, out, v) => sent.add((id, out, v)))
+    try {
+      r.startSet("boot")
+      val deadline = System.currentTimeMillis() + 5000
+      while (sent.size < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val vs = sent.toArray.toSeq
+        .map(_.asInstanceOf[(String, String, String)]._3)
+      assert(vs == Seq("GO 1", "GO 2", "GO 1", "GO 2"), s"got $vs")
+    } finally r.shutdown()
+  }
+
   private def awaitOk(q: ConcurrentLinkedQueue[(String, String, String)],
       ms: Long = 5000): Unit = {
     val deadline = System.currentTimeMillis() + ms
