@@ -230,6 +230,9 @@ object Impls {
     */
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // SQL-registered: arbitrary n reaches here — fail clearly, not with
+    // a NegativeArraySizeException from inside a task
+    require(n > 0, s"shingles: n must be positive, got $n")
     val len = toks.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val sep = UTF8String.fromString(" ")
@@ -238,7 +241,14 @@ object Impls {
     while (i <= len - n) {
       val parts = new Array[UTF8String](n)
       var j = 0
-      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      // null tokens via isNullAt, NOT getUTF8String: UnsafeArrayData
+      // reads a null slot as an empty string while GenericArrayData
+      // returns null — representation-dependent output. concatWs skips
+      // null parts, which is exactly the documented concat_ws rendering.
+      while (j < n) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
       seen.add(UTF8String.concatWs(sep, parts: _*))
       i += 1
     }
@@ -301,13 +311,26 @@ object Impls {
   }
 
   /** Dot product over double arrays, ascending index order (same
-    * accumulation as aggregate(zip_with(a, b, *), 0.0, +)).
+    * accumulation as aggregate(zip_with(a, b, *), 0.0, +) on
+    * well-formed input). Ragged or null-element arrays RAISE instead of
+    * silently truncating to the shorter side / reading null slots as
+    * 0.0 — the lambda rendering nulls the whole sum there, so a silent
+    * number would diverge from the documented equivalence; for an
+    * embedding column, ragged rows are a data bug worth failing on.
     */
   def vecDot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vec_dot: length mismatch ${n} vs ${b.numElements()}")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vec_dot: null element at index $i")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -332,10 +355,14 @@ object Impls {
     }
     val sd = math.sqrt(v / n)
     if (sd == 0.0) return Double.NaN
-    val m = math.min(n, pattern.numElements())
+    // same policy as vecDot: a pattern/window length mismatch is a
+    // caller bug — silently comparing only the overlapping prefix would
+    // report a spuriously small distance
+    require(pattern.numElements() == n,
+      s"znorm_dist: length mismatch $n vs ${pattern.numElements()}")
     var acc = 0.0
     i = 0
-    while (i < m) {
+    while (i < n) {
       val d = (win.getDouble(i) - mu) / sd - pattern.getDouble(i)
       acc += d * d
       i += 1
@@ -351,6 +378,11 @@ object Impls {
     */
   def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // SQL-registered: same guard rail as the TopKAgg/KmvAgg aggregates —
+    // k=0 would otherwise surface as an ArrayIndexOutOfBoundsException
+    // from inside a task
+    require(k > 0 && k <= (1 << 20),
+      s"minhash_sig: k must be in [1, ${1 << 20}], got $k")
     val n = shingles.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val md = MessageDigest.getInstance("MD5")

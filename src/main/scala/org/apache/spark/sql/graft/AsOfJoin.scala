@@ -178,9 +178,17 @@ object AsOf {
       if (rp0.output.exists(a => lIds.contains(a.exprId)))
         Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
       else rp0
+    // resolve with the session's resolver (spark.sql.caseSensitive) and
+    // reject ambiguity — a first-match lookup would silently sort/merge
+    // on the wrong one of two same-named columns (legal after a join)
+    val resolver = leftDf.sparkSession.sessionState.analyzer.resolver
     def a(p: LogicalPlan, n: String): Attribute =
-      p.output.collectFirst { case at: Attribute if at.name == n => at }
-        .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+      p.output.filter(at => resolver(at.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(s"no column $n")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $n: ${many.map(_.name).mkString(", ")}")
+      }
     // The merge unboxes key/time as Long: widen smaller integral types
     // (monotonic cast, ordering preserved) and reject everything else up
     // front — an INT key must not surface as a runtime ClassCastException

@@ -54,10 +54,19 @@ case class KmvAgg(
   private def insert(buf: java.util.TreeSet[(Long, Long)],
       hv: Long, id: Long): Unit = {
     // only admit entries that can enter the bottom-k; TreeSet dedups
-    // identical (hv, id) pairs (set semantics = duplicate-row immunity)
+    // identical (hv, id) pairs (set semantics = duplicate-row immunity).
+    // The steady-state hot path — a full sketch rejecting a row — runs
+    // on two PRIMITIVE compares against the current max, allocating
+    // nothing: building a Tuple2 (plus two boxed longs) per input row
+    // just to call Ordering.lt would make the one stage that touches
+    // every row generate per-row garbage (the TopKBuf fast-reject
+    // discipline, applied here).
     if (buf.size < k) { buf.add((hv, id)); () }
-    else if (implicitly[Ordering[(Long, Long)]].lt((hv, id), buf.last)) {
-      if (buf.add((hv, id)) && buf.size > k) { buf.remove(buf.last); () }
+    else {
+      val last = buf.last()
+      if (hv < last._1 || (hv == last._1 && id < last._2)) {
+        if (buf.add((hv, id)) && buf.size > k) { buf.remove(buf.last); () }
+      }
     }
   }
 

@@ -106,6 +106,17 @@ case class LshSelfJoinExec(
           case other => other
         }
 
+        // value equality across every bucket-key type: Objects.equals is
+        // REFERENCE equality for Array[Byte] (BinaryType eval values),
+        // and UnsafeRow.getBinary returns a fresh array per eval — a
+        // binary bh column would never extend a run, every row would
+        // start its own 1-element bucket, and the operator would
+        // silently emit ZERO pairs
+        private def keyEq(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+          case _ => java.util.Objects.equals(a, b)
+        }
+
         /** Load the next bucket run with >= 2 ids; false when exhausted. */
         private def nextBucket(): Boolean = {
           while (buf.hasNext) {
@@ -130,8 +141,8 @@ case class LshSelfJoinExec(
             var run = true
             while (run && buf.hasNext) {
               val r = buf.head
-              if (java.util.Objects.equals(bandE.eval(r), bandK) &&
-                  java.util.Objects.equals(bhE.eval(r), bhK)) {
+              if (keyEq(bandE.eval(r), bandK) &&
+                  keyEq(bhE.eval(r), bhK)) {
                 if (liveBucket) add(r)
                 buf.next()
               } else run = false
@@ -171,9 +182,17 @@ object LshSelfJoin {
     import org.apache.spark.sql.catalyst.expressions.Cast
     GraftOptimizations.install(banded.sparkSession)
     val p = banded.queryExecution.analyzed
+    // resolve with the session's resolver (spark.sql.caseSensitive) and
+    // reject ambiguity — a first-match lookup would silently bind the
+    // wrong one of two same-named columns
+    val resolver = banded.sparkSession.sessionState.analyzer.resolver
     def a(n: String): Attribute =
-      p.output.collectFirst { case at: Attribute if at.name == n => at }
-        .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+      p.output.filter(at => resolver(at.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(s"no column $n")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $n: ${many.map(_.name).mkString(", ")}")
+      }
     val idAttr = a(idCol)
     val idExpr: Expression = idAttr.dataType match {
       case LongType => idAttr

@@ -114,6 +114,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](1).forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("expression guard rails: null tokens, ragged vectors, bad k") {
+    // shingles over a null-bearing token array must match the documented
+    // concat_ws rendering (skip nulls) on BOTH array representations —
+    // UnsafeArrayData previously read a null slot as an empty string
+    // while GenericArrayData returned null
+    val viaSql = spark.sql(
+      "SELECT shingles(array('a', CAST(NULL AS STRING), 'b'), 2) AS s").head()
+      .getSeq[String](0)
+    assert(viaSql == Seq("a", "b"), s"got $viaSql")
+    val viaParquet = {
+      val p = java.nio.file.Files.createTempDirectory("fn_guard").toString
+      spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS toks")
+        .write.mode("overwrite").parquet(p)
+      val r = spark.read.parquet(p)
+        .selectExpr("shingles(toks, 2) AS s").head().getSeq[String](0)
+      r
+    }
+    assert(viaParquet == viaSql,
+      s"representation-dependent shingles: $viaParquet vs $viaSql")
+    // ragged vec_dot raises instead of silently truncating (the lambda
+    // rendering nulls the sum there — a silent number would diverge)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d)) AS d").head()
+    }
+    assert(e1.getMessage != null)
+    // k <= 0 is a clear argument error, not an AIOOBE from inside a task
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('x'), 0) AS s").head()
+    }
+    assert(e2.getMessage != null)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT shingles(array('a','b'), -1) AS s").head()
+    }
+    assert(e3.getMessage != null)
+  }
+
   test("crc16/modbus + lrc check values") {
     assert(Impls.crc16Modbus(u("123456789")) == 0x4b37)
     assert(Impls.crc16Modbus(u("")) == 0xffff)

@@ -44,6 +44,35 @@ class LshSelfJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (7L, 8L)))
   }
 
+  test("BinaryType bucket keys pair by value, not reference") {
+    // round-11 review finding: Objects.equals is REFERENCE equality for
+    // Array[Byte], and UnsafeRow.getBinary returns a fresh array per
+    // eval — a binary bh column (raw md5 bytes) would never extend a
+    // run, so the operator silently emitted ZERO pairs
+    val banded = Seq((1L, 0, "x"), (2L, 0, "x"), (3L, 0, "y"))
+      .toDF("doc_id", "band", "bh")
+      .withColumn("bh", unbase64(base64(col("bh").cast("binary"))))
+    assert(banded.schema("bh").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val got = pairs(org.apache.spark.sql.graft.LshSelfJoin
+      .candidatePairs(banded, "doc_id", "band", "bh").distinct())
+    assert(got == Set((1L, 2L)), s"binary keys must value-match: $got")
+  }
+
+  test("column lookup honors case-insensitivity and rejects ambiguity") {
+    val banded = Seq((1L, 0, "x"), (2L, 0, "x")).toDF("Doc_ID", "band", "bh")
+    val got = pairs(org.apache.spark.sql.graft.LshSelfJoin
+      .candidatePairs(banded, "doc_id", "band", "bh").distinct())
+    assert(got == Set((1L, 2L)))
+    val dup = banded.select(col("Doc_ID"), col("band"), col("bh"),
+      col("band").as("BH"))
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.LshSelfJoin
+        .candidatePairs(dup, "Doc_ID", "band", "bh")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("single-row buckets and empty input emit nothing") {
     val one = Seq((1L, 0, "a"), (2L, 1, "b")).toDF("doc_id", "band", "bh")
     assert(pairs(org.apache.spark.sql.graft.LshSelfJoin
