@@ -44,8 +44,13 @@ object FilterRules {
   def itemsBetween(line: Column, delim: String, lo: Int, hi: Int): Column =
     size(split(line, java.util.regex.Pattern.quote(delim))).between(lo, hi)
 
-  /** `regex`: full match (FilterForward.java:318-320). */
-  def regex(line: Column, pattern: String): Column = line.rlike(s"^$pattern$$")
+  /** `regex`: full match (FilterForward.java:318-320). The non-capturing
+    * group keeps top-level alternation inside the anchors — bare
+    * `^abc|def$` would match any line STARTING with abc or ENDING with
+    * def, not the whole-line match the reference's matches() performs.
+    */
+  def regex(line: Column, pattern: String): Column =
+    line.rlike(s"^(?:$pattern)$$")
 
   /** `nmea`: checksum validity (FilterForward.java:347). */
   def nmea(line: Column): Column = GraftFunctions.nmea_valid(line)
@@ -58,10 +63,14 @@ object FilterRules {
   def withIgnores(df: DataFrame, pass: Column, keyCol: Column,
       order: Seq[Column], ignores: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(ignores >= 0, s"ignores must be >= 0, got $ignores")
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
     df.filter(pass)
       .withColumn("__rn", row_number().over(w))
-      .filter((col("__rn") % (ignores + 1)) === 1)
+      // the kept residue is 1 % (N+1), not a literal 1: with N=0 the
+      // modulus is 1 and rn % 1 is always 0 — comparing against 1 would
+      // silently drop EVERY passing row instead of suppressing none
+      .filter((col("__rn") % (ignores + 1)) === lit(1 % (ignores + 1)))
       .drop("__rn")
   }
 
@@ -88,7 +97,10 @@ object Edits {
   def resplit(line: Column, delim: String, template: String,
       leftoverAppend: Boolean = false): Column = {
     val parts = split(line, java.util.regex.Pattern.quote(delim))
-    val pieces = raw"i(\d+)".r.split(template) // literal segments
+    // -1 limit keeps trailing empty segments: Pattern.split's default
+    // drops them, so a template ENDING in field refs ("a-i0i1") would
+    // lose refs beyond pieces.indices and emit only "a-"+field0
+    val pieces = raw"i(\d+)".r.pattern.split(template, -1) // literal segments
     val refs = raw"i(\d+)".r.findAllMatchIn(template).map(_.group(1).toInt).toSeq
     // interleave literal / field pieces
     val cols = scala.collection.mutable.ArrayBuffer.empty[Column]
@@ -166,9 +178,15 @@ object Edits {
       c => char(c.cast("int"))), "")
 
   /** `listreplace`: index field -> lookup list, 0-based offset `first`
-    * (EditorForward.java:289-313). */
-  def listreplace(field: Column, first: Int, values: Seq[String]): Column =
-    try_element_at(array(values.map(lit): _*), field.cast("int") - first + 1)
+    * (EditorForward.java:289-313). Out-of-range indexes (including
+    * below `first`) yield null: element_at raises on index 0 even in
+    * the try_ variant, and a negative index would silently read from
+    * the END of the list — neither is a no-match.
+    */
+  def listreplace(field: Column, first: Int, values: Seq[String]): Column = {
+    val idx = field.cast("int") - first + 1
+    when(idx >= 1, try_element_at(array(values.map(lit): _*), idx))
+  }
 }
 
 /** Typed-parse helpers (SURVEY.md §1.2, §2.6). */

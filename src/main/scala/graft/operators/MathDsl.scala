@@ -21,7 +21,63 @@ object MathDsl {
   private val rtRef = raw"\{([rif]):([A-Za-z0-9_]+)\}".r
   private val fromTo = raw"(?i)\bfrom\s+(\S+)\s+to\s+(\S+)".r
   private val through = raw"(?i)(\S+)\s+through\s+(\S+)".r
-  private val caret = raw"([A-Za-z0-9_\.\[\]]+|\([^()]*\))\s*\^\s*([A-Za-z0-9_\.]+|\([^()]*\))".r
+  /** Rewrite every `^` to pow(lhs, rhs), left-associative, with
+    * balanced-paren operand scanning. The earlier regex fixpoint had two
+    * failure modes a scanner doesn't: it could not match non-word
+    * operands (so `__rt_i_x ^ 2` after the rtvals rewrite — or any
+    * nested-paren operand — left a literal `^` that Spark parses as
+    * integer XOR, a silent wrong number), and on chained powers it
+    * re-matched an emitted pow's own argument list as a parenthesized
+    * operand (`2 ^ 3 ^ 2` -> `powpow((2, 3), 2)`).
+    */
+  private def rewriteCaret(s0: String): String = {
+    def isWord(c: Char) =
+      c.isLetterOrDigit || c == '_' || c == '.' || c == '[' || c == ']'
+    var s = s0
+    var idx = s.indexOf('^')
+    while (idx >= 0) {
+      // left operand: word run, or balanced (...) with an optional
+      // function name in front (an already-emitted pow(..) stays atomic)
+      var l = idx - 1
+      while (l >= 0 && s(l).isWhitespace) l -= 1
+      val lEnd = l + 1
+      var lStart = lEnd
+      if (l >= 0 && s(l) == ')') {
+        var depth = 0
+        var i = l
+        while (i >= 0 && { depth += (if (s(i) == ')') 1 else if (s(i) == '(') -1 else 0); depth != 0 }) i -= 1
+        require(i >= 0, s"unbalanced parens in math expression: $s0")
+        var f = i - 1
+        while (f >= 0 && isWord(s(f))) f -= 1
+        lStart = f + 1
+      } else {
+        var i = l
+        while (i >= 0 && isWord(s(i))) i -= 1
+        lStart = i + 1
+      }
+      require(lStart < lEnd, s"dangling '^' in math expression: $s0")
+      // right operand: optional sign, word run, then a balanced (...)
+      // if it turns out to be a call (or a bare parenthesized group)
+      var r = idx + 1
+      while (r < s.length && s(r).isWhitespace) r += 1
+      val rStart = r
+      var rEnd = r
+      if (rEnd < s.length && (s(rEnd) == '-' || s(rEnd) == '+')) rEnd += 1
+      while (rEnd < s.length && isWord(s(rEnd))) rEnd += 1
+      if (rEnd < s.length && s(rEnd) == '(') {
+        var depth = 0
+        while (rEnd < s.length && { depth += (if (s(rEnd) == '(') 1 else if (s(rEnd) == ')') -1 else 0); depth != 0 }) rEnd += 1
+        require(rEnd < s.length, s"unbalanced parens in math expression: $s0")
+        rEnd += 1 // past the closing paren
+      }
+      require(rEnd > rStart, s"dangling '^' in math expression: $s0")
+      val lhs = s.substring(lStart, lEnd)
+      val rhs = s.substring(rStart, rEnd)
+      s = s.substring(0, lStart) + s"pow($lhs, $rhs)" + s.substring(rEnd)
+      idx = s.indexOf('^')
+    }
+    s
+  }
 
   /** Name of the column a rtvals reference resolves to. */
   def rtColumn(kind: String, id: String): String = s"__rt_${kind}_$id"
@@ -41,11 +97,10 @@ object MathDsl {
       .replaceAll("(?i)\\babove\\b", ">")
       .replaceAll("(?i)\\bequals\\b", "=")
       .replaceAll("(?i)\\bdiffers\\b", "!=")
-    // power operator
-    var prev: String = null
-    while (prev != s) { prev = s; s = caret.replaceAllIn(s, m => s"pow(${m.group(1)}, ${m.group(2)})") }
-    // rtvals references -> joined columns
+    // rtvals references FIRST (`{i:x} ^ 2` must see a word-shaped
+    // operand), then the power operator via the balanced scanner
     s = rtRef.replaceAllIn(s, m => rtColumn(m.group(1), m.group(2)))
+    s = rewriteCaret(s)
     // field references -> array extraction (1-based element_at)
     s = iRef.replaceAllIn(s, m =>
       s"TRY_CAST(try_element_at($arrayCol, ${m.group(1).toInt + 1}) AS DOUBLE)")

@@ -666,9 +666,13 @@ object TextOps {
       .groupBy(col(idCol), col(blockCol))
       .agg(sort_array(collect_list(struct(col("df"), col("x")))).as("sg"))
       .withColumn("n", size(col("sg")))
+      // same epsilon as containmentPrefixFrom: float noise can push
+      // n*threshold ABOVE an exact integer (20*0.55 = 11.000000000000002),
+      // ceil-ing one higher and shortening the prefix by one — a lossy
+      // prune; rounding down only lengthens the prefix, staying lossless
       .withColumn("plen",
         greatest(
-          (col("n") - ceil(col("n") * threshold) + 1).cast("int"),
+          (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"),
           lit(1)))
       .select(col(idCol), col(blockCol), col("n"),
         posexplode(transform(slice(col("sg"), lit(1), col("plen")),

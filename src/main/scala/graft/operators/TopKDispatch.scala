@@ -173,11 +173,17 @@ object TopKDispatch {
     */
   private def normalized(df: DataFrame, groupCols: Seq[String],
       valueCol: String, idCol: String): DataFrame = {
+    // null checks run on the CAST values, not the raw columns: a cast
+    // can PRODUCE null (string id "x17" -> long null), and a
+    // cast-produced null skips TopKAgg natively but would rank
+    // nulls-first in the window's id order — the exact
+    // renderings-disagree hole this normalization exists to close
     val v = col(valueCol).cast("double")
-    df.filter(col(valueCol).isNotNull && col(idCol).isNotNull && !isnan(v))
-      .select(groupCols.map(col) ++ Seq(
-        (v + lit(0.0)).as(valueCol),
-        col(idCol).cast("long").as(idCol)): _*)
+    val i = col(idCol).cast("long")
+    df.select(groupCols.map(col) ++ Seq(
+        (v + lit(0.0)).as(valueCol), i.as(idCol)): _*)
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull &&
+        !isnan(col(valueCol)))
   }
 
   private[graft] def renderNative(df0: DataFrame, groupCols: Seq[String],

@@ -23,6 +23,29 @@ class EditorGoldenSpec extends AnyFunSuite {
     assert(eval(Edits.resplit(col("line"), ":", "i0-i1", leftoverAppend = true)) == "16-25:12")
     assert(eval(Edits.resplit(col("line"), ":", "i0-i1")) == "16-25")
     assert(eval(Edits.resplit(col("line"), ":", "i2-i1-i0")) == "12-25-16")
+    // round-11 review finding: Pattern.split drops trailing empty
+    // segments, so ADJACENT or template-trailing refs lost every ref
+    // beyond pieces.indices ("a-i0i1" emitted only "a-16")
+    assert(eval(Edits.resplit(col("line"), ":", "a-i0i1")) == "a-1625")
+    assert(eval(Edits.resplit(col("line"), ":", "i0i1")) == "1625")
+  }
+
+  test("listreplace: in-range, below-first and beyond-end indexes") {
+    def lr(v: String, first: Int): Option[String] = {
+      val r = Seq(v).toDF("f")
+        .select(graft.operators.Edits
+          .listreplace(col("f"), first, Seq("red", "green", "blue")).as("v"))
+        .collect()(0)
+      Option(r.getString(0))
+    }
+    assert(lr("1", 1) == Some("red"))
+    assert(lr("3", 1) == Some("blue"))
+    // below `first` must be a null no-match, not an element_at error
+    // (index 0 raises even in try_element_at) or a silent from-the-END
+    // read (negative indexes)
+    assert(lr("0", 1) == None)
+    assert(lr("-1", 1) == None)
+    assert(lr("4", 1) == None) // beyond end stays null
   }
 
   test("charsplit example: positions 1,4,7 on 16:25:12") {

@@ -635,25 +635,31 @@ class ZipfJaccardSpec extends org.scalatest.funsuite.AnyFunSuite {
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val all = (base ++ dups).map { case (id, t) => (id, bigrams(t)) }
       .filter(_._2.nonEmpty)
-    val expected = (for {
-      i <- all.indices; j <- (i + 1) until all.size
-      (ia, ga) = all(i); (ib, gb) = all(j)
-      inter = ga.intersect(gb).size
-      jac = inter.toDouble / (ga.size + gb.size - inter)
-      if jac >= 0.5
-    } yield {
-      val (a, b) = if (ia < ib) (ia, ib) else (ib, ia)
-      (a, b, r6(jac))
-    }).toSet
+    // 0.5 is float-exact; 0.55 is the hostile case — n*0.55 lands just
+    // ABOVE an exact integer for many n (20*0.55 = 11.000000000000002),
+    // which without the prefix-length epsilon shortened the PPJoin
+    // prefix by one and lossily pruned boundary pairs
+    for (t <- Seq(0.5, 0.55)) {
+      val expected = (for {
+        i <- all.indices; j <- (i + 1) until all.size
+        (ia, ga) = all(i); (ib, gb) = all(j)
+        inter = ga.intersect(gb).size
+        jac = inter.toDouble / (ga.size + gb.size - inter)
+        if jac >= t
+      } yield {
+        val (a, b) = if (ia < ib) (ia, ib) else (ib, ia)
+        (a, b, r6(jac))
+      }).toSet
 
-    val got = graft.operators.TextOps
-      .similarityJoinExact(docs, "doc_id", "lang", "text", 2, 0.5)
-      .collect()
-      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jac")))
-      .toSet
-    assert(expected.nonEmpty, "fixture produced no near-dup pairs — weaken mutation")
-    assert(got == expected,
-      s"missing=${expected -- got}, extra=${got -- expected}")
+      val got = graft.operators.TextOps
+        .similarityJoinExact(docs, "doc_id", "lang", "text", 2, t)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jac")))
+        .toSet
+      assert(expected.nonEmpty, "fixture produced no near-dup pairs — weaken mutation")
+      assert(got == expected,
+        s"t=$t: missing=${expected -- got}, extra=${got -- expected}")
+    }
   }
 
   test("containmentJoin: count and prefix paths both equal brute force") {
@@ -893,5 +899,48 @@ class KernelBoundarySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(chunked == expected,
       s"chunked: missing=${(expected -- chunked).take(5)}, " +
         s"extra=${(chunked -- expected).take(5)}")
+  }
+}
+
+/** Round-11 review edge cases on the filter-rule and skew-join planes. */
+class FilterRulesEdgeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("ignores=0 suppresses nothing; ignores=2 keeps every third") {
+    // rn % 1 is always 0, so the old literal-1 comparison dropped EVERY
+    // row at ignores=0 — the natural "no suppression" setting
+    val df = (1 to 9).map(i => ("k", i)).toDF("key", "seq")
+    def kept(n: Int) = graft.operators.FilterRules
+      .withIgnores(df, lit(true), col("key"), Seq(col("seq")), n)
+      .select("seq").as[Int].collect().toSeq.sorted
+    assert(kept(0) == (1 to 9))
+    assert(kept(2) == Seq(1, 4, 7))
+  }
+
+  test("regex rule is a full match even with top-level alternation") {
+    // bare ^abc|def$ matches prefix-abc OR suffix-def; the rule must
+    // match the reference's whole-line matches() contract
+    val df = Seq("abc", "def", "zzzdef", "abcz").toDF("line")
+    val got = df
+      .filter(graft.operators.FilterRules.regex(col("line"), "abc|def"))
+      .as[String].collect().toSet
+    assert(got == Set("abc", "def"))
+  }
+
+  test("saltedJoin rejects small-side-preserving outer joins") {
+    // the small side is replicated saltFactor times, so a right/full
+    // outer join would emit unmatched small rows once per replica
+    val large = Seq((1, "x")).toDF("k", "v")
+    val small = Seq((1, "a"), (2, "b")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(large, small, "k", 4, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(large, small, "k", 4, "full_outer")
+    }
+    assert(graft.operators.Skew
+      .saltedJoin(large, small, "k", 4, "left").count() == 1)
   }
 }

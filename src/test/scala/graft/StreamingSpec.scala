@@ -40,6 +40,20 @@ class MathDslSpec extends AnyFunSuite {
     assert(MathDsl.compile("i0 + {r:temp}") ==
       "TRY_CAST(try_element_at(__f, 1) AS DOUBLE) + __rt_r_temp")
   }
+
+  test("power operator: rtvals operands, chaining, parenthesized bases") {
+    // round-11 review findings: the caret regex could not match a
+    // rewritten rtvals ref ({i:x} ^ 2 left a literal '^' = integer XOR,
+    // a silent wrong number), and its fixpoint re-matched an emitted
+    // pow's argument list on chained powers (2^3^2 -> powpow((2,3),2))
+    assert(MathDsl.compile("{i:count} ^ 2") == "pow(__rt_i_count, 2)")
+    assert(eval("2 ^ 3 ^ 2", Seq.empty) == 64.0) // left-associative
+    assert(eval("(1+2) ^ 2", Seq.empty) == 9.0)
+    assert(eval("2 ^ (1+2)", Seq.empty) == 8.0)
+    assert(eval("(2*(1+1)) ^ 2", Seq.empty) == 16.0) // nested parens
+    assert(eval("i0 ^ 2 + 1", Seq(3.0)) == 10.0)
+    intercept[IllegalArgumentException] { MathDsl.compile("^ 2") }
+  }
 }
 
 class PathCompilerSpec extends AnyFunSuite {
