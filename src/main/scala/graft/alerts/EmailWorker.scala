@@ -112,10 +112,16 @@ class EmailWorker(
     }.mkString(",")
   }
 
-  /** Book refs a sender belongs to; own-inbox senders map to `echo`. */
+  /** Book refs a sender belongs to; own-inbox senders map to `echo`.
+    * Entries compare by EQUALITY on the comma-separated addresses —
+    * a substring check would let 'ob@gmail.com' (registrable) inherit
+    * 'bob@gmail.com''s refs, including admin, and pass isDenied.
+    */
   private def findTo(from: String): Seq[String] = synchronized {
     if (inbox.user.nonEmpty && from.startsWith(inbox.user)) Seq("echo")
-    else emailBook.collect { case (ref, addrs) if addrs.contains(from) => ref }.toSeq
+    else emailBook.collect {
+      case (ref, addrs) if addrs.split(",").map(_.trim).contains(from) => ref
+    }.toSeq
   }
 
   /** Reference `isDenied`: admin-class commands deny-by-default unless
@@ -358,7 +364,9 @@ class EmailWorker(
   }
 
   private def handleContent(cmd: String, from: String, m: ImapClient.FetchedMessage): Unit = {
-    if (cmd.startsWith("label:") && cmd.length > 7) {
+    // "label:" is 6 chars, so any non-empty label means length > 6 — a
+    // > 7 check sent single-character labels down the command branch
+    if (cmd.startsWith("label:") && cmd.length > 6) {
       // the email body is sensor data under the given label
       val label = cmd.split(":")(1)
       m.text.split("\r?\n").takeWhile(_.nonEmpty).foreach(l => onData(label, from, l))

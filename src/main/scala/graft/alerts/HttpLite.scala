@@ -8,7 +8,9 @@ import java.nio.charset.StandardCharsets
   * framing for the Matrix client-server API the reference uses
   * (`/root/reference/src/io/matrix/MatrixClient.java` rides
   * java.net.http; this stays zero-dependency like the SMTP/IMAP/MQTT
-  * codecs). Supports http URLs, Content-Length framed bodies both ways.
+  * codecs). Supports http URLs; response bodies may be Content-Length
+  * framed, chunked (RFC 9112 §7.1 — what a homeserver behind nginx
+  * actually sends), or read-until-close.
   */
 object HttpLite {
 
@@ -80,24 +82,46 @@ object HttpLite {
       if (!statusLine.startsWith("HTTP/")) throw new HttpException(s"bad status: $statusLine")
       val status = statusLine.split(" ")(1).toInt
       var contentLength = -1
+      var chunked = false
       var line = readLine()
       while (line.nonEmpty) {
         val c = line.indexOf(':')
         if (c > 0 && line.take(c).equalsIgnoreCase("content-length"))
           contentLength = line.drop(c + 1).trim.toInt
+        if (c > 0 && line.take(c).equalsIgnoreCase("transfer-encoding") &&
+            line.drop(c + 1).trim.equalsIgnoreCase("chunked"))
+          chunked = true
         line = readLine()
       }
+      def readN(n: Int): Array[Byte] = {
+        val buf = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = in.read(buf, off, n - off)
+          if (r < 0) throw new HttpException("short body")
+          off += r
+        }
+        buf
+      }
       val bodyBytes =
-        if (contentLength >= 0) {
-          val buf = new Array[Byte](contentLength)
-          var off = 0
-          while (off < contentLength) {
-            val r = in.read(buf, off, contentLength - off)
-            if (r < 0) throw new HttpException("short body")
-            off += r
+        if (chunked) {
+          // RFC 9112 §7.1 framing: a real homeserver behind nginx
+          // replies chunked with no Content-Length — falling into the
+          // read-until-close branch would interleave hex size lines
+          // with the payload and corrupt every JSON body
+          val outBuf = new java.io.ByteArrayOutputStream()
+          var sz = Integer.parseInt(readLine().split(";")(0).trim, 16)
+          while (sz > 0) {
+            outBuf.write(readN(sz))
+            readLine() // CRLF after each chunk
+            sz = Integer.parseInt(readLine().split(";")(0).trim, 16)
           }
-          buf
-        } else in.readAllBytes() // Connection: close framing
+          // trailers (if any) up to the blank line
+          var t = readLine()
+          while (t.nonEmpty) t = readLine()
+          outBuf.toByteArray
+        } else if (contentLength >= 0) readN(contentLength)
+        else in.readAllBytes() // Connection: close framing
       BinaryResponse(status, bodyBytes)
     } finally socket.close()
   }

@@ -148,14 +148,5 @@ object SmtpClient {
   /** Zip a file next to itself as `<file>.zip` (reference
     * `FileTools.zipFile`, used by the attachment size rule).
     */
-  def zipFile(p: Path): Path = {
-    val zipPath = Path.of(p.toString + ".zip")
-    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
-    try {
-      zos.putNextEntry(new java.util.zip.ZipEntry(p.getFileName.toString))
-      zos.write(Files.readAllBytes(p))
-      zos.closeEntry()
-    } finally zos.close()
-    zipPath
-  }
+  def zipFile(p: Path): Path = graft.FileZip.zipFile(p)
 }

@@ -255,7 +255,12 @@ class ConsoleServer(
         } catch {
           case e: Exception =>
             hub.detach(id, target)
-            pumps.remove(id)
+            // do NOT pumps.remove(id) here: computeIfAbsent installs no
+            // mapping when its function throws, so there is nothing of
+            // OURS to remove — and a concurrent subscriber may have just
+            // installed a healthy pump under the same id, which a blind
+            // remove would orphan (running forever, unreachable by
+            // stopIdlePumps). ensurePump cleans its own partial state.
             s"! raw:$id pump failed to start: ${e.getMessage}"
         }
       case Some(_) =>
@@ -274,9 +279,25 @@ class ConsoleServer(
       val lineCol =
         if (df.columns.contains("line")) "line" else df.columns.head
       val checkpointDir = java.nio.file.Files.createTempDirectory(s"graft-hub-$id")
-      pumpCheckpoints.put(id, checkpointDir)
-      val checkpoint = checkpointDir.toString
-      df.writeStream
+      try startPump(id, df, lineCol, checkpointDir)
+      catch {
+        case e: Exception =>
+          // a failed start must not leak its temp checkpoint tree (each
+          // retry would otherwise abandon one) or a stale checkpoint entry
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(checkpointDir).iterator().asScala.toSeq
+              .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } catch { case _: java.io.IOException => () }
+          throw e
+      }
+    })
+
+  private def startPump(id: String,
+      df: org.apache.spark.sql.DataFrame, lineCol: String,
+      checkpointDir: java.nio.file.Path): StreamingQuery = {
+    val checkpoint = checkpointDir.toString
+    val q = df.writeStream
         .queryName(s"graft_hub_$id")
         .trigger(Trigger.ProcessingTime(100))
         .option("checkpointLocation", checkpoint)
@@ -288,7 +309,13 @@ class ConsoleServer(
           }
         }
         .start()
-    })
+    // register the checkpoint only once the query is RUNNING — putting
+    // it first left a stale entry pointing at a deleted dir when start
+    // failed (and a retry would then overwrite the older mapping
+    // without reaping its directory)
+    pumpCheckpoints.put(id, checkpointDir)
+    q
+  }
 
   private def writeLine(out: OutputStream, s: String): Unit =
     out.synchronized {

@@ -66,7 +66,19 @@ class GraftConsole(spark: SparkSession) {
     out.createOrReplaceTempView(s"${pathId}_out")
   }
 
-  def execute(cmd: String): String = cmd.trim match {
+  /** Serialized: execute is called concurrently from telnet session
+    * threads, the email inbox scheduler, Matrix sync threads and task
+    * managers, and it mutates the plain LinkedHashMaps above
+    * (settings:load writing streamSpecs while another session iterates
+    * `streams` would throw ConcurrentModificationException or corrupt
+    * the table; concurrent SettingsFab read-modify-writes would lose a
+    * writer). Console command rates are human-scale — a coarse monitor
+    * is the right tool. synchronized is re-entrant, so task dispatches
+    * that re-enter execute on the same thread still work.
+    */
+  def execute(cmd: String): String = synchronized { executeImpl(cmd) }
+
+  private def executeImpl(cmd: String): String = cmd.trim match {
     case "" => ""
     case "help" =>
       "commands: help | ss | ss:addtcp/addudp/addmodbus/remove | st | rv | " +

@@ -60,16 +60,7 @@ class FileCollectorSink(
     Paths.get(p)
   }
 
-  private def zipFile(p: Path): Path = {
-    val zipPath = Paths.get(p.toString + ".zip")
-    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
-    try {
-      zos.putNextEntry(new java.util.zip.ZipEntry(p.getFileName.toString))
-      zos.write(Files.readAllBytes(p))
-      zos.closeEntry()
-    } finally zos.close()
-    zipPath
-  }
+  private def zipFile(p: Path): Path = graft.FileZip.zipFile(p)
 
   /** First free `name.N.ext` (or its zip) — FileCollector.java:481-487. */
   private def splitTarget(dest: Path): Path = {
@@ -234,13 +225,9 @@ object RolloverCompat {
         Files.write(dest, body.getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
         out += (if (zip) {
-          val zipPath = Paths.get(dest.toString + ".zip")
-          val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
-          try {
-            zos.putNextEntry(new java.util.zip.ZipEntry(dest.getFileName.toString))
-            zos.write(body.getBytes(StandardCharsets.UTF_8))
-            zos.closeEntry()
-          } finally zos.close()
+          val zipPath = graft.FileZip.zipBytes(
+            Paths.get(dest.toString + ".zip"), dest.getFileName.toString,
+            body.getBytes(StandardCharsets.UTF_8))
           Files.delete(dest)
           zipPath
         } else dest)

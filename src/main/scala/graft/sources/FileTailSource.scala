@@ -145,11 +145,20 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
       case k => k.toString
     } catch { case _: java.io.IOException => "" }
 
-  private def parsePosRecord(rec: String): Option[(Long, String)] = {
-    val tab = rec.indexOf('\t')
-    if (tab < 0) Some((rec.trim.toLong, "")) // pre-upgrade record: no key
-    else Some((rec.substring(0, tab).toLong, rec.substring(tab + 1)))
-  }
+  /** None on a torn/empty record (crash mid side-file write): an
+    * unguarded toLong would throw before the poll loop and silently
+    * kill the poller thread — a source that runs forever producing
+    * zero rows. The recovery fold then uses the WAL-header copy, which
+    * is the valid twin a torn side file always has.
+    */
+  private def parsePosRecord(rec: String): Option[(Long, String)] =
+    try {
+      val tab = rec.indexOf('\t')
+      if (tab < 0) {
+        val t = rec.trim
+        if (t.isEmpty) None else Some((t.toLong, "")) // pre-upgrade record
+      } else Some((rec.substring(0, tab).toLong, rec.substring(tab + 1)))
+    } catch { case _: NumberFormatException => None }
 
   private val poller = new Thread(s"graft-tail-$path") {
     override def run(): Unit = {
@@ -237,7 +246,13 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
         val posRecord = slice.lastOption.map(last => s"${last._3}\t${fileKey()}")
         wal.persistBatch(s, e, pairs, posRecord)
         posRecord.foreach { rec =>
-          Files.write(posFile, rec.getBytes(StandardCharsets.UTF_8))
+          // tmp + atomic move: a direct write torn by a crash leaves a
+          // partial number the recovery parse must then discard
+          val tmp = posFile.resolveSibling(posFile.getFileName.toString + ".tmp")
+          Files.write(tmp, rec.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, posFile,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         pairs
       }

@@ -45,7 +45,12 @@ object LocalLineBus {
   def push(id: String, line: String): Unit = push(id, line,
     System.currentTimeMillis() * 1000L)
 
-  def push(id: String, line: String, tsMicros: Long): Unit = {
+  // push and subscribe share one monitor: unsynchronized, a line pushed
+  // between subscribe's pending-drain and its subs.add would see an
+  // empty subscriber set and strand itself in the pending queue until
+  // the NEXT restart — silent delay plus reordering on the loopback.
+  // Coarse locking is fine at loopback line rates.
+  def push(id: String, line: String, tsMicros: Long): Unit = synchronized {
     val subs = subscribers.get(id)
     if (subs != null && !subs.isEmpty) subs.forEach(f => f(line, tsMicros))
     else {
@@ -59,7 +64,7 @@ object LocalLineBus {
   /** Attach a consumer; parked pending lines drain to it first, in push
     * order, so a path wired sink-first loses nothing.
     */
-  def subscribe(id: String, f: (String, Long) => Unit): Unit = {
+  def subscribe(id: String, f: (String, Long) => Unit): Unit = synchronized {
     val subs = subscribers.computeIfAbsent(id,
       _ => new java.util.concurrent.CopyOnWriteArraySet[(String, Long) => Unit]())
     val q = pending.get(id)

@@ -124,6 +124,8 @@ private class ModbusTcpMicroBatchStream(poll: ModbusPoll,
   private val buffer = ListBuffer.empty[(String, Long)]
   private var baseOffset = wal.maxPlannedOffset
   private val stopped = new AtomicBoolean(false)
+  private val liveSocket =
+    new java.util.concurrent.atomic.AtomicReference[Socket]()
 
   private val poller = new Thread(s"graft-modbustcp-${poll.host}:${poll.port}") {
     override def run(): Unit = {
@@ -131,6 +133,13 @@ private class ModbusTcpMicroBatchStream(poll: ModbusPoll,
         try {
           val socket = new Socket(poll.host, poll.port)
           socket.setTcpNoDelay(true) // reference sets TCP_NODELAY (ModbusTCPStream.java:58)
+          // half-open defense: a PLC that dies without FIN leaves
+          // readResponse blocked forever (Thread.interrupt does NOT
+          // unblock socket I/O) — a response slower than poll period
+          // + 10 s means the connection is dead; reconnect
+          socket.setSoTimeout(poll.pollMillis.toInt + 10000)
+          liveSocket.set(socket)
+          if (stopped.get()) { socket.close(); return }
           val out = new DataOutputStream(socket.getOutputStream)
           val in = new DataInputStream(socket.getInputStream)
           try {
@@ -198,7 +207,12 @@ private class ModbusTcpMicroBatchStream(poll: ModbusPoll,
 
   override def stop(): Unit = {
     stopped.set(true)
-    poller.interrupt()
+    poller.interrupt() // unblocks the inter-poll sleep...
+    // ...and closing the socket unblocks a blocked readResponse, which
+    // interrupt alone cannot
+    Option(liveSocket.getAndSet(null)).foreach { s =>
+      try s.close() catch { case _: java.io.IOException => () }
+    }
   }
 }
 

@@ -75,12 +75,19 @@ private class MqttLineMicroBatchStream(host: String, port: Int, topic: String,
   private var baseOffset = wal.maxPlannedOffset
   private val stopped = new AtomicBoolean(false)
 
+  // stop() closes the live client to unblock readLoop — a flag alone
+  // leaves a zombie subscriber consuming broker messages forever
+  private val liveClient =
+    new java.util.concurrent.atomic.AtomicReference[MqttClientLite]()
+
   private val reader = new Thread(s"graft-mqtt-$host:$port") {
     override def run(): Unit = {
       while (!stopped.get()) {
         var client: MqttClientLite = null
         try {
           client = new MqttClientLite(host, port, clientId)
+          liveClient.set(client)
+          if (stopped.get()) return // stop raced the connect
           client.subscribe(topic)
           client.readLoop { (t, payload) =>
             val now = System.currentTimeMillis() * 1000L
@@ -142,7 +149,12 @@ private class MqttLineMicroBatchStream(host: String, port: Int, topic: String,
     if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); baseOffset = e }
   }
 
-  override def stop(): Unit = stopped.set(true)
+  override def stop(): Unit = {
+    stopped.set(true)
+    Option(liveClient.getAndSet(null)).foreach { c =>
+      try c.close() catch { case _: Throwable => () }
+    }
+  }
 }
 
 private case class MqttLinesPartition(rows: Array[(String, Long)], origin: String)

@@ -102,12 +102,20 @@ object MqttCodec {
   */
 class MqttClientLite(host: String, port: Int, clientId: String) {
   import MqttCodec._
+  import MqttClientLite.{KeepAliveSec, ReadTimeoutMs}
 
   private val socket = new Socket(host, port)
+  // half-open-connection defense: without a read timeout, a broker that
+  // dies without FIN (NAT timeout, power loss, partition) leaves
+  // readLoop blocked FOREVER — the reconnect loop above it never fires
+  // and the source silently stops ingesting. The timeout fires on an
+  // idle socket; readLoop then pings, and a second silent interval
+  // means the connection is dead.
+  socket.setSoTimeout(ReadTimeoutMs)
   private val in = new DataInputStream(socket.getInputStream)
   private val out = new DataOutputStream(socket.getOutputStream)
 
-  writePacket(out, CONNECT, 0, connectBody(clientId))
+  writePacket(out, CONNECT, 0, connectBody(clientId, KeepAliveSec))
   require(readPacket(in).ptype == CONNACK, "broker did not CONNACK")
 
   def subscribe(topicFilter: String): Unit = {
@@ -119,17 +127,33 @@ class MqttClientLite(host: String, port: Int, clientId: String) {
     writePacket(out, PUBLISH, 0,
       publishBody(topic, payload.getBytes(StandardCharsets.UTF_8)))
 
-  /** Blocks until the socket closes, delivering each publish. */
+  /** Blocks until the socket closes (or the keepalive declares it
+    * dead), delivering each publish. An idle read timeout sends a
+    * PINGREQ; a second consecutive silent interval (no PINGRESP, no
+    * traffic) means half-open — return so the caller's reconnect loop
+    * takes over.
+    */
   def readLoop(onMessage: (String, String) => Unit): Unit =
     try {
+      var pinged = false
       while (true) {
-        val p = readPacket(in)
-        p.ptype match {
-          case PUBLISH =>
-            val (topic, payload) = decodePublish(p.body)
-            onMessage(topic, new String(payload, StandardCharsets.UTF_8))
-          case PINGREQ => writePacket(out, PINGRESP, 0, Array.empty)
-          case _ => // SUBACK/CONNACK duplicates ignored
+        val p =
+          try { val p0 = readPacket(in); pinged = false; Some(p0) }
+          catch {
+            case _: java.net.SocketTimeoutException =>
+              if (pinged) throw new EOFException("keepalive expired")
+              pinged = true
+              writePacket(out, PINGREQ, 0, Array.empty)
+              None
+          }
+        p.foreach { pkt =>
+          pkt.ptype match {
+            case PUBLISH =>
+              val (topic, payload) = decodePublish(pkt.body)
+              onMessage(topic, new String(payload, StandardCharsets.UTF_8))
+            case PINGREQ => writePacket(out, PINGRESP, 0, Array.empty)
+            case _ => // SUBACK/PINGRESP/CONNACK duplicates ignored
+          }
         }
       }
     } catch { case _: EOFException | _: java.io.IOException => }
@@ -139,4 +163,14 @@ class MqttClientLite(host: String, port: Int, clientId: String) {
     catch { case _: java.io.IOException => }
     socket.close()
   }
+}
+
+object MqttClientLite {
+  /** CONNECT keepalive: the broker drops us after 1.5x this of silence,
+    * which is the liveness contract that makes half-open detection
+    * symmetric.
+    */
+  final val KeepAliveSec = 60
+  /** Socket read timeout — the client-side 1.5x-keepalive rule. */
+  final val ReadTimeoutMs = 90000
 }

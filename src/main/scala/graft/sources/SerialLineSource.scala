@@ -77,6 +77,8 @@ private class SerialLineMicroBatchStream(device: String, baud: Option[Int],
   private val buffer = ListBuffer.empty[(String, Long)]
   private var baseOffset = wal.maxPlannedOffset
   private val stopped = new AtomicBoolean(false)
+  private val liveStream =
+    new java.util.concurrent.atomic.AtomicReference[FileInputStream]()
 
   private val eolBytes: Array[Byte] = (eol.toLowerCase match {
     case "crlf" => "\r\n"
@@ -113,7 +115,9 @@ private class SerialLineMicroBatchStream(device: String, baud: Option[Int],
         try {
           configure()
           val in = new FileInputStream(device)
+          liveStream.set(in)
           try {
+            if (stopped.get()) return
             var b = in.read()
             while (b >= 0 && !stopped.get()) {
               acc += b.toByte
@@ -170,7 +174,15 @@ private class SerialLineMicroBatchStream(device: String, baud: Option[Int],
     if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); baseOffset = e }
   }
 
-  override def stop(): Unit = stopped.set(true)
+  override def stop(): Unit = {
+    stopped.set(true)
+    // a flag alone leaves the reader blocked in in.read() on a quiet
+    // tty forever — close the stream to unblock it (same zombie-reader
+    // fix as TcpLineMicroBatchStream.stop)
+    Option(liveStream.getAndSet(null)).foreach { s =>
+      try s.close() catch { case _: java.io.IOException => () }
+    }
+  }
 }
 
 private case class SerialOffset(value: Long) extends Offset {

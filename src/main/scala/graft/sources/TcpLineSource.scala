@@ -86,12 +86,20 @@ private class TcpLineMicroBatchStream(host: String, port: Int,
   private val buffer = ListBuffer.empty[(String, Long)]
   private var baseOffset = wal.maxPlannedOffset
   private val stopped = new AtomicBoolean(false)
+  // the live connection, so stop() can CLOSE it: a flag alone leaves
+  // the reader blocked in readLine() forever — a zombie consumer that
+  // holds the sensor connection, keeps appending to a dead buffer, and
+  // steals lines from a restarted query in the same JVM
+  private val liveSocket =
+    new java.util.concurrent.atomic.AtomicReference[Socket]()
 
   private val reader = new Thread(s"graft-tcp-$host:$port") {
     override def run(): Unit = {
       while (!stopped.get()) {
         try {
           val socket = new Socket(host, port)
+          liveSocket.set(socket)
+          if (stopped.get()) { socket.close(); return }
           // lifecycle "open" trigger (BaseStream.java:130-141): send the
           // hello/wakeup string on every (re)connect
           hello.foreach { h =>
@@ -155,7 +163,12 @@ private class TcpLineMicroBatchStream(host: String, port: Int,
     if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); baseOffset = e }
   }
 
-  override def stop(): Unit = stopped.set(true)
+  override def stop(): Unit = {
+    stopped.set(true)
+    Option(liveSocket.getAndSet(null)).foreach { s =>
+      try s.close() catch { case _: java.io.IOException => () }
+    }
+  }
 }
 
 private case class TcpLinesPartition(rows: Array[(String, Long)], origin: String)
