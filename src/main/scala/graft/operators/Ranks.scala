@@ -52,4 +52,38 @@ object Ranks {
       .withColumn(rnCol, col("__off") + row_number().over(wIn))
       .drop(("__off" +: keyCols.map(c => s"__k_$c")): _*)
   }
+
+  /** Per-key INCLUSIVE running sum of `valCol` without a data-scale
+    * single-partition window — [[bucketedRank]]'s prefix-sum twin, and
+    * exactly equal to
+    * `sum(valCol) OVER (PARTITION BY partCols ORDER BY orderCols ROWS
+    * UNBOUNDED PRECEDING)` when `bktCol` is order-consistent: rows
+    * bucket by the coarse key, per-bucket sums make a metadata-scale
+    * offsets table whose cumulative window runs over buckets only, the
+    * offsets broadcast back, and each (partition, bucket) runs its own
+    * running sum. The naive rendering holds only as many window
+    * partitions as there are keys — for a ~5-value lang key that is
+    * one unbounded straggler sort per language at corpus scale (the
+    * same measured pattern bucketedRank was extracted for).
+    */
+  def bucketedPrefixSum(df: DataFrame, partCols: Seq[String], bktCol: String,
+      valCol: String, orderCols: Seq[Column], sumCol: String): DataFrame = {
+    val wOff = (if (partCols.isEmpty) Window.orderBy(bktCol)
+                else Window.partitionBy(partCols.map(col): _*).orderBy(bktCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy((partCols :+ bktCol).map(col): _*)
+      .agg(sum(valCol).as("__s"))
+      .withColumn("__off", coalesce(sum("__s").over(wOff), lit(0L)))
+      .drop("__s")
+    val wIn = Window.partitionBy((partCols :+ bktCol).map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keyCols = partCols :+ bktCol
+    val off = offsets.select(
+      keyCols.map(c => col(c).as(s"__k_$c")) :+ col("__off"): _*)
+    val cond = keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    df.join(broadcast(off), cond)
+      .withColumn(sumCol, col("__off") + sum(valCol).over(wIn))
+      .drop(("__off" +: keyCols.map(c => s"__k_$c")): _*)
+  }
 }

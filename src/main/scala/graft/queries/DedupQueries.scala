@@ -26,6 +26,31 @@ object DedupQueries {
   // pipes and is interpolated into SQL strings BEFORE their .stripMargin
   // runs (a pre-stripped fragment's continuation lines starting with the
   // SQL || operator would have their first pipe eaten by the outer strip)
+  /** DuckDB replay of the TextOps.lshCandidatePairs signature kernel
+    * (shingle=3, k=8 min-hashes, 4 bands x 2 rows, md5-seeded
+    * string-min) up to the `bands` CTE — ONE copy shared by every LSH
+    * oracle, same drift-prevention rationale as [[lshPlanesSql]]: a
+    * kernel change in TextOps must fail EVERY lsh row loudly, not
+    * silently leave one of seven hand-copied CTE chains testing the old
+    * kernel. `cols` carries extra per-doc columns ("doc_id, source")
+    * through the chain; [[lshBandsBody]] is the mid-query (no WITH)
+    * form for oracles whose chain follows other CTEs.
+    */
+  private def lshBandsBody(cols: String): String =
+    s"""toks AS (SELECT $cols,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
+       |sh AS (SELECT $cols,
+       |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+       |  FROM toks WHERE len(w) >= 3),
+       |shr AS (SELECT $cols, unnest(s) AS x FROM sh),
+       |mh AS (SELECT $cols, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
+       |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY $cols, k),
+       |bands AS (SELECT $cols, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
+       |  FROM mh GROUP BY $cols, k // 2)""".stripMargin
+
+  private def lshBandsCte(cols: String = "doc_id"): String =
+    "WITH " + lshBandsBody(cols)
+
   private val lshPlanesSql: String =
     """pl AS (SELECT p,
         |    [ (strpos('0123456789abcdef', substr(md5('plane' || CAST(p AS VARCHAR)
@@ -96,16 +121,32 @@ object DedupQueries {
           array_join(slice(reverse(toks), 1, 2), " ").as("k2"),
           substring(col("text"), 1, 40).as("pfx"))
         .transform(TextOps.trackCache)
+      // lead(1)/lead(2) over (blk ORDER BY key, doc_id) rendered as a
+      // two-level rank + rank-equi-join, NOT a window partitioned by
+      // the 1-char block alone: blk has <=~26 values regardless of data
+      // size, so the naive window sorts fact-scale data through a fixed
+      // handful of tasks at 100x. Ranks.bucketedRank (4-char
+      // order-consistent prefix buckets) gives each row its exact
+      // row_number in the block's sort order; "next row" is then a plain
+      // equi-join on (blk, rn+k) — shuffle keys that scale with the
+      // data. Bit-equal to the window oracle: rn is dense within blk,
+      // so (blk, rn+k) IS lead(k), and the inner join drops exactly the
+      // id-IS-NOT-NULL tail rows.
       def pass(keyCol: String): org.apache.spark.sql.DataFrame = {
-        val w = Window.partitionBy(substring(col(keyCol), 1, 1))
-          .orderBy(col(keyCol), col("doc_id"))
-        val n = t.select(col("doc_id"), col("pfx"),
-          lead("doc_id", 1).over(w).as("id1"), lead("pfx", 1).over(w).as("pf1"),
-          lead("doc_id", 2).over(w).as("id2"), lead("pfx", 2).over(w).as("pf2"))
-        n.filter(col("id1").isNotNull)
-          .select(col("doc_id").as("a"), col("id1").as("b"), col("pfx"), col("pf1").as("pfb"))
-          .unionAll(n.filter(col("id2").isNotNull)
-            .select(col("doc_id").as("a"), col("id2").as("b"), col("pfx"), col("pf2").as("pfb")))
+        val p = t.select(col("doc_id"), col("pfx"), col(keyCol).as("__key"))
+          .withColumn("blk", substring(col("__key"), 1, 1))
+          .withColumn("__bkt", substring(col("__key"), 1, 4))
+        val ranked = graft.operators.Ranks.bucketedRank(p, Seq("blk"), "__bkt",
+            Seq(col("__key"), col("doc_id")), "rn")
+          .select(col("blk"), col("rn"), col("doc_id"), col("pfx"))
+        val a = ranked.select(col("blk"), col("rn"),
+          col("doc_id").as("a"), col("pfx"))
+        def nbr(k: Int) = ranked.select(col("blk"), (col("rn") - k).as("rn"),
+          col("doc_id").as("b"), col("pfx").as("pfb"))
+        a.join(nbr(1), Seq("blk", "rn"))
+          .select(col("a"), col("b"), col("pfx"), col("pfb"))
+          .unionAll(a.join(nbr(2), Seq("blk", "rn"))
+            .select(col("a"), col("b"), col("pfx"), col("pfb")))
       }
       pass("k1").unionAll(pass("k2"))
         .select(least(col("a"), col("b")).as("doc_a"),
@@ -119,16 +160,7 @@ object DedupQueries {
     // MinHash (k=8, md5-seeded, string-min) + banded LSH (4 bands x 2):
     // candidate pairs are docs sharing any band bucket.
     Q("dd_minhash_lsh",
-      """WITH toks AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
-        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
-        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
-        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
-        |  FROM mh GROUP BY doc_id, k // 2)
+      lshBandsCte() + """
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
@@ -705,16 +737,7 @@ object DedupQueries {
         |ck AS (SELECT DISTINCT
         |    array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[1:5], ' ') AS key
         |  FROM documents WHERE source <> 'src19'),
-        |toks AS (SELECT doc_id, source,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |sh AS (SELECT doc_id, source,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |shr AS (SELECT doc_id, source, unnest(s) AS x FROM sh),
-        |mh AS (SELECT doc_id, source, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
-        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, source, k),
-        |bands AS (SELECT doc_id, source, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
-        |  FROM mh GROUP BY doc_id, source, k // 2),
+        |""".stripMargin + lshBandsBody("doc_id, source") + """,
         |hits AS (SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_band_hits
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
         |  WHERE a.source = 'src19' AND b.source <> 'src19' GROUP BY a.doc_id)
@@ -752,16 +775,7 @@ object DedupQueries {
     // signature kernel turns the row red. Tiny candidate set -> the
     // interpreted zip_with here is gate-only, never a corpus-scale path.
     Q("dd_minhash_quality",
-      """WITH toks AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
-        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
-        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
-        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
-        |  FROM mh GROUP BY doc_id, k // 2),
+      lshBandsCte() + """,
         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
@@ -804,16 +818,7 @@ object DedupQueries {
     // quadratic term is bounded by the LSH candidate count. Distances and
     // lengths are integers: the row is float-free and engine-exact.
     Q("dd_edit_verify",
-      """WITH toks AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
-        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
-        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
-        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
-        |  FROM mh GROUP BY doc_id, k // 2),
+      lshBandsCte() + """,
         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
@@ -841,16 +846,7 @@ object DedupQueries {
     // Spark: iterative min-label propagation; oracle: recursive-CTE
     // transitive closure. Two very different algorithms, same fixpoint.
     Q("dd_clusters",
-      """WITH toks AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
-        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
-        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
-        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
-        |  FROM mh GROUP BY doc_id, k // 2),
+      (lshBandsCte() + """,
         |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -860,10 +856,8 @@ object DedupQueries {
         |reach AS (SELECT node AS node, node AS r FROM nodes
         |          UNION
         |          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-        |SELECT node, min(r) AS cluster FROM reach GROUP BY node""".stripMargin
-        .replace("reach AS (", "RECURSIVE reach AS (")
-        .replaceFirst("WITH ", "WITH RECURSIVE ")
-        .replace("RECURSIVE reach AS (", "reach AS (")) { (s, dir) =>
+        |SELECT node, min(r) AS cluster FROM reach GROUP BY node""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, dir) =>
       val pairs = TextOps.lshCandidatePairs(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, k = 8, bands = 4)
@@ -980,16 +974,7 @@ object DedupQueries {
     // on the SAME LSH+CC chain as dd_clusters (shared cached frames);
     // the rollup is two bounded aggregations.
     Q("dd_savings",
-      """WITH toks AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
-        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
-        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
-        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
-        |  FROM mh GROUP BY doc_id, k // 2),
+      (lshBandsCte() + """,
         |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -1010,7 +995,7 @@ object DedupQueries {
         |  CAST(sum(sz) AS BIGINT) AS n_docs,
         |  CAST(sum(chars) AS BIGINT) AS chars_total,
         |  CAST(sum(chars - kchars) AS BIGINT) AS chars_saved
-        |FROM cl GROUP BY sz""".stripMargin
+        |FROM cl GROUP BY sz""".stripMargin)
         .replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val pairs = TextOps.lshCandidatePairs(docs, "doc_id", "text",
@@ -1034,16 +1019,7 @@ object DedupQueries {
     // dedup pipeline actually emits. Builds on the same LSH+CC pipeline;
     // the policy rank is a per-cluster window, shuffle on the cluster id.
     Q("dd_keep_policy",
-      """WITH toks AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
-        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
-        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
-        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
-        |  FROM mh GROUP BY doc_id, k // 2),
+      (lshBandsCte() + """,
         |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -1058,7 +1034,7 @@ object DedupQueries {
         |    row_number() OVER (PARTITION BY cl.cluster
         |                       ORDER BY d.n_chars DESC, cl.node) AS rn
         |  FROM cl JOIN documents d ON cl.node = d.doc_id)
-        |SELECT node, cluster, (rn = 1) AS keep FROM ranked""".stripMargin
+        |SELECT node, cluster, (rn = 1) AS keep FROM ranked""".stripMargin)
         .replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val pairs = TextOps.lshCandidatePairs(docs, "doc_id", "text",

@@ -124,12 +124,20 @@ object Marine {
 
     // Grid-bucketed spatial self-join — the geohash/S2 pattern every
     // fleet-track engine uses for "vessels within R of each other":
-    // positions quantize to a 0.005°(≈550 m) grid, one side explodes to
-    // its 9-cell neighbourhood, the join is a plain equi-join on the
-    // cell key (shuffle on bounded keys — NEVER an all-pairs distance
-    // cross product), and candidates verify with the real haversine at
-    // R=500 m. Cell size ≥ R in both axes at this latitude, so the
-    // 9-neighbourhood is lossless over the retained points. Each cell
+    // positions quantize to a lat 0.005° × lon 0.008° grid, one side
+    // explodes to its 9-cell neighbourhood, the join is a plain
+    // equi-join on the cell key (shuffle on bounded keys — NEVER an
+    // all-pairs distance cross product), and candidates verify with the
+    // real haversine at R=500 m. Losslessness requires cell width ≥ R
+    // on BOTH axes: 0.005° lat is 556 m everywhere, but a longitude
+    // degree shrinks by cos(lat) — at this fixture's lat envelope
+    // [51.0, 51.57] (value ≤ 560.21), 0.005° lon is only ~349 m, and a
+    // square 0.005° grid silently dropped true pairs with Δlon in
+    // (0.005°, R/(111320·cosφ)] on BOTH engines (round-11 review
+    // finding — identical formula, identically wrong, hash-green).
+    // 0.008° lon = 111320·0.008·cos(51.57) ≈ 554 m ≥ R across the
+    // envelope; a general engine derives the lon width per latitude
+    // stripe the same way. Each cell
     // retains at most 64 points (lowest event_id — deterministic), the
     // density guard every production spatial join ships: the fixture's
     // exponential value distribution piles ~10k points into the lowest
@@ -149,7 +157,7 @@ object Marine {
          |  FROM events),
          |c0 AS (SELECT event_id, lat, lon,
          |    CAST(floor(lat/0.005) AS BIGINT) AS cy,
-         |    CAST(floor(lon/0.005) AS BIGINT) AS cx FROM p),
+         |    CAST(floor(lon/0.008) AS BIGINT) AS cx FROM p),
          |c AS (SELECT event_id, lat, lon, cy, cx FROM (
          |    SELECT *, row_number() OVER (PARTITION BY cy, cx ORDER BY event_id) AS rn
          |    FROM c0) WHERE rn <= 64),
@@ -172,7 +180,7 @@ object Marine {
           "3.0 + CAST(user_id AS DOUBLE)/1000.0 AS lon")
         .selectExpr("event_id", "lat", "lon",
           "CAST(floor(lat/0.005) AS BIGINT) AS cy",
-          "CAST(floor(lon/0.005) AS BIGINT) AS cx")
+          "CAST(floor(lon/0.008) AS BIGINT) AS cx")
         .withColumn("rn", row_number().over(
           Window.partitionBy("cy", "cx").orderBy("event_id")))
         .filter(col("rn") <= 64).drop("rn")

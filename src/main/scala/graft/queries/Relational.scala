@@ -1097,6 +1097,17 @@ object Relational {
     // shuffle. Both engines share the classic Winkler 1990 semantics
     // (boost threshold 0.7, prefix weight 0.1, floored transposition
     // count), so the score hash-compares after round(6).
+    // Fuzzy join via attribute blocking: candidates = same (brand,
+    // size) block, verified by Jaro-Winkler. Candidate volume is
+    // sum(n_b^2) — quadratic in per-block population, which is the
+    // stated answer's own cost (every >=0.85 pair in a block must be
+    // emitted). Measured 1.4x wall at 100x data (SCALE_CURVES.md: the
+    // scale fixture diversifies brands, keeping blocks selective); on a
+    // corpus where one block's population grows unboundedly, the
+    // deployment shape is redundant multi-key blocking (add name-prefix
+    // keys, union candidates) or the LSH twin — the dd_minhash_lsh
+    // family on name shingles — exactly as for the exact-similarity
+    // rows.
     Q("j_fuzzy_block",
       """SELECT a.p_name AS name_a, b.p_name AS name_b,
         |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw,
@@ -1301,10 +1312,6 @@ object Relational {
       val li = Tables.load(s, dir, "lineitem")
       val ev = Tables.load(s, dir, "events")
       val liCount = li.agg(count(lit(1)).as("__n"))
-      val evCount = ev.agg(count(lit(1)).as("__n"))
-      def chk(name: String, checked: org.apache.spark.sql.Column,
-          viol: org.apache.spark.sql.Column) =
-        (name, checked, viol)
       val pk = orders.agg(count(lit(1)).as("n_checked"),
           (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
         .select(lit("orders_pk_unique").as("chk"), col("n_checked"),
@@ -2564,8 +2571,14 @@ object Relational {
         graft.functions.GraftFunctions.bloom_agg(col("k"), 1000000L, 8388608L).as("bf"))
         .head().getAs[Array[Byte]](0)
       val pass = graft.functions.GraftFunctions.bloom_might_contain(sketch, col("l_orderkey"))
-      // gate: broadcast the exact key set next to the bloom verdict
-      li.join(broadcast(o), li("l_orderkey") === o("k"), "left")
+      // gate: the exact key set joins WITHOUT a broadcast hint — the
+      // filtered-orders side scales with the facts (~0.3% of orders),
+      // so hinting it broadcast is the fact-scaled-broadcast-hint class
+      // the 100x sweep's house rule forbids (it would collect GBs to
+      // the driver at the 100 TB posture this row verifies the bloom
+      // FOR); Catalyst still broadcasts it while it fits, and falls
+      // back to a shuffle join when it doesn't
+      li.join(o, li("l_orderkey") === o("k"), "left")
         .select(col("k").isNotNull.as("m"), pass.as("p"))
         .agg(
           sum(when(col("m"), 1L).otherwise(0L)).as("n_exact"),

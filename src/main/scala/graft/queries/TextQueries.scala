@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.TextOps
+import graft.operators.{Ranks, TextOps}
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -454,16 +454,27 @@ object TextQueries {
         |  FROM sc)
         |SELECT doc_id, lang, score, rnk
         |FROM w WHERE cum - score < 0.5 * tot""".stripMargin) { (s, dir) =>
-      val sc = Tables.load(s, dir, "documents")
+      // two-level rank + prefix sum (lang has ~5 values regardless of
+      // corpus size — see pl_pack): the bucket is -score, which is
+      // order-consistent for the (score DESC, doc_id) window order and
+      // has vocabulary-bounded cardinality; lang totals are a 5-row
+      // broadcast, never a whole-partition window
+      // tracked-cached: the tokenize+distinct projection feeds the
+      // offsets aggregate, the main frame, the rank pass and the lang
+      // totals — cache once, not four corpus re-tokenizations
+      val sc = TextOps.trackCache(Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("score"))
-      val ord = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
-      val sc2 = sc
-        .withColumn("cum", sum("score").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("tot", sum("score").over(Window.partitionBy("lang")))
-        .withColumn("rnk", row_number().over(ord))
-      sc2.filter(col("cum") - col("score") < lit(0.5) * col("tot"))
-        .select(col("doc_id"), col("lang"), col("score"), col("rnk"))
+        .withColumn("__bkt", -col("score")))
+      val cum = Ranks.bucketedPrefixSum(sc, Seq("lang"), "__bkt",
+        "score", Seq(col("doc_id")), "cum")
+      val ranked = Ranks.bucketedRank(cum, Seq("lang"), "__bkt",
+        Seq(col("doc_id")), "rnk")
+      val tot = sc.groupBy("lang").agg(sum("score").as("tot"))
+      ranked.join(broadcast(tot), Seq("lang"))
+        .filter(col("cum") - col("score") < lit(0.5) * col("tot"))
+        .select(col("doc_id"), col("lang"), col("score"),
+          col("rnk").cast("int").as("rnk"))
     },
 
     // Per-document top-3 salient terms by tf-idf. The idf uses the exact
@@ -661,12 +672,15 @@ object TextQueries {
         |  CAST(FLOOR(cum_before / 256) AS BIGINT) AS chunk_start,
         |  CAST(FLOOR((cum_before + n_tok - 1) / 256) AS BIGINT) AS chunk_end
         |FROM c WHERE n_tok > 0""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.load(s, dir, "documents")
+      // two-level prefix sum: source has ~20 values regardless of
+      // corpus size — see pl_pack's rationale
+      val t = Tables.load(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+      Ranks.bucketedPrefixSum(
+          t.withColumn("__bkt", expr("doc_id div 16384")),
+          Seq("source"), "__bkt", "n_tok", Seq(col("doc_id")), "__csum")
+        .withColumn("cum_before", col("__csum") - col("n_tok"))
         .filter(col("n_tok") > 0)
         .select(col("source"), col("doc_id"), col("n_tok"),
           floor(col("cum_before") / 256).as("chunk_start"),
@@ -2139,16 +2153,38 @@ object TextQueries {
         |  row_number() OVER (PARTITION BY lang, stage
         |    ORDER BY difficulty, doc_id) AS pos_in_stage
         |FROM st""".stripMargin) { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
+      // two-level rendering (lang has ~5 values regardless of corpus
+      // size — see pl_pack): rank via Ranks.bucketedRank with an
+      // order-consistent difficulty bucket, then ntile(4) and
+      // pos_in_stage DERIVED from (rnk, n) with the standard ntile
+      // sizing — the first (n mod 4) tiles get ceil(n/4) rows — which
+      // is exactly what Spark's and DuckDB's ntile compute, so the
+      // rendering is bit-equal to the window oracle without any
+      // per-language whole-partition sort.
+      val d = TextOps.trackCache(Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"), length(col("text")).as("chars"),
           size(TextOps.tokens(col("text"))).as("n_tokens"))
         .filter(col("n_tokens") > 0)
         .select(col("doc_id"), col("lang"),
           round(col("chars") * lit(1.0) / col("n_tokens"), 6).as("difficulty"))
-      val byLang = Window.partitionBy("lang").orderBy(col("difficulty"), col("doc_id"))
-      val staged = d.withColumn("stage", ntile(4).over(byLang))
-      staged.withColumn("pos_in_stage", row_number().over(
-        Window.partitionBy("lang", "stage").orderBy(col("difficulty"), col("doc_id"))))
+        .withColumn("__bkt", floor(col("difficulty") * 16).cast("long")))
+      val ranked = Ranks.bucketedRank(d, Seq("lang"), "__bkt",
+        Seq(col("difficulty"), col("doc_id")), "rnk")
+      val nLang = d.groupBy("lang").agg(count(lit(1)).as("__n"))
+      val big = expr("__n div 4") + 1 // ceil size while remainder lasts
+      val q = expr("__n div 4")
+      val r = col("__n") % 4
+      val stage = when(col("rnk") <= r * big,
+          expr("(rnk - 1) div ((__n div 4) + 1)") + 1)
+        .otherwise(r + 1 + expr(
+          "(rnk - (__n % 4) * ((__n div 4) + 1) - 1) div (__n div 4)"))
+      val start = when(col("stage") - 1 <= r, (col("stage") - 1) * big + 1)
+        .otherwise(r * big + (col("stage") - 1 - r) * q + 1)
+      ranked.join(broadcast(nLang), Seq("lang"))
+        .withColumn("stage", stage.cast("int"))
+        .withColumn("pos_in_stage", (col("rnk") - start + 1).cast("int"))
+        .select(col("doc_id"), col("lang"), col("difficulty"),
+          col("stage"), col("pos_in_stage"))
     },
 
     // Sequence packing: per language, documents are concatenated in
@@ -2176,9 +2212,17 @@ object TextQueries {
         .select(col("doc_id"), col("lang"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
         .filter(col("n_tokens") > 0)
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.withColumn("strt", sum("n_tokens").over(w) - col("n_tokens"))
+      // two-level prefix sum (Ranks.bucketedPrefixSum), NOT a window
+      // partitioned by lang alone: lang has ~5 values regardless of
+      // corpus size, so the naive running sum serializes 1/5 of all
+      // documents through one sort task per language at 100x — the
+      // straggler pattern bucketedRank was extracted for. doc_id's high
+      // bits are the order-consistent bucket; result is bit-equal to
+      // the oracle's window.
+      Ranks.bucketedPrefixSum(
+          t.withColumn("__bkt", expr("doc_id div 16384")),
+          Seq("lang"), "__bkt", "n_tokens", Seq(col("doc_id")), "__csum")
+        .withColumn("strt", col("__csum") - col("n_tokens"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           expr("strt div 2048").as("pack_id"),
           (col("strt") - expr("strt div 2048") * 2048).as("start_off"))

@@ -163,11 +163,19 @@ class PlanSpec3 extends AnyFunSuite {
       "seasonality must not join")
   }
 
-  test("pl_curriculum: per-language windows, never a single-partition sort") {
+  test("pl_curriculum: two-level rank, no fixed-cardinality sort, broadcast-only joins") {
+    // round-11 rewrite: lang has ~5 values regardless of corpus size, so
+    // the old per-lang ntile window serialized 1/5 of all documents
+    // through one sort task; the two-level rendering ranks within
+    // data-scaled difficulty buckets and derives ntile arithmetically.
+    // The only joins are the metadata-scale offsets/lang-count
+    // broadcasts.
     val p = plan("pl_curriculum")
     assert(!p.contains("Exchange SinglePartition"),
       s"global curriculum window crept in:\n$p")
-    assert(!p.contains("Join"), s"curriculum must not join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"only broadcast (metadata-scale) joins allowed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
   }
 
   test("knnGraph big-block path: every join keyed on the IVF cell, never label-wide") {

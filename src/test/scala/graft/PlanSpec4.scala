@@ -30,10 +30,17 @@ class PlanSpec4 extends AnyFunSuite {
     assert(exchanges(p) == 1, s"expected exactly 1 exchange (top-k):\n$p")
   }
 
-  test("pl_pack: one per-lang window exchange, no joins") {
+  test("pl_pack: two-level prefix sum, broadcast-only joins, no single-partition sort") {
+    // round-11 rewrite: the old per-lang running-sum window held only ~5
+    // window partitions at any corpus size; the two-level rendering's
+    // within-bucket windows are data-scaled and the offsets table joins
+    // back as a broadcast
     val p = plan("pl_pack")
-    assert(!p.contains("Join"), s"packing must not join:\n$p")
-    assert(exchanges(p) == 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition sort crept in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"only broadcast (metadata-scale) joins allowed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
   }
 
   test("mm_ahash_pairs: banded hash join, never a cross product") {
