@@ -220,15 +220,26 @@ class PlanSpec2 extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"serializes through one partition:\n$p")
   }
 
-  test("ts_autocorr and pl_topp_select: the window and the downstream op share ONE key shuffle") {
-    Seq("ts_autocorr" -> "event_type", "pl_topp_select" -> "lang").foreach {
-      case (q, key) =>
-        val p = plan(q)
-        assert(raw"\(\d+\) Exchange".r.findAllIn(p).size == 1,
-          s"$q expected exactly 1 exchange (lag window + agg/windows co-partitioned):\n$p")
-        assert(p.contains(s"hashpartitioning($key"), s"$q not keyed on $key:\n$p")
-        assert(!p.contains("SinglePartition"), s"$q serializes:\n$p")
-    }
+  test("ts_autocorr: the lag window and the aggregate share ONE key shuffle") {
+    val p = plan("ts_autocorr")
+    assert(raw"\(\d+\) Exchange".r.findAllIn(p).size == 1,
+      s"ts_autocorr expected exactly 1 exchange:\n$p")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"ts_autocorr not keyed on event_type:\n$p")
+    assert(!p.contains("SinglePartition"), s"ts_autocorr serializes:\n$p")
+  }
+
+  test("pl_topp_select: two-level rank/prefix-sum, broadcast-only joins") {
+    // round-11 rewrite: the old single lang-keyed shuffle held only ~5
+    // window partitions at any corpus size; the two-level rendering
+    // buckets by -score and joins the metadata-scale offsets/lang
+    // totals back as broadcasts — more exchanges, none of them a
+    // fixed-cardinality straggler sort
+    val p = plan("pl_topp_select")
+    assert(!p.contains("SinglePartition"), s"pl_topp_select serializes:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"only broadcast (metadata-scale) joins allowed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
   }
 
   test("dd_containment: density dispatch picks a keyed join, never a cartesian") {
