@@ -26,8 +26,25 @@ import scala.collection.mutable.ListBuffer
   */
 object DcafsXml {
 
+  /** Hardened XML parser, ONE copy for every entry point (and
+    * SettingsFab): the default DocumentBuilderFactory expands DTDs and
+    * external entities, so a settings/tasklist file carrying
+    * `<!DOCTYPE x [<!ENTITY e SYSTEM "file:///...">]>` could read local
+    * files, reach network URLs, or billion-laughs the console JVM —
+    * config files arrive over email/telnet ingest paths, so this is a
+    * real surface, not a hypothetical. dcafs configs never use DTDs, so
+    * disallowing the doctype outright loses nothing.
+    */
+  private[graft] def newSecureBuilder(): javax.xml.parsers.DocumentBuilder = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder()
+  }
+
   def parsePath(xml: String): PathSpec = {
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val doc = newSecureBuilder()
       .parse(new InputSource(new StringReader(xml)))
     val path = doc.getDocumentElement
     require(path.getTagName == "path", s"expected <path>, got <${path.getTagName}>")
@@ -64,7 +81,10 @@ object DcafsXml {
     case "contain" => s"contains(line, ${lit(value)})"
     case "minlength" => s"length(line) >= ${value.trim.toInt}"
     case "maxlength" => s"length(line) <= ${value.trim.toInt}"
-    case "regex" => s"line RLIKE ${lit("^" + value + "$")}"
+    // non-capturing group: bare ^a|b$ would match prefix-a OR suffix-b,
+    // not the whole-line match FilterForward.matches() performs (same
+    // fix as FilterRules.regex)
+    case "regex" => s"line RLIKE ${lit("^(?:" + value + ")$")}"
     case "math" => value // MathDsl handles iN refs and word comparisons
     case other => throw new IllegalArgumentException(s"unsupported filter type '$other'")
   }
@@ -166,7 +186,7 @@ object DcafsXml {
     * replay their recorded captures via `LineSources.modbusReplay`).
     */
   def parseStreams(xml: String): Seq[StreamSpec] = {
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val doc = newSecureBuilder()
       .parse(new InputSource(new StringReader(xml)))
     val root = doc.getDocumentElement
     require(root.getTagName == "streams", s"expected <streams>, got <${root.getTagName}>")
@@ -197,8 +217,13 @@ object DcafsXml {
         label = kid("label").getOrElse(""),
         eol = kid("eol").getOrElse("crlf"),
         ttlMillis = kid("ttl").map(parsePeriodMillis).getOrElse(-1L),
+        // connect-time commands only: "asleep" is the reference's
+        // IDLE-time trigger (BaseStream flagIdle), not a hello — folding
+        // it in sent the low-power command on every (re)connect and,
+        // worse, could SHADOW the real open/hello command (collectFirst
+        // keeps only one)
         hello = cmds.collectFirst {
-          case (w, c) if Set("open", "hello", "wakeup", "welcome", "asleep")(w) => c
+          case (w, c) if Set("open", "hello", "wakeup", "welcome")(w) => c
         },
         idleCmd = cmds.collectFirst { case ("idle", c) => c },
         topic = kid("topic"))
@@ -217,7 +242,7 @@ object DcafsXml {
     * the Spark engine with no rewriting.
     */
   def parseSettings(xml: String): Settings = {
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val doc = newSecureBuilder()
       .parse(new InputSource(new StringReader(xml)))
     val root = doc.getDocumentElement
     def elementToString(el: Element): String = {
@@ -273,7 +298,7 @@ object DcafsXml {
     * `TaskManager.java:1-200`) — onto the engine's TaskTrigger algebra.
     */
   def parseTasks(xml: String): Tasklist = {
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val doc = newSecureBuilder()
       .parse(new InputSource(new StringReader(xml)))
     val root = doc.getDocumentElement
     require(root.getTagName == "tasklist",
@@ -395,7 +420,7 @@ object DcafsXml {
     * process can bind). Digs `dcafs/telnet` or `dcafs/settings/telnet`.
     */
   def parseTelnet(xml: String): Option[(Int, String)] = {
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val doc = newSecureBuilder()
       .parse(new InputSource(new StringReader(xml)))
     val root = doc.getDocumentElement
     def find(el: Element, tag: String): Option[Element] =
@@ -411,7 +436,7 @@ object DcafsXml {
   }
 
   def parseEmail(xml: String): Option[EmailCfg] = {
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val doc = newSecureBuilder()
       .parse(new InputSource(new StringReader(xml)))
     val root = doc.getDocumentElement
     val emailEl =
@@ -477,7 +502,7 @@ object DcafsXml {
     * caller.
     */
   def parseTaskManagerRefs(xml: String): Seq[(String, String)] = {
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val doc = newSecureBuilder()
       .parse(new InputSource(new StringReader(xml)))
     val found = ListBuffer.empty[(String, String)]
     def walk(el: Element): Unit = {
@@ -495,7 +520,7 @@ object DcafsXml {
     * `<room id=..>` children with url/entering/leaving/greet.
     */
   def parseMatrix(xml: String): Option[graft.alerts.MatrixCfg] = {
-    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val doc = newSecureBuilder()
       .parse(new InputSource(new StringReader(xml)))
     val root = doc.getDocumentElement
     val el =

@@ -66,8 +66,26 @@ object PathCompiler {
       .agg(first("value"))
     val renamed = wide.columns.foldLeft(wide)((df, c) =>
       df.withColumnRenamed(c, MathDsl.rtColumn("r", c)))
-    compile(spec, input.crossJoin(broadcast(renamed)))
-      .drop(renamed.columns: _*)
+    // the DSL accepts {r:id}, {i:id} and {f:id} (RealVal/IntegerVal/
+    // FlagVal all live in one state table here) — alias every pivoted
+    // key under all three kind columns, and add a NULL column for any
+    // key the path references that has no state row yet: a stream
+    // started before its first state update must compile, not crash
+    // with an unresolved column (startup-order race).
+    val keyed = wide.columns.foldLeft(renamed)((df, c) =>
+      df.withColumn(MathDsl.rtColumn("i", c), col(MathDsl.rtColumn("r", c)))
+        .withColumn(MathDsl.rtColumn("f", c), col(MathDsl.rtColumn("r", c))))
+    val referenced = spec.steps.flatMap {
+      case FilterStep(rules) => rules
+      case MathStep(ops, _) => ops.map(_._2)
+      case EditStep(exprs) => exprs
+      case _ => Nil
+    }.flatMap(MathDsl.rtColumnsIn).distinct
+    val complete = referenced.foldLeft(keyed)((df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast("double")))
+    compile(spec, input.crossJoin(broadcast(complete)))
+      .drop(complete.columns: _*)
   }
 
   private def steps(spec: PathSpec, input: DataFrame): (DataFrame, DataFrame) = {
@@ -107,15 +125,27 @@ object PathCompiler {
       case MathStep(ops, suffix) =>
         prevWasFilter = false
         // write-back semantics: each op replaces field `target` in __f and
-        // re-joins the line, so later ops and edits see the new value
+        // re-joins the line, so later ops and edits see the new value.
+        // Two silent-corruption guards (round-11 review):
+        //  - a null result (TRY_CAST of a non-numeric field) writes an
+        //    EMPTY field, never a null — array_join silently DROPS null
+        //    elements, which deleted the field and shifted every later
+        //    field one position left;
+        //  - a target beyond the current field count pads the line with
+        //    empty fields first, so the value lands AT its index instead
+        //    of silently appending at whatever position the line happened
+        //    to have.
         ops.foreach { case (target, exprText) =>
           val v = expr(MathDsl.compile(exprText))
+          val padded = concat(col("__f"),
+            array_repeat(lit(""),
+              greatest(lit(target + 1) - size(col("__f")), lit(0))))
           df = df.withColumn("__f",
             concat(
-              slice(col("__f"), 1, target),
-              array(v.cast("string")),
-              slice(col("__f"), lit(target + 2),
-                greatest(size(col("__f")) - (target + 1), lit(0)))))
+              slice(padded, 1, target),
+              array(coalesce(v.cast("string"), lit(""))),
+              slice(padded, lit(target + 2),
+                greatest(size(padded) - (target + 1), lit(0)))))
         }
         df = df.withColumn("line", array_join(col("__f"), spec.delimiter))
         suffix match {
@@ -138,6 +168,14 @@ object PathCompiler {
 
       case StoreStep(cols) =>
         prevWasFilter = false
+        // store is TERMINAL: its projection drops __f/origin/ts, so a
+        // later filter/math step would fail with a confusing unresolved
+        // column (and its reject's schema could no longer union with the
+        // path's earlier rejects) — refuse loudly at compile time
+        require(spec.steps.last.isInstanceOf[StoreStep] &&
+          spec.steps.count(_.isInstanceOf[StoreStep]) == 1 &&
+          spec.steps.indexWhere(_.isInstanceOf[StoreStep]) == spec.steps.length - 1,
+          s"path '${spec.id}': store must be the path's LAST step")
         val projected = cols.map { case (name, idx, tpe, default) =>
           coalesce(
             try_element_at(col("__f"), lit(idx + 1)).try_cast(tpe),
@@ -499,8 +537,16 @@ object LineSinks {
           out = new java.io.PrintWriter(socket.getOutputStream, true)
           true
         }
-        override def process(row: org.apache.spark.sql.Row): Unit =
+        override def process(row: org.apache.spark.sql.Row): Unit = {
           out.println(row.getAs[String]("line"))
+          // PrintWriter SWALLOWS IOExceptions into an internal flag: a
+          // peer that drops mid-partition would otherwise lose every
+          // remaining row while the epoch commits as successful — check
+          // and throw so Spark retries the task
+          if (out.checkError())
+            throw new java.io.IOException(
+              s"socket write to $host:$port failed (peer closed?)")
+        }
         override def close(errorOrNull: Throwable): Unit =
           if (socket != null) socket.close()
       })
@@ -577,14 +623,18 @@ object LineSinks {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val start = seen.get()
           val numbered = batch.rdd.zipWithIndex().persist()
-          val kept = numbered
-            .filter { case (_, i) => (start + i + 1) % decimation == 0 }
-            .map(_._1)
-          batch.sparkSession.createDataFrame(kept, batch.schema)
-            .write.mode("append").partitionBy("roll").format(format)
-            .option("header", "true").save(path)
-          seen.set(start + numbered.count())
-          numbered.unpersist(false)
+          try {
+            val kept = numbered
+              .filter { case (_, i) => (start + i + 1) % decimation == 0 }
+              .map(_._1)
+            batch.sparkSession.createDataFrame(kept, batch.schema)
+              .write.mode("append").partitionBy("roll").format(format)
+              .option("header", "true").save(path)
+            seen.set(start + numbered.count())
+            // unpersist in finally: a transient write failure would
+            // otherwise pin the cached blocks forever (one leaked RDD
+            // per failed batch in a long-lived driver)
+          } finally numbered.unpersist(false)
           ()
       }
     } else {

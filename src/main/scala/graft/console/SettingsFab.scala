@@ -72,7 +72,7 @@ object SettingsFab {
     }
 
   private def mutate(file: Path)(f: Document => Unit): Unit = {
-    val builder = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val builder = graft.DcafsXml.newSecureBuilder()
     val doc: Document =
       if (Files.exists(file))
         builder.parse(new org.xml.sax.InputSource(new java.io.StringReader(

@@ -82,28 +82,69 @@ object MathDsl {
   /** Name of the column a rtvals reference resolves to. */
   def rtColumn(kind: String, id: String): String = s"__rt_${kind}_$id"
 
+  /** The rtvals columns an expression references — lets a compiler add
+    * NULL columns for state keys with no row yet (startup-order safety).
+    */
+  def rtColumnsIn(exprText: String): Seq[String] =
+    rtRef.findAllMatchIn(exprText)
+      .map(m => rtColumn(m.group(1), m.group(2))).toSeq
+
   /** Rewrite a dcafs expression to Spark SQL over `arrayCol` (the split
     * line) and rt-value columns.
     */
-  def compile(exprText: String, arrayCol: String = "__f"): String = {
-    var s = exprText.trim
-    // word-form ranges first (they contain comparison keywords)
-    s = fromTo.replaceAllIn(s, m => s"BETWEEN ${m.group(1)} AND ${m.group(2)}")
-    s = through.replaceAllIn(s, m => s"BETWEEN ${m.group(1)} AND ${m.group(2)}")
-    // word-form comparisons (MathUtils.java:244-259)
-    s = s.replaceAll("(?i)\\bnot\\s+below\\b", ">=")
-      .replaceAll("(?i)\\bnot\\s+above\\b", "<=")
-      .replaceAll("(?i)\\bbelow\\b", "<")
-      .replaceAll("(?i)\\babove\\b", ">")
-      .replaceAll("(?i)\\bequals\\b", "=")
-      .replaceAll("(?i)\\bdiffers\\b", "!=")
-    // rtvals references FIRST (`{i:x} ^ 2` must see a word-shaped
-    // operand), then the power operator via the balanced scanner
-    s = rtRef.replaceAllIn(s, m => rtColumn(m.group(1), m.group(2)))
-    s = rewriteCaret(s)
-    // field references -> array extraction (1-based element_at)
-    s = iRef.replaceAllIn(s, m =>
-      s"TRY_CAST(try_element_at($arrayCol, ${m.group(1).toInt + 1}) AS DOUBLE)")
-    s
+  /** Apply `f` only to the parts of `s` OUTSIDE single-quoted SQL
+    * string literals ('' escapes respected; an unterminated quote runs
+    * to end of string). The rewrites must never see user data: a regex
+    * filter's `'^\\d+$'` is not a power operator, a contain filter's
+    * `'above'` is not a comparison keyword, and an editor's `'i2:'` is
+    * not a field reference — a quote-blind pass either crashed
+    * (dangling '^') or silently rewrote the value being matched.
+    */
+  private def mapOutsideQuotes(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var start = 0
+    while (i < s.length) {
+      if (s(i) == '\'') {
+        out.append(f(s.substring(start, i)))
+        var j = i + 1
+        var closed = false
+        while (j < s.length && !closed) {
+          if (s(j) == '\'') {
+            if (j + 1 < s.length && s(j + 1) == '\'') j += 2 // '' escape
+            else closed = true
+          } else j += 1
+        }
+        val end = if (closed) j + 1 else s.length
+        out.append(s.substring(i, end)) // the literal, verbatim
+        i = end
+        start = end
+      } else i += 1
+    }
+    out.append(f(s.substring(start)))
+    out.toString
   }
+
+  def compile(exprText: String, arrayCol: String = "__f"): String =
+    mapOutsideQuotes(exprText.trim) { seg0 =>
+      var s = seg0
+      // word-form ranges first (they contain comparison keywords)
+      s = fromTo.replaceAllIn(s, m => s"BETWEEN ${m.group(1)} AND ${m.group(2)}")
+      s = through.replaceAllIn(s, m => s"BETWEEN ${m.group(1)} AND ${m.group(2)}")
+      // word-form comparisons (MathUtils.java:244-259)
+      s = s.replaceAll("(?i)\\bnot\\s+below\\b", ">=")
+        .replaceAll("(?i)\\bnot\\s+above\\b", "<=")
+        .replaceAll("(?i)\\bbelow\\b", "<")
+        .replaceAll("(?i)\\babove\\b", ">")
+        .replaceAll("(?i)\\bequals\\b", "=")
+        .replaceAll("(?i)\\bdiffers\\b", "!=")
+      // rtvals references FIRST (`{i:x} ^ 2` must see a word-shaped
+      // operand), then the power operator via the balanced scanner
+      s = rtRef.replaceAllIn(s, m => rtColumn(m.group(1), m.group(2)))
+      s = rewriteCaret(s)
+      // field references -> array extraction (1-based element_at)
+      s = iRef.replaceAllIn(s, m =>
+        s"TRY_CAST(try_element_at($arrayCol, ${m.group(1).toInt + 1}) AS DOUBLE)")
+      s
+    }
 }

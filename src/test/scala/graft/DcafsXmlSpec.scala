@@ -35,6 +35,42 @@ class DcafsXmlSpec extends AnyFunSuite {
     assert(reject.count() == 3)
   }
 
+  test("regex filters compile and full-match, incl. alternation") {
+    // round-11 review: the quote-blind caret rewrite crashed EVERY regex
+    // filter ('^...$' parsed as a power operator); and the anchor needs
+    // a non-capturing group or top-level alternation escapes it
+    val xml =
+      """<path id="rx" delimiter=",">
+        |  <filter type="regex">abc.*|def.*</filter>
+        |</path>""".stripMargin
+    val spec = DcafsXml.parsePath(xml)
+    val in = Seq("abc,1", "def,2", "zzzdef,3", "qqq,4").toDF("line")
+    val got = PathCompiler.compile(spec, in)
+      .select("line").as[String].collect().toSet
+    assert(got == Set("abc,1", "def,2"), s"got $got")
+  }
+
+  test("doctype declarations are refused (XXE hardening)") {
+    val evil =
+      """<!DOCTYPE p [<!ENTITY x SYSTEM "file:///etc/passwd">]>
+        |<path id="p" delimiter=","><filter type="contain">&x;</filter></path>""".stripMargin
+    intercept[org.xml.sax.SAXParseException] { DcafsXml.parsePath(evil) }
+  }
+
+  test("asleep is an idle-time trigger, never the connect hello") {
+    val xml =
+      """<streams>
+        |  <stream id="dev" type="tcp">
+        |    <address>h:1</address>
+        |    <cmd when="asleep">low_power</cmd>
+        |    <cmd when="open">init</cmd>
+        |  </stream>
+        |</streams>""".stripMargin
+    val specs = DcafsXml.parseStreams(xml)
+    assert(specs.head.hello.contains("init"),
+      s"asleep shadowed the real hello: ${specs.head.hello}")
+  }
+
   test("consecutive filters chain on the reverse branch (PathForward.java:203-208)") {
     // dcafs if/elif routing: filter2 subscribes to filter1's REJECTS;
     // filter1's matches leave the path, and the path's own reject output

@@ -41,6 +41,23 @@ class MathDslSpec extends AnyFunSuite {
       "TRY_CAST(try_element_at(__f, 1) AS DOUBLE) + __rt_r_temp")
   }
 
+  test("string literals are opaque to every rewrite") {
+    // round-11 review: the DSL rewrites ran quote-blind over whole SQL
+    // rule strings, so a regex filter's '^...$' was parsed as a power
+    // operator (compile crash) and a contain filter's 'above' was
+    // rewritten to '>' (silently matching the wrong rows)
+    assert(MathDsl.compile(raw"line RLIKE '^\d+$$'") == raw"line RLIKE '^\d+$$'")
+    assert(MathDsl.compile("contains(line, 'above')") ==
+      "contains(line, 'above')")
+    assert(MathDsl.compile("concat('i2:', line)") == "concat('i2:', line)")
+    assert(MathDsl.compile("contains(line, 'from a to b')") ==
+      "contains(line, 'from a to b')")
+    // rewrites still apply OUTSIDE the literals, including '' escapes
+    assert(MathDsl.compile("i0 above 2 and contains(line, 'it''s above')") ==
+      "TRY_CAST(try_element_at(__f, 1) AS DOUBLE) > 2 " +
+        "and contains(line, 'it''s above')")
+  }
+
   test("power operator: rtvals operands, chaining, parenthesized bases") {
     // round-11 review findings: the caret regex could not match a
     // rewritten rtvals ref ({i:x} ^ 2 left a literal '^' = integer XOR,
@@ -91,6 +108,45 @@ class PathCompilerSpec extends AnyFunSuite {
       case _: StoreStep => true; case _ => false
     }), bad)
     assert(out.select("temp").collect()(0).getDouble(0) == -999.0)
+  }
+
+  test("math write-back: null results keep the field, high targets pad") {
+    // a null op result (TRY_CAST of junk) must write an EMPTY field —
+    // array_join silently drops nulls, which deleted the field and
+    // shifted every later one; a target beyond the field count pads so
+    // the value lands AT its index, not wherever the line ended
+    val p = PathSpec("m", steps = Seq(MathStep(Seq(1 -> "i1 * 2"))))
+    val in = Seq("5.0,junk,z").toDF("line")
+    val out = PathCompiler.compile(p, in).collect()(0).getAs[String]("line")
+    assert(out == "5.0,,z", s"null write-back must keep the slot: '$out'")
+    val pHigh = PathSpec("m2", steps = Seq(MathStep(Seq(4 -> "i0 + 1"))))
+    val outH = PathCompiler.compile(pHigh, Seq("1.0,2.0").toDF("line"))
+      .collect()(0).getAs[String]("line")
+    assert(outH == "1.0,2.0,,,2.0", s"high target must pad to its index: '$outH'")
+  }
+
+  test("store must be the path's last step") {
+    val bad = PathSpec("s", steps = Seq(
+      StoreStep(Seq(("a", 0, "double", "0.0"))),
+      FilterStep(Seq("i0 above 0"))))
+    val e = intercept[IllegalArgumentException] {
+      PathCompiler.compile(bad, Seq("1.0").toDF("line"))
+    }
+    assert(e.getMessage.contains("LAST step"))
+  }
+
+  test("rtvals: all three kind refs resolve; missing keys compile to null") {
+    // {i:x}/{f:x} previously failed analysis (the pivot renamed with
+    // kind 'r' only), and a key with no state row yet crashed the path
+    // at startup instead of evaluating null
+    val rt = Seq(("temp", 20.0)).toDF("key", "value")
+    val p = PathSpec("rv", steps = Seq(
+      MathStep(Seq(1 -> "{i:temp} + {r:temp}")),
+      FilterStep(Seq("coalesce({f:missing}, 1) above 0"))))
+    val out = PathCompiler.compileWithRtVals(p,
+      Seq("1.0,0").toDF("line"), rt).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("line") == "1.0,40.0")
   }
 
   test("streaming: file replay through the same path spec") {
