@@ -172,9 +172,10 @@ object PathCompiler {
         // later filter/math step would fail with a confusing unresolved
         // column (and its reject's schema could no longer union with the
         // path's earlier rejects) — refuse loudly at compile time
-        require(spec.steps.last.isInstanceOf[StoreStep] &&
-          spec.steps.count(_.isInstanceOf[StoreStep]) == 1 &&
-          spec.steps.indexWhere(_.isInstanceOf[StoreStep]) == spec.steps.length - 1,
+        // we matched a StoreStep, so "its first occurrence is the final
+        // step" alone says exactly one store, and it is last
+        require(spec.steps.indexWhere(_.isInstanceOf[StoreStep]) ==
+          spec.steps.length - 1,
           s"path '${spec.id}': store must be the path's LAST step")
         val projected = cols.map { case (name, idx, tpe, default) =>
           coalesce(

@@ -367,8 +367,10 @@ class EmailWorker(
     // "label:" is 6 chars, so any non-empty label means length > 6 — a
     // > 7 check sent single-character labels down the command branch
     if (cmd.startsWith("label:") && cmd.length > 6) {
-      // the email body is sensor data under the given label
-      val label = cmd.split(":")(1)
+      // the email body is sensor data under the given label — substring,
+      // not split(":")(1): dcafs labels are routinely colon-structured
+      // (nmea:GGA), and splitting silently truncated at the second colon
+      val label = cmd.substring(6)
       m.text.split("\r?\n").takeWhile(_.nonEmpty).foreach(l => onData(label, from, l))
     } else {
       val full =

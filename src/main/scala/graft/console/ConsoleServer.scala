@@ -284,11 +284,7 @@ class ConsoleServer(
         case e: Exception =>
           // a failed start must not leak its temp checkpoint tree (each
           // retry would otherwise abandon one) or a stale checkpoint entry
-          try {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(checkpointDir).iterator().asScala.toSeq
-              .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-          } catch { case _: java.io.IOException => () }
+          deleteDir(checkpointDir)
           throw e
       }
     })

@@ -92,21 +92,26 @@ object MathDsl {
   /** Rewrite a dcafs expression to Spark SQL over `arrayCol` (the split
     * line) and rt-value columns.
     */
-  /** Apply `f` only to the parts of `s` OUTSIDE single-quoted SQL
-    * string literals ('' escapes respected; an unterminated quote runs
-    * to end of string). The rewrites must never see user data: a regex
-    * filter's `'^\\d+$'` is not a power operator, a contain filter's
-    * `'above'` is not a comparison keyword, and an editor's `'i2:'` is
-    * not a field reference — a quote-blind pass either crashed
-    * (dangling '^') or silently rewrote the value being matched.
+  /** Replace every single-quoted SQL string literal ('' escapes
+    * respected; an unterminated quote runs to end of string) with a
+    * word-shaped placeholder token, returning the masked text and the
+    * literals for [[unmask]]. The rewrites must never see user data —
+    * a regex filter's `'^\\d+$'` is not a power operator, a contain
+    * filter's `'above'` is not a comparison keyword — but they must
+    * still see ONE contiguous expression: rewriting per between-quote
+    * segment broke balanced-paren scanning for expressions like
+    * `(i0 + length('a')) ^ 2`, whose left operand spans a literal.
+    * Word-shaped tokens behave as atomic operands in every rewrite
+    * (caret operand scan, BETWEEN operands) and match none of the
+    * reference patterns.
     */
-  private def mapOutsideQuotes(s: String)(f: String => String): String = {
+  private def maskQuotes(s: String): (String, Vector[String]) = {
     val out = new StringBuilder
+    val lits = Vector.newBuilder[String]
     var i = 0
-    var start = 0
+    var n = 0
     while (i < s.length) {
       if (s(i) == '\'') {
-        out.append(f(s.substring(start, i)))
         var j = i + 1
         var closed = false
         while (j < s.length && !closed) {
@@ -116,35 +121,40 @@ object MathDsl {
           } else j += 1
         }
         val end = if (closed) j + 1 else s.length
-        out.append(s.substring(i, end)) // the literal, verbatim
+        lits += s.substring(i, end)
+        out.append(s"__QLIT${n}__")
+        n += 1
         i = end
-        start = end
-      } else i += 1
+      } else { out.append(s(i)); i += 1 }
     }
-    out.append(f(s.substring(start)))
-    out.toString
+    (out.toString, lits.result())
   }
 
-  def compile(exprText: String, arrayCol: String = "__f"): String =
-    mapOutsideQuotes(exprText.trim) { seg0 =>
-      var s = seg0
-      // word-form ranges first (they contain comparison keywords)
-      s = fromTo.replaceAllIn(s, m => s"BETWEEN ${m.group(1)} AND ${m.group(2)}")
-      s = through.replaceAllIn(s, m => s"BETWEEN ${m.group(1)} AND ${m.group(2)}")
-      // word-form comparisons (MathUtils.java:244-259)
-      s = s.replaceAll("(?i)\\bnot\\s+below\\b", ">=")
-        .replaceAll("(?i)\\bnot\\s+above\\b", "<=")
-        .replaceAll("(?i)\\bbelow\\b", "<")
-        .replaceAll("(?i)\\babove\\b", ">")
-        .replaceAll("(?i)\\bequals\\b", "=")
-        .replaceAll("(?i)\\bdiffers\\b", "!=")
-      // rtvals references FIRST (`{i:x} ^ 2` must see a word-shaped
-      // operand), then the power operator via the balanced scanner
-      s = rtRef.replaceAllIn(s, m => rtColumn(m.group(1), m.group(2)))
-      s = rewriteCaret(s)
-      // field references -> array extraction (1-based element_at)
-      s = iRef.replaceAllIn(s, m =>
-        s"TRY_CAST(try_element_at($arrayCol, ${m.group(1).toInt + 1}) AS DOUBLE)")
-      s
+  private def unmask(s: String, lits: Vector[String]): String =
+    lits.zipWithIndex.foldLeft(s) { case (acc, (l, i)) =>
+      acc.replace(s"__QLIT${i}__", l)
     }
+
+  def compile(exprText: String, arrayCol: String = "__f"): String = {
+    val (masked, lits) = maskQuotes(exprText.trim)
+    var s = masked
+    // word-form ranges first (they contain comparison keywords)
+    s = fromTo.replaceAllIn(s, m => s"BETWEEN ${m.group(1)} AND ${m.group(2)}")
+    s = through.replaceAllIn(s, m => s"BETWEEN ${m.group(1)} AND ${m.group(2)}")
+    // word-form comparisons (MathUtils.java:244-259)
+    s = s.replaceAll("(?i)\\bnot\\s+below\\b", ">=")
+      .replaceAll("(?i)\\bnot\\s+above\\b", "<=")
+      .replaceAll("(?i)\\bbelow\\b", "<")
+      .replaceAll("(?i)\\babove\\b", ">")
+      .replaceAll("(?i)\\bequals\\b", "=")
+      .replaceAll("(?i)\\bdiffers\\b", "!=")
+    // rtvals references FIRST (`{i:x} ^ 2` must see a word-shaped
+    // operand), then the power operator via the balanced scanner
+    s = rtRef.replaceAllIn(s, m => rtColumn(m.group(1), m.group(2)))
+    s = rewriteCaret(s)
+    // field references -> array extraction (1-based element_at)
+    s = iRef.replaceAllIn(s, m =>
+      s"TRY_CAST(try_element_at($arrayCol, ${m.group(1).toInt + 1}) AS DOUBLE)")
+    unmask(s, lits)
+  }
 }

@@ -37,8 +37,22 @@ object Skew {
       s"saltedJoin supports large-side-preserving join types only; " +
         s"'$joinType' would emit unmatched small-side rows once per " +
         "salt replica")
+    // hash only hashable columns: xxhash64 rejects MapType at analysis
+    // time, so a large frame carrying a properties/tags map column
+    // would fail outright if every column were hashed blindly
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val saltCols = large.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq
+    require(saltCols.nonEmpty,
+      "saltedJoin: no hashable columns to derive a deterministic salt from")
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(saltCols: _*), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

@@ -102,56 +102,68 @@ object MqttCodec {
   */
 class MqttClientLite(host: String, port: Int, clientId: String) {
   import MqttCodec._
-  import MqttClientLite.{KeepAliveSec, ReadTimeoutMs}
+  import MqttClientLite.{KeepAliveSec, PollTimeoutMs}
 
   private val socket = new Socket(host, port)
-  // half-open-connection defense: without a read timeout, a broker that
-  // dies without FIN (NAT timeout, power loss, partition) leaves
-  // readLoop blocked FOREVER — the reconnect loop above it never fires
-  // and the source silently stops ingesting. The timeout fires on an
-  // idle socket; readLoop then pings, and a second silent interval
-  // means the connection is dead.
-  socket.setSoTimeout(ReadTimeoutMs)
+  // MQTT keepalive is about what the CLIENT sends (MQTT-3.1.2-24: the
+  // broker disconnects a client it hears NOTHING from for 1.5x the
+  // declared keepalive), so pinging must be driven by time-since-last-
+  // SEND, not read-idle — a busy broker keeps the read side hot while
+  // the client stays silent and gets dropped. The short poll timeout
+  // exists only to wake the loop so both clocks are checked; liveness
+  // itself rides the clocks: we ping at keepalive/2 since our last
+  // send, and declare the connection dead after 1.5x keepalive with no
+  // inbound traffic (half-open defense — a broker that dies without
+  // FIN would otherwise block readLoop forever).
+  socket.setSoTimeout(PollTimeoutMs)
   private val in = new DataInputStream(socket.getInputStream)
   private val out = new DataOutputStream(socket.getOutputStream)
+  @volatile private var lastSendMs = System.currentTimeMillis()
+  @volatile private var lastRecvMs = System.currentTimeMillis()
 
-  writePacket(out, CONNECT, 0, connectBody(clientId, KeepAliveSec))
+  private def send(ptype: Int, flags: Int, body: Array[Byte]): Unit = {
+    writePacket(out, ptype, flags, body)
+    lastSendMs = System.currentTimeMillis()
+  }
+
+  send(CONNECT, 0, connectBody(clientId, KeepAliveSec))
   require(readPacket(in).ptype == CONNACK, "broker did not CONNACK")
+  lastRecvMs = System.currentTimeMillis()
 
   def subscribe(topicFilter: String): Unit = {
-    writePacket(out, SUBSCRIBE, 0x02, subscribeBody(1, topicFilter))
+    send(SUBSCRIBE, 0x02, subscribeBody(1, topicFilter))
     // SUBACK may interleave with publishes; readLoop tolerates both
   }
 
   def publish(topic: String, payload: String): Unit =
-    writePacket(out, PUBLISH, 0,
+    send(PUBLISH, 0,
       publishBody(topic, payload.getBytes(StandardCharsets.UTF_8)))
 
-  /** Blocks until the socket closes (or the keepalive declares it
-    * dead), delivering each publish. An idle read timeout sends a
-    * PINGREQ; a second consecutive silent interval (no PINGRESP, no
-    * traffic) means half-open — return so the caller's reconnect loop
-    * takes over.
+  /** Blocks until the socket closes (or the keepalive clocks declare it
+    * dead), delivering each publish. A poll timeout that fires mid-frame
+    * on a pathologically slow link would desync the stream; the garbage
+    * that follows surfaces as EOF/IO and the caller reconnects.
     */
   def readLoop(onMessage: (String, String) => Unit): Unit =
     try {
-      var pinged = false
       while (true) {
         val p =
-          try { val p0 = readPacket(in); pinged = false; Some(p0) }
-          catch {
-            case _: java.net.SocketTimeoutException =>
-              if (pinged) throw new EOFException("keepalive expired")
-              pinged = true
-              writePacket(out, PINGREQ, 0, Array.empty)
-              None
-          }
+          try {
+            val p0 = readPacket(in)
+            lastRecvMs = System.currentTimeMillis()
+            Some(p0)
+          } catch { case _: java.net.SocketTimeoutException => None }
+        val now = System.currentTimeMillis()
+        if (now - lastRecvMs > KeepAliveSec * 1500L)
+          throw new EOFException("keepalive expired: no broker traffic")
+        if (now - lastSendMs > KeepAliveSec * 500L)
+          send(PINGREQ, 0, Array.empty)
         p.foreach { pkt =>
           pkt.ptype match {
             case PUBLISH =>
               val (topic, payload) = decodePublish(pkt.body)
               onMessage(topic, new String(payload, StandardCharsets.UTF_8))
-            case PINGREQ => writePacket(out, PINGRESP, 0, Array.empty)
+            case PINGREQ => send(PINGRESP, 0, Array.empty)
             case _ => // SUBACK/PINGRESP/CONNACK duplicates ignored
           }
         }
@@ -159,18 +171,22 @@ class MqttClientLite(host: String, port: Int, clientId: String) {
     } catch { case _: EOFException | _: java.io.IOException => }
 
   def close(): Unit = {
-    try writePacket(out, DISCONNECT, 0, Array.empty)
+    try send(DISCONNECT, 0, Array.empty)
     catch { case _: java.io.IOException => }
     socket.close()
   }
 }
 
 object MqttClientLite {
-  /** CONNECT keepalive: the broker drops us after 1.5x this of silence,
-    * which is the liveness contract that makes half-open detection
-    * symmetric.
+  /** CONNECT keepalive: we promise the broker a send at least this
+    * often (pings fire at half this since our last send); symmetric
+    * half-open detection declares the broker dead after 1.5x this with
+    * no inbound traffic.
     */
   final val KeepAliveSec = 60
-  /** Socket read timeout — the client-side 1.5x-keepalive rule. */
-  final val ReadTimeoutMs = 90000
+  /** Poll timeout that wakes the read loop to check the clocks —
+    * deliberately much shorter than any liveness bound so ping timing
+    * never rides on it.
+    */
+  final val PollTimeoutMs = 5000
 }

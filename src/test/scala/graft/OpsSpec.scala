@@ -20,6 +20,21 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
     assert(salted.size == plain.size)
   }
+
+  test("salted join tolerates unhashable (map) columns on the large side") {
+    // the content-hash salt must skip MapType columns — xxhash64 rejects
+    // them at analysis time, and a properties/tags map next to the join
+    // key is a common fact-table shape
+    import org.apache.spark.sql.functions.{col, map, lit}
+    val large = (1 to 100).map(i => (i % 5, i)).toDF("k", "v")
+      .withColumn("props", map(lit("a"), col("v")))
+    val small = Seq((0, "x"), (2, "y")).toDF("k", "name")
+    val plain = large.select("k", "v").join(small, Seq("k"))
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(large, small, "k", saltFactor = 4)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -56,6 +56,12 @@ class MathDslSpec extends AnyFunSuite {
     assert(MathDsl.compile("i0 above 2 and contains(line, 'it''s above')") ==
       "TRY_CAST(try_element_at(__f, 1) AS DOUBLE) > 2 " +
         "and contains(line, 'it''s above')")
+    // a caret whose parenthesized operand SPANS a literal must still
+    // balance (the first quote-aware attempt rewrote per between-quote
+    // segment, so the paren scan saw only ")) ^ 2" and threw)
+    assert(MathDsl.compile("(i0 + length('ab')) ^ 2") ==
+      "pow((TRY_CAST(try_element_at(__f, 1) AS DOUBLE) + length('ab')), 2)")
+    assert(eval("(i0 + length('ab')) ^ 2", Seq(3.0)) == 25.0)
   }
 
   test("power operator: rtvals operands, chaining, parenthesized bases") {
