@@ -262,9 +262,31 @@ object Bench {
         .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
       catch { case _: Throwable => }
 
+    // Fixture-independent host-load probe (round-11 verdict task 4): the
+    // fn_/op_ canary scans FIXTURE data, so its quiet floor moves with the
+    // fixture scale and the rolling-median gate is only calibrated for the
+    // committed sf0.1 board — a quiet 100x sweep used to self-label
+    // "loaded". This probe never touches the fixture: a fixed 32M-row
+    // range-sum whose cost is pure CPU + scheduler, so its quiet floor is
+    // a property of the HOST, comparable across every fixture scale. It
+    // is interleaved through the pass (a probe only at pass start would
+    // miss a mid-board co-tenant burst, which is how BENCH_r09's loaded
+    // record slipped through).
+    def hostProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 32L * 1000 * 1000, 1, cpus.toInt)
+        .selectExpr("sum(id * 2654435761) AS s").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val hostProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val HostProbeEvery = 40 // ~8 probes over a 300-row board
+
     def runPass(): Seq[(String, Double, String)] = {
     // count registry behavior over the measured pass only, not the warm-up
     graft.operators.TextOps.resetCacheStats()
+    hostProbes.clear()
+    hostProbes += hostProbe()
+    var sinceProbe = 0
     selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Pin the cache-registry state each query fingerprints (and first
       // executes) against: EMPTY. Round-8 postmortem: the LRU registry made
@@ -305,6 +327,8 @@ object Bench {
         } catch { case _: Throwable => pinned = false }
         (System.nanoTime() - t0) / 1e9
       }
+      sinceProbe += 1
+      if (sinceProbe >= HostProbeEvery) { hostProbes += hostProbe(); sinceProbe = 0 }
       (name, times.min, fp)
     }
     }
@@ -344,38 +368,72 @@ object Bench {
         else quiet.sorted.apply(quiet.size / 2)
       math.max(0.25, 2.0 * median)
     }
+    // Host-probe gate: rolling quiet median of recorded host canaries
+    // (any fixture — the probe is fixture-independent by construction),
+    // floored so a pristine history can't make normal jitter a rejection.
+    val hostGate: Double = {
+      val hist = try {
+        val p = java.nio.file.Paths.get("bench_history.jsonl")
+        if (java.nio.file.Files.exists(p))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala.toSeq
+            .flatMap { l =>
+              val m = "\"host_canary_mean\":([0-9.]+)".r.findFirstMatchIn(l)
+              m.map(_.group(1).toDouble)
+            }
+        else Seq.empty
+      } catch { case _: Throwable => Seq.empty[Double] }
+      val quiet = hist.filter(c => c > 0 && c <= 1.0)
+      val median =
+        if (quiet.isEmpty) 0.25
+        else quiet.sorted.apply(quiet.size / 2)
+      math.max(0.5, 2.0 * median)
+    }
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    // the gate's rolling median comes from LOCAL-MODE sf0.1 full-board
-    // history, so it is only meaningful against that exact fixture AND
-    // master: at a 10x/100x scale fixture the canary rows scan 10-100x
-    // the data; at sf0.01/sf0.001 they scan 10-100x LESS (and would drag
-    // the rolling median down if recorded); in cluster mode they pay
-    // executor RPC/serde the local floor never sees. Any of those would
-    // either burn re-run passes on an idle host or mislabel the record —
-    // tag them "uncalibrated" rather than falsely "quiet"/"loaded".
+    // The fn_/op_ gate's rolling median comes from LOCAL-MODE sf0.1
+    // full-board history, so it is only meaningful against that exact
+    // fixture AND master: at a 10x/100x scale fixture the canary rows
+    // scan 10-100x the data; at sf0.01/sf0.001 they scan 10-100x LESS.
+    // Alternate LOCAL fixtures are instead gated/labeled by the
+    // fixture-independent host probe (round-11 task 4: a quiet 100x sweep
+    // used to self-label "loaded"). Cluster mode pays executor RPC/serde
+    // on data paths the probe doesn't model — stays "uncalibrated".
     val isLocalMaster = master.startsWith("local[")
     val isCalibratedFixture =
       sfDir.stripSuffix("/") == "/root/testdata/sf0.1"
     val gateApplies = isCalibratedFixture && isLocalMaster
+    val hostGateApplies = isLocalMaster && !isCalibratedFixture
+    def hostMean(): Double =
+      if (hostProbes.isEmpty) -1.0 else hostProbes.sum / hostProbes.size
     var best: Seq[(String, Double, String)] = runPass()
     var bestCanary = canaryOf(best)
+    var bestHost = hostMean()
     var passes = 1
-    while (gateApplies && bestCanary > canaryGate && passes < maxPasses) {
-      System.err.println(f"[bench] canary $bestCanary%.4f > gate " +
-        f"$canaryGate%.4f - rejecting loaded pass ${passes} and re-running")
+    while (((gateApplies && bestCanary > canaryGate) ||
+        (hostGateApplies && bestHost > hostGate)) && passes < maxPasses) {
+      System.err.println(f"[bench] canary $bestCanary%.4f (gate " +
+        f"$canaryGate%.4f) host $bestHost%.4f (gate $hostGate%.4f) - " +
+        f"rejecting loaded pass ${passes} and re-running")
       val again = runPass()
       val c = canaryOf(again)
-      if (c < bestCanary) { best = again; bestCanary = c }
+      val h = hostMean()
+      val better =
+        if (gateApplies) c < bestCanary
+        else h < bestHost
+      if (better) { best = again; bestCanary = c; bestHost = h }
       passes += 1
     }
     val results = best
     val recordQuality =
       // canaryOf returns the -1.0 sentinel when the run has no fn_/op_
-      // rows at all (a name-filtered subset): the canary measured
-      // nothing, so the record must say "uncalibrated", not sail under
-      // the gate as a vacuous "quiet"
-      if (!gateApplies || bestCanary < 0) "uncalibrated"
-      else if (bestCanary <= canaryGate) "quiet" else "loaded"
+      // rows at all (a name-filtered subset): there the host probe still
+      // measured something, so label by it on local masters
+      if (!isLocalMaster) "uncalibrated"
+      else if (gateApplies && bestCanary >= 0)
+        (if (bestCanary <= canaryGate) "quiet" else "loaded")
+      else if (bestHost >= 0)
+        (if (bestHost <= hostGate) "quiet" else "loaded")
+      else "uncalibrated"
     // compact per-query seconds (4 decimals ≈ 0.1 ms resolution — bench noise
     // floor) so the timings line stays as short as possible for the driver's
     // bounded stdout capture; the fat plans map goes on its OWN line so a

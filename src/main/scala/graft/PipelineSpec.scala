@@ -586,8 +586,11 @@ object LineSinks {
       new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
         @transient private var client: graft.sources.MqttClientLite = _
         override def open(partitionId: Long, epochId: Long): Boolean = {
+          // keepAliveSec=0: nothing drives PINGREQs on this publish-only
+          // connection, so don't promise a keepalive the broker would
+          // enforce by dropping us mid-epoch
           client = new graft.sources.MqttClientLite(
-            host, port, s"$clientId-$partitionId")
+            host, port, s"$clientId-$partitionId", keepAliveSec = 0)
           true
         }
         override def process(row: org.apache.spark.sql.Row): Unit = {

@@ -130,10 +130,26 @@ object MathDsl {
     (out.toString, lits.result())
   }
 
+  // Single-pass restore: a sequential fold would rescan restored literal
+  // content, corrupting a literal whose TEXT contains a later placeholder
+  // token (e.g. the expression `'__QLIT1__' = 'x'`). replaceAllIn never
+  // rescans replacement output, so embedded placeholder-shaped text
+  // survives verbatim.
+  //
+  // Backslashes double on restore: the compiled text is parsed by Spark
+  // SQL (expr/selectExpr), whose DEFAULT string-literal mode treats \ as
+  // an escape character — a dcafs regex literal '^\d+$' would silently
+  // parse as '^d+$' (found by MetamorphicSpec's literal-opacity fuzz;
+  // DuckDB and the dcafs DSL both read the backslash literally, so the
+  // divergence was invisible to the hash oracle until a fixture regex
+  // carried one). The '' quote escape is shared by both dialects and
+  // stays as-is. If spark.sql.parser.escapedStringLiterals were enabled
+  // the doubling would be wrong — the sessions here never enable it.
+  private val qlitRef = "__QLIT(\\d+)__".r
   private def unmask(s: String, lits: Vector[String]): String =
-    lits.zipWithIndex.foldLeft(s) { case (acc, (l, i)) =>
-      acc.replace(s"__QLIT${i}__", l)
-    }
+    qlitRef.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        lits(m.group(1).toInt).replace("\\", "\\\\")))
 
   def compile(exprText: String, arrayCol: String = "__f"): String = {
     val (masked, lits) = maskQuotes(exprText.trim)

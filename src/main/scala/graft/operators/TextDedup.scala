@@ -465,7 +465,10 @@ object TextOps {
     * structure corpus is a deliberate non-goal — the scale path is LSH —
     * and the dispatch falls through to the measured-density choice.
     */
-  private val BitsetMaxBlock = 262144L
+  // var, not val: ONLY specs mutate it (SimilarityDispatchSpec shrinks the
+  // cap to exercise the above-cap policies on a unit-test corpus — the
+  // real 262144-doc trigger is not buildable in a test JVM)
+  private[graft] var BitsetMaxBlock = 262144L
 
   /** The EXACT gram vocabulary when it is small enough for the bitmap
     * branch, else None. Only attempted when the sketch estimate is near
@@ -735,6 +738,92 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
   }
 
+  /** Which exact-similarity kernel [[similarityJoin]]/[[containmentJoin]]
+    * chose, with the measured evidence — the dispatch decision made
+    * inspectable code, mirroring [[TopKDispatch.Decision]] (round-11
+    * verdict task 2). `kernel` is one of bitset | count | ppjoin |
+    * lsh-verify | refused; read the last decision via
+    * [[lastSimilarityDecision]].
+    */
+  final case class SimilarityDecision(
+      kernel: String,
+      avgDf: Double,
+      vocab: Long, // HLL-estimated distinct grams
+      maxBlock: Long, // -1 when block sizes were not measured
+      blockCap: Long,
+      aboveCap: String) // the caller's above-cap policy
+
+  private val lastSimDecision =
+    new java.util.concurrent.atomic.AtomicReference[SimilarityDecision]()
+  /** The decision recorded by the most recent similarity/containment
+    * dispatch on this JVM (observability + specs, like TopKDispatch's
+    * returned Decision — the join signatures stay DataFrame-valued so the
+    * 300-row board's call sites don't all grow a tuple).
+    */
+  def lastSimilarityDecision: Option[SimilarityDecision] =
+    Option(lastSimDecision.get)
+
+  private def recordSim(d: SimilarityDecision): Unit =
+    lastSimDecision.set(d)
+
+  /** Above-cap policies for the dense-small-vocabulary regime. */
+  val AboveCapRefuse = "refuse"
+  val AboveCapLsh = "lsh"
+  val AboveCapForceExact = "force-exact"
+
+  private def refuseAboveCap(what: String, maxBlock: Long): Nothing =
+    throw new IllegalStateException(
+      s"$what: largest block holds $maxBlock docs over a dense small-gram " +
+      s"vocabulary — above the exact all-pairs cap ($BitsetMaxBlock). " +
+      "PPJoin/count-join melt in this regime (no rare grams to prune on), " +
+      "so exact output at this scale is a deliberate non-goal. Use the " +
+      "scale path: lshCandidatePairs + exact per-pair verify (recall < 1, " +
+      "quantified by dd_lsh_recall/dd_dup_rate_curve_lsh) via " +
+      s"aboveCap = \"$AboveCapLsh\", or force the melting exact plan " +
+      s"explicitly via aboveCap = \"$AboveCapForceExact\".")
+
+  /** LSH-banded candidates + exact row-local Jaccard verify, restricted to
+    * same-block pairs — the scale rendering of the exact join (recall < 1:
+    * only pairs sharing a MinHash band are candidates). Bounded candidate
+    * mass instead of quadratic; the same shape `dd_dup_rate_curve_lsh`
+    * ships and quantifies (recall 1.0 at t >= 0.8 on the fixture corpus).
+    */
+  private def lshVerifiedJaccard(docs: DataFrame, grams: DataFrame,
+      idCol: String, blockCol: String, textCol: String,
+      shingleSize: Int, threshold: Double): DataFrame = {
+    val cand = lshCandidatePairs(docs, idCol, textCol, shingleSize)
+    cand
+      .join(grams.select(col(idCol).as("doc_a"), col(blockCol).as("__ba"),
+        col("__g").as("__ga")), "doc_a")
+      .join(grams.select(col(idCol).as("doc_b"), col(blockCol).as("__bb"),
+        col("__g").as("__gb")), "doc_b")
+      .filter(col("__ba") === col("__bb"))
+      .withColumn("jac_raw", jaccard(col("__ga"), col("__gb")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+  }
+
+  /** LSH-banded candidates + exact row-local containment verify (same
+    * recall caveat as [[lshVerifiedJaccard]]).
+    */
+  private def lshVerifiedContainment(docs: DataFrame, grams: DataFrame,
+      idCol: String, blockCol: String, textCol: String,
+      shingleSize: Int, threshold: Double): DataFrame = {
+    val cand = lshCandidatePairs(docs, idCol, textCol, shingleSize)
+    cand
+      .join(grams.select(col(idCol).as("doc_a"), col(blockCol).as("__ba"),
+        col("__g").as("__ga")), "doc_a")
+      .join(grams.select(col(idCol).as("doc_b"), col(blockCol).as("__bb"),
+        col("__g").as("__gb")), "doc_b")
+      .filter(col("__ba") === col("__bb"))
+      .withColumn("__i", size(array_intersect(col("__ga"), col("__gb"))))
+      .withColumn("c_ab", col("__i") * lit(1.0) / size(col("__ga")))
+      .withColumn("c_ba", col("__i") * lit(1.0) / size(col("__gb")))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c_ab"), 6).as("c_ab"), round(col("c_ba"), 6).as("c_ba"))
+  }
+
   /** Exact Jaccard self-join with plan dispatch on measured vocabulary
     * density: one cheap pass (count + HLL distinct over the exploded
     * grams) gives the average gram document frequency. A Zipf-tailed
@@ -743,32 +832,60 @@ object TextOps {
     * A dense vocabulary (no rare grams to prune on, join load uniform)
     * takes the inverted-index count-join. Both are lossless, so the
     * dispatch never changes the result — only the shuffle shape.
+    *
+    * Above-cap contract (round-11 verdict task 2): when the vocabulary is
+    * dense-small (the bitmap regime) but a block exceeds [[BitsetMaxBlock]],
+    * no exact plan survives — the bitmap cap exists to bound total
+    * quadratic work and PPJoin/count-join melt without rare grams. The
+    * dispatch REFUSES by default with the LSH-twin recommendation instead
+    * of silently changing regime; `aboveCap = "lsh"` opts into banded
+    * candidates + exact per-pair verify (recall < 1), `"force-exact"`
+    * keeps the old fallback for callers who accept the melt. Every call
+    * records a [[SimilarityDecision]].
     */
   def similarityJoin(docs: DataFrame, idCol: String, blockCol: String,
       textCol: String, shingleSize: Int, threshold: Double,
       denseVocabAvgDf: Double = 64.0,
-      smallVocabBitset: Boolean = true): DataFrame = {
+      smallVocabBitset: Boolean = true,
+      aboveCap: String = AboveCapRefuse): DataFrame = {
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
     val st = grams
       .select(explode(col("__g")).as("x"))
       .agg(count(lit(1)).as("tot"), approx_count_distinct(col("x")).as("nd"))
       .head()
     val avgDf = st.getLong(0).toDouble / math.max(st.getLong(1), 1L)
+    val nd = st.getLong(1)
+    def decide(kernel: String, maxBlock: Long) = recordSim(
+      SimilarityDecision(kernel, avgDf, nd, maxBlock, BitsetMaxBlock, aboveCap))
+    def exactLarge(maxBlock: Long): DataFrame =
+      if (avgDf >= denseVocabAvgDf) {
+        decide("count", maxBlock)
+        countJoinFrom(grams, idCol, blockCol, threshold)
+      } else {
+        decide("ppjoin", maxBlock)
+        ppjoinFrom(grams, idCol, blockCol, threshold)
+      }
     val bitVocab =
-      if (smallVocabBitset) smallVocab(grams, st.getLong(1)) else None
+      if (smallVocabBitset) smallVocab(grams, nd) else None
     bitVocab match {
       case Some(v) =>
         val sizes = blockSizes(grams, blockCol)
-        if (sizes.valuesIterator.max <= BitsetMaxBlock)
+        val maxBlock = sizes.valuesIterator.max
+        if (maxBlock <= BitsetMaxBlock) {
+          decide("bitset", maxBlock)
           bitsetJaccardFrom(grams, idCol, blockCol, threshold, v,
             sizes = sizes)
-        else if (avgDf >= denseVocabAvgDf)
-          countJoinFrom(grams, idCol, blockCol, threshold)
-        else ppjoinFrom(grams, idCol, blockCol, threshold)
-      case _ =>
-        if (avgDf >= denseVocabAvgDf)
-          countJoinFrom(grams, idCol, blockCol, threshold)
-        else ppjoinFrom(grams, idCol, blockCol, threshold)
+        } else aboveCap match {
+          case AboveCapLsh =>
+            decide("lsh-verify", maxBlock)
+            lshVerifiedJaccard(docs, grams, idCol, blockCol, textCol,
+              shingleSize, threshold)
+          case AboveCapForceExact => exactLarge(maxBlock)
+          case _ =>
+            decide("refused", maxBlock)
+            refuseAboveCap("similarityJoin", maxBlock)
+        }
+      case _ => exactLarge(-1L)
     }
   }
 
@@ -795,28 +912,46 @@ object TextOps {
   def containmentJoin(docs: DataFrame, idCol: String, blockCol: String,
       textCol: String, shingleSize: Int, threshold: Double,
       denseVocabAvgDf: Double = 64.0,
-      smallVocabBitset: Boolean = true): DataFrame = {
+      smallVocabBitset: Boolean = true,
+      aboveCap: String = AboveCapRefuse): DataFrame = {
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
     val st = grams
       .select(explode(col("__g")).as("x"))
       .agg(count(lit(1)).as("tot"), approx_count_distinct(col("x")).as("nd"))
       .head()
     val avgDf = st.getLong(0).toDouble / math.max(st.getLong(1), 1L)
+    val nd = st.getLong(1)
+    def decide(kernel: String, maxBlock: Long) = recordSim(
+      SimilarityDecision(kernel, avgDf, nd, maxBlock, BitsetMaxBlock, aboveCap))
+    def exactLarge(maxBlock: Long): DataFrame =
+      if (avgDf >= denseVocabAvgDf) {
+        decide("count", maxBlock)
+        containmentCountFrom(grams, idCol, blockCol, threshold)
+      } else {
+        decide("ppjoin", maxBlock)
+        containmentPrefixFrom(grams, idCol, blockCol, threshold)
+      }
     val bitVocab =
-      if (smallVocabBitset) smallVocab(grams, st.getLong(1)) else None
+      if (smallVocabBitset) smallVocab(grams, nd) else None
     bitVocab match {
       case Some(v) =>
         val sizes = blockSizes(grams, blockCol)
-        if (sizes.valuesIterator.max <= BitsetMaxBlock)
+        val maxBlock = sizes.valuesIterator.max
+        if (maxBlock <= BitsetMaxBlock) {
+          decide("bitset", maxBlock)
           bitsetContainmentFrom(grams, idCol, blockCol, threshold, v,
             sizes = sizes)
-        else if (avgDf >= denseVocabAvgDf)
-          containmentCountFrom(grams, idCol, blockCol, threshold)
-        else containmentPrefixFrom(grams, idCol, blockCol, threshold)
-      case _ =>
-        if (avgDf >= denseVocabAvgDf)
-          containmentCountFrom(grams, idCol, blockCol, threshold)
-        else containmentPrefixFrom(grams, idCol, blockCol, threshold)
+        } else aboveCap match {
+          case AboveCapLsh =>
+            decide("lsh-verify", maxBlock)
+            lshVerifiedContainment(docs, grams, idCol, blockCol, textCol,
+              shingleSize, threshold)
+          case AboveCapForceExact => exactLarge(maxBlock)
+          case _ =>
+            decide("refused", maxBlock)
+            refuseAboveCap("containmentJoin", maxBlock)
+        }
+      case _ => exactLarge(-1L)
     }
   }
 

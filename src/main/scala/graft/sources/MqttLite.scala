@@ -100,9 +100,10 @@ object MqttCodec {
   * payload -> line, topic -> label); `publish` is thread-safe (the K7
   * role, `Generic.java:329-330`).
   */
-class MqttClientLite(host: String, port: Int, clientId: String) {
+class MqttClientLite(host: String, port: Int, clientId: String,
+    keepAliveSec: Int = MqttClientLite.KeepAliveSec) {
   import MqttCodec._
-  import MqttClientLite.{KeepAliveSec, PollTimeoutMs}
+  import MqttClientLite.PollTimeoutMs
 
   private val socket = new Socket(host, port)
   // MQTT keepalive is about what the CLIENT sends (MQTT-3.1.2-24: the
@@ -121,12 +122,20 @@ class MqttClientLite(host: String, port: Int, clientId: String) {
   @volatile private var lastSendMs = System.currentTimeMillis()
   @volatile private var lastRecvMs = System.currentTimeMillis()
 
+  // Serialize writers: readLoop's timer-driven PINGREQs share the output
+  // stream with close()'s DISCONNECT (source stop() thread) and external
+  // publish() callers — interleaved bytes mid-packet would corrupt MQTT
+  // framing, so each packet is emitted atomically under the stream lock.
   private def send(ptype: Int, flags: Int, body: Array[Byte]): Unit = {
-    writePacket(out, ptype, flags, body)
+    out.synchronized { writePacket(out, ptype, flags, body) }
     lastSendMs = System.currentTimeMillis()
   }
 
-  send(CONNECT, 0, connectBody(clientId, KeepAliveSec))
+  // A publish-only client (keepAliveSec=0) never runs readLoop, so nobody
+  // would drive PINGREQs — declaring a nonzero keepalive it can't honor
+  // gets it dropped by the broker after 1.5x and QoS-0 publishes silently
+  // lost until the RST surfaces. 0 = keepalive disabled (MQTT-3.1.2-23).
+  send(CONNECT, 0, connectBody(clientId, keepAliveSec))
   require(readPacket(in).ptype == CONNACK, "broker did not CONNACK")
   lastRecvMs = System.currentTimeMillis()
 
@@ -154,10 +163,12 @@ class MqttClientLite(host: String, port: Int, clientId: String) {
             Some(p0)
           } catch { case _: java.net.SocketTimeoutException => None }
         val now = System.currentTimeMillis()
-        if (now - lastRecvMs > KeepAliveSec * 1500L)
-          throw new EOFException("keepalive expired: no broker traffic")
-        if (now - lastSendMs > KeepAliveSec * 500L)
-          send(PINGREQ, 0, Array.empty)
+        if (keepAliveSec > 0) {
+          if (now - lastRecvMs > keepAliveSec * 1500L)
+            throw new EOFException("keepalive expired: no broker traffic")
+          if (now - lastSendMs > keepAliveSec * 500L)
+            send(PINGREQ, 0, Array.empty)
+        }
         p.foreach { pkt =>
           pkt.ptype match {
             case PUBLISH =>

@@ -46,7 +46,13 @@ class MathDslSpec extends AnyFunSuite {
     // rule strings, so a regex filter's '^...$' was parsed as a power
     // operator (compile crash) and a contain filter's 'above' was
     // rewritten to '>' (silently matching the wrong rows)
-    assert(MathDsl.compile(raw"line RLIKE '^\d+$$'") == raw"line RLIKE '^\d+$$'")
+    // backslashes DOUBLE on restore: the compiled text feeds expr(),
+    // whose default literal mode eats single backslashes — '^\d+$' would
+    // reach the RLIKE as '^d+$' (MetamorphicSpec regression)
+    assert(MathDsl.compile(raw"line RLIKE '^\d+$$'") == raw"line RLIKE '^\\d+$$'")
+    assert(Seq("123", "12a").toDF("line")
+      .filter(MathDsl.compile(raw"line RLIKE '^\d+$$'"))
+      .collect().map(_.getString(0)).toSeq == Seq("123"))
     assert(MathDsl.compile("contains(line, 'above')") ==
       "contains(line, 'above')")
     assert(MathDsl.compile("concat('i2:', line)") == "concat('i2:', line)")
