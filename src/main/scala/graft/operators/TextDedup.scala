@@ -1839,7 +1839,6 @@ object VectorOps {
     */
   def knnGraph(vectors: DataFrame, k: Int, exactBlockMax: Long = 65536,
       nCells: Int = 0, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = vectors.select(col("label"), col("vec_id"), col("embedding"))
       .withColumn("nrm", l2norm(col("embedding")))
     val sizes = vectors.groupBy("label").count()
@@ -1849,7 +1848,6 @@ object VectorOps {
     val cells =
       if (nCells > 0) nCells
       else math.max(8, math.min(256, ((total + 8191) / 8192).toInt))
-    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("nid"))
     if (maxBlock <= exactBlockMax) {
       // exact per-label top-k as a typed kernel: one groupByKey shuffle
       // on the label, then an O(n·k) insertion top-k per query inside the
@@ -1889,12 +1887,21 @@ object VectorOps {
             col("embedding"), col("nrm"), col("bucket"))
           .join(probes, Seq("label", "bucket"))
       }
-    candidates
+    val scoredCand = candidates
       .filter(col("nid") =!= col("qid"))
       .withColumn("cos_r",
         round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // Regime choice through the DISPATCHER (round-11 verdict task 6), from
+    // counts already measured: groups = #query vectors (`total`), candidate
+    // rows ≈ total · nProbe · avg cell size — probing the candidate join
+    // itself would materialize it twice. Grouping on (label, qid) is the
+    // same partitioning as qid (a qid has one label) and carries the label
+    // through either rendering.
+    val parts = vectors.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val rowsEst = total * nProbe * math.max(1L, total / math.max(cells, 1))
+    val d = TopKDispatch.decideFromCounts(rowsEst, total, k, parts)
+    TopKDispatch.render(scoredCand, Seq("label", "qid"), "cos_r", "nid", k, d)
       .select(col("label"), col("qid"), col("nid"), col("cos_r"))
   }
 

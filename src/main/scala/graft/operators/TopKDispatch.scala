@@ -69,6 +69,48 @@ object TopKDispatch {
     (out, d)
   }
 
+  /** The regime decision from cardinalities the CALLER already knows
+    * (source="model"): operators like knnGraph derive row/group counts
+    * from stats they measured anyway — probing their candidate frame
+    * would materialize an expensive join twice. Same shuffled-mass
+    * boundary as [[decide]], uniform code either way (round-11 verdict
+    * task 6).
+    */
+  def decideFromCounts(rows: Long, groups: Long, k: Int,
+      shufflePartitions: Int): Decision = {
+    val threshold = math.max(1L, rows / (k.toLong * shufflePartitions))
+    val rendering = if (groups <= threshold) "native" else "window"
+    Decision(rendering, rows, groups, threshold, "model")
+  }
+
+  /** Render a pre-made decision — the entry point for call sites using
+    * [[decideFromCounts]]. Output contract identical to [[perGroupTopK]].
+    */
+  def render(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      idCol: String, k: Int, d: Decision): DataFrame =
+    if (d.rendering == "native") renderNative(df, groupCols, valueCol, idCol, k)
+    else renderWindow(df, groupCols, valueCol, idCol, k)
+
+  /** Global (ungrouped) top-n under the given ordering. No regime choice
+    * exists here: Spark's TakeOrderedAndProject is already the bounded
+    * rendering — per-partition O(n) priority queue, driver-side merge, no
+    * shuffle and no full sort — PROVIDED n stays under
+    * spark.sql.execution.topKSortFallbackThreshold (default 10000), above
+    * which the plan silently regresses to a global Sort+Limit. This entry
+    * point exists so call sites (tx_topk_ngrams' final ranking, q_topk)
+    * don't hand-roll orderBy+limit past that cliff; TopKDispatchSpec pins
+    * the physical plan node.
+    */
+  def globalTopK(df: DataFrame, n: Int, order: Column*): DataFrame = {
+    val fallback = df.sparkSession.conf
+      .get("spark.sql.execution.topKSortFallbackThreshold", "10000").toInt
+    require(n < fallback,
+      s"globalTopK($n) would exceed topKSortFallbackThreshold=$fallback " +
+      "and plan as a full global sort — raise the threshold or aggregate " +
+      "per-group first (perGroupTopK) so the driver merge stays bounded")
+    df.orderBy(order: _*).limit(n)
+  }
+
   /** The regime decision alone (no plan built) — probe-or-stats. */
   def decide(df: DataFrame, groupCols: Seq[String], k: Int): Decision = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

@@ -2372,29 +2372,38 @@ object Relational {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     },
 
-    // Deterministic global top-k: total order with unique tiebreaker.
+    // Deterministic global top-k: total order with unique tiebreaker,
+    // through the dispatcher's global entry (TakeOrderedAndProject pin +
+    // the topKSortFallbackThreshold guard).
     Q("q_topk",
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "orders")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(10)
+      graft.operators.TopKDispatch.globalTopK(
+        Tables.load(s, dir, "orders"),
+        10, col("o_totalprice").desc, col("o_orderkey"))
         .select("o_orderkey", "o_totalprice")
     },
 
-    // Per-group top-k via ranking window (row_number <= k).
+    // Per-group top-k on the HIGH-cardinality regime (per-customer),
+    // routed through the regime DISPATCHER like q_topk_dispatch (round-11
+    // verdict task 6: no hand-picked window-vs-native renderings left) —
+    // the probe measures ~N/10 custkeys over N orders, far above the
+    // shuffled-mass threshold at every fixture scale, so the pick is the
+    // ranking window here, and it stays measured rather than assumed.
+    // (o_totalprice, o_orderkey) pairs are unique per customer, so the
+    // dispatcher's distinct-pair contract renders the same rows as plain
+    // ROW_NUMBER in the oracle.
     Q("q_topk_group",
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t WHERE rn <= 3""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.load(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      val (out, _) = graft.operators.TopKDispatch.perGroupTopK(
+        Tables.load(s, dir, "orders").select(
+          "o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+      out.select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     },
 
     // Per-group top-k through the NATIVE TopKAgg aggregate

@@ -536,10 +536,14 @@ object TextQueries {
             sequence(lit(1), size(col("w")) - 1),
             i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
             .as("gram"))
-      toks.groupBy("gram")
-        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
-        .orderBy(col("n").desc, col("gram"))
-        .limit(20)
+      // final ranking through the dispatcher's global entry (round-11
+      // task 6): pins the TakeOrderedAndProject rendering — per-partition
+      // O(n) heap + driver merge — and guards the silent Sort+Limit cliff
+      // above topKSortFallbackThreshold
+      graft.operators.TopKDispatch.globalTopK(
+        toks.groupBy("gram")
+          .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df")),
+        20, col("n").desc, col("gram"))
     },
 
     // Per-source dataset card: the release-notes row of a corpus drop —

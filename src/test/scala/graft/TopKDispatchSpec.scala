@@ -194,4 +194,46 @@ class TopKDispatchSpec extends AnyFunSuite {
       assert(d.rendering == "native")
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
+
+  // ---- round-11 task 6: model-count decisions + unified render ----
+
+  test("decideFromCounts applies the same shuffled-mass boundary") {
+    val parts = 32
+    val t = math.max(1L, 15000L / (3L * parts))
+    assert(TopKDispatch.decideFromCounts(15000, 3, 3, parts).rendering
+      == "native")
+    assert(TopKDispatch.decideFromCounts(15000, t, 3, parts).rendering
+      == "native")
+    assert(TopKDispatch.decideFromCounts(15000, t + 1, 3, parts).rendering
+      == "window")
+    assert(TopKDispatch.decideFromCounts(15000, 3, 3, parts).source
+      == "model")
+  }
+
+  test("render() honors the decision; both picks return identical rows") {
+    val dN = TopKDispatch.decideFromCounts(1000000, 3, 5, 32)
+    val dW = TopKDispatch.decideFromCounts(10, 1000, 5, 32)
+    assert(dN.rendering == "native" && dW.rendering == "window")
+    val cols = (Seq("o_orderstatus"), "o_totalprice", "o_orderkey")
+    val n = TopKDispatch.render(orders, cols._1, cols._2, cols._3, 5, dN)
+    val w = TopKDispatch.render(orders, cols._1, cols._2, cols._3, 5, dW)
+    assert(!n.queryExecution.executedPlan.toString.contains("Window"))
+    assert(w.queryExecution.executedPlan.toString.contains("Window"))
+    assert(n.collect().map(_.toString).sorted.toSeq ==
+      w.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("globalTopK plans as TakeOrderedAndProject and guards the sort cliff") {
+    val g = TopKDispatch.globalTopK(orders, 10,
+      col("o_totalprice").desc, col("o_orderkey"))
+    assert(g.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      g.queryExecution.executedPlan.toString.linesIterator.take(3).mkString)
+    assert(g.count() == 10)
+    // above topKSortFallbackThreshold the plan would silently become a
+    // full global Sort — the entry point must refuse instead
+    intercept[IllegalArgumentException] {
+      TopKDispatch.globalTopK(orders, 20000, col("o_orderkey"))
+    }
+  }
 }
