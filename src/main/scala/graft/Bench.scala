@@ -274,20 +274,95 @@ object Bench {
     // record slipped through).
     def hostProbe(): Double = {
       val t0 = System.nanoTime()
+      // per-row work bounded to pmod < 1e6 so the 32M-row sum stays
+      // ~1.6e13, far inside long range under ANSI arithmetic
       spark.range(0L, 32L * 1000 * 1000, 1, cpus.toInt)
-        .selectExpr("sum(id * 2654435761) AS s").head()
+        .selectExpr("sum(pmod(id * 31, 1000007)) AS s").head()
       (System.nanoTime() - t0) / 1e9
     }
     val hostProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val HostProbeEvery = 40 // ~8 probes over a 300-row board
+    def addHostProbe(): Unit =
+      // a probe failure must not kill a record run — hostMean() returning
+      // the -1 sentinel labels the record "uncalibrated" instead
+      try hostProbes += hostProbe() catch { case _: Throwable => }
+
+    def isReplay(k: String) =
+      k.startsWith("st_stream_") || k.startsWith("dd_stream_")
+    // Replay-tier concurrency (round-11 verdict task 5): the 14 streaming
+    // parity rows cost ~23% of the board, all of it micro-batch commit
+    // latency serialized on one thread — harness-bound, not engine-bound
+    // (the concurrent board runs the queries themselves at ~8x/8 threads).
+    // Each row runs on a CLONED session (spark.newSession): the rows
+    // scope-set session conf (shuffle.partitions) as a fixture knob, and a
+    // clone isolates that without a conf race; memory-sink temp views and
+    // streaming query names are session-/epoch-scoped; FileReplay's staged
+    // LRU is refcount-pinned against cross-thread eviction.
+    // ReplayConcurrencySpec pins serial-equality of results.
+    val replayConcurrency = sys.env
+      .getOrElse("SPARK_GRAFT_REPLAY_CONCURRENCY", "4").toInt.max(1)
+    var replayWallOfPass = 0.0
+
+    def runReplayTier(rows: Seq[(String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Double, String)] = {
+      replayWallOfPass = 0.0
+      if (rows.isEmpty) return Seq.empty
+      // one pinned empty cache state for the whole tier (replay rows'
+      // sink-scan fingerprints don't depend on the registry; per-row
+      // clearing from racing threads would interfere with siblings)
+      graft.operators.TextOps.releasePriorCaches()
+      spark.catalog.clearCache()
+      val pool =
+        java.util.concurrent.Executors.newFixedThreadPool(replayConcurrency)
+      val t0 = System.nanoTime()
+      val futs = rows.map { case (name, fn) =>
+        name -> pool.submit(
+          new java.util.concurrent.Callable[(Double, String)] {
+            override def call(): (Double, String) = {
+              val sess = spark.newSession()
+              def dropViews(): Unit =
+                try sess.catalog.listTables().collect().filter(_.isTemporary)
+                  .foreach(t => sess.catalog.dropTempView(t.name))
+                catch { case _: Throwable => }
+              var fp = "err"
+              // one rep by default: min-of-reps exists so a host-load
+              // spike can't masquerade as a plan regression, but replay
+              // timings are contended (not regression-comparable) and
+              // plan changes are caught by the fingerprint — paying 3
+              // replays per row buys nothing the board metric uses
+              val replayReps = sys.env
+                .getOrElse("SPARK_GRAFT_REPLAY_REPS", "1").toInt.max(1)
+              val times = (1 to replayReps).map { _ =>
+                dropViews() // memory-sink hygiene, clone-local
+                val s0 = System.nanoTime()
+                try {
+                  val df = fn(sess, sfDir)
+                  df.count()
+                  if (fp == "err") fp = planFingerprint(df)
+                } catch { case _: Throwable => }
+                (System.nanoTime() - s0) / 1e9
+              }
+              dropViews() // release the last rep's sink rows NOW, not at GC
+              (times.min, fp)
+            }
+          })
+      }
+      val rs = futs.map { case (n, f) => val (t, fp) = f.get(); (n, t, fp) }
+      pool.shutdown()
+      replayWallOfPass = (System.nanoTime() - t0) / 1e9
+      rs
+    }
 
     def runPass(): Seq[(String, Double, String)] = {
     // count registry behavior over the measured pass only, not the warm-up
     graft.operators.TextOps.resetCacheStats()
     hostProbes.clear()
-    hostProbes += hostProbe()
+    addHostProbe()
     var sinceProbe = 0
-    selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val (replayRows, opsRows) =
+      selected.toSeq.sortBy(_._1).partition(r => isReplay(r._1))
+    val opsResults = opsRows.map { case (name, fn) =>
       // Pin the cache-registry state each query fingerprints (and first
       // executes) against: EMPTY. Round-8 postmortem: the LRU registry made
       // a query's plan depend on which OTHER board rows ran before it —
@@ -328,9 +403,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       sinceProbe += 1
-      if (sinceProbe >= HostProbeEvery) { hostProbes += hostProbe(); sinceProbe = 0 }
+      if (sinceProbe >= HostProbeEvery) { addHostProbe(); sinceProbe = 0 }
       (name, times.min, fp)
     }
+    // the replay tier runs AFTER the serial ops rows (its concurrency
+    // would contend with their timings otherwise), sorted back in by name
+    (opsResults ++ runReplayTier(replayRows)).sortBy(_._1)
     }
 
     def canaryOf(rs: Seq[(String, Double, String)]): Double = {
@@ -408,6 +486,7 @@ object Bench {
     var best: Seq[(String, Double, String)] = runPass()
     var bestCanary = canaryOf(best)
     var bestHost = hostMean()
+    var bestReplayWall = replayWallOfPass
     var passes = 1
     while (((gateApplies && bestCanary > canaryGate) ||
         (hostGateApplies && bestHost > hostGate)) && passes < maxPasses) {
@@ -420,7 +499,10 @@ object Bench {
       val better =
         if (gateApplies) c < bestCanary
         else h < bestHost
-      if (better) { best = again; bestCanary = c; bestHost = h }
+      if (better) {
+        best = again; bestCanary = c; bestHost = h
+        bestReplayWall = replayWallOfPass
+      }
       passes += 1
     }
     val results = best
@@ -446,20 +528,23 @@ object Bench {
       .mkString("{", ",", "}")
     val plans = results.map { case (k, _, fp) => s"\"" + k + "\":\"" + fp + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     val canary = bestCanary
-    // Tier split (round-8 verdict task 5): the st_stream_/dd_stream_ rows are
-    // MemoryStream replay HARNESSES — their cost is per-micro-batch state
+    // Tier split (round-8 verdict task 5): the st_stream_/dd_stream_ rows
+    // are file-replay HARNESSES — their cost is per-micro-batch state
     // commits, linear in replayed rows by construction, not operator plan
     // cost — so the artifact separates them from the operator rows the 2x
-    // per-query gate is meant to police.
-    def isReplay(k: String) =
-      k.startsWith("st_stream_") || k.startsWith("dd_stream_")
+    // per-query gate is meant to police. Since round 12 the tier runs
+    // CONCURRENTLY (cloned sessions), so the headline `value` is the true
+    // board wall: ops sum + replay-tier WALL. The per-row replay timings
+    // in `queries` are wall-under-contention (reported for coverage, not
+    // comparable to pre-r12 serial rows); `replay_harness_sec` keeps
+    // their sum for reference.
     val replayTotal = results.filter(r => isReplay(r._1)).map(_._2).sum
-    val opsTotal = total - replayTotal
+    val opsTotal = results.map(_._2).sum - replayTotal
+    val total = opsTotal + bestReplayWall
     val (cHits, cMisses, cEvict) = graft.operators.TextOps.cacheStats
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","canary_mean":${f"$canary%.4f"},"canary_gate":${f"$canaryGate%.4f"},"record_quality":"$recordQuality","passes":$passes,"ops_sec":${f"$opsTotal%.4f"},"replay_harness_sec":${f"$replayTotal%.4f"},"cache_registry":{"hits":$cHits,"misses":$cMisses,"evictions":$cEvict}}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","canary_mean":${f"$canary%.4f"},"canary_gate":${f"$canaryGate%.4f"},"host_canary_mean":${f"$bestHost%.4f"},"host_canary_gate":${f"$hostGate%.4f"},"record_quality":"$recordQuality","passes":$passes,"ops_sec":${f"$opsTotal%.4f"},"replay_harness_sec":${f"$replayTotal%.4f"},"replay_wall_sec":${f"$bestReplayWall%.4f"},"replay_concurrency":$replayConcurrency,"cache_registry":{"hits":$cHits,"misses":$cMisses,"evictions":$cEvict}}"""
     // full artifact (timings + plans in one object) persisted to disk: the
     // robust path when any stdout capture window truncates. Also append to
     // bench_history.jsonl so round N+1 can diff per-query timings against

@@ -35,13 +35,19 @@ import org.apache.spark.sql.types.StructType
 object FileReplay {
 
   private final case class Staged(
-      root: Path, chunks: Map[Int, Path], schema: StructType)
+      root: Path, chunks: Map[Int, Path], schema: StructType,
+      // live-handle pin count: the bench replay tier runs rows
+      // CONCURRENTLY since round 12, so eviction must never delete files
+      // a not-yet-closed handle still links/copies from (publish of a
+      // not-yet-linked chunk would otherwise throw NoSuchFile mid-replay)
+      refs: java.util.concurrent.atomic.AtomicInteger =
+        new java.util.concurrent.atomic.AtomicInteger(0))
 
   // LRU of staged corpora keyed on the canonicalized plan of the
-  // chunk-annotated frame. Eviction deletes the staged files; handles are
-  // consumed within the query that created them (the board runs replay
-  // rows serially), so an evicted entry is never a live handle's backing
-  // store at this cache size.
+  // chunk-annotated frame. Eviction deletes the staged files, SKIPPING
+  // entries pinned by a live handle (the cache may transiently exceed
+  // maxStaged while many handles are open; it shrinks back as they
+  // close).
   private val maxStaged = 6
   // key carries the OUTPUT SCHEMA alongside the canonicalized plan:
   // canonicalization erases column aliases, so two stagings of the same
@@ -73,39 +79,65 @@ object FileReplay {
     * same plan). `chunkCol` must be a deterministic non-null integer
     * expression; chunks replay in ascending order.
     */
-  def stage(df: DataFrame, chunkCol: Column): Handle = synchronized {
+  def stage(df: DataFrame, chunkCol: Column): Handle = {
     val spark = df.sparkSession
     val annotated = df.withColumn("__chunk", chunkCol)
     val key = (annotated.queryExecution.analyzed.canonicalized,
       annotated.schema.sql)
-    val staged = stagedCache.remove(key) match {
-      case Some(st) if Files.isDirectory(st.root) =>
-        st // refresh recency below
-      case _ =>
-        val root = Files.createTempDirectory("graft_replay")
-        val stageDir = root.resolve("stage")
-        // one shuffle partition per chunk value -> one part file per
-        // chunk directory -> atomic single-link publish
-        annotated
-          .repartition(col("__chunk"))
-          .write.partitionBy("__chunk")
-          .parquet(stageDir.toString)
-        var chunks = Map.empty[Int, Path]
-        listDir(stageDir).foreach { d =>
-          val n = d.getFileName.toString
-          if (n.startsWith("__chunk="))
-            chunks += (n.stripPrefix("__chunk=").toInt -> d)
+    // cache check under the lock; the distributed WRITE outside it — the
+    // round-12 concurrent replay tier must not serialize whole stagings
+    // behind one object monitor. Two threads staging the same key race
+    // benignly: the loser's files are deleted, the winner's entry is
+    // shared (pinned before the lock releases, so eviction can't reclaim
+    // it in the gap).
+    def pinCached(): Option[Staged] = synchronized {
+      stagedCache.remove(key) match {
+        case Some(st) if Files.isDirectory(st.root) =>
+          stagedCache.update(key, st) // refresh recency
+          st.refs.incrementAndGet()
+          Some(st)
+        case _ => None
+      }
+    }
+    val staged = pinCached().getOrElse {
+      val root = Files.createTempDirectory("graft_replay")
+      val stageDir = root.resolve("stage")
+      // one shuffle partition per chunk value -> one part file per
+      // chunk directory -> atomic single-link publish
+      annotated
+        .repartition(col("__chunk"))
+        .write.partitionBy("__chunk")
+        .parquet(stageDir.toString)
+      var chunks = Map.empty[Int, Path]
+      listDir(stageDir).foreach { d =>
+        val n = d.getFileName.toString
+        if (n.startsWith("__chunk="))
+          chunks += (n.stripPrefix("__chunk=").toInt -> d)
+      }
+      val fresh = Staged(root, chunks, df.drop("__chunk").schema)
+      pinCached() match {
+        case Some(prev) => rm(root); prev // lost the race; reuse winner
+        case None => synchronized {
+          stagedCache.update(key, fresh)
+          fresh.refs.incrementAndGet()
+          fresh
         }
-        Staged(root, chunks, df.drop("__chunk").schema)
+      }
     }
-    stagedCache.update(key, staged)
-    while (stagedCache.size > maxStaged) {
-      val (k0, s0) = stagedCache.head
-      stagedCache.remove(k0)
-      rm(s0.root)
-    }
+    evictUnpinned()
     val watchDir = Files.createTempDirectory("graft_replay_watch")
     new Handle(spark, staged, watchDir)
+  }
+
+  private def evictUnpinned(): Unit = synchronized {
+    if (stagedCache.size > maxStaged) {
+      val victims = stagedCache.iterator
+        .filter(_._2.refs.get() == 0)
+        .take(stagedCache.size - maxStaged).map(_._1).toVector
+      victims.foreach { k =>
+        stagedCache.remove(k).foreach(s => rm(s.root))
+      }
+    }
   }
 
   final class Handle private[FileReplay] (
@@ -159,10 +191,15 @@ object FileReplay {
     def staged: DataFrame =
       spark.read.schema(st.schema).parquet(watchDir.toString)
 
-    /** Release the watch directory. The staged files belong to the LRU
-      * and are reused by later replays of the same frame.
+    /** Release the watch directory and unpin the staged files (they
+      * belong to the LRU and are reused by later replays of the same
+      * frame; eviction may reclaim them once no handle is live).
       */
-    def close(): Unit = rm(watchDir)
+    def close(): Unit = {
+      rm(watchDir)
+      st.refs.decrementAndGet()
+      FileReplay.evictUnpinned()
+    }
   }
 
   /** Range-chunking expression: splits `c`'s value domain [lo, hi] into

@@ -106,7 +106,9 @@ object ScaleFixture {
     * real permutation; a deterministic typed map keeps the fixture
     * generator honest — this is tooling, not a hot query path).
     */
-  private def shuffleWordsExpr(text: org.apache.spark.sql.Column,
+  // private[graft]: LshRocksDbScaleSpec reuses the density-preserving
+  // text scaling to build its 10x in-memory corpus
+  private[graft] def shuffleWordsExpr(text: org.apache.spark.sql.Column,
       seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val f = udf { (t: String, s: Long) =>
       if (t == null) null

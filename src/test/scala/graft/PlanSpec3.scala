@@ -195,11 +195,16 @@ class PlanSpec3 extends AnyFunSuite {
     assert(keyLists.forall(_.contains("bucket")),
       s"join not keyed on the cell:\n$keyLists\n$p")
     // probe selection is row-local over literal centroids: no window (and
-    // with it a corpus×nCells shuffle) before the candidate join — the
-    // only window is the final per-qid top-k rank (WindowGroupLimit nodes
-    // are the rank-limit pushdown of that same window, not extra passes)
-    assert(raw"\(\d+\) Window(?!GroupLimit)".r.findAllIn(p).size == 1,
-      s"expected exactly 1 window (final top-k):\n$p")
+    // with it a corpus×nCells shuffle) before the candidate join. The
+    // final per-qid top-k goes through TopKDispatch (round-12): on the
+    // IVF candidate mass (rows/group ≈ cell size) the shuffled-mass model
+    // picks the NATIVE aggregate — one k-entry buffer per (group, map
+    // partition), no second full-candidate shuffle — so the plan carries
+    // a TopKAgg ObjectHashAggregate pair and ZERO ranking windows.
+    assert(raw"\(\d+\) Window(?!GroupLimit)".r.findAllIn(p).isEmpty,
+      s"dispatcher's native pick must not plan a ranking window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"native TopKAgg rendering missing from the cell path:\n$p")
   }
 
   test("dd_cross_split_leak big-corpus path: bloom prefilter lands scan-side on the probe") {
