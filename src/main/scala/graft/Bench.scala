@@ -274,9 +274,13 @@ object Bench {
     // record slipped through).
     def hostProbe(): Double = {
       val t0 = System.nanoTime()
-      // per-row work bounded to pmod < 1e6 so the 32M-row sum stays
-      // ~1.6e13, far inside long range under ANSI arithmetic
-      spark.range(0L, 32L * 1000 * 1000, 1, cpus.toInt)
+      // 1M rows PER CORE, one partition per core: per-core work is
+      // constant, so the quiet floor is comparable across SPARK_GRAFT_CPUS
+      // settings and the rolling-median gate can mix their history
+      // (review finding: a fixed 32M rows made a quiet 4-core run ~8x the
+      // 32-core floor and self-label "loaded"). pmod bounds each value
+      // under 1e6 so the sum stays far inside long range under ANSI.
+      spark.range(0L, 1000000L * cpus.toInt, 1, cpus.toInt)
         .selectExpr("sum(pmod(id * 31, 1000007)) AS s").head()
       (System.nanoTime() - t0) / 1e9
     }
@@ -498,7 +502,9 @@ object Bench {
       val h = hostMean()
       val better =
         if (gateApplies) c < bestCanary
-        else h < bestHost
+        // a pass whose probes all failed reports the -1 sentinel — it is
+        // UNMEASURED, not quiet, and must never replace a measured pass
+        else h >= 0 && h < bestHost
       if (better) {
         best = again; bestCanary = c; bestHost = h
         bestReplayWall = replayWallOfPass

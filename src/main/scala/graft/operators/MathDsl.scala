@@ -147,9 +147,16 @@ object MathDsl {
   // the doubling would be wrong — the sessions here never enable it.
   private val qlitRef = "__QLIT(\\d+)__".r
   private def unmask(s: String, lits: Vector[String]): String =
-    qlitRef.replaceAllIn(s, m =>
+    qlitRef.replaceAllIn(s, m => {
+      // placeholder-shaped text the USER wrote unquoted (no literal was
+      // masked at that index) passes through verbatim — resolving it
+      // against lits would throw on compile (review finding); Spark then
+      // reports it as an unresolved column, the right error
+      val idx = if (m.group(1).length <= 9) m.group(1).toInt else -1
       java.util.regex.Matcher.quoteReplacement(
-        lits(m.group(1).toInt).replace("\\", "\\\\")))
+        if (idx >= 0 && idx < lits.length) lits(idx).replace("\\", "\\\\")
+        else m.matched)
+    })
 
   def compile(exprText: String, arrayCol: String = "__f"): String = {
     val (masked, lits) = maskQuotes(exprText.trim)

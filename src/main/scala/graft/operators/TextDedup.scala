@@ -465,10 +465,7 @@ object TextOps {
     * structure corpus is a deliberate non-goal — the scale path is LSH —
     * and the dispatch falls through to the measured-density choice.
     */
-  // var, not val: ONLY specs mutate it (SimilarityDispatchSpec shrinks the
-  // cap to exercise the above-cap policies on a unit-test corpus — the
-  // real 262144-doc trigger is not buildable in a test JVM)
-  private[graft] var BitsetMaxBlock = 262144L
+  private[graft] val BitsetMaxBlock = 262144L
 
   /** The EXACT gram vocabulary when it is small enough for the bitmap
     * branch, else None. Only attempted when the sketch estimate is near
@@ -771,10 +768,11 @@ object TextOps {
   val AboveCapLsh = "lsh"
   val AboveCapForceExact = "force-exact"
 
-  private def refuseAboveCap(what: String, maxBlock: Long): Nothing =
+  private def refuseAboveCap(what: String, maxBlock: Long,
+      blockCap: Long): Nothing =
     throw new IllegalStateException(
       s"$what: largest block holds $maxBlock docs over a dense small-gram " +
-      s"vocabulary — above the exact all-pairs cap ($BitsetMaxBlock). " +
+      s"vocabulary — above the exact all-pairs cap ($blockCap). " +
       "PPJoin/count-join melt in this regime (no rare grams to prune on), " +
       "so exact output at this scale is a deliberate non-goal. Use the " +
       "scale path: lshCandidatePairs + exact per-pair verify (recall < 1, " +
@@ -847,7 +845,11 @@ object TextOps {
       textCol: String, shingleSize: Int, threshold: Double,
       denseVocabAvgDf: Double = 64.0,
       smallVocabBitset: Boolean = true,
-      aboveCap: String = AboveCapRefuse): DataFrame = {
+      aboveCap: String = AboveCapRefuse,
+      // parameter, not mutable state: SimilarityDispatchSpec shrinks the
+      // cap to exercise the above-cap policies on a unit-test corpus (a
+      // test-seam var would be JVM-global mutable dispatch behavior)
+      blockCap: Long = BitsetMaxBlock): DataFrame = {
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
     val st = grams
       .select(explode(col("__g")).as("x"))
@@ -856,7 +858,7 @@ object TextOps {
     val avgDf = st.getLong(0).toDouble / math.max(st.getLong(1), 1L)
     val nd = st.getLong(1)
     def decide(kernel: String, maxBlock: Long) = recordSim(
-      SimilarityDecision(kernel, avgDf, nd, maxBlock, BitsetMaxBlock, aboveCap))
+      SimilarityDecision(kernel, avgDf, nd, maxBlock, blockCap, aboveCap))
     def exactLarge(maxBlock: Long): DataFrame =
       if (avgDf >= denseVocabAvgDf) {
         decide("count", maxBlock)
@@ -871,7 +873,7 @@ object TextOps {
       case Some(v) =>
         val sizes = blockSizes(grams, blockCol)
         val maxBlock = sizes.valuesIterator.max
-        if (maxBlock <= BitsetMaxBlock) {
+        if (maxBlock <= blockCap) {
           decide("bitset", maxBlock)
           bitsetJaccardFrom(grams, idCol, blockCol, threshold, v,
             sizes = sizes)
@@ -883,7 +885,7 @@ object TextOps {
           case AboveCapForceExact => exactLarge(maxBlock)
           case _ =>
             decide("refused", maxBlock)
-            refuseAboveCap("similarityJoin", maxBlock)
+            refuseAboveCap("similarityJoin", maxBlock, blockCap)
         }
       case _ => exactLarge(-1L)
     }
@@ -913,7 +915,8 @@ object TextOps {
       textCol: String, shingleSize: Int, threshold: Double,
       denseVocabAvgDf: Double = 64.0,
       smallVocabBitset: Boolean = true,
-      aboveCap: String = AboveCapRefuse): DataFrame = {
+      aboveCap: String = AboveCapRefuse,
+      blockCap: Long = BitsetMaxBlock): DataFrame = {
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
     val st = grams
       .select(explode(col("__g")).as("x"))
@@ -922,7 +925,7 @@ object TextOps {
     val avgDf = st.getLong(0).toDouble / math.max(st.getLong(1), 1L)
     val nd = st.getLong(1)
     def decide(kernel: String, maxBlock: Long) = recordSim(
-      SimilarityDecision(kernel, avgDf, nd, maxBlock, BitsetMaxBlock, aboveCap))
+      SimilarityDecision(kernel, avgDf, nd, maxBlock, blockCap, aboveCap))
     def exactLarge(maxBlock: Long): DataFrame =
       if (avgDf >= denseVocabAvgDf) {
         decide("count", maxBlock)
@@ -937,7 +940,7 @@ object TextOps {
       case Some(v) =>
         val sizes = blockSizes(grams, blockCol)
         val maxBlock = sizes.valuesIterator.max
-        if (maxBlock <= BitsetMaxBlock) {
+        if (maxBlock <= blockCap) {
           decide("bitset", maxBlock)
           bitsetContainmentFrom(grams, idCol, blockCol, threshold, v,
             sizes = sizes)
@@ -949,7 +952,7 @@ object TextOps {
           case AboveCapForceExact => exactLarge(maxBlock)
           case _ =>
             decide("refused", maxBlock)
-            refuseAboveCap("containmentJoin", maxBlock)
+            refuseAboveCap("containmentJoin", maxBlock, blockCap)
         }
       case _ => exactLarge(-1L)
     }

@@ -87,14 +87,10 @@ private class MqttLineMicroBatchStream(host: String, port: Int, topic: String,
         try {
           client = new MqttClientLite(host, port, clientId)
           liveClient.set(client)
-          if (stopped.get()) {
-            // stop()'s getAndSet(null) may have run between the connect
-            // and liveClient.set — it then saw null and closed nothing,
-            // so close here or the connected socket leaks until the
-            // broker's keepalive timeout
-            try client.close() catch { case _: Throwable => }
-            return
-          }
+          // stop() may have raced the connect (its getAndSet(null) saw
+          // null and closed nothing) — returning here is safe because
+          // the enclosing finally closes `client` on every exit path
+          if (stopped.get()) return
           client.subscribe(topic)
           client.readLoop { (t, payload) =>
             val now = System.currentTimeMillis() * 1000L

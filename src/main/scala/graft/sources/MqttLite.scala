@@ -122,12 +122,12 @@ class MqttClientLite(host: String, port: Int, clientId: String,
   @volatile private var lastSendMs = System.currentTimeMillis()
   @volatile private var lastRecvMs = System.currentTimeMillis()
 
-  // Serialize writers: readLoop's timer-driven PINGREQs share the output
-  // stream with close()'s DISCONNECT (source stop() thread) and external
-  // publish() callers — interleaved bytes mid-packet would corrupt MQTT
-  // framing, so each packet is emitted atomically under the stream lock.
+  // Concurrent writers (readLoop's timer-driven PINGREQs, close()'s
+  // DISCONNECT from the stop() thread, external publish() callers) are
+  // serialized inside writePacket itself — it holds `out`'s monitor for
+  // the whole frame, so packets can never interleave mid-frame.
   private def send(ptype: Int, flags: Int, body: Array[Byte]): Unit = {
-    out.synchronized { writePacket(out, ptype, flags, body) }
+    writePacket(out, ptype, flags, body)
     lastSendMs = System.currentTimeMillis()
   }
 

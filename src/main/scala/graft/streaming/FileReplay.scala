@@ -115,12 +115,23 @@ object FileReplay {
           chunks += (n.stripPrefix("__chunk=").toInt -> d)
       }
       val fresh = Staged(root, chunks, df.drop("__chunk").schema)
-      pinCached() match {
-        case Some(prev) => rm(root); prev // lost the race; reuse winner
-        case None => synchronized {
-          stagedCache.update(key, fresh)
-          fresh.refs.incrementAndGet()
-          fresh
+      // re-check INSIDE the insert lock: two same-key stagers that both
+      // missed and both finished their writes must not both insert — the
+      // second update would silently drop the first (pinned, in-use)
+      // entry from the cache, leaking its directory forever (review
+      // finding; a pinCached() call followed by a separate insert block
+      // left exactly that window)
+      synchronized {
+        stagedCache.remove(key) match {
+          case Some(prev) if Files.isDirectory(prev.root) =>
+            stagedCache.update(key, prev)
+            prev.refs.incrementAndGet()
+            rm(root) // ours lost the race
+            prev
+          case _ =>
+            stagedCache.update(key, fresh)
+            fresh.refs.incrementAndGet()
+            fresh
         }
       }
     }
@@ -144,6 +155,11 @@ object FileReplay {
       spark: SparkSession,
       st: Staged,
       watchDir: Path) {
+
+    // close() must be idempotent: a double close would drive the pin
+    // count negative, after which the NEXT pin increments -1 -> 0 and
+    // that live handle's files look evictable (review finding)
+    private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     /** Ascending chunk ids present in the staged data (a range-chunking
       * expression can legitimately produce an empty chunk).
@@ -195,7 +211,7 @@ object FileReplay {
       * belong to the LRU and are reused by later replays of the same
       * frame; eviction may reclaim them once no handle is live).
       */
-    def close(): Unit = {
+    def close(): Unit = if (closed.compareAndSet(false, true)) {
       rm(watchDir)
       st.refs.decrementAndGet()
       FileReplay.evictUnpinned()

@@ -70,7 +70,18 @@ object StressSweep {
           (-1L, "err")
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let straggler stage-completed events land
+      // quiesce: wait until the listener's counters stop moving for two
+      // consecutive windows (cap 3 s) — a fixed sleep let a straggler
+      // stage-completed event from query N land after query N+1's reset
+      // and mis-attribute multi-GB spill (review finding)
+      var quiet = 0
+      var last = (-1L, -1L, -1L)
+      var waited = 0
+      while (quiet < 2 && waited < 10) {
+        Thread.sleep(300); waited += 1
+        val now = (spillMem.get, spillDisk.get, shuffleWrite.get)
+        if (now == last) quiet += 1 else { quiet = 0; last = now }
+      }
       val line =
         f"""{"query":"$name","sec":$sec%.2f,"rows":$rows,"status":"$status","spill_mem_mb":${spillMem.get / (1024 * 1024)},"spill_disk_mb":${spillDisk.get / (1024 * 1024)},"shuffle_write_mb":${shuffleWrite.get / (1024 * 1024)},"peak_exec_mb":${peakExec.get / (1024 * 1024)}}"""
       println(line)

@@ -15,8 +15,9 @@ import graft.operators.TextOps
   * call records a [[TextOps.SimilarityDecision]] like TopKDispatch's.
   *
   * The real cap (262144 docs/block) is not buildable in a test JVM, so
-  * the spec shrinks `TextOps.BitsetMaxBlock` and restores it in finally;
-  * the suite runs single-JVM sequential (Test/fork, no forked parallel).
+  * the spec passes a shrunken `blockCap` — a parameter, not mutable
+  * state, so production dispatch behavior can't be flipped JVM-wide by a
+  * test seam.
   */
 class SimilarityDispatchSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -48,41 +49,33 @@ class SimilarityDispatchSpec extends AnyFunSuite {
   }
 
   test("above-cap default REFUSES with the LSH-twin recommendation") {
-    val saved = TextOps.BitsetMaxBlock
-    try {
-      TextOps.BitsetMaxBlock = 8L
-      val ex = intercept[IllegalStateException] {
-        TextOps.similarityJoin(denseDocs, "doc_id", "lang", "text",
-          shingleSize = 2, threshold = 0.5)
-      }
-      assert(ex.getMessage.contains("above the exact all-pairs cap"))
-      assert(ex.getMessage.contains("lshCandidatePairs"))
-      val d = TextOps.lastSimilarityDecision.get
-      assert(d.kernel == "refused" && d.maxBlock == 40L && d.blockCap == 8L)
+    val ex = intercept[IllegalStateException] {
+      TextOps.similarityJoin(denseDocs, "doc_id", "lang", "text",
+        shingleSize = 2, threshold = 0.5, blockCap = 8L)
+    }
+    assert(ex.getMessage.contains("above the exact all-pairs cap"))
+    assert(ex.getMessage.contains("lshCandidatePairs"))
+    val d = TextOps.lastSimilarityDecision.get
+    assert(d.kernel == "refused" && d.maxBlock == 40L && d.blockCap == 8L)
 
-      val ex2 = intercept[IllegalStateException] {
-        TextOps.containmentJoin(denseDocs, "doc_id", "lang", "text",
-          shingleSize = 2, threshold = 0.6)
-      }
-      assert(ex2.getMessage.contains("containmentJoin"))
-      assert(TextOps.lastSimilarityDecision.get.kernel == "refused")
-    } finally TextOps.BitsetMaxBlock = saved
+    val ex2 = intercept[IllegalStateException] {
+      TextOps.containmentJoin(denseDocs, "doc_id", "lang", "text",
+        shingleSize = 2, threshold = 0.6, blockCap = 8L)
+    }
+    assert(ex2.getMessage.contains("containmentJoin"))
+    assert(TextOps.lastSimilarityDecision.get.kernel == "refused")
   }
 
   test("force-exact opt-in reproduces the bitset rows exactly") {
     val exact = rows(TextOps.similarityJoin(denseDocs, "doc_id", "lang",
       "text", shingleSize = 2, threshold = 0.5))
-    val saved = TextOps.BitsetMaxBlock
-    val forced = try {
-      TextOps.BitsetMaxBlock = 8L
-      val df = TextOps.similarityJoin(denseDocs, "doc_id", "lang", "text",
-        shingleSize = 2, threshold = 0.5,
-        aboveCap = TextOps.AboveCapForceExact)
-      val d = TextOps.lastSimilarityDecision.get
-      assert(d.kernel == "count" || d.kernel == "ppjoin")
-      assert(d.aboveCap == TextOps.AboveCapForceExact)
-      rows(df)
-    } finally TextOps.BitsetMaxBlock = saved
+    val df = TextOps.similarityJoin(denseDocs, "doc_id", "lang", "text",
+      shingleSize = 2, threshold = 0.5,
+      aboveCap = TextOps.AboveCapForceExact, blockCap = 8L)
+    val d = TextOps.lastSimilarityDecision.get
+    assert(d.kernel == "count" || d.kernel == "ppjoin")
+    assert(d.aboveCap == TextOps.AboveCapForceExact)
+    val forced = rows(df)
     assert(forced == exact,
       s"only-forced=${(forced -- exact).take(3)} only-exact=${(exact -- forced).take(3)}")
     assert(exact.nonEmpty)
@@ -91,14 +84,11 @@ class SimilarityDispatchSpec extends AnyFunSuite {
   test("lsh opt-in returns a subset of the exact rows at full precision") {
     val exact = rows(TextOps.similarityJoin(denseDocs, "doc_id", "lang",
       "text", shingleSize = 2, threshold = 0.5))
-    val saved = TextOps.BitsetMaxBlock
-    val lsh = try {
-      TextOps.BitsetMaxBlock = 8L
-      val df = TextOps.similarityJoin(denseDocs, "doc_id", "lang", "text",
-        shingleSize = 2, threshold = 0.5, aboveCap = TextOps.AboveCapLsh)
-      assert(TextOps.lastSimilarityDecision.get.kernel == "lsh-verify")
-      rows(df)
-    } finally TextOps.BitsetMaxBlock = saved
+    val df = TextOps.similarityJoin(denseDocs, "doc_id", "lang", "text",
+      shingleSize = 2, threshold = 0.5, aboveCap = TextOps.AboveCapLsh,
+      blockCap = 8L)
+    assert(TextOps.lastSimilarityDecision.get.kernel == "lsh-verify")
+    val lsh = rows(df)
     // recall < 1 by design; precision must be 1 (every emitted pair is a
     // true >= t pair with the exact jaccard value)
     assert(lsh.subsetOf(exact), s"phantom pairs: ${(lsh -- exact).take(5)}")
@@ -110,14 +100,11 @@ class SimilarityDispatchSpec extends AnyFunSuite {
       shingleSize = 2, threshold = 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getDouble(3))).toSet
-    val saved = TextOps.BitsetMaxBlock
-    val lsh = try {
-      TextOps.BitsetMaxBlock = 8L
-      TextOps.containmentJoin(denseDocs, "doc_id", "lang", "text",
-        shingleSize = 2, threshold = 0.6, aboveCap = TextOps.AboveCapLsh)
-        .collect().map(r => (r.getLong(0), r.getLong(1),
-          r.getDouble(2), r.getDouble(3))).toSet
-    } finally TextOps.BitsetMaxBlock = saved
+    val lsh = TextOps.containmentJoin(denseDocs, "doc_id", "lang", "text",
+      shingleSize = 2, threshold = 0.6, aboveCap = TextOps.AboveCapLsh,
+      blockCap = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
     assert(TextOps.lastSimilarityDecision.get.kernel == "lsh-verify")
     assert(lsh.subsetOf(exact), s"phantom pairs: ${(lsh -- exact).take(5)}")
   }
