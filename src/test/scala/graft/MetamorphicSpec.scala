@@ -3,6 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.functions.Formulas
 import graft.operators.MathDsl
 
 /** Metamorphic/property tier for the surfaces the DuckDB hash oracle
@@ -87,6 +88,31 @@ class MetamorphicSpec extends AnyFunSuite {
     }
     // the generator must actually exercise the property, not vacuously pass
     assert(covered > 300, s"only $covered in-radius pairs generated")
+  }
+
+  test("Formulas.haversineSql matches the independent derivation (shared-formula defense)") {
+    // Formulas.haversineSql is the ONE formula both the Spark rendering
+    // and the DuckDB oracle evaluate — a bug in it is hash-green by
+    // construction. Cross-check it against this spec's independently
+    // written haversine on random near/far pairs.
+    import spark.implicits._
+    val gen = for {
+      la0 <- Gen.choose(-80.0, 80.0); lo0 <- Gen.choose(-179.0, 179.0)
+      dLa <- Gen.choose(-0.5, 0.5); dLo <- Gen.choose(-0.5, 0.5)
+    } yield (la0, lo0, la0 + dLa, lo0 + dLo)
+    val cases = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+      forAll(gen, n = 200)(buf += _)
+      buf.toSeq
+    }
+    val got = cases.toDF("la0", "lo0", "la1", "lo1")
+      .selectExpr(Formulas.haversineSql("la0", "lo0", "la1", "lo1") + " AS d")
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((la0, lo0, la1, lo1), d) =>
+      val want = haversine(la0, lo0, la1, lo1)
+      assert(math.abs(d - want) <= math.max(1e-6 * want, 1e-6),
+        s"haversine diverged at ($la0,$lo0)-($la1,$lo1): sql=$d ref=$want")
+    }
   }
 
   test("geo grid regression: the round-11 square 0.005-degree grid fails") {
