@@ -115,6 +115,43 @@ class MetamorphicSpec extends AnyFunSuite {
     }
   }
 
+  test("Francois-Garrison absorption: structural identities + literature bands") {
+    // another shared-dialect formula the hash oracle can't defend. No
+    // exact published table is transcribed here; instead (a) structural
+    // identities that isolate terms, (b) monotonicity, (c) coarse
+    // literature bands that catch order-of-magnitude transcription slips.
+    def alpha(f: Double, t: Double, s: Double, d: Double, ph: Double): Double =
+      spark.sql("SELECT " +
+        Formulas.soundAbsorptionSql(f.toString, t.toString, s.toString,
+          d.toString, ph.toString) + " AS a").head().getDouble(0)
+    // (a) freshwater limit: S=0 kills the boric and MgSO4 relaxations, so
+    // alpha == A3(T)*P3(D)*f^2 exactly — coefficients re-derived here
+    // from the published pure-water fit, independently of Formulas' text
+    def a3(t: Double) =
+      if (t <= 20) 4.937e-4 - 2.59e-5 * t + 9.11e-7 * t * t - 1.50e-8 * t * t * t
+      else 3.964e-4 - 1.146e-5 * t + 1.45e-7 * t * t - 6.5e-10 * t * t * t
+    def p3(d: Double) = 1.0 - 3.83e-5 * d + 4.9e-10 * d * d
+    for (t <- Seq(5.0, 15.0, 25.0); f <- Seq(10.0, 100.0); d <- Seq(0.0, 2000.0)) {
+      val got = alpha(f, t, 0.0, d, 8.0)
+      val want = a3(t) * p3(d) * f * f
+      assert(math.abs(got - want) <= 1e-9 * math.max(1.0, want),
+        s"S=0 limit broke at t=$t f=$f d=$d: $got vs $want")
+    }
+    // (b) monotone in frequency; decreasing in depth
+    val fs = Seq(1.0, 3.0, 10.0, 30.0, 100.0, 300.0)
+    val as = fs.map(alpha(_, 10.0, 35.0, 0.0, 8.0))
+    assert(as.zip(as.tail).forall { case (lo, hi) => hi > lo },
+      s"absorption must rise with frequency: ${fs.zip(as)}")
+    assert(alpha(100.0, 10.0, 35.0, 4000.0, 8.0) <
+      alpha(100.0, 10.0, 35.0, 0.0, 8.0), "pressure must reduce absorption")
+    // (c) coarse literature bands (F-G 1982, seawater T=10 S=35 pH=8):
+    // ~0.06 dB/km at 1 kHz, ~36 dB/km at 100 kHz
+    val a1k = alpha(1.0, 10.0, 35.0, 0.0, 8.0)
+    val a100k = alpha(100.0, 10.0, 35.0, 0.0, 8.0)
+    assert(a1k > 0.02 && a1k < 0.2, s"1 kHz absorption off-scale: $a1k")
+    assert(a100k > 20 && a100k < 60, s"100 kHz absorption off-scale: $a100k")
+  }
+
   test("geo grid regression: the round-11 square 0.005-degree grid fails") {
     // deterministic witness of the fixed bug: at lat 51.56 a 0.0055-degree
     // lon gap is ~380 m (within R) but spans cx 0 -> 2 on a 0.005 grid
