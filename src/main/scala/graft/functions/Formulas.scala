@@ -85,14 +85,23 @@ object Formulas {
     * quadrant), so engines would disagree. `+ 0.0` also normalizes IEEE
     * -0.0 (the engines' round() disagree on the zero sign). Both cases
     * surfaced only at sf0.1 row counts.
+    *
+    * The fold of a negative raw angle (`raw + 360`) can ROUND to exactly
+    * 360.0 when |raw| is below half an ulp of 360 (~2.8e-14°) — a real
+    * sf0.1 row (event 4860: awd=hdg=cog=180) produced raw = -1.3e-14 and
+    * both engines emitted 360.0, violating the documented [0,360) range
+    * hash-green (round-12 review finding, empirically confirmed). A
+    * >= 360 result can only arise from that rounding, i.e. the true
+    * direction is 0 — map it there explicitly.
     */
   def trueWindDirSql(aws: String, awd: String, hdg: String, sog: String, cog: String): String = {
     val u = trueWindU(aws, awd, hdg, sog, cog)
     val v = trueWindV(aws, awd, hdg, sog, cog)
     val speed = trueWindSpeedSql(aws, awd, hdg, sog, cog)
     val raw = s"degrees(atan2(-($u), -($v)))"
+    val folded = s"(CASE WHEN $raw < 0 THEN $raw + 360 ELSE $raw + 0.0 END)"
     s"(CASE WHEN $speed < 1e-9 THEN 0.0 " +
-      s"WHEN $raw < 0 THEN $raw + 360 ELSE $raw + 0.0 END)"
+      s"WHEN $folded >= 360.0 THEN 0.0 ELSE $folded END)"
   }
 
   /** Great-circle distance in meters (haversine, R=6371000). */

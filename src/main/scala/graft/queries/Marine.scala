@@ -145,11 +145,13 @@ object Marine {
     // quadratic in cell density — the cap bounds any cell's
     // contribution at 9·64² candidates, making the whole join linear
     // in the number of cells however skewed the fleet. Both engines
-    // evaluate the identical
-    // haversine expression text, so the doubles — and the 100 m
-    // distance bands — replay exactly; output is the per-band pair
-    // count plus an id-sum checksum (any lost or phantom pair breaks
-    // it). Same shape at 100 TB: density-bounded cells, no global sort.
+    // evaluate the identical haversine expression text, but the trig
+    // goes through Java Math vs C libm (last-ulp differences), so d is
+    // ROUNDED to 6 dp before the threshold and banding — comparing raw
+    // doubles at exact edges was fixture-luck (round-12 review).
+    // Output is the per-band pair count plus an id-sum checksum (any
+    // lost or phantom pair breaks it). Same shape at 100 TB:
+    // density-bounded cells, no global sort.
     Q("j_geo_bucket", {
       val d = Formulas.haversineSql("a.lat", "a.lon", "b.lat", "b.lon")
       s"""WITH p AS (SELECT event_id, 51.0 + value/1000.0 AS lat,
@@ -169,7 +171,7 @@ object Marine {
          |  FROM n a JOIN c b ON a.ky = b.cy AND a.kx = b.cx
          |    AND a.event_id < b.event_id),
          |v AS (SELECT ea, eb,
-         |    ${Formulas.haversineSql("alat", "alon", "blat", "blon")} AS d
+         |    round(${Formulas.haversineSql("alat", "alon", "blat", "blon")}, 6) AS d
          |  FROM cand)
          |SELECT CAST(floor(d/100) AS INT) AS band_100m, count(*) AS n_pairs,
          |  CAST(sum(ea + eb) AS BIGINT) AS id_checksum
@@ -194,9 +196,16 @@ object Marine {
         col("lon").as("blon"), col("cy"), col("cx"))
       val cand = a.join(b,
         col("ky") === col("cy") && col("kx") === col("cx") && col("ea") < col("eb"))
+      // d is ROUNDED to 6 dp before the <=500 gate and the 100 m banding
+      // (matching the oracle text): sin/asin take Java-Math vs C-libm
+      // paths, and comparing raw last-ulp-different doubles at exact
+      // thresholds would let a pair on a band edge flip on one engine
+      // only (round-12 review finding; every other trig row already
+      // rounds for this reason). Micrometer rounding is far below the
+      // grid's physical meaning.
       cand
         .selectExpr("ea", "eb",
-          s"${Formulas.haversineSql("alat", "alon", "blat", "blon")} AS d")
+          s"round(${Formulas.haversineSql("alat", "alon", "blat", "blon")}, 6) AS d")
         .filter(col("d") <= 500.0)
         .groupBy(floor(col("d") / 100).cast("int").as("band_100m"))
         .agg(count(lit(1)).as("n_pairs"),

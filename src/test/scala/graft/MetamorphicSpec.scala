@@ -115,6 +115,41 @@ class MetamorphicSpec extends AnyFunSuite {
     }
   }
 
+  test("true wind direction: [0,360) range invariant + the event-4860 witness") {
+    // round-12 review, CONFIRMED on the shipped sf0.1 fixture: the fold
+    // of a tiny negative raw angle (raw + 360) rounded to exactly 360.0
+    // in both engines — hash-green, range-contract-violating. Property:
+    // the rendering must stay in [0,360) over randomized and
+    // near-cancellation inputs; witness: the exact fixture parameters.
+    def twd(aws: Double, awd: Double, hdg: Double, sog: Double,
+        cog: Double): Double =
+      spark.sql("SELECT " + Formulas.trueWindDirSql(aws.toString,
+        awd.toString, hdg.toString, sog.toString, cog.toString) + " AS d")
+        .head().getDouble(0)
+    // the deterministic regression witness (event 4860's parameters:
+    // awd=hdg=cog=180 cancels u to +-ulp noise; pre-fix both engines
+    // emitted exactly 360.0 here)
+    val w = twd(1.789, 180.0, 180.0, 0.3578, 180.0)
+    assert(w >= 0.0 && w < 360.0, s"witness out of range: $w")
+    assert(w < 1e-9, s"near-cancellation must resolve ~north, got $w")
+    val gen = for {
+      aws <- Gen.choose(0.0, 60.0)
+      awd <- Gen.choose(0.0, 360.0)
+      hdg <- Gen.choose(0.0, 360.0)
+      sog <- Gen.choose(0.0, 15.0)
+      cog <- Gen.choose(0.0, 360.0)
+      // mix in exact-cancellation shapes (awd=cog=hdg) that drive the
+      // u/v components to +-ulp noise
+      exact <- Gen.oneOf(true, false)
+    } yield if (exact) (aws, 180.0, 180.0, sog, 180.0)
+            else (aws, awd, hdg, sog, cog)
+    forAll(gen, n = 120) { case (aws, awd, hdg, sog, cog) =>
+      val d = twd(aws, awd, hdg, sog, cog)
+      assert(d >= 0.0 && d < 360.0,
+        s"twd out of [0,360): $d at ($aws,$awd,$hdg,$sog,$cog)")
+    }
+  }
+
   test("Francois-Garrison absorption: structural identities + literature bands") {
     // another shared-dialect formula the hash oracle can't defend. No
     // exact published table is transcribed here; instead (a) structural
