@@ -26,12 +26,18 @@ object Relational {
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
   private def dsum8(c: Column): Column = sum(c.cast(DecimalType(28, 8))).cast("double")
   private def davg(c: Column): Column = dsum(c) / count(c)
-  /** Sample stddev from exact decimal moments: sqrt((S2 - S1^2/n)/(n-1)). */
+  /** Sample stddev from exact decimal moments: sqrt((S2 - S1^2/n)/(n-1)).
+    * The variance term clamps at 0: once S1^2 exceeds 2^53 (a large
+    * near-constant group) the double subtraction of two ~equal products
+    * can land an ulp NEGATIVE where the true variance is 0 — DuckDB then
+    * hard-errors on sqrt(negative) while Spark returns NaN (round-12
+    * review finding; the oracle text carries the same GREATEST).
+    */
   private def dstd(c: Column): Column = {
     val n = count(c).cast("double")
     val s1 = dsum8(c)
     val s2 = dsum8(c * c)
-    sqrt((s2 - s1 * s1 / n) / (n - lit(1.0)))
+    sqrt(greatest((s2 - s1 * s1 / n) / (n - lit(1.0)), lit(0.0)))
   }
 
   def defs: Seq[Q] = Seq(
@@ -694,7 +700,12 @@ object Relational {
         .select("p_partkey", "p_brand", "p_type", "p_size")
       val excl = Tables.load(s, dir, "supplier")
         .filter(col("s_name").like("%7%")).select("s_suppkey")
+      // NOT IN drops a NULL probe-side key (NULL <> x is unknown) while
+      // left_anti would KEEP it — filter nulls first so the rewrite is
+      // equivalent to the stated SQL on any data, not just the
+      // null-free fixture (round-12 review finding)
       Tables.load(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .filter(col("l_suppkey").isNotNull)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
@@ -1199,8 +1210,17 @@ object Relational {
         shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
           shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
       }.reduce(_ + _)
+      // keys must fit the 16-bit-per-dimension interleave: bit >= 16
+      // would silently alias k and k+65536 onto one z-bucket in BOTH
+      // engines (hash-green garbage) — raise instead, the q_tpch18
+      // fractional-quantity pattern (round-12 review finding)
+      val zvGuarded = when(
+        x >= 0 && x < (1L << 16) && y >= 0 && y < (1L << 16), zv)
+        .otherwise(raise_error(lit(
+          "q_zorder: key outside [0, 65536) — the 16-bit interleave " +
+            "aliases z-buckets; widen the interleave or re-bucket")))
       Tables.load(s, dir, "lineitem")
-        .select(x.as("x"), y.as("y"), zv.as("zv"))
+        .select(x.as("x"), y.as("y"), zvGuarded.as("zv"))
         .groupBy(expr("zv div 16384").as("bucket"))
         .agg(count(lit(1)).as("n"),
           min("x").as("min_x"), max("x").as("max_x"),
@@ -1269,8 +1289,10 @@ object Relational {
         .unionAll(audit("events_self_user", purchases, "user_id", errors, "user_id"))
         .select(col("jn"), col("na"), col("nb"), col("ndv"), col("actual"),
           expr("na * nb div ndv").as("est"),
-          // positive-only division: Spark div truncates, DuckDB //
-          // floors — they agree only for non-negative operands
+          // Spark div and DuckDB // BOTH truncate toward zero (probed
+          // empirically: (-39)//40 = 0 in DuckDB 1.0 — an earlier
+          // comment here claimed DuckDB floors, which is wrong), so the
+          // pairing agrees on all operands; these are non-negative anyway
           expr("(na * nb div ndv) * 1000000 div actual - 1000000").as("err_ppm"))
     },
 
@@ -1413,7 +1435,7 @@ object Relational {
     // one agg shuffle on ~60 zone keys at any SF.
     Q("q_zone_map",
       """WITH z AS (SELECT
-        |    datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 40 AS zone,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 40 AS zone,
         |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sday,
         |    l_quantity
         |  FROM lineitem),
@@ -1428,8 +1450,15 @@ object Relational {
         |  CAST(max_q < 5 OR min_q > 45 AS INT) AS skip_qty
         |FROM m""".stripMargin) { (s, dir) =>
       val sday = datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+      // zone anchors at the 1970 epoch, NOT the fixture's min date: with
+      // a 1995 anchor, truncating div folded days -39..+39 into one
+      // double-width zone 0 for any pre-anchor shipdate — identically in
+      // both engines (DuckDB // truncates too), so the broken stripes
+      // were hash-green (round-12 review finding; the fixture had one
+      // day of headroom). Epoch-anchored day numbers are non-negative
+      // over the whole TPC-H date domain, so truncation == floor.
       val zone = expr(
-        "datediff(cast(l_shipdate as date), date'1995-01-01') div 40")
+        "datediff(cast(l_shipdate as date), date'1970-01-01') div 40")
       val d98lo = datediff(lit("1998-01-01").cast("date"), lit("1970-01-01").cast("date"))
       val d98hi = datediff(lit("1998-12-31").cast("date"), lit("1970-01-01").cast("date"))
       Tables.load(s, dir, "lineitem")
@@ -1576,7 +1605,8 @@ object Relational {
     Q("q_corr",
       """SELECT l_returnflag,
         |  ROUND((n * sxy - sx * sy)
-        |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qp,
+        |        / sqrt(greatest(n * sxx - sx * sx, 0.0)
+        |               * greatest(n * syy - sy * sy, 0.0)), 6) AS corr_qp,
         |  ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_qp
         |FROM (SELECT l_returnflag,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
@@ -1588,17 +1618,18 @@ object Relational {
         |  FROM lineitem GROUP BY l_returnflag)""".stripMargin) { (s, dir) =>
       val x = col("l_quantity")
       val y = col("l_extendedprice")
-      def dsum28(c: Column): Column = sum(c.cast(DecimalType(28, 8))).cast("double")
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).cast("double").as("n"),
-          dsum28(x).as("sx"), dsum28(y).as("sy"),
-          dsum28(x * x).as("sxx"), dsum28(y * y).as("syy"),
-          dsum28(x * y).as("sxy"))
+          dsum8(x).as("sx"), dsum8(y).as("sy"),
+          dsum8(x * x).as("sxx"), dsum8(y * y).as("syy"),
+          dsum8(x * y).as("sxy"))
         .select(col("l_returnflag"),
+          // variance terms clamp at 0 like dstd: ulp-negative under
+          // cancellation would hard-error DuckDB's sqrt and NaN Spark's
           round((col("n") * col("sxy") - col("sx") * col("sy"))
-            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-              * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qp"),
+            / sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))
+              * greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(0.0))), 6).as("corr_qp"),
           round((col("sxy") - col("sx") * col("sy") / col("n"))
             / (col("n") - 1), 4).as("covar_qp"))
     },
@@ -1866,15 +1897,29 @@ object Relational {
 
     // Chi-square independence test over the event_type × day-of-week
     // contingency table — the statistical gate behind "is behavior
-    // day-dependent?". Day buckets are integer epoch-day mod 7 (no
-    // timezone/locale dow semantics to disagree on), expected counts are
-    // row_total × col_total / N in doubles, and the 35 per-cell
-    // (o-e)²/e terms sum through DECIMAL(28,8) so the statistic is
-    // order-independent and engine-exact. One shuffle onto the bounded
-    // (type, day) key; the marginals join 35 rows against 5+7.
+    // day-dependent?". Day buckets are integer epoch-day pmod 7 (no
+    // timezone/locale dow semantics to disagree on; pmod pins the
+    // 7-bucket domain even for pre-epoch timestamps, where truncating
+    // %7 would mint negative buckets in both engines — round-12
+    // review). The table is COMPLETED to the full type × dow cross
+    // product before summing: a textbook chi-square charges a
+    // zero-observed cell its whole expected count e, and building the
+    // table from observed groups alone silently dropped those terms in
+    // BOTH dialects (hash-green understatement; the fixture happens to
+    // populate all 35 cells). Expected counts are row_total ×
+    // col_total / N in doubles, per-cell terms sum through
+    // DECIMAL(28,8) so the statistic is order-independent and
+    // engine-exact. One shuffle onto the bounded (type, day) key; the
+    // completion cross-joins two broadcast-size dimension lists.
     Q("q_chi2",
-      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 % 7 AS dow,
+      """WITH c0 AS (SELECT event_type,
+        |    ((epoch_us(ts) // 86400000000) % 7 + 7) % 7 AS dow,
         |    count(*) AS o FROM events GROUP BY 1, 2),
+        |tt AS (SELECT DISTINCT event_type FROM c0),
+        |dd AS (SELECT DISTINCT dow FROM c0),
+        |c AS (SELECT tt.event_type, dd.dow, coalesce(c0.o, 0) AS o
+        |  FROM tt CROSS JOIN dd
+        |  LEFT JOIN c0 ON c0.event_type = tt.event_type AND c0.dow = dd.dow),
         |rt AS (SELECT event_type, SUM(o) AS r FROM c GROUP BY 1),
         |ct AS (SELECT dow, SUM(o) AS cl FROM c GROUP BY 1),
         |n AS (SELECT SUM(o) AS n FROM c)
@@ -1885,9 +1930,15 @@ object Relational {
         |    * (count(DISTINCT c.dow) - 1) AS BIGINT) AS df
         |FROM c JOIN rt ON c.event_type = rt.event_type
         |  JOIN ct ON c.dow = ct.dow CROSS JOIN n""".stripMargin) { (s, dir) =>
-      val c = Tables.load(s, dir, "events")
-        .withColumn("dow", expr("unix_micros(ts) div 86400000000 % 7"))
+      val c0 = Tables.load(s, dir, "events")
+        .withColumn("dow", expr("pmod(unix_micros(ts) div 86400000000, 7)"))
         .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+        .transform(graft.operators.TextOps.trackCache)
+      val tt = c0.select("event_type").distinct()
+      val dd = c0.select("dow").distinct()
+      val c = tt.crossJoin(broadcast(dd))
+        .join(c0, Seq("event_type", "dow"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
         .transform(graft.operators.TextOps.trackCache)
       val rt = c.groupBy("event_type").agg(sum("o").as("r"))
       val ct = c.groupBy("dow").agg(sum("o").as("cl"))
@@ -2634,10 +2685,10 @@ object Relational {
     // Exact-moment stddev/variance per group (order-independent; see dstd).
     Q("q_stats",
       """SELECT l_returnflag,
-        |  ROUND(SQRT((CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+        |  ROUND(SQRT(GREATEST((CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,8))) AS DOUBLE)
         |        - CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE)
         |          * CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(l_quantity))
-        |        / (COUNT(l_quantity) - 1.0)), 6) AS std_qty,
+        |        / (COUNT(l_quantity) - 1.0), 0.0)), 6) AS std_qty,
         |  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
         |  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
@@ -2806,13 +2857,12 @@ object Relational {
         |                   - (det2 / det) * s2y)
         |            / (syy - sy * sy / n), 6) AS r2
         |FROM d""".stripMargin) { (s, dir) =>
-      def m(c: Column) = sum(c.cast(DecimalType(28, 8))).cast("double")
       val li = Tables.load(s, dir, "lineitem")
       val (q, dc, y) = (col("l_quantity"), col("l_discount"), col("l_extendedprice"))
-      val mo = li.agg(count(lit(1)).as("n"), m(q).as("s1"), m(dc).as("s2"),
-        m(y).as("sy"), m(q * q).as("s11"), m(q * dc).as("s12"),
-        m(dc * dc).as("s22"), m(q * y).as("s1y"), m(dc * y).as("s2y"),
-        m(y * y).as("syy"))
+      val mo = li.agg(count(lit(1)).as("n"), dsum8(q).as("s1"), dsum8(dc).as("s2"),
+        dsum8(y).as("sy"), dsum8(q * q).as("s11"), dsum8(q * dc).as("s12"),
+        dsum8(dc * dc).as("s22"), dsum8(q * y).as("s1y"), dsum8(dc * y).as("s2y"),
+        dsum8(y * y).as("syy"))
       val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
         col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
         col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))

@@ -115,6 +115,39 @@ class MetamorphicSpec extends AnyFunSuite {
     }
   }
 
+  test("q_chi2 charges zero-observed contingency cells (regression witness)") {
+    // round-12 review: both dialects built the table from OBSERVED
+    // (type, dow) groups only, silently dropping each empty cell's
+    // expected-count term e — a textbook chi-square counts it. Feed the
+    // real query a synthetic fixture with one empty cell and compare to
+    // the hand-computed full-table statistic.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, monotonically_increasing_id}
+    val dir = java.nio.file.Files.createTempDirectory("chi2fix").toString
+    // two types x two epoch-days; (b, day1) has no events
+    def at(day: Long, n: Int, tp: String) =
+      Seq.fill(n)((java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(day * 86400 + 3600)), tp))
+    val rows = at(0, 30, "a") ++ at(1, 10, "a") ++ at(0, 20, "b")
+    rows.toDF("ts", "event_type")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_chi2")(spark, dir).head()
+    // full 2x2 table: o = [[30,10],[20,0]], marginals r=[40,20],
+    // c=[50,10], n=60; e = [[33.33,6.67],[16.67,3.33]]
+    val e = Array(Array(40.0 * 50 / 60, 40.0 * 10 / 60),
+      Array(20.0 * 50 / 60, 20.0 * 10 / 60))
+    val o = Array(Array(30.0, 10.0), Array(20.0, 0.0))
+    val want = (for (i <- 0 to 1; j <- 0 to 1)
+      yield math.pow(o(i)(j) - e(i)(j), 2) / e(i)(j)).sum
+    assert(math.abs(r.getDouble(0) - want) < 1e-6,
+      s"chi2=${r.getDouble(0)} want=$want (zero cell must contribute e)")
+    assert(r.getLong(1) == 1L, s"df=${r.getLong(1)} want 1")
+  }
+
   test("true wind direction: [0,360) range invariant + the event-4860 witness") {
     // round-12 review, CONFIRMED on the shipped sf0.1 fixture: the fold
     // of a tiny negative raw angle (raw + 360) rounded to exactly 360.0
