@@ -285,9 +285,23 @@ object TextQueries {
         |  FROM f),
         |w1 AS (SELECT g0 / 268435456.0 AS w0, g1 / 268435456.0 AS w1,
         |    g2 / 268435456.0 AS w2, g3 / 268435456.0 AS w3 FROM g),
-        |sc AS (SELECT f.doc_id, f.y,
-        |    w1.w0 + w1.w1 * f.x1 + w1.w2 * f.x2 + w1.w3 * f.x3 AS score
+        |s2 AS (SELECT f.y, f.x1, f.x2, f.x3,
+        |    round(1.0 / (1.0 + exp(-(w1.w0 + w1.w1 * f.x1 + w1.w2 * f.x2
+        |                             + w1.w3 * f.x3))), 5) AS sg
         |  FROM f, w1),
+        |h AS (SELECT
+        |    CAST(SUM(CAST((y - sg) AS DECIMAL(28,8))) AS DOUBLE) AS h0,
+        |    CAST(SUM(CAST(x1 * (y - sg) AS DECIMAL(28,8))) AS DOUBLE) AS h1,
+        |    CAST(SUM(CAST(x2 * (y - sg) AS DECIMAL(28,8))) AS DOUBLE) AS h2,
+        |    CAST(SUM(CAST(x3 * (y - sg) AS DECIMAL(28,8))) AS DOUBLE) AS h3
+        |  FROM s2),
+        |w2 AS (SELECT w1.w0 + h.h0 / 268435456.0 AS w0,
+        |    w1.w1 + h.h1 / 268435456.0 AS w1,
+        |    w1.w2 + h.h2 / 268435456.0 AS w2,
+        |    w1.w3 + h.h3 / 268435456.0 AS w3 FROM w1, h),
+        |sc AS (SELECT f.doc_id, f.y,
+        |    w2.w0 + w2.w1 * f.x1 + w2.w2 * f.x2 + w2.w3 * f.x3 AS score
+        |  FROM f, w2),
         |rk AS (SELECT y, score,
         |    row_number() OVER (ORDER BY score, doc_id) AS rn FROM sc),
         |byscore AS (SELECT score, min(rn) AS rn0, count(*) AS cnt,
@@ -322,7 +336,27 @@ object TextQueries {
           dsum(col("x3") * (col("y") - lit(0.5))).as("g3"))
         .select((col("g0") / lrDen).as("w0"), (col("g1") / lrDen).as("w1"),
           (col("g2") / lrDen).as("w2"), (col("g3") / lrDen).as("w3"))
-      val sc = TextOps.trackCache(f.crossJoin(broadcast(w1))
+      // step 2 (tx_quality_train's shipped b*_s2): the row documents the
+      // AUC of the TRAINED model, but it scored the step-1 weights —
+      // both dialects identically, so the truncation was hash-green
+      // (round-12 review). The second gradient pass mirrors the train
+      // row: sigmoid rounded to 5dp (the cross-engine exp() envelope),
+      // decimal-exact h sums, dyadic lr.
+      val h = f.crossJoin(broadcast(w1))
+        .withColumn("sg", round(lit(1.0) / (lit(1.0) +
+          exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")
+            + col("w3") * col("x3")))), 5))
+        .agg(
+          dsum(col("y") - col("sg")).as("h0"),
+          dsum(col("x1") * (col("y") - col("sg"))).as("h1"),
+          dsum(col("x2") * (col("y") - col("sg"))).as("h2"),
+          dsum(col("x3") * (col("y") - col("sg"))).as("h3"))
+      val w2 = w1.crossJoin(broadcast(h)).select(
+        (col("w0") + col("h0") / lrDen).as("w0"),
+        (col("w1") + col("h1") / lrDen).as("w1"),
+        (col("w2") + col("h2") / lrDen).as("w2"),
+        (col("w3") + col("h3") / lrDen).as("w3"))
+      val sc = TextOps.trackCache(f.crossJoin(broadcast(w2))
         .select(col("doc_id"), col("y"),
           (col("w0") + col("w1") * col("x1") + col("w2") * col("x2")
             + col("w3") * col("x3")).as("score"))
@@ -362,13 +396,18 @@ object TextQueries {
     },
 
     // Document fingerprint: 31-poly rolling hash (native expression;
-    // oracle folds the codepoints with list_reduce).
+    // oracle folds the codepoints with list_reduce). The empty-doc guard
+    // matters only oracle-side: DuckDB's seedless list_reduce ERRORS on
+    // an empty list where the native expression returns the fold
+    // identity 0 (round-12 review — latent, the fixture has no empty
+    // texts).
     Q("tx_fingerprint",
       """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE
         |  list_reduce(
         |    list_transform(range(1, length(text) + 1),
         |                   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
-        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |    (a, b) -> (a * 31 + b) % 1000000007) END AS fp
         |FROM documents""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), GraftFunctions.rolling_hash(col("text")).as("fp"))
@@ -477,9 +516,14 @@ object TextQueries {
           col("rnk").cast("int").as("rnk"))
     },
 
-    // Per-document top-3 salient terms by tf-idf. The idf uses the exact
-    // rational form tf*N/df (single IEEE division of exact integers, so
-    // both engines produce bit-identical doubles — no ln() drift).
+    // Per-document top-3 salient terms by tf-idf: tf * ln(N/df) — the
+    // definition, not a linear surrogate. A linear tf*N/df is NOT
+    // rank-equivalent (it over-rewards ultra-rare terms and lets a
+    // df=N stopword score tf instead of exactly 0 — round-12 review
+    // finding, both engines shared the surrogate hash-green). The idf's
+    // ln() rounds to 6dp first (the tx_zipf/tx_bm25/tx_pmi parity rule);
+    // tf (exact int) times the rounded idf is a single IEEE multiply,
+    // bit-identical across engines.
     // Plan shape at scale: one shuffle to build tf, one for df, then a
     // term-keyed join (the term dictionary outgrows broadcast at corpus
     // scale; Catalyst still broadcasts when small) and a per-doc top-k
@@ -492,7 +536,7 @@ object TextQueries {
         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
         |n AS (SELECT count(*) AS n FROM documents),
         |s AS (SELECT tf.doc_id, tf.term,
-        |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+        |    tf.tf * round(ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
         |  FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term, score, rn FROM (
         |  SELECT doc_id, term, score,
@@ -508,7 +552,8 @@ object TextQueries {
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(df, "term")
         .crossJoin(broadcast(n))
-        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+        .withColumn("score",
+          col("tf") * round(log(col("n").cast("double") / col("df")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("score"), col("rn"))
@@ -778,12 +823,20 @@ object TextQueries {
             .otherwise("high").as("bucket"))
     },
 
-    // Deterministic WEIGHTED sampling (Efraimidis-Spirakis A-ES): key =
-    // u^(1/w) with u an md5-derived uniform and w = n_chars, take the
-    // top-k keys — longer documents proportionally likelier, the whole
-    // draw reproducible across engines and reruns (the md5-keyed analog
-    // of q_hash_sample for the weighted case). pow() is libm, so keys
-    // round to 6 dp BEFORE ranking with doc_id as tiebreaker; top-k is
+    // Deterministic WEIGHTED sampling (Efraimidis-Spirakis A-ES) in the
+    // LOG domain: rank by ln(u)/w (monotone in u^(1/w)) with u an
+    // md5-derived uniform strictly inside (0,1) and w = n_chars —
+    // longer documents proportionally likelier, the whole draw
+    // reproducible across engines and reruns (the md5-keyed analog of
+    // q_hash_sample for the weighted case). The direct u^(1/w) key
+    // saturated: 6dp rounding collapsed every large-weight key to
+    // 1.000000 (top-20 became "lowest doc_ids"), and u=(hv+1)/2^28
+    // could reach exactly 1.0, winning at ANY weight (round-12 review
+    // finding, both engines identically). Parity: ln() is libm, so it
+    // rounds to 6dp FIRST (|ln u| is O(1..19), far above double noise);
+    // dividing the rounded ln by the exact integer w is one IEEE
+    // division — bit-identical across engines at full ranking
+    // resolution, no saturation at any corpus scale. Top-k is
     // TakeOrdered, row-local otherwise.
     Q("tx_weighted_sample",
       """WITH h AS (SELECT doc_id, n_chars,
@@ -793,16 +846,16 @@ object TextQueries {
         |      (a, x) -> a * 16 + x) AS hv
         |  FROM documents WHERE n_chars > 0),
         |k AS (SELECT doc_id, n_chars,
-        |    round(pow((CAST(hv AS DOUBLE) + 1) / 268435456.0, 1.0 / n_chars), 6) AS skey
+        |    round(ln((CAST(hv AS DOUBLE) + 0.5) / 268435456.0), 6) / n_chars AS skey
         |  FROM h)
         |SELECT doc_id, n_chars, skey FROM k
         |ORDER BY skey DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
-        .cast("double") + 1) / 268435456.0
+        .cast("double") + 0.5) / 268435456.0
       Tables.load(s, dir, "documents")
         .filter(col("n_chars") > 0)
         .select(col("doc_id"), col("n_chars"),
-          round(pow(u, lit(1.0) / col("n_chars")), 6).as("skey"))
+          (round(log(u), 6) / col("n_chars")).as("skey"))
         .orderBy(col("skey").desc, col("doc_id"))
         .limit(20)
     },
@@ -908,9 +961,14 @@ object TextQueries {
         |  SELECT bkt, round(ln(CAST(ct + 1 AS DOUBLE) * CAST(r + 256 AS DOUBLE)
         |                       / (CAST(cr + 1 AS DOUBLE) * CAST(t + 256 AS DOUBLE))), 6) AS lw
         |  FROM cnts, tot),
+        |dflt AS (
+        |  SELECT round(ln(CAST(r + 256 AS DOUBLE) / CAST(t + 256 AS DOUBLE)), 6) AS lw0
+        |  FROM tot),
         |score AS (
-        |  SELECT doc_id, max(source) AS source, round(SUM(lw), 6) AS dsir_score
-        |  FROM b JOIN lr USING (bkt) WHERE incoming GROUP BY doc_id)
+        |  SELECT doc_id, max(source) AS source,
+        |    round(SUM(coalesce(lw, lw0)), 6) AS dsir_score
+        |  FROM b LEFT JOIN lr USING (bkt) CROSS JOIN dflt
+        |  WHERE incoming GROUP BY doc_id)
         |SELECT doc_id, source, dsir_score,
         |  CAST(dsir_score > 0 AS INT) AS selected
         |FROM score""".stripMargin) { (s, dir) =>
@@ -932,10 +990,19 @@ object TextQueries {
         .select(col("bkt"),
           round(log((col("ct") + 1).cast("double") * (col("r") + 256).cast("double") /
             ((col("cr") + 1).cast("double") * (col("t") + 256).cast("double"))), 6).as("lw"))
-      b.filter(col("incoming")).join(broadcast(lr), "bkt")
+      // a bucket the EXISTING corpus never hashed into still has a
+      // well-defined add-1-smoothed weight ln((r+256)/(t+256)) — an
+      // inner join silently scored it 0, inflating dsir_score exactly on
+      // the new-vocabulary ingests incremental DSIR exists for
+      // (round-12 review finding; both dialects shared the inner join)
+      val dflt = tot.select(round(log(
+        (col("r") + 256).cast("double") / (col("t") + 256).cast("double")),
+        6).as("lw0"))
+      b.filter(col("incoming")).join(broadcast(lr), Seq("bkt"), "left")
+        .crossJoin(broadcast(dflt))
         .groupBy("doc_id")
         .agg(max(col("source")).as("source"),
-          round(sum(col("lw")), 6).as("dsir_score"))
+          round(sum(coalesce(col("lw"), col("lw0"))), 6).as("dsir_score"))
         .select(col("doc_id"), col("source"), col("dsir_score"),
           (col("dsir_score") > 0).cast("int").as("selected"))
     },
@@ -966,10 +1033,11 @@ object TextQueries {
         |  FROM wc, range(1, 9) r1(s), range(1, 5) r2(l)
         |  WHERE s + l - 1 <= length(w)),
         |f0 AS (
-        |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS f
-        |  FROM sub JOIN wc ON strpos(w, piece) > 0
-        |  GROUP BY 1
-        |  ORDER BY f DESC, piece LIMIT 4096),
+        |  SELECT piece, f FROM (
+        |    SELECT piece, CAST(SUM(cnt) AS BIGINT) AS f,
+        |      row_number() OVER (ORDER BY CAST(SUM(cnt) AS BIGINT) DESC, piece) AS rk
+        |    FROM sub JOIN wc ON strpos(w, piece) > 0
+        |    GROUP BY 1) WHERE rk <= 4096 OR length(piece) = 1),
         |t0 AS (SELECT CAST(SUM(f) AS BIGINT) AS tot FROM f0),
         |lw0 AS (
         |  SELECT piece, CAST(round(1000 * ln(CAST(f AS DOUBLE) / tot)) AS BIGINT) AS lw
@@ -1023,7 +1091,17 @@ object TextQueries {
         |FROM best2""".stripMargin) { (s, dir) =>
       val wc = TextOps.trackCache(
         Tables.load(s, dir, "documents")
-          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .select(explode(TextOps.tokens(col("text"))).as("w0"))
+          // the mask enumeration covers boundary bits 1..7 only: a 9+
+          // char word's segmentations are an INCOMPLETE candidate set
+          // and a 12+ char word silently VANISHES from the vocabulary
+          // (every piece > 4 chars) — raise instead of silently training
+          // a wrong tokenizer (round-12 review; q_zorder guard pattern)
+          .select(when(length(col("w0")) <= 8, col("w0"))
+            .otherwise(raise_error(lit(
+              "tx_unigram_lm: word longer than 8 chars — the 128-mask " +
+                "segmentation enumeration is incomplete; raise the mask " +
+                "budget before training on this corpus"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cnt")))
       // seed pieces: substrings len 1..4 of any distinct word
       val sub = wc
@@ -1033,11 +1111,19 @@ object TextQueries {
         .select(expr("substring(w, s, l)").as("piece")).distinct()
       // f0: containing-word frequency (vocab x vocab bounded non-equi
       // join) — tracked-cached: milliNats reads its input twice (total
-      // + crossJoin), and this is the row's most expensive vocab stage
+      // + crossJoin), and this is the row's most expensive vocab stage.
+      // Single-character pieces survive the 4096 cut UNCONDITIONALLY
+      // (Kudo's coverage guarantee: every word must stay segmentable —
+      // a rare script char below the cut silently deleted its words
+      // from the trained model in both dialects; round-12 review)
+      val rkw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("piece"))
       val f0 = TextOps.trackCache(
         sub.join(broadcast(wc), instr(col("w"), col("piece")) > 0)
           .groupBy("piece").agg(sum(col("cnt")).as("f"))
-          .orderBy(col("f").desc, col("piece")).limit(4096))
+          .withColumn("rk", row_number().over(rkw))
+          .filter(col("rk") <= 4096 || length(col("piece")) === 1)
+          .select("piece", "f"))
       def milliNats(tbl: org.apache.spark.sql.DataFrame,
           cField: String): org.apache.spark.sql.DataFrame = {
         val tot = tbl.agg(sum(col(cField)).as("tot"))
@@ -1975,9 +2061,14 @@ object TextQueries {
         .crossJoin(broadcast(st))
         .select(col("doc_id"), tsc.cast(DecimalType(38, 12)).as("tsc"))
         .groupBy("doc_id").agg(sum("tsc").as("score"))
+        // TakeOrdered FIRST (per-partition heap + driver merge), THEN the
+        // rank window over the 10 survivors — the unpartitioned window
+        // over every scored doc funneled the corpus through one task
+        // (the tx_zipf pattern; round-12 review)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-        .filter(col("rank") <= 10)
         .select(col("rank"), col("doc_id"),
           round(col("score").cast("double"), 6).as("score"))
     },
