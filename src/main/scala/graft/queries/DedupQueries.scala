@@ -387,11 +387,21 @@ object DedupQueries {
         |hit AS (SELECT ex.qid, ks.k, count(*) AS hits
         |  FROM ex JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
         |  CROSS JOIN ks WHERE ex.rn <= ks.k AND iv.rn <= ks.k GROUP BY 1, 2),
+        |tr AS (SELECT ex.qid, ks.k, count(*) AS truth
+        |  FROM ex CROSS JOIN ks WHERE ex.rn <= ks.k GROUP BY 1, 2),
         |grid AS (SELECT qid, k FROM (SELECT DISTINCT qid FROM q) CROSS JOIN ks)
         |SELECT grid.qid, grid.k, COALESCE(hits, 0) AS hits,
-        |  round(COALESCE(hits, 0) * 1.0 / grid.k, 6) AS recall_r
-        |FROM grid LEFT JOIN hit ON grid.qid = hit.qid AND grid.k = hit.k""".stripMargin) {
+        |  CASE WHEN COALESCE(truth, 0) = 0 THEN 1.0
+        |    ELSE round(COALESCE(hits, 0) * 1.0 / truth, 6) END AS recall_r
+        |FROM grid LEFT JOIN hit ON grid.qid = hit.qid AND grid.k = hit.k
+        |LEFT JOIN tr ON grid.qid = tr.qid AND grid.k = tr.k""".stripMargin) {
       (s, dir) =>
+      // recall@k divides by |truth at k| (= min(k, |truth|), the
+      // published definition), not the hardcoded k — a corpus slice with
+      // fewer than k non-self neighbors scored a perfect retrieval
+      // < 1.0 identically in both dialects (round-12 review). The qid
+      // grid comes from the QUERY set (the oracle's q), not the exact
+      // list: a query with zero candidates must still emit its rows.
       val ex = annExactTopK(s, dir).select(col("qid"), col("vec_id"), col("rn"))
       val iv = annIvfFixedTopK(s, dir)
         .select(col("qid"), col("vec_id"), col("rn").as("ir"))
@@ -401,11 +411,19 @@ object DedupQueries {
         .crossJoin(broadcast(ks))
         .filter(col("rn") <= col("k") && col("ir") <= col("k"))
         .groupBy("qid", "k").agg(count(lit(1)).as("hits"))
-      ex.select("qid").distinct().crossJoin(broadcast(ks))
+      val truth = ex.crossJoin(broadcast(ks))
+        .filter(col("rn") <= col("k"))
+        .groupBy("qid", "k").agg(count(lit(1)).as("truth"))
+      Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5).select(col("vec_id").as("qid")).distinct()
+        .crossJoin(broadcast(ks))
         .join(hits, Seq("qid", "k"), "left")
+        .join(truth, Seq("qid", "k"), "left")
         .select(col("qid"), col("k"),
           coalesce(col("hits"), lit(0L)).as("hits"),
-          round(coalesce(col("hits"), lit(0L)) * lit(1.0) / col("k"), 6)
+          when(coalesce(col("truth"), lit(0L)) === 0, lit(1.0))
+            .otherwise(round(
+              coalesce(col("hits"), lit(0L)) * lit(1.0) / col("truth"), 6))
             .as("recall_r"))
     },
 
@@ -455,29 +473,50 @@ object DedupQueries {
         |w AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
         |  (4, 430677), (5, 386853), (6, 356207), (7, 333333), (8, 315465),
         |  (9, 301030), (10, 289065)) AS v(pos, wt)),
+        |cw AS (SELECT * FROM (VALUES (1, 1000000), (2, 1630930), (3, 2130930),
+        |  (4, 2561607), (5, 2948460), (6, 3304667), (7, 3638000), (8, 3953465),
+        |  (9, 4254495), (10, 4543560)) AS v(pos, cum)),
+        |tr AS (SELECT qid, count(*) AS truth FROM ex GROUP BY qid),
         |d AS (SELECT iv.qid, count(*) AS hits,
         |    CAST(sum(w.wt) AS BIGINT) AS dcg
         |  FROM iv JOIN ex ON iv.qid = ex.qid AND iv.vec_id = ex.vec_id
         |  JOIN w ON w.pos = iv.rn GROUP BY iv.qid)
         |SELECT q.qid, COALESCE(d.hits, 0) AS hits,
         |  COALESCE(d.dcg, 0) AS dcg,
-        |  CAST(COALESCE(d.dcg, 0) * 1000000 // 4543560 AS BIGINT) AS ndcg_ppm
+        |  CAST(CASE WHEN tr.truth IS NULL THEN 1000000
+        |    ELSE COALESCE(d.dcg, 0) * 1000000 // cw.cum END AS BIGINT) AS ndcg_ppm
         |FROM (SELECT DISTINCT qid FROM q) q
+        |LEFT JOIN tr ON q.qid = tr.qid
+        |LEFT JOIN cw ON cw.pos = tr.truth
         |LEFT JOIN d ON q.qid = d.qid""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // IDCG is the ideal ranking of the ACTUAL truth-list size (the
+      // Järvelin-Kekäläinen definition), not the 10-item constant: with
+      // fewer than 10 true neighbors a perfect retrieval used to score
+      // < 1e6 ppm identically in both dialects (round-12 review). A
+      // query with an EMPTY truth list scores the vacuous ideal 1e6.
       val weights = Seq(1 -> 1000000L, 2 -> 630930L, 3 -> 500000L,
         4 -> 430677L, 5 -> 386853L, 6 -> 356207L, 7 -> 333333L,
         8 -> 315465L, 9 -> 301030L, 10 -> 289065L).toDF("pos", "wt")
+      val cumw = Seq(1 -> 1000000L, 2 -> 1630930L, 3 -> 2130930L,
+        4 -> 2561607L, 5 -> 2948460L, 6 -> 3304667L, 7 -> 3638000L,
+        8 -> 3953465L, 9 -> 4254495L, 10 -> 4543560L).toDF("tpos", "cum")
       val ex = annExactTopK(s, dir).select(col("qid"), col("vec_id"))
       val iv = annIvfFixedTopK(s, dir).select(col("qid"), col("vec_id"), col("rn"))
+      val tr = ex.groupBy("qid").agg(count(lit(1)).as("truth"))
       val d = iv.join(ex, Seq("qid", "vec_id"))
         .join(broadcast(weights), col("pos") === col("rn"))
         .groupBy("qid").agg(count(lit(1)).as("hits"), sum("wt").as("dcg"))
-      ex.select("qid").distinct()
+      Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5).select(col("vec_id").as("qid")).distinct()
+        .join(tr, Seq("qid"), "left")
+        .join(broadcast(cumw), col("tpos") === col("truth"), "left")
         .join(d, Seq("qid"), "left")
         .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
           coalesce(col("dcg"), lit(0L)).as("dcg"),
-          expr("coalesce(dcg, 0) * 1000000 div 4543560").as("ndcg_ppm"))
+          when(col("truth").isNull, lit(1000000L))
+            .otherwise(expr("coalesce(dcg, 0) * 1000000 div cum"))
+            .as("ndcg_ppm"))
     },
 
     // Maximal-marginal-relevance selection (Carbonell-Goldstein 1998):
@@ -804,8 +843,14 @@ object DedupQueries {
       pairs.join(a, "doc_a").join(b, "doc_b")
         .select(abs(est - exact).as("err"))
         .agg(count(lit(1)).as("n_pairs"),
-          min((col("err") <= 0.3).cast("int")).as("within_ok"),
-          (avg(col("err")) <= 0.1).cast("int").as("avg_ok"))
+          // coalesce: on a candidate-free corpus min/avg aggregate to
+          // NULL while the oracle emits literal 1s — the gate is then
+          // vacuously TRUE, not an engine-divergent red (round-12
+          // review; the dd_lsh_recall_gate convention)
+          coalesce(min((col("err") <= 0.3).cast("int")), lit(1))
+            .as("within_ok"),
+          coalesce((avg(col("err")) <= 0.1).cast("int"), lit(1))
+            .as("avg_ok"))
     },
 
     // Candidate VERIFICATION by edit distance — the confirmation stage a
@@ -929,9 +974,11 @@ object DedupQueries {
         |    SELECT lb, CAST(sum(c) AS BIGINT) AS c FROM nij GROUP BY lb)),
         |nn AS (SELECT count(*) AS n FROM d)
         |SELECT n AS n_docs, spb AS pairs_both, sa AS pairs_lsh, sb AS pairs_exact,
-        |  CAST(floor((spb - sa * sb / (n * (n - 1) / 2.0))
-        |    / ((sa + sb) / 2.0 - sa * sb / (n * (n - 1) / 2.0)) * 1e6 + 0.5) AS BIGINT)
-        |    AS ari_ppm
+        |  CAST(floor(CASE
+        |    WHEN (sa + sb) / 2.0 - sa * sb / (n * (n - 1) / 2.0) = 0 THEN 1.0
+        |    ELSE (spb - sa * sb / (n * (n - 1) / 2.0))
+        |      / ((sa + sb) / 2.0 - sa * sb / (n * (n - 1) / 2.0)) END
+        |    * 1e6 + 0.5) AS BIGINT) AS ari_ppm
         |FROM spb CROSS JOIN rs CROSS JOIN cs CROSS JOIN nn""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val pairsA = TextOps.lshCandidatePairs(docs, "doc_id", "text",
@@ -957,12 +1004,17 @@ object DedupQueries {
       val sb = pairsOf(nij.groupBy("lb").agg(sum(col("c")).as("c")), "sb")
       val nn = d.agg(count(lit(1)).as("n"))
       val expPairs = col("sa") * col("sb") / (col("n") * (col("n") - 1) / lit(2.0))
+      // Hubert-Arabie convention: ARI = 1 for identical clusterings —
+      // with both labelings all-singletons (a duplicate-free corpus) the
+      // raw formula is 0/0, which DuckDB NaN/errors and Spark's cast
+      // silently zeroes (round-12 review; engine-divergent boundary)
+      val denom = (col("sa") + col("sb")) / lit(2.0) - expPairs
+      val ari = when(denom === 0, lit(1.0))
+        .otherwise((col("spb") - expPairs) / denom)
       spb.crossJoin(broadcast(sa)).crossJoin(broadcast(sb)).crossJoin(broadcast(nn))
         .select(col("n").as("n_docs"), col("spb").as("pairs_both"),
           col("sa").as("pairs_lsh"), col("sb").as("pairs_exact"),
-          floor((col("spb") - expPairs)
-            / ((col("sa") + col("sb")) / lit(2.0) - expPairs) * lit(1e6) + lit(0.5))
-            .cast("long").as("ari_ppm"))
+          floor(ari * lit(1e6) + lit(0.5)).cast("long").as("ari_ppm"))
     },
 
     // Dedup ROI table — the headline number a dedup run reports: per
@@ -1016,8 +1068,13 @@ object DedupQueries {
 
     // Dedup keep-policy: clusters -> one keeper per cluster by an explicit
     // policy (longest doc wins, doc_id breaks ties) — the decision table a
-    // dedup pipeline actually emits. Builds on the same LSH+CC pipeline;
-    // the policy rank is a per-cluster window, shuffle on the cluster id.
+    // dedup pipeline actually emits, covering the WHOLE corpus: a
+    // singleton (or sub-3-token) doc is its own cluster with keep=true.
+    // The table used to cover only docs in the candidate-pair graph, so
+    // "keep the keep=true rows" silently deleted every unique document —
+    // identically in both dialects (round-12 review; dd_savings' LEFT
+    // join convention). Builds on the same LSH+CC pipeline; the policy
+    // rank is a per-cluster window, shuffle on the cluster id.
     Q("dd_keep_policy",
       (lshBandsCte() + """,
         |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -1030,10 +1087,13 @@ object DedupQueries {
         |          UNION
         |          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
         |cl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
-        |ranked AS (SELECT cl.node, cl.cluster, d.n_chars,
-        |    row_number() OVER (PARTITION BY cl.cluster
-        |                       ORDER BY d.n_chars DESC, cl.node) AS rn
-        |  FROM cl JOIN documents d ON cl.node = d.doc_id)
+        |alld AS (SELECT d.doc_id AS node, COALESCE(cl.cluster, d.doc_id) AS cluster,
+        |    d.n_chars
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.node),
+        |ranked AS (SELECT node, cluster, n_chars,
+        |    row_number() OVER (PARTITION BY cluster
+        |                       ORDER BY n_chars DESC, node) AS rn
+        |  FROM alld)
         |SELECT node, cluster, (rn = 1) AS keep FROM ranked""".stripMargin)
         .replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
@@ -1042,8 +1102,9 @@ object DedupQueries {
       val clusters = TextOps.connectedComponents(pairs)
       val w = Window.partitionBy("cluster")
         .orderBy(col("n_chars").desc, col("node"))
-      clusters
-        .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+      docs.select(col("doc_id").as("node"), col("n_chars"))
+        .join(clusters, Seq("node"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("node")))
         .withColumn("rn", row_number().over(w))
         .select(col("node"), col("cluster"), (col("rn") === 1).as("keep"))
     },
@@ -1253,10 +1314,16 @@ object DedupQueries {
     },
 
     // SimHash near-dup pairing: band the 64-bit fingerprint into 4 hex
-    // quads — a pair within hamming distance <= 16 shares a band with
-    // high probability (exact-match banding is the classic simhash dedup
-    // index); verify with the true bit distance, computed from the two
-    // 32-bit halves so the hex->int parse stays in signed-long range.
+    // quads (exact-match banding, the classic simhash dedup index) and
+    // verify with the true bit distance, computed from the two 32-bit
+    // halves so the hex->int parse stays in signed-long range. The
+    // output predicate is hamming <= 3 — the radius 4-band pigeonhole
+    // actually GUARANTEES (<= 3 dirty bits leave >= 1 clean band): the
+    // row used to emit "<= 16", which read as the complete <= 16 pair
+    // set while the banding only ever surfaced a distance-dependent
+    // subset of it — identically in both dialects, so hash-green wrong
+    // (round-12 review). Larger radii need multi-table designs (Manku
+    // et al. 2007), a different operator, not a looser filter.
     Q("dd_simhash_pairs",
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents),
@@ -1284,7 +1351,7 @@ object DedupQueries {
         |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 16""".stripMargin) { (s, dir) =>
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin) { (s, dir) =>
       // Materialize the fingerprint table before the self-join: the
       // simhash tree (tokenize + per-token md5 votes) is interpreted
       // per-row work that would otherwise be recomputed on both join
@@ -1337,7 +1404,7 @@ object DedupQueries {
         .withColumn("hamming",
           bit_count(col("fa.hi").bitwiseXOR(col("fb.hi"))) +
             bit_count(col("fa.lo").bitwiseXOR(col("fb.lo"))))
-        .filter(col("hamming") <= 16)
+        .filter(col("hamming") <= 3)
         .select(col("fa.ids").as("aids"), col("fb.ids").as("bids"), col("hamming"))
         .select(explode(col("aids")).as("x"), col("bids"), col("hamming"))
         .select(col("x"), explode(col("bids")).as("y"), col("hamming"))
@@ -2363,7 +2430,7 @@ object DedupQueries {
         |p AS (SELECT a.label, a.vec_id AS i,
         |    CAST(round(1 - list_sum([a.v[k] * b.v[k] for k in range(1, 65)])
         |               / (a.nrm * b.nrm), 6) AS DECIMAL(18,6)) AS dist
-        |  FROM m a JOIN m b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |  FROM m a JOIN m b ON a.label = b.label),
         |sums AS (SELECT label, i AS vec_id, CAST(SUM(dist) AS DOUBLE) AS sd,
         |    count(*) AS cnt FROM p GROUP BY 1, 2)
         |SELECT label, vec_id, round(sd / cnt, 6) AS avg_dist_r FROM (
@@ -2387,8 +2454,13 @@ object DedupQueries {
         col("v").as("va"), col("nrm").as("na"))
       val b = m.select(col("label"), col("vec_id").as("j"),
         col("v").as("vb"), col("nrm").as("nb"))
+      // self-pairs stay IN (dist rounds to 0): excluding them silently
+      // dropped every label whose stride sample held a single vector —
+      // no row in the self-join, no medoid, identically in both
+      // dialects (round-12 review). With self-pairs a 1-vector label is
+      // its own medoid at avg_dist 0; multi-vector argmins are
+      // unchanged (every candidate gains the same +0 / +1-count).
       val p = a.join(b, Seq("label"))
-        .filter(col("i") =!= col("j"))
         .withColumn("dist", round(lit(1) - aggregate(
           zip_with(col("va"), col("vb"), (x, y) => x * y),
           lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 6)
@@ -2555,17 +2627,22 @@ object DedupQueries {
       // DISTRIBUTED over the staged files; only the final summary (<= cap
       // rows) and the heavy-item set (<= cap by the N/capacity bound)
       // ever reach the driver
-      val fin = s.table(sink).as[graft.streaming.HeavyHitter]
-        .collect().drop(beforeFinal)
-      val exactDf = replay.staged.groupBy("w").agg(count(lit(1)).as("cnt"))
-      val n = replay.staged.count()
-      val bound = n / cap
-      val exact = exactDf
-        .filter(col("w").isin(fin.map(_.item).toSeq: _*))
-        .as[(String, Long)].collect().toMap
-      val heavy = exactDf.filter(col("cnt") > bound)
-        .select("w").as[String].collect()
-      replay.close()
+      // gate reads stay inside try/finally: an executor loss or OOM here
+      // used to leak the staged replay files for the session's lifetime
+      // (round-12 review; dd_stream_exact's convention)
+      val (fin, exact, heavy, bound) = try {
+        val fin0 = s.table(sink).as[graft.streaming.HeavyHitter]
+          .collect().drop(beforeFinal)
+        val exactDf = replay.staged.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val n = replay.staged.count()
+        val bound0 = n / cap
+        val exact0 = exactDf
+          .filter(col("w").isin(fin0.map(_.item).toSeq: _*))
+          .as[(String, Long)].collect().toMap
+        val heavy0 = exactDf.filter(col("cnt") > bound0)
+          .select("w").as[String].collect()
+        (fin0, exact0, heavy0, bound0)
+      } finally replay.close()
       val overOk = fin.forall(h => h.est >= exact(h.item))
       val errOk = fin.forall(h => h.est - h.err <= exact(h.item) && h.err <= bound)
       val covOk = heavy.forall(w => fin.exists(_.item == w))
@@ -2612,16 +2689,17 @@ object DedupQueries {
       // gates as aggregates over the sink/staged frames — only four
       // scalars reach the driver
       val flags = s.table(sink)
-      val maxNovelPerKey = flags.filter(col("novel"))
-        .groupBy("item").agg(count(lit(1)).as("c"))
-        .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
-      val novelKeys = flags.filter(col("novel"))
-        .select("item").distinct().count()
-      val stats = replay.staged
-        .agg(countDistinct(col("k")), count(lit(1))).head()
-      val (distinctKeys, totalKeys) = (stats.getLong(0), stats.getLong(1))
-      val flagCount = flags.count()
-      replay.close()
+      val (maxNovelPerKey, novelKeys, distinctKeys, totalKeys, flagCount) =
+        try {
+          val mx = flags.filter(col("novel"))
+            .groupBy("item").agg(count(lit(1)).as("c"))
+            .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
+          val nk = flags.filter(col("novel"))
+            .select("item").distinct().count()
+          val stats = replay.staged
+            .agg(countDistinct(col("k")), count(lit(1))).head()
+          (mx, nk, stats.getLong(0), stats.getLong(1), flags.count())
+        } finally replay.close()
       val dupNeverNovel = maxNovelPerKey <= 1
       val missed = distinctKeys - novelKeys
       val missBounded = missed >= 0 && missed <= math.max(1L, distinctKeys / 100)
@@ -2668,9 +2746,10 @@ object DedupQueries {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       // sink rows = shards x batches (bounded); exact count is a scalar
-      val regs = s.table(sink).as[graft.streaming.HllShard].collect().map(_.regs)
-      val exact = replay.staged.agg(countDistinct(col("k"))).head().getLong(0)
-      replay.close()
+      val (regs, exact) = try {
+        (s.table(sink).as[graft.streaming.HllShard].collect().map(_.regs),
+          replay.staged.agg(countDistinct(col("k"))).head().getLong(0))
+      } finally replay.close()
       val est = graft.streaming.Sketches.hllEstimate(
         graft.streaming.Sketches.mergeHllRegisters(regs.toSeq, p), p)
       val ok = math.abs(est - exact) <= exact * 0.1
