@@ -61,9 +61,9 @@ object StateQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE)
         |    / count(value) OVER w AS hist_avg,
         |  CASE WHEN count(value) OVER w = 5 THEN
-        |    round(sqrt((CAST(SUM(CAST(value*value AS DECIMAL(28,8))) OVER w AS DOUBLE)
+        |    round(sqrt(greatest((CAST(SUM(CAST(value*value AS DECIMAL(28,8))) OVER w AS DOUBLE)
         |      - CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE)
-        |        * CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE) / 5) / 4), 6)
+        |        * CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE) / 5) / 4, 0.0)), 6)
         |  END AS hist_std,
         |  min(value) OVER w AS hist_min,
         |  max(value) OVER w AS hist_max
@@ -79,7 +79,11 @@ object StateQueries {
         .select(
           col("event_id"),
           (s1 / cnt).as("hist_avg"),
-          when(cnt === 5, round(sqrt((s2 - s1 * s1 / lit(5)) / lit(4)), 6)).as("hist_std"),
+          // greatest(0): a constant window can cancel to an ulp-negative
+          // variance — DuckDB's sqrt hard-errors, Spark NaNs (round-12
+          // review; the flatlined-sensor input the gate exists for)
+          when(cnt === 5, round(sqrt(greatest(
+            (s2 - s1 * s1 / lit(5)) / lit(4), lit(0.0))), 6)).as("hist_std"),
           min("value").over(w).as("hist_min"),
           max("value").over(w).as("hist_max"))
     },
@@ -162,8 +166,11 @@ object StateQueries {
             .otherwise("OUTSIDE").as("geo_event"))
     },
 
-    // §2.8 issue pool: startif value>450 / stopif value<50 — count state
-    // machine activations per key (IssuePool.java:26-70).
+    // §2.8 issue pool: startif value>250 / stopif value<20 — count state
+    // machine activations per key (the reference's startif/stopif state
+    // machine, IssuePool.java:26-70; thresholds are fixture-tuned so both
+    // markers actually fire — an earlier comment here said 450/50, which
+    // had drifted from the implemented 250/20).
     Q("st_issue_pool",
       """WITH m AS (SELECT user_id, ts, event_id,
         |  CASE WHEN value > 250 THEN 'S' WHEN value < 20 THEN 'X' END AS marker
@@ -278,11 +285,19 @@ object StateQueries {
     },
 
     // §2.11 session window, 30-minute gap per user (streaming twin:
-    // session_window + watermark; oracle: lag-gap-cumsum).
+    // session_window + watermark; oracle: lag-gap-cumsum). The split
+    // predicate is STRICT (> gap): Spark's session_window treats a
+    // window as [start, start+gap) per event and MERGES overlapping-or-
+    // TOUCHING windows, so an event arriving exactly gap after the
+    // previous one joins its session (verified empirically on 4.1.2:
+    // 00:00 and 00:30 with a 30-min gap form ONE session ending 01:00).
+    // The oracle's earlier >= split misstated that boundary — green only
+    // because the microsecond-random fixture holds no exact-30:00 gap
+    // (round-12 review).
     Q("w_session",
       """WITH t AS (SELECT user_id, ts, value,
         |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |            >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |            > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |x AS (SELECT user_id, ts, value,
         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
@@ -329,7 +344,12 @@ object StateQueries {
       // sentinel is the only driver-created row). Range chunks are
       // time-ordered, so no real row is ever late against the 0s
       // watermark — same contract the count-half MemoryStream feed had.
-      val maxMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      // an EMPTY slice aggregates max() to NULL — getLong would NPE
+      // before the stream starts, re-breaking the empty-feed invariant
+      // FileReplay.rangeChunks establishes (round-12 review); any epoch
+      // works for the sentinel then, the parity is vacuously 0/0
+      val maxRow = ev.agg(max(unix_millis(col("ts")))).head()
+      val maxMs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val sentinel = s.range(1).select(lit(-1L).as("user_id"),
         timestamp_millis(lit(maxMs + 36L * 3600 * 1000)).as("ts"))
       val chunkExpr = when(col("user_id") === -1L, lit(2)).otherwise(
@@ -475,7 +495,11 @@ object StateQueries {
         .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
       val b = both.agg(min(unix_millis(col("ts"))),
         max(unix_millis(col("ts")))).head()
-      val (t0, t1) = (b.getLong(0), b.getLong(1))
+      // empty slice: min/max aggregate to NULL, getLong would NPE (the
+      // FileReplay empty-feed invariant — round-12 review); 0/0 bounds
+      // put everything (nothing) in chunk 0 and the join is vacuous
+      val (t0, t1) =
+        if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
       val width = math.max(1L, (t1 - t0 + 4) / 4)
       def chunkOf(c: Column): Column =
         ((unix_millis(c) - lit(t0)) / lit(width)).cast("int")
@@ -876,11 +900,16 @@ object StateQueries {
     // (value/second) via lag — the MathFab-style derived channel every
     // monitoring deployment computes. Row-local after one per-key
     // window pass; ms epoch arithmetic, round 6.
+    // nullif on the ms delta: timestamps carry MICROSECONDS, so two
+    // adjacent events can share an epoch-millisecond — the raw division
+    // is then x/0, which DuckDB NULLs but Spark-4-ANSI throws, killing
+    // the whole row (round-12 review; no same-ms pair in today's
+    // fixtures, probability grows quadratically with event density).
     Q("st_rate_of_change",
       """SELECT user_id, event_id,
         |  round((value - lag(value) OVER w) * 1000.0
-        |        / (epoch_ms(CAST(ts AS TIMESTAMP))
-        |           - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w), 6) + 0.0 AS roc
+        |        / nullif(epoch_ms(CAST(ts AS TIMESTAMP))
+        |           - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w, 0), 6) + 0.0 AS roc
         |FROM events WHERE user_id < 100
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -888,8 +917,8 @@ object StateQueries {
         .filter(col("user_id") < 100)
         .select(col("user_id"), col("event_id"),
           round((col("value") - lag("value", 1).over(w)) * 1000.0
-            / (unix_millis(col("ts"))
-              - lag(unix_millis(col("ts")), 1).over(w)), 6).as("roc"))
+            / nullif(unix_millis(col("ts"))
+              - lag(unix_millis(col("ts")), 1).over(w), lit(0)), 6).as("roc"))
     },
 
     // §2.7-adjacent median despiking: rolling median of the last 9
@@ -1454,7 +1483,8 @@ object StateQueries {
         |  FROM p GROUP BY 1, 2)
         |SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
         |  round((n * sxy - sx * sy)
-        |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+        |        / nullif(sqrt(greatest(n * sxx - sx * sx, 0.0)
+        |                      * greatest(n * syy - sy * sy, 0.0)), 0), 6) AS r
         |FROM m""".stripMargin) { (s, dir) =>
       val hb = Tables.load(s, dir, "events")
         .groupBy(col("event_type"),
@@ -1478,8 +1508,10 @@ object StateQueries {
           dm(col("x") * col("y")).as("sxy"))
       m.select(col("event_type"), col("lag"), col("n").as("n_pairs"),
         round((col("n") * col("sxy") - col("sx") * col("sy"))
-          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r"))
+          / nullif(sqrt(
+            greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))
+              * greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(0.0))),
+            lit(0.0)), 6).as("r"))
     },
 
     // SAX symbolization (Lin-Keogh 2003): per type the hourly series is
@@ -1511,9 +1543,9 @@ object StateQueries {
         |    CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS sv
         |  FROM ww GROUP BY event_type, wid, seg, n, s1, s2),
         |lt AS (SELECT event_type, wid, seg,
-        |    CASE WHEN sv < s1 / n - 0.6745 * sqrt((s2 - s1 * s1 / n) / n) THEN 'a'
+        |    CASE WHEN sv < s1 / n - 0.6745 * sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) THEN 'a'
         |         WHEN sv < s1 / n THEN 'b'
-        |         WHEN sv < s1 / n + 0.6745 * sqrt((s2 - s1 * s1 / n) / n) THEN 'c'
+        |         WHEN sv < s1 / n + 0.6745 * sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) THEN 'c'
         |         ELSE 'd' END AS letter
         |  FROM sg),
         |words AS (SELECT event_type, wid,
@@ -1540,7 +1572,9 @@ object StateQueries {
         .agg((sum(col("y").cast(DecimalType(28, 8))).cast("double")
           / count(lit(1))).as("sv"))
       val mean = col("s1") / col("n")
-      val dev = lit(0.6745) * sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+      // greatest(0): flatlined-window cancellation (see st_history)
+      val dev = lit(0.6745) * sqrt(greatest(
+        (col("s2") - col("s1") * col("s1") / col("n")) / col("n"), lit(0.0)))
       val lt = sg.select(col("event_type"), col("wid"), col("seg"),
         when(col("sv") < mean - dev, "a")
           .when(col("sv") < mean, "b")
@@ -1629,14 +1663,16 @@ object StateQueries {
         |  FROM d1 GROUP BY 1),
         |d2 AS (SELECT e.event_type, e.value FROM d1 e
         |  JOIN m2 ON e.event_type = m2.event_type
-        |  WHERE abs(e.value - s1 / n) <= 3 * sqrt((s2 - s1 * s1 / n) / (n - 1))),
+        |  WHERE abs(e.value - s1 / n)
+        |    <= 3 * sqrt(greatest(s2 - s1 * s1 / n, 0.0) / nullif(n - 1, 0))),
         |m3 AS (SELECT event_type, count(*) AS n,
         |    CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS s1,
         |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS s2
         |  FROM d2 GROUP BY 1)
         |SELECT m1.event_type, m1.n AS n0, m2.n AS n1, m3.n AS n2,
         |  round(m3.s1 / m3.n, 6) AS mean_final,
-        |  round(sqrt((m3.s2 - m3.s1 * m3.s1 / m3.n) / (m3.n - 1)), 6) AS std_final
+        |  round(sqrt(greatest(m3.s2 - m3.s1 * m3.s1 / m3.n, 0.0)
+        |             / nullif(m3.n - 1, 0)), 6) AS std_final
         |FROM m1 JOIN m2 ON m1.event_type = m2.event_type
         |JOIN m3 ON m1.event_type = m3.event_type""".stripMargin) { (s, dir) =>
       def moments(df: org.apache.spark.sql.DataFrame) =
@@ -1644,12 +1680,17 @@ object StateQueries {
           sum(col("value").cast(DecimalType(28, 8))).cast("double").as("s1"),
           sum((col("value") * col("value")).cast(DecimalType(28, 8)))
             .cast("double").as("s2"))
+      // greatest(0)/nullif: a flatlined or single-row type would
+      // otherwise crash DuckDB's sqrt (ulp-negative variance) or
+      // Spark-ANSI's division (n-1 = 0); with the guards both engines
+      // NULL the bound and drop the type identically (round-12 review)
       def peel(df: org.apache.spark.sql.DataFrame,
           m: org.apache.spark.sql.DataFrame) =
         df.join(broadcast(m), "event_type")
           .filter(abs(col("value") - col("s1") / col("n"))
-            <= lit(3) * sqrt((col("s2") - col("s1") * col("s1") / col("n"))
-              / (col("n") - 1)))
+            <= lit(3) * sqrt(
+              greatest(col("s2") - col("s1") * col("s1") / col("n"), lit(0.0))
+                / nullif(col("n") - 1, lit(0))))
           .select("event_type", "value")
       val d0 = Tables.load(s, dir, "events").select("event_type", "value")
       val m1 = moments(d0)
@@ -1662,8 +1703,9 @@ object StateQueries {
         .join(m3, "event_type")
         .select(col("event_type"), col("n0"), col("n1"), col("n").as("n2"),
           round(col("s1") / col("n"), 6).as("mean_final"),
-          round(sqrt((col("s2") - col("s1") * col("s1") / col("n"))
-            / (col("n") - 1)), 6).as("std_final"))
+          round(sqrt(
+            greatest(col("s2") - col("s1") * col("s1") / col("n"), lit(0.0))
+              / nullif(col("n") - 1, lit(0))), 6).as("std_final"))
     },
 
     // Per-key uptime / SLA coverage: the share of wall-clock minutes in
@@ -1882,9 +1924,17 @@ object StateQueries {
       val bounds = ev.groupBy("user_id").agg(
         date_trunc("day", min("ts")).as("t0"),
         date_trunc("day", max("ts")).as("t1"))
+      // guard the degenerate grid: when a key's events all fall in one
+      // truncated day, start (t0+6h) exceeds stop (t1) — DuckDB's
+      // generate_series returns EMPTY but Spark's sequence() THROWS
+      // 'Illegal sequence boundaries' (round-12 review, verified); an
+      // empty array explodes to zero rows, matching the oracle
+      val gridSeq = when(col("t0") + expr("interval 6 hours") <= col("t1"),
+        sequence(col("t0") + expr("interval 6 hours"), col("t1"),
+          expr("interval 6 hours")))
+        .otherwise(array().cast("array<timestamp>"))
       val grid = bounds.select(col("user_id"),
-        explode(sequence(col("t0") + expr("interval 6 hours"), col("t1"),
-          expr("interval 6 hours"))).as("ts"),
+        explode(gridSeq).as("ts"),
         lit(null).cast("double").as("value"), lit(1).as("is_grid"))
       val u = ev.select(col("user_id"), col("ts"), col("value"), lit(0).as("is_grid"))
         .unionAll(grid)
@@ -1946,7 +1996,9 @@ object StateQueries {
         |  FROM events)
         |SELECT event_type,
         |  ROUND((n * sxy - sx * sy)
-        |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr_lag1,
+        |        / nullif(sqrt(greatest(n * sxx - sx * sx, 0.0)
+        |                      * greatest(n * syy - sy * sy, 0.0)), 0), 6)
+        |    AS autocorr_lag1,
         |  CAST(n AS BIGINT) AS n_pairs
         |FROM (SELECT event_type,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
@@ -1970,9 +2022,15 @@ object StateQueries {
           dsum28(col("y") * col("y")).as("syy"),
           dsum28(col("x") * col("y")).as("sxy"))
         .select(col("event_type"),
+          // greatest(0): ulp-negative cancellation on a flatlined series
+          // crashes DuckDB's sqrt / NaNs Spark; nullif: an exactly-zero
+          // variance divides to NULL in BOTH engines instead of a
+          // Spark-ANSI DIVIDE_BY_ZERO (round-12 review)
           round((col("n") * col("sxy") - col("sx") * col("sy"))
-            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-              * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            / nullif(sqrt(
+              greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))
+                * greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(0.0))),
+              lit(0.0)), 6)
             .as("autocorr_lag1"),
           col("n").cast("long").as("n_pairs"))
     },
@@ -1999,7 +2057,8 @@ object StateQueries {
         |    ON b.hb = a.hb + l.lg)
         |SELECT lg,
         |  ROUND((n * sxy - sx * sy)
-        |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS xcorr,
+        |        / nullif(sqrt(greatest(n * sxx - sx * sx, 0.0)
+        |                      * greatest(n * syy - sy * sy, 0.0)), 0), 6) AS xcorr,
         |  CAST(n AS BIGINT) AS n_pairs
         |FROM (SELECT lg,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
@@ -2035,8 +2094,10 @@ object StateQueries {
           dsum28(col("x") * col("y")).as("sxy"))
         .select(col("lg"),
           round((col("n") * col("sxy") - col("sx") * col("sy"))
-            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-              * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            / nullif(sqrt(
+              greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))
+                * greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(0.0))),
+              lit(0.0)), 6)
             .as("xcorr"),
           col("n").cast("long").as("n_pairs"))
     },

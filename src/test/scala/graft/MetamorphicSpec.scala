@@ -115,6 +115,26 @@ class MetamorphicSpec extends AnyFunSuite {
     }
   }
 
+  test("session_window merges an exact-gap event (oracle boundary witness)") {
+    // round-12 review, verified empirically: Spark's session_window
+    // treats windows as [start, start+gap) and merges TOUCHING windows,
+    // so an event exactly gap after the previous one joins its session —
+    // the w_session oracle's split predicate is therefore strict (>).
+    // This witness pins the engine behavior the oracle encodes; if a
+    // Spark upgrade changes the merge rule, this fails loudly.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    val ev = Seq(
+      (1L, java.sql.Timestamp.from(t0)),
+      (1L, java.sql.Timestamp.from(t0.plusSeconds(30 * 60))) // exactly gap
+    ).toDF("user_id", "ts")
+    val sess = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(sess.length == 1, s"exact-gap event must merge: ${sess.toSeq}")
+    assert(sess.head.getAs[Long]("n") == 2L)
+  }
+
   test("q_chi2 charges zero-observed contingency cells (regression witness)") {
     // round-12 review: both dialects built the table from OBSERVED
     // (type, dow) groups only, silently dropping each empty cell's
