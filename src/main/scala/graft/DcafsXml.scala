@@ -84,7 +84,7 @@ object DcafsXml {
     // non-capturing group: bare ^a|b$ would match prefix-a OR suffix-b,
     // not the whole-line match FilterForward.matches() performs (same
     // fix as FilterRules.regex)
-    case "regex" => s"line RLIKE ${lit("^(?:" + value + ")$")}"
+    case "regex" => s"line RLIKE ${lit("^(?:" + value + ")\\z")}"
     case "math" => value // MathDsl handles iN refs and word comparisons
     case other => throw new IllegalArgumentException(s"unsupported filter type '$other'")
   }

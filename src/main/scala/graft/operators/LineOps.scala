@@ -48,9 +48,14 @@ object FilterRules {
     * group keeps top-level alternation inside the anchors — bare
     * `^abc|def$` would match any line STARTING with abc or ENDING with
     * def, not the whole-line match the reference's matches() performs.
+    * The end anchor is `\z` (absolute end of input), not `$`: Java's `$`
+    * matches BEFORE a trailing newline, so a line ending in '\n' would
+    * full-match here while DuckDB's RE2 regexp_full_match (which must
+    * consume the whole string) rejects it — an engine-divergent boundary
+    * the round-12 review found. `\z` and RE2 full-match agree.
     */
   def regex(line: Column, pattern: String): Column =
-    line.rlike(s"^(?:$pattern)$$")
+    line.rlike(s"^(?:$pattern)\\z")
 
   /** `nmea`: checksum validity (FilterForward.java:347). */
   def nmea(line: Column): Column = GraftFunctions.nmea_valid(line)
@@ -77,9 +82,15 @@ object FilterRules {
   /** All rules must pass; rejected rows route to the `reversed` branch
     * (FilterForward.java:385-406, 26,52,69-81). Both branches share one
     * cached/scanned upstream — Catalyst reuses the exchange.
+    *
+    * The predicate coalesces to FALSE: the reference routes every line
+    * to exactly one branch, but raw filter(p)/filter(!p) drops a
+    * NULL-predicate row (e.g. a NULL value in a numeric rule) from BOTH
+    * branches — the oracle's CASE WHEN ... ELSE 'reject' routes it to
+    * reject (round-12 review).
     */
   def branch(df: DataFrame, rules: Seq[Column]): (DataFrame, DataFrame) = {
-    val all = rules.reduce(_ && _)
+    val all = coalesce(rules.reduce(_ && _), lit(false))
     (df.filter(all), df.filter(!all))
   }
 }
@@ -102,11 +113,16 @@ object Edits {
     // lose refs beyond pieces.indices and emit only "a-"+field0
     val pieces = raw"i(\d+)".r.pattern.split(template, -1) // literal segments
     val refs = raw"i(\d+)".r.findAllMatchIn(template).map(_.group(1).toInt).toSeq
-    // interleave literal / field pieces
+    // interleave literal / field pieces; an out-of-range field ref
+    // renders as EMPTY (coalesce) — bare try_element_at is NULL, which
+    // Spark's concat propagates to a NULL line while DuckDB's concat
+    // skips it, an engine-divergent short-line boundary (round-12
+    // review; the reference renders missing refs as empty too)
     val cols = scala.collection.mutable.ArrayBuffer.empty[Column]
     for (i <- pieces.indices) {
       if (pieces(i).nonEmpty) cols += lit(pieces(i))
-      if (i < refs.length) cols += try_element_at(parts, lit(refs(i) + 1))
+      if (i < refs.length)
+        cols += coalesce(try_element_at(parts, lit(refs(i) + 1)), lit(""))
     }
     val base = concat(cols.toSeq: _*)
     if (!leftoverAppend) base

@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  // Declared fixture-domain envelope for the whole line plane (round-12
+  // review): (a) double->string rendering agrees between the engines only
+  // for 1e-3 <= |value| < 1e7 (Spark switches to scientific notation at
+  // 1e7, DuckDB doesn't) — the fixture's value stays under ~561 and the
+  // write-back products under ~5e6; (b) the oracles assume NO NULL line
+  // fields (concat_ws skips a NULL column, shortening the line; the
+  // store-default replay on both sides assumes the 4-field shape). Both
+  // are properties of the synthesized line, not of the operators; a
+  // fixture change that breaks either shows up as a hash mismatch, not a
+  // silent agreement.
   private val lineSqlDuck =
     "concat_ws(',', event_type, CAST(value AS VARCHAR), CAST(user_id AS VARCHAR), props)"
   private val lineSqlSpark =
@@ -100,8 +110,14 @@ object PipelineQueries {
       s"""WITH t AS (SELECT event_id, $lineSqlDuck AS line FROM events)
          |SELECT event_id,
          |  concat(string_split(line, ',')[2], '|', string_split(line, ',')[1],
-         |         ',', array_to_string(string_split(line, ',')[3:], ',')) AS out
+         |         CASE WHEN len(string_split(line, ',')) > 2
+         |              THEN ',' || array_to_string(string_split(line, ',')[3:], ',')
+         |              ELSE '' END) AS out
          |FROM t""".stripMargin) { (s, dir) =>
+      // the oracle's leftover append is CONDITIONAL like the operator's
+      // (Edits.resplit only re-attaches the delimiter when fields remain
+      // beyond the template — an unconditional ',' gave short lines a
+      // trailing delimiter in DuckDB only; round-12 review)
       withLine(s, dir)
         .select(
           col("event_id"),
@@ -376,18 +392,27 @@ object PipelineQueries {
         |  CAST(count(DISTINCT CASE WHEN masked = 1 THEN turn END) AS BIGINT) AS n_spans,
         |  CAST(sum(masked * (p + 1)) AS BIGINT) AS mask_checksum
         |FROM m GROUP BY doc_id, n_tokens""".stripMargin) { (s, dir) =>
+      // Contract: ZERO-token docs are absent from the output in BOTH
+      // dialects (explode/unnest of an empty array emit no rows) — a
+      // declared drop, not an accident; consumers needing the empty docs
+      // join back from `documents`. n_tokens comes from the SAME
+      // aggregation as the other stats (count of exploded rows) — the
+      // earlier per-doc window computed it with an extra exchange before
+      // the agg, contradicting the row's own one-scan design (round-12
+      // review).
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(graft.operators.TextOps.tokens(col("text"))).as(Seq("p", "wd")))
-        .withColumn("n_tokens", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
         .withColumn("turn", expr("p div 8"))
         .withColumn("masked", (col("turn") % 2 === 1).cast("int"))
-        .groupBy("doc_id", "n_tokens")
-        .agg((max(col("turn")) + 1).as("n_turns"),
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (max(col("turn")) + 1).as("n_turns"),
           sum(col("masked")).as("n_loss_tokens"),
           countDistinct(when(col("masked") === 1, col("turn"))).as("n_spans"),
           sum(col("masked") * (col("p") + 1)).as("mask_checksum"))
+        .select("doc_id", "n_tokens", "n_turns", "n_loss_tokens",
+          "n_spans", "mask_checksum")
     },
 
     // The dcafs compatibility path END TO END (round-8 verdict task 6): a
@@ -477,7 +502,12 @@ object PipelineQueries {
         expr("concat_ws(',', event_type, CAST(value AS STRING), " +
           "CAST(event_id AS STRING), props)"))
       val out = graft.PathCompiler.compileWithRtVals(spec, line, rtvals)
-      val limit = rtvals.filter(col("key") === "limit").head().getDouble(1)
+      // the req guard's threshold is the SAME settings-scale literal the
+      // rtvals frame carries — read it from the source Seq rather than
+      // running a driver-side Spark job at plan-build time (round-12
+      // review; the rtvals-plane integration under test is the math op's
+      // {r:gain}/{r:offset} broadcast, which compileWithRtVals exercises)
+      val limit = 0.75
       out.groupBy("etype")
         .agg(max_by(col("val"), col("eid3")).as("last_val"),
           count(lit(1)).as("n_rows"),

@@ -20,13 +20,26 @@ object Protocol {
 
   def defs: Seq[Q] = Seq(
 
+    // The oracle replays the NMEA FRAMING, not just a whole-string XOR:
+    // the checksum covers the text between a leading '$' and the first
+    // '*' (the native nmea_checksum's contract) — a body containing '*'
+    // (possible through props) or starting with '$' would otherwise
+    // checksum differently in the two dialects (round-12 review; latent,
+    // the synthesized body has neither today).
     Q("fn_nmea",
       s"""WITH b AS (SELECT event_id, $bodySql AS body FROM events),
+         |fr AS (SELECT event_id, body,
+         |  CASE WHEN starts_with(body, '$$') THEN substr(body, 2) ELSE body END AS b2
+         |  FROM b),
+         |fr2 AS (SELECT event_id, body,
+         |  CASE WHEN strpos(b2, '*') > 0 THEN substr(b2, 1, strpos(b2, '*') - 1)
+         |       ELSE b2 END AS bb
+         |  FROM fr),
          |ck AS (SELECT event_id, body,
          |  upper(lpad(to_hex(list_reduce(
-         |    list_transform(range(1, length(body)+1), i -> ascii(substr(body, i, 1))),
+         |    list_transform(range(1, length(bb)+1), i -> ascii(substr(bb, i, 1))),
          |    (a, x) -> xor(a, x))), 2, '0')) AS checksum
-         |  FROM b)
+         |  FROM fr2)
          |SELECT event_id, checksum,
          |  TRUE  AS valid_ok,
          |  FALSE AS tampered_ok
