@@ -47,6 +47,10 @@ object Bench {
     // a session-global name counter, so the same plan built later in a
     // session prints larger suffixes
     .replaceAll("lambda ([A-Za-z]+)_\\d+#", "lambda $1#")
+    // common-subexpression aliases minted by RewriteWithExpression (the
+    // desugaring of nullif/With) use the same session-global counter —
+    // `_common_expr_9` in one session is `_common_expr_16` in the next
+    .replaceAll("_common_expr_\\d+", "_common_expr_")
     // scan metadata (DataFilters etc.) is truncated at a char budget BEFORE
     // our id-stripping, so differing expr-id widths shift where `...` cuts
     // (or whether it cuts at all); drop the whole truncated bracket/struct
