@@ -36,10 +36,13 @@ object DedupQueries {
     * through the chain; [[lshBandsBody]] is the mid-query (no WITH)
     * form for oracles whose chain follows other CTEs.
     */
-  private def lshBandsBody(cols: String): String =
+  private def toksBody(cols: String): String =
     s"""toks AS (SELECT $cols,
-       |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-       |sh AS (SELECT $cols,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents)""".stripMargin
+
+  private def lshBandsBody(cols: String): String =
+    toksBody(cols) + ",\n" +
+    s"""sh AS (SELECT $cols,
        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
        |  FROM toks WHERE len(w) >= 3),
        |shr AS (SELECT $cols, unnest(s) AS x FROM sh),
@@ -50,6 +53,27 @@ object DedupQueries {
 
   private def lshBandsCte(cols: String = "doc_id"): String =
     "WITH " + lshBandsBody(cols)
+
+  /** DuckDB replay of the DISPATCHED exact bigram-Jaccard kernel
+    * (TextOps.similarityJoin shingle=2, lang-blocked inter-join) up to
+    * the `inter`/`sz` CTEs — ONE copy shared by dd_ngram_jaccard,
+    * dd_containment, dd_dup_rate_curve, dd_lsh_recall_gate and v_ari
+    * (round-12 review: five hand-copied chains, the exact drift class
+    * [[lshBandsBody]] exists to prevent). Requires a preceding `toks`
+    * CTE carrying (doc_id, lang, w).
+    */
+  private val bigramSimBody: String =
+    """bg AS (SELECT doc_id, lang,
+      |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+      |  FROM toks WHERE len(w) >= 2),
+      |e AS (SELECT doc_id, lang, unnest(g) AS x FROM bg),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |  FROM e a JOIN e b ON a.lang = b.lang AND a.x = b.x AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(g) AS n FROM bg)""".stripMargin
+
+  private def bigramSimCte(): String =
+    "WITH " + toksBody("doc_id, lang") + ",\n" + bigramSimBody
 
   private val lshPlanesSql: String =
     """pl AS (SELECT p,
@@ -181,27 +205,11 @@ object DedupQueries {
     // red with the exact count. Plan: the two cached operator outputs
     // join on the pair key; no new corpus work.
     Q("dd_lsh_recall_gate",
-      """WITH toks AS (SELECT doc_id, lang,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
-        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
-        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
-        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
-        |  FROM mh GROUP BY doc_id, k // 2),
+      "WITH " + lshBandsBody("doc_id, lang") + """,
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |bg AS (SELECT doc_id, lang,
-        |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
-        |  FROM toks WHERE len(w) >= 2),
-        |e AS (SELECT doc_id, lang, unnest(g) AS x FROM bg),
-        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM e a JOIN e b ON a.lang = b.lang AND a.x = b.x AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(g) AS n FROM bg),
+        |""".stripMargin + bigramSimBody + """,
         |high AS (SELECT da AS doc_a, db AS doc_b
         |  FROM inter JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
         |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.85)
@@ -924,16 +932,7 @@ object DedupQueries {
     // evaluation slice; beyond that an engine would compute the ratio
     // in doubles (noted, not needed at any realistic eval-slice size).
     Q("v_ari",
-      """WITH RECURSIVE toks AS (SELECT doc_id, lang,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |shr AS (SELECT doc_id, unnest(s) AS x FROM sh),
-        |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || x)) AS h
-        |  FROM shr CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc_id, k),
-        |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(h, '' ORDER BY k)) AS bh
-        |  FROM mh GROUP BY doc_id, k // 2),
+      "WITH RECURSIVE " + lshBandsBody("doc_id, lang") + """,
         |pairsA AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -944,14 +943,7 @@ object DedupQueries {
         |           UNION
         |           SELECT reachA.node, e.dst FROM reachA JOIN edgesA e ON reachA.r = e.src),
         |labA AS (SELECT node, min(r) AS cluster FROM reachA GROUP BY node),
-        |bg AS (SELECT doc_id, lang,
-        |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
-        |  FROM toks WHERE len(w) >= 2),
-        |e AS (SELECT doc_id, lang, unnest(g) AS x FROM bg),
-        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM e a JOIN e b ON a.lang = b.lang AND a.x = b.x AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(g) AS n FROM bg),
+        |""".stripMargin + bigramSimBody + """,
         |pairsB AS (SELECT da, db
         |  FROM inter JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
         |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5),
@@ -1462,16 +1454,7 @@ object DedupQueries {
     // Exact word-bigram Jaccard within a blocking key (lang): the
     // verify stage after LSH candidate generation.
     Q("dd_ngram_jaccard",
-      """WITH toks AS (SELECT doc_id, lang,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |bg AS (SELECT doc_id, lang,
-        |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
-        |  FROM toks WHERE len(w) >= 2),
-        |e AS (SELECT doc_id, lang, unnest(g) AS x FROM bg),
-        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM e a JOIN e b ON a.lang = b.lang AND a.x = b.x AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(g) AS n FROM bg)
+      bigramSimCte() + """
         |SELECT da AS doc_a, db AS doc_b,
         |  round(i * 1.0 / (na.n + nb.n - i), 6) AS jac
         |FROM inter JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
@@ -1502,16 +1485,7 @@ object DedupQueries {
     // BOTH shores or the threshold decision it informs is invisible.
     // Same dispatched join plan; the curve itself is a <=9-row window.
     Q("dd_dup_rate_curve",
-      """WITH toks AS (SELECT doc_id, lang,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |bg AS (SELECT doc_id, lang,
-        |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
-        |  FROM toks WHERE len(w) >= 2),
-        |e AS (SELECT doc_id, lang, unnest(g) AS x FROM bg),
-        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM e a JOIN e b ON a.lang = b.lang AND a.x = b.x AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(g) AS n FROM bg),
+      bigramSimCte() + """,
         |p AS (SELECT round(i * 1.0 / (na.n + nb.n - i), 6) AS jac
         |  FROM inter JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
         |  WHERE i * 1.0 / (na.n + nb.n - i) >= 0.1),
@@ -1618,16 +1592,7 @@ object DedupQueries {
     // shape as dd_ngram_jaccard: the only candidate shuffle is on shared
     // grams within a lang block; sizes join back on doc_id.
     Q("dd_containment",
-      """WITH toks AS (SELECT doc_id, lang,
-        |    list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents),
-        |bg AS (SELECT doc_id, lang,
-        |    list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
-        |  FROM toks WHERE len(w) >= 2),
-        |e AS (SELECT doc_id, lang, unnest(g) AS x FROM bg),
-        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM e a JOIN e b ON a.lang = b.lang AND a.x = b.x AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(g) AS n FROM bg)
+      bigramSimCte() + """
         |SELECT da AS doc_a, db AS doc_b,
         |  round(i * 1.0 / na.n, 6) AS c_ab,
         |  round(i * 1.0 / nb.n, 6) AS c_ba
