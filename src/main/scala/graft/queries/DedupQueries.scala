@@ -75,6 +75,69 @@ object DedupQueries {
   private def bigramSimCte(): String =
     "WITH " + toksBody("doc_id, lang") + ",\n" + bigramSimBody
 
+  /** DuckDB replay of the FIXED-centroid IVF retrieval (first-8-vector
+    * centroids, cosine argmax assignment, 2-probe cells, in-cell
+    * re-rank) up to the `cand` CTE — ONE copy shared by ann_ivf_fixed,
+    * ann_recall_curve and v_ndcg (round-12 review: three hand-copied
+    * chains; same drift rationale as [[lshBandsBody]]).
+    */
+  private val ivfFixedBody: String =
+    """e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+      |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nrm AS cn
+      |  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 8)),
+      |asn AS (SELECT vec_id, v, nrm, cid FROM (
+      |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |      list_sum([n.v[i] * c.cv[i] for i in range(1, 65)]) / (n.nrm * c.cn)
+      |        DESC, c.cid) AS rn
+      |  FROM n CROSS JOIN c) WHERE rn = 1),
+      |pr AS (SELECT qid, cid FROM (
+      |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
+      |    list_sum([q.qv[i] * c.cv[i] for i in range(1, 65)]) / (q.qn * c.cn)
+      |      DESC, c.cid) AS rn
+      |  FROM q CROSS JOIN c) WHERE rn <= 2),
+      |cand AS (SELECT q.qid, a.vec_id,
+      |    round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
+      |          / (q.qn * a.nrm), 6) AS cos_r
+      |  FROM q JOIN pr ON q.qid = pr.qid JOIN asn a ON a.cid = pr.cid
+      |  WHERE a.vec_id <> q.qid)""".stripMargin
+
+  /** DuckDB replay of the native simhash64 vote kernel (per-token md5
+    * bit votes, majority per bit, nibble re-assembly) up to the `ch`
+    * CTE — ONE copy shared by dd_simhash and dd_simhash_pairs (round-12
+    * review; drift rationale as [[lshBandsBody]]).
+    */
+  private val simhashVotesBody: String =
+    """tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents),
+      |b AS (SELECT doc_id, j,
+      |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), CAST(16 - j//4 AS INT), 1)) - 1)
+      |                   >> CAST(j % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js GROUP BY doc_id, j),
+      |ch AS (SELECT doc_id, 16 - j//4 AS pos,
+      |    SUM((CASE WHEN v > 0 THEN 1 ELSE 0 END) << CAST(j % 4 AS INT)) AS cv
+      |  FROM b GROUP BY doc_id, 16 - j//4)""".stripMargin
+
+  /** Exact top-10 per query (requires [[ivfFixedBody]]'s e/n/q). */
+  private val exactTopKBody: String =
+    """ex AS (SELECT qid, vec_id, rn FROM (
+      |  SELECT q.qid, a.vec_id,
+      |    row_number() OVER (PARTITION BY q.qid ORDER BY
+      |      round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
+      |            / (q.qn * a.nrm), 6) DESC, a.vec_id) AS rn
+      |  FROM q JOIN n a ON a.vec_id <> q.qid) WHERE rn <= 10)""".stripMargin
+
+  /** IVF top-10 ranking of `cand` (requires [[ivfFixedBody]]). */
+  private val ivTop10Body: String =
+    """iv AS (SELECT qid, vec_id, rn FROM (
+      |  SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
+      |  FROM cand) WHERE rn <= 10)""".stripMargin
+
   private val lshPlanesSql: String =
     """pl AS (SELECT p,
         |    [ (strpos('0123456789abcdef', substr(md5('plane' || CAST(p AS VARCHAR)
@@ -320,29 +383,7 @@ object DedupQueries {
     // shape is the production one: zero-shuffle literal-centroid
     // assignment, probed-cell filter row-local, one qid rank window.
     Q("ann_ivf_fixed",
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
-        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nrm AS cn
-        |  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 8)),
-        |asn AS (SELECT vec_id, v, nrm, cid FROM (
-        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |      list_sum([n.v[i] * c.cv[i] for i in range(1, 65)]) / (n.nrm * c.cn)
-        |        DESC, c.cid) AS rn
-        |  FROM n CROSS JOIN c) WHERE rn = 1),
-        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
-        |pr AS (SELECT qid, cid FROM (
-        |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
-        |    list_sum([q.qv[i] * c.cv[i] for i in range(1, 65)]) / (q.qn * c.cn)
-        |      DESC, c.cid) AS rn
-        |  FROM q CROSS JOIN c) WHERE rn <= 2),
-        |cand AS (SELECT q.qid, a.vec_id,
-        |    round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
-        |          / (q.qn * a.nrm), 6) AS cos_r
-        |  FROM q JOIN pr ON q.qid = pr.qid JOIN asn a ON a.cid = pr.cid
-        |  WHERE a.vec_id <> q.qid)
+      "WITH " + ivfFixedBody + """
         |SELECT qid, vec_id, rn, cos_r FROM (
         |  SELECT qid, vec_id, cos_r,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
@@ -358,39 +399,8 @@ object DedupQueries {
     // copy of each); the composition is a tiny (qid, vec_id) join — at
     // any corpus size the cost is the two retrievals, not the audit.
     Q("ann_recall_curve",
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
-        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
-        |ex AS (SELECT qid, vec_id, rn FROM (
-        |  SELECT q.qid, a.vec_id,
-        |    row_number() OVER (PARTITION BY q.qid ORDER BY
-        |      round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
-        |            / (q.qn * a.nrm), 6) DESC, a.vec_id) AS rn
-        |  FROM q JOIN n a ON a.vec_id <> q.qid) WHERE rn <= 10),
-        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nrm AS cn
-        |  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 8)),
-        |asn AS (SELECT vec_id, v, nrm, cid FROM (
-        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |      list_sum([n.v[i] * c.cv[i] for i in range(1, 65)]) / (n.nrm * c.cn)
-        |        DESC, c.cid) AS rn
-        |  FROM n CROSS JOIN c) WHERE rn = 1),
-        |pr AS (SELECT qid, cid FROM (
-        |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
-        |    list_sum([q.qv[i] * c.cv[i] for i in range(1, 65)]) / (q.qn * c.cn)
-        |      DESC, c.cid) AS rn
-        |  FROM q CROSS JOIN c) WHERE rn <= 2),
-        |cand AS (SELECT q.qid, a.vec_id,
-        |    round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
-        |          / (q.qn * a.nrm), 6) AS cos_r
-        |  FROM q JOIN pr ON q.qid = pr.qid JOIN asn a ON a.cid = pr.cid
-        |  WHERE a.vec_id <> q.qid),
-        |iv AS (SELECT qid, vec_id, rn FROM (
-        |  SELECT qid, vec_id,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
-        |  FROM cand) WHERE rn <= 10),
+      "WITH " + ivfFixedBody + ",\n" + exactTopKBody + ",\n" +
+        ivTop10Body + """,
         |ks AS (SELECT unnest([1, 5, 10]) AS k),
         |hit AS (SELECT ex.qid, ks.k, count(*) AS hits
         |  FROM ex JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
@@ -445,39 +455,8 @@ object DedupQueries {
     // final ppm ratio are pure integer arithmetic. Rides the same two
     // cached retrieval chains as ann_recall_curve.
     Q("v_ndcg",
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm FROM e),
-        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
-        |ex AS (SELECT qid, vec_id FROM (
-        |  SELECT q.qid, a.vec_id,
-        |    row_number() OVER (PARTITION BY q.qid ORDER BY
-        |      round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
-        |            / (q.qn * a.nrm), 6) DESC, a.vec_id) AS rn
-        |  FROM q JOIN n a ON a.vec_id <> q.qid) WHERE rn <= 10),
-        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nrm AS cn
-        |  FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 8)),
-        |asn AS (SELECT vec_id, v, nrm, cid FROM (
-        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |      list_sum([n.v[i] * c.cv[i] for i in range(1, 65)]) / (n.nrm * c.cn)
-        |        DESC, c.cid) AS rn
-        |  FROM n CROSS JOIN c) WHERE rn = 1),
-        |pr AS (SELECT qid, cid FROM (
-        |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
-        |    list_sum([q.qv[i] * c.cv[i] for i in range(1, 65)]) / (q.qn * c.cn)
-        |      DESC, c.cid) AS rn
-        |  FROM q CROSS JOIN c) WHERE rn <= 2),
-        |cand AS (SELECT q.qid, a.vec_id,
-        |    round(list_sum([q.qv[i] * a.v[i] for i in range(1, 65)])
-        |          / (q.qn * a.nrm), 6) AS cos_r
-        |  FROM q JOIN pr ON q.qid = pr.qid JOIN asn a ON a.cid = pr.cid
-        |  WHERE a.vec_id <> q.qid),
-        |iv AS (SELECT qid, vec_id, rn FROM (
-        |  SELECT qid, vec_id,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rn
-        |  FROM cand) WHERE rn <= 10),
+      "WITH " + ivfFixedBody + ",\n" + exactTopKBody + ",\n" +
+        ivTop10Body + """,
         |w AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
         |  (4, 430677), (5, 386853), (6, 356207), (7, 333333), (8, 315465),
         |  (9, 301030), (10, 289065)) AS v(pos, wt)),
@@ -1286,15 +1265,7 @@ object DedupQueries {
     // 64-bit SimHash fingerprints (native expression; oracle rebuilds the
     // bit votes from md5 nibbles).
     Q("dd_simhash",
-      """WITH tok AS (SELECT doc_id,
-        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents),
-        |b AS (SELECT doc_id, j,
-        |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), CAST(16 - j//4 AS INT), 1)) - 1)
-        |                   >> CAST(j % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js GROUP BY doc_id, j),
-        |ch AS (SELECT doc_id, 16 - j//4 AS pos,
-        |    SUM((CASE WHEN v > 0 THEN 1 ELSE 0 END) << CAST(j % 4 AS INT)) AS cv
-        |  FROM b GROUP BY doc_id, 16 - j//4)
+      "WITH " + simhashVotesBody + """
         |SELECT doc_id,
         |  string_agg(substr('0123456789ABCDEF', CAST(cv AS INT) + 1, 1), '' ORDER BY pos) AS simhash
         |FROM ch GROUP BY doc_id""".stripMargin) { (s, dir) =>
@@ -1317,15 +1288,7 @@ object DedupQueries {
     // (round-12 review). Larger radii need multi-table designs (Manku
     // et al. 2007), a different operator, not a looser filter.
     Q("dd_simhash_pairs",
-      """WITH tok AS (SELECT doc_id,
-        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t FROM documents),
-        |b AS (SELECT doc_id, j,
-        |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), CAST(16 - j//4 AS INT), 1)) - 1)
-        |                   >> CAST(j % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js GROUP BY doc_id, j),
-        |ch AS (SELECT doc_id, 16 - j//4 AS pos,
-        |    SUM((CASE WHEN v > 0 THEN 1 ELSE 0 END) << CAST(j % 4 AS INT)) AS cv
-        |  FROM b GROUP BY doc_id, 16 - j//4),
+      "WITH " + simhashVotesBody + """,
         |sh AS (SELECT doc_id,
         |    string_agg(substr('0123456789ABCDEF', CAST(cv AS INT) + 1, 1), '' ORDER BY pos) AS h
         |  FROM ch GROUP BY doc_id),
