@@ -122,6 +122,56 @@ object DedupQueries {
       |    SUM((CASE WHEN v > 0 THEN 1 ELSE 0 END) << CAST(j % 4 AS INT)) AS cv
       |  FROM b GROUP BY doc_id, 16 - j//4)""".stripMargin
 
+  /** DuckDB replay of one Lloyd iteration from the fixed first-4-vector
+    * seeds (assignment argmin with cid tie-break, decimal-exact means,
+    * empty-cluster centroids kept) up to the `c2` CTE — ONE copy shared
+    * by v_kmeans (which runs a second iteration on top) and v_silhouette
+    * (which scores against the 1-iteration state). Round-12 review;
+    * drift rationale as [[lshBandsBody]].
+    */
+  private val lloydC2Body: String =
+    """e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+      |  FROM embeddings),
+      |ini AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+      |a1 AS (SELECT vec_id, v, cid FROM (
+      |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])
+      |                         for i in range(1, 65)]), c.cid) AS rn
+      |    FROM e CROSS JOIN ini c) WHERE rn = 1),
+      |m1 AS (SELECT cid, s.d AS dim,
+      |    CAST(SUM(CAST(s.x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv
+      |  FROM (SELECT cid, unnest([{'d': i, 'x': v[i]} for i in range(1, 65)]) AS s
+      |        FROM a1) GROUP BY cid, s.d),
+      |c2 AS (SELECT i.cid, COALESCE(m.v, i.v) AS v FROM ini i LEFT JOIN
+      |  (SELECT cid, list(mv ORDER BY dim) AS v FROM m1 GROUP BY cid) m
+      |  ON i.cid = m.cid)""".stripMargin
+
+  /** DuckDB replay of the PQ codebook fit (8 subspaces, first-4-vector
+    * seeds, one Lloyd step over subvectors) up to the `m1` CTE — ONE
+    * copy shared by v_pq and ann_adc (round-12 review; drift rationale
+    * as [[lshBandsBody]]).
+    */
+  private val pqFitBody: String =
+    """e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+      |  FROM embeddings),
+      |sub AS (SELECT vec_id, s, [v[8 * s + i] for i in range(1, 9)] AS sv
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s)),
+      |ini AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+      |    AS code, sv
+      |  FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
+      |a1 AS (SELECT vec_id, s, sv, code FROM (
+      |  SELECT sub.vec_id, sub.s, sub.sv, c.code,
+      |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+      |      ORDER BY list_sum([(sub.sv[i] - c.sv[i]) * (sub.sv[i] - c.sv[i])
+      |                         for i in range(1, 9)]), c.code) AS rn
+      |  FROM sub JOIN ini c ON sub.s = c.s) t WHERE rn = 1),
+      |m1 AS (SELECT s, code, t.d AS dim,
+      |    CAST(SUM(CAST(t.x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv,
+      |    count(*) AS n
+      |  FROM (SELECT s, code, unnest([{'d': i, 'x': sv[i]} for i in range(1, 9)]) AS t
+      |        FROM a1) GROUP BY s, code, t.d)""".stripMargin
+
   /** Exact top-10 per query (requires [[ivfFixedBody]]'s e/n/q). */
   private val exactTopKBody: String =
     """ex AS (SELECT qid, vec_id, rn FROM (
@@ -336,22 +386,7 @@ object DedupQueries {
     // scoring + one (cid, dim) shuffle per iteration (VectorOps
     // .kmeansLloyd).
     Q("v_kmeans",
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-        |  FROM embeddings),
-        |ini AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
-        |a1 AS (SELECT vec_id, v, cid FROM (
-        |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])
-        |                         for i in range(1, 65)]), c.cid) AS rn
-        |    FROM e CROSS JOIN ini c) WHERE rn = 1),
-        |m1 AS (SELECT cid, s.d AS dim,
-        |    CAST(SUM(CAST(s.x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv
-        |  FROM (SELECT cid, unnest([{'d': i, 'x': v[i]} for i in range(1, 65)]) AS s
-        |        FROM a1) GROUP BY cid, s.d),
-        |c2 AS (SELECT i.cid, COALESCE(m.v, i.v) AS v FROM ini i LEFT JOIN
-        |  (SELECT cid, list(mv ORDER BY dim) AS v FROM m1 GROUP BY cid) m
-        |  ON i.cid = m.cid),
+      "WITH " + lloydC2Body + """,
         |a2 AS (SELECT vec_id, v, cid FROM (
         |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
         |      ORDER BY list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])
@@ -530,22 +565,7 @@ object DedupQueries {
     // the final 6 dp. Spark plan: zero-shuffle literal-centroid scoring
     // + one groupBy(cid) — silhouette at 100 TB is a scan, not a join.
     Q("v_silhouette",
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-        |  FROM embeddings),
-        |ini AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
-        |a1 AS (SELECT vec_id, v, cid FROM (
-        |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])
-        |                         for i in range(1, 65)]), c.cid) AS rn
-        |    FROM e CROSS JOIN ini c) WHERE rn = 1),
-        |m1 AS (SELECT cid, s.d AS dim,
-        |    CAST(SUM(CAST(s.x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv
-        |  FROM (SELECT cid, unnest([{'d': i, 'x': v[i]} for i in range(1, 65)]) AS s
-        |        FROM a1) GROUP BY cid, s.d),
-        |c2 AS (SELECT i.cid, COALESCE(m.v, i.v) AS v FROM ini i LEFT JOIN
-        |  (SELECT cid, list(mv ORDER BY dim) AS v FROM m1 GROUP BY cid) m
-        |  ON i.cid = m.cid),
+      "WITH " + lloydC2Body + """,
         |d AS (SELECT e.vec_id, c.cid,
         |    sqrt(list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])
         |                   for i in range(1, 65)])) AS dist
@@ -596,24 +616,7 @@ object DedupQueries {
     // vector (32× compression of float32), the standard billion-vector
     // ANN layout.
     Q("v_pq",
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-        |  FROM embeddings),
-        |sub AS (SELECT vec_id, s, [v[8 * s + i] for i in range(1, 9)] AS sv
-        |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s)),
-        |ini AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
-        |    AS code, sv
-        |  FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
-        |a1 AS (SELECT vec_id, s, sv, code FROM (
-        |  SELECT sub.vec_id, sub.s, sub.sv, c.code,
-        |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
-        |      ORDER BY list_sum([(sub.sv[i] - c.sv[i]) * (sub.sv[i] - c.sv[i])
-        |                         for i in range(1, 9)]), c.code) AS rn
-        |  FROM sub JOIN ini c ON sub.s = c.s) t WHERE rn = 1),
-        |m1 AS (SELECT s, code, t.d AS dim,
-        |    CAST(SUM(CAST(t.x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv,
-        |    count(*) AS n
-        |  FROM (SELECT s, code, unnest([{'d': i, 'x': sv[i]} for i in range(1, 9)]) AS t
-        |        FROM a1) GROUP BY s, code, t.d)
+      "WITH " + pqFitBody + """
         |SELECT g.s, g.code, g.dim, COALESCE(m1.mv, g.cv) AS mean_v,
         |  COALESCE(m1.n, 0) AS n
         |FROM (SELECT s, code, t.d AS dim, t.x AS cv
@@ -635,23 +638,7 @@ object DedupQueries {
     // the codes table is 8 bytes/vector, the distance tables broadcast
     // as literals, and only the tiny per-query top-k shuffles.
     Q("ann_adc",
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-        |  FROM embeddings),
-        |sub AS (SELECT vec_id, s, [v[8 * s + i] for i in range(1, 9)] AS sv
-        |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s)),
-        |ini AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
-        |    AS code, sv
-        |  FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
-        |a1 AS (SELECT vec_id, s, sv, code FROM (
-        |  SELECT sub.vec_id, sub.s, sub.sv, c.code,
-        |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
-        |      ORDER BY list_sum([(sub.sv[i] - c.sv[i]) * (sub.sv[i] - c.sv[i])
-        |                         for i in range(1, 9)]), c.code) AS rn
-        |  FROM sub JOIN ini c ON sub.s = c.s) t WHERE rn = 1),
-        |m1 AS (SELECT s, code, t.d AS dim,
-        |    CAST(SUM(CAST(t.x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv
-        |  FROM (SELECT s, code, unnest([{'d': i, 'x': sv[i]} for i in range(1, 9)]) AS t
-        |        FROM a1) GROUP BY s, code, t.d),
+      "WITH " + pqFitBody + """,
         |c2 AS (SELECT i.s, i.code, COALESCE(m.sv, i.sv) AS sv
         |  FROM ini i LEFT JOIN
         |    (SELECT s, code, list(mv ORDER BY dim) AS sv FROM m1 GROUP BY s, code) m
