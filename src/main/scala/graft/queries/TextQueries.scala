@@ -56,6 +56,83 @@ object TextQueries {
       |        t -> t <> '' AND length(t) > 6)) AS x3
       |  FROM documents)""".stripMargin
 
+  /** DuckDB replay of the synthetic-image aHash chain (deterministic
+    * pixel synthesis, luma, mean-threshold bits, hex assembly, 4-band
+    * split with 32-bit halves) up to the `bands` CTE — ONE copy shared
+    * by mm_ahash_pairs and mm_ahash_clusters (round-12 review; the
+    * DedupQueries.lshBandsBody drift-prevention pattern).
+    */
+  private val ahashBandsBody: String =
+    """px AS (SELECT doc_id, i,
+      |    ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END % 256)
+      |      * (i + 1) * 2654435761
+      |      + (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END % 65536)
+      |        // 256 * (i + 3) * (i + 5) * 12289
+      |      + i * 40503) % 256 AS vb
+      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+      |pv AS (SELECT doc_id, i,
+      |    CAST(CASE WHEN doc_id % 10 = 1 AND i = doc_id % 64
+      |         THEN (vb + 96) % 256 ELSE vb END AS DOUBLE) AS v
+      |  FROM px),
+      |lm AS (SELECT doc_id, i, 0.299 * v + 0.587 * v + 0.114 * v AS lum FROM pv),
+      |mn AS (SELECT doc_id, list_sum(list(lum ORDER BY i)) / 64 AS mean
+      |  FROM lm GROUP BY doc_id),
+      |bits AS (SELECT l.doc_id, l.i AS j,
+      |    CASE WHEN l.lum >= m.mean THEN 1 ELSE 0 END AS bit
+      |  FROM lm l JOIN mn m ON l.doc_id = m.doc_id),
+      |ch AS (SELECT doc_id, 16 - j // 4 AS pos,
+      |    SUM(bit << CAST(j % 4 AS INT)) AS cv
+      |  FROM bits GROUP BY doc_id, 16 - j // 4),
+      |sh AS (SELECT doc_id,
+      |    string_agg(substr('0123456789ABCDEF', CAST(cv AS INT) + 1, 1), '' ORDER BY pos) AS h
+      |  FROM ch GROUP BY doc_id),
+      |halves AS (SELECT doc_id, h,
+      |    list_reduce(list_transform(range(1, 9),
+      |      i -> CAST(strpos('0123456789ABCDEF', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, x) -> a * 16 + x) AS hi,
+      |    list_reduce(list_transform(range(9, 17),
+      |      i -> CAST(strpos('0123456789ABCDEF', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, x) -> a * 16 + x) AS lo
+      |  FROM sh),
+      |bands AS (SELECT doc_id, band, substr(h, 1 + band * 4, 4) AS bh, hi, lo
+      |  FROM halves CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs)""".stripMargin
+
+  /** DuckDB replay of the unigram mean-probability score (tx_lm_score's
+    * n_tokens/mean_p per doc) up to the `sc` CTE — ONE copy shared by
+    * tx_lm_score and tx_ppx_bucket (round-12 review; the
+    * DedupQueries.lshBandsBody drift-prevention pattern).
+    */
+  private val meanPBody: String =
+    """t AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |df AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+      |tot AS (SELECT count(*) AS n FROM t),
+      |sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+      |    CAST(SUM(df.cnt) AS DOUBLE) / (count(*) * max(tot.n)) AS mean_p
+      |  FROM t JOIN df USING (term) CROSS JOIN tot GROUP BY t.doc_id)""".stripMargin
+
+  /** DuckDB replay of the DSIR 256-bucket token hash (`b`) and the
+    * add-1-smoothed log-importance weight table (`tot`/`lr`) — the
+    * formula-bearing fragments shared by tx_dsir_select and
+    * tx_dsir_incremental (round-12 review; their `tok`/`cnts` CTEs
+    * legitimately differ on the incoming-batch split, so only the
+    * drift-sensitive kernel text is shared).
+    */
+  private def dsirBucketsBody(cols: String): String =
+    s"""b AS (
+       |  SELECT $cols,
+       |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+       |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bkt
+       |  FROM tok)""".stripMargin
+
+  private val dsirLrBody: String =
+    """tot AS (SELECT SUM(cr) AS r, SUM(ct) AS t FROM cnts),
+      |lr AS (
+      |  SELECT bkt, round(ln(CAST(ct + 1 AS DOUBLE) * CAST(r + 256 AS DOUBLE)
+      |                       / (CAST(cr + 1 AS DOUBLE) * CAST(t + 256 AS DOUBLE))), 6) AS lw
+      |  FROM cnts, tot)""".stripMargin
+
   def defs: Seq[Q] = Seq(
 
     // n-gram/stopword language-ID heuristic: per-language stopword hit
@@ -744,15 +821,8 @@ object TextQueries {
     // term-keyed join (dictionary outgrows broadcast at corpus scale,
     // same note as tx_tfidf) + one per-doc agg.
     Q("tx_lm_score",
-      """WITH t AS (SELECT doc_id,
-        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-        |  FROM documents),
-        |df AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
-        |tot AS (SELECT count(*) AS n FROM t)
-        |SELECT t.doc_id, count(*) AS n_tokens,
-        |  CAST(SUM(df.cnt) AS DOUBLE) / (count(*) * max(tot.n)) AS mean_p
-        |FROM t JOIN df USING (term) CROSS JOIN tot
-        |GROUP BY t.doc_id""".stripMargin) { (s, dir) =>
+      "WITH " + meanPBody + """
+        |SELECT doc_id, n_tokens, mean_p FROM sc""".stripMargin) { (s, dir) =>
       val toks = Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
@@ -773,14 +843,7 @@ object TextQueries {
     // Score = tx_lm_score's mean_p (integral until one final division,
     // so cuts and comparisons are bit-identical across engines).
     Q("tx_ppx_bucket",
-      """WITH t AS (SELECT doc_id,
-        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-        |  FROM documents),
-        |df AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
-        |tot AS (SELECT count(*) AS n FROM t),
-        |sc AS (SELECT t.doc_id, count(*) AS n_tokens,
-        |    CAST(SUM(df.cnt) AS DOUBLE) / (count(*) * max(tot.n)) AS mean_p
-        |  FROM t JOIN df USING (term) CROSS JOIN tot GROUP BY t.doc_id),
+      "WITH " + meanPBody + """,
         |d AS (SELECT sc.doc_id, doc.lang, sc.mean_p
         |  FROM sc JOIN documents doc ON sc.doc_id = doc.doc_id),
         |samp AS (SELECT lang, mean_p,
@@ -884,21 +947,13 @@ object TextQueries {
         |  SELECT doc_id, source,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
         |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, source,
-        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
-        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bkt
-        |  FROM tok),
+        |""".stripMargin + dsirBucketsBody("doc_id, source") + """,
         |cnts AS (
         |  SELECT bkt, count(*) AS cr,
         |    count(CASE WHEN source IN ('src0','src1','src2','src3','src4')
         |               THEN 1 END) AS ct
         |  FROM b GROUP BY 1),
-        |tot AS (SELECT SUM(cr) AS r, SUM(ct) AS t FROM cnts),
-        |lr AS (
-        |  SELECT bkt, round(ln(CAST(ct + 1 AS DOUBLE) * CAST(r + 256 AS DOUBLE)
-        |                       / (CAST(cr + 1 AS DOUBLE) * CAST(t + 256 AS DOUBLE))), 6) AS lw
-        |  FROM cnts, tot),
+        |""".stripMargin + dsirLrBody + """,
         |score AS (
         |  SELECT doc_id, max(source) AS source, round(SUM(lw), 6) AS dsir_score
         |  FROM b JOIN lr USING (bkt) GROUP BY doc_id)
@@ -946,21 +1001,13 @@ object TextQueries {
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS incoming,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
         |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, source, incoming,
-        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
-        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bkt
-        |  FROM tok),
+        |""".stripMargin + dsirBucketsBody("doc_id, source, incoming") + """,
         |cnts AS (
         |  SELECT bkt, count(*) AS cr,
         |    count(CASE WHEN source IN ('src0','src1','src2','src3','src4')
         |               THEN 1 END) AS ct
         |  FROM b WHERE NOT incoming GROUP BY 1),
-        |tot AS (SELECT SUM(cr) AS r, SUM(ct) AS t FROM cnts),
-        |lr AS (
-        |  SELECT bkt, round(ln(CAST(ct + 1 AS DOUBLE) * CAST(r + 256 AS DOUBLE)
-        |                       / (CAST(cr + 1 AS DOUBLE) * CAST(t + 256 AS DOUBLE))), 6) AS lw
-        |  FROM cnts, tot),
+        |""".stripMargin + dsirLrBody + """,
         |dflt AS (
         |  SELECT round(ln(CAST(r + 256 AS DOUBLE) / CAST(t + 256 AS DOUBLE)), 6) AS lw0
         |  FROM tot),
@@ -1655,39 +1702,7 @@ object TextQueries {
     // scan computes 8 bytes/image; the banded self-join shuffles on
     // (band, 16-bit key) — never all-pairs.
     Q("mm_ahash_pairs",
-      """WITH px AS (SELECT doc_id, i,
-        |    ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END % 256)
-        |      * (i + 1) * 2654435761
-        |      + (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END % 65536)
-        |        // 256 * (i + 3) * (i + 5) * 12289
-        |      + i * 40503) % 256 AS vb
-        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
-        |pv AS (SELECT doc_id, i,
-        |    CAST(CASE WHEN doc_id % 10 = 1 AND i = doc_id % 64
-        |         THEN (vb + 96) % 256 ELSE vb END AS DOUBLE) AS v
-        |  FROM px),
-        |lm AS (SELECT doc_id, i, 0.299 * v + 0.587 * v + 0.114 * v AS lum FROM pv),
-        |mn AS (SELECT doc_id, list_sum(list(lum ORDER BY i)) / 64 AS mean
-        |  FROM lm GROUP BY doc_id),
-        |bits AS (SELECT l.doc_id, l.i AS j,
-        |    CASE WHEN l.lum >= m.mean THEN 1 ELSE 0 END AS bit
-        |  FROM lm l JOIN mn m ON l.doc_id = m.doc_id),
-        |ch AS (SELECT doc_id, 16 - j // 4 AS pos,
-        |    SUM(bit << CAST(j % 4 AS INT)) AS cv
-        |  FROM bits GROUP BY doc_id, 16 - j // 4),
-        |sh AS (SELECT doc_id,
-        |    string_agg(substr('0123456789ABCDEF', CAST(cv AS INT) + 1, 1), '' ORDER BY pos) AS h
-        |  FROM ch GROUP BY doc_id),
-        |halves AS (SELECT doc_id, h,
-        |    list_reduce(list_transform(range(1, 9),
-        |      i -> CAST(strpos('0123456789ABCDEF', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)),
-        |      (a, x) -> a * 16 + x) AS hi,
-        |    list_reduce(list_transform(range(9, 17),
-        |      i -> CAST(strpos('0123456789ABCDEF', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)),
-        |      (a, x) -> a * 16 + x) AS lo
-        |  FROM sh),
-        |bands AS (SELECT doc_id, band, substr(h, 1 + band * 4, 4) AS bh, hi, lo
-        |  FROM halves CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs)
+      "WITH " + ahashBandsBody + """
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
         |FROM bands a JOIN bands b
@@ -1703,39 +1718,7 @@ object TextQueries {
     // the pair derivation is the shared tracked-cached chain), and the
     // oracle walks the SAME pair SQL plus a recursive closure.
     Q("mm_ahash_clusters",
-      """WITH px AS (SELECT doc_id, i,
-        |    ((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END % 256)
-        |      * (i + 1) * 2654435761
-        |      + (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END % 65536)
-        |        // 256 * (i + 3) * (i + 5) * 12289
-        |      + i * 40503) % 256 AS vb
-        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
-        |pv AS (SELECT doc_id, i,
-        |    CAST(CASE WHEN doc_id % 10 = 1 AND i = doc_id % 64
-        |         THEN (vb + 96) % 256 ELSE vb END AS DOUBLE) AS v
-        |  FROM px),
-        |lm AS (SELECT doc_id, i, 0.299 * v + 0.587 * v + 0.114 * v AS lum FROM pv),
-        |mn AS (SELECT doc_id, list_sum(list(lum ORDER BY i)) / 64 AS mean
-        |  FROM lm GROUP BY doc_id),
-        |bits AS (SELECT l.doc_id, l.i AS j,
-        |    CASE WHEN l.lum >= m.mean THEN 1 ELSE 0 END AS bit
-        |  FROM lm l JOIN mn m ON l.doc_id = m.doc_id),
-        |ch AS (SELECT doc_id, 16 - j // 4 AS pos,
-        |    SUM(bit << CAST(j % 4 AS INT)) AS cv
-        |  FROM bits GROUP BY doc_id, 16 - j // 4),
-        |sh AS (SELECT doc_id,
-        |    string_agg(substr('0123456789ABCDEF', CAST(cv AS INT) + 1, 1), '' ORDER BY pos) AS h
-        |  FROM ch GROUP BY doc_id),
-        |halves AS (SELECT doc_id, h,
-        |    list_reduce(list_transform(range(1, 9),
-        |      i -> CAST(strpos('0123456789ABCDEF', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)),
-        |      (a, x) -> a * 16 + x) AS hi,
-        |    list_reduce(list_transform(range(9, 17),
-        |      i -> CAST(strpos('0123456789ABCDEF', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)),
-        |      (a, x) -> a * 16 + x) AS lo
-        |  FROM sh),
-        |bands AS (SELECT doc_id, band, substr(h, 1 + band * 4, 4) AS bh, hi, lo
-        |  FROM halves CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs),
+      ("WITH " + ahashBandsBody + """,
         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
@@ -1752,7 +1735,7 @@ object TextQueries {
         |cl AS (SELECT cluster, count(*) AS sz FROM alld GROUP BY cluster)
         |SELECT sz AS cluster_size, count(*) AS n_clusters,
         |  CAST(sum(sz) AS BIGINT) AS n_docs
-        |FROM cl GROUP BY sz""".stripMargin
+        |FROM cl GROUP BY sz""".stripMargin)
         .replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, dir) =>
       val pairs = ahashPairs(s, dir).select(col("doc_a"), col("doc_b"))
       val lab = TextOps.connectedComponents(pairs)
