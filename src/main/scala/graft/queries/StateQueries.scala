@@ -23,6 +23,25 @@ object StateQueries {
   private def dsumOver(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
     sum(c.cast(DecimalType(28, 8))).over(w).cast("double")
 
+  /** Hourly-mean resample of the events series — ONE copy of the
+    * DECIMAL(28,8)-accumulated, 6dp-rounded contract shared by the five
+    * ts_ rows (ts_acf, ts_sax, ts_holt, ts_kalman, ts_theil_sen) and
+    * their oracles (round-12 review; the DedupQueries.lshBandsBody
+    * drift-prevention pattern applied to the resample tier).
+    */
+  private val hourlyMeansSql: String =
+    """hb AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS y
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  private def hourlyMeans(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+      .agg(round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
+        / count(lit(1)), 6).as("y"))
+
   def defs: Seq[Q] = Seq(
 
     // §2.7 per-key running state: last / min / max / count / avg / age.
@@ -1468,9 +1487,7 @@ object StateQueries {
     // replays exactly; the final r is one double expression rounded
     // 6 dp, identical in shape to the ts_autocorr oracle.
     Q("ts_acf",
-      """WITH hb AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
-        |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS y
-        |  FROM events GROUP BY 1, 2),
+      "WITH " + hourlyMeansSql + """,
         |p AS (SELECT a.event_type, l.l AS lag, a.y AS x, b.y AS y
         |  FROM hb a JOIN (SELECT unnest(range(1, 25)) AS l) l ON true
         |  JOIN hb b ON a.event_type = b.event_type AND b.hr = a.hr + l.l),
@@ -1486,11 +1503,7 @@ object StateQueries {
         |        / nullif(sqrt(greatest(n * sxx - sx * sx, 0.0)
         |                      * greatest(n * syy - sy * sy, 0.0)), 0), 6) AS r
         |FROM m""".stripMargin) { (s, dir) =>
-      val hb = Tables.load(s, dir, "events")
-        .groupBy(col("event_type"),
-          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
-        .agg(round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
-          / count(lit(1)), 6).as("y"))
+      val hb = hourlyMeans(s, dir)
         .transform(graft.operators.TextOps.trackCache)
       val lags = s.range(1, 25).toDF("lag")
       // hr+lag precomputed on the left so the pairing is a clean
@@ -1526,9 +1539,7 @@ object StateQueries {
     // fleet-scale anomaly index is built from. Shapes: hourly pre-agg,
     // one window-rank pass per (type, window), bounded aggregates.
     Q("ts_sax",
-      """WITH hb AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
-        |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS y
-        |  FROM events GROUP BY 1, 2),
+      "WITH " + hourlyMeansSql + """,
         |wd AS (SELECT event_type, hr // 16 AS wid, y,
         |    row_number() OVER (PARTITION BY event_type, hr // 16 ORDER BY hr) - 1 AS idx,
         |    count(*) OVER (PARTITION BY event_type, hr // 16) AS n
@@ -1553,11 +1564,7 @@ object StateQueries {
         |  GROUP BY event_type, wid)
         |SELECT event_type, word, count(*) AS n_windows
         |FROM words GROUP BY event_type, word""".stripMargin) { (s, dir) =>
-      val hourly = Tables.load(s, dir, "events")
-        .groupBy(col("event_type"),
-          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
-        .agg(round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
-          / count(lit(1)), 6).as("y"))
+      val hourly = hourlyMeans(s, dir)
         .withColumn("wid", expr("hr div 16"))
       val part = Window.partitionBy("event_type", "wid")
       val wd = hourly
@@ -1587,10 +1594,7 @@ object StateQueries {
     },
 
     Q("ts_holt",
-      """WITH RECURSIVE hb AS (SELECT event_type,
-        |    epoch_us(ts) // 3600000000 AS hr,
-        |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS y
-        |  FROM events GROUP BY 1, 2),
+      "WITH RECURSIVE " + hourlyMeansSql + """,
         |h AS (SELECT event_type, y,
         |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
         |  FROM hb),
@@ -1621,11 +1625,7 @@ object StateQueries {
       // fold. The fold itself is inherently sequential per series —
       // exactly how a 1000-executor deployment runs per-key EWMA-family
       // models (many short series in parallel, not one long one).
-      val hourly = Tables.load(s, dir, "events")
-        .groupBy(col("event_type"),
-          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
-        .agg(round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
-          / count(lit(1)), 6).as("y"))
+      val hourly = hourlyMeans(s, dir)
       hourly.groupBy("event_type")
         .agg(sort_array(collect_list(struct(col("hr"), col("y")))).as("pts"))
         .withColumn("ys", expr("transform(pts, p -> p.y)"))
@@ -1745,10 +1745,7 @@ object StateQueries {
     // order statistics of identical IEEE slope values. Per-type
     // slope+level in value-units/hour, display-rounded at 6 dp.
     Q("ts_theil_sen",
-      """WITH hb AS (SELECT event_type,
-        |    epoch_us(ts) // 3600000000 AS hr,
-        |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS y
-        |  FROM events GROUP BY 1, 2),
+      "WITH " + hourlyMeansSql + """,
         |p AS (SELECT a.event_type,
         |    (b.y - a.y) / CAST(b.hr - a.hr AS DOUBLE) AS slope
         |  FROM hb a JOIN hb b
@@ -1757,11 +1754,7 @@ object StateQueries {
         |  (SELECT count(*) FROM hb h WHERE h.event_type = p.event_type) AS n_hours,
         |  round(quantile_cont(slope, 0.5), 6) AS slope_med
         |FROM p GROUP BY p.event_type""".stripMargin) { (s, dir) =>
-      val hourly = Tables.load(s, dir, "events")
-        .groupBy(col("event_type"),
-          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
-        .agg(round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
-          / count(lit(1)), 6).as("y"))
+      val hourly = hourlyMeans(s, dir)
         .transform(graft.operators.TextOps.trackCache)
       val pairs = hourly.as("a").join(hourly.as("b"),
           col("a.event_type") === col("b.event_type") &&
@@ -1788,10 +1781,7 @@ object StateQueries {
     // bounded by the time span, and a fleet runs many short series in
     // parallel — never one long one.
     Q("ts_kalman",
-      """WITH RECURSIVE hb AS (SELECT event_type,
-        |    epoch_us(ts) // 3600000000 AS hr,
-        |    round(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS y
-        |  FROM events GROUP BY 1, 2),
+      "WITH RECURSIVE " + hourlyMeansSql + """,
         |h AS (SELECT event_type, y,
         |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
         |  FROM hb),
@@ -1807,11 +1797,7 @@ object StateQueries {
         |SELECT s.event_type, n.n AS n_hours,
         |  round(s.x, 6) AS est, round(s.p, 6) AS post_var
         |FROM st s JOIN n ON s.event_type = n.event_type AND s.rn = n.n""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "events")
-        .groupBy(col("event_type"),
-          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
-        .agg(round(sum(col("value").cast(DecimalType(28, 8))).cast("double")
-          / count(lit(1)), 6).as("y"))
+      hourlyMeans(s, dir)
         .groupBy("event_type")
         .agg(sort_array(collect_list(struct(col("hr"), col("y")))).as("pts"))
         .withColumn("ys", expr("transform(pts, p -> p.y)"))

@@ -133,22 +133,29 @@ object TextQueries {
       |                       / (CAST(cr + 1 AS DOUBLE) * CAST(t + 256 AS DOUBLE))), 6) AS lw
       |  FROM cnts, tot)""".stripMargin
 
+  /** The language-ID scoring projection and argmax — shared text between
+    * tx_langid and tx_lang_confusion (round-12 review: the evaluation
+    * row must score with EXACTLY the classifier it audits).
+    */
+  private val langidScoresSql: String = profiles.map { case (l, ws) =>
+    val set = ws.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''), t -> t IN ($set))) AS s_$l"
+  }.mkString(",\n  ")
+
+  private val langidArgmaxSql: String =
+    """CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END""".stripMargin
+
   def defs: Seq[Q] = Seq(
 
     // n-gram/stopword language-ID heuristic: per-language stopword hit
     // counts, argmax with a fixed tie order.
-    Q("tx_langid", {
-      val scores = profiles.map { case (l, ws) =>
-        val set = ws.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''), t -> t IN ($set))) AS s_$l"
-      }.mkString(",\n  ")
-      s"""WITH t AS (SELECT doc_id, $scores FROM documents)
+    Q("tx_langid",
+      s"""WITH t AS (SELECT doc_id, $langidScoresSql FROM documents)
          |SELECT doc_id, s_en, s_es, s_de, s_fr,
-         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
-         |FROM t""".stripMargin
-    }) { (s, dir) =>
+         |  $langidArgmaxSql AS pred_lang
+         |FROM t""".stripMargin) { (s, dir) =>
       // Native count_in_set: the filter(..., isin) lambda rendering is
       // CodegenFallback and evicted this per-document projection from
       // whole-stage codegen.
@@ -176,23 +183,16 @@ object TextQueries {
     // labels, drive the prediction. Same row-local
     // scoring projection as tx_langid; the matrix itself is a bounded
     // (5x4) aggregate plus a broadcast of per-lang totals.
-    Q("tx_lang_confusion", {
-      val scores = profiles.map { case (l, ws) =>
-        val set = ws.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''), t -> t IN ($set))) AS s_$l"
-      }.mkString(",\n  ")
-      s"""WITH t AS (SELECT doc_id, lang, $scores FROM documents),
+    Q("tx_lang_confusion",
+      s"""WITH t AS (SELECT doc_id, lang, $langidScoresSql FROM documents),
          |p AS (SELECT lang,
-         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |  $langidArgmaxSql AS pred_lang
          |  FROM t),
          |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
          |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY lang)
          |SELECT c.lang, c.pred_lang, c.n, c.n * 1000000 // tot.tot AS share_ppm,
          |  CAST(c.lang = c.pred_lang AS INT) AS is_correct
-         |FROM c JOIN tot ON c.lang = tot.lang""".stripMargin
-    }) { (s, dir) =>
+         |FROM c JOIN tot ON c.lang = tot.lang""".stripMargin) { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
       val withScores = profiles.foldLeft(Tables.load(s, dir, "documents")) {
         case (df, (l, ws)) =>
