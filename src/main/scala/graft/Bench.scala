@@ -454,8 +454,19 @@ object Bench {
         else quiet.sorted.apply(quiet.size / 2)
       math.max(0.25, 2.0 * median)
     }
+    // Host fingerprint recorded with every history entry: the probe is
+    // per-core-constant so SPARK_GRAFT_CPUS alone doesn't move its floor,
+    // but a DIFFERENT physical host (fewer/slower cores, throttled CI)
+    // has a genuinely different quiet floor — mixing its probes into one
+    // shared history miscalibrates the 2x gate (round-12 ADVICE). The
+    // fingerprint is the physical core count + probe thread count; the
+    // median below only consumes entries from a matching fingerprint.
+    val hostFp: String =
+      s"${Runtime.getRuntime.availableProcessors}c/${cpus}t"
     // Host-probe gate: rolling quiet median of recorded host canaries
     // (any fixture — the probe is fixture-independent by construction),
+    // restricted to THIS host fingerprint (entries predating the
+    // fingerprint field are skipped — the default floor re-seeds), and
     // floored so a pristine history can't make normal jitter a rejection.
     val hostGate: Double = {
       val hist = try {
@@ -463,6 +474,9 @@ object Bench {
         if (java.nio.file.Files.exists(p))
           scala.jdk.CollectionConverters.ListHasAsScala(
             java.nio.file.Files.readAllLines(p)).asScala.toSeq
+            .filter(l =>
+              "\"host_fp\":\"([^\"]+)\"".r.findFirstMatchIn(l)
+                .exists(_.group(1) == hostFp))
             .flatMap { l =>
               val m = "\"host_canary_mean\":([0-9.]+)".r.findFirstMatchIn(l)
               m.map(_.group(1).toDouble)
@@ -554,7 +568,7 @@ object Bench {
     val total = opsTotal + bestReplayWall
     val (cHits, cMisses, cEvict) = graft.operators.TextOps.cacheStats
     val line =
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","canary_mean":${f"$canary%.4f"},"canary_gate":${f"$canaryGate%.4f"},"host_canary_mean":${f"$bestHost%.4f"},"host_canary_gate":${f"$hostGate%.4f"},"record_quality":"$recordQuality","passes":$passes,"ops_sec":${f"$opsTotal%.4f"},"replay_harness_sec":${f"$replayTotal%.4f"},"replay_wall_sec":${f"$bestReplayWall%.4f"},"replay_concurrency":$replayConcurrency,"cache_registry":{"hits":$cHits,"misses":$cMisses,"evictions":$cEvict}}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","canary_mean":${f"$canary%.4f"},"canary_gate":${f"$canaryGate%.4f"},"host_canary_mean":${f"$bestHost%.4f"},"host_canary_gate":${f"$hostGate%.4f"},"host_fp":"$hostFp","record_quality":"$recordQuality","passes":$passes,"ops_sec":${f"$opsTotal%.4f"},"replay_harness_sec":${f"$replayTotal%.4f"},"replay_wall_sec":${f"$bestReplayWall%.4f"},"replay_concurrency":$replayConcurrency,"cache_registry":{"hits":$cHits,"misses":$cMisses,"evictions":$cEvict}}"""
     // full artifact (timings + plans in one object) persisted to disk: the
     // robust path when any stdout capture window truncates. Also append to
     // bench_history.jsonl so round N+1 can diff per-query timings against

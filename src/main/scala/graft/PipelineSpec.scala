@@ -109,7 +109,13 @@ object PathCompiler {
     }
     spec.steps.foreach {
       case FilterStep(rules) =>
-        val pred = rules.map(r => expr(MathDsl.compile(r))).reduce(_ && _)
+        // coalesce to FALSE so a NULL predicate (TRY_CAST of a non-numeric
+        // field) routes the row to the reject branch instead of vanishing
+        // from BOTH branches — same contract as FilterRules.branch; the
+        // oracle routes every line to exactly one branch.
+        val pred =
+          coalesce(rules.map(r => expr(MathDsl.compile(r))).reduce(_ && _),
+            lit(false))
         val src = if (prevWasFilter && pendingReject != null) {
           val consumed = pendingReject
           pendingReject = null

@@ -751,11 +751,13 @@ object TextOps {
       aboveCap: String) // the caller's above-cap policy
 
   private val lastSimDecision =
-    new java.util.concurrent.atomic.AtomicReference[SimilarityDecision]()
+    new ThreadLocal[SimilarityDecision]()
   /** The decision recorded by the most recent similarity/containment
-    * dispatch on this JVM (observability + specs, like TopKDispatch's
+    * dispatch on THIS THREAD (observability + specs, like TopKDispatch's
     * returned Decision — the join signatures stay DataFrame-valued so the
-    * 300-row board's call sites don't all grow a tuple).
+    * 300-row board's call sites don't all grow a tuple). Thread-local so
+    * the concurrent board cannot observe another join's decision; a reader
+    * on a different thread than the dispatch sees None.
     */
   def lastSimilarityDecision: Option[SimilarityDecision] =
     Option(lastSimDecision.get)
@@ -1842,6 +1844,19 @@ object VectorOps {
     */
   def knnGraph(vectors: DataFrame, k: Int, exactBlockMax: Long = 65536,
       nCells: Int = 0, nProbe: Int = 4): DataFrame = {
+    // Precondition (plan-time, raises — never a silent filter): the IVF
+    // branch routes through TopKDispatch.render, whose normalized()
+    // contract casts vec_id to long and drops cast-null ids and NaN
+    // cosines. A string-typed id would therefore yield a silently
+    // empty/partial graph; refuse it here instead. Zero-norm embeddings
+    // (cosine undefined, NaN) ARE dropped from the neighbor lists — the
+    // documented contract for both the exact and IVF renderings.
+    vectors.schema("vec_id").dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"knnGraph: vec_id must be numeric (castable to long), got $other" +
+        " — map string ids to a dense numeric id before building the graph")
+    }
     val e = vectors.select(col("label"), col("vec_id"), col("embedding"))
       .withColumn("nrm", l2norm(col("embedding")))
     val sizes = vectors.groupBy("label").count()

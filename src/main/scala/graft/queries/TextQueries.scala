@@ -1073,8 +1073,15 @@ object TextQueries {
     Q("tx_unigram_lm",
       """WITH wc AS (
         |  SELECT w, count(*) AS cnt FROM (
-        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-        |    FROM documents) GROUP BY 1),
+        |    -- same 8-char guard as the Spark side's raise_error: a longer
+        |    -- word makes the 128-mask enumeration incomplete, so BOTH
+        |    -- engines must refuse identically, not one raise / one train
+        |    -- an incomplete vocabulary (round-12 ADVICE)
+        |    SELECT CASE WHEN length(w0) <= 8 THEN w0
+        |      ELSE error('tx_unigram_lm: word longer than 8 chars - the 128-mask segmentation enumeration is incomplete; raise the mask budget before training on this corpus')
+        |      END AS w FROM (
+        |      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w0
+        |      FROM documents)) GROUP BY 1),
         |sub AS (
         |  SELECT DISTINCT substr(w, s, l) AS piece
         |  FROM wc, range(1, 9) r1(s), range(1, 5) r2(l)
