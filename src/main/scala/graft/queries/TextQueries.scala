@@ -1507,10 +1507,16 @@ object TextQueries {
     // channel — the mono mix is unchanged, 16-bit samples are dyadic-
     // exact doubles). Row-local mapPartitions, zero shuffles; at 100 TB
     // this is one scan with the decoder JIT-warm per partition.
+    // Generator arithmetic note (here and mm_flac/mm_vad): the LCG seed is
+    // reduced doc_id % 65536 BEFORE the 1103515245 multiply — identical
+    // values for any doc_id (mod distributes over the product of
+    // non-negatives) but overflow-free at scale-fixture ids (k*1e9 offsets):
+    // the unreduced product overflowed INT64 at the 10x fixture, where
+    // DuckDB refuses and the JVM silently WRAPS (round-13 10x gate find).
     Q("mm_audio",
       """WITH d AS (SELECT doc_id, 200 + (doc_id % 50) * 8 AS n FROM documents),
         |s AS (SELECT doc_id, n, i,
-        |    ((doc_id * 1103515245 + i * 12345) % 65536) - 32768 AS v
+        |    (((doc_id % 65536) * 1103515245 + i * 12345) % 65536) - 32768 AS v
         |  FROM d, unnest(range(0, n)) AS t(i)),
         |x AS (SELECT doc_id, n, i, v,
         |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS p FROM s)
@@ -1532,7 +1538,7 @@ object TextQueries {
         .mapPartitions { it =>
           it.flatMap { case (docId, n) =>
             val pcm = Array.tabulate(n) { i =>
-              (((docId * 1103515245L + i * 12345L) % 65536L) - 32768L).toShort
+              ((((docId % 65536L) * 1103515245L + i * 12345L) % 65536L) - 32768L).toShort
             }
             val wav = graft.streaming.Multimodal.encodeWavPcm16(
               8000, 1 + (docId % 2).toInt, pcm)
@@ -1571,7 +1577,7 @@ object TextQueries {
     Q("mm_flac",
       """WITH d AS (SELECT doc_id, 200 + (doc_id % 50) * 8 AS n FROM documents),
         |s AS (SELECT doc_id, n, i,
-        |    ((doc_id * 1103515245 + i * 12345) % 65536) - 32768 AS v
+        |    (((doc_id % 65536) * 1103515245 + i * 12345) % 65536) - 32768 AS v
         |  FROM d, unnest(range(0, n)) AS t(i))
         |SELECT doc_id,
         |  CAST(max(n) AS BIGINT) AS n_samples,
@@ -1591,7 +1597,7 @@ object TextQueries {
         .mapPartitions { it =>
           it.flatMap { case (docId, n) =>
             val pcm = Array.tabulate(n) { i =>
-              (((docId * 1103515245L + i * 12345L) % 65536L) - 32768L).toShort
+              ((((docId % 65536L) * 1103515245L + i * 12345L) % 65536L) - 32768L).toShort
             }
             val flac = graft.streaming.Flac.encodeFlac(
               8000, 1 + (docId % 2).toInt, pcm, blockSize = 256)
@@ -1629,8 +1635,8 @@ object TextQueries {
       """WITH d AS (SELECT doc_id, 256 + (doc_id % 40) * 16 AS n FROM documents),
         |s AS (SELECT doc_id, i,
         |    CASE WHEN ((i // 64 + doc_id) % 3) <> 2
-        |         THEN (doc_id * 1103515245 + i * 12345) % 65536 - 32768
-        |         ELSE ((doc_id * 1103515245 + i * 12345) % 65536 - 32768) % 512
+        |         THEN ((doc_id % 65536) * 1103515245 + i * 12345) % 65536 - 32768
+        |         ELSE (((doc_id % 65536) * 1103515245 + i * 12345) % 65536 - 32768) % 512
         |    END AS v
         |  FROM d, unnest(range(0, n)) AS t(i)),
         |f AS (SELECT doc_id, i // 16 AS fr, CAST(sum(v * v) AS BIGINT) AS e
@@ -1654,7 +1660,7 @@ object TextQueries {
           it.flatMap { docId =>
             val n = 256 + (docId % 40).toInt * 16
             val pcm = Array.tabulate(n) { i =>
-              val r = (docId * 1103515245L + i * 12345L) % 65536L - 32768L
+              val r = ((docId % 65536L) * 1103515245L + i * 12345L) % 65536L - 32768L
               val v = if ((i / 64 + docId) % 3 != 2) r else r % 512
               v.toShort
             }
