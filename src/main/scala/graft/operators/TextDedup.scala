@@ -191,16 +191,23 @@ object TextOps {
     * blocks (the round-6 regression was unbounded accumulation; the
     * round-7→8 fix released everything on each new query, which was safe
     * but forfeited cross-query sharing). `cache()` defaults to
-    * MEMORY_AND_DISK, so even a pathological 12-frame working set
-    * degrades to disk spill, never OOM. Operators never release
-    * internally — a query that tracks its own frames and then invokes a
-    * join must not have them unpersisted mid-build; a single query build
-    * tracks well under [[maxLiveCaches]] frames, so its own caches can
-    * never be evicted mid-build.
+    * MEMORY_AND_DISK, so even a pathological full working set degrades to
+    * disk spill, never OOM. Operators never release internally — a query
+    * that tracks its own frames and then invokes a join should not have
+    * them unpersisted mid-build. The registry is JVM-GLOBAL and the board
+    * runs builds concurrently (8-thread concurrent board, 4-way replay
+    * tier), so the bound is sized for peak concurrency × frames-per-build
+    * (8 × ~4), not a single build: under that ceiling no thread's frames
+    * can be evicted mid-build. Beyond it (more concurrent callers than
+    * the board ever runs) eviction of another thread's live frame is
+    * possible and SAFE — unpersist only drops blocks, the lazy plan
+    * recomputes — it costs rebuild work, never correctness (round-13
+    * kernel review: the old doc claimed the single-build bound as a
+    * global guarantee).
     */
   private val liveCaches = new scala.collection.mutable.LinkedHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
-  private val maxLiveCaches = 12
+  private val maxLiveCaches = 32
   // observability counters (round-8 verdict: the bench artifact must report
   // registry behavior so an eviction-churn regression is distinguishable
   // from host load); read via cacheStats, zeroed by resetCacheStats
@@ -396,9 +403,10 @@ object TextOps {
         col("wc")))
     var cur = words
     val learned = Seq.newBuilder[(Int, String, String, Long)]
-    for (it <- 1 to iters) {
+    var dry = false
+    for (it <- 1 to iters if !dry) {
       val syms = filter(split(col("s"), " "), x => x =!= "")
-      val top = cur
+      val tops = cur
         .select(col("wc"), syms.as("syms"))
         .filter(size(col("syms")) >= 2)
         .select(col("wc"),
@@ -408,13 +416,21 @@ object TextOps {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("wc").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      learned += ((it, a, b, cnt))
-      // a ends with ';' by construction; the merged symbol drops it.
-      cur = cur.select(
-        replace(col("s"), lit(s" $a $b"), lit(s" ${a.init}$b")).as("s"),
-        col("cl"), col("wc"))
+        .limit(1).collect()
+      // BPE's natural stopping point: every retained word is a single
+      // symbol, so no pair exists to merge — stop with the merges learned
+      // so far instead of indexing into an empty argmax (round-13 kernel
+      // review; iters is a BUDGET, not a guarantee)
+      if (tops.isEmpty) dry = true
+      else {
+        val top = tops(0)
+        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        learned += ((it, a, b, cnt))
+        // a ends with ';' by construction; the merged symbol drops it.
+        cur = cur.select(
+          replace(col("s"), lit(s" $a $b"), lit(s" ${a.init}$b")).as("s"),
+          col("cl"), col("wc"))
+      }
     }
     (cur, learned.result())
   }
@@ -575,9 +591,6 @@ object TextOps {
             out.iterator
           }
         } else {
-          // cross-chunk: pair each side-i doc against the card-window of
-          // the sorted side-j docs (binary-searched when the length
-          // filter applies — same lossless prune, two-sided)
           // cross-chunk: every side-i doc against every side-j doc; the
           // cheap integer length filter gates the popcount per pair (a
           // rejected pair costs two compares, so no index structure is
@@ -824,6 +837,64 @@ object TextOps {
         round(col("c_ab"), 6).as("c_ab"), round(col("c_ba"), 6).as("c_ba"))
   }
 
+  /** The single dispatch path shared by [[similarityJoin]] and
+    * [[containmentJoin]] — the regimes, the measured evidence, the
+    * above-cap policy, and the [[SimilarityDecision]] recording live HERE
+    * so the two public joins can never fork their dispatch semantics by a
+    * one-sided edit (round-13 kernel review: the block was duplicated
+    * verbatim except for the four kernel calls). The kernels arrive as
+    * thunks; only the chosen one is built.
+    */
+  private def dispatchExactSimilarity(
+      what: String,
+      grams: DataFrame,
+      blockCol: String,
+      denseVocabAvgDf: Double,
+      smallVocabBitset: Boolean,
+      aboveCap: String,
+      blockCap: Long,
+      bitsetK: (Array[String], Map[String, Long]) => DataFrame,
+      countK: () => DataFrame,
+      ppjoinK: () => DataFrame,
+      lshK: () => DataFrame): DataFrame = {
+    val st = grams
+      .select(explode(col("__g")).as("x"))
+      .agg(count(lit(1)).as("tot"), approx_count_distinct(col("x")).as("nd"))
+      .head()
+    val avgDf = st.getLong(0).toDouble / math.max(st.getLong(1), 1L)
+    val nd = st.getLong(1)
+    def decide(kernel: String, maxBlock: Long) = recordSim(
+      SimilarityDecision(kernel, avgDf, nd, maxBlock, blockCap, aboveCap))
+    def exactLarge(maxBlock: Long): DataFrame =
+      if (avgDf >= denseVocabAvgDf) {
+        decide("count", maxBlock)
+        countK()
+      } else {
+        decide("ppjoin", maxBlock)
+        ppjoinK()
+      }
+    val bitVocab =
+      if (smallVocabBitset) smallVocab(grams, nd) else None
+    bitVocab match {
+      case Some(v) =>
+        val sizes = blockSizes(grams, blockCol)
+        val maxBlock = sizes.valuesIterator.max
+        if (maxBlock <= blockCap) {
+          decide("bitset", maxBlock)
+          bitsetK(v, sizes)
+        } else aboveCap match {
+          case AboveCapLsh =>
+            decide("lsh-verify", maxBlock)
+            lshK()
+          case AboveCapForceExact => exactLarge(maxBlock)
+          case _ =>
+            decide("refused", maxBlock)
+            refuseAboveCap(what, maxBlock, blockCap)
+        }
+      case _ => exactLarge(-1L)
+    }
+  }
+
   /** Exact Jaccard self-join with plan dispatch on measured vocabulary
     * density: one cheap pass (count + HLL distinct over the exploded
     * grams) gives the average gram document frequency. A Zipf-tailed
@@ -853,44 +924,14 @@ object TextOps {
       // test-seam var would be JVM-global mutable dispatch behavior)
       blockCap: Long = BitsetMaxBlock): DataFrame = {
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
-    val st = grams
-      .select(explode(col("__g")).as("x"))
-      .agg(count(lit(1)).as("tot"), approx_count_distinct(col("x")).as("nd"))
-      .head()
-    val avgDf = st.getLong(0).toDouble / math.max(st.getLong(1), 1L)
-    val nd = st.getLong(1)
-    def decide(kernel: String, maxBlock: Long) = recordSim(
-      SimilarityDecision(kernel, avgDf, nd, maxBlock, blockCap, aboveCap))
-    def exactLarge(maxBlock: Long): DataFrame =
-      if (avgDf >= denseVocabAvgDf) {
-        decide("count", maxBlock)
-        countJoinFrom(grams, idCol, blockCol, threshold)
-      } else {
-        decide("ppjoin", maxBlock)
-        ppjoinFrom(grams, idCol, blockCol, threshold)
-      }
-    val bitVocab =
-      if (smallVocabBitset) smallVocab(grams, nd) else None
-    bitVocab match {
-      case Some(v) =>
-        val sizes = blockSizes(grams, blockCol)
-        val maxBlock = sizes.valuesIterator.max
-        if (maxBlock <= blockCap) {
-          decide("bitset", maxBlock)
-          bitsetJaccardFrom(grams, idCol, blockCol, threshold, v,
-            sizes = sizes)
-        } else aboveCap match {
-          case AboveCapLsh =>
-            decide("lsh-verify", maxBlock)
-            lshVerifiedJaccard(docs, grams, idCol, blockCol, textCol,
-              shingleSize, threshold)
-          case AboveCapForceExact => exactLarge(maxBlock)
-          case _ =>
-            decide("refused", maxBlock)
-            refuseAboveCap("similarityJoin", maxBlock, blockCap)
-        }
-      case _ => exactLarge(-1L)
-    }
+    dispatchExactSimilarity("similarityJoin", grams, blockCol,
+      denseVocabAvgDf, smallVocabBitset, aboveCap, blockCap,
+      bitsetK = (v, sizes) =>
+        bitsetJaccardFrom(grams, idCol, blockCol, threshold, v, sizes = sizes),
+      countK = () => countJoinFrom(grams, idCol, blockCol, threshold),
+      ppjoinK = () => ppjoinFrom(grams, idCol, blockCol, threshold),
+      lshK = () => lshVerifiedJaccard(docs, grams, idCol, blockCol, textCol,
+        shingleSize, threshold))
   }
 
   /** Exact asymmetric-containment self-join: pairs where
@@ -920,44 +961,15 @@ object TextOps {
       aboveCap: String = AboveCapRefuse,
       blockCap: Long = BitsetMaxBlock): DataFrame = {
     val grams = shingled(docs, idCol, blockCol, textCol, shingleSize)
-    val st = grams
-      .select(explode(col("__g")).as("x"))
-      .agg(count(lit(1)).as("tot"), approx_count_distinct(col("x")).as("nd"))
-      .head()
-    val avgDf = st.getLong(0).toDouble / math.max(st.getLong(1), 1L)
-    val nd = st.getLong(1)
-    def decide(kernel: String, maxBlock: Long) = recordSim(
-      SimilarityDecision(kernel, avgDf, nd, maxBlock, blockCap, aboveCap))
-    def exactLarge(maxBlock: Long): DataFrame =
-      if (avgDf >= denseVocabAvgDf) {
-        decide("count", maxBlock)
-        containmentCountFrom(grams, idCol, blockCol, threshold)
-      } else {
-        decide("ppjoin", maxBlock)
-        containmentPrefixFrom(grams, idCol, blockCol, threshold)
-      }
-    val bitVocab =
-      if (smallVocabBitset) smallVocab(grams, nd) else None
-    bitVocab match {
-      case Some(v) =>
-        val sizes = blockSizes(grams, blockCol)
-        val maxBlock = sizes.valuesIterator.max
-        if (maxBlock <= blockCap) {
-          decide("bitset", maxBlock)
-          bitsetContainmentFrom(grams, idCol, blockCol, threshold, v,
-            sizes = sizes)
-        } else aboveCap match {
-          case AboveCapLsh =>
-            decide("lsh-verify", maxBlock)
-            lshVerifiedContainment(docs, grams, idCol, blockCol, textCol,
-              shingleSize, threshold)
-          case AboveCapForceExact => exactLarge(maxBlock)
-          case _ =>
-            decide("refused", maxBlock)
-            refuseAboveCap("containmentJoin", maxBlock, blockCap)
-        }
-      case _ => exactLarge(-1L)
-    }
+    dispatchExactSimilarity("containmentJoin", grams, blockCol,
+      denseVocabAvgDf, smallVocabBitset, aboveCap, blockCap,
+      bitsetK = (v, sizes) =>
+        bitsetContainmentFrom(grams, idCol, blockCol, threshold, v,
+          sizes = sizes),
+      countK = () => containmentCountFrom(grams, idCol, blockCol, threshold),
+      ppjoinK = () => containmentPrefixFrom(grams, idCol, blockCol, threshold),
+      lshK = () => lshVerifiedContainment(docs, grams, idCol, blockCol,
+        textCol, shingleSize, threshold))
   }
 
   /** Inverted-index count-join for containment (dense-vocabulary path):
@@ -1113,6 +1125,49 @@ case class EmbBlockRow(id: Long, block: String, vec: Array[Float])
   * [[buckets]]: random-hyperplane LSH so ANN probes only touch one bucket.
   */
 object VectorOps {
+
+  /** Plan-time refusal for id columns a downstream kernel casts to long:
+    * TopKDispatch.normalized (and the =!= qid filters) silently DROP
+    * cast-null ids, so a string-typed id would return an empty/partial
+    * result with no error — the exact silent-filter class the round-12
+    * knnGraph guard was added for; round 13 extends it to every ANN
+    * entry point that casts an id (kernel review finding).
+    */
+  private def requireNumericId(df: DataFrame, idCol: String,
+      what: String): Unit =
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"$what: $idCol must be numeric (castable to long), got $other" +
+        " — map string ids to a dense numeric id first")
+    }
+
+  /** Per-query top-k by ASCENDING distance through the native TopKAgg
+    * rendering. The group key is the query id of a driver-side query
+    * array — fixed-cardinality BY CONSTRUCTION, so the regime decision is
+    * static: a ranking window would sort the corpus-scale scored rows
+    * into #queries partitions no matter the cluster size (the project's
+    * documented recurring scale-bug class; same reasoning as
+    * Ranks.bucketedRank). TopKAgg ranks value DESC, so the distance is
+    * negated in and re-negated out — exact for every finite double, with
+    * `+ 0.0` re-normalizing the -0.0 case — and the (dist ASC, id ASC)
+    * tie-break is preserved as (-dist DESC, id ASC). k beyond
+    * [[org.apache.spark.sql.graft.TopKAgg.MaxK]] (the exhaustive-ranking
+    * shape the cross-check specs use) takes the window rendering — both
+    * renderings share [[TopKDispatch]]'s normalized input contract, so
+    * the flip never changes answers, only the plan.
+    */
+  private def topKByDistAsc(scored: DataFrame, qidCol: String,
+      distCol: String, idCol: String, k: Int): DataFrame = {
+    val negd = scored.withColumn("__negd", negate(col(distCol)))
+    val ranked =
+      if (k <= org.apache.spark.sql.graft.TopKAgg.MaxK)
+        TopKDispatch.renderNative(negd, Seq(qidCol), "__negd", idCol, k)
+      else
+        TopKDispatch.renderWindow(negd, Seq(qidCol), "__negd", idCol, k)
+    ranked.select(col(qidCol), col(idCol).as("vec_id"), col("rn"),
+      (negate(col("__negd")) + lit(0.0)).as(distCol))
+  }
 
   /** Double-precision dot product in ascending index order — the same
     * accumulation order as [[dot]]'s aggregate(zip_with(..)) rendering,
@@ -1518,6 +1573,7 @@ object VectorOps {
         acc
       }
     }
+    requireNumericId(vectors, idCol, "adcSearch")
     val enc = pqEncode(vectors, idCol, vecCol, cb)
       .select(col(idCol).cast("long").as("__id"), col("codes"))
     val scored = queries.zipWithIndex.map { case ((qid, _), qi) =>
@@ -1527,15 +1583,12 @@ object VectorOps {
       }.reduceLeft(_ + _)
       struct(lit(qid).as("qid"), dist.as("dist"))
     }
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(col("dist_r"), col("__id"))
-    enc.select(col("__id"), explode(array(scored.toIndexedSeq: _*)).as("t"))
-      .select(col("t.qid").as("qid"), col("__id"),
-        round(col("t.dist"), 6).as("dist_r"))
-      .filter(col("__id") =!= col("qid"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("__id").as("vec_id"), col("rn"), col("dist_r"))
+    topKByDistAsc(
+      enc.select(col("__id"), explode(array(scored.toIndexedSeq: _*)).as("t"))
+        .select(col("t.qid").as("qid"), col("__id"),
+          round(col("t.dist"), 6).as("dist_r"))
+        .filter(col("__id") =!= col("qid")),
+      "qid", "dist_r", "__id", k)
   }
 
   /** IVF-PQ search — the standard billion-vector ANN layout (Jégou et
@@ -1589,7 +1642,7 @@ object VectorOps {
   def ivfPqSearch(vectors: DataFrame, idCol: String, vecCol: String,
       queries: Array[(Long, Array[Double])], nCells: Int, m: Int, k: Int,
       kTop: Int, nProbe: Int, iters: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    requireNumericId(vectors, idCol, "ivfPqSearch")
     val cents = trainCentroids(vectors, idCol, vecCol, nCells)
     val assigned = ivfAssign(vectors, idCol, vecCol, cents)
     val centArr = centroidArrays(cents)
@@ -1635,21 +1688,18 @@ object VectorOps {
         array_contains(array(probes.map(lit(_)): _*), col("bucket")).as("probed"),
         dist.as("dist"))
     }
-    val w = Window.partitionBy("qid").orderBy(col("dist_r"), col("__id"))
-    enc.select(col("__id"),
-        explode(array(scored.toIndexedSeq: _*)).as("t"))
-      .filter(col("t.probed") && col("__id") =!= col("t.qid"))
-      .select(col("t.qid").as("qid"), col("__id"),
-        round(col("t.dist"), 6).as("dist_r"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= kTop)
-      .select(col("qid"), col("__id").as("vec_id"), col("rn"), col("dist_r"))
+    topKByDistAsc(
+      enc.select(col("__id"),
+          explode(array(scored.toIndexedSeq: _*)).as("t"))
+        .filter(col("t.probed") && col("__id") =!= col("t.qid"))
+        .select(col("t.qid").as("qid"), col("__id"),
+          round(col("t.dist"), 6).as("dist_r")),
+      "qid", "dist_r", "__id", kTop)
   }
 
   def ivfAdcSearch(assigned: DataFrame, centroids: DataFrame,
       cb: Array[Array[Array[Double]]], queries: Array[(Long, Array[Double])],
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents: Array[(Int, Array[Double])] = centroids
       .select(col("cid").cast("int"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
@@ -1681,17 +1731,16 @@ object VectorOps {
           col("bucket")).as("probed"),
         dist.as("dist"))
     }
+    requireNumericId(assigned, idCol, "ivfAdcSearch")
     val enc = pqEncode(assigned, idCol, vecCol, cb)
       .select(col(idCol).cast("long").as("__id"), col("bucket"), col("codes"))
-    val w = Window.partitionBy("qid").orderBy(col("dist_r"), col("__id"))
-    enc.select(col("__id"),
-        explode(array(scored.toIndexedSeq: _*)).as("t"))
-      .filter(col("t.probed") && col("__id") =!= col("t.qid"))
-      .select(col("t.qid").as("qid"), col("__id"),
-        round(col("t.dist"), 6).as("dist_r"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("__id").as("vec_id"), col("rn"), col("dist_r"))
+    topKByDistAsc(
+      enc.select(col("__id"),
+          explode(array(scored.toIndexedSeq: _*)).as("t"))
+        .filter(col("t.probed") && col("__id") =!= col("t.qid"))
+        .select(col("t.qid").as("qid"), col("__id"),
+          round(col("t.dist"), 6).as("dist_r")),
+      "qid", "dist_r", "__id", k)
   }
 
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
@@ -1791,7 +1840,13 @@ object VectorOps {
   def ivfSearch(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
       k: Int, nProbe: Int): DataFrame = {
+    requireNumericId(assigned, idCol, "ivfSearch")
     import org.apache.spark.sql.expressions.Window
+    // the probe window's key (qidCol) spans only queries × nCells rows
+    // (both broadcast-small) — fine as a window; the CANDIDATE ranking
+    // below is queries × corpus-cell rows over the same fixed-cardinality
+    // key, so it goes through the native TopKAgg rendering instead
+    // (round-13 kernel review; same static regime as topKByDistAsc)
     val wProbe = Window.partitionBy(col(qidCol))
       .orderBy(col("__ccos").desc, col("cid"))
     val probes = queries
@@ -1800,14 +1855,12 @@ object VectorOps {
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nProbe)
       .select(col(qidCol), col(qvecCol), col("cid").as("bucket"))
-    val wTop = Window.partitionBy(col(qidCol))
-      .orderBy(col("cos_r").desc, col(idCol))
-    assigned
-      .join(broadcast(probes),
-        assigned("bucket") === probes("bucket") && col(idCol) =!= col(qidCol))
-      .withColumn("cos_r", round(cosine(col(qvecCol), col(vecCol)), 6))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= k)
+    TopKDispatch.renderNative(
+        assigned
+          .join(broadcast(probes),
+            assigned("bucket") === probes("bucket") && col(idCol) =!= col(qidCol))
+          .withColumn("cos_r", round(cosine(col(qvecCol), col(vecCol)), 6)),
+        Seq(qidCol), "cos_r", idCol, k)
       .select(col(qidCol), col(idCol), col("rn"), col("cos_r"))
   }
 
@@ -1851,12 +1904,12 @@ object VectorOps {
     // empty/partial graph; refuse it here instead. Zero-norm embeddings
     // (cosine undefined, NaN) ARE dropped from the neighbor lists — the
     // documented contract for both the exact and IVF renderings.
-    vectors.schema("vec_id").dataType match {
-      case _: org.apache.spark.sql.types.NumericType => ()
-      case other => throw new IllegalArgumentException(
-        s"knnGraph: vec_id must be numeric (castable to long), got $other" +
-        " — map string ids to a dense numeric id before building the graph")
-    }
+    requireNumericId(vectors, "vec_id", "knnGraph")
+    // label too: the exact kernels cast it to int while the IVF branch
+    // carries it raw, so a STRING label would make semantics (and the
+    // output type) depend on the size dispatch — '7'/'07' merge in one
+    // branch and stay distinct in the other (round-13 kernel review).
+    requireNumericId(vectors, "label", "knnGraph")
     val e = vectors.select(col("label"), col("vec_id"), col("embedding"))
       .withColumn("nrm", l2norm(col("embedding")))
     val sizes = vectors.groupBy("label").count()
@@ -1996,7 +2049,13 @@ object VectorOps {
               if (cands(j)._4 == qid) Double.NegativeInfinity
               else dotJvm(qe, cands(j)._5) / (qn * cNrm(j))
             val c = cos(j)
-            if (filled < k || c > topU(filled - 1)) {
+            // NaN cosines (zero-norm vectors) never enter topU: when
+            // filled < k the short-circuit would admit one, and no value
+            // can displace a NaN (both < comparisons false), so it would
+            // permanently steal a slot and inflate kth — silently
+            // truncating every real neighbor list (round-13 kernel
+            // review). The documented contract drops NaN pairs.
+            if (!c.isNaN && (filled < k || c > topU(filled - 1))) {
               var p = filled
               while (p > 0 && topU(p - 1) < c) p -= 1
               if (p < k) {
@@ -2014,7 +2073,8 @@ object VectorOps {
             .empty[(Int, Long, Long, Double)]
           j = 0
           while (j < cands.length) {
-            if (cands(j)._4 != qid && (filled < k || cos(j) >= kth - 2e-6))
+            if (cands(j)._4 != qid && !cos(j).isNaN &&
+                (filled < k || cos(j) >= kth - 2e-6))
               out += ((label, qid, cands(j)._4, cos(j)))
             j += 1
           }
@@ -2064,7 +2124,10 @@ object VectorOps {
               if (j == qi) Double.NegativeInfinity
               else dotJvm(qe, arr(j)._3) / (nrm(qi) * nrm(j))
             val c = cosBuf(j)
-            if (filled < k || c > topU(filled - 1)) {
+            // NaN (zero-norm vector) never enters topU — see the chunked
+            // kernel's comment; a stuck NaN slot inflates kth and
+            // silently truncates real neighbor lists
+            if (!c.isNaN && (filled < k || c > topU(filled - 1))) {
               var p = filled
               while (p > 0 && topU(p - 1) < c) p -= 1
               if (p < k) {
@@ -2083,7 +2146,8 @@ object VectorOps {
           val cands = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
           j = 0
           while (j < arr.length) {
-            if (j != qi && (filled < k || cosBuf(j) >= kth - 2e-6))
+            if (j != qi && !cosBuf(j).isNaN &&
+                (filled < k || cosBuf(j) >= kth - 2e-6))
               cands += ((round6(cosBuf(j)), arr(j)._2))
             j += 1
           }
@@ -2102,6 +2166,14 @@ object VectorOps {
     * one codegen'd [[dot]] — no per-element md5/lambda trees.
     */
   def buckets(vec: Column, planes: Int, maxDims: Int = 128): Column = {
+    // one sign bit per plane into a LONG is an implicit <= 64 contract:
+    // 1L << p wraps modulo 64 at p >= 64, aliasing plane p onto bit p-64,
+    // and the + combine would carry the collision into higher bits —
+    // silently corrupting every bucket id (round-13 kernel review; same
+    // silent-degradation class as the maxDims guard below)
+    require(planes >= 1 && planes <= 64,
+      s"lsh buckets: planes must be in [1,64] (one sign bit per plane " +
+      s"in a 64-bit bucket id), got $planes")
     val bits = (0 until planes).map { p =>
       val plane = array((0 until maxDims).map(j => lit(planeComponentJvm(p, j))): _*)
       val proj = dot(vec, slice(plane, lit(1), coalesce(size(vec), lit(0))))

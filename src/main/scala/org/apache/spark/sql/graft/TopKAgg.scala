@@ -95,7 +95,7 @@ case class TopKAgg(
   extends TypedImperativeAggregate[TopKBuf]
   with ImplicitCastInputTypes {
 
-  require(k > 0 && k <= (1 << 20), s"topk k out of range: $k")
+  require(k > 0 && k <= TopKAgg.MaxK, s"topk k out of range: $k")
 
   override def children: Seq[Expression] = Seq(valueChild, idChild)
   override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
@@ -163,6 +163,13 @@ case class TopKAgg(
 }
 
 object TopKAgg {
+  /** Largest k the bounded-heap aggregate accepts: past ~1M entries per
+    * group the buffer is no longer "bounded" in any useful sense and a
+    * window/sort is the honest plan — dispatch callers flip rendering on
+    * this constant instead of hardcoding it.
+    */
+  val MaxK: Int = 1 << 20
+
   /** Column API: array of the k largest (value, id) structs within the
     * group, ordered (value DESC, id ASC).
     */
