@@ -1133,7 +1133,7 @@ object VectorOps {
     * knnGraph guard was added for; round 13 extends it to every ANN
     * entry point that casts an id (kernel review finding).
     */
-  private def requireNumericId(df: DataFrame, idCol: String,
+  private[graft] def requireNumericId(df: DataFrame, idCol: String,
       what: String): Unit =
     df.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType => ()

@@ -361,12 +361,21 @@ object Flac {
     srCode match { // value unused beyond validation (STREAMINFO wins)
       case 12 => r.readBits(8)
       case 13 | 14 => r.readBits(16)
+      // RFC 9639: 0b1111 is forbidden exactly to prevent sync-fooling —
+      // reject like the sibling reserved codes instead of accepting it
+      // (round-13 kernel review; ssCode/bsCode already throw)
+      case 15 => throw new java.io.IOException("forbidden sample rate code")
       case _ =>
     }
     val headerEnd = r.bytePos // CRC-8 covers [pos, headerEnd)
     val hCrc = r.readBits(8).toInt
     if (crc8(bytes, pos, headerEnd) != hCrc)
       throw new java.io.IOException("header crc")
+    // RFC 9639 marks 0b1011-0b1111 reserved (decoder MUST reject);
+    // falling through to the 2-channel independent path would decode
+    // wrong samples with no error (round-13 kernel review)
+    if (chAsgn > 10)
+      throw new java.io.IOException("reserved channel assignment")
     val nCh = if (chAsgn <= 7) chAsgn + 1 else 2
     if (nCh != siCh) throw new java.io.IOException("channel mismatch")
     val bps = ssCode match {

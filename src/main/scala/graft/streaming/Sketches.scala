@@ -52,6 +52,13 @@ object Sketches {
 
   def spaceSavingTopK(items: Dataset[String], shards: Int, capacity: Int,
       k: Int): Dataset[HeavyHitter] = {
+    // same preconditions the batch twin (SpaceSaving.summarize) refuses
+    // up front; unchecked, capacity = 0 crashes minBy on an empty map
+    // INSIDE the running stream at the first element (round-13 review)
+    require(shards >= 1, s"spaceSavingTopK: shards must be >= 1, got $shards")
+    require(capacity >= 1,
+      s"spaceSavingTopK: capacity must be >= 1, got $capacity")
+    require(k >= 1, s"spaceSavingTopK: k must be >= 1, got $k")
     val sharded = items.map(w => (math.floorMod(w.hashCode, shards), w))
     sharded.groupByKey(_._1)
       .flatMapGroupsWithState[SsState, HeavyHitter](
@@ -102,6 +109,7 @@ object Sketches {
     * emission per shard is the live sketch).
     */
   def hllDistinct(items: Dataset[String], shards: Int, p: Int): Dataset[HllShard] = {
+    require(shards >= 1, s"hllDistinct: shards must be >= 1, got $shards")
     require(p >= 4 && p <= 16, "p in [4,16]")
     val m = 1 << p
     val sharded = items.map(w => (math.floorMod(w.hashCode, shards), w))
@@ -130,6 +138,13 @@ object Sketches {
     val m = 1 << p
     val out = new Array[Byte](m)
     shards.foreach { r =>
+      // the "same hash, same p everywhere" union precondition, enforced:
+      // a p-mismatched sketch would either crash (shorter) or silently
+      // merge only a prefix into a wrong estimate (longer) — refuse both
+      // (round-13 kernel review)
+      require(r.length == m,
+        s"mergeHllRegisters: shard has ${r.length} registers, p=$p needs $m" +
+        " — sketches with different p cannot be unioned")
       var i = 0
       while (i < m) { if (r(i) > out(i)) out(i) = r(i); i += 1 }
     }
@@ -171,9 +186,23 @@ object Sketches {
     * (1 - e^(-kn/m))^k, so size m ≈ 10 bits per expected distinct item
     * for <1% misses at k=4. Probes use double hashing h1 + i·h2
     * (Kirsch–Mitzenmacher, public result) so k probes cost two hashes.
+    *
+    * Sizing at scale: `nBits` is PER SHARD and an Int caps it at ~2.1e9
+    * bits (~214M distinct items at the 10-bits/item operating point), so
+    * the billion-document stream is reached through `shards` — items
+    * hash-shard uniformly, each shard holds its own filter, and total
+    * capacity is shards × nBits (1B docs ≈ 5 shards at the cap). Sizing
+    * nBits for the whole stream instead of n/shards silently misses
+    * duplicates at far above the advertised rate (round-13 review).
     */
   def bloomNovelty(items: Dataset[String], shards: Int, nBits: Int,
       nHashes: Int): Dataset[NovelItem] = {
+    require(shards >= 1, s"bloomNovelty: shards must be >= 1, got $shards")
+    // nHashes = 0 silently inverts the contract (every item reports
+    // duplicate); nBits near Int.MaxValue overflows (nBits+7)/8 negative
+    require(nHashes >= 1, s"bloomNovelty: nHashes must be >= 1, got $nHashes")
+    require(nBits >= 8 && nBits <= Int.MaxValue - 7,
+      s"bloomNovelty: nBits must be in [8, ${Int.MaxValue - 7}], got $nBits")
     val sharded = items.map(w => (math.floorMod(w.hashCode, shards), w))
     sharded.groupByKey(_._1)
       .flatMapGroupsWithState[BloomState, NovelItem](
@@ -260,7 +289,18 @@ object Sketches {
     * level collapses cleanly, within-buffer error otherwise) and the
     * deviation sketch scores each point against the estimate CURRENT at
     * its arrival, so early points score against a coarser baseline —
-    * the gate only arms after `warmup` samples for that reason.
+    * the gate only arms after `warmup` samples for that reason. Two more
+    * deltas pinned by the round-13 kernel review:
+    *  - a ZERO MAD does NOT disarm the gate (the batch twin's
+    *    `dev > 3·1.4826·mad` flags any positive deviation when mad = 0 —
+    *    the flat-baseline-then-spike case; the old `madEst > 0` arm
+    *    condition silently suppressed every such anomaly forever);
+    *  - a NaN input is flagged (when armed) and EXCLUDED from both
+    *    sketches: Spark SQL's NaN-largest comparison makes the batch
+    *    twin's `dev > thr` true for a NaN point, while inserting NaN
+    *    into a remedian buffer would poison the medians (NaN sorts
+    *    largest under Scala's TotalOrdering) and eventually disarm the
+    *    gate long after the sensor recovered.
     * RtValsSpec pins estimate accuracy and cross-batch state carry.
     */
   def madGate(points: Dataset[(String, Double)], warmup: Int = 30,
@@ -273,14 +313,19 @@ object Sketches {
           val medEst = remEstimate(st.medLevels)
           val dev = if (st.n == 0) 0.0 else math.abs(v - medEst)
           val madEst = remEstimate(st.devLevels)
-          val armed = st.n >= warmup && !madEst.isNaN && madEst > 0
-          val med2 = remInsert(st.medLevels, v)
-          val dev2 = if (st.n == 0) st.devLevels else remInsert(st.devLevels, dev)
-          st = MadGateState(med2, dev2, st.n + 1)
+          val armed = st.n >= warmup && !madEst.isNaN
+          if (!v.isNaN) {
+            val med2 = remInsert(st.medLevels, v)
+            val dev2 =
+              if (st.n == 0) st.devLevels else remInsert(st.devLevels, dev)
+            st = MadGateState(med2, dev2, st.n + 1)
+          }
           MadPoint(key, v,
             if (medEst.isNaN) v else medEst,
             if (madEst.isNaN) 0.0 else madEst,
-            armed && dev > kSigma * 1.4826 * madEst, st.n)
+            // dev is NaN for a NaN input: flag it like the batch twin
+            // (NaN compares largest in Spark SQL), never via JVM > (false)
+            armed && (dev.isNaN || dev > kSigma * 1.4826 * madEst), st.n)
         }.toList // materialize BEFORE state.update (lazy iterator)
         state.update(st)
         out.iterator
@@ -313,6 +358,12 @@ object Sketches {
       idCol: String, textCol: String, shingleSize: Int = 3, k: Int = 8,
       bands: Int = 4, maxBucket: Int = 64): Dataset[LshCandidate] = {
     import org.apache.spark.sql.functions._
+    // same plan-time refusal as the batch ANN/dedup entry points: the
+    // cast("long") below turns a string id into null, which would kill
+    // the CONTINUOUS query mid-batch from the non-nullable encoder
+    // instead of refusing before the stream starts (round-13 review)
+    graft.operators.VectorOps.requireNumericId(docs, idCol,
+      "streamingLshCandidates")
     graft.operators.TextOps
       .bandedSignatures(docs, idCol, textCol, shingleSize, k, bands)
       .select(col(idCol).cast("long").as("id"),
@@ -353,6 +404,10 @@ object Sketches {
   def streamingExactDedup(docs: org.apache.spark.sql.DataFrame,
       idCol: String, keyCol: String): Dataset[DedupDecision] = {
     import org.apache.spark.sql.functions.col
+    // see streamingLshCandidates: refuse string ids before the stream
+    // starts rather than dying in the encoder mid-batch
+    graft.operators.VectorOps.requireNumericId(docs, idCol,
+      "streamingExactDedup")
     docs.select(col(idCol).cast("long"), col(keyCol).cast("string"))
       .as[(Long, String)]
       .groupByKey(_._2)

@@ -111,4 +111,137 @@ class KernelContractsSpec extends AnyFunSuite {
     assert(merges.length == 1, s"expected 1 merge, got ${merges.toSeq}")
     assert(merges(0).getAs[String]("merged") == "ab")
   }
+
+  // ---- streaming sketch contracts (Sketches.scala review wave) ----
+
+  test("madGate: zero MAD does not disarm the gate (flat baseline then spike)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{MadPoint, Sketches}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = Sketches.madGate(mem.toDS(), warmup = 30)
+      .writeStream.format("memory").queryName("mad_zero")
+      .outputMode("update").start()
+    try {
+      // constant baseline: med = 5, MAD = 0 — the batch twin's
+      // dev > 3*1.4826*0 flags ANY positive deviation; pre-fix the
+      // madEst > 0 arm condition suppressed the spike forever
+      mem.addData((0 until 35).map(_ => ("flat", 5.0)): _*)
+      mem.addData(("flat", 500.0), ("flat", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("mad_zero").as[MadPoint].collect()
+      assert(rows.filter(_.anomaly).map(_.value).toSet == Set(500.0),
+        s"zero-MAD spike handling wrong: ${rows.filter(_.anomaly).toSeq}")
+    } finally q.stop()
+  }
+
+  test("madGate: NaN input is flagged and never poisons the sketches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{MadPoint, Sketches}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = Sketches.madGate(mem.toDS(), warmup = 30)
+      .writeStream.format("memory").queryName("mad_nan")
+      .outputMode("update").start()
+    try {
+      // median 10, MAD 2 baseline; then a burst of NaNs; then a spike
+      // and a normal point — pre-fix the NaNs entered the remedian
+      // buffers, skewed/NaN'd the estimates and disarmed the gate
+      mem.addData((0 until 63).map(i => ("s", 10.0 + (i % 7) - 3)): _*)
+      mem.addData((0 until 8).map(_ => ("s", Double.NaN)): _*)
+      mem.addData(("s", 1000.0), ("s", 11.0))
+      q.processAllAvailable()
+      val rows = spark.table("mad_nan").as[MadPoint].collect()
+      val nanRows = rows.filter(_.value.isNaN)
+      assert(nanRows.nonEmpty && nanRows.forall(_.anomaly),
+        "NaN inputs after warmup must be flagged (batch twin's NaN-largest compare)")
+      assert(rows.forall(r => !r.med.isNaN && !r.mad.isNaN),
+        "NaN leaked into the remedian estimates")
+      val spike = rows.filter(_.value == 1000.0)
+      assert(spike.nonEmpty && spike.forall(_.anomaly),
+        "gate disarmed by NaN burst: spike after recovery not flagged")
+      assert(rows.filter(_.value == 11.0).forall(!_.anomaly),
+        "normal point after NaN burst falsely flagged")
+    } finally q.stop()
+  }
+
+  test("streaming sketch preconditions refuse at plan time, not mid-stream") {
+    import graft.streaming.Sketches
+    implicit val sc = spark.sqlContext
+    val ds = Seq("a", "b").toDS()
+    intercept[IllegalArgumentException] {
+      Sketches.spaceSavingTopK(ds, shards = 1, capacity = 0, k = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomNovelty(ds, shards = 1, nBits = 4096, nHashes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomNovelty(ds, shards = 0, nBits = 4096, nHashes = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(ds, shards = 0, p = 12)
+    }
+    // p-mismatched HLL shards refuse instead of crashing or silently
+    // merging a prefix into a wrong union estimate
+    intercept[IllegalArgumentException] {
+      Sketches.mergeHllRegisters(
+        Seq(new Array[Byte](1 << 12), new Array[Byte](1 << 14)), p = 12)
+    }
+    // string ids refuse before the continuous query starts
+    val sdf = Seq(("doc1", "k")).toDF("doc_id", "key")
+    intercept[IllegalArgumentException] {
+      Sketches.streamingExactDedup(sdf, "doc_id", "key")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.streamingLshCandidates(sdf, "doc_id", "key")
+    }
+  }
+
+  // ---- FLAC decoder spec-validation contracts (Flac.scala review wave) ----
+
+  /** Re-seal a single-frame FLAC stream after tampering its frame header:
+    * recompute the header CRC-8 and the whole-frame CRC-16 so the decode
+    * reaches the tampered field instead of failing the checksum first.
+    */
+  private def resealFrame(bytes: Array[Byte], frameStart: Int): Unit = {
+    import graft.streaming.Flac
+    val bsCode = (bytes(frameStart + 2) >> 4) & 0xF
+    val srCode = bytes(frameStart + 2) & 0xF
+    val utf8First = bytes(frameStart + 4) & 0xFF
+    val utf8Len =
+      if (utf8First < 0x80) 1
+      else Integer.numberOfLeadingZeros(~(utf8First << 24)) // 2-7 bytes
+    val bsExtra = bsCode match { case 6 => 1; case 7 => 2; case _ => 0 }
+    val srExtra = srCode match { case 12 => 1; case 13 | 14 => 2; case _ => 0 }
+    val headerEnd = frameStart + 4 + utf8Len + bsExtra + srExtra
+    bytes(headerEnd) = Flac.crc8(bytes, frameStart, headerEnd).toByte
+    val frameEnd = bytes.length - 2 // single-frame stream: CRC-16 is last
+    val c16 = Flac.crc16(bytes, frameStart, frameEnd)
+    bytes(frameEnd) = ((c16 >> 8) & 0xFF).toByte
+    bytes(frameEnd + 1) = (c16 & 0xFF).toByte
+  }
+
+  test("FLAC decoder rejects reserved channel assignments and the forbidden sample-rate code") {
+    import graft.streaming.Flac
+    val pcm = Array.tabulate[Short](256)(i => (i * 13 % 251).toShort)
+    val good = Flac.encodeFlac(44100, 2, pcm, blockSize = 256)
+    assert(Flac.decodeFlacPcm(good).exists(_.nFrames == 1), "sanity: good stream")
+    val frameStart = 4 + 4 + 34 // fLaC + metadata header + STREAMINFO
+
+    // chAsgn = 0b1011 (reserved 11-15): RFC 9639 decoder MUST reject;
+    // pre-fix it fell through to the 2-channel independent path and
+    // decoded wrong samples with no error
+    val t1 = good.clone()
+    t1(frameStart + 3) = ((0xB << 4) | (t1(frameStart + 3) & 0x0F)).toByte
+    resealFrame(t1, frameStart)
+    assert(Flac.decodeFlacPcm(t1).forall(_.nFrames == 0),
+      "reserved channel assignment 11 was accepted")
+
+    // srCode = 0b1111 (forbidden, prevents sync-fooling)
+    val t2 = good.clone()
+    t2(frameStart + 2) = ((t2(frameStart + 2) & 0xF0) | 0xF).toByte
+    resealFrame(t2, frameStart)
+    assert(Flac.decodeFlacPcm(t2).forall(_.nFrames == 0),
+      "forbidden sample-rate code 15 was accepted")
+  }
 }
