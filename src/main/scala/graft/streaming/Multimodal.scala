@@ -72,7 +72,12 @@ object Multimodal {
     if (bytes.length >= 10 && bytes(0) == 'P' && bytes(1) == '6') {
       val header = new String(bytes, 0, math.min(bytes.length, 64), "US-ASCII")
       val nums = "\\d+".r.findAllIn(header.drop(2)).take(2).toSeq
-      if (nums.size == 2) Some((nums(0).toInt, nums(1).toInt)) else None
+      // toInt on an unbounded digit run throws NumberFormatException
+      // past Int range — a crafted header must fall back to None (stub
+      // dims), not kill the task (round-13 kernel review)
+      if (nums.size == 2 && nums.forall(n => n.length <= 9))
+        Some((nums(0).toInt, nums(1).toInt))
+      else None
     } else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
       def le32(o: Int): Int =
         (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
@@ -146,8 +151,13 @@ object Multimodal {
           val size0 = be32(o.toInt)
           val typ = fourcc(o.toInt + 4)
           // size==1 -> 64-bit largesize follows the type
-          val (size, hdr) =
+          val (size1, hdr) =
             if (size0 == 1 && o + 16 <= until) (be64(o.toInt + 8), 16) else (size0, 8)
+          // ISO 14496-12 §4.2: size 0 = box extends to the end of the
+          // file (legal for the last box) — treat as the remaining span
+          // instead of corrupt-stopping before e.g. a trailing moov
+          // (round-13 kernel review)
+          val size = if (size1 == 0) until - o else size1
           // compare against the remaining span, never o + size: a forged
           // 64-bit largesize can overflow the addition past Long range
           if (size < hdr || size > until - o) return // corrupt: stop cleanly
@@ -196,8 +206,17 @@ object Multimodal {
               val p = i.toInt + 8
               val usPerFrame = le32(p)
               val frames = le32(p + 16)
-              out = Some(VideoInfo(le32(p + 32).toInt, le32(p + 36).toInt,
-                frames.toInt, frames * usPerFrame / 1e6))
+              val vw = le32(p + 32)
+              val vh = le32(p + 36)
+              // u32 fields past Int range went negative through .toInt,
+              // and frames*usPerFrame (two full u32s) overflowed Long —
+              // refuse implausible headers instead of emitting negative
+              // metadata (round-13 kernel review); duration through
+              // Double cannot overflow
+              if (vw < 1 || vw > Int.MaxValue || vh < 1 ||
+                  vh > Int.MaxValue || frames > Int.MaxValue) return None
+              out = Some(VideoInfo(vw.toInt, vh.toInt,
+                frames.toInt, frames.toDouble * usPerFrame / 1e6))
             } else {
               var ni = i + 8 + chunkSz // next chunk (padded to even)
               ni += (ni & 1)
@@ -355,7 +374,13 @@ object Multimodal {
     try {
       val w = nextInt(); val h = nextInt(); val maxval = nextInt()
       pos += 1 // the single whitespace after maxval
-      if (maxval != 255 || bytes.length < pos + w * h * 3) None
+      // same lying-dims guards as PNG/GIF/TIFF (round-13 review): a
+      // crafted header whose w*h*3 wraps Int passed the length check and
+      // returned a PixelImage smaller than its claimed dims, crashing
+      // resizeLuma inside mapPartitions; zero dims yielded NaN features
+      // and a degenerate all-ones phash
+      if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) None
+      else if (maxval != 255 || bytes.length < pos.toLong + w * h * 3) None
       else Some(PixelImage(w, h, 3, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)))
     } catch { case _: Exception => None }
   }
@@ -371,8 +396,12 @@ object Multimodal {
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
     if (le16(28) != 24 || le32(30) != 0) return None // 24bpp uncompressed only
-    val rowBytes = (w * 3 + 3) / 4 * 4 // rows pad to 4-byte boundaries
-    if (bytes.length < dataOffset + rowBytes * h) return None
+    // zero/negative/overflowing dims: refuse like the other stills
+    // decoders (w*3 alone can wrap Int when h = 1; round-13 review)
+    if (w <= 0 || h <= 0 || dataOffset < 0 ||
+        w.toLong * h * 3 > Int.MaxValue - 4) return None // -4: row padding
+    val rowBytes = ((w.toLong * 3 + 3) / 4 * 4).toInt // rows pad to 4 bytes
+    if (bytes.length < dataOffset.toLong + rowBytes.toLong * h) return None
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -436,7 +465,13 @@ object Multimodal {
     try {
       while (!inflater.finished() && off < raw.length) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n == 0 without finished() means the stream cannot progress:
+        // truncated input (needsInput) OR an FDICT preset dictionary
+        // (needsDictionary — forbidden by PNG §2.2 but expressible in a
+        // zlib header). Only the first case was handled; the dictionary
+        // case returned 0 with needsInput() false and spun this loop
+        // forever, hanging the executor task (round-13 kernel review)
+        if (n == 0) return None
         off += n
       }
     } finally inflater.end()
@@ -524,9 +559,21 @@ object Multimodal {
     val canvas = new Array[Byte](sw * sh * 3)
     val frames = IndexedSeq.newBuilder[PixelImage]
     var stop = false
+    // transparent palette index from the Graphic Control Extension that
+    // precedes a rendering block; -1 = opaque (GCE scope is ONE block)
+    var transIdx = -1
     while (!stop && pos < bytes.length) {
       (bytes(pos) & 0xff) match {
-        case 0x21 => // extension: skip its sub-blocks
+        case 0x21 => // extension: read GCE transparency, skip the rest
+          // GIF89a §23: 21 F9 04 <flags> <delay16> <transIdx> 00; flag
+          // bit 0 = transparent-colour flag. Pre-fix ALL extensions were
+          // skipped, so transparent pixels in delta frames (the canonical
+          // animated-GIF encoding) were painted with their palette colour
+          // instead of showing the prior canvas through (round-13 review)
+          if (pos + 7 < bytes.length && (bytes(pos + 1) & 0xff) == 0xf9 &&
+              (bytes(pos + 2) & 0xff) == 4)
+            transIdx = if ((bytes(pos + 3) & 1) != 0) bytes(pos + 6) & 0xff
+                       else -1
           pos += 2
           while (pos < bytes.length && bytes(pos) != 0) pos += 1 + (bytes(pos) & 0xff)
           pos += 1
@@ -552,7 +599,11 @@ object Multimodal {
           if (pos >= bytes.length) return frames.result() // truncated at min-code
           val minCode = bytes(pos) & 0xff
           pos += 1
-          if (minCode < 2 || minCode > 11) return frames.result()
+          // GIF89a valid LZW minimum code size is 2-8 (root codes map
+          // palette entries, max table 256): 9-11 'decoded' to a
+          // plausible-looking frame every conforming decoder rejects
+          // (round-13 kernel review)
+          if (minCode < 2 || minCode > 8) return frames.result()
           // concatenate the data sub-blocks
           val data = new java.io.ByteArrayOutputStream()
           while (pos < bytes.length && bytes(pos) != 0) {
@@ -585,13 +636,19 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              val p = math.min(rows(y * w + x) & 0xff, palN - 1) * 3
-              val d = ((top + y) * sw + (left + x)) * 3
-              canvas(d) = pal(p); canvas(d + 1) = pal(p + 1); canvas(d + 2) = pal(p + 2)
+              val idx = rows(y * w + x) & 0xff
+              // transparent index: prior canvas shows through (GIF89a
+              // §23 transparency over do-not-dispose compositing)
+              if (idx != transIdx) {
+                val p = math.min(idx, palN - 1) * 3
+                val d = ((top + y) * sw + (left + x)) * 3
+                canvas(d) = pal(p); canvas(d + 1) = pal(p + 1); canvas(d + 2) = pal(p + 2)
+              }
               x += 1
             }
             y += 1
           }
+          transIdx = -1 // GCE applies to exactly one rendering block
           frames += PixelImage(sw, sh, 3, canvas.clone())
         case _ => stop = true // unknown block: stop cleanly
       }
@@ -1083,7 +1140,9 @@ object Multimodal {
   }
 
   /** G.711 A-law expansion (same public source): XOR 0x55, segment 0/1
-    * special-cased, higher segments shift. Max |32640|.
+    * special-cased, higher segments shift. Max |32256| (quant 0xF in
+    * segment 7: (240+264)<<6 — the old doc said 32640, which is µ-law's
+    * ballpark, not this table's; round-13 kernel review).
     */
   @inline private def alaw2linear(b: Byte): Int = {
     val a = (b ^ 0x55) & 0xff
@@ -1686,7 +1745,10 @@ object Multimodal {
     var i = 0
     while (i < bytes.length) { hist((bytes(i) & 0xff) >> 6) += 1; i += 1 }
     val n = math.max(bytes.length, 1)
-    (bytes.length % 640, (bytes.length * 7) % 480, bytes.length % 30 + 1,
+    // Long product: length*7 wraps Int past ~306 MB payloads, and Scala %
+    // keeps the overflowed sign — a negative stub height (round-13 review)
+    (bytes.length % 640, (bytes.length.toLong * 7 % 480).toInt,
+      bytes.length % 30 + 1,
       hist.map(_ / n))
   }
 

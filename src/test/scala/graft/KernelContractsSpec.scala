@@ -244,4 +244,107 @@ class KernelContractsSpec extends AnyFunSuite {
     assert(Flac.decodeFlacPcm(t2).forall(_.nFrames == 0),
       "forbidden sample-rate code 15 was accepted")
   }
+
+  // ---- multimodal codec contracts (Multimodal.scala review wave) ----
+
+  private def pngChunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val len = data.length
+    out.write(len >> 24); out.write(len >> 16); out.write(len >> 8); out.write(len)
+    out.write(ctype.getBytes("US-ASCII"))
+    out.write(data)
+    out.write(Array[Byte](0, 0, 0, 0)) // crc unchecked by the walker
+    out.toByteArray
+  }
+
+  test("PNG decoder returns None (not an infinite loop) on an FDICT zlib stream") {
+    import graft.streaming.Multimodal
+    // zlib header 0x78 0x20: valid FCHECK, FDICT=1 (forbidden by PNG
+    // RFC 2083 §2.2) — pre-fix Inflater.inflate returned 0 forever with
+    // needsDictionary() true and needsInput() false, spinning the task
+    val ihdr = Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 0, 0, 0, 0) // 1x1 gray
+    val idat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", idat) ++
+      pngChunk("IEND", Array.empty)
+    assert(Multimodal.decodePixels(png).isEmpty)
+  }
+
+  test("PPM/BMP decoders refuse lying and zero dimensions") {
+    import graft.streaming.Multimodal
+    // w*h*3 wraps Int to 6: pre-fix returned a 6-byte PixelImage claiming
+    // width 1431655766, crashing resizeLuma downstream
+    val lying = ("P6 1431655766 3 255\n").getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    assert(Multimodal.decodePixels(lying).isEmpty, "overflowing PPM dims accepted")
+    val zero = ("P6 0 0 255\n").getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(Multimodal.decodePixels(zero).isEmpty, "zero-dim PPM accepted")
+    // dims beyond Int range must fall back to None, not NumberFormatException
+    val huge = ("P6 99999999999999 5 255\n").getBytes("US-ASCII") ++
+      new Array[Byte](32)
+    assert(Multimodal.decodeDims(huge).isEmpty, "out-of-Int PPM dims threw/accepted")
+    // zero-width 24bpp BMP
+    val bmp = new Array[Byte](60)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(10) = 54 // data offset
+    bmp(14) = 40 // BITMAPINFOHEADER
+    // width at 18 stays 0; height at 22 = 1
+    bmp(22) = 1
+    bmp(28) = 24 // bpp
+    assert(Multimodal.decodePixels(bmp).isEmpty, "zero-width BMP accepted")
+  }
+
+  test("GIF: GCE transparency preserves the prior canvas; LZW min-code 9-11 rejected") {
+    import graft.streaming.Multimodal
+    // hand-built GIF89a, 2x1, 2-entry GCT, GCE transIdx=1, pixels [0, 1]:
+    // pixel 1 is transparent so the (black) initial canvas shows through
+    def gifWith(minCode: Int, gceFlags: Int): Array[Byte] =
+      Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+        2, 0, 1, 0, 0x80.toByte, 0, 0, // LSD: 2x1, GCT of 2
+        10, 20, 30, 200.toByte, 100, 50, // GCT
+        0x21, 0xF9.toByte, 4, gceFlags.toByte, 0, 0, 1, 0, // GCE, transIdx=1
+        0x2C, 0, 0, 0, 0, 2, 0, 1, 0, 0, // image descriptor 2x1
+        minCode.toByte, 2, 0x44, 0x0A, 0, // LZW: clear,0,1,eoi at width 3
+        0x3B)
+    val frames = Multimodal.gifFrames(gifWith(2, gceFlags = 1))
+    assert(frames.length == 1)
+    val px = frames(0).pixels
+    assert((px(0), px(1), px(2)) == (10.toByte, 20.toByte, 30.toByte))
+    assert((px(3), px(4), px(5)) == (0.toByte, 0.toByte, 0.toByte),
+      "transparent pixel was painted with its palette colour")
+    // same stream without the transparent flag paints both pixels
+    val opaque = Multimodal.gifFrames(gifWith(2, gceFlags = 0))(0).pixels
+    assert(opaque(3) == 200.toByte, "opaque decode regressed")
+    // LZW minimum code size 9 is outside GIF89a's valid 2-8
+    assert(Multimodal.gifFrames(gifWith(9, gceFlags = 0)).isEmpty,
+      "forbidden LZW min-code size 9 accepted")
+  }
+
+  test("video probes: AVI avih garbage refused; MP4 size-0 last box parsed") {
+    import graft.streaming.Multimodal
+    def le32(v: Long): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def be32(v: Long): Array[Byte] =
+      Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // AVI whose avih carries u32 values past Int range: pre-fix emitted
+    // negative width/frames and a Long-overflowed duration
+    val avih = le32(0xFFFFFFFFL) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0xFFFFFFFFL) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0x80000000L) ++ le32(100)
+    val hdrl = "hdrl".getBytes ++ "avih".getBytes ++ le32(avih.length.toLong) ++ avih
+    val avi = "RIFF".getBytes ++ le32(4 + 8 + hdrl.length.toLong) ++
+      "AVI ".getBytes ++ "LIST".getBytes ++ le32(hdrl.length.toLong) ++ hdrl
+    assert(Multimodal.probeVideo(avi).isEmpty,
+      "implausible avih fields emitted as metadata")
+    // MP4 whose LAST box (moov) uses size=0 = extends-to-EOF (ISO
+    // 14496-12 §4.2): pre-fix the walk corrupt-stopped before moov
+    // v0 mvhd: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+    val mvhd = be32(28) ++ "mvhd".getBytes ++ new Array[Byte](12) ++
+      be32(1000) ++ be32(5000)
+    val moov = be32(0) ++ "moov".getBytes ++ mvhd
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    val got = Multimodal.probeVideo(ftyp ++ moov)
+    assert(got.exists(v => math.abs(v.durationSec - 5.0) < 1e-9),
+      s"size-0 trailing moov not parsed: $got")
+  }
 }
