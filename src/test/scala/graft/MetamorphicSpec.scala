@@ -423,4 +423,116 @@ class MetamorphicSpec extends AnyFunSuite {
       assert(oneLine(joined, Edits.toascii(_, ",")) == s)
     }
   }
+
+  // ---- marine formula grids (round-13 verdict task 7: the tier that
+  // catches the next trueWindDirSql — both engines share these fragments,
+  // so the hash oracle cannot see a shared transcription bug) ----
+
+  private def evalD(expr: String): Double =
+    spark.sql(s"SELECT $expr AS v").head().getDouble(0)
+
+  test("PSS-78 salinity: definition identity, check point, grid monotonicity") {
+    def sal(c: Double, t: Double, p: Double): Double =
+      evalD(Formulas.salinitySql(c.toString, t.toString, p.toString))
+    // rt(t) re-derived here independently of Formulas' SQL text
+    def rt(t: Double): Double =
+      0.6766097 + 2.00564e-2 * t + 1.104259e-4 * t * t -
+        6.9698e-7 * t * t * t + 1.0031e-9 * t * t * t * t
+    // (a) the PSS-78 DEFINITION identity, not just one fixed point: at
+    // Rt = 1 (c = 42.914·rt(t), p = 0) practical salinity is exactly 35
+    // for EVERY temperature — Σa = 35.0000 and Σb = 0.0000 by the
+    // standard's construction, so both the base polynomial and the
+    // temperature-correction term pin simultaneously across the grid
+    for (t <- Seq(-2.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0)) {
+      val s = sal(42.914 * rt(t), t, 0.0)
+      // 1e-6, not ulp-tight: dS/dRt ~ 35 amplifies the few-ulp Rt
+      // round-trip difference between this rt() and the SQL's
+      // evaluation order to ~1e-7; a wrong coefficient moves S by >> 1e-4
+      assert(math.abs(s - 35.0) < 1e-6, s"S(Rt=1, t=$t) = $s, want 35")
+    }
+    // (b) the canonical check point spelled out (c of standard seawater)
+    assert(math.abs(sal(42.914, 15.0, 0.0) - 35.0) < 1e-6)
+    // (c) monotone increasing in conductivity for every grid (t, p)
+    for (t <- Seq(0.0, 10.0, 25.0); p <- Seq(0.0, 2000.0, 8000.0)) {
+      val ss = Seq(20.0, 30.0, 38.0, 43.0, 50.0, 60.0).map(sal(_, t, p))
+      assert(ss.zip(ss.tail).forall { case (lo, hi) => hi > lo },
+        s"salinity must rise with conductivity at t=$t p=$p: $ss")
+    }
+    // (d) pressure raises Rp, lowers Rt, lowers S — monotone decreasing
+    for (t <- Seq(0.0, 15.0, 30.0); c <- Seq(30.0, 42.914, 55.0)) {
+      val ss = Seq(0.0, 2000.0, 6000.0, 10000.0).map(sal(c, t, _))
+      assert(ss.zip(ss.tail).forall { case (lo, hi) => hi < lo },
+        s"salinity must fall with pressure at t=$t c=$c: $ss")
+    }
+    // (e) envelope: across the scale's validity range expressed in Rt
+    // (conductivity RATIO — a fixed conductivity leaves the envelope at
+    // low t, where rt(0) = 0.68 maps c = 55 to S = 72), S stays in the
+    // published 2-42 PSU band
+    for (t <- Seq(0.0, 10.0, 25.0); rTgt <- Seq(0.2, 0.6, 1.0, 1.2)) {
+      val s = sal(42.914 * rt(t) * rTgt, t, 0.0)
+      assert(s > 2.0 && s < 45.0, s"salinity off-scale at t=$t Rt=$rTgt: $s")
+    }
+  }
+
+  test("Chen-Millero sound velocity: published checks + grid monotonicity") {
+    def sv(s: Double, t: Double, p: Double): Double =
+      evalD(Formulas.soundVelocitySql(s.toString, t.toString, p.toString))
+    // (a) the pure-water zero point is the leading coefficient verbatim
+    assert(math.abs(sv(0, 0, 0) - 1402.388) < 1e-9)
+    // (b) published check values (UNESCO TR 44 / Fofonoff & Millard):
+    // C(35,0,0) ≈ 1449.1-1449.3; C(40,40,10000 dbar) = 1731.995
+    val c3500 = sv(35, 0, 0)
+    assert(c3500 > 1448.5 && c3500 < 1450.0, s"C(35,0,0) off: $c3500")
+    val cHot = sv(40, 40, 10000)
+    assert(cHot > 1731.4 && cHot < 1732.6, s"C(40,40,10000) off: $cHot")
+    // (c) monotone in temperature at S=35, P=0 over the oceanic range
+    val byT = Seq(0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0).map(sv(35, _, 0))
+    assert(byT.zip(byT.tail).forall { case (lo, hi) => hi > lo },
+      s"sound speed must rise with T below ~56C: $byT")
+    // (d) monotone in salinity and in pressure
+    val byS = Seq(0.0, 10.0, 20.0, 30.0, 40.0).map(sv(_, 10, 0))
+    assert(byS.zip(byS.tail).forall { case (lo, hi) => hi > lo },
+      s"sound speed must rise with S: $byS")
+    val byP = Seq(0.0, 1000.0, 4000.0, 10000.0).map(sv(35, 10, _))
+    assert(byP.zip(byP.tail).forall { case (lo, hi) => hi > lo },
+      s"sound speed must rise with P: $byP")
+    // (e) band over the full oceanographic grid
+    for (s <- Seq(30.0, 35.0, 40.0); t <- Seq(0.0, 10.0, 20.0, 30.0);
+         p <- Seq(0.0, 2000.0, 6000.0, 10000.0)) {
+      val v = sv(s, t, p)
+      assert(v > 1400 && v < 1760, s"C($s,$t,$p) off-scale: $v")
+    }
+  }
+
+  test("true wind: vector-identity ground truth on a seeded grid") {
+    // Independent derivation: build the true-wind VECTOR in earth frame
+    // with plain JVM trig (structurally unlike the SQL fragment: no
+    // atan2 folding, no calm special case) and check speed + direction.
+    val gen = for {
+      aws <- Gen.choose(0.5, 40.0)
+      awd <- Gen.choose(0.0, 359.99)
+      hdg <- Gen.choose(0.0, 359.99)
+      sog <- Gen.choose(0.0, 12.0)
+      cog <- Gen.choose(0.0, 359.99)
+    } yield (aws, awd, hdg, sog, cog)
+    forAll(gen, n = 60) { case (aws, awd, hdg, sog, cog) =>
+      def rad(d: Double) = math.toRadians(d)
+      val u = -aws * math.sin(rad(hdg + awd)) + sog * math.sin(rad(cog))
+      val v = -aws * math.cos(rad(hdg + awd)) + sog * math.cos(rad(cog))
+      val speed = math.hypot(u, v)
+      val sSql = evalD(Formulas.trueWindSpeedSql(
+        aws.toString, awd.toString, hdg.toString, sog.toString, cog.toString))
+      assert(math.abs(sSql - speed) < 1e-6 * math.max(1.0, speed),
+        s"speed mismatch: $sSql vs $speed")
+      if (speed > 1e-6) {
+        val dir = (math.toDegrees(math.atan2(-u, -v)) + 360.0) % 360.0
+        val dSql = evalD(Formulas.trueWindDirSql(
+          aws.toString, awd.toString, hdg.toString, sog.toString, cog.toString))
+        assert(dSql >= 0.0 && dSql < 360.0, s"direction out of range: $dSql")
+        // compare on the circle (0 and 359.9999 are the same direction)
+        val delta = math.min(math.abs(dSql - dir), 360.0 - math.abs(dSql - dir))
+        assert(delta < 1e-6, s"direction mismatch: $dSql vs $dir")
+      }
+    }
+  }
 }
