@@ -54,6 +54,9 @@ object Bench {
     .replaceAll("#\\d+", "#")
     .replaceAll("plan_id=\\d+", "plan_id=")
     .replaceAll("\\[file:[^\\]]*\\]", "[file]")
+    // replay parquet-sink scans print their per-run temp dir without a
+    // file: prefix (MetadataLogFileIndex(1 paths)[/tmp/graft_psink...])
+    .replaceAll("\\[/tmp/graft_psink[^\\]]*\\]", "[psink]")
     .replaceAll("isFinalPlan=\\w+", "")
     .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
     .replaceAll("\\$\\$Lambda\\$\\d+", "\\$\\$Lambda")
@@ -291,6 +294,7 @@ object Bench {
     // is interleaved through the pass (a probe only at pass start would
     // miss a mid-board co-tenant burst, which is how BENCH_r09's loaded
     // record slipped through).
+    val isLocalMaster = master.startsWith("local[")
     def hostProbe(): Double = {
       val t0 = System.nanoTime()
       // 1M rows PER CORE, one partition per core: per-core work is
@@ -301,6 +305,20 @@ object Bench {
       // under 1e6 so the sum stays far inside long range under ANSI.
       spark.range(0L, 1000000L * cpus.toInt, 1, cpus.toInt)
         .selectExpr("sum(pmod(id * 31, 1000007)) AS s").head()
+      // cluster mode additionally pays executor RPC/serde on every data
+      // path, which the pure-CPU round doesn't model — the reason cluster
+      // records used to stay "uncalibrated" (round-13 verdict task 5).
+      // Add one fixed SMALL shuffle (1024 keys, 200k rows/core) so the
+      // probe crosses the executor JVM boundary: its floor now moves with
+      // RPC latency + serde pressure exactly like the board's exchanges.
+      // The local probe is left untouched — the local history median
+      // stays calibrated — and the cluster probe gets its own host
+      // fingerprint (below) so the two histories never mix.
+      if (!isLocalMaster)
+        spark.range(0L, 200000L * cpus.toInt, 1, cpus.toInt)
+          .selectExpr("pmod(id, 1024) AS k", "id")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("id").as("s"))
+          .selectExpr("sum(s)").head()
       (System.nanoTime() - t0) / 1e9
     }
     val hostProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -476,16 +494,26 @@ object Bench {
     // shared history miscalibrates the 2x gate (round-12 ADVICE). The
     // fingerprint is the physical core count + probe thread count; the
     // median below only consumes entries from a matching fingerprint.
+    // the cluster probe includes the RPC shuffle round, so its floor is a
+    // DIFFERENT quantity — a distinct fingerprint keeps the two medians
+    // from mixing, and cluster runs keep their own history file
     val hostFp: String =
-      s"${Runtime.getRuntime.availableProcessors}c/${cpus}t"
+      s"${Runtime.getRuntime.availableProcessors}c/${cpus}t" +
+        (if (isLocalMaster) "" else "/rpc")
+    val historyFile =
+      if (isLocalMaster) "bench_history.jsonl" else "bench_cluster_history.jsonl"
     // Host-probe gate: rolling quiet median of recorded host canaries
     // (any fixture — the probe is fixture-independent by construction),
     // restricted to THIS host fingerprint (entries predating the
     // fingerprint field are skipped — the default floor re-seeds), and
     // floored so a pristine history can't make normal jitter a rejection.
+    // Cluster mode with an EMPTY history returns the -1 sentinel — there
+    // is no principled prior for an RPC floor, so the first cluster
+    // record self-labels "uncalibrated" and every later one is gated by
+    // the recorded median (round-13 verdict task 5).
     val hostGate: Double = {
       val hist = try {
-        val p = java.nio.file.Paths.get("bench_history.jsonl")
+        val p = java.nio.file.Paths.get(historyFile)
         if (java.nio.file.Files.exists(p))
           scala.jdk.CollectionConverters.ListHasAsScala(
             java.nio.file.Files.readAllLines(p)).asScala.toSeq
@@ -498,11 +526,15 @@ object Bench {
             }
         else Seq.empty
       } catch { case _: Throwable => Seq.empty[Double] }
-      val quiet = hist.filter(c => c > 0 && c <= 1.0)
-      val median =
-        if (quiet.isEmpty) 0.25
-        else quiet.sorted.apply(quiet.size / 2)
-      math.max(0.5, 2.0 * median)
+      // cluster probes pay the RPC round: admit a wider quiet band
+      val quiet = hist.filter(c => c > 0 && c <= (if (isLocalMaster) 1.0 else 3.0))
+      if (quiet.isEmpty && !isLocalMaster) -1.0
+      else {
+        val median =
+          if (quiet.isEmpty) 0.25
+          else quiet.sorted.apply(quiet.size / 2)
+        math.max(0.5, 2.0 * median)
+      }
     }
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // The fn_/op_ gate's rolling median comes from LOCAL-MODE sf0.1
@@ -511,13 +543,15 @@ object Bench {
     // scan 10-100x the data; at sf0.01/sf0.001 they scan 10-100x LESS.
     // Alternate LOCAL fixtures are instead gated/labeled by the
     // fixture-independent host probe (round-11 task 4: a quiet 100x sweep
-    // used to self-label "loaded"). Cluster mode pays executor RPC/serde
-    // on data paths the probe doesn't model — stays "uncalibrated".
-    val isLocalMaster = master.startsWith("local[")
+    // used to self-label "loaded"). Cluster mode is gated by the
+    // RPC-aware probe variant against its OWN history median (round-13
+    // task 5) — first-ever cluster run stays "uncalibrated" (gate = -1).
     val isCalibratedFixture =
       sfDir.stripSuffix("/") == "/root/testdata/sf0.1"
     val gateApplies = isCalibratedFixture && isLocalMaster
-    val hostGateApplies = isLocalMaster && !isCalibratedFixture
+    val hostGateApplies =
+      (isLocalMaster && !isCalibratedFixture) ||
+        (!isLocalMaster && hostGate > 0)
     def hostMean(): Double =
       if (hostProbes.isEmpty) -1.0 else hostProbes.sum / hostProbes.size
     var best: Seq[(String, Double, String)] = runPass()
@@ -548,8 +582,13 @@ object Bench {
     val recordQuality =
       // canaryOf returns the -1.0 sentinel when the run has no fn_/op_
       // rows at all (a name-filtered subset): there the host probe still
-      // measured something, so label by it on local masters
-      if (!isLocalMaster) "uncalibrated"
+      // measured something, so label by it on local masters. Cluster runs
+      // label by the RPC-aware probe against the cluster history median;
+      // with no history yet the gate is the -1 sentinel -> uncalibrated.
+      if (!isLocalMaster)
+        (if (hostGate > 0 && bestHost >= 0)
+          (if (bestHost <= hostGate) "quiet" else "loaded")
+         else "uncalibrated")
       else if (gateApplies && bestCanary >= 0)
         (if (bestCanary <= canaryGate) "quiet" else "loaded")
       else if (bestHost >= 0)
@@ -626,6 +665,13 @@ object Bench {
       full.getBytes("UTF-8"))
     if (isFullBoard)
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+        full.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    // cluster full-board records build their own probe history so the
+    // RPC-aware gate self-calibrates from the second run on
+    if (!isLocalMaster && only.isEmpty && isCalibratedFixture)
+      java.nio.file.Files.write(java.nio.file.Paths.get(historyFile),
         full.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

@@ -2415,23 +2415,25 @@ object DedupQueries {
           md5(col("text").cast("binary")).as("key"))
       val replay = graft.streaming.FileReplay.stage(keyed,
         graft.streaming.FileReplay.rangeChunks(keyed, col("doc_id"), 4))
-      val sink = s"dd_stream_exact_${streamEpoch.incrementAndGet()}"
-      // state shuffle at 8 partitions for the replay: the keyed state is
-      // tiny (one long/key) and per-micro-batch task scheduling dominates
-      // at 32; restored before the returned batch frame is planned
+      // scale-aware state shuffle: tiny at sf0.1 (task scheduling
+      // dominates), wide at the 10-100x fixtures (a pinned 8 serialized
+      // the keyed exchange — round-13 verdict task 3); restored before
+      // the returned batch frame is planned. Parquet sink, not memory:
+      // the emitted set is corpus-sized, and the memory sink funnels it
+      // through the driver.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = graft.streaming.Sketches
-        .streamingExactDedup(replay.stream, "doc_id", "key")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try replay.feedAll(q)
-      finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        replay.close()
-      }
-      s.table(sink).select(col("id"),
+      s.conf.set("spark.sql.shuffle.partitions", graft.streaming.FileReplay
+        .replayPartitions(keyed.count()).toString)
+      val res =
+        try graft.streaming.FileReplay.replayToParquet(
+          graft.streaming.Sketches
+            .streamingExactDedup(replay.stream, "doc_id", "key").toDF(),
+          replay.feedAll)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          replay.close()
+        }
+      res.select(col("id"),
         col("keep").cast("int").as("keep"), col("keeper"))
     },
 
@@ -2452,22 +2454,25 @@ object DedupQueries {
       // its later member, against bucket state or intra-batch
       val replay = graft.streaming.FileReplay.stage(docs,
         graft.streaming.FileReplay.rangeChunks(docs, col("doc_id"), 3))
-      val sink = s"dd_stream_lsh_${streamEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = graft.streaming.Sketches
-        .streamingLshCandidates(replay.stream,
-          "doc_id", "text", shingleSize = 3, k = 8, bands = 4,
-          maxBucket = 1 << 20)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try replay.feedAll(q)
-      finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        replay.close()
-      }
-      val streamPairs = s.table(sink)
+      // scale-aware: the banded bucket state is docs x bands rows — a
+      // pinned 8 carried the 100x corpus's 2M-row exchange on 8 tasks
+      // (103 s; round-13 verdict task 3). Parquet sink, not memory: 4.8M
+      // candidate pairs at 100x would otherwise funnel through the driver.
+      s.conf.set("spark.sql.shuffle.partitions", graft.streaming.FileReplay
+        .replayPartitions(docs.count() * 4).toString)
+      val emitted =
+        try graft.streaming.FileReplay.replayToParquet(
+          graft.streaming.Sketches
+            .streamingLshCandidates(replay.stream,
+              "doc_id", "text", shingleSize = 3, k = 8, bands = 4,
+              maxBucket = 1 << 20).toDF(),
+          replay.feedAll)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          replay.close()
+        }
+      val streamPairs = emitted
         .select(col("docA").as("doc_a"), col("docB").as("doc_b")).distinct()
       // tracked cache: the batch candidate set is identical across bench
       // reps (CacheManager plan-match), so only the streaming replay —

@@ -712,22 +712,27 @@ object StateQueries {
         .withColumn("__c", col("__c") + 1)
       val staged = fresh.unionByName(redelivered)
       val replay = graft.streaming.FileReplay.stage(staged, col("__c"))
-      val sink = s"st_stream_dropdup_${sessionEpoch.incrementAndGet()}"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = replay.stream
-        .withWatermark("ts", "10 days")
-        .dropDuplicatesWithinWatermark("event_id")
-        .select(col("event_id"), unix_millis(col("ts")).as("ms"), col("value"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try replay.feedAll(q)
-      finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        replay.close()
-      }
-      s.table(sink).select(col("event_id"), col("ms"), col("value"))
+      // scale-aware: the dedup state exchange carries ~1.25x the events
+      // table per replay — a pinned 4 serialized the 100x fixture's
+      // 12.5M rows onto 4 tasks (64 s; round-13 verdict task 3). Parquet
+      // sink, not memory: the row re-emits the whole events table, which
+      // the memory sink would funnel through the driver.
+      s.conf.set("spark.sql.shuffle.partitions", graft.streaming.FileReplay
+        .replayPartitions(ev.count()).toString)
+      val res =
+        try graft.streaming.FileReplay.replayToParquet(
+          replay.stream
+            .withWatermark("ts", "10 days")
+            .dropDuplicatesWithinWatermark("event_id")
+            .select(col("event_id"), unix_millis(col("ts")).as("ms"),
+              col("value")),
+          replay.feedAll)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          replay.close()
+        }
+      res.select(col("event_id"), col("ms"), col("value"))
     },
 
     // §2.11 time-series similarity search (streaming-sensor analytics, cf.

@@ -218,6 +218,45 @@ object FileReplay {
     }
   }
 
+  /** Drive a streaming frame through a DISTRIBUTED parquet sink and hand
+    * back the batch read of everything written. The memory sink funnels
+    * every emitted row through the driver — a collect() in disguise that
+    * dominated the corpus-scale parity rows at the 100x fixture
+    * (st_stream_dropdup_parity re-emits the whole 10M-row events table;
+    * dd_stream_lsh_parity emits 4.8M candidate pairs) — while the file
+    * sink writes from the executors and the read-back is a parallel
+    * parquet scan (round-13 verdict task 3). Append-mode rows only (the
+    * file sink's contract). The read carries the stream's schema
+    * explicitly so a zero-row replay still returns an empty frame
+    * instead of failing schema inference.
+    */
+  def replayToParquet(sdf: DataFrame,
+      feed: StreamingQuery => Unit): DataFrame = {
+    val spark = sdf.sparkSession
+    val out = Files.createTempDirectory("graft_psink")
+    val q = sdf.writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode("append").start()
+    try feed(q) finally q.stop()
+    spark.read.schema(sdf.schema).parquet(s"$out/data")
+  }
+
+  /** Scope-set shuffle-partition count for a replay row: scales with the
+    * replayed row count so the keyed-state exchange is not serialized
+    * into a fixed handful of tasks at the 10-100x fixtures — the
+    * project's recurring fixed-cardinality scale-bug class, here as a
+    * pinned `shuffle.partitions = 8` carrying a 100x corpus (round-13
+    * verdict task 3: dd_stream_lsh_parity alone was 103 s at 100x, its
+    * 2M bucket-state rows serialized onto 8 tasks). Small at sf0.1 where
+    * per-micro-batch task overhead dominates, wide at 100x. Deterministic
+    * in the row count; replay-row RESULTS are partitioning-invariant
+    * (keyed state, order-canonicalized emission), only the exchange
+    * width changes.
+    */
+  def replayPartitions(rows: Long, perPartition: Long = 25000L): Int =
+    math.max(4L, math.min(64L, rows / perPartition + 4L)).toInt
+
   /** Range-chunking expression: splits `c`'s value domain [lo, hi] into
     * `n` equal-width ascending chunks — the id/time-ordered replay shape
     * every parity row uses. `lo`/`hi` are scalar aggregates (two longs to

@@ -21,14 +21,19 @@ class LshRocksDbScaleSpec extends AnyFunSuite {
   private val rocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** 10x of the sf0.1 documents corpus, in-memory: copy k>0 rewrites the
-    * text with the seeded word shuffle (token stats preserved, shingles
-    * differ — per-row near-dup density stays at the corpus rate).
+  /** `scale`x of the sf0.1 documents corpus, in-memory: copy k>0 rewrites
+    * the text with the seeded word shuffle (token stats preserved,
+    * shingles differ — per-row near-dup density stays at the corpus
+    * rate). Default 10x in-suite; SPARK_GRAFT_LSH_SCALE=100 is the
+    * round-13 streaming-state-decade run (numbers recorded in
+    * docs/SCALE_CURVES.md) — too heavy for every suite run.
     */
-  private def docs10x: DataFrame = {
+  private val scale = sys.env.getOrElse("SPARK_GRAFT_LSH_SCALE", "10").toInt
+
+  private def docsScaled: DataFrame = {
     val src = Tables.load(spark, "/root/testdata/sf0.1", "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val copies = spark.range(10).select(col("id").cast("int").as("k"))
+    val copies = spark.range(scale).select(col("id").cast("int").as("k"))
     src.crossJoin(broadcast(copies))
       .select(
         (col("doc_id") + col("k").cast("long") * 1000000000L).as("doc_id"),
@@ -37,15 +42,19 @@ class LshRocksDbScaleSpec extends AnyFunSuite {
             xxhash64(col("doc_id"), col("k")))).as("text"))
   }
 
-  test("streaming LSH bucket state through RocksDB: 10x parity + state note") {
+  test(s"streaming LSH bucket state through RocksDB: ${scale}x parity + state note") {
     val prev = spark.conf.getOption(providerConf)
     spark.conf.set(providerConf, rocksDb)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       // materialize once: the streaming staging and the batch twin must
       // see the identical corpus, and the shuffle UDF must run once
-      val corpus = docs10x.cache()
+      val corpus = docsScaled.cache()
       val nDocs = corpus.count()
-      assert(nDocs == 50000L, s"expected 10x corpus, got $nDocs")
+      assert(nDocs == 5000L * scale, s"expected ${scale}x corpus, got $nDocs")
+      // same scale-aware exchange width the board's replay rows use
+      spark.conf.set("spark.sql.shuffle.partitions", graft.streaming
+        .FileReplay.replayPartitions(nDocs * 4).toString)
       val replay = graft.streaming.FileReplay.stage(corpus,
         graft.streaming.FileReplay.rangeChunks(corpus, col("doc_id"), 4))
       val sink = "lsh_rocks_scale_sink"
@@ -90,9 +99,12 @@ class LshRocksDbScaleSpec extends AnyFunSuite {
       assert(stateRows > 0L, "state operator reported no keyed state")
       spark.catalog.dropTempView(sink)
       corpus.unpersist()
-    } finally prev match {
-      case Some(v) => spark.conf.set(providerConf, v)
-      case None => spark.conf.unset(providerConf)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(v) => spark.conf.set(providerConf, v)
+        case None => spark.conf.unset(providerConf)
+      }
     }
   }
 }
