@@ -30,21 +30,33 @@ object SpaceSaving {
     */
   def summarize(items: Dataset[String], capacity: Int): Map[String, Long] = {
     require(capacity > 0)
-    val seqOp = (m: Map[String, Long], w: String) => mgInsert(m, w, capacity)
-    val combOp = (a: Map[String, Long], b: Map[String, Long]) =>
-      mgMerge(a, b, capacity)
-    items.rdd.treeAggregate(Map.empty[String, Long])(seqOp, combOp)
-  }
-
-  private def mgInsert(m: Map[String, Long], w: String,
-      capacity: Int): Map[String, Long] =
-    m.get(w) match {
-      case Some(c) => m.updated(w, c + 1)
-      case None if m.size < capacity => m.updated(w, 1L)
-      case None =>
-        // decrement-all: every counter pays one, zeros drop out
-        m.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
+    // the per-partition fold really IS the shared mutable map the
+    // scaladoc promises (round-13 review: the old fold threaded an
+    // IMMUTABLE Map, rebuilding all `capacity` entries on every
+    // decrement-all — O(N·capacity) allocations on a high-cardinality
+    // partition, precisely the overhead the treeAggregate shape was
+    // advertised to avoid). treeAggregate deserializes the zero value
+    // fresh per partition, so in-place mutation is safe. The combine
+    // side keeps the spec-pinned immutable [[mgMerge]] — it runs once
+    // per tree edge over capacity-bounded maps, where allocation cost
+    // is irrelevant and one shared implementation beats two.
+    type MMap = scala.collection.mutable.HashMap[String, Long]
+    val seqOp = (m: MMap, w: String) => {
+      m.get(w) match {
+        case Some(c) => m.update(w, c + 1)
+        case None if m.size < capacity => m.update(w, 1L)
+        case None =>
+          // decrement-all: every counter pays one, zeros drop out
+          m.mapValuesInPlace((_, c) => c - 1)
+          m.filterInPlace((_, c) => c > 0)
+      }
+      m
     }
+    val combOp = (a: MMap, b: MMap) =>
+      scala.collection.mutable.HashMap.from(
+        mgMerge(a.toMap, b.toMap, capacity))
+    items.rdd.treeAggregate(new MMap)(seqOp, combOp).toMap
+  }
 
   private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long],
       capacity: Int): Map[String, Long] = {

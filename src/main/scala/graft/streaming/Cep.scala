@@ -14,8 +14,17 @@ final case class EnrichMatch(key: String, queryId: Long, matchId: Long)
   * Keyed state carries only the two anchor timestamps (16 bytes/key), so
   * a million concurrent keys is nothing; a completed match emits and
   * resets the key's machine so the next A starts a fresh sequence.
-  * State is advanced in (ts, kind) order within each micro-batch, so
-  * replays and batch boundaries cannot reorder a key's events.
+  * State is advanced in (ts, kind) order WITHIN each micro-batch; like
+  * [[asOfEnrich]], batch-equality with the oracle additionally requires
+  * EVENT-TIME-ORDERED batches (a later batch delivering an earlier A
+  * cannot retract an anchor already latched — within-batch sorting
+  * cannot undo cross-batch disorder; the replay harness chunks by
+  * ascending event time for exactly this reason, and the round-13
+  * review pinned the precondition here instead of leaving the old
+  * unconditional determinism claim). Event timestamps must be
+  * non-negative epoch millis: -1 is the empty-anchor sentinel, so a
+  * pre-1970 ts would read as "no anchor" and silently never match —
+  * refused per event.
   *
   * The reference's trigger plane reacts to single-value threshold
   * crossings (`RealVal` triggered cmds); multi-step temporal patterns
@@ -40,6 +49,10 @@ object Cep {
         var (sTs, cTs) = state.getOption.getOrElse((-1L, -1L))
         val out = scala.collection.mutable.ArrayBuffer.empty[SeqMatch]
         it.toSeq.sortBy(e => (e.ts, e.kind)).foreach { e =>
+          // -1 is the empty-anchor sentinel: a negative ts would read as
+          // "no A seen" and the key would silently never match
+          require(e.ts >= 0,
+            s"sequenceMatches: negative event ts ${e.ts} for key $key")
           if (e.kind == first) {
             if (sTs < 0) sTs = e.ts
           } else if (e.kind == second) {
@@ -83,8 +96,21 @@ object Cep {
         val out = scala.collection.mutable.ArrayBuffer.empty[EnrichMatch]
         it.toSeq.sortBy(e =>
           (e.ts, if (e.kind == dimKind) 0 else 1, e.id)).foreach { e =>
-          if (e.kind == dimKind) { lastTs = e.ts; lastId = e.id }
-          else if (e.kind == queryKind) out += EnrichMatch(key, e.id, lastId)
+          // -1 is the no-prior-dim sentinel (the batch join's null): a
+          // negative dim id would be reported as a MISS on every later
+          // query; a negative ts breaks the state guard below
+          require(e.ts >= 0 && (e.kind != dimKind || e.id >= 0),
+            s"asOfEnrich: negative ts/dim-id (${e.ts}, ${e.id}) for key $key")
+          if (e.kind == dimKind) {
+            // ties-to-largest-(ts, id) must hold ACROSS batches too: the
+            // within-batch sort cannot see a prior batch's equal-ts dim,
+            // so an unconditional overwrite let a later batch's SMALLER
+            // id win (round-13 review; lastTs was stored in state for
+            // exactly this guard but never read)
+            if (e.ts > lastTs || (e.ts == lastTs && e.id > lastId)) {
+              lastTs = e.ts; lastId = e.id
+            }
+          } else if (e.kind == queryKind) out += EnrichMatch(key, e.id, lastId)
         }
         state.update((lastTs, lastId))
         out.iterator

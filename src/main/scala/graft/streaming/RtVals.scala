@@ -54,19 +54,29 @@ object RtVals {
   implicit private val stateEnc: Encoder[ValState] = Encoders.product[ValState]
   implicit private val keyEnc: Encoder[String] = Encoders.STRING
 
-  private def fold(st: ValState, v: ValUpdate): ValState = {
-    val n = st.count + 1
-    val d = v.value - st.mean
-    val mean = st.mean + d / n
-    val m2 = st.m2 + d * (v.value - mean)
-    ValState(
-      last = v.value,
-      min = math.min(st.min, v.value),
-      max = math.max(st.max, v.value),
-      count = n, mean = mean, m2 = m2,
-      lastTs = math.max(st.lastTs, v.ts),
-      active = st.active)
-  }
+  private def fold(st: ValState, v: ValUpdate): ValState =
+    // a NaN value (sensor glitch) must not poison the running stats:
+    // min/max/mean/m2 would all become NaN with NO reset path under
+    // NoTimeout, and every later snapshot for the key would report NaN
+    // forever (round-13 review — the same slot-theft class as madGate).
+    // A NaN update still proves LIVENESS (lastTs advances, so idle
+    // timeouts re-arm) but contributes nothing else; `last` keeps the
+    // last real reading, count counts real samples (consistent with
+    // mean/m2), and alerts never compare against a NaN.
+    if (v.value.isNaN) st.copy(lastTs = math.max(st.lastTs, v.ts))
+    else {
+      val n = st.count + 1
+      val d = v.value - st.mean
+      val mean = st.mean + d / n
+      val m2 = st.m2 + d * (v.value - mean)
+      ValState(
+        last = v.value,
+        min = math.min(st.min, v.value),
+        max = math.max(st.max, v.value),
+        count = n, mean = mean, m2 = m2,
+        lastTs = math.max(st.lastTs, v.ts),
+        active = st.active)
+    }
 
   private val empty = ValState(
     last = Double.NaN, min = Double.PositiveInfinity,
@@ -165,18 +175,26 @@ object RtVals {
         // alone would leave same-timestamp updates in shuffle order, so
         // lastText/lastFlag could differ between a replay and its rerun
         // (or a speculative duplicate attempt). doubleToLongBits gives
-        // num a deterministic order with one canonical NaN.
-        it.toSeq.sortBy(u => (u.ts, u.kind, u.text,
+        // num a deterministic order with one canonical NaN. text is
+        // nullable through the DataFrame boundary (Encoders.product
+        // permits null Strings) — normalize to "" before the ordering
+        // and the flag parse dereference it (round-13 review: a null
+        // text NPE'd the micro-batch).
+        def txt(u: TypedUpdate): String = if (u.text == null) "" else u.text
+        it.toSeq.sortBy(u => (u.ts, u.kind, txt(u),
           java.lang.Double.doubleToLongBits(u.num))).foreach { u =>
           kind = u.kind
           u.kind match {
             case "real" | "int" =>
-              lastNum = u.num
-              mn = math.min(mn, u.num); mx = math.max(mx, u.num)
+              // NaN glitch: liveness only, never the stats (see fold)
+              if (!u.num.isNaN) {
+                lastNum = u.num
+                mn = math.min(mn, u.num); mx = math.max(mx, u.num)
+              }
             case "flag" =>
-              lastNum = if (truthy(u.text.trim.toLowerCase)) 1.0 else 0.0
-              lastText = u.text
-            case _ => lastText = u.text
+              lastNum = if (truthy(txt(u).trim.toLowerCase)) 1.0 else 0.0
+              lastText = txt(u)
+            case _ => lastText = txt(u)
           }
           n += 1
           lastTs = math.max(lastTs, u.ts)
@@ -197,11 +215,22 @@ object RtVals {
     * alert; the first update after an idle period emits `!idle`
     * (recovery). Event-time timeouts ride the watermark, so replays of
     * recorded streams produce identical alerts.
+    *
+    * `watermarkDelay` is Spark's late-row bound, and it applies BEFORE
+    * the state machine: any update more than `watermarkDelay` behind the
+    * stream's max event time is silently dropped by the engine, so an
+    * "idle" alert can fire for a key whose late data was discarded. The
+    * "0 seconds" default is correct ONLY for event-time-ordered streams
+    * (the replay harness's chunking); a disordered production feed must
+    * pass a delay covering its skew (round-13 review: the implication
+    * was undocumented).
     */
   implicit private val tsUpdEnc: Encoder[TsUpdate] = Encoders.product[TsUpdate]
 
   def idleAlerts(updates: Dataset[ValUpdate], ttlMillis: Long,
       watermarkDelay: String = "0 seconds"): Dataset[ValAlert] = {
+    // ttl = 0 would re-emit "idle" on every watermark advance
+    require(ttlMillis > 0, s"idleAlerts: ttlMillis must be > 0, got $ttlMillis")
     import org.apache.spark.sql.functions.{col, timestamp_millis}
     updates.toDF()
       .withColumn("ets", timestamp_millis(col("ts")))
@@ -246,7 +275,11 @@ object RtVals {
           var st = state.getOption.getOrElse(empty)
           val out = scala.collection.mutable.ArrayBuffer.empty[ValAlert]
           it.toSeq.sortBy(u => (u.ts, u.value)).foreach { u =>
-            if (emitChanged && st.count > 0 && u.value != st.last)
+            // NaN glitches never trigger: NaN != last is always true and
+            // would fire a spurious "changed" (fold already excludes NaN
+            // from the stats; rising/cleared compares are false for NaN)
+            if (emitChanged && st.count > 0 && !u.value.isNaN &&
+                u.value != st.last)
               out += ValAlert(key, "changed", u.value, u.ts)
             if (!st.active && u.value >= high) {
               out += ValAlert(key, "rising", u.value, u.ts)
