@@ -116,10 +116,13 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
   }
 
   private val wal = new LineBufferWal(checkpointLocation)
-  // (line, arrivalMicros, fileEndPos): the byte position just past the
-  // line's newline, so the planner can persist a position that covers
-  // exactly the lines the WAL holds
-  private val buffer = ListBuffer.empty[(String, Long, Long)]
+  // (line, arrivalMicros, fileEndPos, fileKey): the byte position just
+  // past the line's newline plus the identity key of the file the bytes
+  // were READ from — the planner persists both together. Pre-fix the
+  // planner stamped the key at PLAN time, so across a live rotation the
+  // old file's offset was persisted under the NEW file's key, exactly
+  // the head-loss the key exists to prevent (round-13 review).
+  private val buffer = ListBuffer.empty[(String, Long, Long, String)]
   private var baseOffset = wal.maxPlannedOffset
   private val stopped = new AtomicBoolean(false)
 
@@ -162,15 +165,34 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
 
   private val poller = new Thread(s"graft-tail-$path") {
     override def run(): Unit = {
-      // recover from the freshest of side file and WAL headers; a crash
-      // between the segment write and the side-file write leaves the WAL
-      // header ahead, which is exactly the copy that covers its lines
-      val recovered: Option[(Long, String)] =
-        (wal.maxHeader.flatMap(parsePosRecord).toSeq ++
-          (if (Files.exists(posFile))
-            parsePosRecord(new String(Files.readAllBytes(posFile),
-              StandardCharsets.UTF_8)).toSeq
-          else Nil)).sortBy(-_._1).headOption
+      // recover from the WAL header FIRST (written atomically with the
+      // rows it covers — always the authoritative copy when any segment
+      // is live), side file only when every segment was committed away.
+      // NOT max-position (round-13 review): positions restart at 0 on
+      // rotation, so "largest position wins" let a stale pre-rotation
+      // side-file record beat the correct post-rotation header — the
+      // exact lines-WAL'd-but-position-stale window the design claims
+      // cannot exist. Recovery reads retry on IOException instead of
+      // killing the poller thread before its guarded loop (a source
+      // that runs forever producing zero rows — same class the
+      // parsePosRecord guard was added for).
+      var recovered: Option[(Long, String)] = None
+      var recoveredOk = false
+      while (!recoveredOk && !stopped.get()) {
+        try {
+          recovered = wal.maxHeader.flatMap(parsePosRecord)
+            .orElse(
+              if (Files.exists(posFile))
+                parsePosRecord(new String(Files.readAllBytes(posFile),
+                  StandardCharsets.UTF_8))
+              else None)
+          recoveredOk = true
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[tail] recovery read failed (retrying): $e")
+            Thread.sleep(pollMillis)
+        }
+      }
       var pos: Long = recovered match {
         // identity mismatch = the file was rotated while we were down:
         // its replacement starts over at 0 (old-file offsets would land
@@ -192,27 +214,53 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
             // backpressure: stop reading past the buffer bound and let
             // the stream drain first (startat=begin on a huge live log)
             if (len > pos && buffer.synchronized(buffer.size) < maxBufferedLines) {
+              // identity of the file these bytes come from, captured at
+              // READ time (see the buffer comment)
+              val readKey = fileKey()
               val raf = new RandomAccessFile(path, "r")
               try {
                 raf.seek(pos)
                 val chunk = new Array[Byte](math.min(len - pos, 1 << 20).toInt)
                 val n = raf.read(chunk)
-                var i = 0
-                while (i < n) {
-                  val b = chunk(i)
-                  if (b == '\n') {
-                    val lineBytes = carry.toByteArray
-                    carry.reset()
-                    val line = new String(lineBytes, StandardCharsets.UTF_8)
-                      .stripSuffix("\r")
-                    buffer.synchronized {
-                      buffer += ((line, System.currentTimeMillis() * 1000L,
-                        pos + i + 1))
+                // the file can shrink between Files.size and the read:
+                // read returns -1 and `pos += n` would DECREMENT pos off
+                // its newline alignment (round-13 review) — skip; the
+                // next poll's len<pos check handles the truncation
+                if (n > 0) {
+                  var i = 0
+                  while (i < n) {
+                    val b = chunk(i)
+                    if (b == '\n') {
+                      val lineBytes = carry.toByteArray
+                      carry.reset()
+                      val line = new String(lineBytes, StandardCharsets.UTF_8)
+                        .stripSuffix("\r")
+                      buffer.synchronized {
+                        buffer += ((line, System.currentTimeMillis() * 1000L,
+                          pos + i + 1, readKey))
+                      }
+                    } else {
+                      carry.write(b)
+                      // the carry is exempt from maxBufferedLines (it is
+                      // not a line yet), so a newline-free file would
+                      // grow it without bound — flush an oversized
+                      // partial as a line like other tailers do (the
+                      // endPos is then mid-line: at-least-once re-read
+                      // on restart, never driver OOM; round-13 review)
+                      if (carry.size >= (4 << 20)) {
+                        val line = new String(carry.toByteArray,
+                          StandardCharsets.UTF_8)
+                        carry.reset()
+                        buffer.synchronized {
+                          buffer += ((line, System.currentTimeMillis() * 1000L,
+                            pos + i + 1, readKey))
+                        }
+                      }
                     }
-                  } else carry.write(b)
-                  i += 1
+                    i += 1
+                  }
+                  pos += n
                 }
-                pos += n
               } finally raf.close()
             }
           }
@@ -243,7 +291,7 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
         // newline-aligned by construction) travels INSIDE the segment —
         // same tmp+move as the rows — then mirrors to the side file for
         // after the segment is committed away
-        val posRecord = slice.lastOption.map(last => s"${last._3}\t${fileKey()}")
+        val posRecord = slice.lastOption.map(last => s"${last._3}\t${last._4}")
         wal.persistBatch(s, e, pairs, posRecord)
         posRecord.foreach { rec =>
           // tmp + atomic move: a direct write torn by a crash leaves a

@@ -8,6 +8,13 @@ import scala.concurrent.{Future, Promise}
   * per exchange (one ConfirmCollector per send-await conversation, one
   * BufferCollector per handover), so giving each its own executor thread
   * would leak a thread per instance.
+  *
+  * CONTRACT for callbacks running on this thread (BufferCollector's
+  * onFinished, ConfirmCollector's retry send): they must not block — one
+  * blocking callback stalls every collector timeout and retry
+  * process-wide (single thread by design; round-13 review made the
+  * implicit contract explicit). Callbacks that may block (a write to a
+  * possibly-hung sink) must hand off to their own executor.
   */
 object CollectorScheduler {
   lazy val shared: ScheduledExecutorService =
@@ -57,9 +64,20 @@ class ConfirmCollector(
 
   private def attempt(c: Confirm): Unit = {
     c.attempts += 1
-    send(c.msg)
-    if (c.reply.isEmpty) { // fire-and-forget confirm
+    // a throwing send (the NORMAL failure for the socket writers this
+    // class wraps — dead TCP peer, closed serial port) must count as a
+    // failed attempt with the retry chain kept alive: pre-fix the
+    // exception escaped before the retry was scheduled (or was swallowed
+    // by the executor on a retry tick), leaving the head confirm wedged
+    // with no timer and every later confirm queued behind it forever
+    // (round-13 review)
+    val sent =
+      try { send(c.msg); true } catch { case _: Exception => false }
+    if (sent && c.reply.isEmpty) { // fire-and-forget confirm
       c.done.trySuccess(true)
+      advance()
+    } else if (!sent && c.attempts >= maxAttempts) {
+      c.done.trySuccess(false)
       advance()
     } else {
       retryFuture = scheduler.schedule(new Runnable {
@@ -105,6 +123,14 @@ class BufferCollector(
     timeoutMillis: Long = -1L,
     onFinished: (Seq[String], Boolean) => Unit,
     scheduler: ScheduledExecutorService = CollectorScheduler.shared) {
+
+  // with BOTH bounds left unset nothing can ever finish: addData returns
+  // true forever, the buffer grows until OOM, and onFinished is never
+  // called — refuse the configuration instead of silently never meeting
+  // the hand-the-batch-exactly-once contract (round-13 review)
+  require(bufferSize > 0 || timeoutMillis > 0,
+    "BufferCollector: at least one of bufferSize/timeoutMillis must be set" +
+    " — with neither, the collector never finishes and grows unbounded")
 
   private val buffer = scala.collection.mutable.ArrayBuffer.empty[String]
   @volatile private var finished = false

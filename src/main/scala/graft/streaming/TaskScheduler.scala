@@ -45,7 +45,15 @@ object TaskScheduler {
     if (!cand.toInstant.isAfter(now)) cand = cand.plusDays(1)
     while (days.nonEmpty && !days.contains(cand.getDayOfWeek))
       cand = cand.plusDays(1)
-    java.time.Duration.between(now, cand.toInstant).toMillis
+    // CEILING millis, not Duration.toMillis (which truncates): `now` has
+    // sub-millisecond precision while the candidate is whole-second, so
+    // truncation fired the tick up to ~1 ms EARLY — and the re-arm then
+    // computed a 0 ms delay back to the SAME occurrence, dispatching the
+    // task in a tight loop until wall time passed the target (round-13
+    // review). Rounding up fires at-or-after the target, so the re-arm
+    // always lands on the next day's occurrence.
+    val d = java.time.Duration.between(now, cand.toInstant)
+    d.toMillis + (if (d.getNano % 1000000 != 0) 1L else 0L)
   }
 }
 
@@ -197,17 +205,25 @@ class TasklistRunner(
       // starts after pass N's last task); oneshot sets schedule it
       // after the pass's Delay horizon (interval/clock arms are
       // persistent, not pass-scoped, so they don't gate replay).
-      def oneshotPass(): Long = {
+      val totalPasses = math.max(s.repeat, 1)
+      def oneshotPass(firstPass: Boolean): Long = {
         var horizonMs = 0L
         s.tasks.foreach { t =>
           outputs.put(t.id, t.output)
           t.trigger match {
-            case Some(tr) =>
+            case Some(tr @ Delay(d)) =>
+              // Delay arms are pass-scoped: re-armed per replay pass
               tasks.add(ScheduledTask(t.id, tr, t.value, guard(t)))
-              tr match {
-                case Delay(d) => horizonMs = math.max(horizonMs, d)
-                case _ => ()
-              }
+              horizonMs = math.max(horizonMs, d)
+            case Some(tr) =>
+              // Interval/Clock/Keyword/While/WaitFor arms are PERSISTENT
+              // (the replay comment below already says so) — re-adding
+              // them per pass armed DUPLICATE schedules, multiplying the
+              // dispatch rate by the repeat count (round-13 review:
+              // repeat=3 with an Interval task dispatched 3x per period
+              // forever)
+              if (firstPass)
+                tasks.add(ScheduledTask(t.id, tr, t.value, guard(t)))
             case None => if (guard(t)()) dispatch(t.id, t.value)
           }
         }
@@ -216,7 +232,7 @@ class TasklistRunner(
       def runPass(remaining: Int): Unit = if (remaining > 0) {
         if (s.run == "step") runStep(s.tasks.toList, () => runPass(remaining - 1))
         else {
-          val horizonMs = oneshotPass()
+          val horizonMs = oneshotPass(firstPass = remaining == totalPasses)
           if (remaining > 1) {
             if (horizonMs == 0L) runPass(remaining - 1)
             else scheduler.schedule((() => runPass(remaining - 1)): Runnable,
@@ -224,7 +240,7 @@ class TasklistRunner(
           }
         }
       }
-      runPass(math.max(s.repeat, 1))
+      runPass(totalPasses)
       true
   }
 

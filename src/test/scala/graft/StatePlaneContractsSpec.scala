@@ -108,6 +108,50 @@ class StatePlaneContractsSpec extends AnyFunSuite {
     assert(got2.toSeq == Seq(None, Some(7L)), s"leading-NULL prefix: ${got2.toSeq}")
   }
 
+  test("ConfirmCollector: a throwing send fails the confirm instead of wedging the FIFO") {
+    import graft.streaming.ConfirmCollector
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    // send always throws (dead TCP peer): pre-fix the exception escaped
+    // before the retry was scheduled, the head confirm hung forever and
+    // every later confirm queued behind it
+    val c = new ConfirmCollector(
+      send = _ => throw new java.io.IOException("peer gone"),
+      maxAttempts = 2, timeoutSeconds = 1)
+    val f1 = c.addConfirm("stop", "ack")
+    assert(!Await.result(f1, 10.seconds), "confirm must fail, not hang")
+    // the queue advanced: a second confirm gets its own verdict
+    val f2 = c.addConfirm("go", "ok")
+    assert(!Await.result(f2, 10.seconds))
+    assert(c.pending == 0)
+  }
+
+  test("BufferCollector refuses the never-finishing default configuration") {
+    import graft.streaming.BufferCollector
+    intercept[IllegalArgumentException] {
+      new BufferCollector(onFinished = (_, _) => ())
+    }
+  }
+
+  test("nextClockDelayMs rounds UP: the tick never fires before the target") {
+    import java.time.{Instant, LocalTime}
+    import graft.streaming.TaskScheduler
+    // now has sub-millisecond precision; pre-fix Duration.toMillis
+    // truncated, firing ~1 ms early — and the re-arm then computed a
+    // 0 ms delay back to the SAME occurrence (tight dispatch loop)
+    val now = Instant.parse("2026-01-01T10:00:00.000300Z")
+    val d = TaskScheduler.nextClockDelayMs(
+      LocalTime.of(18, 0), Set.empty, utc = true, now)
+    val fireAt = now.plusMillis(d)
+    val target = Instant.parse("2026-01-01T18:00:00Z")
+    assert(!fireAt.isBefore(target), s"fires ${fireAt} before target $target")
+    assert(d <= 8L * 3600 * 1000, "rounded more than the remainder")
+    // exact-millisecond now keeps the exact delay (no gratuitous +1)
+    val exact = Instant.parse("2026-01-01T10:00:00Z")
+    assert(TaskScheduler.nextClockDelayMs(
+      LocalTime.of(18, 0), Set.empty, utc = true, exact) == 8L * 3600 * 1000)
+  }
+
   test("SpaceSaving mutable fold matches the immutable MG semantics") {
     // the round-13 rewrite switched the per-partition fold to a shared
     // mutable map; pin equality against a driver-side immutable MG over
