@@ -108,9 +108,17 @@ private class MqttLineMicroBatchStream(host: String, port: Int, topic: String,
   reader.setDaemon(true)
   reader.start()
 
+  // see TcpLineMicroBatchStream.maxServed: a planned range beyond what
+  // this instance advertised is a replay of lines the WAL never saw —
+  // fail fast instead of substituting post-reconnect lines (round-13)
+  @volatile private var maxServed = baseOffset
+
   override def initialOffset(): Offset = LongOffset(wal.committedOffset)
-  override def latestOffset(): Offset =
-    buffer.synchronized(LongOffset(baseOffset + buffer.size))
+  override def latestOffset(): Offset = buffer.synchronized {
+    val o = baseOffset + buffer.size
+    if (o > maxServed) maxServed = o
+    LongOffset(o)
+  }
   override def deserializeOffset(json: String): Offset = LongOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -118,6 +126,11 @@ private class MqttLineMicroBatchStream(host: String, port: Int, topic: String,
     val e = end.asInstanceOf[LongOffset].value
     val rows =
       if (s < baseOffset) wal.readRange(s, e)
+      else if (e > maxServed)
+        throw new IllegalStateException(
+          s"mqtt source cannot replay [$s,$e): the lines were never " +
+          "persisted to the graft WAL and are gone with the connection — " +
+          "restart the query from a clean checkpoint")
       else buffer.synchronized {
         val slice = buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
         wal.persistBatch(s, e, slice)

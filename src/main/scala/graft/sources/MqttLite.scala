@@ -21,10 +21,18 @@ object MqttCodec {
 
   private def utf8(s: String): Array[Byte] = {
     val b = s.getBytes(StandardCharsets.UTF_8)
+    // the 2-byte length prefix caps MQTT strings at 65535 bytes
+    // (MQTT-1.5.3): silently truncating the prefix while appending all
+    // the bytes emitted a corrupt frame (round-13 review)
+    require(b.length <= 0xffff,
+      s"MQTT string exceeds 65535 UTF-8 bytes: ${b.length}")
     Array(((b.length >> 8) & 0xff).toByte, (b.length & 0xff).toByte) ++ b
   }
 
   private def writeRemainingLength(out: DataOutputStream, n0: Int): Unit = {
+    // MQTT-2.2.3: the varint caps at 4 bytes = 268435455; a larger body
+    // would emit an illegal 5-byte length
+    require(n0 >= 0 && n0 <= 268435455, s"MQTT body too large: $n0")
     var n = n0
     do {
       var digit = n % 128
@@ -35,11 +43,19 @@ object MqttCodec {
   }
 
   private def readRemainingLength(in: DataInputStream): Int = {
-    var multiplier = 1; var value = 0; var digit = 0
+    // MQTT-2.2.3: at most 4 length bytes (max 268435455). Unbounded,
+    // malformed continuations overflowed Int (negative allocation), spun
+    // forever on a 0x80 stream, or allocated up to 256 MB per crafted
+    // packet (round-13 review). A 5th continuation byte is a protocol
+    // error — IOException so the reconnect path handles it.
+    var multiplier = 1; var value = 0; var digit = 0; var bytes = 0
     do {
+      if (bytes == 4)
+        throw new java.io.IOException("malformed MQTT remaining-length")
       digit = in.readUnsignedByte()
       value += (digit & 0x7f) * multiplier
       multiplier *= 128
+      bytes += 1
     } while ((digit & 0x80) != 0)
     value
   }
@@ -61,6 +77,29 @@ object MqttCodec {
     Packet(h >> 4, h & 0x0f, body)
   }
 
+  /** [[readPacket]] for a polling loop with a socket timeout: a timeout
+    * BEFORE any header byte is idleness (None); a timeout AFTER the
+    * header byte was consumed means the stream is committed to a frame
+    * that stalled — treating that as idleness desynced the stream (the
+    * next read parsed mid-frame bytes as a fixed header, which could
+    * decode as a plausible PUBLISH and deliver corrupt rows; round-13
+    * review) — so it raises IOException and the caller reconnects.
+    */
+  def readPacketOpt(in: DataInputStream): Option[Packet] = {
+    val h =
+      try in.readUnsignedByte()
+      catch { case _: java.net.SocketTimeoutException => return None }
+    try {
+      val len = readRemainingLength(in)
+      val body = new Array[Byte](len)
+      in.readFully(body)
+      Some(Packet(h >> 4, h & 0x0f, body))
+    } catch {
+      case _: java.net.SocketTimeoutException =>
+        throw new java.io.IOException("mid-frame stall: stream desynced")
+    }
+  }
+
   def connectBody(clientId: String, keepAliveSec: Int = 0): Array[Byte] =
     utf8("MQTT") ++ Array[Byte](4, 0x02) ++ // level 4, clean session
       Array(((keepAliveSec >> 8) & 0xff).toByte, (keepAliveSec & 0xff).toByte) ++
@@ -73,9 +112,17 @@ object MqttCodec {
   def publishBody(topic: String, payload: Array[Byte]): Array[Byte] =
     utf8(topic) ++ payload
 
-  /** Decode a QoS-0 PUBLISH body into (topic, payload). */
+  /** Decode a QoS-0 PUBLISH body into (topic, payload). Malformed
+    * bodies (truncated topic length) raise IOException so the caller's
+    * reconnect path — which catches IO, not IndexOutOfBounds — handles
+    * them instead of the reader thread dying (round-13 review).
+    */
   def decodePublish(body: Array[Byte]): (String, Array[Byte]) = {
+    if (body.length < 2)
+      throw new java.io.IOException("malformed PUBLISH: no topic length")
     val tlen = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+    if (2 + tlen > body.length)
+      throw new java.io.IOException("malformed PUBLISH: topic overruns body")
     val topic = new String(body, 2, tlen, StandardCharsets.UTF_8)
     (topic, body.drop(2 + tlen))
   }
@@ -104,6 +151,13 @@ class MqttClientLite(host: String, port: Int, clientId: String,
     keepAliveSec: Int = MqttClientLite.KeepAliveSec) {
   import MqttCodec._
   import MqttClientLite.PollTimeoutMs
+
+  // the ping clock (keepalive/2 since last send) must be longer than the
+  // poll sleep or the first ping fires after the broker already dropped
+  // us — the "much shorter than any liveness bound" claim, enforced
+  // (round-13 review; keepAliveSec <= 10 broke the arithmetic silently)
+  require(keepAliveSec == 0 || keepAliveSec * 500L > PollTimeoutMs,
+    s"keepAliveSec=$keepAliveSec too short for PollTimeoutMs=$PollTimeoutMs")
 
   private val socket = new Socket(host, port)
   // MQTT keepalive is about what the CLIENT sends (MQTT-3.1.2-24: the
@@ -135,8 +189,26 @@ class MqttClientLite(host: String, port: Int, clientId: String,
   // would drive PINGREQs — declaring a nonzero keepalive it can't honor
   // gets it dropped by the broker after 1.5x and QoS-0 publishes silently
   // lost until the RST surfaces. 0 = keepalive disabled (MQTT-3.1.2-23).
-  send(CONNECT, 0, connectBody(clientId, keepAliveSec))
-  require(readPacket(in).ptype == CONNACK, "broker did not CONNACK")
+  // handshake failures must CLOSE the socket (the caller never got the
+  // reference, so its finally can close nothing — one fd leaked per
+  // retry) and raise IOException (require threw IllegalArgumentException,
+  // which escaped the reconnect path's IO catch and killed the reader
+  // thread; round-13 review). The CONNACK return code is also checked:
+  // a refused connection (code 1-5) was indistinguishable from a
+  // healthy quiet broker.
+  try {
+    send(CONNECT, 0, connectBody(clientId, keepAliveSec))
+    val ack = readPacket(in)
+    if (ack.ptype != CONNACK)
+      throw new java.io.IOException(s"expected CONNACK, got type ${ack.ptype}")
+    val rc = if (ack.body.length >= 2) ack.body(1) & 0xff else -1
+    if (rc != 0)
+      throw new java.io.IOException(s"broker refused connection: code $rc")
+  } catch {
+    case e: Throwable =>
+      try socket.close() catch { case _: java.io.IOException => () }
+      throw e
+  }
   lastRecvMs = System.currentTimeMillis()
 
   def subscribe(topicFilter: String): Unit = {
@@ -150,18 +222,15 @@ class MqttClientLite(host: String, port: Int, clientId: String,
 
   /** Blocks until the socket closes (or the keepalive clocks declare it
     * dead), delivering each publish. A poll timeout that fires mid-frame
-    * on a pathologically slow link would desync the stream; the garbage
-    * that follows surfaces as EOF/IO and the caller reconnects.
+    * raises IOException directly ([[MqttCodec.readPacketOpt]]) — the
+    * stream is desynced and must reconnect, never parse mid-frame bytes
+    * as a header.
     */
   def readLoop(onMessage: (String, String) => Unit): Unit =
     try {
       while (true) {
-        val p =
-          try {
-            val p0 = readPacket(in)
-            lastRecvMs = System.currentTimeMillis()
-            Some(p0)
-          } catch { case _: java.net.SocketTimeoutException => None }
+        val p = readPacketOpt(in) // None = idle; mid-frame stall = IO
+        p.foreach(_ => lastRecvMs = System.currentTimeMillis())
         val now = System.currentTimeMillis()
         if (keepAliveSec > 0) {
           if (now - lastRecvMs > keepAliveSec * 1500L)
@@ -175,7 +244,15 @@ class MqttClientLite(host: String, port: Int, clientId: String,
               val (topic, payload) = decodePublish(pkt.body)
               onMessage(topic, new String(payload, StandardCharsets.UTF_8))
             case PINGREQ => send(PINGRESP, 0, Array.empty)
-            case _ => // SUBACK/PINGRESP/CONNACK duplicates ignored
+            case SUBACK =>
+              // grant codes follow the 2-byte packet id; 0x80 = broker
+              // rejected the subscription (ACL-denied filter) — pre-fix
+              // this was ignored and the query idled forever delivering
+              // zero rows on a "connected" broker (round-13 review)
+              if (pkt.body.drop(2).exists(b => (b & 0xff) == 0x80))
+                throw new java.io.IOException(
+                  "broker rejected subscription (SUBACK 0x80)")
+            case _ => // PINGRESP/CONNACK duplicates ignored
           }
         }
       }

@@ -96,10 +96,11 @@ private class TcpLineMicroBatchStream(host: String, port: Int,
   private val reader = new Thread(s"graft-tcp-$host:$port") {
     override def run(): Unit = {
       while (!stopped.get()) {
+        var socket: Socket = null
         try {
-          val socket = new Socket(host, port)
+          socket = new Socket(host, port)
           liveSocket.set(socket)
-          if (stopped.get()) { socket.close(); return }
+          if (stopped.get()) return
           // lifecycle "open" trigger (BaseStream.java:130-141): send the
           // hello/wakeup string on every (re)connect
           hello.foreach { h =>
@@ -108,14 +109,36 @@ private class TcpLineMicroBatchStream(host: String, port: Int,
           }
           val in = new BufferedReader(
             new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
-          var line = in.readLine()
-          while (line != null && !stopped.get()) {
-            buffer.synchronized { buffer += ((line, System.currentTimeMillis() * 1000L)) }
-            line = in.readLine()
+          // manual line assembly instead of readLine(): readLine returns
+          // an UNTERMINATED final fragment at EOF as if it were a line —
+          // a sender that dies mid-record and retransmits after
+          // reconnect produced both a truncated phantom row and the real
+          // one (round-13 review). A partial is only a line once its
+          // newline arrives; at EOF it is discarded (the reconnected
+          // sender re-sends it whole).
+          val partial = new java.lang.StringBuilder
+          var c = in.read()
+          while (c >= 0 && !stopped.get()) {
+            if (c == '\n') {
+              val line =
+                if (partial.length > 0 && partial.charAt(partial.length - 1) == '\r')
+                  partial.substring(0, partial.length - 1)
+                else partial.toString
+              partial.setLength(0)
+              buffer.synchronized {
+                buffer += ((line, System.currentTimeMillis() * 1000L))
+              }
+            } else partial.append(c.toChar)
+            c = in.read()
           }
-          socket.close()
         } catch {
           case _: java.io.IOException => // auto-reconnect after a pause
+        } finally {
+          // close on EVERY exit path: an IOException (RST from a
+          // flapping sensor) used to skip the close and leak one fd per
+          // ~200 ms reconnect cycle until ulimit (round-13 review)
+          if (socket != null)
+            try socket.close() catch { case _: java.io.IOException => () }
         }
         if (!stopped.get()) Thread.sleep(200)
       }
@@ -124,9 +147,22 @@ private class TcpLineMicroBatchStream(host: String, port: Int,
   reader.setDaemon(true)
   reader.start()
 
+  // highest end offset this INSTANCE has advertised via latestOffset():
+  // a planned range beyond it can only be Spark replaying, from its own
+  // offset log, a batch our WAL never persisted (crash between Spark's
+  // offset-log write and wal.persistBatch). Those lines died with the
+  // socket — the buffer now holds NEW post-reconnect lines at those
+  // indices, and silently substituting them would lose the originals
+  // AND persist a lying WAL segment (round-13 review). Fail fast like
+  // wal.readRange does for the committed range.
+  @volatile private var maxServed = baseOffset
+
   override def initialOffset(): Offset = LongOffset(wal.committedOffset)
-  override def latestOffset(): Offset =
-    buffer.synchronized(LongOffset(baseOffset + buffer.size))
+  override def latestOffset(): Offset = buffer.synchronized {
+    val o = baseOffset + buffer.size
+    if (o > maxServed) maxServed = o
+    LongOffset(o)
+  }
   override def deserializeOffset(json: String): Offset = LongOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -134,6 +170,12 @@ private class TcpLineMicroBatchStream(host: String, port: Int,
     val e = end.asInstanceOf[LongOffset].value
     val rows =
       if (s < baseOffset) wal.readRange(s, e) // restart replay
+      else if (e > maxServed)
+        throw new IllegalStateException(
+          s"tcp source cannot replay [$s,$e): the lines were never " +
+          "persisted to the graft WAL (crash between Spark's offset log " +
+          "and persistBatch) and are gone with the connection — " +
+          "restart the query from a clean checkpoint")
       else buffer.synchronized {
         val slice = buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
         wal.persistBatch(s, e, slice)

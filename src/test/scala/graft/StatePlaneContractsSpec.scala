@@ -152,6 +152,50 @@ class StatePlaneContractsSpec extends AnyFunSuite {
       LocalTime.of(18, 0), Set.empty, utc = true, exact) == 8L * 3600 * 1000)
   }
 
+  test("MQTT codec refuses malformed varints, truncated publishes, oversized strings") {
+    import graft.sources.MqttCodec
+    import java.io.{ByteArrayInputStream, DataInputStream}
+    def din(bytes: Int*): DataInputStream =
+      new DataInputStream(new ByteArrayInputStream(bytes.map(_.toByte).toArray))
+    // 5 continuation bytes violate MQTT-2.2.3 (pre-fix: Int overflow /
+    // unbounded loop / 256 MB allocation per crafted packet)
+    intercept[java.io.IOException] {
+      MqttCodec.readPacket(din(0x30, 0x80, 0x80, 0x80, 0x80, 0x80))
+    }
+    // legal 4-byte varint still decodes (max 268435455 refused only at 5)
+    val p = MqttCodec.readPacket(din(Seq(0xC0, 0x02, 0x01, 0x02): _*))
+    assert(p.ptype == 12 && p.body.length == 2)
+    // truncated PUBLISH topic raises IO (reconnectable), not IndexOOB
+    intercept[java.io.IOException] {
+      MqttCodec.decodePublish(Array[Byte](0x00, 0x10, 'a'))
+    }
+    // strings past the 2-byte length prefix refuse instead of emitting a
+    // corrupt frame
+    intercept[IllegalArgumentException] {
+      MqttCodec.subscribeBody(1, "x" * 70000)
+    }
+  }
+
+  test("MQTT readPacketOpt: idle timeout is None, mid-frame stall is IOException") {
+    import graft.sources.MqttCodec
+    import java.io.DataInputStream
+    val server = new java.net.ServerSocket(0)
+    val client = new java.net.Socket("127.0.0.1", server.getLocalPort)
+    val peer = server.accept()
+    try {
+      client.setSoTimeout(300)
+      val in = new DataInputStream(client.getInputStream)
+      // nothing sent: timeout BEFORE the header byte = idleness
+      assert(MqttCodec.readPacketOpt(in).isEmpty)
+      // one header byte then silence: the stream is committed to a frame
+      // — pre-fix this read as idleness and the next read parsed
+      // mid-frame bytes as a new header (silent desync)
+      peer.getOutputStream.write(0x30)
+      peer.getOutputStream.flush()
+      intercept[java.io.IOException] { MqttCodec.readPacketOpt(in) }
+    } finally { client.close(); peer.close(); server.close() }
+  }
+
   test("SpaceSaving mutable fold matches the immutable MG semantics") {
     // the round-13 rewrite switched the per-partition fold to a shared
     // mutable map; pin equality against a driver-side immutable MG over
