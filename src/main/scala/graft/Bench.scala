@@ -209,6 +209,8 @@ object Bench {
       .foreach(m => b.config("spark.executor.memory", m))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // full dialect at session build — see Verify (round-13 review)
+    org.apache.spark.sql.graft.GraftOptimizations.install(spark)
     // warm the session (parquet reader, codegen, shuffle machinery) so the
     // first measured query doesn't absorb JVM start-up costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }

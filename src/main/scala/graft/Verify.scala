@@ -28,6 +28,11 @@ object Verify {
       .foreach(m => b.config("spark.executor.memory", m))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the full graft dialect (pow rewrite + native strategies) installs
+    // at SESSION build: previously the pow rule arrived only as a side
+    // effect of the first as-of/LSH join, making unrelated rows' doubles
+    // depend on board execution order (round-13 review)
+    org.apache.spark.sql.graft.GraftOptimizations.install(spark)
     new java.io.File(outDir).mkdirs()
     val selected =
       if (only.isEmpty) SparkEntry.queries

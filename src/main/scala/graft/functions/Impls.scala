@@ -74,10 +74,20 @@ object Impls {
     (-sum) & 0xff
   }
 
-  /** Reinterpret the low `bits` bits of v as a two's-complement signed int. */
+  /** Reinterpret the low `bits` bits of v as a two's-complement signed int.
+    * bits must be 1-64 (64 = identity): Java shifts wrap mod 64, so an
+    * unguarded bits=0/64 silently returned 0 for EVERY input and a
+    * negative bits computed a nonsense mask — from a registered SQL
+    * function (round-13 review, confirmed by probe).
+    */
   def signedNBit(v: Long, bits: Int): Long = {
-    val masked = v & ((1L << bits) - 1)
-    if ((masked & (1L << (bits - 1))) != 0) masked - (1L << bits) else masked
+    require(bits >= 1 && bits <= 64,
+      s"signed_nbit: bits must be in [1,64], got $bits")
+    if (bits == 64) v
+    else {
+      val masked = v & ((1L << bits) - 1)
+      if ((masked & (1L << (bits - 1))) != 0) masked - (1L << bits) else masked
+    }
   }
 
   /** Binary-coded-decimal decode: each hex nibble is one decimal digit. */
@@ -108,10 +118,16 @@ object Impls {
   def simhash64(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
+    // one digest per CALL, reset between tokens (the minhashSig pattern):
+    // md5Of paid a JCA getInstance + allocation PER TOKEN in the hottest
+    // per-document dedup projection (round-13 review)
+    val md = MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val d = md5Of(tokens.getUTF8String(i).toString)
+        md.reset()
+        val d = md.digest(
+          tokens.getUTF8String(i).toString.getBytes(StandardCharsets.UTF_8))
         var h = 0L
         var k = 0
         while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }

@@ -164,7 +164,7 @@ object AsOf {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    GraftOptimizations.install(leftDf.sparkSession)
+    GraftOptimizations.install(leftDf.sparkSession, withPowRewrite = false)
     val lp = leftDf.queryExecution.analyzed
     val rp0 = rightDf.queryExecution.analyzed
     // Self-join hygiene (round-8 advice): when both sides derive from the

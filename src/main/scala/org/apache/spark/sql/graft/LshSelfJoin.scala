@@ -180,7 +180,7 @@ object LshSelfJoin {
   def candidatePairs(banded: DataFrame, idCol: String, bandCol: String,
       bhCol: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Cast
-    GraftOptimizations.install(banded.sparkSession)
+    GraftOptimizations.install(banded.sparkSession, withPowRewrite = false)
     val p = banded.queryExecution.analyzed
     // resolve with the session's resolver (spark.sql.caseSensitive) and
     // reject ambiguity — a first-match lookup would silently bind the
@@ -199,6 +199,25 @@ object LshSelfJoin {
       case ByteType | ShortType | IntegerType => Cast(idAttr, LongType)
       case dt => throw new IllegalArgumentException(
         s"LSH self-join id column '$idCol' must be integral, got $dt")
+    }
+    // the exec's run detection copies retained bucket keys per type
+    // (UTF8String.copy, Array[Byte].clone); array/struct/map keys would
+    // be retained UNCOPIED into a sort buffer the iterator reuses after
+    // a spill — runs would fragment or merge on mutated memory and the
+    // operator would silently emit a wrong pair set (round-13 review:
+    // the same class the BinaryType copy fixed, refused here for the
+    // types the copy does not cover)
+    Seq(bandCol, bhCol).foreach { c =>
+      a(c).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType =>
+          throw new IllegalArgumentException(
+            s"LSH self-join bucket column '$c' has a nested type " +
+            s"(${a(c).dataType}) — hash it to an atomic key first " +
+            "(the run detector cannot safely retain nested buffers)")
+        case _ => ()
+      }
     }
     Dataset.ofRows(banded.sparkSession.asInstanceOf[SparkSession],
       LshSelfJoinPlan(p, idExpr, a(bandCol), a(bhCol),

@@ -227,14 +227,6 @@ case class VecDot(left: Expression, right: Expression)
     copy(l, r)
 }
 
-/** znorm_dist(win, pattern): Euclidean distance between the z-normalized
-  * window (population std) and a query pattern, NaN when the window is
-  * constant (std = 0). Accumulation order matches the aggregate/transform
-  * lambda rendering exactly (ascending index, mean then variance then
-  * distance), so results are bit-identical — but the JVM loop stays in
-  * whole-stage codegen instead of three CodegenFallback lambda trees per
-  * window.
-  */
 /** dtw_dist(a, b): integer dynamic-time-warping distance between two
   * long-array series in one codegen'd call — tier (b) of the custom-op
   * ladder for a whole DP kernel (a lambda rendering would need a
@@ -255,6 +247,14 @@ case class DtwDist(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** znorm_dist(win, pattern): Euclidean distance between the z-normalized
+  * window (population std) and a query pattern, NaN when the window is
+  * constant (std = 0). Accumulation order matches the aggregate/transform
+  * lambda rendering exactly (ascending index, mean then variance then
+  * distance), so results are bit-identical — but the JVM loop stays in
+  * whole-stage codegen instead of three CodegenFallback lambda trees per
+  * window.
+  */
 case class ZNormDist(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =

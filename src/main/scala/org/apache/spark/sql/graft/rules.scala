@@ -48,15 +48,28 @@ object GraftOptimizations {
   // as-of joins concurrently could double-register a rule or drop one
   // registration (round-8 advice). One global lock is enough — installs are
   // rare and cheap, and a per-session lock would need a registry of its own.
-  def install(spark: SparkSession): Unit = synchronized {
-    val current = spark.experimental.extraOptimizations
-    if (!current.contains(PowToMultiply))
-      spark.experimental.extraOptimizations = current :+ PowToMultiply
-    val strategies = spark.experimental.extraStrategies
-    if (!strategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
-    val strategies2 = spark.experimental.extraStrategies
-    if (!strategies2.contains(LshSelfJoinStrategy))
-      spark.experimental.extraStrategies = strategies2 :+ LshSelfJoinStrategy
-  }
+  //
+  // `withPowRewrite`: the pow rewrite changes floating-point RESULTS
+  // session-wide (pow(x,2) -> x*x differs from libm by ulps), which is
+  // the graft dialect's intended semantics (MathDsl's `^` sugar matches
+  // the reference's repeated-multiply) — but the as-of/LSH join entry
+  // points only need the planner STRATEGIES, and silently changing
+  // unrelated queries' doubles because a join ran first in the session
+  // is a side effect a caller can't see (round-13 review). Operator
+  // entry points pass false; the full-dialect surface (GraftExtensions,
+  // the board sessions, MathDsl consumers) keeps the default true.
+  def install(spark: SparkSession, withPowRewrite: Boolean = true): Unit =
+    synchronized {
+      if (withPowRewrite) {
+        val current = spark.experimental.extraOptimizations
+        if (!current.contains(PowToMultiply))
+          spark.experimental.extraOptimizations = current :+ PowToMultiply
+      }
+      val strategies = spark.experimental.extraStrategies
+      if (!strategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
+      val strategies2 = spark.experimental.extraStrategies
+      if (!strategies2.contains(LshSelfJoinStrategy))
+        spark.experimental.extraStrategies = strategies2 :+ LshSelfJoinStrategy
+    }
 }

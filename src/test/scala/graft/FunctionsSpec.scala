@@ -22,6 +22,8 @@ object SparkTestSession {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftFunctions.registerAll(s)
+    // full dialect at session build — see Verify (round-13 review)
+    org.apache.spark.sql.graft.GraftOptimizations.install(s)
     s
   }
 }
