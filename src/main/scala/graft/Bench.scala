@@ -55,8 +55,13 @@ object Bench {
     .replaceAll("plan_id=\\d+", "plan_id=")
     .replaceAll("\\[file:[^\\]]*\\]", "[file]")
     // replay parquet-sink scans print their per-run temp dir without a
-    // file: prefix (MetadataLogFileIndex(1 paths)[/tmp/graft_psink...])
-    .replaceAll("\\[/tmp/graft_psink[^\\]]*\\]", "[psink]")
+    // file: prefix (MetadataLogFileIndex(1 paths)[/tmp/graft_psink...]).
+    // Matched on the graft_psink marker ANYWHERE in the bracket, not on a
+    // hardcoded /tmp prefix: Files.createTempDirectory honors
+    // java.io.tmpdir, so on a host with a relocated tmpdir the old
+    // /tmp-anchored rule missed and every replay fingerprint drifted
+    // per run (round-13 ADVICE)
+    .replaceAll("\\[[^\\]\\n]*graft_psink[^\\]\\n]*\\]", "[psink]")
     .replaceAll("isFinalPlan=\\w+", "")
     .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
     .replaceAll("\\$\\$Lambda\\$\\d+", "\\$\\$Lambda")
@@ -204,6 +209,25 @@ object Bench {
       // budget is applied to the RAW string, so runs whose expr-ids are wider
       // truncate where others don't, destabilizing the plan fingerprint
       .config("spark.sql.maxMetadataStringLength", "100000")
+      // Join strategy (optimization guide §3.1/§9): allow shuffled-hash
+      // joins where the planner's per-partition build-size conditions hold
+      // (no sort of either side), and let AQE rewrite a sort-merge join to
+      // shuffled-hash at runtime when every post-shuffle partition is under
+      // the threshold. Scale posture: both knobs bound the BUILD side per
+      // partition (64 MB here, ~advisoryPartitionSizeInBytes), so the
+      // executor-memory exposure is per-task-bounded at any corpus size;
+      // sort-merge remains the automatic fallback above the bounds.
+      // Parameterized (env) with these defaults so a deployment can widen
+      // or restore sort-merge without a code change.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_BYTES", "67108864"))
+      // checkpoint-retention floor for the replay parity rows: every
+      // micro-batch otherwise retains 100 batches of offset/commit/state
+      // files — pure metadata I/O the short-lived replay queries never
+      // read back (they never recover from old batches; feedAll then stop)
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => b.config("spark.jars", j))
     sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
       .foreach(m => b.config("spark.executor.memory", m))
@@ -342,8 +366,14 @@ object Bench {
     // streaming query names are session-/epoch-scoped; FileReplay's staged
     // LRU is refcount-pinned against cross-thread eviction.
     // ReplayConcurrencySpec pins serial-equality of results.
+    // Default scales with the core budget instead of pinning the r12
+    // constant 4 (the guide's scale-adaptive-settings rule): the tier is
+    // micro-batch commit-latency-bound, so at 32 cores 8 concurrent
+    // replays still leave the executor pool underloaded, while at the
+    // driver's low-core rerun (8 cores) the default stays the measured 4.
     val replayConcurrency = sys.env
-      .getOrElse("SPARK_GRAFT_REPLAY_CONCURRENCY", "4").toInt.max(1)
+      .getOrElse("SPARK_GRAFT_REPLAY_CONCURRENCY",
+        math.min(8, math.max(4, cpus.toInt / 4)).toString).toInt.max(1)
     var replayWallOfPass = 0.0
 
     def runReplayTier(rows: Seq[(String,
@@ -394,6 +424,10 @@ object Bench {
       val rs = futs.map { case (n, f) => val (t, fp) = f.get(); (n, t, fp) }
       pool.shutdown()
       replayWallOfPass = (System.nanoTime() - t0) / 1e9
+      // every tier row has been counted and fingerprinted — the psink
+      // parquet dirs the heavy parity rows wrote are dead weight now;
+      // reclaim them so multi-pass boards don't fill the tmp volume
+      graft.streaming.FileReplay.purgePsinks()
       rs
     }
 

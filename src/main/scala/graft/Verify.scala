@@ -23,6 +23,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror Bench's join-strategy tuning (guide §3.1/§9) so the plans
+      // the driver verifies are the plans the bench times; results are
+      // strategy-invariant, the mirror is for plan-evidence fidelity
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_BYTES", "67108864"))
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => b.config("spark.jars", j))
     sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
       .foreach(m => b.config("spark.executor.memory", m))
@@ -44,10 +52,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release streaming memory-sink temp views (their rows live on the
-      // driver until dropped; the parquet write above consumed them)
+      // driver until dropped; the parquet write above consumed them) and
+      // the psink parquet dirs (fully consumed by the same write)
       try spark.catalog.listTables().collect()
         .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
       catch { case _: Throwable => }
+      graft.streaming.FileReplay.purgePsinks()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -265,27 +265,36 @@ object DedupQueries {
       // handful of tasks at 100x. Ranks.bucketedRank (4-char
       // order-consistent prefix buckets) gives each row its exact
       // row_number in the block's sort order; "next row" is then a plain
-      // equi-join on (blk, rn+k) — shuffle keys that scale with the
-      // data. Bit-equal to the window oracle: rn is dense within blk,
-      // so (blk, rn+k) IS lead(k), and the inner join drops exactly the
-      // id-IS-NOT-NULL tail rows.
-      def pass(keyCol: String): org.apache.spark.sql.DataFrame = {
-        val p = t.select(col("doc_id"), col("pfx"), col(keyCol).as("__key"))
-          .withColumn("blk", substring(col("__key"), 1, 1))
-          .withColumn("__bkt", substring(col("__key"), 1, 4))
-        val ranked = graft.operators.Ranks.bucketedRank(p, Seq("blk"), "__bkt",
-            Seq(col("__key"), col("doc_id")), "rn")
-          .select(col("blk"), col("rn"), col("doc_id"), col("pfx"))
-        val a = ranked.select(col("blk"), col("rn"),
-          col("doc_id").as("a"), col("pfx"))
-        def nbr(k: Int) = ranked.select(col("blk"), (col("rn") - k).as("rn"),
-          col("doc_id").as("b"), col("pfx").as("pfb"))
-        a.join(nbr(1), Seq("blk", "rn"))
-          .select(col("a"), col("b"), col("pfx"), col("pfb"))
-          .unionAll(a.join(nbr(2), Seq("blk", "rn"))
-            .select(col("a"), col("b"), col("pfx"), col("pfb")))
-      }
-      pass("k1").unionAll(pass("k2"))
+      // equi-join on (pass, blk, rn+k) — shuffle keys that scale with
+      // the data. Bit-equal to the window oracle: rn is dense within
+      // (pass, blk), so (pass, blk, rn+k) IS lead(k) inside that pass,
+      // and the inner join drops exactly the id-IS-NOT-NULL tail rows.
+      // Both SNM passes ride ONE pass-tagged union (round-14
+      // optimization): the old per-pass rendering ran the offsets
+      // aggregate + within-bucket window twice and re-derived the ranked
+      // frame for each of 4 neighbor joins; tagging the pass into the
+      // rank's partition keys computes the identical per-pass ranks in
+      // one bucketedRank over the doubled rows, and the tracked-cached
+      // ranked frame feeds 2 joins instead of 4 rebuilds.
+      val passes = t
+        .select(lit(1).as("pass"), col("doc_id"), col("pfx"),
+          col("k1").as("__key"))
+        .unionAll(t.select(lit(2).as("pass"), col("doc_id"), col("pfx"),
+          col("k2").as("__key")))
+        .withColumn("blk", substring(col("__key"), 1, 1))
+        .withColumn("__bkt", substring(col("__key"), 1, 4))
+      val ranked = graft.operators.Ranks.bucketedRank(passes,
+          Seq("pass", "blk"), "__bkt", Seq(col("__key"), col("doc_id")), "rn")
+        .select(col("pass"), col("blk"), col("rn"), col("doc_id"), col("pfx"))
+        .transform(TextOps.trackCache)
+      val a = ranked.select(col("pass"), col("blk"), col("rn"),
+        col("doc_id").as("a"), col("pfx"))
+      def nbr(k: Int) = ranked.select(col("pass"), col("blk"),
+        (col("rn") - k).as("rn"), col("doc_id").as("b"), col("pfx").as("pfb"))
+      a.join(nbr(1), Seq("pass", "blk", "rn"))
+        .select(col("a"), col("b"), col("pfx"), col("pfb"))
+        .unionAll(a.join(nbr(2), Seq("pass", "blk", "rn"))
+          .select(col("a"), col("b"), col("pfx"), col("pfb")))
         .select(least(col("a"), col("b")).as("doc_a"),
           greatest(col("a"), col("b")).as("doc_b"),
           round(graft.functions.GraftFunctions.jaro_winkler(

@@ -225,8 +225,16 @@ private class FileTailMicroBatchStream(path: String, pollMillis: Long,
                 // the file can shrink between Files.size and the read:
                 // read returns -1 and `pos += n` would DECREMENT pos off
                 // its newline alignment (round-13 review) — skip; the
-                // next poll's len<pos check handles the truncation
-                if (n > 0) {
+                // next poll's len<pos check handles the truncation.
+                // readKey was a path-based stat taken BEFORE the open: a
+                // rotation in that window reads the REPLACEMENT file's
+                // bytes at the old offset while stamping them with the
+                // old file's key — the planner could then persist a wrong
+                // position under a stale key (round-13 ADVICE). Re-check
+                // the identity after the read and discard the chunk on
+                // mismatch; the next poll re-stats and starts the
+                // replacement at 0 via the len<pos reset.
+                if (n > 0 && fileKey() == readKey) {
                   var i = 0
                   while (i < n) {
                     val b = chunk(i)

@@ -23,16 +23,23 @@ object MqttCodec {
     val b = s.getBytes(StandardCharsets.UTF_8)
     // the 2-byte length prefix caps MQTT strings at 65535 bytes
     // (MQTT-1.5.3): silently truncating the prefix while appending all
-    // the bytes emitted a corrupt frame (round-13 review)
-    require(b.length <= 0xffff,
+    // the bytes emitted a corrupt frame (round-13 review). Raised as
+    // IOException, not IllegalArgumentException: these guards fire on the
+    // send path, and callers' reconnect handling catches IOException only
+    // — a runtime exception would kill the worker thread instead of
+    // routing through reconnect (round-13 ADVICE, same class as the
+    // CONNECT handshake fix)
+    if (b.length > 0xffff) throw new java.io.IOException(
       s"MQTT string exceeds 65535 UTF-8 bytes: ${b.length}")
     Array(((b.length >> 8) & 0xff).toByte, (b.length & 0xff).toByte) ++ b
   }
 
   private def writeRemainingLength(out: DataOutputStream, n0: Int): Unit = {
     // MQTT-2.2.3: the varint caps at 4 bytes = 268435455; a larger body
-    // would emit an illegal 5-byte length
-    require(n0 >= 0 && n0 <= 268435455, s"MQTT body too large: $n0")
+    // would emit an illegal 5-byte length. IOException for the same
+    // send-path reconnect routing as utf8() above.
+    if (n0 < 0 || n0 > 268435455)
+      throw new java.io.IOException(s"MQTT body too large: $n0")
     var n = n0
     do {
       var digit = n % 128

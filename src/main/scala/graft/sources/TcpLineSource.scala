@@ -128,7 +128,25 @@ private class TcpLineMicroBatchStream(host: String, port: Int,
               buffer.synchronized {
                 buffer += ((line, System.currentTimeMillis() * 1000L))
               }
-            } else partial.append(c.toChar)
+            } else {
+              partial.append(c.toChar)
+              // the partial is exempt from maxBufferedLines backpressure
+              // (it is not a line yet), so a peer streaming bytes without
+              // '\n' — or with bare-CR terminators, which deliberately do
+              // NOT split lines here (only LF terminates; a lone CR inside
+              // a record is payload, matching the WAL replay rendering) —
+              // would grow the builder without bound on the driver. Flush
+              // an oversized partial as a line like FileTailSource's 4 MB
+              // carry guard: at-least-once oversized-record splitting,
+              // never driver OOM (round-13 ADVICE).
+              if (partial.length >= (4 << 20)) {
+                val line = partial.toString
+                partial.setLength(0)
+                buffer.synchronized {
+                  buffer += ((line, System.currentTimeMillis() * 1000L))
+                }
+              }
+            }
             c = in.read()
           }
         } catch {

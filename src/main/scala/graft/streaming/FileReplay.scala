@@ -234,12 +234,38 @@ object FileReplay {
       feed: StreamingQuery => Unit): DataFrame = {
     val spark = sdf.sparkSession
     val out = Files.createTempDirectory("graft_psink")
+    psinks.synchronized { psinks += out }
     val q = sdf.writeStream.format("parquet")
       .option("path", s"$out/data")
       .option("checkpointLocation", s"$out/chk")
       .outputMode("append").start()
     try feed(q) finally q.stop()
     spark.read.schema(sdf.schema).parquet(s"$out/data")
+  }
+
+  // Every psink dir a replayToParquet call created and never cleaned: the
+  // returned DataFrame reads lazily from it, so it cannot be deleted
+  // eagerly, but each bench/verify rep left a corpus-sized parquet output
+  // plus checkpoint under java.io.tmpdir forever — filling disk across
+  // multi-pass boards (round-13 ADVICE). Callers purge at a point where
+  // every frame built from the dirs has been fully consumed (Bench: after
+  // the replay tier's futures have all been counted and fingerprinted;
+  // Verify: after each row's parquet write). A JVM shutdown hook covers
+  // every other exit path.
+  private val psinks = scala.collection.mutable.ArrayBuffer.empty[Path]
+
+  /** Delete every psink dir created so far. Only call when no DataFrame
+    * returned by [[replayToParquet]] will be consumed again.
+    */
+  def purgePsinks(): Unit = psinks.synchronized {
+    psinks.foreach(p => try rm(p) catch { case _: Throwable => })
+    psinks.clear()
+  }
+
+  private val psinkShutdownHook: Thread = {
+    val t = new Thread(() => purgePsinks(), "graft-psink-purge")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
   }
 
   /** Scope-set shuffle-partition count for a replay row: scales with the
