@@ -2299,12 +2299,19 @@ object DedupQueries {
         |SELECT d AS dim, round(w / nv, 6) AS loading_r FROM w2, n2""".stripMargin) {
       (s, dir) =>
       val e = Tables.load(s, dir, "embeddings").select(col("embedding"))
+      // tracked-cached (round-14 optimization): mu rides a broadcast
+      // cross-join into BOTH power iterations (2 consumers), and within
+      // each step the 64-row w frame feeds both its own normalizer
+      // aggregate and the final projection — uncached, the mean pass ran
+      // 4x and each step's corpus scan twice. With the caches the chain
+      // is the textbook 3 corpus scans (mean + one per iteration).
       val mu = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy("d")
         .agg((sum(col("x").cast("double").cast(DecimalType(28, 8))).cast("double")
           / count(lit(1))).as("mv"))
         .agg(transform(sort_array(collect_list(struct(col("d"), col("mv")))),
           f => f.getField("mv")).as("mu"))
+        .transform(graft.operators.TextOps.trackCache)
       def centered = zip_with(col("embedding"), col("mu"), (x, m) => x - m)
       def step(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
         val withS = e.crossJoin(broadcast(mu)).crossJoin(broadcast(v))
@@ -2315,6 +2322,7 @@ object DedupQueries {
           .groupBy("d")
           .agg(sum((col("xm") * col("sc")).cast(DecimalType(28, 8)))
             .cast("double").as("w"))
+          .transform(graft.operators.TextOps.trackCache)
         val nrm = w.agg(sqrt(sum((col("w") * col("w")).cast(DecimalType(28, 8)))
           .cast("double")).as("nv"))
         w.crossJoin(broadcast(nrm))

@@ -187,15 +187,29 @@ object Marine {
           Window.partitionBy("cy", "cx").orderBy("event_id")))
         .filter(col("rn") <= 64).drop("rn")
         .transform(graft.operators.TextOps.trackCache)
-      val offs = (for (dy <- -1 to 1; dx <- -1 to 1)
-        yield struct(lit(dy).as("dy"), lit(dx).as("dx"))).toSeq
+      // HALF-neighborhood enumeration (round-14 optimization, guide §3.3
+      // "explode before a join multiplies the shuffle"): the oracle's
+      // spec-shaped 9-offset explode generates every cross-cell pair
+      // TWICE (x probes y's cell and y probes x's) and filters one copy
+      // with ea<eb. Exactly one of each ±offset pair in {(0,1),(1,-1),
+      // (1,0),(1,1)} covers every adjacent unordered cell pair once, so
+      // probing only those + the home cell emits each candidate pair
+      // exactly once — 5/9 the exploded shuffle rows and ~half the
+      // haversine evaluations. The home cell keeps the ea<eb orientation;
+      // cross-cell pairs emit in probe orientation, and the haversine is
+      // IEEE-symmetric in its endpoints (deltas are squared), so d —
+      // hence the band, count and id-sum — is identical either way.
+      val offs = Seq((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+        .map { case (dy, dx) => struct(lit(dy).as("dy"), lit(dx).as("dx")) }
       val a = p.withColumn("o", explode(array(offs: _*)))
         .select(col("event_id").as("ea"), col("lat").as("alat"), col("lon").as("alon"),
-          (col("cy") + col("o.dy")).as("ky"), (col("cx") + col("o.dx")).as("kx"))
+          (col("cy") + col("o.dy")).as("ky"), (col("cx") + col("o.dx")).as("kx"),
+          (col("o.dy") === 0 && col("o.dx") === 0).as("home"))
       val b = p.select(col("event_id").as("eb"), col("lat").as("blat"),
         col("lon").as("blon"), col("cy"), col("cx"))
       val cand = a.join(b,
-        col("ky") === col("cy") && col("kx") === col("cx") && col("ea") < col("eb"))
+        col("ky") === col("cy") && col("kx") === col("cx") &&
+          (!col("home") || col("ea") < col("eb")))
       // d is ROUNDED to 6 dp before the <=500 gate and the 100 m banding
       // (matching the oracle text): sin/asin take Java-Math vs C-libm
       // paths, and comparing raw last-ulp-different doubles at exact

@@ -2316,9 +2316,15 @@ object Relational {
         val h = conv(substring(md5(concat(
           col("seed").cast("string"), lit(s":$t:"), col("cur").cast("string"))),
           1, 8), 16, 10).cast("long")
+        // tracked-cached per step (round-14 optimization): the walk
+        // output unions every step AND step t's subtree nests inside
+        // step t+1's join, so an uncached frontier re-derives step 1
+        // three times over (75 Exchanges in the before plan; the cached
+        // v_bfs_hops frontier never had this). 4 rows per step.
         val nxt = cur.join(nb, col("cur") === col("src"))
           .filter(col("rn") === (h % col("deg")) + 1)
           .select(col("seed"), col("dst").as("cur"))
+          .transform(graft.operators.TextOps.trackCache)
         out = out.unionAll(
           nxt.select(col("seed"), lit(t).as("step"), col("cur").as("node")))
         cur = nxt

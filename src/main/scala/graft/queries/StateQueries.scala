@@ -509,9 +509,12 @@ object StateQueries {
       // SAME 4 time-aligned quarters (round-9 verdict task 3: no corpus
       // collect): both sides' chunk i cover the same wall-clock quarter,
       // the replay order a log backfill has
+      // consumed three times (min/max bounds agg + the two side stagings)
+      // — tracked-cached so the events scan and filter run once
       val both = Tables.load(s, dir, "events")
         .filter(col("event_type").isin("purchase", "click"))
         .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+        .transform(graft.operators.TextOps.trackCache)
       val b = both.agg(min(unix_millis(col("ts"))),
         max(unix_millis(col("ts")))).head()
       // empty slice: min/max aggregate to NULL, getLong would NPE (the
