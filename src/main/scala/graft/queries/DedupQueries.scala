@@ -1974,8 +1974,12 @@ object DedupQueries {
           col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid"))
         .select(col("x.qid").as("a"), col("x.nid").as("b"))
         .transform(TextOps.trackCache)
+      // deg feeds the edge frame AND the final degree join; ed feeds all
+      // three rank iterations — tracked-cached so the degree aggregate
+      // and the edge-degree join run once (round-14 optimization)
       val deg = mu.groupBy("a").agg(count(lit(1)).as("outdeg"))
-      val ed = mu.join(deg, "a")
+        .transform(TextOps.trackCache)
+      val ed = mu.join(deg, "a").transform(TextOps.trackCache)
       val nodes = e.select(col("vec_id"), col("label"))
         .join(Tables.load(s, dir, "embeddings").groupBy("label")
           .agg(count(lit(1)).as("n_nodes")), "label")

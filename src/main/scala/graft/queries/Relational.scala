@@ -2015,9 +2015,12 @@ object Relational {
         |  UNION ALL SELECT z AS node FROM t)
         |GROUP BY node""".stripMargin) { (s, dir) =>
       val e0 = copurchaseEdges(s, dir)
+      // consumed by BOTH degree broadcasts below — tracked-cached so the
+      // degree aggregate runs once (round-14 optimization)
       val deg = e0.select(col("a").as("node"))
         .unionAll(e0.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
+        .transform(graft.operators.TextOps.trackCache)
       val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
       val d = e0
         .join(broadcast(deg.select(col("node").as("a"), col("d").as("da"))), Seq("a"))
@@ -2104,10 +2107,13 @@ object Relational {
         |SELECT node, d FROM d3 WHERE d >= 2""".stripMargin) { (s, dir) =>
       var e = copurchaseEdges(s, dir)
       for (_ <- 1 to 2) {
+        // joined against both edge endpoints — tracked-cached so each
+        // round's survivor set is derived once (round-14 optimization)
         val v = e.select(col("a").as("node"))
           .unionAll(e.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("d"))
           .filter(col("d") >= 2).select("node")
+          .transform(graft.operators.TextOps.trackCache)
         e = e
           .join(v.select(col("node").as("a")), "a")
           .join(v.select(col("node").as("b")), "b")
@@ -2965,7 +2971,10 @@ object Relational {
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
         .transform(graft.operators.TextOps.trackCache)
+      // a1 feeds both the hub round and the final join — tracked-cached
+      // so the in-degree aggregate runs once (round-14 optimization)
       val a1 = e.groupBy("p").agg(count(lit(1)).as("auth1"))
+        .transform(graft.operators.TextOps.trackCache)
       val h1 = e.join(a1, "p").groupBy("c").agg(sum(col("auth1")).as("hub1"))
       val a2 = e.join(h1, "c").groupBy("p").agg(sum(col("hub1")).as("auth2"))
       a1.join(a2, "p").select(col("p").as("part"), col("auth1"), col("auth2"))
@@ -3078,7 +3087,10 @@ object Relational {
       val d = e0.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
         .transform(graft.operators.TextOps.trackCache)
+      // consumed by BOTH degree broadcasts below — tracked-cached so the
+      // degree aggregate runs once (round-14 optimization)
       val deg = d.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+        .transform(graft.operators.TextOps.trackCache)
       val w = d.as("n1").join(d.as("n2"),
           col("n1.src") === col("n2.src") && col("n1.dst") < col("n2.dst"))
         .groupBy(col("n1.dst").as("a"), col("n2.dst").as("b"))

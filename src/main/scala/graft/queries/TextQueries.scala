@@ -540,7 +540,12 @@ object TextQueries {
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), TextOps.shingles(col("w"), 3).as("gs"))
+      // tracked-cached: the shingle explode feeds BOTH the document-
+      // frequency aggregate and the join-back — uncached it tokenized
+      // and exploded the corpus twice (round-14 optimization; the
+      // spanDupFrames pattern)
       val e = g.select(col("doc_id"), explode(col("gs")).as("x"))
+        .transform(TextOps.trackCache)
       val df = e.groupBy("x").agg(countDistinct("doc_id").as("df"))
       e.join(df, "x")
         .groupBy("doc_id")
