@@ -626,8 +626,11 @@ object TextQueries {
         |  FROM s) q WHERE rn <= 3""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
+      // tracked-cached: feeds BOTH the tf and df aggregates — uncached it
+      // tokenized and exploded the corpus twice (round-14 optimization)
       val terms = docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("term"))
+        .transform(TextOps.trackCache)
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
@@ -2045,10 +2048,16 @@ object TextQueries {
         |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
+      // tracked-cached (round-14 optimization): toks feeds the length
+      // table and the query-term explode, and the filtered explode feeds
+      // BOTH the tf and df aggregates — uncached, the corpus was
+      // tokenized four times for one scoring pass
       val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .transform(TextOps.trackCache)
       val dl = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
       val q = toks.select(col("doc_id"), explode(col("w")).as("term"))
         .filter(col("term").isin("vector", "hash", "stream"))
+        .transform(TextOps.trackCache)
       val tf = q.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = q.groupBy("term").agg(countDistinct("doc_id").as("df"))
       val st = docs.agg(count(lit(1)).as("n"))
@@ -2174,8 +2183,16 @@ object TextQueries {
         |WHERE n_xy >= 5""".stripMargin) { (s, dir) =>
       val toks = Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-      val words = toks.select(explode(col("w")).as("word"))
+      // tracked-cached chain (round-14 optimization): toks feeds the
+      // word AND bigram explodes, words feeds the unigram counts AND the
+      // token total, pairs feeds the bigram counts AND the bigram total,
+      // and uc broadcasts into both join sides — uncached, the corpus
+      // was re-tokenized and re-exploded once per consumer
+      val words = toks.transform(TextOps.trackCache)
+        .select(explode(col("w")).as("word"))
+        .transform(TextOps.trackCache)
       val uc = words.groupBy("word").agg(count(lit(1)).as("n_w"))
+        .transform(TextOps.trackCache)
       val tot = words.agg(count(lit(1)).as("n_tok"))
       val pairs = toks.filter(size(col("w")) >= 2)
         .select(explode(zip_with(
@@ -2183,6 +2200,7 @@ object TextQueries {
           slice(col("w"), lit(2), size(col("w")) - 1),
           (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
         .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+        .transform(TextOps.trackCache)
       val bc = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("n_xy"))
         .filter(col("n_xy") >= 5)
       val nb = pairs.agg(count(lit(1)).as("n_big"))
