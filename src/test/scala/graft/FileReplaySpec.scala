@@ -60,4 +60,31 @@ class FileReplaySpec extends AnyFunSuite {
       assert(r1.staged.count() == 49 && r2.staged.count() == 49)
     } finally { r1.close(); r2.close() }
   }
+
+  test("replayToParquet psink dirs are reclaimed by purgePsinks") {
+    // round-13 ADVICE: each replay rep leaked a corpus-sized parquet
+    // output + checkpoint under java.io.tmpdir; the purge hook must
+    // delete them once the returned frame has been consumed
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def psinks() = {
+      val s = java.nio.file.Files.list(tmp)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.count(_.getFileName.toString.startsWith("graft_psink"))
+      finally s.close()
+    }
+    // baseline-relative: dirs leaked by EARLIER JVMs (pre-fix runs) may
+    // still sit in tmpdir; the purge contract covers this JVM's dirs
+    graft.streaming.FileReplay.purgePsinks()
+    val n0 = psinks()
+    val df = (1L to 20L).toDF("id")
+    val r = graft.streaming.FileReplay.stage(df, when(col("id") < 10, 0).otherwise(1))
+    val out = try {
+      graft.streaming.FileReplay.replayToParquet(
+        r.stream.select(col("id")), q => r.feedAll(q))
+    } finally r.close()
+    assert(out.count() == 20) // fully consumed before the purge
+    assert(psinks() > n0, "replayToParquet should have created a psink dir")
+    graft.streaming.FileReplay.purgePsinks()
+    assert(psinks() <= n0, "purgePsinks must delete every tracked psink dir")
+  }
 }

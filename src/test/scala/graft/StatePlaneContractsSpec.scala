@@ -170,8 +170,9 @@ class StatePlaneContractsSpec extends AnyFunSuite {
       MqttCodec.decodePublish(Array[Byte](0x00, 0x10, 'a'))
     }
     // strings past the 2-byte length prefix refuse instead of emitting a
-    // corrupt frame
-    intercept[IllegalArgumentException] {
+    // corrupt frame — as IOException so the send path routes through
+    // reconnect instead of killing the worker thread (round-13 ADVICE)
+    intercept[java.io.IOException] {
       MqttCodec.subscribeBody(1, "x" * 70000)
     }
   }
