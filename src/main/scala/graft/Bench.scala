@@ -195,6 +195,20 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Wall-clock deadline (round-14 verdict task 1): the r14 32-core bench
+    // died rc 124 — the driver's window expired INSIDE the quality-gate
+    // retry loop (3 passes x ~30 min on a degraded host) and no one-line
+    // JSON was ever printed, so the round produced no perf comparison at
+    // all. A loaded record labeled "loaded" is strictly more useful than
+    // no record: once the elapsed wall exceeds the deadline the retry
+    // loop stops and the best pass so far is emitted with its honest
+    // record_quality label. The deadline gates RETRIES (and the optional
+    // solo replay tier), never a pass in flight — the board itself is
+    // never truncated, so `queries` always carries every row.
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    val deadlineSec = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1800").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
@@ -377,7 +391,8 @@ object Bench {
     var replayWallOfPass = 0.0
 
     def runReplayTier(rows: Seq[(String,
-        (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+        conc: Int = replayConcurrency)
         : Seq[(String, Double, String)] = {
       replayWallOfPass = 0.0
       if (rows.isEmpty) return Seq.empty
@@ -387,7 +402,7 @@ object Bench {
       graft.operators.TextOps.releasePriorCaches()
       spark.catalog.clearCache()
       val pool =
-        java.util.concurrent.Executors.newFixedThreadPool(replayConcurrency)
+        java.util.concurrent.Executors.newFixedThreadPool(conc)
       val t0 = System.nanoTime()
       val futs = rows.map { case (name, fn) =>
         name -> pool.submit(
@@ -426,8 +441,12 @@ object Bench {
       replayWallOfPass = (System.nanoTime() - t0) / 1e9
       // every tier row has been counted and fingerprinted — the psink
       // parquet dirs the heavy parity rows wrote are dead weight now;
-      // reclaim them so multi-pass boards don't fill the tmp volume
-      graft.streaming.FileReplay.purgePsinks()
+      // reclaim them so multi-pass boards don't fill the tmp volume.
+      // Mark-scoped: only dirs that exist NOW (this tier's and older)
+      // are purged, so a hypothetical concurrent replay elsewhere in the
+      // JVM keeps its fresher dirs (round-14 ADVICE)
+      graft.streaming.FileReplay.purgePsinks(
+        graft.streaming.FileReplay.psinkMark())
       rs
     }
 
@@ -596,10 +615,12 @@ object Bench {
     var bestReplayWall = replayWallOfPass
     var passes = 1
     while (((gateApplies && bestCanary > canaryGate) ||
-        (hostGateApplies && bestHost > hostGate)) && passes < maxPasses) {
+        (hostGateApplies && bestHost > hostGate)) && passes < maxPasses
+        && elapsedSec < deadlineSec) {
       System.err.println(f"[bench] canary $bestCanary%.4f (gate " +
         f"$canaryGate%.4f) host $bestHost%.4f (gate $hostGate%.4f) - " +
-        f"rejecting loaded pass ${passes} and re-running")
+        f"rejecting loaded pass ${passes} and re-running " +
+        f"(${elapsedSec}%.0f s of ${deadlineSec}%.0f s deadline used)")
       val again = runPass()
       val c = canaryOf(again)
       val h = hostMean()
@@ -614,7 +635,35 @@ object Bench {
       }
       passes += 1
     }
+    if (((gateApplies && bestCanary > canaryGate) ||
+        (hostGateApplies && bestHost > hostGate)) && elapsedSec >= deadlineSec)
+      System.err.println(f"[bench] deadline ${deadlineSec}%.0f s reached " +
+        f"after $passes pass(es) - emitting best pass with its honest label")
     val results = best
+    // Per-row replay SOLO timings (round-14 verdict task 10): the per-row
+    // replay values in `queries` are wall-under-contention, so a
+    // replay-concurrency default change (r13 conc 4 -> r14 clamp(cpus/4))
+    // makes them incomparable across rounds. One extra UNCONTENDED serial
+    // tier run per board records each replay row's solo time alongside the
+    // contended wall, so tier-row comparisons survive concurrency changes.
+    // Skipped when the deadline budget can't fit it (estimated by the
+    // contended per-row sum, an overestimate of the serial sum) or when
+    // SPARK_GRAFT_REPLAY_SOLO=0; never affects the headline value.
+    // capture registry stats BEFORE the solo tier below so the reported
+    // cache_registry keeps describing the measured pass, not the extra run
+    val (cHits, cMisses, cEvict) = graft.operators.TextOps.cacheStats
+    val soloMode = sys.env.getOrElse("SPARK_GRAFT_REPLAY_SOLO", "auto")
+    val replayRowsAll = selected.toSeq.sortBy(_._1).filter(r => isReplay(r._1))
+    val soloEstimate = results.filter(r => isReplay(r._1)).map(_._2).sum
+    val runSolo = replayConcurrency > 1 && replayRowsAll.nonEmpty &&
+      (soloMode == "1" ||
+        (soloMode != "0" && elapsedSec + 1.2 * soloEstimate < deadlineSec))
+    val (soloRows, soloWall) =
+      if (!runSolo) (Seq.empty[(String, Double, String)], -1.0)
+      else {
+        val rs = runReplayTier(replayRowsAll, conc = 1)
+        (rs, replayWallOfPass)
+      }
     val recordQuality =
       // canaryOf returns the -1.0 sentinel when the run has no fn_/op_
       // rows at all (a name-filtered subset): there the host probe still
@@ -656,9 +705,10 @@ object Bench {
     val replayTotal = results.filter(r => isReplay(r._1)).map(_._2).sum
     val opsTotal = results.map(_._2).sum - replayTotal
     val total = opsTotal + bestReplayWall
-    val (cHits, cMisses, cEvict) = graft.operators.TextOps.cacheStats
+    val soloQs = soloRows.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","canary_mean":${f"$canary%.4f"},"canary_gate":${f"$canaryGate%.4f"},"host_canary_mean":${f"$bestHost%.4f"},"host_canary_gate":${f"$hostGate%.4f"},"host_fp":"$hostFp","record_quality":"$recordQuality","passes":$passes,"ops_sec":${f"$opsTotal%.4f"},"replay_harness_sec":${f"$replayTotal%.4f"},"replay_wall_sec":${f"$bestReplayWall%.4f"},"replay_concurrency":$replayConcurrency,"cache_registry":{"hits":$cHits,"misses":$cMisses,"evictions":$cEvict}}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","canary_mean":${f"$canary%.4f"},"canary_gate":${f"$canaryGate%.4f"},"host_canary_mean":${f"$bestHost%.4f"},"host_canary_gate":${f"$hostGate%.4f"},"host_fp":"$hostFp","record_quality":"$recordQuality","passes":$passes,"ops_sec":${f"$opsTotal%.4f"},"replay_harness_sec":${f"$replayTotal%.4f"},"replay_wall_sec":${f"$bestReplayWall%.4f"},"replay_concurrency":$replayConcurrency,"replay_solo":$soloQs,"replay_solo_wall_sec":${f"$soloWall%.4f"},"cache_registry":{"hits":$cHits,"misses":$cMisses,"evictions":$cEvict}}"""
     // full artifact (timings + plans in one object) persisted to disk: the
     // robust path when any stdout capture window truncates. Also append to
     // bench_history.jsonl so round N+1 can diff per-query timings against

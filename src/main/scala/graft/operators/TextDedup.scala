@@ -1478,13 +1478,21 @@ object VectorOps {
     * Returns (codebook(s)(code) = subvector centroid, counts(s)(code)).
     */
   private[graft] def pqState(vectors: DataFrame, idCol: String,
-      vecCol: String, m: Int, k: Int, iters: Int)
+      vecCol: String, m: Int, k: Int, iters: Int,
+      // optional pre-collected init (the first k vectors by id, already
+      // cast to double): callers that ALSO collect the query vectors from
+      // the same corpus can serve both from one driver round-trip instead
+      // of two sequential jobs (round-15, the ANN job-fusion task) —
+      // bit-identical because the init definition is unchanged
+      initRows: Array[Array[Double]] = null)
       : (Array[Array[Array[Double]]], Array[Array[Long]]) = {
     import org.apache.spark.sql.types.DecimalType
     val e = vectors.select(col(idCol).cast("long").as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val init: Array[Array[Double]] = e.orderBy(col("__id")).limit(k)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val init: Array[Array[Double]] =
+      if (initRows != null) initRows.take(k)
+      else e.orderBy(col("__id")).limit(k)
+        .collect().map(_.getSeq[Double](1).toArray)
     require(init.length == k, s"need at least $k vectors")
     val dims = init.head.length
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
@@ -1641,9 +1649,11 @@ object VectorOps {
     */
   def ivfPqSearch(vectors: DataFrame, idCol: String, vecCol: String,
       queries: Array[(Long, Array[Double])], nCells: Int, m: Int, k: Int,
-      kTop: Int, nProbe: Int, iters: Int = 1): DataFrame = {
+      kTop: Int, nProbe: Int, iters: Int = 1,
+      sampleRows: Array[(Long, Array[Float])] = null): DataFrame = {
     requireNumericId(vectors, idCol, "ivfPqSearch")
-    val cents = trainCentroids(vectors, idCol, vecCol, nCells)
+    val cents = trainCentroids(vectors, idCol, vecCol, nCells,
+      sampleRows = sampleRows)
     val assigned = ivfAssign(vectors, idCol, vecCol, cents)
     val centArr = centroidArrays(cents)
     val res = residualFrame(assigned, vecCol, centArr)
@@ -1774,16 +1784,17 @@ object VectorOps {
     * driver-side Lloyd is the standard, bounded IVF training step.
     */
   def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int = 8, sampleMax: Int = 100000): DataFrame = {
+      nCentroids: Int, iters: Int = 8, sampleMax: Int = 100000,
+      // optional pre-collected sample (the first sampleMax (id, vec) rows
+      // by id): lets a caller that also needs query vectors from the same
+      // corpus fuse the two driver round-trips into one (round-15 ANN job
+      // fusion) — bit-identical, the sample definition is unchanged
+      sampleRows: Array[(Long, Array[Float])] = null): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Float]] = vectors
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .orderBy(col("id"))
-      .limit(sampleMax)
-      .as[(Long, Array[Float])]
-      .collect()
-      .map(_._2)
+    val sample: Array[Array[Float]] =
+      if (sampleRows != null) sampleRows.take(sampleMax).map(_._2)
+      else sampleById(vectors, idCol, vecCol, sampleMax).map(_._2)
     def normalized(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
@@ -1813,6 +1824,23 @@ object VectorOps {
     cents.zipWithIndex
       .map { case (cv, cid) => (cid, cv.map(_.toFloat)) }
       .toSeq.toDF("cid", "cvec")
+  }
+
+  /** The first `n` (id, vec) rows by ascending id — the deterministic
+    * bounded sample [[trainCentroids]] fits on, exposed so callers can
+    * collect it ONCE and serve both the training sample and their own
+    * query-vector needs from the same driver round-trip.
+    */
+  def sampleById(vectors: DataFrame, idCol: String, vecCol: String,
+      n: Int): Array[(Long, Array[Float])] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .orderBy(col("id"))
+      .limit(n)
+      .as[(Long, Array[Float])]
+      .collect()
   }
 
   /** Deterministic centroid sample: the first nCentroids vectors by id.

@@ -673,14 +673,22 @@ object DedupQueries {
         |  FROM per WHERE vec_id <> qid) t WHERE rn <= 10""".stripMargin) {
       (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val (cb, _) = VectorOps.pqState(e, "vec_id", "embedding",
-        m = 8, k = 4, iters = 1)
-      val qs: Array[(Long, Array[Double])] = e.filter(col("vec_id") < 3)
+      // ONE driver round-trip serves the PQ init AND the query vectors
+      // (round-15 job fusion): every row with vec_id < 3 is by definition
+      // among the first 4 rows ordered by vec_id, so the first-4 collect
+      // contains both the init (all 4, the pqState definition) and the
+      // queries (the id < 3 prefix, in the same ascending-id order the
+      // separate collect produced) — two sequential corpus jobs become one
+      val first: Array[(Long, Array[Double])] = e
         .orderBy("vec_id")
         .select(col("vec_id").cast("long"),
           transform(col("embedding"), x => x.cast("double")))
+        .limit(4)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val (cb, _) = VectorOps.pqState(e, "vec_id", "embedding",
+        m = 8, k = 4, iters = 1, initRows = first.map(_._2))
+      val qs: Array[(Long, Array[Double])] = first.filter(_._1 < 3)
       VectorOps.adcSearch(e, "vec_id", "embedding", cb, qs, k = 10)
     },
 
@@ -702,14 +710,18 @@ object DedupQueries {
         |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val e = Tables.load(s, dir, "embeddings")
-      val qs: Array[(Long, Array[Double])] = e.filter(col("vec_id") < 5)
-        .orderBy("vec_id")
-        .select(col("vec_id").cast("long"),
-          transform(col("embedding"), x => x.cast("double")))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      // ONE driver round-trip serves the IVF training sample AND the
+      // query vectors (round-15 job fusion): every row with vec_id < 5 is
+      // within the first-100k-by-id sample trainCentroids collects anyway,
+      // so the query collect job is folded into the sample collect —
+      // float->double per element on the driver is the same IEEE value the
+      // old in-plan transform(cast) produced
+      val sample = VectorOps.sampleById(e, "vec_id", "embedding", 100000)
+      val qs: Array[(Long, Array[Double])] = sample.filter(_._1 < 5)
+        .map { case (id, v) => (id, v.map(_.toDouble)) }
       val res = VectorOps.ivfPqSearch(e, "vec_id", "embedding", qs,
-        nCells = 16, m = 8, k = 4, kTop = 10, nProbe = 4)
+        nCells = 16, m = 8, k = 4, kTop = 10, nProbe = 4,
+        sampleRows = sample)
       val w = Window.partitionBy("qid").orderBy(col("rn"))
       res
         .withColumn("prev_d", lag(col("dist_r"), 1).over(w))

@@ -2231,14 +2231,21 @@ object Relational {
       s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
       // the projected (c, p) pair stream — consumed by both hops, so
-      // tracked-cached ONCE (16 bytes/row; the persisted-edge-list
-      // posture a GNN sampler has — never deduped, never re-shuffled)
+      // tracked-cached ONCE (17 bytes/row; the persisted-edge-list
+      // posture a GNN sampler has — never deduped, never re-shuffled).
+      // The seed-filter digest nibble is materialized INTO the cached
+      // frame (round-15, verdict task 8): the h1 branch's pushed
+      // in-memory-scan filter and its re-evaluating Filter node each
+      // computed md5(c) per row — precomputing the nibble at cache build
+      // makes both a 1-char compare, one md5 per pair observation total.
       val eC = TextOps.trackCache(
         Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
           .join(Tables.load(s, dir, "lineitem")
             .select("l_orderkey", "l_partkey"),
             col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p")))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
+            substring(md5(col("o_custkey").cast("string")), 1, 1)
+              .as("__sd")))
       def rank(salt: String, a: Column, b: Column): Column =
         -conv(substring(md5(concat(lit(salt), a.cast("string"), lit(":"),
           b.cast("string"))), 1, 13), 16, 10).cast("long").cast("double")
@@ -2255,7 +2262,7 @@ object Relational {
       // a function of its own neighbor set, so the src filter is
       // equivalence-preserving and prunes 15/16 of the pairs)
       val h1 = hopTopK(
-        eC.filter(substring(md5(col("c").cast("string")), 1, 1) === "0"),
+        eC.filter(col("__sd") === "0"),
         "c", "p", "h1:", 3)
       val h2 = hopTopK(eC, "p", "c", "h2:", 3)
         .select(col("p").as("p2"), col("c").as("hop2_cust"))

@@ -626,13 +626,18 @@ object TextQueries {
         |  FROM s) q WHERE rn <= 3""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
-      // tracked-cached: feeds BOTH the tf and df aggregates — uncached it
-      // tokenized and exploded the corpus twice (round-14 optimization)
       val terms = docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("term"))
-        .transform(TextOps.trackCache)
+      // cache the POST-aggregate tf frame, not the raw term explode
+      // (round-15, guide §2.3/§5): tf is distinct per (doc, term), so
+      // df = per-term row count OVER tf — count(DISTINCT doc_id) over the
+      // raw explode is the same number. One corpus tokenize+explode,
+      // and the cached frame is the (doc, term, tf) aggregate instead of
+      // a corpus-sized token stream (the round-14 explode cache spilled
+      // multiples of the corpus at scale).
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        .transform(TextOps.trackCache)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(df, "term")
@@ -831,15 +836,25 @@ object TextQueries {
     Q("tx_lm_score",
       "WITH " + meanPBody + """
         |SELECT doc_id, n_tokens, mean_p FROM sc""".stripMargin) { (s, dir) =>
-      val toks = Tables.load(s, dir, "documents")
+      // Aggregate the token stream to per-(doc, term) counts FIRST and
+      // derive everything from that frame (round-15, guide §2.3): the
+      // old plan joined the RAW corpus-sized token explode back to the
+      // per-term counts. All sums here are integral, so sum(cnt) over
+      // token rows == sum(cnt*tf) over (doc, term) groups EXACTLY, and
+      // mean_p's single final IEEE division is unchanged. The frame is
+      // built/aliased identically to tx_tfidf's tf so the registry can
+      // share one live copy across the text-scoring rows.
+      val tf = Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      val total = toks.agg(count(lit(1)).as("n"))
-      toks.join(tf, "term").crossJoin(total)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .transform(TextOps.trackCache)
+      val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      val total = tf.agg(sum(col("tf")).as("n"))
+      tf.join(cnt, "term").crossJoin(total)
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          (sum(col("cnt")).cast("double") / (count(lit(1)) * max(col("n"))))
-            .as("mean_p"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          (sum(col("cnt") * col("tf")).cast("double")
+            / (sum(col("tf")) * max(col("n")))).as("mean_p"))
     },
 
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
@@ -868,13 +883,20 @@ object TextQueries {
         |       WHEN d.mean_p <= c2 THEN 'mid' ELSE 'high' END AS bucket
         |FROM d LEFT JOIN cuts ON d.lang = cuts.lang""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      val total = toks.agg(count(lit(1)).as("n"))
-      val sc = toks.join(tf, "term").crossJoin(total)
+      // same derive-from-the-(doc,term)-aggregate rewrite as tx_lm_score
+      // (round-15, guide §2.3) — integral sums, so mean_p is bit-equal;
+      // the tf frame is plan-identical to tx_lm_score's / tx_tfidf's for
+      // registry sharing
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .transform(TextOps.trackCache)
+      val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      val total = tf.agg(sum(col("tf")).as("n"))
+      val sc = tf.join(cnt, "term").crossJoin(total)
         .groupBy(col("doc_id"))
-        .agg((sum(col("cnt")).cast("double") / (count(lit(1)) * max(col("n"))))
-          .as("mean_p"))
+        .agg((sum(col("cnt") * col("tf")).cast("double")
+          / (sum(col("tf")) * max(col("n")))).as("mean_p"))
       val d = sc.join(docs.select("doc_id", "lang"), "doc_id")
       val wr = Window.partitionBy("lang").orderBy(col("mean_p"), col("doc_id"))
       val wn = Window.partitionBy("lang")
@@ -970,25 +992,35 @@ object TextQueries {
         |FROM score
         |WHERE source NOT IN ('src0','src1','src2','src3','src4')""".stripMargin) { (s, dir) =>
       val target = Seq("src0", "src1", "src2", "src3", "src4")
-      val b = TextOps.trackCache(
+      // Aggregate the hashed-token stream to per-(doc, source, bkt)
+      // counts and cache THAT (<= docs x 256 rows) instead of the raw
+      // corpus-sized md5'd token explode (round-15, guide §2.3/§5 — the
+      // round-14 cache materialized a multi-corpus-size frame at scale).
+      // cr/ct derive exactly (integral sums); the per-doc score sums
+      // lw*n per bucket instead of lw repeated n times — within the
+      // ~1e-12 double envelope the existing 6dp round already absorbs
+      // (oracle re-verified cell-exact at sf0.001/0.01/0.1).
+      val g = TextOps.trackCache(
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             explode(TextOps.tokens(col("text"))).as("tok"))
           .select(col("doc_id"), col("source"),
             (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"))
-              .as("bkt")))
-      val cnts = b.groupBy("bkt").agg(
-        count(lit(1)).as("cr"),
-        count(when(col("source").isin(target: _*), 1)).as("ct"))
+              .as("bkt"))
+          .groupBy("doc_id", "source", "bkt").agg(count(lit(1)).as("n")))
+      val cnts = g.groupBy("bkt").agg(
+        sum("n").as("cr"),
+        sum(when(col("source").isin(target: _*), col("n")).otherwise(0L))
+          .as("ct"))
       val tot = cnts.agg(sum("cr").as("r"), sum("ct").as("t"))
       val lr = cnts.crossJoin(broadcast(tot))
         .select(col("bkt"),
           round(log((col("ct") + 1).cast("double") * (col("r") + 256).cast("double") /
             ((col("cr") + 1).cast("double") * (col("t") + 256).cast("double"))), 6).as("lw"))
-      b.join(broadcast(lr), "bkt")
+      g.join(broadcast(lr), "bkt")
         .groupBy("doc_id")
         .agg(max(col("source")).as("source"),
-          round(sum(col("lw")), 6).as("dsir_score"))
+          round(sum(col("lw") * col("n")), 6).as("dsir_score"))
         .filter(!col("source").isin(target: _*))
         .select(col("doc_id"), col("source"), col("dsir_score"),
           (col("dsir_score") > 0).cast("int").as("selected"))
@@ -1028,7 +1060,10 @@ object TextQueries {
         |  CAST(dsir_score > 0 AS INT) AS selected
         |FROM score""".stripMargin) { (s, dir) =>
       val target = Seq("src0", "src1", "src2", "src3", "src4")
-      val b = TextOps.trackCache(
+      // same per-(doc, bkt) count-aggregate cache as tx_dsir_select
+      // (round-15, guide §2.3/§5); integral cr/ct, lw*n score within the
+      // 6dp round's envelope, oracle re-verified at all three SFs
+      val g = TextOps.trackCache(
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             (substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
@@ -1036,10 +1071,13 @@ object TextQueries {
             explode(TextOps.tokens(col("text"))).as("tok"))
           .select(col("doc_id"), col("source"), col("incoming"),
             (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"))
-              .as("bkt")))
-      val cnts = b.filter(!col("incoming")).groupBy("bkt").agg(
-        count(lit(1)).as("cr"),
-        count(when(col("source").isin(target: _*), 1)).as("ct"))
+              .as("bkt"))
+          .groupBy("doc_id", "source", "incoming", "bkt")
+          .agg(count(lit(1)).as("n")))
+      val cnts = g.filter(!col("incoming")).groupBy("bkt").agg(
+        sum("n").as("cr"),
+        sum(when(col("source").isin(target: _*), col("n")).otherwise(0L))
+          .as("ct"))
       val tot = cnts.agg(sum("cr").as("r"), sum("ct").as("t"))
       val lr = cnts.crossJoin(broadcast(tot))
         .select(col("bkt"),
@@ -1053,11 +1091,12 @@ object TextQueries {
       val dflt = tot.select(round(log(
         (col("r") + 256).cast("double") / (col("t") + 256).cast("double")),
         6).as("lw0"))
-      b.filter(col("incoming")).join(broadcast(lr), Seq("bkt"), "left")
+      g.filter(col("incoming")).join(broadcast(lr), Seq("bkt"), "left")
         .crossJoin(broadcast(dflt))
         .groupBy("doc_id")
         .agg(max(col("source")).as("source"),
-          round(sum(coalesce(col("lw"), col("lw0"))), 6).as("dsir_score"))
+          round(sum(coalesce(col("lw"), col("lw0")) * col("n")), 6)
+            .as("dsir_score"))
         .select(col("doc_id"), col("source"), col("dsir_score"),
           (col("dsir_score") > 0).cast("int").as("selected"))
     },
@@ -2048,20 +2087,23 @@ object TextQueries {
         |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
-      // tracked-cached (round-14 optimization): toks feeds the length
-      // table and the query-term explode, and the filtered explode feeds
-      // BOTH the tf and df aggregates — uncached, the corpus was
-      // tokenized four times for one scoring pass
-      val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      // One tokenize pass projected down to what BM25 actually consumes
+      // (round-15, guide §2.3/§5): per doc its length and the query-term
+      // occurrences only — the round-14 version cached the full tokenized
+      // corpus (toks) plus the filtered explode, a multi-corpus-size
+      // materialization at scale. `base` is (doc_id, int, <=3-distinct-term
+      // array), tiny at any SF, and is the single cached frame.
+      val base = docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("dl"),
+          filter(TextOps.tokens(col("text")),
+            t => t.isin("vector", "hash", "stream")).as("qw"))
         .transform(TextOps.trackCache)
-      val dl = toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-      val q = toks.select(col("doc_id"), explode(col("w")).as("term"))
-        .filter(col("term").isin("vector", "hash", "stream"))
-        .transform(TextOps.trackCache)
-      val tf = q.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = q.groupBy("term").agg(countDistinct("doc_id").as("df"))
-      val st = docs.agg(count(lit(1)).as("n"))
-        .crossJoin(dl.agg(sum("dl").cast("double").as("sdl")))
+      val dl = base.select(col("doc_id"), col("dl"))
+      val tf = base.select(col("doc_id"), explode(col("qw")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // tf is distinct per (doc, term): per-term row count == distinct docs
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val st = base.agg(count(lit(1)).as("n"), sum("dl").cast("double").as("sdl"))
         .select(col("n"), (col("sdl") / col("n")).as("avgdl"))
       val idf = round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)), 6)
       val tsc = round(idf * (col("tf") * lit(2.2)
@@ -2182,28 +2224,34 @@ object TextQueries {
         |JOIN uc y ON y.word = bc.wb
         |WHERE n_xy >= 5""".stripMargin) { (s, dir) =>
       val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-      // tracked-cached chain (round-14 optimization): toks feeds the
-      // word AND bigram explodes, words feeds the unigram counts AND the
-      // token total, pairs feeds the bigram counts AND the bigram total,
-      // and uc broadcasts into both join sides — uncached, the corpus
-      // was re-tokenized and re-exploded once per consumer
-      val words = toks.transform(TextOps.trackCache)
-        .select(explode(col("w")).as("word"))
-        .transform(TextOps.trackCache)
-      val uc = words.groupBy("word").agg(count(lit(1)).as("n_w"))
-        .transform(TextOps.trackCache)
-      val tot = words.agg(count(lit(1)).as("n_tok"))
-      val pairs = toks.filter(size(col("w")) >= 2)
-        .select(explode(zip_with(
-          slice(col("w"), lit(1), size(col("w")) - 1),
-          slice(col("w"), lit(2), size(col("w")) - 1),
+        .select(TextOps.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 1)
+      // ONE corpus explode and ONE corpus-wide aggregate (round-15, guide
+      // §2.3 "aggregate before you shuffle"): each token position emits
+      // (word, next-word-or-null-at-doc-end), and every downstream
+      // statistic derives from the (wa, wb) count table `full` — bounded
+      // by the distinct-bigram vocabulary, not the corpus. The round-14
+      // version instead cached the raw token/word/pair explodes, a
+      // multi-corpus-size materialization at scale. Derivations:
+      //   n_w(word) = sum(n) over wa = word (every position appears
+      //               exactly once as wa),  n_tok = sum(all n),
+      //   n_xy      = n of the non-null-wb rows (adjacent pairs),
+      //   n_big     = sum(n) over non-null-wb rows.
+      val pairsAll = toks.select(explode(zip_with(
+          col("w"),
+          concat(slice(col("w"), lit(2), size(col("w")) - 1),
+            array(lit(null).cast("string"))),
           (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
         .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      val full = pairsAll.groupBy("wa", "wb").agg(count(lit(1)).as("n"))
         .transform(TextOps.trackCache)
-      val bc = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("n_xy"))
+      val uc = full.groupBy(col("wa").as("word")).agg(sum("n").as("n_w"))
+        .transform(TextOps.trackCache)
+      val tot = uc.agg(sum("n_w").as("n_tok"))
+      val bc = full.filter(col("wb").isNotNull)
+        .select(col("wa"), col("wb"), col("n").as("n_xy"))
         .filter(col("n_xy") >= 5)
-      val nb = pairs.agg(count(lit(1)).as("n_big"))
+      val nb = full.filter(col("wb").isNotNull).agg(sum("n").as("n_big"))
       bc.crossJoin(broadcast(tot)).crossJoin(broadcast(nb))
         .join(broadcast(uc.select(col("word").as("wa"), col("n_w").as("n_x"))), "wa")
         .join(broadcast(uc.select(col("word").as("wb"), col("n_w").as("n_y"))), "wb")
@@ -2231,18 +2279,30 @@ object TextQueries {
         |  round(sum(CASE WHEN fs.first_seen = e.doc_id THEN 1 ELSE 0 END) * 1.0
         |        / count(*), 6) AS novelty
         |FROM e JOIN fs USING (gram) GROUP BY e.doc_id""".stripMargin) { (s, dir) =>
-      val e = Tables.load(s, dir, "documents")
+      // No corpus-wide join-back and no corpus-sized gram cache
+      // (round-15, guide §2.4): grams are DISTINCT per doc (shingles), so
+      //   n_novel(doc) = |{grams whose min(doc_id) == doc}|
+      //                = the first-seen table grouped by its OWN value,
+      //   n_grams(doc) = size(gs) row-locally.
+      // The old plan cached the corpus-sized gram explode and reshuffled
+      // it through a gram-keyed join; now the only gram-scale work is the
+      // one first-seen aggregate, and the final join is doc-sized both
+      // sides. Docs with zero novel grams coalesce to 0 exactly as the
+      // inner join's sum-of-zeros did.
+      val g = Tables.load(s, dir, "documents")
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 5)
-        .select(col("doc_id"), explode(TextOps.shingles(col("w"), 5)).as("gram"))
-        .transform(TextOps.trackCache)
-      val fs = e.groupBy("gram").agg(min("doc_id").as("first_seen"))
-      e.join(fs, "gram")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_seen") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          round(col("n_novel") * lit(1.0) / col("n_grams"), 6).as("novelty"))
+        .select(col("doc_id"), TextOps.shingles(col("w"), 5).as("gs"))
+      val fs = g.select(col("doc_id"), explode(col("gs")).as("gram"))
+        .groupBy("gram").agg(min("doc_id").as("first_seen"))
+      val novel = fs.groupBy(col("first_seen").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      g.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)) * lit(1.0) / col("n_grams"), 6)
+            .as("novelty"))
     },
 
     // Curriculum assignment: per language, rank documents by a

@@ -130,15 +130,20 @@ private class TcpLineMicroBatchStream(host: String, port: Int,
               }
             } else {
               partial.append(c.toChar)
-              // the partial is exempt from maxBufferedLines backpressure
-              // (it is not a line yet), so a peer streaming bytes without
-              // '\n' — or with bare-CR terminators, which deliberately do
-              // NOT split lines here (only LF terminates; a lone CR inside
-              // a record is payload, matching the WAL replay rendering) —
-              // would grow the builder without bound on the driver. Flush
-              // an oversized partial as a line like FileTailSource's 4 MB
-              // carry guard: at-least-once oversized-record splitting,
-              // never driver OOM (round-13 ADVICE).
+              // a peer streaming bytes without '\n' — or with bare-CR
+              // terminators, which deliberately do NOT split lines here
+              // (only LF terminates; a lone CR inside a record is payload,
+              // matching the WAL replay rendering) — would grow the
+              // builder without bound on the driver. Flush an oversized
+              // partial as a line like FileTailSource's 4 MB carry guard:
+              // at-least-once oversized-record splitting, never an
+              // unbounded StringBuilder (round-13 ADVICE). Note this caps
+              // only the PARTIAL — TcpLineSource has no maxBufferedLines
+              // pause on the completed-lines buffer itself (unlike
+              // FileTailSource's poll-side check); the buffer drains at
+              // every micro-batch, so its bound is the batch interval ×
+              // ingest rate (round-14 ADVICE: the old comment implied a
+              // line-buffer bound that does not exist).
               if (partial.length >= (4 << 20)) {
                 val line = partial.toString
                 partial.setLength(0)

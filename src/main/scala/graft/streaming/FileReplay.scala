@@ -234,7 +234,7 @@ object FileReplay {
       feed: StreamingQuery => Unit): DataFrame = {
     val spark = sdf.sparkSession
     val out = Files.createTempDirectory("graft_psink")
-    psinks.synchronized { psinks += out }
+    psinks.synchronized { psinkSeq += 1; psinks += ((psinkSeq, out)) }
     val q = sdf.writeStream.format("parquet")
       .option("path", s"$out/data")
       .option("checkpointLocation", s"$out/chk")
@@ -251,15 +251,37 @@ object FileReplay {
   // every frame built from the dirs has been fully consumed (Bench: after
   // the replay tier's futures have all been counted and fingerprinted;
   // Verify: after each row's parquet write). A JVM shutdown hook covers
-  // every other exit path.
-  private val psinks = scala.collection.mutable.ArrayBuffer.empty[Path]
+  // every other exit path. Entries carry a creation epoch so a purge can
+  // be scoped to "dirs that existed at my mark" — a concurrent caller's
+  // fresher dirs (whose frames may still be lazily consumed) survive
+  // (round-14 ADVICE: the unconditional global clear rested on call-site
+  // discipline alone).
+  private val psinks =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Path)]
+  private var psinkSeq = 0L
 
-  /** Delete every psink dir created so far. Only call when no DataFrame
-    * returned by [[replayToParquet]] will be consumed again.
+  /** Creation-order mark for [[purgePsinks]]: dirs created strictly after
+    * the mark was taken are left alone by `purgePsinks(mark)`.
     */
-  def purgePsinks(): Unit = psinks.synchronized {
-    psinks.foreach(p => try rm(p) catch { case _: Throwable => })
+  def psinkMark(): Long = psinks.synchronized { psinkSeq }
+
+  /** Test hook: the psink dirs currently tracked by THIS JVM. Lets the
+    * reclaim spec assert on the specific dirs it created instead of a
+    * global tmpdir count a concurrent bench/test JVM could perturb
+    * (round-14 ADVICE).
+    */
+  private[graft] def trackedPsinks: Seq[Path] =
+    psinks.synchronized { psinks.map(_._2).toSeq }
+
+  /** Delete psink dirs created at or before `mark` (default: everything
+    * so far). Only call when no DataFrame returned by [[replayToParquet]]
+    * for those dirs will be consumed again.
+    */
+  def purgePsinks(mark: Long = Long.MaxValue): Unit = psinks.synchronized {
+    val (dead, live) = psinks.partition(_._1 <= mark)
+    dead.foreach { case (_, p) => try rm(p) catch { case _: Throwable => } }
     psinks.clear()
+    psinks ++= live
   }
 
   private val psinkShutdownHook: Thread = {

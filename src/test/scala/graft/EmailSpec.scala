@@ -259,7 +259,11 @@ class EmailSpec extends AnyFunSuite {
     val zipped = smtp.received.poll()._3
     assert(zipped.contains("""filename="data.csv.zip""""))
     assert(Files.exists(file), "original kept without deleteOnSend")
-    assert(!Files.exists(dir.resolve("data.csv.zip")), "temp zip cleaned up")
+    // the worker deletes the temp zip AFTER the SMTP dialogue completes,
+    // and MiniSmtpServer registers the message at DATA completion — a
+    // plain exists() here raced the worker's cleanup closure (seen flaky
+    // in the round-15 green-gate run); await it like the sends above
+    awaitCond()(!Files.exists(dir.resolve("data.csv.zip")))
     // 3) zipped still above max: dropped with subject annotation
     val w3 = worker(0.000001, 0.0000001)
     w3.sendEmail(Email.to("a@x.com").subject("too big").attachment(file.toString))

@@ -64,18 +64,11 @@ class FileReplaySpec extends AnyFunSuite {
   test("replayToParquet psink dirs are reclaimed by purgePsinks") {
     // round-13 ADVICE: each replay rep leaked a corpus-sized parquet
     // output + checkpoint under java.io.tmpdir; the purge hook must
-    // delete them once the returned frame has been consumed
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    def psinks() = {
-      val s = java.nio.file.Files.list(tmp)
-      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
-        .asScala.count(_.getFileName.toString.startsWith("graft_psink"))
-      finally s.close()
-    }
-    // baseline-relative: dirs leaked by EARLIER JVMs (pre-fix runs) may
-    // still sit in tmpdir; the purge contract covers this JVM's dirs
+    // delete them once the returned frame has been consumed. Asserts on
+    // THIS JVM's tracked dirs, not a global tmpdir count — a concurrent
+    // bench/test JVM creating its own psinks must not flake this spec
+    // (round-14 ADVICE)
     graft.streaming.FileReplay.purgePsinks()
-    val n0 = psinks()
     val df = (1L to 20L).toDF("id")
     val r = graft.streaming.FileReplay.stage(df, when(col("id") < 10, 0).otherwise(1))
     val out = try {
@@ -83,8 +76,16 @@ class FileReplaySpec extends AnyFunSuite {
         r.stream.select(col("id")), q => r.feedAll(q))
     } finally r.close()
     assert(out.count() == 20) // fully consumed before the purge
-    assert(psinks() > n0, "replayToParquet should have created a psink dir")
-    graft.streaming.FileReplay.purgePsinks()
-    assert(psinks() <= n0, "purgePsinks must delete every tracked psink dir")
+    val mine = graft.streaming.FileReplay.trackedPsinks
+    assert(mine.nonEmpty, "replayToParquet should have tracked a psink dir")
+    assert(mine.forall(java.nio.file.Files.isDirectory(_)),
+      "tracked psink dirs should exist before the purge")
+    // mark-scoped purge: dirs created after the mark must survive
+    val mark = graft.streaming.FileReplay.psinkMark()
+    graft.streaming.FileReplay.purgePsinks(mark)
+    assert(mine.forall(!java.nio.file.Files.exists(_)),
+      "purgePsinks must delete every psink dir tracked at the mark")
+    assert(graft.streaming.FileReplay.trackedPsinks.isEmpty,
+      "purge at the latest mark must empty this JVM's registry")
   }
 }
