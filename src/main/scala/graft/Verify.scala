@@ -31,6 +31,11 @@ object Verify {
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_BYTES", "67108864"))
       .config("spark.sql.streaming.minBatchesToRetain", "2")
+      // mirror Bench's replay-tier conf (see Bench.scala): no-data
+      // micro-batches off so the oracle verifies the exact configuration
+      // the bench times; st_stream_session_parity scope-restores true
+      .config("spark.sql.streaming.noDataMicroBatches.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_NODATA", "false"))
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => b.config("spark.jars", j))
     sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
       .foreach(m => b.config("spark.executor.memory", m))

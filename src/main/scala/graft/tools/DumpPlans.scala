@@ -30,6 +30,8 @@ object DumpPlans {
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_BYTES", "67108864"))
       .config("spark.sql.streaming.minBatchesToRetain", "2")
+      .config("spark.sql.streaming.noDataMicroBatches.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_NODATA", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     org.apache.spark.sql.graft.GraftOptimizations.install(spark)
