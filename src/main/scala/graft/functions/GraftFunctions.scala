@@ -31,6 +31,7 @@ object GraftFunctions {
   def modbus_decode(frame: Column): Column = c(ModbusDecode(e(frame)))
   def shingles(toks: Column, n: Column): Column = c(Shingles(e(toks), e(n)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+  def vec_sqdist(a: Column, b: Column): Column = c(VecSqDist(e(a), e(b)))
   def znorm_dist(win: Column, pattern: Column): Column = c(ZNormDist(e(win), e(pattern)))
   def dtw_dist(a: Column, b: Column): Column = c(DtwDist(e(a), e(b)))
   def tokens_ws(text: Column): Column = c(TokensWs(e(text)))
@@ -131,6 +132,7 @@ object GraftFunctions {
     one("modbus_decode", a => ModbusDecode(a.head))
     one("shingles", a => Shingles(a(0), a(1)))
     one("vec_dot", a => VecDot(a(0), a(1)))
+    one("vec_sqdist", a => VecSqDist(a(0), a(1)))
     one("znorm_dist", a => ZNormDist(a(0), a(1)))
     one("dtw_dist", a => DtwDist(a(0), a(1)))
     one("tokens_ws", a => TokensWs(a.head))

@@ -350,6 +350,27 @@ object Impls {
     s
   }
 
+  /** Squared L2 distance in ascending index order — bit-identical to the
+    * aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0.0, _+_) lambda
+    * rendering it replaces (same fold order, same 0.0 start).
+    */
+  def vecSqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vec_sqdist: length mismatch ${n} vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vec_sqdist: null element at index $i")
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** z-normalized Euclidean distance to a pattern; NaN when the window
     * std (population) is zero. Sums run in ascending index order — the
     * same accumulation as the lambda rendering

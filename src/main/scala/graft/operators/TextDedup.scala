@@ -208,6 +208,19 @@ object TextOps {
   private val liveCaches = new scala.collection.mutable.LinkedHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
   private val maxLiveCaches = 32
+  // Storage level for tracked caches (round-15 verdict task 6,
+  // guide §5). Default stays Spark's cache() level (MEMORY_AND_DISK,
+  // deserialized) so the bench methodology is unchanged; a deployment
+  // whose executors are memory-tight can set
+  // SPARK_GRAFT_CACHE_LEVEL=MEMORY_AND_DISK_SER to trade decode CPU for
+  // a several-x smaller footprint. Since the round-15 rewrites, every
+  // registered query's tracked frame is a post-aggregate/projected frame
+  // SMALLER than its source (the corpus-sized raw-explode caches are
+  // gone), so the deserialized default is no longer a multi-corpus-size
+  // exposure at scale.
+  private val cacheLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK"))
   // observability counters (round-8 verdict: the bench artifact must report
   // registry behavior so an eviction-churn regression is distinguishable
   // from host load); read via cacheStats, zeroed by resetCacheStats
@@ -236,7 +249,7 @@ object TextOps {
         liveCaches.update(key, prev) // refresh recency; blocks stay live
       case _ =>
         statMisses += 1
-        df.cache()
+        df.persist(cacheLevel)
         liveCaches.update(key, df)
         while (liveCaches.size > maxLiveCaches) {
           val (k0, d0) = liveCaches.head
@@ -1392,11 +1405,15 @@ object VectorOps {
 
   /** sum_i v_i * c_i against a literal vector, ascending index (the
     * same fold the SQL oracles' list_sum comprehension runs, so dot
-    * products are bit-identical).
+    * products are bit-identical). Native VecDot (round-15): the old
+    * aggregate(zip_with) rendering is CodegenFallback — an interpreted
+    * per-row lambda tree per centroid per subspace in every ANN scoring
+    * pass; the native fold is the identical IEEE sum inside whole-stage
+    * codegen.
     */
   private[graft] def dotLit(v: Column, cv: Array[Double]): Column = {
     val cLit = array(cv.toIndexedSeq.map(lit(_)): _*)
-    aggregate(zip_with(v, cLit, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vec_dot(v, cLit)
   }
 
   /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998)
@@ -1416,8 +1433,7 @@ object VectorOps {
     val e = vectors.select(col(idCol).cast("long").as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     val n = e.withColumn("__nrm",
-      sqrt(aggregate(zip_with(col("__v"), col("__v"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)))
+      sqrt(graft.functions.GraftFunctions.vec_dot(col("__v"), col("__v"))))
     val qRow = n.filter(col("__id") === queryId).head()
     val qv = qRow.getSeq[Double](1).toArray
     val qn = qRow.getDouble(2)
@@ -1449,11 +1465,15 @@ object VectorOps {
       .select(col("step"), col("vec_id"), round(col("raw"), 6).as("score"))
   }
 
-  /** sum_i (v_i - c_i)^2 against a literal centroid, ascending index. */
+  /** sum_i (v_i - c_i)^2 against a literal centroid, ascending index.
+    * Native VecSqDist (round-15): same IEEE fold as the old
+    * aggregate(zip_with) rendering, but inside whole-stage codegen
+    * instead of an interpreted CodegenFallback lambda per row per
+    * centroid (see dotLit).
+    */
   private[graft] def sqDist(v: Column, cv: Array[Double]): Column = {
     val cLit = array(cv.toIndexedSeq.map(lit(_)): _*)
-    aggregate(zip_with(v, cLit, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    graft.functions.GraftFunctions.vec_sqdist(v, cLit)
   }
 
   /** Product-quantization codebook state: m independent per-subspace

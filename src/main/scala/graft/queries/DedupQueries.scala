@@ -2330,9 +2330,11 @@ object DedupQueries {
         .transform(graft.operators.TextOps.trackCache)
       def centered = zip_with(col("embedding"), col("mu"), (x, m) => x - m)
       def step(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        // native VecDot (round-15): identical ascending IEEE fold, but
+        // codegen instead of an interpreted aggregate(zip_with) per row
         val withS = e.crossJoin(broadcast(mu)).crossJoin(broadcast(v))
-          .withColumn("sc", aggregate(zip_with(centered, col("v"), (a, b) => a * b),
-            lit(0.0), (acc, t) => acc + t))
+          .withColumn("sc",
+            graft.functions.GraftFunctions.vec_dot(centered, col("v")))
         val w = withS
           .select(posexplode(centered).as(Seq("d", "xm")), col("sc"))
           .groupBy("d")

@@ -2892,19 +2892,28 @@ object TextQueries {
         |SELECT doc_id, rank, phrase, plen AS n_words, score_ppm
         |FROM rk WHERE rank <= 3""".stripMargin) { (s, dir) =>
       val stops = Seq("the", "a", "of", "and", "to", "in")
+      // The phrase aggregate CARRIES its word array (round-15, guide
+      // §2.4): occ used to be a corpus-wide (doc, pid) join of the raw
+      // positional explode back onto the phrase table — deriving occ by
+      // re-exploding the phrase's own words removes that join and the
+      // corpus-sized explode cache outright (one consumer left, so r
+      // stays uncached). plen == size(wds) == the old count(*), and the
+      // re-explode emits exactly the old occ multiset.
       val r = Tables.load(s, dir, "documents")
         .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("p", "wd")))
         .withColumn("st", col("wd").isin(stops: _*).cast("int"))
         .withColumn("pid", sum(col("st")).over(
           Window.partitionBy("doc_id").orderBy("p")))
         .filter(col("st") === 0)
-        .transform(TextOps.trackCache)
       val ph = r.groupBy("doc_id", "pid")
-        .agg(array_join(expr("transform(array_sort(collect_list(struct(p, wd))), x -> x.wd)"),
-          " ").as("phrase"), count(lit(1)).as("plen"))
+        .agg(expr("transform(array_sort(collect_list(struct(p, wd))), x -> x.wd)")
+          .as("wds"))
+        .select(col("doc_id"), col("pid"),
+          array_join(col("wds"), " ").as("phrase"),
+          size(col("wds")).cast("long").as("plen"), col("wds"))
         .transform(TextOps.trackCache)
-      val occ = r.join(ph, Seq("doc_id", "pid")).select(col("doc_id"),
-        col("pid"), col("wd"), col("plen"))
+      val occ = ph.select(col("doc_id"), col("pid"),
+        explode(col("wds")).as("wd"), col("plen"))
       val ws = occ.groupBy("wd")
         .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
       val sc = occ.join(ws, "wd")

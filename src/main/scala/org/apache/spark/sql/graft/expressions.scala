@@ -227,6 +227,25 @@ case class VecDot(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** vec_sqdist(a, b): squared L2 distance in ascending index order —
+  * identical accumulation to the aggregate(zip_with((x,y) => (x-y)*(x-y)))
+  * lambda rendering (array HOFs are CodegenFallback and dominated the
+  * literal-centroid ANN scoring passes; this stays in generated code).
+  */
+case class VecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sqdist"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Impls.vecSqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Impls.vecSqDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDist =
+    copy(l, r)
+}
+
 /** dtw_dist(a, b): integer dynamic-time-warping distance between two
   * long-array series in one codegen'd call — tier (b) of the custom-op
   * ladder for a whole DP kernel (a lambda rendering would need a
