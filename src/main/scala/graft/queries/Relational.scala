@@ -3123,13 +3123,21 @@ object Relational {
     */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val minsup = math.max(2L, Tables.load(s, dir, "orders").count() / 75000L)
+    // minsup stays IN-PLAN as a broadcast scalar (round-15): the old
+    // driver-side orders.count() was one extra sequential job per graph
+    // row per rep — the oracle already models it as a CTE, and
+    // `count(1) div 75000` is the same floor division math.max(2, n/75000)
+    // computed. The one-row cross join broadcasts; the filter value is
+    // bit-identical.
+    val ms = Tables.load(s, dir, "orders")
+      .agg(greatest(lit(2L), expr("count(1) div 75000")).as("__minsup"))
     li.as("l1").join(li.as("l2"),
         col("l1.l_orderkey") === col("l2.l_orderkey") &&
           col("l1.l_partkey") < col("l2.l_partkey"))
       .groupBy(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minsup)
+      .crossJoin(broadcast(ms))
+      .filter(col("__n") >= col("__minsup"))
       .select("a", "b")
       .transform(graft.operators.TextOps.trackCache)
   }

@@ -116,6 +116,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](1).forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("vec_sqdist: bit-equal to the aggregate(zip_with) fold it replaced") {
+    // round-15: the ANN literal-centroid scoring moved from interpreted
+    // aggregate(zip_with((x,y) -> (x-y)*(x-y))) lambdas to the native
+    // VecSqDist codegen expression — this pins the IEEE fold identity on
+    // values that exercise rounding (non-representable decimals, signed
+    // zeros, large/small mixes), plus the ragged-length guard
+    val r = spark.sql(
+      """SELECT vec_sqdist(a, b) AS native,
+        |  aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+        |            CAST(0.0 AS DOUBLE), (acc, d) -> acc + d) AS lambda
+        |FROM VALUES
+        |  (array(0.1d, 0.2d, 0.3d), array(0.3d, 0.2d, 0.1d)),
+        |  (array(1e300d, -1e300d), array(-1e-300d, 1e-300d)),
+        |  (array(-0.0d, 0.0d), array(0.0d, -0.0d)),
+        |  (array(1.0000001d), array(1.0d)) AS t(a, b)""".stripMargin)
+      .collect()
+    r.foreach { row =>
+      assert(java.lang.Double.doubleToRawLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(row.getDouble(1)),
+        s"fold divergence: ${row.getDouble(0)} vs ${row.getDouble(1)}")
+    }
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_sqdist(array(1.0d, 2.0d), array(3.0d))").head()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("expression guard rails: null tokens, ragged vectors, bad k") {
     // shingles over a null-bearing token array must match the documented
     // concat_ws rendering (skip nulls) on BOTH array representations —

@@ -72,6 +72,27 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("pre-collected init reproduces the internal init collect exactly") {
+    // round-15 job fusion: ann_adc collects the first 4 vectors once and
+    // serves both pqState's init and the query vectors — the fused path
+    // must be indistinguishable from the internal orderBy-limit collect
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val first = df.orderBy("vec_id")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.col("embedding"),
+          x => x.cast("double")))
+      .limit(K)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val (cbA, nA) = VectorOps.pqState(df, "vec_id", "embedding", M, K, 1)
+    val (cbB, nB) = VectorOps.pqState(df, "vec_id", "embedding", M, K, 1,
+      initRows = first)
+    for (s <- 0 until M; c <- 0 until K) {
+      assert(nA(s)(c) == nB(s)(c), s"count s=$s c=$c")
+      assert(cbA(s)(c).sameElements(cbB(s)(c)), s"centroid s=$s c=$c")
+    }
+  }
+
   test("ADC distances are the exact table-lookup sums of the encoded codes") {
     val vecs = load()
     val df = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
