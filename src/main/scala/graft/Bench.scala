@@ -223,23 +223,23 @@ object Bench {
       // budget is applied to the RAW string, so runs whose expr-ids are wider
       // truncate where others don't, destabilizing the plan fingerprint
       .config("spark.sql.maxMetadataStringLength", "100000")
-      // Join strategy (optimization guide §3.1/§9): shuffled-hash joins
-      // come from the AQE runtime rewrite ONLY — AQE converts a sort-merge
-      // join to shuffled-hash when every post-shuffle partition is under
-      // the threshold below, a decision made from MEASURED partition
-      // sizes, so the per-task build is bounded at any corpus size. The
-      // STATIC planner preference (preferSortMergeJoin=false) converts
-      // from optimizer size ESTIMATES (round-14 ADVICE: a post-filter
-      // cardinality underestimate or key skew could build an oversized
-      // per-partition hash map where sort-merge would spill), and a
-      // round-15 A/B at the 10x fixture measured the static conversions
-      // equal-or-SLOWER on all six affected rows (e.g. ann_recall_curve
-      // 1.84 vs 1.61 s, dd_incremental 0.50 vs 0.37 s min-of-2-runs) with
-      // sf0.1 level within noise — so the static default is sort-merge
-      // and only the runtime rewrite stays on. Env-parameterized both
-      // ways for deployments with trusted statistics.
+      // Join strategy (optimization guide §3.1/§9): allow shuffled-hash
+      // joins where the planner's per-partition build-size conditions
+      // hold, and let AQE rewrite sort-merge to shuffled-hash at runtime
+      // under the measured-size threshold below. Round-15 tried reverting
+      // the STATIC half to sort-merge (the ADVICE estimate-risk point;
+      // a 10x A/B on six uncached rows mildly favored it) and the full
+      // board rejected the revert: tracked-cache materialization runs
+      // WITHOUT AQE, so the big cached join subtrees (the co-purchase
+      // lineitem self-join behind 8 graph rows, the LSH band chains) get
+      // only the static choice — with sort-merge forced there, join-heavy
+      // rows regressed ~1-2 s each in the closing record. The estimate
+      // risk remains documented: a skewed/misestimated deployment should
+      // set SPARK_GRAFT_PREFER_SMJ=true (the AQE runtime rewrite, which
+      // decides from measured partition sizes with the 64 MB bound,
+      // stays on either way).
       .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_BYTES", "67108864"))
       // checkpoint-retention floor for the replay parity rows: every

@@ -27,7 +27,7 @@ object Verify {
       // the driver verifies are the plans the bench times; results are
       // strategy-invariant, the mirror is for plan-evidence fidelity
       .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_BYTES", "67108864"))
       .config("spark.sql.streaming.minBatchesToRetain", "2")

@@ -3123,21 +3123,20 @@ object Relational {
     */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    // minsup stays IN-PLAN as a broadcast scalar (round-15): the old
-    // driver-side orders.count() was one extra sequential job per graph
-    // row per rep — the oracle already models it as a CTE, and
-    // `count(1) div 75000` is the same floor division math.max(2, n/75000)
-    // computed. The one-row cross join broadcasts; the filter value is
-    // bit-identical.
-    val ms = Tables.load(s, dir, "orders")
-      .agg(greatest(lit(2L), expr("count(1) div 75000")).as("__minsup"))
+    // minsup stays a DRIVER-side count: round-15 tried folding it in-plan
+    // as a broadcast scalar (one less sequential job per graph row) and
+    // the full board rejected it — the one-row cross join renders as a
+    // BroadcastNestedLoopJoin replicated into every consumer of the edge
+    // subtree and destroys the filter's selectivity estimate
+    // (q_triangles 0.86 -> 12.99 s in the closing record). The literal
+    // threshold keeps the aggregate+filter a single well-estimated stage.
+    val minsup = math.max(2L, Tables.load(s, dir, "orders").count() / 75000L)
     li.as("l1").join(li.as("l2"),
         col("l1.l_orderkey") === col("l2.l_orderkey") &&
           col("l1.l_partkey") < col("l2.l_partkey"))
       .groupBy(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
       .agg(count(lit(1)).as("__n"))
-      .crossJoin(broadcast(ms))
-      .filter(col("__n") >= col("__minsup"))
+      .filter(col("__n") >= minsup)
       .select("a", "b")
       .transform(graft.operators.TextOps.trackCache)
   }

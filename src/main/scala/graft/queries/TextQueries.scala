@@ -546,14 +546,23 @@ object TextQueries {
       // spanDupFrames pattern)
       val e = g.select(col("doc_id"), explode(col("gs")).as("x"))
         .transform(TextOps.trackCache)
-      val df = e.groupBy("x").agg(countDistinct("doc_id").as("df"))
-      e.join(df, "x")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") >= 5, 1).otherwise(0)).as("n_common"))
-        .select(col("doc_id"), col("n_shingles"), col("n_common"),
-          (floor(col("n_common").cast("double") / col("n_shingles")
-            * 1e6 + 0.5) / 1e6).as("boilerplate_frac"))
+      // shingles are DISTINCT per doc, so (doc, x) pairs are distinct:
+      // per-gram row count == countDistinct(doc_id) — same value without
+      // the two-phase distinct-aggregate expansion (round-15, §2.3). The
+      // join-back then carries ONLY the df>=5 common grams (the filter
+      // the SQL comment promised but the old plan applied after the
+      // join), and n_shingles comes from the cached explode directly;
+      // docs whose grams are all rare coalesce to 0 exactly as the old
+      // sum-of-zeros did.
+      val df = e.groupBy("x").agg(count(lit(1)).as("df"))
+      val nc = e.join(df.filter(col("df") >= 5).select("x"), "x")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+      e.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .join(nc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (floor(coalesce(col("n_common"), lit(0L)).cast("double")
+            / col("n_shingles") * 1e6 + 0.5) / 1e6).as("boilerplate_frac"))
     },
 
     // Nucleus (top-p) data selection — per language, keep the
@@ -992,35 +1001,35 @@ object TextQueries {
         |FROM score
         |WHERE source NOT IN ('src0','src1','src2','src3','src4')""".stripMargin) { (s, dir) =>
       val target = Seq("src0", "src1", "src2", "src3", "src4")
-      // Aggregate the hashed-token stream to per-(doc, source, bkt)
-      // counts and cache THAT (<= docs x 256 rows) instead of the raw
-      // corpus-sized md5'd token explode (round-15, guide §2.3/§5 — the
-      // round-14 cache materialized a multi-corpus-size frame at scale).
-      // cr/ct derive exactly (integral sums); the per-doc score sums
-      // lw*n per bucket instead of lw repeated n times — within the
-      // ~1e-12 double envelope the existing 6dp round already absorbs
-      // (oracle re-verified cell-exact at sf0.001/0.01/0.1).
-      val g = TextOps.trackCache(
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            explode(TextOps.tokens(col("text"))).as("tok"))
-          .select(col("doc_id"), col("source"),
-            (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"))
-              .as("bkt"))
-          .groupBy("doc_id", "source", "bkt").agg(count(lit(1)).as("n")))
-      val cnts = g.groupBy("bkt").agg(
-        sum("n").as("cr"),
-        sum(when(col("source").isin(target: _*), col("n")).otherwise(0L))
-          .as("ct"))
+      // No corpus-sized cache at all (round-15, guide §2.3/§5): the
+      // round-14 version cached the raw md5'd token explode (a
+      // multi-corpus-size materialization at scale) to share it between
+      // the bucket-count aggregate and the per-doc score. Each consumer
+      // now aggregates the explode directly — cnts is a 256-group
+      // map-side-combined agg, the score pass broadcast-joins the 256-row
+      // weight table and aggregates by doc — two corpus scans, zero cache
+      // footprint. (A middle variant caching the (doc, source, bkt)
+      // count table was tried and rejected: ~1 group per input token at
+      // this corpus's bucket spread, so the extra wide aggregate cost
+      // more than the saved scan.)
+      val b = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"))
+            .as("bkt"))
+      val cnts = b.groupBy("bkt").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("source").isin(target: _*), 1)).as("ct"))
       val tot = cnts.agg(sum("cr").as("r"), sum("ct").as("t"))
       val lr = cnts.crossJoin(broadcast(tot))
         .select(col("bkt"),
           round(log((col("ct") + 1).cast("double") * (col("r") + 256).cast("double") /
             ((col("cr") + 1).cast("double") * (col("t") + 256).cast("double"))), 6).as("lw"))
-      g.join(broadcast(lr), "bkt")
+      b.join(broadcast(lr), "bkt")
         .groupBy("doc_id")
         .agg(max(col("source")).as("source"),
-          round(sum(col("lw") * col("n")), 6).as("dsir_score"))
+          round(sum(col("lw")), 6).as("dsir_score"))
         .filter(!col("source").isin(target: _*))
         .select(col("doc_id"), col("source"), col("dsir_score"),
           (col("dsir_score") > 0).cast("int").as("selected"))
@@ -1060,24 +1069,21 @@ object TextQueries {
         |  CAST(dsir_score > 0 AS INT) AS selected
         |FROM score""".stripMargin) { (s, dir) =>
       val target = Seq("src0", "src1", "src2", "src3", "src4")
-      // same per-(doc, bkt) count-aggregate cache as tx_dsir_select
-      // (round-15, guide §2.3/§5); integral cr/ct, lw*n score within the
-      // 6dp round's envelope, oracle re-verified at all three SFs
-      val g = TextOps.trackCache(
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            (substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
-              .as("incoming"),
-            explode(TextOps.tokens(col("text"))).as("tok"))
-          .select(col("doc_id"), col("source"), col("incoming"),
-            (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"))
-              .as("bkt"))
-          .groupBy("doc_id", "source", "incoming", "bkt")
-          .agg(count(lit(1)).as("n")))
-      val cnts = g.filter(!col("incoming")).groupBy("bkt").agg(
-        sum("n").as("cr"),
-        sum(when(col("source").isin(target: _*), col("n")).otherwise(0L))
-          .as("ct"))
+      // no corpus-sized cache — same two-pass shape as tx_dsir_select
+      // (round-15, guide §2.3/§5): the weight fit aggregates the existing
+      // slice by bucket directly, the score pass re-derives the incoming
+      // slice and broadcast-joins the 256-row weight table
+      val b = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+            .as("incoming"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("source"), col("incoming"),
+          (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"))
+            .as("bkt"))
+      val cnts = b.filter(!col("incoming")).groupBy("bkt").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("source").isin(target: _*), 1)).as("ct"))
       val tot = cnts.agg(sum("cr").as("r"), sum("ct").as("t"))
       val lr = cnts.crossJoin(broadcast(tot))
         .select(col("bkt"),
@@ -1091,12 +1097,11 @@ object TextQueries {
       val dflt = tot.select(round(log(
         (col("r") + 256).cast("double") / (col("t") + 256).cast("double")),
         6).as("lw0"))
-      g.filter(col("incoming")).join(broadcast(lr), Seq("bkt"), "left")
+      b.filter(col("incoming")).join(broadcast(lr), Seq("bkt"), "left")
         .crossJoin(broadcast(dflt))
         .groupBy("doc_id")
         .agg(max(col("source")).as("source"),
-          round(sum(coalesce(col("lw"), col("lw0")) * col("n")), 6)
-            .as("dsir_score"))
+          round(sum(coalesce(col("lw"), col("lw0"))), 6).as("dsir_score"))
         .select(col("doc_id"), col("source"), col("dsir_score"),
           (col("dsir_score") > 0).cast("int").as("selected"))
     },

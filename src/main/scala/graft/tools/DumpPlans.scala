@@ -26,7 +26,7 @@ object DumpPlans {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxMetadataStringLength", "100000")
       .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_BYTES", "67108864"))
       .config("spark.sql.streaming.minBatchesToRetain", "2")
