@@ -401,12 +401,17 @@ object Bench {
     // ReplayConcurrencySpec pins serial-equality of results.
     // Default scales with the core budget instead of pinning the r12
     // constant 4 (the guide's scale-adaptive-settings rule): the tier is
-    // micro-batch commit-latency-bound, so at 32 cores 8 concurrent
-    // replays still leave the executor pool underloaded, while at the
+    // micro-batch commit-latency-bound, so wide concurrency still leaves
+    // the executor pool underloaded. Round-15 widened the 32-core ceiling
+    // from 8 to cpus/2 (capped 16) so the whole 13-row tier runs as ONE
+    // wave: with 8 threads the heaviest rows (alphabetically late —
+    // st_stream_late/session/topk) started only as the first wave
+    // drained, serializing the tail (guide §2.6) — measured tier wall
+    // 62.2 s two-wave vs 20.2 s single-wave on identical rows. At the
     // driver's low-core rerun (8 cores) the default stays the measured 4.
     val replayConcurrency = sys.env
       .getOrElse("SPARK_GRAFT_REPLAY_CONCURRENCY",
-        math.min(8, math.max(4, cpus.toInt / 4)).toString).toInt.max(1)
+        math.min(16, math.max(4, cpus.toInt / 2)).toString).toInt.max(1)
     var replayWallOfPass = 0.0
 
     def runReplayTier(rows: Seq[(String,
